@@ -1,13 +1,38 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2.3): each entry
+  * is a Spark DataFrame builder over the testdata dir, and (where SQL-
+  * expressible) `oracleSql` carries its DuckDB twin. Column names and a
+  * deterministic total ordering match on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's entire dataflow (O1–O8 + D1–D3) run as one
+    * Spark job over the reference's own fixtures. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    IotPipeline.flagship(spark)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++
+      IotQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      SimilarityQueries.queries ++
+      MultimodalQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++
+      IotQueries.oracles ++
+      TextQueries.oracles ++
+      DedupQueries.oracles ++
+      SimilarityQueries.oracles ++
+      MultimodalQueries.oracles
 }

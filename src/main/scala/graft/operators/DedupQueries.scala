@@ -1,0 +1,10 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dedup operators — filled in incrementally. */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map()
+  val oracles: Map[String, String] = Map()
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, Path}
+
+/** The reference pipeline (SURVEY.md §2.1/§2.2), rebuilt Spark-first.
+  *
+  * Reference dataflow (`/root/reference/app/app.py:19-89`):
+  *   scan(jsonl) → parse → validate(is-dict) → enrich(processed_timestamp)
+  *              → conditional-project(temp_fahrenheit) → sink(jsonl)
+  * plus README-declared operators: threshold filter (>10°C,
+  * `/root/reference/README.md:15,40`), dimension lookup enrichment
+  * (`README.md:13,42`), humidity validation (`README.md:9,38`).
+  *
+  * Semantics pinned by SURVEY.md §1.2 and enforced by IotPipelineSpec:
+  *  - malformed JSON lines are dropped (side-output, not error)
+  *  - non-object JSON top-level values are dropped
+  *  - missing/non-numeric temperature keeps the record, nulls the °F col
+  *  - empty output is still written
+  *
+  * Scale: the whole pipeline is narrow (scan → filter → project → sink,
+  * no shuffle) except the dimension lookup, which broadcasts the small
+  * dim table — on a 1000-executor cluster this runs one embarrassingly
+  * parallel pass over the input files.
+  */
+object IotPipeline {
+
+  /** struct<...> for the sensor records + corrupt-record capture column.
+    * (`/root/reference/README.md:185-189` for the field list.) */
+  val sensorSchema: StructType = StructType(Seq(
+    StructField("device_id", StringType),
+    StructField("location", StringType),
+    StructField("temperature", DoubleType),
+    StructField("humidity", DoubleType),
+    StructField("pressure", DoubleType),
+    StructField("timestamp", TimestampType),
+    StructField("_corrupt_record", StringType)))
+
+  /** O1/O2/O3: permissive JSONL scan. Malformed lines land in
+    * `_corrupt_record`; non-object top-level values become all-null rows
+    * with a populated corrupt column (same observable drop semantics as
+    * `app/app.py:43-45,62-63`). */
+  def readSensors(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(sensorSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** O4 + O11: split into (good, bad). Bad = unparseable or non-object. */
+  def splitCorrupt(raw: DataFrame): (DataFrame, DataFrame) = {
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    (good, bad)
+  }
+
+  /** O5/O6/O7/D3: enrich + conditional °F projection + validity flags.
+    * Missing/null temperature keeps the record and nulls temp_fahrenheit
+    * (`app/app.py:51-58` keep-on-invalid semantics). */
+  def transform(good: DataFrame): DataFrame =
+    good
+      .withColumn("temp_fahrenheit", when(col("temperature").isNotNull,
+        col("temperature") * 9.0 / 5.0 + 32.0))
+      .withColumn("humidity_valid",
+        col("humidity").isNotNull && col("humidity") >= 0.0 && col("humidity") <= 100.0)
+      .withColumn("processed_timestamp",
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
+
+  /** D1: README's declared >threshold filter (default 10.0 °C). */
+  def thresholdFilter(df: DataFrame, threshold: Double = 10.0): DataFrame =
+    df.filter(col("temperature") > threshold)
+
+  /** D2: dimension-lookup enrichment (device_id → location_id) via
+    * broadcast hash join — the dim table never shuffles the fact side. */
+  def enrichLocation(df: DataFrame, dim: DataFrame): DataFrame =
+    df.join(broadcast(dim), Seq("device_id"), "left")
+
+  /** O8: JSONL sink (also writes an empty dir for zero rows, matching the
+    * reference's write-even-when-empty, `app/app.py:69-80`). */
+  def writeJsonl(df: DataFrame, outPath: String): Unit =
+    df.write.mode("overwrite").json(outPath)
+
+  // -------------------------------------------------------------------
+  // Fixtures (FIXTURES.md §A/§B — the reference's own test vectors).
+
+  val fixtureA: Seq[String] = Seq(
+    """{"device_id": "sensor-alpha", "location": "warehouse-A", "temperature": 20.0, "humidity": 55.5, "pressure": 1012.3, "timestamp": "2025-07-11T11:00:00Z"}""",
+    """{"device_id": "sensor-beta", "location": "warehouse-B", "temperature": 28.1, "humidity": 62.1, "pressure": 1010.5, "timestamp": "2025-07-11T11:01:00Z"}""",
+    """{"device_id": "sensor-alpha", "location": "warehouse-A", "temperature": 22.5, "humidity": 58.0, "pressure": 1011.8, "timestamp": "2025-07-11T11:02:00Z"}""",
+    """{"device_id": "sensor-gamma", "location": "server-room-1", "temperature": 18.7, "humidity": 45.0, "pressure": 1013.0, "timestamp": "2025-07-11T11:03:00Z"}""",
+    """{"device_id": "sensor-beta", "location": "warehouse-B", "temperature": 26.9, "humidity": 60.5, "pressure": 1010.9, "timestamp": "2025-07-11T11:04:00Z"}""")
+
+  val fixtureB: Seq[String] = Seq(
+    """{"device_id": "sensor-001", "temperature": 25.5, "humidity": 60}""",
+    """{"device_id": "sensor-002", "temperature": 30.0, "humidity": 65}""",
+    """{"device_id": "sensor-003", "temperature": 20.1, "humidity": 55}""",
+    """this is a bad line""",
+    """{"device_id": "sensor-004", "humidity": 70}""")
+
+  /** Materialize the fixtures as a JSONL file under target/ and return
+    * its path (the reference's local-fallback smoke, `app/app.py:100-145`). */
+  def materializeFixtures(): String = {
+    val dir = Paths.get("target", "iot-fixtures")
+    Files.createDirectories(dir)
+    val f: Path = dir.resolve("raw_sensor_data.jsonl")
+    Files.writeString(f, (fixtureA ++ fixtureB).mkString("\n") + "\n")
+    f.toAbsolutePath.toString
+  }
+
+  /** The flagship: full reference surface (O1–O8 + D1–D3) end-to-end over
+    * the reference's own fixtures. Returns the processed DataFrame
+    * (rows > 0: fixtureA all pass the >10°C threshold). */
+  def flagship(spark: SparkSession): DataFrame = {
+    val raw = readSensors(spark, materializeFixtures())
+    val (good, _) = splitCorrupt(raw)
+    val dim = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        ("sensor-alpha", 101), ("sensor-beta", 102), ("sensor-gamma", 103),
+        ("sensor-001", 1), ("sensor-002", 2), ("sensor-003", 3), ("sensor-004", 4))
+        .map(t => org.apache.spark.sql.Row(t._1, t._2))),
+      StructType(Seq(StructField("device_id", StringType), StructField("location_id", IntegerType))))
+    enrichLocation(thresholdFilter(transform(good)), dim)
+  }
+}
