@@ -1,10 +1,159 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
 
-/** Dedup operators — filled in incrementally. */
+/** Deduplication family (north-star LLM-data operators): exact,
+  * normalized-exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant is candidate-generation → verify.
+  * Candidates come from an equi-join on a derived key (fingerprint,
+  * shared shingle, LSH band, SimHash band) so the shuffle is keyed and
+  * partial — never an O(n²) cross join. At 100 TB the band/shingle
+  * explode is the only data amplification and it's bounded per doc.
+  */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** doc_id + distinct 3-token shingles. The corpus arrives as one
+    * parquet row group (single scan task); shingling is CPU-dense, so
+    * spread it across the cores before computing — at 100 TB the same
+    * principle holds: size partitions for the compute stage, not the
+    * scan. */
+  private def docShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", shingles3(tokens($"text")).as("sh"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on the raw text; representative = min id.
+    // (One shuffle keyed by the md5 — at scale, group on the hash, not
+    // the full text, so the shuffle rows stay small.)
+    "dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy(md5($"text").as("fp"))
+        .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"fp")
+    }),
+
+    // Exact dedup on the normalized form (case/whitespace robust).
+    "dedup_exact_norm" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy(md5(normalize($"text")).as("fp"))
+        .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"fp")
+    }),
+
+    // n-gram Jaccard near-dup as a set-similarity join: explode distinct
+    // shingles (hashed to 8-byte keys), equi-join on the shingle hash,
+    // and count matching rows per pair — because shingles are distinct
+    // within a doc, that count IS |A∩B|, so no arrays ever ride a
+    // shuffle and no per-pair array_intersect runs. |A|,|B| come from a
+    // broadcast (doc_id → set size) side table. At 100 TB this is the
+    // canonical scalable shape: shuffle rows are (hash, doc_id) pairs
+    // only. SQL-expressible → full DuckDB oracle.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val sh = docShingles(s, d).cache()
+      val sizes = sh.select($"doc_id", size($"sh").as("n"))
+      val ex = sh.select($"doc_id", explode($"sh").as("shingle"))
+        .select($"doc_id", xxhash64($"shingle").as("h"))
+      val inter = ex.as("a").join(ex.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), Seq("d1"))
+        .join(broadcast(sizes.select($"doc_id".as("d2"), $"n".as("n2"))), Seq("d2"))
+        .select($"d1", $"d2",
+          ($"inter" * lit(1.0) / ($"n1" + $"n2" - $"inter")).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // MinHash + LSH near-dup: 64-hash signature, 16 bands × 4 rows →
+    // candidates from band-key equi-join, then exact-Jaccard verify.
+    // Same verify threshold as dedup_ngram_jaccard, so at high recall
+    // the outputs converge — the LSH path just avoids the shingle-join
+    // amplification at scale. Hash functions aren't SQL-portable → no
+    // oracle (rows-only check).
+    "dedup_minhash_lsh" -> ((s, d) => {
+      import s.implicits._
+      val sh = docShingles(s, d).filter(size($"sh") > 0).cache()
+      // band rows carry only (doc_id, band, key) — signatures and
+      // shingle arrays never enter the candidate shuffle
+      val bands = sh
+        .select($"doc_id", lshBands(minhashSignature($"sh", 64), 16, 4).as("bands"))
+        .select($"doc_id", posexplode($"bands").as(Seq("band", "key")))
+      val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      // verify: exact Jaccard on the (few) surviving candidates only
+      cand
+        .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+        .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
+        .select($"d1", $"d2", jaccard($"sh1", $"sh2").as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // SimHash near-dup: 64-bit signature; candidates share one of four
+    // 16-bit bands (pigeonhole: any pair within Hamming distance 3 must
+    // agree on ≥1 band); verify = Hamming ≤ 3 via bit_count(XOR).
+    "dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      val sig = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", simhash64(tokens($"text")).as("sim"))
+        .cache()
+      val banded = sig.select($"doc_id", $"sim",
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", $"sim", b * 16).bitwiseAND(lit(0xFFFFL)).cast("long")))
+          .as(Seq("band", "key")))
+      banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          bit_count($"a.sim".bitwiseXOR($"b.sim")).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"d1", $"d2")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_exact_norm" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        | MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        | len(list_intersect(a.s, b.s)) * 1.0 /
+        |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |FROM cand JOIN sh a ON d1 = a.doc_id JOIN sh b ON d2 = b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY d1, d2""".stripMargin
+    // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
+    // → rows-only checks.
+  )
 }

@@ -27,33 +27,43 @@ import java.nio.file.{Files, Paths, Path}
   */
 object IotPipeline {
 
-  /** struct<...> for the sensor records + corrupt-record capture column.
-    * (`/root/reference/README.md:185-189` for the field list.) */
+  /** struct<...> for the sensor records
+    * (`/root/reference/README.md:185-189` for the field list). */
   val sensorSchema: StructType = StructType(Seq(
     StructField("device_id", StringType),
     StructField("location", StringType),
     StructField("temperature", DoubleType),
     StructField("humidity", DoubleType),
     StructField("pressure", DoubleType),
-    StructField("timestamp", TimestampType),
-    StructField("_corrupt_record", StringType)))
+    StructField("timestamp", TimestampType)))
 
-  /** O1/O2/O3: permissive JSONL scan. Malformed lines land in
-    * `_corrupt_record`; non-object top-level values become all-null rows
-    * with a populated corrupt column (same observable drop semantics as
-    * `app/app.py:43-45,62-63`). */
+  /** O1/O2/O3: JSONL scan as text + `from_json`. One pass, no caching:
+    * the raw line rides alongside the parsed struct, so the bad-record
+    * side output (O11) keeps the original bytes — Spark's JSON source
+    * can't serve a corrupt-only projection without caching the scan,
+    * which is a non-starter at 100 TB.
+    *
+    * Two parses per line, both codegen'd, zero extra I/O:
+    *  - `is_object`: `from_json` to map<string,string> — non-null iff
+    *    the line is a well-formed JSON *object* (the reference's is-dict
+    *    guard, `app/app.py:43-45`; malformed JSON `app/app.py:62-63`).
+    *  - `parsed`: typed struct parse; a type-mismatched field nulls just
+    *    that field, keeping the record (`app/app.py:57-58` semantics —
+    *    a string temperature must NOT drop the row).
+    * Empty/whitespace lines are skipped (`app/app.py:35-37`). */
   def readSensors(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(sensorSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+    spark.read.text(path)
+      .filter(trim(col("value")) =!= "")
+      .withColumn("is_object",
+        from_json(col("value"), MapType(StringType, StringType)).isNotNull)
+      .withColumn("parsed", from_json(col("value"), sensorSchema))
 
-  /** O4 + O11: split into (good, bad). Bad = unparseable or non-object. */
+  /** O4 + O11: split into (good, bad). Bad = unparseable or non-object,
+    * preserved verbatim for the dead-letter output. */
   def splitCorrupt(raw: DataFrame): (DataFrame, DataFrame) = {
-    val bad = raw.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line"))
-    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(!col("is_object"))
+      .select(col("value").as("raw_line"))
+    val good = raw.filter(col("is_object")).select(col("parsed.*"))
     (good, bad)
   }
 

@@ -1,10 +1,83 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
 
-/** Multimodal operators — filled in incrementally. */
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decode/feature/frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic stub (see [[graft.multimodal.Multimodal]])
+  * — but the Spark-side contract is real: binary payloads, per-row
+  * metadata structs, bounded row explosion for frame sampling, and a
+  * batched mapPartitions decode path.
+  *
+  * The `documents` table stands in as the payload source (text bytes as
+  * the blob) so the queries stay oracle-checkable.
+  */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  val queries: Map[String, Q] = Map(
+    // Opaque binary + typed metadata: byte length, checksum, and
+    // deterministic pseudo-dimensions (what a real decoder would emit).
+    "mm_binary_meta" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", $"text".cast("binary").as("blob"))
+        .select(
+          $"doc_id",
+          length($"blob").cast("long").as("n_bytes"),
+          md5($"blob").as("checksum"),
+          (length($"blob") % 640 + 1).cast("long").as("width"),
+          ((length($"blob") * 7) % 480 + 1).cast("long").as("height"),
+          lit(3L).as("channels"))
+        .orderBy($"doc_id")
+    }),
+
+    // Frame sampling: derive a frame count per asset, emit every 10th
+    // frame index with its byte offset — bounded explode (≤10 rows/asset),
+    // shuffle-free.
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", ($"n_chars" % 100 + 1).cast("int").as("n_frames"))
+        .select($"doc_id", $"n_frames",
+          explode(sequence(lit(0), $"n_frames" - 1, lit(10))).as("frame_idx"))
+        .select($"doc_id", $"n_frames".cast("long").as("n_frames"),
+          $"frame_idx".cast("long").as("frame_idx"),
+          ($"frame_idx" * 1024L).as("byte_offset"))
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
+    // Stubbed decode + feature extraction through the real batched
+    // mapPartitions path (see Multimodal.decodeFeatures). Deterministic
+    // fake features → rows-only driver check (no SQL twin for the
+    // Scala-side batching).
+    "mm_decode_features" -> ((s, d) => {
+      import s.implicits._
+      graft.multimodal.Multimodal.decodeFeatures(
+        documents(s, d).select($"doc_id", $"text".cast("binary").as("payload")))
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | md5(text) AS checksum,
+        | octet_length(CAST(text AS BLOB)) % 640 + 1 AS width,
+        | (octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS height,
+        | 3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, n_frames, frame_idx, frame_idx * 1024 AS byte_offset FROM (
+        | SELECT doc_id, n_chars % 100 + 1 AS n_frames,
+        |  unnest(range(0, n_chars % 100 + 1, 10)) AS frame_idx
+        | FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
 }

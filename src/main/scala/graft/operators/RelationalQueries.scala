@@ -105,11 +105,12 @@ object RelationalQueries {
         .orderBy($"c_custkey")
     }),
 
-    // q07: left-anti join (NOT EXISTS).
+    // q07: left-anti join (NOT EXISTS): customers with no 1995 orders.
     "q07_anti_join" -> ((s, d) => {
       import s.implicits._
       customer(s, d)
-        .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(orders(s, d).filter($"o_orderdate" < lit("1996-01-01").cast("timestamp")),
+          $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")
     }),
@@ -421,7 +422,8 @@ object RelationalQueries {
 
     "q07_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
 
     "q08_distinct" ->

@@ -1,10 +1,135 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
 
-/** Text analysis over `documents` — filled in incrementally. */
+/** Text analysis over `documents` (SURVEY.md §2.3 "Text analysis" +
+  * the north-star LLM-data operators): token counting, quality scoring,
+  * language-ID heuristic, fingerprinting, n-gram stats.
+  *
+  * All pure Catalyst expressions — each scales as a narrow map over the
+  * corpus (no shuffle except the final stats aggregations).
+  */
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private val stopList = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    // (letter runs / digit runs / single symbols).
+    "text_token_count" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars_calc"),
+        size(tokens($"text")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_re_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality scoring: length/stopword/word-shape ratios → [0,1] score.
+    "text_quality" -> ((s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      val nTok = size(toks)
+      val nStop = size(filter(toks, t => t.isin(stopList.map(x => lit(x)): _*)))
+      val stopRatio = nStop * lit(1.0) / nTok
+      documents(s, d).select(
+        $"doc_id",
+        nTok.cast("long").as("n_tokens"),
+        (length(regexp_replace($"text", " ", "")) * lit(1.0) / nTok).as("avg_token_len"),
+        stopRatio.as("stop_ratio"),
+        (least(nTok, lit(200)) / lit(200.0) * 0.5 +
+          when(stopRatio >= 0.05 && stopRatio <= 0.6, 0.5).otherwise(0.0)).as("quality_score"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-ID: deterministic stopword-marker heuristic, reported as
+    // a (labelled lang × guessed lang) confusion matrix.
+    "text_lang_id" -> ((s, d) => {
+      import s.implicits._
+      val guess = when($"text".contains(" the "), "en")
+        .when($"text".contains(" el "), "es")
+        .when($"text".contains(" der "), "de")
+        .when($"text".contains(" le "), "fr")
+        .when($"text".contains("的"), "zh")
+        .otherwise("unk")
+      documents(s, d)
+        .withColumn("guess", guess)
+        .groupBy($"lang", $"guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"guess")
+    }),
+
+    // Document fingerprint: md5 of the normalized text (exact-dup key
+    // robust to case/whitespace).
+    "text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(
+        $"doc_id",
+        md5(normalize($"text")).as("fingerprint"))
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus-level n-gram stats: top-20 bigrams by frequency.
+    "text_top_bigrams" -> ((s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      val bigrams = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      documents(s, d)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram")
+        .limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        | length(text) AS n_chars_calc,
+        | len(string_split(text, ' ')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        | len(t) AS n_tokens,
+        | length(replace(text, ' ', '')) * 1.0 / len(t) AS avg_token_len,
+        | len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) * 1.0 / len(t) AS stop_ratio,
+        | LEAST(len(t), 200) / 200.0 * 0.5 +
+        |  CASE WHEN len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) * 1.0 / len(t)
+        |            BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END AS quality_score
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      """SELECT lang,
+        | CASE WHEN contains(text, ' the ') THEN 'en'
+        |      WHEN contains(text, ' el ') THEN 'es'
+        |      WHEN contains(text, ' der ') THEN 'de'
+        |      WHEN contains(text, ' le ') THEN 'fr'
+        |      WHEN contains(text, '的') THEN 'zh'
+        |      ELSE 'unk' END AS guess,
+        | COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_top_bigrams" ->
+      """SELECT bigram, COUNT(*) AS n FROM (
+        | SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        | FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+  )
 }

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.IotPipeline
+
+/** Structured Streaming surface (SURVEY.md §2.1 O9 + §2.3 streaming rows).
+  *
+  * The reference's control plane — S3 ObjectCreated → Lambda → one ECS
+  * task per file (`/root/reference/lambda/s3_event_handler.py:21-79`,
+  * `/root/reference/terraform/main.tf:459-472`) — is replaced wholesale
+  * by the file-source + checkpoint discovery loop: exactly-once instead
+  * of the reference's at-least-once, no external orchestration, and the
+  * same "one new file → processed output" contract.
+  *
+  * Watermarked event-time windows are the streaming twin of the batch
+  * aggregations in RelationalQueries (q23); their equivalence is pinned
+  * by StreamingSpec.
+  */
+object Streams {
+
+  /** O1/O9 streaming twin: continuously discover new JSONL files in
+    * `inDir` and run the full IoT transform on each micro-batch (same
+    * text + from_json split as the batch path). */
+  def sensorFileStream(spark: SparkSession, inDir: String): DataFrame = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", 16) // bound micro-batch size at scale
+      .text(inDir)
+      .filter(trim(col("value")) =!= "")
+      .withColumn("is_object", from_json(col("value"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).isNotNull)
+      .withColumn("parsed", from_json(col("value"), IotPipeline.sensorSchema))
+    IotPipeline.transform(raw.filter(col("is_object")).select(col("parsed.*")))
+  }
+
+  /** Drain-the-directory batch-of-streams run (Trigger.AvailableNow):
+    * processes all pending files with checkpointed exactly-once file
+    * output, then stops — the reference's per-file Fargate task, minus
+    * the control plane. */
+  def runAvailableNow(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Tumbling 1-hour event-time window with a 10-minute watermark —
+    * late rows beyond the watermark are dropped, state is evicted, so
+    * executor state stays bounded no matter how long the stream runs. */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding window variant (1 hour window, 15 minute slide). */
+  def slidingEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows (30-minute gap) keyed by user — the streaming twin
+    * of RelationalQueries q22_sessionize. */
+  def sessionizedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup with bounded state: dropDuplicates over the
+    * business key within the watermark horizon (state for keys older
+    * than the watermark is evicted — mandatory for an unbounded stream). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}

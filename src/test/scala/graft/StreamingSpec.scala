@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+import graft.operators.IotPipeline
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming semantics: file-source discovery replaces the reference's
+  * S3-event control plane; windowed aggs must equal their batch twins;
+  * late data beyond the watermark is dropped. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("file-source stream processes JSONL files exactly once (O9 replacement)") {
+    val inDir = Files.createTempDirectory("stream-in").toString
+    val outDir = Files.createTempDirectory("stream-out").toString
+    val ckDir = Files.createTempDirectory("stream-ck").toString
+    Files.writeString(java.nio.file.Paths.get(inDir, "batch1.jsonl"),
+      IotPipeline.fixtureA.mkString("\n"))
+    val q = Streams.runAvailableNow(Streams.sensorFileStream(spark, inDir), outDir, ckDir)
+    q.awaitTermination(60000)
+    val out1 = spark.read.schema(IotPipeline.sensorSchema).json(outDir)
+    assert(out1.count() === 5)
+
+    // a second file arrives → only the new rows are processed (checkpoint)
+    Files.writeString(java.nio.file.Paths.get(inDir, "batch2.jsonl"),
+      IotPipeline.fixtureB.mkString("\n"))
+    val q2 = Streams.runAvailableNow(Streams.sensorFileStream(spark, inDir), outDir, ckDir)
+    q2.awaitTermination(60000)
+    val out2 = spark.read.schema(IotPipeline.sensorSchema).json(outDir)
+    assert(out2.count() === 9) // 5 + 4 good records; corrupt line dropped
+  }
+
+  test("windowed streaming agg equals its batch twin on the same data") {
+    val events = MemoryStream[Ev](spark, 1)
+    val rows = Seq(
+      Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:55:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 01:05:00"), 2, "view", 3.0),
+      Ev(4, ts("2024-01-01 01:45:00"), 2, "click", 4.0),
+      Ev(5, ts("2024-01-01 02:30:00"), 1, "view", 5.0))
+    events.addData(rows: _*)
+    val q = Streams.hourlyEventCounts(events.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("hourly")
+      .select($"hour_start", $"event_type", $"n", $"sum_value")
+      .orderBy($"hour_start", $"event_type").collect().toSeq
+    val batch = rows.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"hour_start", $"event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("late rows beyond the watermark are dropped in append mode") {
+    val events = MemoryStream[Ev](spark, 2)
+    val agg = Streams.hourlyEventCounts(events.toDF())
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    // batch 1: establish event time up to 03:00 → watermark 02:50
+    events.addData(
+      Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 03:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: a row for the (closed) 00:00 window — beyond watermark, dropped
+    events.addData(Ev(3, ts("2024-01-01 00:20:00"), 1, "click", 99.0))
+    q.processAllAvailable()
+    // batch 3: advance event time far enough to finalize all windows
+    events.addData(Ev(4, ts("2024-01-01 06:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("late").filter($"hour_start" === ts("2024-01-01 00:00:00")).collect()
+    assert(closed.length === 1)
+    assert(closed.head.getAs[Long]("n") === 1) // the late row did NOT count
+  }
+
+  test("streaming dedup with watermark removes duplicate event_ids") {
+    val events = MemoryStream[Ev](spark, 3)
+    events.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 00:00:30"), 1, "click", 1.0), // dup id within watermark
+      Ev(2, ts("2024-01-01 00:01:00"), 1, "view", 2.0))
+    val q = Streams.dedupedEvents(events.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").select($"event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+}
