@@ -86,11 +86,16 @@ object DedupQueries {
     "dedup_minhash_lsh" -> ((s, d) => {
       import s.implicits._
       val sh = docShingles(s, d).filter(size($"sh") > 0).cache()
+      // Materialize the signature behind a cache barrier: the banding
+      // lambda references it 16×, and higher-order lambdas have no
+      // common-subexpression elimination — inlined, the 64-hash
+      // signature would be recomputed once PER BAND (measured 5× the
+      // whole query's runtime at sf0.1).
+      val sig = sh.select($"doc_id", minhashSignature($"sh", 64).as("sig")).cache()
       // band rows carry only (doc_id, band, key) — signatures and
       // shingle arrays never enter the candidate shuffle
-      val bands = sh
-        .select($"doc_id", lshBands(minhashSignature($"sh", 64), 16, 4).as("bands"))
-        .select($"doc_id", posexplode($"bands").as(Seq("band", "key")))
+      val bands = sig
+        .select($"doc_id", posexplode(lshBands($"sig", 16, 4)).as(Seq("band", "key")))
       val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))

@@ -369,6 +369,27 @@ object RelationalQueries {
         .agg(approx_count_distinct($"user_id").as("approx_users"),
           count(lit(1)).as("n"))
         .orderBy($"event_type")
+    }),
+
+    // q29: typed Aggregator UDAF (partial+final merge like a built-in);
+    // sums in integer cents so the mean is order-independent → exact
+    // DuckDB twin.
+    "q29_typed_agg" -> ((s, d) => {
+      import s.implicits._
+      val centsAvg = udaf(graft.functions.TypedAggregators.CentsAvg)
+      events(s, d).groupBy($"event_type")
+        .agg(centsAvg($"value").as("avg_value"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // q30: top-k sketch Aggregator — O(k) state per group regardless of
+    // group size. Oracle via DuckDB's ordered list slice.
+    "q30_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      val top3 = udaf(new graft.functions.TypedAggregators.TopK(3))
+      events(s, d).groupBy($"user_id")
+        .agg(top3($"value").as("top_values"))
+        .orderBy($"user_id")
     })
   )
 
@@ -571,7 +592,18 @@ object RelationalQueries {
         | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q28_approx_distinct: intentionally no oracle (HLL sketch != DuckDB's)
+
+    "q29_typed_agg" ->
+      """SELECT event_type,
+        | (CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*) AS avg_value,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q30_topk_agg" ->
+      """SELECT user_id,
+        | (list_sort(list(value), 'DESC'))[1:3] AS top_values
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -14,6 +14,11 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # array-valued cells (numpy arrays / lists) -> tuples so == is scalar
+    if hasattr(v, "tolist"):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 def load_rows(rel):
