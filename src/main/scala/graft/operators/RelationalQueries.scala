@@ -190,8 +190,9 @@ object RelationalQueries {
         .orderBy($"user_id", $"event_id")
     }),
 
-    // q15: set ops — symmetric difference of two customer key sets with a
-    // provenance tag. EXCEPT is planned as left-anti after aggregate.
+    // q15: set ops — three disjoint provenance classes via EXCEPT /
+    // INTERSECT / UNION ALL (EXCEPT and INTERSECT plan as left-anti /
+    // left-semi after aggregate).
     "q15_set_ops" -> ((s, d) => {
       import s.implicits._
       val auto = customer(s, d).filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
@@ -199,6 +200,7 @@ object RelationalQueries {
         .select($"o_custkey".as("c_custkey")).distinct()
       auto.except(big).withColumn("side", lit("auto_only"))
         .unionAll(big.except(auto).withColumn("side", lit("big_only")))
+        .unionAll(auto.intersect(big).withColumn("side", lit("both")))
         .orderBy($"c_custkey", $"side")
     }),
 
@@ -390,6 +392,23 @@ object RelationalQueries {
       events(s, d).groupBy($"user_id")
         .agg(top3($"value").as("top_values"))
         .orderBy($"user_id")
+    }),
+
+    // q31: GROUPING SETS through the SQL entry point (the engine's full
+    // SQL surface — temp view + spark.sql — with grouping_id to
+    // disambiguate the null grouping rows). Same Expand+agg plan as
+    // rollup/cube.
+    "q31_grouping_sets" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     })
   )
 
@@ -496,6 +515,8 @@ object RelationalQueries {
         |SELECT c_custkey, 'auto_only' AS side FROM (SELECT c_custkey FROM auto EXCEPT SELECT c_custkey FROM big)
         |UNION ALL
         |SELECT c_custkey, 'big_only' AS side FROM (SELECT c_custkey FROM big EXCEPT SELECT c_custkey FROM auto)
+        |UNION ALL
+        |SELECT c_custkey, 'both' AS side FROM (SELECT c_custkey FROM auto INTERSECT SELECT c_custkey FROM big)
         |ORDER BY c_custkey, side""".stripMargin,
 
     "q16_string_funcs" ->
@@ -604,6 +625,15 @@ object RelationalQueries {
     "q30_topk_agg" ->
       """SELECT user_id,
         | (list_sort(list(value), 'DESC'))[1:3] AS top_values
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q31_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
   )
 }

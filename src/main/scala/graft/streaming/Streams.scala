@@ -5,6 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.IotPipeline
 
+/** Input/state rows for the custom-state operator (top level for stable
+  * Encoders). */
+case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+case class UserProfile(user_id: Long, n_events: Long, sum_value: Double,
+    last_type: String)
+
 /** Structured Streaming surface (SURVEY.md §2.1 O9 + §2.3 streaming rows).
   *
   * The reference's control plane — S3 ObjectCreated → Lambda → one ECS
@@ -83,4 +90,28 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via mapGroupsWithState: a per-user running
+    * profile (event count, running value sum, last event type) updated
+    * per micro-batch. State is one small case class per key — bounded —
+    * and would carry a timeout in a production stream (omitted here so
+    * the spec can assert exact values). */
+  def userRunningProfile(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state) =>
+          val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, ""))
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val next = UserProfile(
+            userId,
+            prev.n_events + evs.size,
+            prev.sum_value + evs.map(_.value).sum,
+            evs.lastOption.map(_.event_type).getOrElse(prev.last_type))
+          state.update(next)
+          next
+      }
+  }
 }

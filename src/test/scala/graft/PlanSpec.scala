@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan shape assertions: the scale story is only real if the
+  * optimizer actually produces the plans the design assumes. These pin
+  * pushdown, broadcast choice, top-k planning, and the absence of
+  * cartesian products so a refactor can't silently regress them. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  test("q02: filters are pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThan(l_discount,0.03)"))
+    assert(p.contains("LessThan(l_quantity,25.0)"))
+  }
+
+  test("q02: scan reads only the referenced columns") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("l_partkey"), "column pruning failed")
+    assert(!readSchema.contains("l_returnflag"))
+  }
+
+  test("q04/q05: dimension joins broadcast (no fact-side shuffle for the join)") {
+    assert(plan("q04_broadcast_join_agg").contains("BroadcastHashJoin"))
+    val p5 = plan("q05_revenue_by_nation")
+    assert(p5.contains("BroadcastHashJoin"))
+  }
+
+  test("q03: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q03_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q06/q07: semi and anti joins plan as such") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    assert(plan("q01_pricing_summary").contains("partial_sum"))
+  }
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+}

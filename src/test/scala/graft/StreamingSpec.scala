@@ -85,6 +85,25 @@ class StreamingSpec extends SparkSuite {
     assert(closed.head.getAs[Long]("n") === 1) // the late row did NOT count
   }
 
+  test("mapGroupsWithState keeps a running per-user profile across micro-batches") {
+    import graft.streaming.{UserEvent, UserProfile}
+    val events = MemoryStream[UserEvent](spark, 4)
+    val q = graft.streaming.Streams.userRunningProfile(events.toDS())
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode("update").start()
+    events.addData(
+      UserEvent(1, ts("2024-01-01 00:00:00"), 7, "click", 1.5),
+      UserEvent(2, ts("2024-01-01 00:01:00"), 7, "view", 2.5))
+    q.processAllAvailable()
+    events.addData(UserEvent(3, ts("2024-01-01 00:02:00"), 7, "purchase", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // last update row for user 7 reflects all three events
+    val last = spark.table("profiles").as[UserProfile].collect()
+      .filter(_.user_id == 7).maxBy(_.n_events)
+    assert(last === UserProfile(7, 3, 8.0, "purchase"))
+  }
+
   test("streaming dedup with watermark removes duplicate event_ids") {
     val events = MemoryStream[Ev](spark, 3)
     events.addData(
