@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
+
+/** SparkSessionExtensions entry point: registers the native kernels as
+  * SQL functions so any session built with
+  * `.withExtensions(new GraftExtensions)` — or
+  * `spark.sql.extensions=graft.GraftExtensions` on a cluster — can call
+  * them from plain SQL. The DataFrame API path (GraftExpressions) needs
+  * no registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles) - 64-hash MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es.head, 64)))
+  }
+}

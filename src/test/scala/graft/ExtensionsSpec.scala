@@ -1,0 +1,42 @@
+package graft
+
+/** The extension-registered SQL functions must resolve in a session
+  * carrying spark.sql.extensions=graft.GraftExtensions (the cluster
+  * deployment path; the shared test session sets exactly that). */
+class ExtensionsSpec extends SparkSuite {
+
+  test("kernels are callable from SQL via SparkSessionExtensions") {
+    val cos = spark.sql(
+      "SELECT cosine_similarity(CAST(array(1.0, 0.0) AS array<float>), CAST(array(1.0, 0.0) AS array<float>)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    val sim = spark.sql("SELECT simhash64(array('a','b','a')) AS s").collect().head.getLong(0)
+    val sim2 = spark.sql("SELECT simhash64(array('a','b','a')) AS s").collect().head.getLong(0)
+    assert(sim === sim2)
+
+    val mh = spark.sql("SELECT size(minhash_signature(array('x y z','y z w'))) AS n")
+      .collect().head.getInt(0)
+    assert(mh === 64)
+  }
+
+  test("codegen'd cosine matches the interpreted eval path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding")
+    val viaExpr = df.as("a").crossJoin(df.as("b"))
+      .select(cosineSimilarity($"a.embedding", $"b.embedding").as("c"))
+      .agg(sum($"c")).collect().head.getDouble(0)
+    // HOF formulation (interpreted) — same fold order, must agree exactly
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val viaHof = df.as("a").crossJoin(df.as("b"))
+      .select((dot($"a.embedding", $"b.embedding") /
+        (sqrt(dot($"a.embedding", $"a.embedding")) * sqrt(dot($"b.embedding", $"b.embedding")))).as("c"))
+      .agg(sum($"c")).collect().head.getDouble(0)
+    assert(viaExpr === viaHof)
+  }
+}
