@@ -19,16 +19,12 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Distinct 3-token shingles. Guarded so short docs yield an empty
-    * array (Spark's 2-arg sequence() counts DOWN when stop < start).
+  /** Distinct 3-token shingles as a native kernel (the HOF chain —
+    * transform(sequence(...), concat_ws) + array_distinct — re-ran
+    * interpreted lambdas per position).
     * DuckDB twin: list_distinct(list_transform(range(1, len(t)-1),
     *   i -> t[i]||' '||t[i+1]||' '||t[i+2])). */
-  def shingles3(toks: Column): Column = {
-    val tri = transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-    array_distinct(when(size(toks) >= 3, tri).otherwise(array()))
-  }
+  def shingles3(toks: Column): Column = GraftExpressions.shingles3(toks)
 
   /** |A ∩ B| / |A ∪ B| over two distinct-element arrays, as double. */
   def jaccard(a: Column, b: Column): Column = {

@@ -141,6 +141,36 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct 3-token shingles of an array<string>, first-occurrence order
+  * (same output as array_distinct over the transform/concat HOF chain,
+  * which re-ran interpreted concat lambdas per position). <3 tokens →
+  * empty array. */
+case class Shingles3(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n)
+    var i = 0
+    while (i <= n - 3) {
+      if (!toks.isNullAt(i) && !toks.isNullAt(i + 1) && !toks.isNullAt(i + 2)) {
+        seen.add(UTF8String.concatWs(space,
+          toks.getUTF8String(i), toks.getUTF8String(i + 1), toks.getUTF8String(i + 2)))
+      }
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points + SQL registration for the custom kernels. */
 object GraftExpressions {
   import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
@@ -150,6 +180,7 @@ object GraftExpressions {
   def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpression(tokens)))
   def minhash_signature(shingles: Column, k: Int): Column =
     toColumn(MinHashSignature(toExpression(shingles), k))
+  def shingles3(tokens: Column): Column = toColumn(Shingles3(toExpression(tokens)))
 
   /** Expose the kernels to SQL users of the session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -409,6 +409,40 @@ object RelationalQueries {
         FROM lineitem_v
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // q32: scalar math function family — all codegen'd built-ins; IEEE
+    // doubles are deterministic across both engines.
+    "q32_math_funcs" -> ((s, d) => {
+      import s.implicits._
+      part(s, d).select(
+        $"p_partkey",
+        round($"p_retailprice" * 1.1, 2).as("marked_up"),
+        abs($"p_size" - 25).as("size_dev"),
+        floor($"p_retailprice").cast("long").as("price_floor"),
+        ceil($"p_retailprice").cast("long").as("price_ceil"),
+        sqrt($"p_retailprice").as("price_sqrt"),
+        radians($"p_size".cast("double")).as("size_rad"),
+        pow($"p_size".cast("double"), 2.0).as("size_sq"),
+        pmod($"p_partkey", lit(7L)).as("bucket7"),
+        signum($"p_retailprice" - 1000.0).as("above_1k"))
+        .orderBy($"p_partkey")
+    }),
+
+    // q33: null-handling family — coalesce/nullif/least/greatest with a
+    // manufactured null (nullif) so the semantics actually fire.
+    "q33_null_funcs" -> ((s, d) => {
+      import s.implicits._
+      val bal0 = nullif($"c_acctbal", lit(0.0))
+      customer(s, d).select(
+        $"c_custkey",
+        coalesce(bal0, lit(-1.0)).as("bal_or_default"),
+        bal0.isNull.as("was_zero"),
+        least($"c_acctbal", lit(5000.0)).as("bal_capped"),
+        greatest($"c_acctbal", lit(0.0)).as("bal_floored"),
+        when($"c_acctbal" > 0, "credit").when($"c_acctbal" < 0, "debit")
+          .otherwise("zero").as("bal_class"))
+        .orderBy($"c_custkey")
     })
   )
 
@@ -634,6 +668,29 @@ object RelationalQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q32_math_funcs" ->
+      """SELECT p_partkey,
+        | round(p_retailprice * 1.1, 2) AS marked_up,
+        | abs(p_size - 25) AS size_dev,
+        | CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        | CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        | sqrt(p_retailprice) AS price_sqrt,
+        | radians(CAST(p_size AS DOUBLE)) AS size_rad,
+        | pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+        | p_partkey % 7 AS bucket7,
+        | CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS above_1k
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q33_null_funcs" ->
+      """SELECT c_custkey,
+        | COALESCE(NULLIF(c_acctbal, 0.0), -1.0) AS bal_or_default,
+        | NULLIF(c_acctbal, 0.0) IS NULL AS was_zero,
+        | LEAST(c_acctbal, 5000.0) AS bal_capped,
+        | GREATEST(c_acctbal, 0.0) AS bal_floored,
+        | CASE WHEN c_acctbal > 0 THEN 'credit' WHEN c_acctbal < 0 THEN 'debit'
+        |      ELSE 'zero' END AS bal_class
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }
