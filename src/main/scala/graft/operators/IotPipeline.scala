@@ -110,11 +110,11 @@ object IotPipeline {
     """this is a bad line""",
     """{"device_id": "sensor-004", "humidity": 70}""")
 
-  /** Materialize the fixtures as a JSONL file under target/ and return
-    * its path (the reference's local-fallback smoke, `app/app.py:100-145`). */
+  /** Materialize the fixtures as a JSONL file in the system temp dir
+    * (CWD-independent) and return its path (the reference's
+    * local-fallback smoke, `app/app.py:100-145`). */
   def materializeFixtures(): String = {
-    val dir = Paths.get("target", "iot-fixtures")
-    Files.createDirectories(dir)
+    val dir: Path = Files.createTempDirectory("iot-fixtures")
     val f: Path = dir.resolve("raw_sensor_data.jsonl")
     Files.writeString(f, (fixtureA ++ fixtureB).mkString("\n") + "\n")
     f.toAbsolutePath.toString

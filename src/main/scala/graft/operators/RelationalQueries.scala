@@ -443,6 +443,37 @@ object RelationalQueries {
         when($"c_acctbal" > 0, "credit").when($"c_acctbal" < 0, "debit")
           .otherwise("zero").as("bal_class"))
         .orderBy($"c_custkey")
+    }),
+
+    // q34: map functions over the schema-on-read props payload:
+    // from_json → map<string,bigint>, then key/value extraction.
+    "q34_map_funcs" -> ((s, d) => {
+      import s.implicits._
+      val m = from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+      events(s, d).select(
+        $"event_id",
+        size(map_keys(m)).cast("long").as("n_keys"),
+        array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+        element_at(m, "k").as("k_val"),
+        map_contains_key(m, "missing").as("has_missing"))
+        .orderBy($"event_id")
+    }),
+
+    // q35: date/time arithmetic family (all integer-exact: no
+    // months_between float semantics).
+    "q35_date_arith" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        quarter($"o_orderdate").cast("long").as("q"),
+        month($"o_orderdate").cast("long").as("m"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        date_format(date_add($"o_orderdate", 30), "yyyy-MM-dd").as("due_date"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate").cast("long").as("days_to_2002"),
+        date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"))
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -691,6 +722,25 @@ object RelationalQueries {
         | GREATEST(c_acctbal, 0.0) AS bal_floored,
         | CASE WHEN c_acctbal > 0 THEN 'credit' WHEN c_acctbal < 0 THEN 'debit'
         |      ELSE 'zero' END AS bal_class
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q34_map_funcs" ->
+      """SELECT event_id,
+        | CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        | array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        | list_contains(json_keys(props), 'missing') AS has_missing
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q35_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(day(o_orderdate) AS BIGINT) AS dom,
+        | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
