@@ -75,6 +75,24 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // PII scrubbing: mask emails and long digit runs. The corpus itself
+    // carries no PII, so a synthetic suffix is appended before the
+    // second scrub to prove the masking path end-to-end while `flagged`
+    // reports the (deterministic) real-corpus scan result.
+    "text_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numRe = "[0-9]{3,}"
+      def scrub(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), numRe, "<NUM>")
+      documents(s, d).select(
+        $"doc_id",
+        (scrub($"text") =!= $"text").as("flagged"),
+        md5(scrub(concat($"text", lit(" contact: user@example.com id 12345"))))
+          .as("scrubbed_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Corpus-level n-gram stats: top-20 bigrams by frequency.
     "text_top_bigrams" -> ((s, d) => {
       import s.implicits._
@@ -124,6 +142,12 @@ object TextQueries {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{3,}', '<NUM>', 'g') != text AS flagged,
+        | md5(regexp_replace(regexp_replace(text || ' contact: user@example.com id 12345', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_top_bigrams" ->

@@ -91,6 +91,21 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** foreachBatch sink: per-micro-batch custom write — here an append
+    * into a date-partitioned parquet layout (the standard lakehouse
+    * landing pattern; foreachBatch is the escape hatch for sinks the
+    * streaming API doesn't provide natively, e.g. JDBC upserts). */
+  def runPartitionedSink(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("ingest_date", date_format(current_timestamp(), "yyyy-MM-dd"))
+          .write.mode("append").partitionBy("ingest_date").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * profile (event count, running value sum, last event type) updated
     * per micro-batch. State is one small case class per key — bounded —

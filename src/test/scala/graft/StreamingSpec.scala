@@ -85,6 +85,23 @@ class StreamingSpec extends SparkSuite {
     assert(closed.head.getAs[Long]("n") === 1) // the late row did NOT count
   }
 
+  test("foreachBatch lands micro-batches in a date-partitioned parquet layout") {
+    val inDir = Files.createTempDirectory("fb-in").toString
+    val outDir = Files.createTempDirectory("fb-out").toString
+    val ckDir = Files.createTempDirectory("fb-ck").toString
+    Files.writeString(java.nio.file.Paths.get(inDir, "a.jsonl"),
+      IotPipeline.fixtureA.mkString("\n"))
+    val q = graft.streaming.Streams.runPartitionedSink(
+      graft.streaming.Streams.sensorFileStream(spark, inDir), outDir, ckDir)
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 5)
+    assert(out.columns.contains("ingest_date"))
+    // partition dir actually exists on disk
+    val parts = new java.io.File(outDir).listFiles().filter(_.getName.startsWith("ingest_date="))
+    assert(parts.nonEmpty)
+  }
+
   test("mapGroupsWithState keeps a running per-user profile across micro-batches") {
     import graft.streaming.{UserEvent, UserProfile}
     val events = MemoryStream[UserEvent](spark, 4)
