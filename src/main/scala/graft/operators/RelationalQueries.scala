@@ -474,6 +474,38 @@ object RelationalQueries {
         datediff(lit("2002-01-01").cast("date"), $"o_orderdate").cast("long").as("days_to_2002"),
         date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"))
         .orderBy($"o_orderkey")
+    }),
+
+    // q36: TPC-H Q3-style shipping priority: segment filter on the
+    // broadcast dim, date filters pushed into both fact scans, revenue
+    // per order, global top-10 (TakeOrderedAndProject).
+    "q36_shipping_priority" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).filter($"l_shipdate" > lit("1996-07-01").cast("timestamp"))
+        .join(orders(s, d).filter($"o_orderdate" < lit("1996-07-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(customer(s, d).filter($"c_mktsegment" === "BUILDING")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(dsumExpr(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .as("revenue"))
+        .select($"l_orderkey", fmtTs($"o_orderdate").as("o_date"), $"o_orderpriority", $"revenue")
+        .orderBy($"revenue".desc, $"l_orderkey".asc)
+        .limit(10)
+    }),
+
+    // q37: correlated scalar subquery (parts above their brand's mean
+    // price) — Catalyst decorrelates it into an aggregate + join; the
+    // mean is decimal-exact on both engines.
+    "q37_corr_subquery" -> ((s, d) => {
+      import s.implicits._
+      part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT p_partkey, p_brand, p_retailprice FROM part_v p
+        WHERE p_retailprice > (
+          SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_partkey""")
     })
   )
 
@@ -741,6 +773,25 @@ object RelationalQueries {
         | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
         | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
         | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q36_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q37_corr_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part p
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin
   )
 }
