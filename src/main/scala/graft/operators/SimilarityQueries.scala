@@ -18,7 +18,7 @@ object SimilarityQueries {
   private val K = 5
   private val N_QUERIES = 5
 
-  val queries: Map[String, Q] = Map(
+  private val queriesBase: Map[String, Q] = Map(
     // Brute-force exact top-k: broadcast the small query set against the
     // corpus (at 100 TB: corpus stays partitioned, queries broadcast;
     // per-partition top-k then global top-k via the window).
@@ -101,6 +101,52 @@ object SimilarityQueries {
         .orderBy($"q_id", $"rank")
     })
   )
+
+  private val queriesMore: Map[String, Q] = Map(
+    // IVF-style ANN: k-means centroids (deterministic seed) form the
+    // inverted-file cells; every vector is assigned to its nearest
+    // centroid, and a query probes only its 2 nearest cells. At 100 TB
+    // the corpus is partitioned by cell id, so a probe touches 2/16 of
+    // the data instead of all of it. Centroids come from Spark ML's
+    // KMeans on a sample — the model is small (16×64 floats) and rides
+    // a broadcast. Approximate + iteration-order dependent → rows-only
+    // driver check.
+    "sim_knn_ivf" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+        .withColumn("features", array_to_vector($"embedding".cast("array<double>")))
+        .cache()
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(emb)
+      val assigned = model.transform(emb).select($"vec_id", $"embedding",
+        $"prediction".as("cell"))
+      // query → its 2 nearest cells, via cosine against centroid vectors
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat).toSeq)
+      }.toSeq.toDF("cell", "centroid")
+      val queriesDf = assigned.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val probes = queriesDf.crossJoin(broadcast(centroids))
+        .select($"q_id", $"q_emb", $"cell",
+          cosineSimilarity($"q_emb", $"centroid").as("csim"))
+      val w0 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"csim".desc, $"cell".asc)
+      val probeCells = probes.withColumn("pr", row_number().over(w0))
+        .filter($"pr" <= 2).select($"q_id", $"q_emb", $"cell")
+      val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id", $"cosine")
+        .orderBy($"q_id", $"rank")
+    })
+  )
+
+  val queries: Map[String, Q] = queriesBase ++ queriesMore
 
   // Exact-arithmetic DuckDB twins: double-cast per element, sequential
   // list_sum fold — same bits as the Spark HOF fold.
