@@ -69,15 +69,18 @@ object IotPipeline {
 
   /** O5/O6/O7/D3: enrich + conditional °F projection + validity flags.
     * Missing/null temperature keeps the record and nulls temp_fahrenheit
-    * (`app/app.py:51-58` keep-on-invalid semantics). */
+    * (`app/app.py:51-58` keep-on-invalid semantics). Column order pins
+    * SURVEY.md §1.2 quirk 6: original keys, then processed_timestamp,
+    * then temp_fahrenheit (dict insertion order in `app/app.py:48,55`);
+    * humidity_valid is a rebuild extension and goes last. */
   def transform(good: DataFrame): DataFrame =
     good
+      .withColumn("processed_timestamp",
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
       .withColumn("temp_fahrenheit", when(col("temperature").isNotNull,
         col("temperature") * 9.0 / 5.0 + 32.0))
       .withColumn("humidity_valid",
         col("humidity").isNotNull && col("humidity") >= 0.0 && col("humidity") <= 100.0)
-      .withColumn("processed_timestamp",
-        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
 
   /** D1: README's declared >threshold filter (default 10.0 °C). */
   def thresholdFilter(df: DataFrame, threshold: Double = 10.0): DataFrame =

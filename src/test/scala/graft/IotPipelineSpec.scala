@@ -68,6 +68,28 @@ class IotPipelineSpec extends SparkSuite {
     assert(kept.toSeq === Seq("warm"))
   }
 
+  test("output column order: original keys, processed_timestamp, temp_fahrenheit (§1.2 quirk 6)") {
+    val raw = IotPipeline.readSensors(spark, writeJsonl("order.jsonl", IotPipeline.fixtureA))
+    val (good, _) = IotPipeline.splitCorrupt(raw)
+    val cols = IotPipeline.transform(good).columns.toSeq
+    val base = IotPipeline.sensorSchema.fieldNames.toSeq
+    assert(cols.take(base.size) === base)
+    assert(cols.drop(base.size).take(2) === Seq("processed_timestamp", "temp_fahrenheit"))
+  }
+
+  test("boolean temperature: declared divergence — kept with null temp (§1.2 quirk 5)") {
+    // reference converts JSON true (bool ⊂ int in CPython) to 33.8 °F; the
+    // rebuild nulls it under DoubleType but MUST keep the record
+    val lines = Seq("""{"device_id": "s", "temperature": true, "humidity": 40}""")
+    val raw = IotPipeline.readSensors(spark, writeJsonl("booltemp.jsonl", lines))
+    val (good, bad) = IotPipeline.splitCorrupt(raw)
+    assert(bad.count() === 0, "boolean-temperature record must not be dropped")
+    val r = IotPipeline.transform(good).collect().head
+    assert(r.getAs[String]("device_id") === "s")
+    assert(r.isNullAt(r.fieldIndex("temperature")))
+    assert(r.isNullAt(r.fieldIndex("temp_fahrenheit")))
+  }
+
   test("non-numeric temperature keeps the record, nulls the field (app.py:57-58)") {
     val lines = Seq("""{"device_id": "s", "temperature": "hot", "humidity": 50}""")
     val raw = IotPipeline.readSensors(spark, writeJsonl("badtemp.jsonl", lines))
