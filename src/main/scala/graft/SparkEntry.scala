@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
+      RelationalQueries2.queries ++
       IotQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
+      RelationalQueries2.oracles ++
       IotQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++

@@ -43,17 +43,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // all locals get ctx.freshName: fixed names collide with variables of
+  // the enclosing whole-stage-codegen scope (an outer `int i` loop made
+  // janino reject the class and the whole plan fell back to interpreted)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val xa = ctx.freshName("xa"); val xb = ctx.freshName("xb")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xa = (double) $a.getFloat(i);
-         |  double xb = (double) $b.getFloat(i);
-         |  dot += xa * xb; na += xa * xa; nb += xb * xb;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xa = (double) $a.getFloat($i);
+         |  double $xb = (double) $b.getFloat($i);
+         |  $dot += $xa * $xb; $na += $xa * $xa; $nb += $xb * $xb;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

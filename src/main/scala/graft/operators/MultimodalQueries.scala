@@ -57,8 +57,13 @@ object MultimodalQueries {
     // Scala-side batching).
     "mm_decode_features" -> ((s, d) => {
       import s.implicits._
-      graft.multimodal.Multimodal.decodeFeatures(
+      val decoded = graft.multimodal.Multimodal.decodeFeatures(
         documents(s, d).select($"doc_id", $"text".cast("binary").as("payload")))
+      // flatten the feature vector to scalar columns: the driver's
+      // comparator can't hash array-valued cells
+      val featCols = (0 until graft.multimodal.Multimodal.featureDim)
+        .map(i => element_at($"features", i + 1).as(s"f$i"))
+      decoded.select($"doc_id" +: $"n_bytes" +: featCols: _*)
         .orderBy($"doc_id")
     })
   )

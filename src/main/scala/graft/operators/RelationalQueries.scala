@@ -385,12 +385,18 @@ object RelationalQueries {
     }),
 
     // q30: top-k sketch Aggregator — O(k) state per group regardless of
-    // group size. Oracle via DuckDB's ordered list slice.
+    // group size. Output flattened to scalar columns (the driver's
+    // comparator can't hash array cells). Oracle via DuckDB's ordered
+    // list indexing; out-of-range index → NULL on both engines.
     "q30_topk_agg" -> ((s, d) => {
       import s.implicits._
       val top3 = udaf(new graft.functions.TypedAggregators.TopK(3))
       events(s, d).groupBy($"user_id")
-        .agg(top3($"value").as("top_values"))
+        .agg(top3($"value").as("tv"))
+        .select($"user_id",
+          element_at($"tv", 1).as("top1"),
+          element_at($"tv", 2).as("top2"),
+          element_at($"tv", 3).as("top3"))
         .orderBy($"user_id")
     }),
 
@@ -721,7 +727,9 @@ object RelationalQueries {
 
     "q30_topk_agg" ->
       """SELECT user_id,
-        | (list_sort(list(value), 'DESC'))[1:3] AS top_values
+        | (list_sort(list(value), 'DESC'))[1] AS top1,
+        | (list_sort(list(value), 'DESC'))[2] AS top2,
+        | (list_sort(list(value), 'DESC'))[3] AS top3
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q31_grouping_sets" ->

@@ -1,0 +1,398 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.OracleParity._
+
+/** Second relational batch (SURVEY.md §2.3 rows not yet exercised by
+  * RelationalQueries): outer/cross joins, IN-subqueries, union-by-name,
+  * exact percentiles, moment statistics via exact sums, arg-min/max,
+  * array/struct/JSON function families, unpivot, batch session/sliding
+  * windows, LIKE/regex predicates, hash/encoding functions, edit
+  * distance, and a composite training-data cleaning pipeline.
+  *
+  * Same parity discipline as RelationalQueries: deterministic total
+  * ORDER BY, identical column aliases on both sides, DECIMAL for money
+  * sums, micros/fmtTs for timestamps, no order-dependent double
+  * aggregation.
+  */
+object RelationalQueries2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // q38: FULL OUTER join of two pre-aggregated sides with genuinely
+    // disjoint key coverage (narrow filters). Aggregate-before-join keeps
+    // the shuffled sides tiny at scale.
+    "q38_full_outer_join" -> ((s, d) => {
+      import s.implicits._
+      val c = customer(s, d).filter($"c_acctbal" < -700.0)
+        .groupBy($"c_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = supplier(s, d).filter($"s_acctbal" > 5000.0)
+        .groupBy($"s_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select($"nationkey", $"n_cust", $"n_supp")
+        .orderBy($"nationkey")
+    }),
+
+    // q39: explicit cartesian product (tiny × tiny — the only scale at
+    // which a cross join is ever acceptable; Spark plans it broadcast).
+    "q39_cross_join" -> ((s, d) => {
+      import s.implicits._
+      region(s, d)
+        .crossJoin(orders(s, d).select($"o_orderstatus").distinct())
+        .select($"r_name", $"o_orderstatus")
+        .orderBy($"r_name", $"o_orderstatus")
+    }),
+
+    // q40: IN / NOT IN subqueries through the SQL surface — Catalyst
+    // rewrites to left-semi / null-aware anti join (keys are non-null
+    // here, so NOT IN stays sane).
+    "q40_in_subquery" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).createOrReplaceTempView("orders_v40")
+      customer(s, d).createOrReplaceTempView("customer_v40")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               o_custkey IN (SELECT c_custkey FROM customer_v40 WHERE c_acctbal < 0) AS negative_cust
+        FROM orders_v40
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer_v40 WHERE c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey""")
+    }),
+
+    // q41: unionByName — schema-aligned union across differently-ordered
+    // projections (the lakehouse multi-source append pattern).
+    "q41_union_by_name" -> ((s, d) => {
+      import s.implicits._
+      val a = customer(s, d).select($"c_custkey".as("id"),
+        lit("customer").as("kind"), $"c_acctbal".as("bal"))
+      val b = supplier(s, d).select(lit("supplier").as("kind"),
+        $"s_acctbal".as("bal"), $"s_suppkey".as("id"))
+      a.unionByName(b).orderBy($"kind", $"id")
+    }),
+
+    // q42: exact linear-interpolated percentiles (Spark `percentile` =
+    // DuckDB `quantile_cont`). Exact percentile needs the group's values
+    // gathered — at 100 TB swap in approx_percentile (t-digest) and drop
+    // the oracle; this entry pins the exact semantics.
+    "q42_percentiles" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          percentile($"l_quantity", lit(0.25)).as("p25"),
+          percentile($"l_quantity", lit(0.5)).as("p50"),
+          percentile($"l_quantity", lit(0.75)).as("p75"),
+          percentile($"l_quantity", lit(0.95)).as("p95"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // q43: moment statistics (variance / stddev / correlation) computed
+    // from exact decimal sums, then identical double expressions on both
+    // engines — order-independent, unlike streaming variance over
+    // doubles. The sums do partial+final agg like any other; this IS the
+    // scalable shape.
+    "q43_moment_stats" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec($"l_quantity")).cast("double").as("sx"),
+          sum(dec($"l_quantity") * dec($"l_quantity")).cast("double").as("sxx"),
+          sum(dec($"l_extendedprice")).cast("double").as("sy"),
+          sum(dec($"l_extendedprice") * dec($"l_extendedprice")).cast("double").as("syy"),
+          sum(dec($"l_quantity") * dec($"l_extendedprice")).cast("double").as("sxy"))
+        .select($"l_returnflag", $"n",
+          // derived stats leave as %.9f strings: the DECIMAL→DOUBLE cast
+          // of the big sums rounds differently at the last ulp across
+          // engines, and 9 fixed decimals is beneath that noise floor
+          format_string("%.9f", ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("var_qty"),
+          format_string("%.9f", sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))).as("stddev_qty"),
+          format_string("%.9f", ($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")))
+            .as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // q44: arg-min/arg-max (max_by/min_by) — single-pass, O(1) state per
+    // group. Values are continuous doubles (no ties in the fixed corpus).
+    "q44_argminmax" -> ((s, d) => {
+      import s.implicits._
+      events(s, d).groupBy($"event_type")
+        .agg(
+          max_by($"event_id", $"value").as("max_value_event"),
+          min_by($"event_id", $"value").as("min_value_event"),
+          max($"value").as("max_value"),
+          min($"value").as("min_value"))
+        .orderBy($"event_type")
+    }),
+
+    // q45: array function family over tokenized names — all outputs
+    // scalar/string (the driver's comparator can't hash array cells).
+    "q45_array_funcs" -> ((s, d) => {
+      import s.implicits._
+      val words = split($"p_name", " ")
+      part(s, d).select(
+        $"p_partkey",
+        array_join(array_sort(words), ",").as("words_sorted"),
+        array_contains(words, "green").as("has_green"),
+        size(array_distinct(words)).cast("long").as("n_uniq_words"),
+        array_join(slice(words, 1, 2), " ").as("first_two"),
+        array_position(words, "green").as("green_pos"))
+        .orderBy($"p_partkey")
+    }),
+
+    // q46: struct construction + JSON serialization (nested types on the
+    // wire as canonical strings).
+    "q46_struct_json" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).select(
+        $"o_orderkey",
+        to_json(struct($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+          $"o_orderpriority".as("pri"))).as("js"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // q47: unpivot/melt — wide metric columns to long (metric, val) rows;
+    // a narrow, shuffle-free Expand at any scale.
+    "q47_unpivot" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount", $"l_tax")
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_discount", $"l_tax"),
+          "metric", "val")
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    }),
+
+    // q48: session_window in BATCH (the same operator Structured
+    // Streaming uses, Streams.sessionizedEvents) — gap-merged sessions
+    // per user; end = last event + gap by definition.
+    "q48_session_window_batch" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .select($"user_id",
+          micros($"session_window.start").as("start_us"),
+          micros($"session_window.end").as("end_us"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"start_us")
+    }),
+
+    // q49: sliding event-time window in batch (1 h window, 30 min slide
+    // → every event lands in exactly 2 windows; Expand ×2, bounded).
+    "q49_sliding_window_batch" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(fmtTs($"window.start").as("win_start"), $"event_type", $"n")
+        .orderBy($"win_start", $"event_type")
+    }),
+
+    // q50: LIKE / prefix / suffix / regex predicate family (all pushable
+    // scan predicates when used in WHERE).
+    "q50_like_regex" -> ((s, d) => {
+      import s.implicits._
+      part(s, d).select(
+        $"p_partkey",
+        $"p_name".like("%green%").as("has_green"),
+        $"p_type".startsWith("STANDARD").as("is_std"),
+        $"p_type".endsWith("STEEL").as("is_steel"),
+        $"p_name".rlike("^[a-z]+ [a-z]+$").as("two_words"),
+        $"p_brand".like("Brand#1_").as("brand1x"))
+        .orderBy($"p_partkey")
+    }),
+
+    // q51: cryptographic hash / encoding family (content addressing for
+    // dedup and provenance: sha256, base64, hex).
+    "q51_hash_encode" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(
+        $"doc_id",
+        sha2($"text", 256).as("sha256_hex"),
+        base64(substring($"text", 1, 48).cast("binary")).as("b64_head"),
+        hex(substring($"text", 1, 8).cast("binary")).as("hex_head"))
+        .orderBy($"doc_id")
+    }),
+
+    // q52: edit distance (fuzzy matching primitive for entity
+    // resolution) — O(len²) per row, embarrassingly parallel.
+    "q52_levenshtein" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d).select(
+        $"c_custkey",
+        levenshtein($"c_name", reverse($"c_name")).as("lev_rev"),
+        levenshtein($"c_name", $"c_mktsegment").as("lev_seg"))
+        .orderBy($"c_custkey")
+    }),
+
+    // pipe_clean_corpus: the composite training-data pipeline — quality
+    // gate → normalized exact dedup (keep lowest doc_id) → PII scrub →
+    // per-doc stats. One shuffle (dedup window); everything else narrow.
+    "pipe_clean_corpus" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numRe = "[0-9]{3,}"
+      def scrub(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), numRe, "<NUM>")
+      val scored = documents(s, d)
+        .select($"doc_id", $"text", $"lang",
+          size(tokens($"text")).cast("long").as("n_tokens"))
+        .filter($"n_tokens" >= 5)
+        .withColumn("fp", md5(normalize($"text")))
+      val w = Window.partitionBy($"fp").orderBy($"doc_id")
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"doc_id", $"lang", $"n_tokens", md5(scrub($"text")).as("clean_md5"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q38_full_outer_join" ->
+      """SELECT nationkey, n_cust, n_supp
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        |      FROM customer WHERE c_acctbal < -700.0 GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        |           FROM supplier WHERE s_acctbal > 5000.0 GROUP BY 1) s
+        |USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q39_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "q40_in_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |       o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) AS negative_cust
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q41_union_by_name" ->
+      """SELECT c_custkey AS id, 'customer' AS kind, c_acctbal AS bal FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS kind, s_acctbal AS bal FROM supplier
+        |ORDER BY kind, id""".stripMargin,
+
+    "q42_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5)  AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75,
+        | quantile_cont(l_quantity, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q43_moment_stats" ->
+      """SELECT l_returnflag, n,
+        | printf('%.9f', (sxx - sx*sx/n) / (n-1)) AS var_qty,
+        | printf('%.9f', sqrt((sxx - sx*sx/n) / (n-1))) AS stddev_qty,
+        | printf('%.9f', (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))) AS corr_qty_price
+        |FROM (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q44_argminmax" ->
+      """SELECT event_type,
+        | arg_max(event_id, value) AS max_value_event,
+        | arg_min(event_id, value) AS min_value_event,
+        | MAX(value) AS max_value,
+        | MIN(value) AS min_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q45_array_funcs" ->
+      """SELECT p_partkey,
+        | array_to_string(list_sort(string_split(p_name, ' ')), ',') AS words_sorted,
+        | list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        | len(list_distinct(string_split(p_name, ' '))) AS n_uniq_words,
+        | array_to_string(string_split(p_name, ' ')[1:2], ' ') AS first_two,
+        | CAST(COALESCE(list_position(string_split(p_name, ' '), 'green'), 0) AS BIGINT) AS green_pos
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q46_struct_json" ->
+      """SELECT o_orderkey,
+        | to_json(struct_pack(k := o_orderkey, st := o_orderstatus, pri := o_orderpriority)) AS js
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q47_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q48_session_window_batch" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS boundary
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        | SELECT user_id, ts, value,
+        |  SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flagged)
+        |SELECT user_id,
+        | MIN(epoch_us(ts)) AS start_us,
+        | MAX(epoch_us(ts)) + 30*60*1000000 AS end_us,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "q49_sliding_window_batch" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |       unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q50_like_regex" ->
+      """SELECT p_partkey,
+        | p_name LIKE '%green%' AS has_green,
+        | starts_with(p_type, 'STANDARD') AS is_std,
+        | ends_with(p_type, 'STEEL') AS is_steel,
+        | regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words,
+        | p_brand LIKE 'Brand#1_' AS brand1x
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q51_hash_encode" ->
+      """SELECT doc_id,
+        | sha256(text) AS sha256_hex,
+        | to_base64(CAST(substring(text, 1, 48) AS BLOB)) AS b64_head,
+        | hex(CAST(substring(text, 1, 8) AS BLOB)) AS hex_head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q52_levenshtein" ->
+      """SELECT c_custkey,
+        | CAST(levenshtein(c_name, reverse(c_name)) AS INT) AS lev_rev,
+        | CAST(levenshtein(c_name, c_mktsegment) AS INT) AS lev_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "pipe_clean_corpus" ->
+      """WITH scored AS (
+        | SELECT doc_id, text, lang, len(string_split(text, ' ')) AS n_tokens,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents
+        | WHERE len(string_split(text, ' ')) >= 5),
+        |ranked AS (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM scored)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{3,}', '<NUM>', 'g')) AS clean_md5
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  )
+}
