@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
       RelationalQueries2.queries ++
+      StreamingQueries.queries ++
       IotQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       RelationalQueries2.oracles ++
+      StreamingQueries.oracles ++
       IotQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.OracleParity._
+import graft.streaming.{Streams, UserEvent, UserProfile}
+
+/** Structured Streaming operators surfaced through the correctness gate
+  * (SURVEY.md §2.3 streaming rows): each entry drives a real
+  * `readStream` file source through watermarked event-time operators
+  * into a memory sink with `Trigger.AvailableNow`, then returns the
+  * sink table as a batch DataFrame so the driver can hash-compare it
+  * against a DuckDB twin.
+  *
+  * AvailableNow + checkpoint-free memory sink makes the runs
+  * deterministic at test scale; in production the same plans run
+  * unbounded with `ProcessingTime` triggers and bounded state (the
+  * watermark evicts window/dedup state — that behavior is pinned by
+  * StreamingSpec, which feeds late rows through MemoryStream).
+  *
+  * Scale: the file source discovers new files incrementally (the
+  * reference's S3-event → Lambda → one-task-per-file control plane,
+  * `/root/reference/lambda/s3_event_handler.py:21-79`, collapsed into
+  * the engine); windowed aggregation state is per-(window,key) and
+  * watermark-bounded, so executor memory stays flat on an unbounded
+  * stream.
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Streaming twin of Tables.events: schema-on-read parquet file
+    * source with the same nanos→micros reconstruction. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // schema must be supplied to readStream: infer it from a batch probe
+    // of the same path (cheap — footer only)
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // the file source wants a directory: stream the testdata dir,
+    // glob-filtered to the one table
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Drain `df` through a memory sink and return its contents. */
+  private def toMemory(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Watermarked tumbling-window aggregation over a streaming file
+    // source. Complete output mode so the memory sink holds every
+    // window (append mode would also work here — AvailableNow's final
+    // no-data batch flushes closed windows — but complete is
+    // insensitive to flush timing).
+    "stream_tumbling_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select(fmtTs($"window.start").as("hour_start"), $"event_type", $"n", $"sum_value")
+      toMemory(s, agg, "stream_tumbling_agg_sink", "complete")
+        .orderBy($"hour_start", $"event_type")
+    }),
+
+    // Streaming session windows (30-minute gap) — the stateful
+    // gap-merge operator, same semantics as the batch q48.
+    "stream_session_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .select($"user_id",
+          micros($"session_window.start").as("start_us"),
+          micros($"session_window.end").as("end_us"),
+          $"n_events", $"sum_value")
+      toMemory(s, agg, "stream_session_agg_sink", "complete")
+        .orderBy($"user_id", $"start_us")
+    }),
+
+    // Streaming exact dedup: the stream unioned with itself (every row
+    // a genuine duplicate) → dropDuplicatesWithinWatermark collapses
+    // each event back to one row, with state evicted past the
+    // watermark horizon.
+    "stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val st = eventsStream(s, d)
+      val deduped = st.union(st)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select($"event_id", micros($"ts").as("ts_us"), $"user_id", $"event_type", $"value")
+      toMemory(s, deduped, "stream_dedup_sink", "append")
+        .orderBy($"event_id")
+    }),
+
+    // Custom keyed state via mapGroupsWithState: per-user running
+    // profile. AvailableNow over a single input file = one micro-batch,
+    // so the update-mode memory sink holds exactly one row per user.
+    // sum_value accumulates in (ts, event_id) order on both engines;
+    // emitted at %.6f, far above double round-off for ~1k addends.
+    "stream_running_profile" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val profiles = Streams.userRunningProfile(typed)
+        .select($"user_id", $"n_events",
+          format_string("%.6f", $"sum_value").as("sum_value_s"), $"last_type")
+      toMemory(s, profiles, "stream_running_profile_sink", "update")
+        .orderBy($"user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "stream_session_agg" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS boundary
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        | SELECT user_id, ts, value,
+        |  SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flagged)
+        |SELECT user_id,
+        | MIN(epoch_us(ts)) AS start_us,
+        | MAX(epoch_us(ts)) + 30*60*1000000 AS end_us,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // (user_id, ts) pairs are unique in the corpus, so arg_max on
+    // epoch micros reproduces the processing-order "last" exactly.
+    "stream_running_profile" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | printf('%.6f', SUM(value ORDER BY ts, event_id)) AS sum_value_s,
+        | arg_max(event_type, epoch_us(ts)) AS last_type
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
