@@ -103,28 +103,50 @@ object SimilarityQueries {
   )
 
   private val queriesMore: Map[String, Q] = Map(
-    // IVF-style ANN: k-means centroids (deterministic seed) form the
-    // inverted-file cells; every vector is assigned to its nearest
-    // centroid, and a query probes only its 2 nearest cells. At 100 TB
-    // the corpus is partitioned by cell id, so a probe touches 2/16 of
-    // the data instead of all of it. Centroids come from Spark ML's
-    // KMeans on a sample — the model is small (16×64 floats) and rides
-    // a broadcast. Approximate + iteration-order dependent → rows-only
-    // driver check.
+    // IVF-style ANN: spherical k-means centroids form the inverted-file
+    // cells; every vector is assigned to its nearest centroid, and a
+    // query probes only its 2 nearest cells. At 100 TB the corpus is
+    // partitioned by cell id, so a probe touches 2/16 of the data
+    // instead of all of it. The quantizer is trained here with
+    // DataFrame-native Lloyd iterations — assignment is a Catalyst
+    // expression over the corpus, the centroid update is one
+    // groupBy(cell, dim) mean, and the model (16×64 floats) rides the
+    // driver→literal path exactly as it would ride a broadcast on a
+    // cluster. (Spark ML's KMeans fits too, but its RDD conversion and
+    // per-iteration job fan-out cost ~5 s of fixed overhead on a model
+    // this small.) Approximate → rows-only driver check.
     "sim_knn_ivf" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val emb = embeddings(s, d).select($"vec_id", $"embedding")
-        .withColumn("features", array_to_vector($"embedding".cast("array<double>")))
-        .cache()
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(emb)
-      val assigned = model.transform(emb).select($"vec_id", $"embedding",
-        $"prediction".as("cell"))
+      val kCells = 16
+      val emb = embeddings(s, d).select($"vec_id", $"embedding").cache()
+      // deterministic seeds: the kCells vectors with smallest hashed id
+      var model: Seq[(Int, Seq[Float])] = emb
+        .orderBy(xxhash64($"vec_id"), $"vec_id").limit(kCells)
+        .select($"embedding").as[Seq[Float]].collect().toSeq.zipWithIndex
+        .map { case (c, i) => (i, c) }
+      // nearest-centroid id for a vector, against the current model —
+      // an explicit 16-wide array of codegen'd cosine calls (a HOF
+      // lambda would evaluate interpreted, and a custom expression
+      // under a lambda trips attribute resolution)
+      def cellOf(v: org.apache.spark.sql.Column, m: Seq[(Int, Seq[Float])]) = {
+        val sims = array(m.map { case (_, c) => cosineSimilarity(v, typedlit(c)) }: _*)
+        (array_position(sims, array_max(sims)) - 1).cast("int")
+      }
+      for (_ <- 1 to 2) { // Lloyd: assign (distributed) → mean (grouped)
+        val means = emb
+          .select(cellOf($"embedding", model).as("cell"),
+            posexplode($"embedding").as(Seq("dim", "x")))
+          .groupBy($"cell", $"dim").agg(avg($"x").as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cell, rows) =>
+            (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq)
+          }
+        model = model.map { case (i, old) => (i, means.getOrElse(i, old)) }
+      }
+      val assigned = emb.withColumn("cell", cellOf($"embedding", model))
       // query → its 2 nearest cells, via cosine against centroid vectors
-      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat).toSeq)
-      }.toSeq.toDF("cell", "centroid")
+      val centroids = model.toDF("cell", "centroid")
       val queriesDf = assigned.filter($"vec_id" < N_QUERIES)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
       val probes = queriesDf.crossJoin(broadcast(centroids))
