@@ -22,6 +22,8 @@ object SparkEntry {
     RelationalQueries.queries ++
       RelationalQueries2.queries ++
       StreamingQueries.queries ++
+      SamplingQueries.queries ++
+      graft.sources.SourceQueries.queries ++
       IotQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
@@ -34,6 +36,8 @@ object SparkEntry {
     RelationalQueries.oracles ++
       RelationalQueries2.oracles ++
       StreamingQueries.oracles ++
+      SamplingQueries.oracles ++
+      graft.sources.SourceQueries.oracles ++
       IotQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.OracleParity._
+
+/** Source/sink format coverage (SURVEY.md §2.3 "file sources/sinks"):
+  * each entry writes a table out in a non-parquet format, reads it back,
+  * and aggregates — the oracle runs the same aggregate on the ORIGINAL
+  * parquet table, so a hash match proves the roundtrip is lossless.
+  *
+  * The reference's only format is JSONL over S3
+  * (`/root/reference/app/app.py:29-31,76-80`); here JSONL, CSV, ORC and
+  * partitioned parquet all ride the same `DataFrameReader`/`Writer`
+  * surface, which is what makes them `s3a://`-ready unchanged.
+  */
+object SourceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/$name"
+
+  val queries: Map[String, Q] = Map(
+    // CSV sink → CSV source (header + explicit schema back; quoting exercised
+    // by the free-text name column).
+    "src_csv_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val src = nation(s, d)
+      val path = tmp("nation_csv")
+      src.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(src.schema).option("header", "true").csv(path)
+        .groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(length($"n_name")).cast("long").as("name_chars"))
+        .orderBy($"n_regionkey")
+    }),
+
+    // ORC sink → ORC source (the other columnar format Spark ships).
+    "src_orc_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val path = tmp("customer_orc")
+      customer(s, d).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // JSONL sink → JSONL source — the reference's wire format (O1/O8)
+    // over a real table; doubles survive via shortest-roundtrip
+    // serialization, schema supplied on read as in the IoT path.
+    "src_jsonl_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val src = supplier(s, d)
+      val path = tmp("supplier_jsonl")
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_supp"), dsum($"s_acctbal").as("sum_bal"))
+        .orderBy($"s_nationkey")
+    }),
+
+    // Hive-style partitioned parquet sink, read back through a
+    // partition-pruning filter — at 100 TB the filter prunes
+    // directories before any file is opened.
+    "src_parquet_partitioned" -> ((s, d) => {
+      import s.implicits._
+      val path = tmp("orders_by_status")
+      orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .filter($"o_orderstatus" === "F")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        | CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "src_orc_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "src_jsonl_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "src_parquet_partitioned" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}
