@@ -44,11 +44,20 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Drain `df` through a memory sink and return its contents. */
+  /** Drain `df` through a memory sink and return its contents. Stateful
+    * streaming operators open one state store per shuffle partition, so
+    * the partition count is sized to the stream's state volume (not the
+    * session-wide batch setting) — on a real cluster this is the one
+    * knob that must be chosen before the first checkpoint, because the
+    * state partitioning is pinned by it. */
   private def toMemory(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

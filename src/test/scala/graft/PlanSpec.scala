@@ -45,6 +45,18 @@ class PlanSpec extends SparkSuite {
     assert(plan("q01_pricing_summary").contains("partial_sum"))
   }
 
+  test("pack_token_chunks: prefix sum is distributed (no single-partition window)") {
+    val p = plan("pack_token_chunks")
+    assert(!p.contains("SinglePartition"),
+      "global offset fell back to a one-task window")
+  }
+
+  test("src_parquet_partitioned: status filter prunes partitions at the scan") {
+    val p = plan("src_parquet_partitioned")
+    val pf = p.linesIterator.find(_.trim.startsWith("PartitionFilters:")).get
+    assert(pf.contains("o_orderstatus"), s"no partition pruning: $pf")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
