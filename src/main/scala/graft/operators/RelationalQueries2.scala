@@ -231,6 +231,56 @@ object RelationalQueries2 {
         .orderBy($"c_custkey")
     }),
 
+    // q53: time-RANGE window frame — per-user count/sum over the
+    // trailing 10 minutes, ordered by epoch micros. RANGE frames
+    // include all peers of the current row, so the result is
+    // deterministic even under timestamp ties; the decimal window sum
+    // is order-independent.
+    "q53_range_frame" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(micros($"ts"))
+        .rangeBetween(-600000000L, 0L) // 10 min in µs
+      events(s, d)
+        .select($"event_id", $"user_id", micros($"ts").as("ts_us"),
+          count(lit(1)).over(w).as("n_10min"),
+          sum(dec($"value")).over(w).cast("double").as("sum_10min"))
+        .orderBy($"event_id")
+    }),
+
+    // q54: merge/upsert resolved as a FULL OUTER join + coalesce — the
+    // engine-level shape of MERGE INTO on immutable files (join on the
+    // key shuffles both sides by o_orderkey; at scale the delta side is
+    // usually small enough to broadcast instead).
+    "q54_merge_upsert" -> ((s, d) => {
+      import s.implicits._
+      val base = orders(s, d).filter($"o_orderkey" % 10 =!= 0)
+        .select($"o_orderkey", $"o_orderstatus", dec($"o_totalprice").as("price"))
+      val delta = orders(s, d).filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey", lit("U").as("d_status"),
+          (dec($"o_totalprice") * dec(lit(1.10))).as("d_price"))
+      base.join(delta, Seq("o_orderkey"), "full_outer")
+        .select($"o_orderkey",
+          coalesce($"d_status", $"o_orderstatus").as("status"),
+          coalesce($"d_price", $"price").cast("double").as("price"),
+          when($"d_status".isNotNull && $"o_orderstatus".isNotNull, "updated")
+            .when($"d_status".isNotNull, "inserted").otherwise("kept").as("action"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // q55: approx_percentile (t-digest style sketch) — the 100 TB path
+    // that q42's exact percentiles pin the semantics for: fixed-size
+    // mergeable sketch per group, partial+final like any aggregate.
+    // Approximation differs from DuckDB's → rows-only driver check.
+    "q55_approx_quantiles" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          approx_percentile($"l_quantity", lit(0.5), lit(1000)).as("p50_approx"),
+          approx_percentile($"l_extendedprice", lit(0.95), lit(1000)).as("p95_price_approx"),
+          approx_count_distinct($"l_partkey").as("nd_parts_approx"))
+        .orderBy($"l_returnflag")
+    }),
+
     // pipe_clean_corpus: the composite training-data pipeline — quality
     // gate → normalized exact dedup (keep lowest doc_id) → PII scrub →
     // per-doc stats. One shuffle (dedup window); everything else narrow.
@@ -382,6 +432,29 @@ object RelationalQueries2 {
         | CAST(levenshtein(c_name, reverse(c_name)) AS INT) AS lev_rev,
         | CAST(levenshtein(c_name, c_mktsegment) AS INT) AS lev_seg
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q53_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | COUNT(*) OVER w AS n_10min,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10min
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q54_merge_upsert" ->
+      """SELECT o_orderkey,
+        | COALESCE(d_status, o_orderstatus) AS status,
+        | CAST(COALESCE(d_price, price) AS DOUBLE) AS price,
+        | CASE WHEN d_status IS NOT NULL AND o_orderstatus IS NOT NULL THEN 'updated'
+        |      WHEN d_status IS NOT NULL THEN 'inserted' ELSE 'kept' END AS action
+        |FROM (SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |      FROM orders WHERE o_orderkey % 10 != 0) b
+        |FULL JOIN (SELECT o_orderkey, 'U' AS d_status,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(18,2)) AS d_price
+        |           FROM orders WHERE o_orderkey % 5 = 0) x
+        |USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "pipe_clean_corpus" ->
       """WITH scored AS (

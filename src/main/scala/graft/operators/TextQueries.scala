@@ -107,6 +107,26 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"bigram")
         .limit(20)
+    }),
+
+    // Benchmark decontamination: flag corpus documents sharing any
+    // 3-token shingle with a held-out eval set (doc_id < 20 stands in
+    // for the benchmark). The benchmark side is tiny by construction,
+    // so its exploded shingle set broadcasts — the corpus is never
+    // shuffled, only scanned, which is the only shape that works when
+    // the corpus is 100 TB and the benchmark is megabytes.
+    "text_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions._
+      val sh = documents(s, d)
+        .select($"doc_id", explode(shingles3(tokens($"text"))).as("shingle"))
+      val bench = sh.filter($"doc_id" < 20)
+        .select($"shingle").distinct()
+      sh.filter($"doc_id" >= 20)
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"shingle").as("n_shared"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -154,6 +174,18 @@ object TextQueries {
       """SELECT bigram, COUNT(*) AS n FROM (
         | SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
         | FROM (SELECT string_split(text, ' ') AS t FROM documents))
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS shingle
+        | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+        |SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared
+        |FROM sh JOIN bench USING (shingle)
+        |WHERE doc_id >= 20
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
