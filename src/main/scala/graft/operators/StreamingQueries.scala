@@ -109,6 +109,21 @@ object StreamingQueries {
         .orderBy($"event_id")
     }),
 
+    // flatMapGroupsWithState through the gate: 0..n alert rows per user
+    // per batch, one for each multiple of 1000 the user's running value
+    // crosses. The oracle reproduces the crossing points from running
+    // sums — LAG over the same sequential sum gives bit-identical
+    // before/after values.
+    "stream_alerts" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val alerts = Streams.valueAlerts(typed, step = 1000.0)
+      toMemory(s, alerts.toDF(), "stream_alerts_sink", "append")
+        .orderBy($"user_id", $"threshold_multiple")
+    }),
+
     // Custom keyed state via mapGroupsWithState: per-user running
     // profile. AvailableNow over a single input file = one micro-batch,
     // so the update-mode memory sink holds exactly one row per user.
@@ -155,6 +170,24 @@ object StreamingQueries {
     "stream_dedup" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_alerts" ->
+      """WITH s AS (
+        | SELECT user_id, event_id, ts,
+        |  SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM events),
+        |c AS (
+        | SELECT user_id, event_id, cum,
+        |  COALESCE(LAG(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS prev
+        | FROM s)
+        |SELECT user_id,
+        | unnest(range(CAST(floor(prev/1000.0) AS BIGINT) + 1,
+        |              CAST(floor(cum/1000.0)  AS BIGINT) + 1)) AS threshold_multiple,
+        | event_id
+        |FROM c
+        |WHERE floor(cum/1000.0) > floor(prev/1000.0)
+        |ORDER BY user_id, threshold_multiple""".stripMargin,
 
     // (user_id, ts) pairs are unique in the corpus, so arg_max on
     // epoch micros reproduces the processing-order "last" exactly.

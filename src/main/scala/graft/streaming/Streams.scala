@@ -11,6 +11,7 @@ case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
 case class UserProfile(user_id: Long, n_events: Long, sum_value: Double,
     last_type: String)
+case class ValueAlert(user_id: Long, threshold_multiple: Long, event_id: Long)
 
 /** Structured Streaming surface (SURVEY.md §2.1 O9 + §2.3 streaming rows).
   *
@@ -105,6 +106,33 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** 0..n outputs per key per micro-batch via flatMapGroupsWithState:
+    * emits an alert each time a user's cumulative value crosses another
+    * multiple of `step`. State is a single double per key; a crossing
+    * within a batch emits immediately, none emits nothing — the shape
+    * mapGroupsWithState (exactly one output per key) can't express. */
+  def valueAlerts(events: org.apache.spark.sql.Dataset[UserEvent], step: Double)
+      : org.apache.spark.sql.Dataset[ValueAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, ValueAlert](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state) =>
+          var cum = state.getOption.getOrElse(0.0)
+          val out = Seq.newBuilder[ValueAlert]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val before = math.floor(cum / step).toLong
+            cum += e.value
+            val after = math.floor(cum / step).toLong
+            var m = before + 1
+            while (m <= after) { out += ValueAlert(uid, m, e.event_id); m += 1 }
+          }
+          state.update(cum)
+          out.result().iterator
+      }
+  }
 
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * profile (event count, running value sum, last event type) updated

@@ -121,6 +121,26 @@ class StreamingSpec extends SparkSuite {
     assert(last === UserProfile(7, 3, 8.0, "purchase"))
   }
 
+  test("flatMapGroupsWithState emits one alert per threshold crossing, none otherwise") {
+    import graft.streaming.{UserEvent, ValueAlert}
+    val events = MemoryStream[UserEvent](spark, 4)
+    val q = graft.streaming.Streams.valueAlerts(events.toDS(), step = 100.0)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    // batch 1: cum 60 → 120 (crosses 100 at event 2)
+    events.addData(
+      UserEvent(1, ts("2024-01-01 00:00:00"), 9, "click", 60.0),
+      UserEvent(2, ts("2024-01-01 00:01:00"), 9, "click", 60.0))
+    q.processAllAvailable()
+    // batch 2: cum 120 → 330 (crosses 200 AND 300 at event 3 — two alerts)
+    events.addData(UserEvent(3, ts("2024-01-01 00:02:00"), 9, "buy", 210.0))
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.table("alerts").as[ValueAlert].collect().sortBy(_.threshold_multiple)
+    assert(alerts.toSeq === Seq(
+      ValueAlert(9, 1, 2), ValueAlert(9, 2, 3), ValueAlert(9, 3, 3)))
+  }
+
   test("streaming dedup with watermark removes duplicate event_ids") {
     val events = MemoryStream[Ev](spark, 3)
     events.addData(
