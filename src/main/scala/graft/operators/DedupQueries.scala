@@ -50,21 +50,29 @@ object DedupQueries {
         .orderBy($"fp")
     }),
 
-    // n-gram Jaccard near-dup as a set-similarity join: explode distinct
-    // shingles (hashed to 8-byte keys), equi-join on the shingle hash,
-    // and count matching rows per pair — because shingles are distinct
-    // within a doc, that count IS |A∩B|, so no arrays ever ride a
-    // shuffle and no per-pair array_intersect runs. |A|,|B| come from a
-    // broadcast (doc_id → set size) side table. At 100 TB this is the
-    // canonical scalable shape: shuffle rows are (hash, doc_id) pairs
-    // only. SQL-expressible → full DuckDB oracle.
+    // n-gram Jaccard near-dup as a set-similarity join over a
+    // BOILERPLATE-FILTERED shingle universe: shingles appearing in more
+    // than `cap` docs are dropped from both intersection and union —
+    // they multiply candidate pairs quadratically (measured 90×
+    // candidate growth sf0.01→sf0.1 uncapped; that join is what melts
+    // at 100 TB) while evidencing nothing about duplication. Singleton
+    // (df=1) shingles stay in the union, so unique content still
+    // dilutes the score. Within the capped universe the join-count IS
+    // |A∩B| (shingles are distinct per doc), so no arrays ever ride a
+    // shuffle; |A|,|B| come from a broadcast size table, and the df
+    // filter itself is a broadcast of 8-byte hashes (a bloom filter at
+    // 100 TB). Cap mirrored in SQL → full DuckDB oracle.
     "dedup_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val sh = docShingles(s, d).cache()
-      val sizes = sh.select($"doc_id", size($"sh").as("n"))
-      val ex = sh.select($"doc_id", explode($"sh").as("shingle"))
+      val cap = 10
+      val ex = docShingles(s, d)
+        .select($"doc_id", explode($"sh").as("shingle"))
         .select($"doc_id", xxhash64($"shingle").as("h"))
-      val inter = ex.as("a").join(ex.as("b"),
+      val keep = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" <= cap).select($"h")
+      val exr = ex.join(broadcast(keep), Seq("h")).cache()
+      val sizes = exr.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = exr.as("a").join(exr.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
         .agg(count(lit(1)).as("inter"))
@@ -148,15 +156,18 @@ object DedupQueries {
         |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
-        |SELECT d1, d2,
-        | len(list_intersect(a.s, b.s)) * 1.0 /
-        |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        |FROM cand JOIN sh a ON d1 = a.doc_id JOIN sh b ON d2 = b.doc_id
-        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-        |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |keep AS (
+        |  SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle)
+        |  WHERE df <= 10),
+        |exr AS (SELECT doc_id, shingle FROM ex JOIN keep USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exr GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+        |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
         |ORDER BY d1, d2""".stripMargin
     // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
     // → rows-only checks.
