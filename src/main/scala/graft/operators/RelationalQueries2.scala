@@ -267,6 +267,44 @@ object RelationalQueries2 {
         .orderBy($"o_orderkey")
     }),
 
+    // q56: nested-type aggregation — order lines collected into a
+    // sorted array<struct>, serialized to canonical JSON (collect_list
+    // order is nondeterministic; sort_array pins it by the unique line
+    // number). Shuffle rows carry the struct pairs, bounded by lines
+    // per order.
+    "q56_nested_collect" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).groupBy($"l_orderkey")
+        .agg(
+          to_json(sort_array(collect_list(
+            struct($"l_linenumber".as("ln"), $"l_quantity".as("q"))))).as("lines_js"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_orderkey")
+    }),
+
+    // q57: time-series gap filling — per-user hourly grid from the
+    // observed bounds (sequence + explode, bounded by the span), left
+    // join of observed sums, then last-observation-carried-forward via
+    // last(ignoreNulls) over an unbounded-preceding frame. The grid
+    // explode is narrow; the only shuffle is the hourly pre-aggregation.
+    "q57_gap_fill_locf" -> ((s, d) => {
+      import s.implicits._
+      val hourly = events(s, d)
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+        .agg(dsum($"value").as("v"))
+      val bounds = hourly.groupBy($"user_id")
+        .agg(min($"hour").as("lo"), max($"hour").as("hi"))
+      val grid = bounds.select($"user_id",
+        explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+      val w = Window.partitionBy($"user_id").orderBy($"hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select($"user_id", fmtTs($"hour").as("hour_s"),
+          $"v".isNotNull.as("observed"),
+          last($"v", ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy($"user_id", $"hour_s")
+    }),
+
     // q55: approx_percentile (t-digest style sketch) — the 100 TB path
     // that q42's exact percentiles pin the semantics for: fixed-size
     // mergeable sketch per group, partial+final like any aggregate.
@@ -455,6 +493,26 @@ object RelationalQueries2 {
         |           FROM orders WHERE o_orderkey % 5 = 0) x
         |USING (o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q56_nested_collect" ->
+      """SELECT l_orderkey,
+        | to_json(list_sort(list(struct_pack(ln := l_linenumber, q := l_quantity)))) AS lines_js,
+        | COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q57_gap_fill_locf" ->
+      """WITH hourly AS (
+        | SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        | FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds)
+        |SELECT g.user_id, strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+        | h.v IS NOT NULL AS observed,
+        | last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+        |ORDER BY user_id, hour_s""".stripMargin,
 
     "pipe_clean_corpus" ->
       """WITH scored AS (
