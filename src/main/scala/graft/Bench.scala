@@ -26,6 +26,8 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // each query pays its own scan/compute — no cross-query cache reuse
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
