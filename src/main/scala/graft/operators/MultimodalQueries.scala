@@ -51,6 +51,26 @@ object MultimodalQueries {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // Resize planning: aspect-preserving fit into 224×224, never
+    // upscaling — the metadata math a real resize kernel would follow
+    // (the pixel transform itself lives behind the stubbed codec, like
+    // decode). Same IEEE expression tree on both engines → exact oracle.
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      val blobLen = length($"text".cast("binary"))
+      documents(s, d)
+        .select($"doc_id",
+          (blobLen % 640 + 1).cast("long").as("src_w"),
+          ((blobLen * 7) % 480 + 1).cast("long").as("src_h"))
+        .withColumn("scale",
+          least(lit(224.0) / $"src_w", lit(224.0) / $"src_h", lit(1.0)))
+        .select($"doc_id", $"src_w", $"src_h",
+          greatest(floor($"src_w" * $"scale"), lit(1L)).as("dst_w"),
+          greatest(floor($"src_h" * $"scale"), lit(1L)).as("dst_h"),
+          $"scale")
+        .orderBy($"doc_id")
+    }),
+
     // Stubbed decode + feature extraction through the real batched
     // mapPartitions path (see Multimodal.decodeFeatures). Deterministic
     // fake features → rows-only driver check (no SQL twin for the
@@ -77,6 +97,21 @@ object MultimodalQueries {
         | (octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS height,
         | 3 AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id, src_w, src_h,
+        | greatest(CAST(floor(src_w * scale) AS BIGINT), 1) AS dst_w,
+        | greatest(CAST(floor(src_h * scale) AS BIGINT), 1) AS dst_h,
+        | scale
+        |FROM (
+        | SELECT doc_id, src_w, src_h,
+        |  least(224.0 / src_w, 224.0 / src_h, 1.0) AS scale
+        | FROM (
+        |  SELECT doc_id,
+        |   octet_length(CAST(text AS BLOB)) % 640 + 1 AS src_w,
+        |   (octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS src_h
+        |  FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id, n_frames, frame_idx, frame_idx * 1024 AS byte_offset FROM (

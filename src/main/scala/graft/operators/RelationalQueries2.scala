@@ -117,13 +117,18 @@ object RelationalQueries2 {
     }),
 
     // q44: arg-min/arg-max (max_by/min_by) — single-pass, O(1) state per
-    // group. Values are continuous doubles (no ties in the fixed corpus).
+    // group. Ties on value DO occur at sf0.1 (e.g. two events at the
+    // group minimum), so the ordering key is the value rendered
+    // fixed-width (values are non-negative 2-decimal doubles) plus the
+    // unique event_id — lexicographic order == (value, event_id) order,
+    // deterministic on both engines.
     "q44_argminmax" -> ((s, d) => {
       import s.implicits._
+      val key = format_string("%012.2f|%010d", $"value", $"event_id")
       events(s, d).groupBy($"event_type")
         .agg(
-          max_by($"event_id", $"value").as("max_value_event"),
-          min_by($"event_id", $"value").as("min_value_event"),
+          max_by($"event_id", key).as("max_value_event"),
+          min_by($"event_id", key).as("min_value_event"),
           max($"value").as("max_value"),
           min($"value").as("min_value"))
         .orderBy($"event_type")
@@ -394,8 +399,8 @@ object RelationalQueries2 {
 
     "q44_argminmax" ->
       """SELECT event_type,
-        | arg_max(event_id, value) AS max_value_event,
-        | arg_min(event_id, value) AS min_value_event,
+        | arg_max(event_id, printf('%012.2f|%010d', value, event_id)) AS max_value_event,
+        | arg_min(event_id, printf('%012.2f|%010d', value, event_id)) AS min_value_event,
         | MAX(value) AS max_value,
         | MIN(value) AS min_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
