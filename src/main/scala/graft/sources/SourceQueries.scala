@@ -61,6 +61,28 @@ object SourceQueries {
         .orderBy($"s_nationkey")
     }),
 
+    // Small-files compaction — the recurring maintenance job of any
+    // file-based lakehouse: a fragmented landing layout (64 shards
+    // here; millions of per-event files at the 100 TB reference-style
+    // ingest) is rewritten range-clustered on the primary key into few
+    // right-sized files, so later scans open orders of magnitude fewer
+    // footers and range predicates prune whole files. The oracle
+    // aggregates the original table — a hash match proves compaction
+    // lost nothing. (ScaleOpsSpec asserts the file-count collapse.)
+    "src_compact_small_files" -> ((s, d) => {
+      import s.implicits._
+      val small = tmp("orders_small")
+      val compacted = tmp("orders_compacted")
+      orders(s, d).repartition(64).write.mode("overwrite").parquet(small)
+      s.read.parquet(small)
+        .repartitionByRange(4, $"o_orderkey")
+        .write.mode("overwrite").parquet(compacted)
+      s.read.parquet(compacted)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Hive-style partitioned parquet sink, read back through a
     // partition-pruning filter — at 100 TB the filter prunes
     // directories before any file is opened.
@@ -92,6 +114,11 @@ object SourceQueries {
       """SELECT s_nationkey, COUNT(*) AS n_supp,
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "src_compact_small_files" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "src_parquet_partitioned" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -24,6 +24,41 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("selective join injects a runtime bloom filter on the fact scan") {
+    // thresholds floored so the mechanism triggers at test scale; in
+    // production the defaults gate it to genuinely large scans
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // runtime filters only apply to shuffle joins (a broadcast join
+      // already filters at the probe) — force the shuffle path
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter($"o_totalprice" > 400000.0)
+          .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("compaction collapses the fragmented layout to the target file count") {
+    SparkEntry.queries("src_compact_small_files")(spark, sf).collect()
+    def parts(dir: String) =
+      new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_roundtrip/$dir")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts("orders_small") >= 32, "fragmented input not fragmented")
+    assert(parts("orders_compacted") <= 4, "compaction left too many files")
+  }
+
   test("join against a partitioned fact prunes partitions dynamically (DPP)") {
     val path = Files.createTempDirectory("graft-dpp").toString
     Tables.orders(spark, sf).write.mode("overwrite")
