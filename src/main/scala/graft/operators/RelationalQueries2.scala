@@ -272,6 +272,55 @@ object RelationalQueries2 {
         .orderBy($"o_orderkey")
     }),
 
+    // q58: EXISTS / NOT EXISTS correlated predicates — Catalyst
+    // decorrelates both into semi / anti joins (no per-row subquery
+    // execution, unlike the reference's would-be loop).
+    "q58_exists" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).createOrReplaceTempView("orders_v58")
+      customer(s, d).createOrReplaceTempView("customer_v58")
+      s.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer_v58 c
+        WHERE EXISTS (SELECT 1 FROM orders_v58 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_v58 o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey""")
+    }),
+
+    // q59: LATERAL correlated subquery with LIMIT — per-order top-2
+    // line items by quantity; Catalyst decorrelates the limit into a
+    // ranked window, so it runs as one pass, not a loop.
+    "q59_lateral_topk" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).createOrReplaceTempView("orders_v59")
+      lineitem(s, d).createOrReplaceTempView("lineitem_v59")
+      s.sql("""
+        SELECT o.o_orderkey, l.ln, l.qty
+        FROM orders_v59 o, LATERAL (
+          SELECT l_linenumber AS ln, l_quantity AS qty
+          FROM lineitem_v59
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+        WHERE o.o_orderkey < 2000
+        ORDER BY o.o_orderkey, l.qty DESC, l.ln""")
+    }),
+
+    // q60: multiset set ops (EXCEPT ALL / INTERSECT ALL) — duplicates
+    // preserved per multiset semantics, aggregated to counts for a
+    // deterministic comparison surface.
+    "q60_set_ops_all" -> ((s, d) => {
+      import s.implicits._
+      val a = orders(s, d).filter($"o_orderstatus" === "F").select($"o_orderpriority")
+      val b = orders(s, d).filter($"o_totalprice" > 200000.0).select($"o_orderpriority")
+      a.exceptAll(b).groupBy($"o_orderpriority").agg(count(lit(1)).as("n_except"))
+        .join(
+          a.intersectAll(b).groupBy($"o_orderpriority").agg(count(lit(1)).as("n_intersect")),
+          Seq("o_orderpriority"), "full_outer")
+        .orderBy($"o_orderpriority")
+    }),
+
     // q56: nested-type aggregation — order lines collected into a
     // sorted array<struct>, serialized to canonical JSON (collect_list
     // order is nondeterministic; sort_array pins it by the unique line
@@ -498,6 +547,36 @@ object RelationalQueries2 {
         |           FROM orders WHERE o_orderkey % 5 = 0) x
         |USING (o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q58_exists" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q59_lateral_topk" ->
+      """SELECT o.o_orderkey, l.ln, l.qty
+        |FROM orders o, LATERAL (
+        |  SELECT l_linenumber AS ln, l_quantity AS qty
+        |  FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+        |WHERE o.o_orderkey < 2000
+        |ORDER BY o.o_orderkey, l.qty DESC, l.ln""".stripMargin,
+
+    "q60_set_ops_all" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        | b AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000.0),
+        | e AS (SELECT o_orderpriority, COUNT(*) AS n_except
+        |       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+        | i AS (SELECT o_orderpriority, COUNT(*) AS n_intersect
+        |       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT o_orderpriority, n_except, n_intersect
+        |FROM e FULL JOIN i USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q56_nested_collect" ->
       """SELECT l_orderkey,
