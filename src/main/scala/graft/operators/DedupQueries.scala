@@ -29,6 +29,31 @@ object DedupQueries {
       .select($"doc_id", shingles3(tokens($"text")).as("sh"))
   }
 
+  /** Near-dup pairs (jaccard ≥ 0.5) over the df-capped shingle universe
+    * — shared by dedup_ngram_jaccard and the clustering on top of it.
+    * See the dedup_ngram_jaccard scaladoc below for the scale analysis. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 10
+    val ex = docShingles(s, d)
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .select($"doc_id", xxhash64($"shingle").as("h"))
+    val keep = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= cap).select($"h")
+    val exr = ex.join(broadcast(keep), Seq("h")).cache()
+    val sizes = exr.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = exr.as("a").join(exr.as("b"),
+      $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), Seq("d1"))
+      .join(broadcast(sizes.select($"doc_id".as("d2"), $"n".as("n2"))), Seq("d2"))
+      .select($"d1", $"d2",
+        ($"inter" * lit(1.0) / ($"n1" + $"n2" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the raw text; representative = min id.
     // (One shuffle keyed by the md5 — at scale, group on the hash, not
@@ -62,27 +87,44 @@ object DedupQueries {
     // shuffle; |A|,|B| come from a broadcast size table, and the df
     // filter itself is a broadcast of 8-byte hashes (a bloom filter at
     // 100 TB). Cap mirrored in SQL → full DuckDB oracle.
-    "dedup_ngram_jaccard" -> ((s, d) => {
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy(col("d1"), col("d2"))),
+
+    // Near-dup CLUSTERING: the pair list alone doesn't dedupe — A~B and
+    // B~C must collapse to one representative even when A≁C. Connected
+    // components over the similarity graph via iterative min-label
+    // propagation: each round every node takes the minimum label among
+    // itself and its neighbors; the loop stops at fixpoint (bounded by
+    // component diameter — tiny for dup clusters; hard cap 15). Each
+    // round is one join + one aggregate, materialized via cache so the
+    // lineage stays flat — the standard large-graph CC shape (GraphX-
+    // style label propagation without the RDD detour). Oracle: DuckDB
+    // recursive CTE computes the same closure.
+    "dedup_cluster_reps" -> ((s, d) => {
       import s.implicits._
-      val cap = 10
-      val ex = docShingles(s, d)
-        .select($"doc_id", explode($"sh").as("shingle"))
-        .select($"doc_id", xxhash64($"shingle").as("h"))
-      val keep = ex.groupBy($"h").agg(count(lit(1)).as("df"))
-        .filter($"df" <= cap).select($"h")
-      val exr = ex.join(broadcast(keep), Seq("h")).cache()
-      val sizes = exr.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = exr.as("a").join(exr.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), Seq("d1"))
-        .join(broadcast(sizes.select($"doc_id".as("d2"), $"n".as("n2"))), Seq("d2"))
-        .select($"d1", $"d2",
-          ($"inter" * lit(1.0) / ($"n1" + $"n2" - $"inter")).as("jaccard"))
-        .filter($"jaccard" >= 0.5)
-        .orderBy($"d1", $"d2")
+      val pairs = jaccardPairs(s, d).select($"d1", $"d2").cache()
+      val edges = pairs.unionAll(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+        .toDF("src", "dst").cache()
+      var labels = documents(s, d).select($"doc_id", $"doc_id".as("lab")).cache()
+      var changed = true
+      var iter = 0
+      while (changed && iter < 15) {
+        val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "dst2"),
+            $"dst" === $"dst2")
+          .groupBy($"src".as("doc_id")).agg(min($"lab").as("nlab"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select($"doc_id", least($"lab", coalesce($"nlab", $"lab")).as("lab"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("doc_id"))
+          .filter($"lab" =!= $"old").limit(1).count() > 0
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      labels
+        .groupBy($"lab".as("rep_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"rep_id")
     }),
 
     // MinHash + LSH near-dup: 64-hash signature, 16 bands × 4 rows →
@@ -140,6 +182,29 @@ object DedupQueries {
     })
   )
 
+  /** DuckDB twin of [[jaccardPairs]], shared by the pair and cluster
+    * oracles (kept as a CTE block so both stay literally identical). */
+  private val pairsCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |keep AS (
+      |  SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle)
+      |  WHERE df <= 10),
+      |exr AS (SELECT doc_id, shingle FROM ex JOIN keep USING (shingle)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exr GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2, jaccard FROM (
+      |    SELECT d1, d2, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+      |    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+      |  WHERE jaccard >= 0.5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
@@ -151,24 +216,22 @@ object DedupQueries {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |keep AS (
-        |  SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle)
-        |  WHERE df <= 10),
-        |exr AS (SELECT doc_id, shingle FROM ex JOIN keep USING (shingle)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exr GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-        |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, i * 1.0 / (s1.n + s2.n - i) AS jaccard
-        |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-        |WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
-        |ORDER BY d1, d2""".stripMargin
+      s"""WITH $pairsCte
+        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin,
+
+    // Connected components as a recursive closure: every label a node
+    // can reach is enumerated, the minimum is its component id.
+    "dedup_cluster_reps" ->
+      s"""WITH RECURSIVE $pairsCte,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(doc_id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+        |final AS (SELECT doc_id, MIN(lab) AS lab FROM reach GROUP BY doc_id)
+        |SELECT lab AS rep_id, COUNT(*) AS n_members
+        |FROM final GROUP BY lab ORDER BY rep_id""".stripMargin
     // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
     // → rows-only checks.
   )
