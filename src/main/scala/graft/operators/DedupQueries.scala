@@ -105,24 +105,40 @@ object DedupQueries {
       val pairs = jaccardPairs(s, d).select($"d1", $"d2").cache()
       val edges = pairs.unionAll(pairs.select($"d2".as("d1"), $"d1".as("d2")))
         .toDF("src", "dst").cache()
-      var labels = documents(s, d).select($"doc_id", $"doc_id".as("lab")).cache()
+      // the loop runs only over the ACTIVE vertex set (docs with at
+      // least one edge) — isolated docs are their own component and
+      // rejoin at the end. Dup graphs are sparse, so the iterated state
+      // is orders of magnitude smaller than the corpus and its joins
+      // broadcast; each round is ONE materializing job (the changed
+      // flag rides the cached round result).
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("lab")).cache()
       var changed = true
       var iter = 0
-      while (changed && iter < 15) {
-        val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "dst2"),
-            $"dst" === $"dst2")
-          .groupBy($"src".as("doc_id")).agg(min($"lab").as("nlab"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select($"doc_id", least($"lab", coalesce($"nlab", $"lab")).as("lab"))
-          .cache()
-        changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("doc_id"))
-          .filter($"lab" =!= $"old").limit(1).count() > 0
-        labels.unpersist()
-        labels = next
-        iter += 1
-      }
-      labels
-        .groupBy($"lab".as("rep_id"))
+      // the iterated state is tiny relative to the corpus — run the
+      // loop's jobs at few shuffle partitions (the session setting is
+      // sized for corpus-wide scans, not 10^2-row label tables)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        while (changed && iter < 15) {
+          val nbrMin = edges
+            .join(labels.select($"doc_id".as("dst2"), $"lab".as("nl")), $"dst" === $"dst2")
+            .groupBy($"src".as("doc_id")).agg(min($"nl").as("nlab"))
+          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select($"doc_id",
+              least($"lab", coalesce($"nlab", $"lab")).as("lab"), $"lab".as("old"))
+            .cache()
+          changed = next.filter($"lab" =!= $"old").limit(1).count() > 0
+          labels.unpersist()
+          labels = next.select($"doc_id", $"lab")
+          iter += 1
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      documents(s, d).select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"lab", $"doc_id").as("rep"))
+        .groupBy($"rep".as("rep_id"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy($"rep_id")
     }),
