@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Randomized algebraic properties of the native kernels (seeded — the
+  * 64 cases are the same every run). These pin the MATH the dedup and
+  * similarity operators rely on, independent of any corpus:
+  * the one-hash MinHash union law is what makes signatures mergeable in
+  * partial aggregation, and permutation invariance is what makes
+  * SimHash stable under nondeterministic row order. */
+class KernelPropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+  private def doc(n: Int): String =
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("minhash(A ∪ B) = elementwise min(minhash A, minhash B) — merge law") {
+    val cases = Seq.fill(64)((doc(3 + rnd.nextInt(30)), doc(3 + rnd.nextInt(30))))
+    val rows = cases.toDF("t1", "t2")
+      .select(shingles3(tokens($"t1")).as("sa"), shingles3(tokens($"t2")).as("sb"))
+      .filter(size($"sa") > 0 && size($"sb") > 0)
+      .select(
+        minhashSignature(array_union($"sa", $"sb"), 64).as("sig_union"),
+        zip_with(minhashSignature($"sa", 64), minhashSignature($"sb", 64),
+          (x, y) => least(x, y)).as("min_pair"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("simhash is invariant under token permutation") {
+    val cases = Seq.fill(64)(doc(4 + rnd.nextInt(40))).map { t =>
+      val toksArr = t.split(" ")
+      (t, rnd.shuffle(toksArr.toSeq).mkString(" "))
+    }
+    val rows = cases.toDF("t1", "t2")
+      .select(simhash64(tokens($"t1")).as("s1"), simhash64(tokens($"t2")).as("s2"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("cosine is symmetric, bounded, and 1 on itself") {
+    val cases = Seq.fill(64)(
+      (Seq.fill(16)(rnd.nextFloat() - 0.3f), Seq.fill(16)(rnd.nextFloat() - 0.3f)))
+    val rows = cases.toDF("a", "b")
+      .select(
+        cosineSimilarity($"a", $"b").as("ab"),
+        cosineSimilarity($"b", $"a").as("ba"),
+        cosineSimilarity($"a", $"a").as("aa"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // bitwise symmetric
+      assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("jaccard(A,A)=1 and jaccard ∈ [0,1]") {
+    val cases = Seq.fill(64)((doc(3 + rnd.nextInt(30)), doc(3 + rnd.nextInt(30))))
+    val rows = cases.toDF("t1", "t2")
+      .select(shingles3(tokens($"t1")).as("sa"), shingles3(tokens($"t2")).as("sb"))
+      .filter(size($"sa") > 0 && size($"sb") > 0)
+      .select(jaccard($"sa", $"sa").as("jaa"), jaccard($"sa", $"sb").as("jab"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+  }
+}
