@@ -321,6 +321,23 @@ object RelationalQueries2 {
         .orderBy($"o_orderpriority")
     }),
 
+    // q61: window distribution functions — ntile / percent_rank /
+    // cume_dist plus first/nth value over the default running frame.
+    // The (value, event_id) ordering key is unique, so RANGE-frame peer
+    // groups are singletons and every output is deterministic.
+    "q61_window_distribution" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      events(s, d).select(
+        $"event_id", $"event_type",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first($"event_id").over(w).as("first_in_frame"),
+        nth_value($"event_id", 2).over(w).as("second_in_frame"))
+        .orderBy($"event_id")
+    }),
+
     // q56: nested-type aggregation — order lines collected into a
     // sorted array<struct>, serialized to canonical JSON (collect_list
     // order is nondeterministic; sort_array pins it by the unique line
@@ -577,6 +594,17 @@ object RelationalQueries2 {
         |SELECT o_orderpriority, n_except, n_intersect
         |FROM e FULL JOIN i USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q61_window_distribution" ->
+      """SELECT event_id, event_type,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
+        | first_value(event_id) OVER w AS first_in_frame,
+        | nth_value(event_id, 2) OVER w AS second_in_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q56_nested_collect" ->
       """SELECT l_orderkey,
