@@ -15,9 +15,18 @@ class QueriesSpec extends SparkSuite {
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name runs and returns rows on sf0.001") {
+    test(s"$name runs, returns rows, and emits only scalar columns on sf0.001") {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
+      // the driver's comparator can't hash array/struct/map cells —
+      // a non-scalar output column silently zeroes the query's score
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      df.schema.fields.foreach { f =>
+        val complex = f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] || f.dataType.isInstanceOf[StructType]
+        assert(!complex,
+          s"$name column ${f.name} has non-scalar type ${f.dataType.simpleString}")
+      }
       assert(df.count() > 0, s"$name returned zero rows")
     }
   }
