@@ -62,6 +62,21 @@ object SamplingQueries {
         .orderBy($"lang")
     }),
 
+    // Fixed-SIZE per-stratum sample: exactly k docs per language,
+    // chosen by hash order — the deterministic replacement for
+    // per-group reservoir sampling (same k, stable across runs and
+    // cluster sizes; one window shuffle keyed by the stratum).
+    "samp_topk_per_stratum" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+      documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 20)
+        .select($"doc_id", $"lang", $"rn")
+        .orderBy($"lang", $"rn")
+    }),
+
     // Concat-and-chunk token packing (the LLM-pretraining layout:
     // documents concatenated in doc_id order, sliced every `budget`
     // tokens). The global token offset is a distributed two-pass prefix
@@ -121,6 +136,14 @@ object SamplingQueries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
         |      < (CASE WHEN lang = 'en' THEN '10' ELSE '40' END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "samp_topk_per_stratum" ->
+      """SELECT doc_id, lang, rn FROM (
+        | SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
 
     "pack_token_chunks" ->
       """WITH t AS (
