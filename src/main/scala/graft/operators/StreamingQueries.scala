@@ -78,6 +78,20 @@ object StreamingQueries {
         .orderBy($"hour_start", $"event_type")
     }),
 
+    // Sliding event-time windows on the stream (1 h window, 30 min
+    // slide → every event in exactly 2 windows; Expand ×2 before the
+    // stateful aggregation, state still watermark-bounded).
+    "stream_sliding_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(fmtTs($"window.start").as("win_start"), $"event_type", $"n")
+      toMemory(s, agg, "stream_sliding_agg_sink", "complete")
+        .orderBy($"win_start", $"event_type")
+    }),
+
     // Streaming session windows (30-minute gap) — the stateful
     // gap-merge operator, same semantics as the batch q48.
     "stream_session_agg" -> ((s, d) => {
@@ -148,6 +162,14 @@ object StreamingQueries {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "stream_sliding_agg" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |       unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
     "stream_session_agg" ->
       """WITH flagged AS (
