@@ -129,7 +129,10 @@ object DedupQueries {
             .select($"doc_id",
               least($"lab", coalesce($"nlab", $"lab")).as("lab"), $"lab".as("old"))
             .cache()
-          changed = next.filter($"lab" =!= $"old").limit(1).count() > 0
+          // one full-scan job, not CollectLimit's incremental partition
+          // cascade (which costs several jobs on the converged round)
+          val row = next.agg(max(when($"lab" =!= $"old", 1).otherwise(0))).first()
+          changed = !row.isNullAt(0) && row.getInt(0) > 0 // null = empty graph
           labels.unpersist()
           labels = next.select($"doc_id", $"lab")
           iter += 1
