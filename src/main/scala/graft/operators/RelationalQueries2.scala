@@ -321,6 +321,45 @@ object RelationalQueries2 {
         .orderBy($"o_orderpriority")
     }),
 
+    // q62: fixed-width histogram — the profiling primitive: one
+    // partial+final aggregate over bin ids, never a sort.
+    "q62_histogram" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .select(least(floor($"l_quantity" / 5.0), lit(9L)).as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"))
+        // fraction as floored basis points: %.4f formatting hits
+        // rounding-mode ties (Java HALF_UP vs C printf) on exact
+        // ratios like 5907/60000; floor of an exact integer ratio
+        // can't disagree
+        .select($"bin", $"n",
+          floor($"n" * 10000 / sum($"n").over(Window.partitionBy())).as("frac_bp"))
+        .orderBy($"bin")
+    }),
+
+    // q63: per-stratum corpus profile (docs, distinct fingerprints,
+    // token/char stats) — the data-profiling pass every curation
+    // pipeline starts with; exact-sum means per OracleParity.
+    "q63_profile_summary" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions._
+      documents(s, d)
+        .select($"lang", md5(normalize($"text")).as("fp"),
+          size(tokens($"text")).cast("long").as("n_toks"), $"n_chars")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"fp").as("n_uniq"),
+          sum($"n_toks").as("sum_toks"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+        .select($"lang", $"n_docs", $"n_uniq",
+          format_string("%.4f", $"sum_toks" / $"n_docs".cast("double")).as("avg_toks"),
+          $"min_chars", $"max_chars")
+        .orderBy($"lang")
+    }),
+
     // q61: window distribution functions — ntile / percent_rank /
     // cume_dist plus first/nth value over the default running frame.
     // The (value, event_id) ordering key is unique, so RANGE-frame peer
@@ -594,6 +633,22 @@ object RelationalQueries2 {
         |SELECT o_orderpriority, n_except, n_intersect
         |FROM e FULL JOIN i USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q62_histogram" ->
+      """SELECT bin, n, CAST(floor(n * 10000 / CAST(total AS DOUBLE)) AS BIGINT) AS frac_bp
+        |FROM (
+        | SELECT bin, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+        | FROM (SELECT least(CAST(floor(l_quantity / 5.0) AS BIGINT), 9) AS bin FROM lineitem)
+        | GROUP BY bin)
+        |ORDER BY bin""".stripMargin,
+
+    "q63_profile_summary" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_uniq,
+        | printf('%.4f', CAST(SUM(len(string_split(text, ' '))) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) AS avg_toks,
+        | MIN(n_chars) AS min_chars,
+        | MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q61_window_distribution" ->
       """SELECT event_id, event_type,
