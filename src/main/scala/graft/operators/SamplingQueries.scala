@@ -151,8 +151,8 @@ object SamplingQueries {
         | FROM documents),
         |c AS (
         | SELECT doc_id, n_tokens,
-        |  SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    - n_tokens AS start_offset
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_tokens AS BIGINT) AS start_offset
         | FROM t)
         |SELECT doc_id, n_tokens, start_offset,
         | CAST(floor(start_offset / 2048.0) AS BIGINT) AS chunk_id,
