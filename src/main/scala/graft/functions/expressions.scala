@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -177,6 +177,50 @@ case class Shingles3(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Custom Catalyst Generator (the UDTF extension point — SURVEY §2.3
+  * UDF/UDAF/UDTF row): explodes a packed document into its per-chunk
+  * slices. For a doc occupying global token interval
+  * [start, start+n) under a fixed chunk `budget`, emits one row per
+  * overlapped chunk: (chunk_id, slice_start, slice_len) where
+  * slice_start is the DOC-LOCAL token offset of the part landing in
+  * that chunk — exactly the shard map a pretraining loader needs to
+  * assemble fixed-budget sequences from variable-length docs.
+  *
+  * A Generator (not explode-over-array) because the output is computed,
+  * not stored: building the slice array first would materialize an
+  * array<struct> per row just to immediately explode it. Output rows
+  * per input row are bounded by n/budget + 1 — a bounded, data-
+  * proportional explode, safe at any scale. */
+case class TokenChunkSlices(start: Expression, n: Expression, budget: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(start, n, budget)
+  override def prettyName: String = "token_chunk_slices"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_id", LongType, nullable = false),
+    StructField("slice_start", LongType, nullable = false),
+    StructField("slice_len", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val s0 = start.eval(input); val n0 = n.eval(input); val b0 = budget.eval(input)
+    if (s0 == null || n0 == null || b0 == null) return Nil
+    val st = s0.asInstanceOf[Long]
+    val nt = n0.asInstanceOf[Long]
+    val b = b0.asInstanceOf[Long]
+    if (nt <= 0 || b <= 0) return Nil
+    val first = st / b
+    val last = (st + nt - 1) / b
+    (first to last).map { c =>
+      val lo = math.max(c * b, st)
+      val hi = math.min((c + 1) * b, st + nt)
+      InternalRow(c, lo - st, hi - lo)
+    }
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(start = cs(0), n = cs(1), budget = cs(2))
+}
+
 /** Column-API entry points + SQL registration for the custom kernels. */
 object GraftExpressions {
   import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
@@ -187,6 +231,8 @@ object GraftExpressions {
   def minhash_signature(shingles: Column, k: Int): Column =
     toColumn(MinHashSignature(toExpression(shingles), k))
   def shingles3(tokens: Column): Column = toColumn(Shingles3(toExpression(tokens)))
+  def token_chunk_slices(start: Column, n: Column, budget: Column): Column =
+    toColumn(TokenChunkSlices(toExpression(start), toExpression(n), toExpression(budget)))
 
   /** Expose the kernels to SQL users of the session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -197,5 +243,7 @@ object GraftExpressions {
       es => SimHash64(es.head), "builtin")
     reg.createOrReplaceTempFunction("minhash_signature",
       es => MinHashSignature(es.head, 64), "builtin")
+    reg.createOrReplaceTempFunction("token_chunk_slices",
+      es => TokenChunkSlices(es.head, es(1), es(2)), "builtin")
   }
 }

@@ -40,15 +40,21 @@ object DedupQueries {
       .select($"doc_id", xxhash64($"shingle").as("h"))
     val keep = ex.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" <= cap).select($"h")
-    val exr = ex.join(broadcast(keep), Seq("h")).cache()
+    // No broadcast hints here: `keep` and `sizes` are corpus-cardinality
+    // (one row per surviving shingle hash / per doc), so a forced
+    // broadcast is a driver OOM at 100 TB. All three joins are keyed
+    // (h, d1, d2) and shuffle fine; AQE broadcasts them when the build
+    // side turns out small at runtime, and Spark's runtime bloom-filter
+    // injection covers the semi-join-reduction role at scale.
+    val exr = ex.join(keep, Seq("h")).cache()
     val sizes = exr.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = exr.as("a").join(exr.as("b"),
       $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), Seq("d1"))
-      .join(broadcast(sizes.select($"doc_id".as("d2"), $"n".as("n2"))), Seq("d2"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
       .select($"d1", $"d2",
         ($"inter" * lit(1.0) / ($"n1" + $"n2" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
@@ -84,22 +90,26 @@ object DedupQueries {
     // (df=1) shingles stay in the union, so unique content still
     // dilutes the score. Within the capped universe the join-count IS
     // |A∩B| (shingles are distinct per doc), so no arrays ever ride a
-    // shuffle; |A|,|B| come from a broadcast size table, and the df
-    // filter itself is a broadcast of 8-byte hashes (a bloom filter at
-    // 100 TB). Cap mirrored in SQL → full DuckDB oracle.
+    // shuffle; |A|,|B| come from a doc-keyed size table and the df
+    // filter is a hash-keyed equi-join — both unhinted, so AQE
+    // broadcasts them only when actually small. Cap mirrored in SQL →
+    // full DuckDB oracle.
     "dedup_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(s, d).orderBy(col("d1"), col("d2"))),
 
     // Near-dup CLUSTERING: the pair list alone doesn't dedupe — A~B and
     // B~C must collapse to one representative even when A≁C. Connected
-    // components over the similarity graph via iterative min-label
-    // propagation: each round every node takes the minimum label among
-    // itself and its neighbors; the loop stops at fixpoint (bounded by
-    // component diameter — tiny for dup clusters; hard cap 15). Each
-    // round is one join + one aggregate, materialized via cache so the
-    // lineage stays flat — the standard large-graph CC shape (GraphX-
-    // style label propagation without the RDD detour). Oracle: DuckDB
-    // recursive CTE computes the same closure.
+    // components over the similarity graph via min-label propagation
+    // WITH POINTER DOUBLING: each round every node takes the minimum
+    // label among itself and its neighbors, then additionally follows
+    // its label's own label (lab ← lab(lab)), so the propagation
+    // distance doubles per round and convergence is O(log diameter)
+    // rather than O(diameter) — 16 rounds cover components of diameter
+    // 65k+. If the loop still hasn't reached fixpoint it THROWS instead
+    // of returning silently-wrong labels (a chain-shaped boilerplate
+    // family at 100 TB must fail loudly, not mis-cluster). Each round
+    // is one materializing job (the changed flag rides the cached round
+    // result). Oracle: DuckDB recursive CTE computes the same closure.
     "dedup_cluster_reps" -> ((s, d) => {
       import s.implicits._
       val pairs = jaccardPairs(s, d).select($"d1", $"d2").cache()
@@ -108,26 +118,34 @@ object DedupQueries {
       // the loop runs only over the ACTIVE vertex set (docs with at
       // least one edge) — isolated docs are their own component and
       // rejoin at the end. Dup graphs are sparse, so the iterated state
-      // is orders of magnitude smaller than the corpus and its joins
-      // broadcast; each round is ONE materializing job (the changed
-      // flag rides the cached round result).
+      // is orders of magnitude smaller than the corpus.
       var labels = edges.select($"src".as("doc_id")).distinct()
         .select($"doc_id", $"doc_id".as("lab")).cache()
       var changed = true
       var iter = 0
+      val maxRounds = 16
       // the iterated state is tiny relative to the corpus — run the
       // loop's jobs at few shuffle partitions (the session setting is
       // sized for corpus-wide scans, not 10^2-row label tables)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        while (changed && iter < 15) {
+        while (changed && iter < maxRounds) {
           val nbrMin = edges
             .join(labels.select($"doc_id".as("dst2"), $"lab".as("nl")), $"dst" === $"dst2")
             .groupBy($"src".as("doc_id")).agg(min($"nl").as("nlab"))
-          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          val half = labels.join(nbrMin, Seq("doc_id"), "left")
             .select($"doc_id",
               least($"lab", coalesce($"nlab", $"lab")).as("lab"), $"lab".as("old"))
+          // pointer doubling: follow the new label's own new label.
+          // Labels are always ids of same-component vertices, so the
+          // lookup stays within the component; least() is monotone.
+          val next = half.as("x")
+            .join(half.select($"doc_id".as("pk"), $"lab".as("plab")).as("y"),
+              col("x.lab") === col("y.pk"), "left")
+            .select(col("x.doc_id").as("doc_id"),
+              least(col("x.lab"), coalesce(col("plab"), col("x.lab"))).as("lab"),
+              col("x.old").as("old"))
             .cache()
           // one full-scan job, not CollectLimit's incremental partition
           // cascade (which costs several jobs on the converged round)
@@ -137,6 +155,11 @@ object DedupQueries {
           labels = next.select($"doc_id", $"lab")
           iter += 1
         }
+        if (changed)
+          throw new IllegalStateException(
+            s"dedup_cluster_reps: connected components did not converge in $maxRounds " +
+              "pointer-doubling rounds (component diameter > 2^" + maxRounds + ") — refusing " +
+              "to return unconverged cluster labels")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       documents(s, d).select($"doc_id")
         .join(labels, Seq("doc_id"), "left")

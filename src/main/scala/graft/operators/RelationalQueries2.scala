@@ -354,8 +354,12 @@ object RelationalQueries2 {
           sum($"n_toks").as("sum_toks"),
           min($"n_chars").as("min_chars"),
           max($"n_chars").as("max_chars"))
+        // mean as floored basis points (tokens×10⁴ per doc): %.4f
+        // formatting hits the Java-HALF_UP-vs-C-printf rounding-tie
+        // hazard on .xxxx5 ratios (see q62); floor of an exact integer
+        // ratio can't disagree between engines
         .select($"lang", $"n_docs", $"n_uniq",
-          format_string("%.4f", $"sum_toks" / $"n_docs".cast("double")).as("avg_toks"),
+          floor($"sum_toks" * 10000 / $"n_docs".cast("double")).as("avg_toks_bp"),
           $"min_chars", $"max_chars")
         .orderBy($"lang")
     }),
@@ -645,7 +649,7 @@ object RelationalQueries2 {
     "q63_profile_summary" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_uniq,
-        | printf('%.4f', CAST(SUM(len(string_split(text, ' '))) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) AS avg_toks,
+        | CAST(floor(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) * 10000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_toks_bp,
         | MIN(n_chars) AS min_chars,
         | MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

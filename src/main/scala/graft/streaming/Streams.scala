@@ -107,54 +107,85 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Event-time sort key at FULL microsecond precision:
+    * `Timestamp.getTime` alone truncates to milliseconds, and the event
+    * data carries micros — a per-user ms-tie with different micros
+    * would reorder the cumulative sum vs the micro-ordered oracle. */
+  private def microsOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** 0..n outputs per key per micro-batch via flatMapGroupsWithState:
     * emits an alert each time a user's cumulative value crosses another
-    * multiple of `step`. State is a single double per key; a crossing
-    * within a batch emits immediately, none emits nothing — the shape
-    * mapGroupsWithState (exactly one output per key) can't express. */
-  def valueAlerts(events: org.apache.spark.sql.Dataset[UserEvent], step: Double)
+    * multiple of `step`. State is a single double per key, BOUNDED by an
+    * event-time timeout: a key idle past `stateTtl` (relative to its own
+    * last event, measured by the watermark) is evicted, so state volume
+    * tracks the active-user set, not the all-time user set — mandatory
+    * for an unbounded stream. A crossing within a batch emits
+    * immediately, none emits nothing — the shape mapGroupsWithState
+    * (exactly one output per key) can't express. */
+  def valueAlerts(events: org.apache.spark.sql.Dataset[UserEvent], step: Double,
+      watermark: String = "10 minutes", stateTtl: String = "30 days")
       : org.apache.spark.sql.Dataset[ValueAlert] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[Double, ValueAlert](
         org.apache.spark.sql.streaming.OutputMode.Append,
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
         case (uid, batch, state) =>
-          var cum = state.getOption.getOrElse(0.0)
-          val out = Seq.newBuilder[ValueAlert]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val before = math.floor(cum / step).toLong
-            cum += e.value
-            val after = math.floor(cum / step).toLong
-            var m = before + 1
-            while (m <= after) { out += ValueAlert(uid, m, e.event_id); m += 1 }
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cum = state.getOption.getOrElse(0.0)
+            val out = Seq.newBuilder[ValueAlert]
+            val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+            evs.foreach { e =>
+              val before = math.floor(cum / step).toLong
+              cum += e.value
+              val after = math.floor(cum / step).toLong
+              var m = before + 1
+              while (m <= after) { out += ValueAlert(uid, m, e.event_id); m += 1 }
+            }
+            state.update(cum)
+            state.setTimeoutTimestamp(evs.map(_.ts.getTime).max, stateTtl)
+            out.result().iterator
           }
-          state.update(cum)
-          out.result().iterator
       }
   }
 
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * profile (event count, running value sum, last event type) updated
-    * per micro-batch. State is one small case class per key — bounded —
-    * and would carry a timeout in a production stream (omitted here so
-    * the spec can assert exact values). */
-  def userRunningProfile(events: org.apache.spark.sql.Dataset[UserEvent])
+    * per micro-batch. State is one small case class per key and BOUNDED
+    * by an event-time timeout: an idle key past `stateTtl` emits its
+    * final profile once as an eviction record and is removed. */
+  def userRunningProfile(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes", stateTtl: String = "30 days")
       : org.apache.spark.sql.Dataset[UserProfile] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .mapGroupsWithState[UserProfile, UserProfile](
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
         case (userId, batch, state) =>
-          val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, ""))
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val next = UserProfile(
-            userId,
-            prev.n_events + evs.size,
-            prev.sum_value + evs.map(_.value).sum,
-            evs.lastOption.map(_.event_type).getOrElse(prev.last_type))
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            val fin = state.get
+            state.remove()
+            fin
+          } else {
+            val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, ""))
+            val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+            val next = UserProfile(
+              userId,
+              prev.n_events + evs.size,
+              prev.sum_value + evs.map(_.value).sum,
+              evs.lastOption.map(_.event_type).getOrElse(prev.last_type))
+            state.update(next)
+            state.setTimeoutTimestamp(evs.map(_.ts.getTime).max, stateTtl)
+            next
+          }
       }
   }
 }

@@ -141,6 +141,31 @@ class StreamingSpec extends SparkSuite {
       ValueAlert(9, 1, 2), ValueAlert(9, 2, 3), ValueAlert(9, 3, 3)))
   }
 
+  test("event-time timeout evicts idle per-user state (bounded state)") {
+    import graft.streaming.{UserEvent, UserProfile}
+    val events = MemoryStream[UserEvent](spark, 5)
+    val q = graft.streaming.Streams
+      .userRunningProfile(events.toDS(), watermark = "1 minute", stateTtl = "5 minutes")
+      .writeStream.format("memory").queryName("expiry")
+      .outputMode("update").start()
+    // b1: user 7 → state {n=1, sum=5}, timeout armed for 00:05
+    events.addData(UserEvent(1, ts("2024-01-01 00:00:00"), 7, "click", 5.0))
+    q.processAllAvailable()
+    // b2: user 8 far in the future → watermark advances past 00:05
+    events.addData(UserEvent(2, ts("2024-01-01 00:30:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    // b3: next batch fires user 7's timeout → final profile emitted, state removed
+    events.addData(UserEvent(3, ts("2024-01-01 00:31:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    // b4: user 7 returns → profile restarts from zero (state was evicted)
+    events.addData(UserEvent(4, ts("2024-01-01 00:32:00"), 7, "view", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = spark.table("expiry").as[UserProfile].collect().filter(_.user_id == 7)
+    assert(u7.contains(UserProfile(7, 1, 7.0, "view"))) // fresh state after eviction
+    assert(!u7.exists(_.n_events == 2)) // never accumulated across the eviction
+  }
+
   test("streaming dedup with watermark removes duplicate event_ids") {
     val events = MemoryStream[Ev](spark, 3)
     events.addData(
