@@ -28,7 +28,8 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++
+      AsOfJoin.oracles
 }
