@@ -22,8 +22,53 @@ object SamplingQueries {
 
   /** First two hex chars of md5(key) — a uniform 0..255 bucket as text;
     * `bucket < 'xx'` selects a deterministic fraction. */
-  private def hashBucket(key: Column): Column =
+    private def hashBucket(key: Column): Column =
     substring(md5(key.cast("string").cast("binary")), 1, 2)
+
+  /** (doc_id, n_tokens, start_offset) with the GLOBAL token offset of
+    * each doc in doc_id order — the distributed two-pass prefix sum
+    * shared by the packing queries: per-range-partition cumsum plus an
+    * exclusive prefix over the partition totals collected to the driver
+    * (one row per partition), NOT a global single-partition window,
+    * which would serialize 100 TB through one task.
+    *
+    * The range-partition count scales with the input: estimated scan
+    * bytes / 64 MB, clamped to [defaultParallelism, 65536] — so sf0.01
+    * gets local-core counts while a 100 TB corpus gets tens of
+    * thousands of ~64 MB ranges (and the driver-side prefix stays a
+    * ≤65536-element array). Tests override `numParts` to pin the
+    * count-invariance of the result.
+    */
+  def tokenOffsets(s: SparkSession, d: String, numParts: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val base = documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+    val nParts = numParts.getOrElse {
+      val bytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byBytes = (bytes / (64L << 20)).toLong + 1
+      math.min(65536L, math.max(s.sparkContext.defaultParallelism.toLong, byBytes)).toInt
+    }
+    val toks = base
+      .repartitionByRange(nParts, $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    // pass 1: partition totals → exclusive prefix (driver-side; one
+    // row per partition, ordered by the partition's doc_id range)
+    val totals = toks.groupBy($"pid")
+      .agg(sum($"n_tokens").as("t"), min($"doc_id").as("lo"))
+      .collect().sortBy(_.getAs[Long]("lo"))
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val o = r.getAs[Int]("pid") -> acc; acc += r.getAs[Long]("t"); o
+    }.toMap
+    // pass 2: partition-local cumsum + the partition's global offset
+    val w = Window.partitionBy($"pid").orderBy($"doc_id")
+    toks
+      .withColumn("start_offset",
+        sum($"n_tokens").over(w) - $"n_tokens" + element_at(typedlit(offsets), $"pid"))
+      .select($"doc_id", $"n_tokens", $"start_offset")
+  }
 
   val queries: Map[String, Q] = Map(
     // ~10% deterministic sample (26/256 of the md5 space).
@@ -79,40 +124,34 @@ object SamplingQueries {
 
     // Concat-and-chunk token packing (the LLM-pretraining layout:
     // documents concatenated in doc_id order, sliced every `budget`
-    // tokens). The global token offset is a distributed two-pass prefix
-    // sum — per-range-partition cumsum plus an exclusive prefix over
-    // the ~32 partition totals collected to the driver — NOT a global
-    // single-partition window, which would serialize 100 TB through
-    // one task. Output: each doc's chunk assignment and how many
-    // chunk boundaries it straddles.
+    // tokens), built on the shared distributed prefix sum
+    // (`tokenOffsets`). Output: each doc's chunk assignment and how
+    // many chunk boundaries it straddles.
     "pack_token_chunks" -> ((s, d) => {
       import s.implicits._
-      import graft.functions.TextFunctions.tokens
       val budget = 2048.0
-      val toks = documents(s, d)
-        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
-        .repartitionByRange(32, $"doc_id")
-        .withColumn("pid", spark_partition_id())
-        .cache()
-      // pass 1: partition totals → exclusive prefix (driver-side; one
-      // row per partition, ordered by the partition's doc_id range)
-      val totals = toks.groupBy($"pid")
-        .agg(sum($"n_tokens").as("t"), min($"doc_id").as("lo"))
-        .collect().sortBy(_.getAs[Long]("lo"))
-      var acc = 0L
-      val offsets = totals.map { r =>
-        val o = r.getAs[Int]("pid") -> acc; acc += r.getAs[Long]("t"); o
-      }.toMap
-      // pass 2: partition-local cumsum + the partition's global offset
-      val w = Window.partitionBy($"pid").orderBy($"doc_id")
-      toks
-        .withColumn("start_offset",
-          sum($"n_tokens").over(w) - $"n_tokens" + element_at(typedlit(offsets), $"pid"))
+      tokenOffsets(s, d)
         .select($"doc_id", $"n_tokens", $"start_offset",
           floor($"start_offset" / budget).as("chunk_id"),
           (floor(($"start_offset" + greatest($"n_tokens", lit(1L)) - 1) / budget)
             - floor($"start_offset" / budget) + 1).as("n_chunks_spanned"))
         .orderBy($"doc_id")
+    }),
+
+    // The per-chunk SLICE layout — one row per (doc, chunk) overlap,
+    // with the doc-relative slice bounds a packing writer needs. Emitted
+    // by the custom Catalyst Generator `TokenChunkSlices` (UDTF; also
+    // SQL-callable as `token_chunk_slices` via GraftExtensions): a doc
+    // spanning k chunk boundaries fans out to k+1 rows with zero
+    // shuffle — the Generate node runs inside the scan stage. Oracle:
+    // DuckDB LATERAL generate_series reproduces the fan-out exactly.
+    "pack_chunk_slices" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.GraftExpressions.token_chunk_slices
+      tokenOffsets(s, d)
+        .select($"doc_id",
+          token_chunk_slices($"start_offset", $"n_tokens", lit(2048L)))
+        .orderBy($"doc_id", $"chunk_id")
     })
   )
 
@@ -158,6 +197,27 @@ object SamplingQueries {
         | CAST(floor(start_offset / 2048.0) AS BIGINT) AS chunk_id,
         | CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 2048.0)
         |      - floor(start_offset / 2048.0) + 1 AS BIGINT) AS n_chunks_spanned
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pack_chunk_slices" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_tokens AS BIGINT) AS start_offset
+        | FROM t),
+        |g AS (
+        | SELECT doc_id, start_offset, n_tokens,
+        |  unnest(generate_series(
+        |    CAST(floor(start_offset / 2048.0) AS BIGINT),
+        |    CAST(floor((start_offset + n_tokens - 1) / 2048.0) AS BIGINT))) AS chunk_id
+        | FROM c WHERE n_tokens > 0)
+        |SELECT doc_id, chunk_id,
+        | greatest(chunk_id * 2048, start_offset) - start_offset AS slice_start,
+        | least((chunk_id + 1) * 2048, start_offset + n_tokens)
+        |   - greatest(chunk_id * 2048, start_offset) AS slice_len
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

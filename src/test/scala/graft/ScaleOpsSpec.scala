@@ -24,6 +24,30 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("tokenOffsets is invariant to the range-partition count") {
+    // the distributed prefix sum must reconstruct the same global
+    // layout whatever the partitioning — 100 TB runs pick thousands of
+    // ranges, local runs a handful, results must be bit-identical
+    val at3 = operators.SamplingQueries.tokenOffsets(spark, sf, Some(3))
+      .orderBy("doc_id").collect().toSeq
+    val at17 = operators.SamplingQueries.tokenOffsets(spark, sf, Some(17))
+      .orderBy("doc_id").collect().toSeq
+    assert(at3.nonEmpty)
+    assert(at3 === at17)
+  }
+
+  test("chunk slices partition each document exactly (UDTF fan-out)") {
+    val slices = SparkEntry.queries("pack_chunk_slices")(spark, sf)
+    val perDoc = slices.groupBy("doc_id")
+      .agg(sum("slice_len").as("covered"), min("slice_start").as("first"),
+        count(lit(1)).as("n_slices"))
+    val toks = operators.SamplingQueries.tokenOffsets(spark, sf)
+    val bad = toks.join(perDoc, "doc_id")
+      .filter(col("covered") =!= col("n_tokens") || col("first") =!= 0)
+      .count()
+    assert(bad === 0L, "some document's slices don't cover its tokens exactly")
+  }
+
   test("selective join injects a runtime bloom filter on the fact scan") {
     // thresholds floored so the mechanism triggers at test scale; in
     // production the defaults gate it to genuinely large scans
