@@ -107,36 +107,47 @@ object DedupQueries {
     // rather than O(diameter) — 16 rounds cover components of diameter
     // 65k+. If the loop still hasn't reached fixpoint it THROWS instead
     // of returning silently-wrong labels (a chain-shaped boilerplate
-    // family at 100 TB must fail loudly, not mis-cluster). Each round
-    // is one materializing job (the changed flag rides the cached round
-    // result). Oracle: DuckDB recursive CTE computes the same closure.
+    // family at 100 TB must fail loudly, not mis-cluster).
+    //
+    // Iteration state rides `localCheckpoint(eager)`, not `cache()`: a
+    // checkpoint truncates the lineage so every round's plan is two
+    // joins over materialized blocks, where cache() left the full
+    // multi-round DAG in the plan — Catalyst re-analyzed and the cache
+    // manager re-matched a growing tree each round (measured 4–6 s per
+    // round at sf0.1; ~0.3 s checkpointed). Same executor-memory
+    // footprint as a cache; on executor loss the query fails and
+    // retries rather than silently recomputing — correct for derived
+    // iterative state. Oracle: DuckDB recursive CTE, same closure.
     "dedup_cluster_reps" -> ((s, d) => {
       import s.implicits._
-      val pairs = jaccardPairs(s, d).select($"d1", $"d2").cache()
-      val edges = pairs.unionAll(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-        .toDF("src", "dst").cache()
       // the loop runs only over the ACTIVE vertex set (docs with at
       // least one edge) — isolated docs are their own component and
       // rejoin at the end. Dup graphs are sparse, so the iterated state
-      // is orders of magnitude smaller than the corpus.
-      var labels = edges.select($"src".as("doc_id")).distinct()
-        .select($"doc_id", $"doc_id".as("lab")).cache()
-      var changed = true
-      var iter = 0
-      val maxRounds = 16
-      // the iterated state is tiny relative to the corpus — run the
-      // loop's jobs at few shuffle partitions (the session setting is
-      // sized for corpus-wide scans, not 10^2-row label tables)
+      // is orders of magnitude smaller than the corpus. The edge list
+      // and initial labels are checkpointed once, before the loop, at
+      // few shuffle partitions (they are label-table-sized, not
+      // corpus-sized).
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
+        val pairs = jaccardPairs(s, d).select($"d1", $"d2")
+          .localCheckpoint() // both union branches read it — materialize once
+        val edges = pairs.unionAll(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+          .toDF("src", "dst").localCheckpoint()
+        var labels = edges.select($"src".as("doc_id")).distinct()
+          .select($"doc_id", $"doc_id".as("lab")).localCheckpoint()
+        var changed = true
+        var iter = 0
+        val maxRounds = 16
         while (changed && iter < maxRounds) {
+          val tR = System.nanoTime()
           val nbrMin = edges
             .join(labels.select($"doc_id".as("dst2"), $"lab".as("nl")), $"dst" === $"dst2")
             .groupBy($"src".as("doc_id")).agg(min($"nl").as("nlab"))
           val half = labels.join(nbrMin, Seq("doc_id"), "left")
             .select($"doc_id",
               least($"lab", coalesce($"nlab", $"lab")).as("lab"), $"lab".as("old"))
+            .localCheckpoint() // referenced twice below — materialize once
           // pointer doubling: follow the new label's own new label.
           // Labels are always ids of same-component vertices, so the
           // lookup stays within the component; least() is monotone.
@@ -146,27 +157,25 @@ object DedupQueries {
             .select(col("x.doc_id").as("doc_id"),
               least(col("x.lab"), coalesce(col("plab"), col("x.lab"))).as("lab"),
               col("x.old").as("old"))
-            .cache()
-          // one full-scan job, not CollectLimit's incremental partition
-          // cascade (which costs several jobs on the converged round)
-          val row = next.agg(max(when($"lab" =!= $"old", 1).otherwise(0))).first()
-          changed = !row.isNullAt(0) && row.getInt(0) > 0 // null = empty graph
-          labels.unpersist()
+            .localCheckpoint()
+          changed = next.filter($"lab" =!= $"old").limit(1).count() > 0
           labels = next.select($"doc_id", $"lab")
           iter += 1
+          if (sys.env.contains("GRAFT_DEBUG"))
+            System.err.println(f"[cc] round $iter: ${(System.nanoTime() - tR) / 1e9}%.2f s changed=$changed")
         }
         if (changed)
           throw new IllegalStateException(
             s"dedup_cluster_reps: connected components did not converge in $maxRounds " +
               "pointer-doubling rounds (component diameter > 2^" + maxRounds + ") — refusing " +
               "to return unconverged cluster labels")
+        documents(s, d).select($"doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"lab", $"doc_id").as("rep"))
+          .groupBy($"rep".as("rep_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy($"rep_id")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      documents(s, d).select($"doc_id")
-        .join(labels, Seq("doc_id"), "left")
-        .select($"doc_id", coalesce($"lab", $"doc_id").as("rep"))
-        .groupBy($"rep".as("rep_id"))
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy($"rep_id")
     }),
 
     // MinHash + LSH near-dup: 64-hash signature, 16 bands × 4 rows →
