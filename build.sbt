@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: a 105-query bench session accumulates codegen classes and
+  // broadcast blocks; the 8g default showed isolated 10-20 s per-query
+  // spikes (BENCH_r02 q43, BENCH_r03 q31/q34) never reproducible in
+  // targeted reruns — GC-pressure shaped. GC log kept for post-hoc
+  // correlation of any future spike.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-Xlog:gc:file=target/gc.log:time,uptime:filecount=2,filesize=10m",
 )

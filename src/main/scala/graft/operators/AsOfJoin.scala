@@ -6,10 +6,11 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.OracleParity._
 
-/** True two-table as-of join — the trades⋈quotes shape (here: enrich
-  * each event reading with the user's most recent prior "calibration"
-  * record, the lookup the reference's README hints at for sensor
-  * enrichment).
+/** Temporal joins beyond equi: the true two-table as-of join (the
+  * trades⋈quotes shape — here: enrich each event reading with the
+  * user's most recent prior "calibration" record, the lookup the
+  * reference's README hints at for sensor enrichment) and the interval
+  * overlap join (sessions × incident windows).
   *
   * Implementation is the UNION-MERGE form, not a range-condition join:
   * tag both tables, union them, and LOCF the right-side payload over a
@@ -73,6 +74,44 @@ object AsOfJoin {
           micros($"calib_ts").as("calib_ts_us"),
           $"calib_value")
         .orderBy($"event_id")
+    }),
+
+    // q65: INTERVAL OVERLAP join — user sessions (30-min gap, gap-
+    // extended end, same windows as q48/stream_session_agg) joined to
+    // "incident hours" (hours whose error count exceeds 1.2× the mean
+    // hourly error count — a scale-free threshold). A raw theta join
+    // `s.start <= h+1h AND h <= s.end` plans as a nested loop at any
+    // scale; instead each session EXPLODES to the hour grid it covers
+    // (bounded: sessions are gap-bounded) and the overlap becomes an
+    // equi-join on the hour — broadcastable, since incidents are an
+    // aggregate-sized table at any corpus size. The DuckDB oracle uses
+    // the raw overlap predicate, pinning that the bucketed rewrite is
+    // exactly the naive semantics.
+    "q65_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val sessions = ev
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"session_window.start".as("s_start"),
+          $"session_window.end".as("s_end"), $"n_events")
+      val hourly = ev.filter($"event_type" === "error")
+        .groupBy(date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n_errors"))
+      // global mean over the ~hours-sized aggregate (window over the
+      // 720-row frame, not the raw events)
+      val incidents = hourly
+        .withColumn("mean_n", avg($"n_errors").over(Window.partitionBy()))
+        .filter($"n_errors" > lit(1.2) * $"mean_n")
+        .select($"h", $"n_errors")
+      sessions
+        .withColumn("h",
+          explode(sequence(date_trunc("hour", $"s_start"), date_trunc("hour", $"s_end"),
+            expr("INTERVAL 1 HOUR"))))
+        .join(broadcast(incidents), Seq("h"))
+        .select($"user_id", micros($"s_start").as("start_us"), micros($"s_end").as("end_us"),
+          micros($"h").as("hour_us"), $"n_events", $"n_errors")
+        .orderBy($"user_id", $"start_us", $"hour_us")
     })
   )
 
@@ -85,6 +124,35 @@ object AsOfJoin {
         |FROM (SELECT * FROM events WHERE event_type <> 'purchase') r
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') c
         | ON r.user_id = c.user_id AND r.ts >= c.ts
-        |ORDER BY r.event_id""".stripMargin
+        |ORDER BY r.event_id""".stripMargin,
+
+    // naive overlap predicate — pins that the Spark side's bucketed
+    // equi-join rewrite has exactly these semantics
+    "q65_interval_join" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS boundary
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess0 AS (
+        | SELECT user_id, ts,
+        |  SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flagged),
+        |sess AS (
+        | SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+        |  MAX(epoch_us(ts)) + 30*60*1000000 AS end_us,
+        |  COUNT(*) AS n_events
+        | FROM sess0 GROUP BY user_id, sid),
+        |hourly AS (
+        | SELECT time_bucket(INTERVAL '1 hour', ts) AS h, COUNT(*) AS n_errors
+        | FROM events WHERE event_type = 'error' GROUP BY 1),
+        |inc AS (
+        | SELECT h, n_errors FROM hourly
+        | WHERE n_errors > 1.2 * (SELECT AVG(n_errors) FROM hourly))
+        |SELECT s.user_id, s.start_us, s.end_us, epoch_us(i.h) AS hour_us,
+        | s.n_events, i.n_errors
+        |FROM sess s JOIN inc i
+        | ON epoch_us(i.h) <= s.end_us AND epoch_us(i.h) + 3600000000 > s.start_us
+        |ORDER BY s.user_id, s.start_us, hour_us""".stripMargin
   )
 }

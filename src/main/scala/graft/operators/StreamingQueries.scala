@@ -138,6 +138,50 @@ object StreamingQueries {
         .orderBy($"user_id", $"threshold_multiple")
     }),
 
+    // Stream-static join: the unbounded event stream enriched with the
+    // broadcast customer dimension — stateless (the static side is
+    // re-planned per micro-batch, no streaming state at all), so append
+    // mode emits immediately. This is the production shape for
+    // dimension enrichment at any scale: the stream never shuffles, the
+    // dim rides the broadcast.
+    "stream_static_join" -> ((s, d) => {
+      import s.implicits._
+      val dim = graft.Tables.customer(s, d)
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+      val joined = eventsStream(s, d)
+        .join(broadcast(dim), $"user_id" === $"c_custkey")
+        .select($"event_id", micros($"ts").as("ts_us"), $"user_id",
+          $"c_name", $"c_mktsegment", $"value")
+      toMemory(s, joined, "stream_static_join_sink", "append")
+        .orderBy($"event_id")
+    }),
+
+    // Stream-stream inner join with an event-time range condition:
+    // purchases matched to the same user's clicks in the 10 minutes
+    // before the purchase. The watermarks + the time-range predicate
+    // bound BOTH join-state buffers (clicks older than the range fall
+    // out of state) — without the range condition a stream-stream join
+    // would buffer forever. Two independent readStream sources, as in
+    // production.
+    "stream_stream_join" -> ((s, d) => {
+      import s.implicits._
+      val purchases = eventsStream(s, d)
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = eventsStream(s, d)
+        .filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+          $"p_user" === $"c_user" &&
+            $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") && $"c_ts" <= $"p_ts")
+        .select($"purchase_id", $"click_id", $"p_user".as("user_id"),
+          micros($"p_ts").as("p_ts_us"), micros($"c_ts").as("c_ts_us"))
+      toMemory(s, joined, "stream_stream_join_sink", "append")
+        .orderBy($"purchase_id", $"click_id")
+    }),
+
     // Custom keyed state via mapGroupsWithState: per-user running
     // profile. AvailableNow over a single input file = one micro-batch,
     // so the update-mode memory sink holds exactly one row per user.
@@ -192,6 +236,21 @@ object StreamingQueries {
     "stream_dedup" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+        | c.c_name, c.c_mktsegment, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        | p.user_id, epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "stream_alerts" ->
       """WITH s AS (
