@@ -177,6 +177,43 @@ case class Shingles3(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ALL n-token grams of an array<string> in position order — NOT
+  * deduplicated (Shingles3 gives the distinct set; repeated-span
+  * analysis needs every occurrence). `n` is a plan-time constant, so
+  * the kernel is a single tight loop per row; <n tokens → empty array.
+  * DuckDB twin: array_to_string(t[i:i+n-1], ' ') over
+  * unnest(range(1, len(t)-n+2)). */
+case class NGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"ngrams: n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](len - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) {
+        parts(j) =
+          if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(space, parts.toIndexedSeq: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Custom Catalyst Generator (the UDTF extension point — SURVEY §2.3
   * UDF/UDAF/UDTF row): explodes a packed document into its per-chunk
   * slices. For a doc occupying global token interval
@@ -231,6 +268,7 @@ object GraftExpressions {
   def minhash_signature(shingles: Column, k: Int): Column =
     toColumn(MinHashSignature(toExpression(shingles), k))
   def shingles3(tokens: Column): Column = toColumn(Shingles3(toExpression(tokens)))
+  def ngrams(tokens: Column, n: Int): Column = toColumn(NGrams(toExpression(tokens), n))
   def token_chunk_slices(start: Column, n: Column, budget: Column): Column =
     toColumn(TokenChunkSlices(toExpression(start), toExpression(n), toExpression(budget)))
 

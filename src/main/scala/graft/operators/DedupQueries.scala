@@ -178,6 +178,27 @@ object DedupQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // Repeated-span diagnostic (exact-substring dedup, à la
+    // "Deduplicating Training Data Makes Language Models Better"): the
+    // top most-frequent 8-token grams across the corpus, with how many
+    // occurrences and how many distinct docs carry them — the spans an
+    // exact-substring dedup pass would cut. ALL occurrences count (the
+    // native NGrams kernel is position-ordered, not distinct), the
+    // groupBy is partially aggregated map-side, and the final top-20 is
+    // a TakeOrdered over the aggregate — the full gram stream never
+    // sorts. (n_occ DESC, gram) is a total order → deterministic limit.
+    "dedup_repeated_ngrams" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.GraftExpressions.ngrams
+      documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(ngrams(tokens($"text"), 8)).as("gram"))
+        .groupBy($"gram")
+        .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"n_occ".desc, $"gram")
+        .limit(20)
+    }),
+
     // MinHash + LSH near-dup: 64-hash signature, 16 bands × 4 rows →
     // candidates from band-key equi-join, then exact-Jaccard verify.
     // Same verify threshold as dedup_ngram_jaccard, so at high recall
@@ -282,8 +303,20 @@ object DedupQueries {
         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
         |final AS (SELECT doc_id, MIN(lab) AS lab FROM reach GROUP BY doc_id)
         |SELECT lab AS rep_id, COUNT(*) AS n_members
-        |FROM final GROUP BY lab ORDER BY rep_id""".stripMargin
+        |FROM final GROUP BY lab ORDER BY rep_id""".stripMargin,
     // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
     // → rows-only checks.
+
+    "dedup_repeated_ngrams" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        | SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        | FROM toks WHERE len(t) >= 8),
+        |g AS (
+        | SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM pos)
+        |SELECT gram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram
+        |ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin
   )
 }

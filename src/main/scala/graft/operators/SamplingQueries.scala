@@ -152,6 +152,54 @@ object SamplingQueries {
         .select($"doc_id",
           token_chunk_slices($"start_offset", $"n_tokens", lit(2048L)))
         .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // PER-DOC overlapping windows (32 tokens, stride 16) — the
+    // fine-tuning/embedding chunk layout, complementing the cross-doc
+    // packing above. A pure narrow map + bounded explode (≤ n/16 + 1
+    // windows per doc): no shuffle at all until the output sort.
+    "text_chunk_stride" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      documents(s, d)
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+        .withColumn("win_start",
+          explode(sequence(lit(0L), $"n_tokens" - 1, lit(16L))))
+        .select($"doc_id", ($"win_start" / 16).cast("long").as("win_id"), $"win_start",
+          least(lit(32L), $"n_tokens" - $"win_start").as("win_len"))
+        .orderBy($"doc_id", $"win_start")
+    }),
+
+    // Deterministic GLOBAL shuffle for training-order assignment: every
+    // doc gets a stable pseudorandom position (rank of md5(doc_id)).
+    // The enumeration is the same two-pass trick as tokenOffsets —
+    // range-partition by the shuffle key, per-partition row_number,
+    // driver-side exclusive prefix over the partition COUNTS — never a
+    // single-partition global window. Rerunning over a grown corpus
+    // preserves relative order of surviving docs (hash rank is
+    // data-independent), which is what makes resumable data loaders
+    // reproducible.
+    "samp_shuffle" -> ((s, d) => {
+      import s.implicits._
+      val nParts = math.max(4, s.sparkContext.defaultParallelism)
+      val keyed = documents(s, d)
+        .select($"doc_id", md5($"doc_id".cast("string").cast("binary")).as("k"))
+        .repartitionByRange(nParts, $"k", $"doc_id")
+        .withColumn("pid", spark_partition_id())
+        .cache()
+      val counts = keyed.groupBy($"pid")
+        .agg(count(lit(1)).as("n"), min($"k").as("lo"))
+        .collect().sortBy(_.getAs[String]("lo"))
+      var acc = 0L
+      val offsets = counts.map { r =>
+        val o = r.getAs[Int]("pid") -> acc; acc += r.getAs[Long]("n"); o
+      }.toMap
+      val w = Window.partitionBy($"pid").orderBy($"k", $"doc_id")
+      keyed
+        .withColumn("pos",
+          row_number().over(w).cast("long") - 1 + element_at(typedlit(offsets), $"pid"))
+        .select($"doc_id", $"pos")
+        .orderBy($"doc_id")
     })
   )
 
@@ -218,6 +266,22 @@ object SamplingQueries {
         | greatest(chunk_id * 2048, start_offset) - start_offset AS slice_start,
         | least((chunk_id + 1) * 2048, start_offset + n_tokens)
         |   - greatest(chunk_id * 2048, start_offset) AS slice_len
-        |FROM g ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_chunk_stride" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, n_tokens, unnest(range(0, n_tokens, 16)) AS win_start
+        | FROM t)
+        |SELECT doc_id, win_start // 16 AS win_id, win_start,
+        | least(32, n_tokens - win_start) AS win_len
+        |FROM w ORDER BY doc_id, win_start""".stripMargin,
+
+    "samp_shuffle" ->
+      """SELECT doc_id,
+        | ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -109,6 +109,33 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Per-doc keyword extraction: top-3 terms by tf-idf. df comes from
+    // one aggregation over the exploded (doc, term) pairs, joins back
+    // by term (keyed shuffle, partial-agg'd both sides), and the top-3
+    // is a per-doc window — no global sort. The score uses a LINEAR
+    // idf scaled to basis points and floored (tf·10⁴·N/df): every
+    // operand is an exactly-representable integer and one IEEE
+    // division is shared by both engines, so the result hash-matches
+    // bit-exactly, where log-idf would hinge on libm rounding.
+    "text_tfidf_topk" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val nDocs = documents(s, d).count() // model-sized driver scalar
+      val terms = documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"term")
+      tf.join(df_, "term")
+        .withColumn("score",
+          floor($"tf" * lit(10000.0) * lit(nDocs.toDouble) / $"df"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // Benchmark decontamination: flag corpus documents sharing any
     // 3-token shingle with a held-out eval set (doc_id < 20 stands in
     // for the benchmark). The benchmark side is tiny by construction,
@@ -148,6 +175,22 @@ object TextQueries {
         |            BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END AS quality_score
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH terms AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  CAST(floor(tf.tf * 10000.0 * n.n_docs / df.df) AS BIGINT) AS score
+        | FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        | FROM scored)
+        |SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "text_lang_id" ->
       """SELECT lang,

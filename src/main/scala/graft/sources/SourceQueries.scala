@@ -61,6 +61,21 @@ object SourceQueries {
         .orderBy($"s_nationkey")
     }),
 
+    // Plain-text sink → text source (one line per document; the corpus
+    // format LLM-data pipelines actually exchange). The aggregate's
+    // min/max md5 fingerprints pin content (not just counts) across
+    // the roundtrip.
+    "src_text_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val path = tmp("documents_text")
+      documents(s, d).select($"text").write.mode("overwrite").text(path)
+      s.read.text(path)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length($"value")).cast("long").as("n_chars"),
+          min(md5($"value".cast("binary"))).as("min_md5"),
+          max(md5($"value".cast("binary"))).as("max_md5"))
+    }),
+
     // Small-files compaction — the recurring maintenance job of any
     // file-based lakehouse: a fragmented landing layout (64 shards
     // here; millions of per-event files at the 100 TB reference-style
@@ -114,6 +129,12 @@ object SourceQueries {
       """SELECT s_nationkey, COUNT(*) AS n_supp,
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "src_text_roundtrip" ->
+      """SELECT COUNT(*) AS n_lines,
+        | CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        | MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+        |FROM documents""".stripMargin,
 
     "src_compact_small_files" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
