@@ -57,6 +57,31 @@ class PlanSpec extends SparkSuite {
     assert(pf.contains("o_orderstatus"), s"no partition pruning: $pf")
   }
 
+  test("q64: as-of join is one shuffle keyed by the join key, no nested loop") {
+    val p = plan("q64_asof_join2")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "as-of fell back to a nested loop")
+    assert(p.contains("Window"), "union-merge LOCF window missing")
+  }
+
+  test("q65: interval overlap plans as a broadcast equi-join, not a nested loop") {
+    val p = plan("q65_interval_join")
+    assert(p.contains("BroadcastHashJoin"), "incident join not broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "overlap fell back to a theta join")
+  }
+
+  test("dedup_repeated_ngrams: top-k rides TakeOrdered over a partial+final agg") {
+    val p = plan("dedup_repeated_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 planned as a full sort")
+    assert(p.contains("partial_count") || p.contains("partial"), "no map-side combine")
+  }
+
+  test("text_chunk_stride: no shuffle before the output sort") {
+    val p = plan("text_chunk_stride")
+    // exactly one exchange — the final range partitioning for ORDER BY
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"chunking shuffled $exchanges times:\n${p.take(1500)}")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")

@@ -166,6 +166,31 @@ class StreamingSpec extends SparkSuite {
     assert(!u7.exists(_.n_events == 2)) // never accumulated across the eviction
   }
 
+  test("stream-stream join matches only clicks inside the event-time range") {
+    val purchases = MemoryStream[Ev](spark, 10)
+    val clicks = MemoryStream[Ev](spark, 11)
+    purchases.addData(Ev(100, ts("2024-01-01 01:00:00"), 1, "purchase", 9.0))
+    clicks.addData(
+      Ev(1, ts("2024-01-01 00:55:00"), 1, "click", 1.0), // in range (5 min before)
+      Ev(2, ts("2024-01-01 00:45:00"), 1, "click", 1.0), // out: 15 min before
+      Ev(3, ts("2024-01-01 01:01:00"), 1, "click", 1.0), // out: after the purchase
+      Ev(4, ts("2024-01-01 00:58:00"), 2, "click", 1.0)) // out: other user
+    val p = purchases.toDF()
+      .select($"event_id".as("purchase_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = clicks.toDF()
+      .select($"event_id".as("click_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = p.join(c,
+      $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") && $"c_ts" <= $"p_ts")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj").select($"purchase_id", $"click_id").collect()
+    assert(rows.toSeq.map(r => (r.getLong(0), r.getLong(1))) === Seq((100L, 1L)))
+  }
+
   test("streaming dedup with watermark removes duplicate event_ids") {
     val events = MemoryStream[Ev](spark, 3)
     events.addData(
