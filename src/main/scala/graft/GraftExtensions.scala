@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, TokenChunkSlices}
+import graft.functions.{CosineSimilarity, MinHashSignature, NGrams, SimHash64, TokenChunkSlices}
 
 /** SparkSessionExtensions entry point: registers the native kernels as
   * SQL functions so any session built with
@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingles) - 64-hash MinHash signature"),
       (es: Seq[Expression]) => MinHashSignature(es.head, 64)))
+    e.injectFunction((
+      FunctionIdentifier("ngrams"),
+      info("ngrams", "ngrams(tokens, n) - all n-token grams in position order"),
+      (es: Seq[Expression]) => NGrams(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
       FunctionIdentifier("token_chunk_slices"),
       info("token_chunk_slices",

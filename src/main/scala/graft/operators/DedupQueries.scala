@@ -130,10 +130,16 @@ object DedupQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        val pairs = jaccardPairs(s, d).select($"d1", $"d2")
-          .localCheckpoint() // both union branches read it — materialize once
-        val edges = pairs.unionAll(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-          .toDF("src", "dst").localCheckpoint()
+        // one pass over the pair stream: explode each pair to both edge
+        // directions, so a single checkpoint job materializes the
+        // symmetric edge list (a union of pairs with its swap would
+        // either evaluate the pair join twice or need its own barrier)
+        val edges = jaccardPairs(s, d)
+          .select(explode(array(
+            struct($"d1".as("src"), $"d2".as("dst")),
+            struct($"d2".as("src"), $"d1".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
+          .localCheckpoint()
         var labels = edges.select($"src".as("doc_id")).distinct()
           .select($"doc_id", $"doc_id".as("lab")).localCheckpoint()
         var changed = true
