@@ -29,7 +29,8 @@ object SparkEntry {
       DedupQueries.queries ++
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
-      AsOfJoin.queries
+      AsOfJoin.queries ++
+      RelationalQueries3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++
-      AsOfJoin.oracles
+      AsOfJoin.oracles ++
+      RelationalQueries3.oracles
 }

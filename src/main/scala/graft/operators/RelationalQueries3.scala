@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-4 warehouse/product-analytics additions: SCD2 history build
+  * and ordered funnel analysis — the two operator shapes CDC and
+  * product pipelines run constantly on event streams.
+  */
+object RelationalQueries3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // SCD TYPE-2 dimension history: each user's purchase stream becomes
+    // versioned validity intervals — version = rank of the change row,
+    // valid_to = next change's timestamp (null while current). One
+    // keyed shuffle (the per-user window); lead() makes the interval
+    // close a narrow in-partition lookup, not a self-join. The change
+    // stream is tie-free on (user_id, ts, event_id), so versions are
+    // total-ordered and deterministic.
+    "q66_scd2_intervals" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d).filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead($"ts", 1).over(w))
+        .select($"user_id", $"version",
+          micros($"ts").as("valid_from_us"),
+          micros($"valid_to").as("valid_to_us"),
+          $"value")
+        .orderBy($"user_id", $"version")
+    }),
+
+    // Ordered funnel: first click → first view AFTER that click →
+    // first purchase AFTER that view, per user. Three partial-agg'd
+    // min-aggregations chained by keyed left joins on user_id — the
+    // standard scalable funnel shape (no per-user event sorting, no
+    // window over the raw stream; each stage only carries one row per
+    // user forward).
+    "q67_funnel_steps" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id", $"event_type", micros($"ts").as("us"))
+      val c = ev.filter($"event_type" === "click")
+        .groupBy($"user_id").agg(min($"us").as("s1_us"))
+      val v = ev.filter($"event_type" === "view")
+        .join(c, "user_id").filter($"us" > $"s1_us")
+        .groupBy($"user_id").agg(min($"us").as("s2_us"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(v, "user_id").filter($"us" > $"s2_us")
+        .groupBy($"user_id").agg(min($"us").as("s3_us"))
+      c.join(v, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id", $"s1_us", $"s2_us", $"s3_us")
+        .orderBy($"user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q66_scd2_intervals" ->
+      """SELECT user_id,
+        | ROW_NUMBER() OVER w AS version,
+        | epoch_us(ts) AS valid_from_us,
+        | epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+        | value
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q67_funnel_steps" ->
+      """WITH c AS (
+        | SELECT user_id, MIN(epoch_us(ts)) AS s1_us FROM events
+        | WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (
+        | SELECT e.user_id, MIN(epoch_us(e.ts)) AS s2_us
+        | FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.s1_us
+        | WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |p AS (
+        | SELECT e.user_id, MIN(epoch_us(e.ts)) AS s3_us
+        | FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.s2_us
+        | WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT c.user_id, c.s1_us, v.s2_us, p.s3_us
+        |FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |        LEFT JOIN p ON c.user_id = p.user_id
+        |ORDER BY c.user_id""".stripMargin
+  )
+}
