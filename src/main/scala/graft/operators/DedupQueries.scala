@@ -184,6 +184,24 @@ object DedupQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // Keep-BEST exact dedup: per normalized fingerprint keep the most
+    // content-rich copy (longest, doc_id tiebreak) instead of the
+    // minimum id — the semantics curation pipelines actually want when
+    // near-identical pages differ by boilerplate. One keyed shuffle
+    // (window by fingerprint); the rank key (n_chars DESC, doc_id) is
+    // a total order, so the winner is deterministic on both engines.
+    "dedup_keep_best" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"n_chars".desc, $"doc_id")
+      documents(s, d)
+        .select($"doc_id", $"n_chars", md5(normalize($"text").cast("binary")).as("fp"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"fp", $"doc_id".as("rep_id"), $"n_chars")
+        .orderBy($"fp")
+    }),
+
     // Repeated-span diagnostic (exact-substring dedup, à la
     // "Deduplicating Training Data Makes Language Models Better"): the
     // top most-frequent 8-token grams across the corpus, with how many
@@ -312,6 +330,16 @@ object DedupQueries {
         |FROM final GROUP BY lab ORDER BY rep_id""".stripMargin,
     // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
     // → rows-only checks.
+
+    "dedup_keep_best" ->
+      """SELECT fp, doc_id AS rep_id, n_chars FROM (
+        | SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  doc_id, n_chars,
+        |  ROW_NUMBER() OVER (
+        |    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents)
+        |WHERE rn = 1 ORDER BY fp""".stripMargin,
 
     "dedup_repeated_ngrams" ->
       """WITH toks AS (
