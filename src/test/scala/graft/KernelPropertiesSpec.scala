@@ -35,6 +35,27 @@ class KernelPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("ngrams matches the HOF formulation and counts every occurrence") {
+    import graft.functions.GraftExpressions.ngrams
+    val cases = Seq.fill(64)(doc(1 + rnd.nextInt(40)))
+    val rows = cases.toDF("t")
+      .select(tokens($"t").as("tk"))
+      .select($"tk",
+        ngrams($"tk", 8).as("fast"),
+        // reference formulation: transform over positions (kept as the
+        // slow spec — the kernel exists because this is interpreted)
+        when(size($"tk") >= 8,
+          expr("transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
+          .otherwise(array().cast("array<string>")).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      val tk = r.getSeq[String](0)
+      val fast = r.getSeq[String](1)
+      assert(fast === r.getSeq[String](2))
+      assert(fast.size === math.max(0, tk.size - 7))
+    }
+  }
+
   test("simhash is invariant under token permutation") {
     val cases = Seq.fill(64)(doc(4 + rnd.nextInt(40))).map { t =>
       val toksArr = t.split(" ")
