@@ -150,7 +150,9 @@ case class MinHashSignature(child: Expression, k: Int)
 /** Distinct 3-token shingles of an array<string>, first-occurrence order
   * (same output as array_distinct over the transform/concat HOF chain,
   * which re-ran interpreted concat lambdas per position). <3 tokens →
-  * empty array. */
+  * empty array. Null tokens render as "" — identical to NGrams, which
+  * is what makes the ShingleFusion optimizer rewrite
+  * array_distinct(ngrams(t,3)) → shingles3(t) semantics-preserving. */
 case class Shingles3(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -162,13 +164,12 @@ case class Shingles3(child: Expression)
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     if (n < 3) return new GenericArrayData(Array.empty[Any])
+    def at(i: Int): UTF8String =
+      if (toks.isNullAt(i)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i)
     val seen = new java.util.LinkedHashSet[UTF8String](n)
     var i = 0
     while (i <= n - 3) {
-      if (!toks.isNullAt(i) && !toks.isNullAt(i + 1) && !toks.isNullAt(i + 2)) {
-        seen.add(UTF8String.concatWs(space,
-          toks.getUTF8String(i), toks.getUTF8String(i + 1), toks.getUTF8String(i + 2)))
-      }
+      seen.add(UTF8String.concatWs(space, at(i), at(i + 1), at(i + 2)))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])

@@ -20,6 +20,27 @@ class ExtensionsSpec extends SparkSuite {
     assert(mh === 64)
   }
 
+  test("optimizer fuses array_distinct(ngrams(t,3)) into the Shingles3 kernel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftExpressions.{ngrams, shingles3}
+    import graft.functions.TextFunctions.tokens
+    // parquet-backed input — a local Seq would be constant-folded into
+    // a LocalRelation before the plan can be inspected
+    val df = Tables.documents(spark, sf).limit(64)
+      .select(tokens($"text").as("tk"))
+    val composed = df.select(array_distinct(ngrams($"tk", 3)).as("sh"))
+    // the injected rule must rewrite the composed form to the kernel
+    assert(composed.queryExecution.optimizedPlan.toString.contains("shingles3"),
+      s"fusion did not fire:\n${composed.queryExecution.optimizedPlan}")
+    val a = composed.collect().map(_.getSeq[String](0))
+    val b = df.select(shingles3($"tk").as("sh")).collect().map(_.getSeq[String](0))
+    assert(a.toSeq === b.toSeq)
+    // redundant distinct over the kernel is dropped too
+    val red = df.select(array_distinct(shingles3($"tk")).as("sh"))
+    assert(!red.queryExecution.optimizedPlan.toString.contains("array_distinct"))
+  }
+
   test("codegen'd cosine matches the interpreted eval path") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
