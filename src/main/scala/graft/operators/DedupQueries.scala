@@ -184,6 +184,25 @@ object DedupQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // Corpus duplication dashboard: one row summarizing how much an
+    // exact and a normalized-exact dedup pass would each remove —
+    // the number every curation run reports first. Distinct counts are
+    // two-phase (partial per-partition sets of 16-byte fingerprints);
+    // percentages in floored basis points for exact cross-engine
+    // arithmetic.
+    "dedup_summary" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", md5($"text".cast("binary")).as("fp"),
+          md5(normalize($"text").cast("binary")).as("fpn"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"fp").as("n_uniq_exact"),
+          countDistinct($"fpn").as("n_uniq_norm"))
+        .select($"n_docs", $"n_uniq_exact", $"n_uniq_norm",
+          floor(($"n_docs" - $"n_uniq_exact") * lit(10000.0) / $"n_docs").as("exact_dup_bp"),
+          floor(($"n_docs" - $"n_uniq_norm") * lit(10000.0) / $"n_docs").as("norm_dup_bp"))
+    }),
+
     // Keep-BEST exact dedup: per normalized fingerprint keep the most
     // content-rich copy (longest, doc_id tiebreak) instead of the
     // minimum id — the semantics curation pipelines actually want when
@@ -330,6 +349,16 @@ object DedupQueries {
         |FROM final GROUP BY lab ORDER BY rep_id""".stripMargin,
     // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
     // → rows-only checks.
+
+    "dedup_summary" ->
+      """SELECT n_docs, n_uniq_exact, n_uniq_norm,
+        | CAST(floor((n_docs - n_uniq_exact) * 10000.0 / n_docs) AS BIGINT) AS exact_dup_bp,
+        | CAST(floor((n_docs - n_uniq_norm) * 10000.0 / n_docs) AS BIGINT) AS norm_dup_bp
+        |FROM (
+        | SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_uniq_exact,
+        |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_uniq_norm
+        | FROM documents)""".stripMargin,
 
     "dedup_keep_best" ->
       """SELECT fp, doc_id AS rep_id, n_chars FROM (

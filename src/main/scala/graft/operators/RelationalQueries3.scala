@@ -35,6 +35,37 @@ object RelationalQueries3 {
         .orderBy($"user_id", $"version")
     }),
 
+    // TPC-H Q21 shape (adapted: "late" = shipped >60 days after the
+    // order date, since the trimmed schema has no commit/receipt
+    // dates): suppliers who were the SOLE late supplier on a
+    // multi-supplier finalized order. The hardest classic join shape —
+    // one semi join (another supplier exists on the order) and one anti
+    // join (no OTHER supplier was late) over the same derived set, all
+    // keyed on l_orderkey: three shuffles, no payload wider than
+    // (orderkey, suppkey) ever moves.
+    "q68_sole_late_suppliers" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+        .join(orders(s, d).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      val late = li
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      val allSup = lineitem(s, d).select($"l_orderkey", $"l_suppkey").distinct()
+      val sole = late.as("a")
+        .join(allSup.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" =!= $"b.l_suppkey",
+          "left_semi")
+        .join(late.as("c"),
+          col("a.l_orderkey") === col("c.l_orderkey") &&
+            col("a.l_suppkey") =!= col("c.l_suppkey"),
+          "left_anti")
+      sole.join(supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+    }),
+
     // Ordered funnel: first click → first view AFTER that click →
     // first purchase AFTER that view, per user. Three partial-agg'd
     // min-aggregations chained by keyed left joins on user_id — the
@@ -69,6 +100,25 @@ object RelationalQueries3 {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    "q68_sole_late_suppliers" ->
+      """WITH li AS (
+        | SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | WHERE o.o_orderstatus = 'F'),
+        |late AS (
+        | SELECT DISTINCT l_orderkey, l_suppkey FROM li
+        | WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |allsup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |cand AS (
+        | SELECT a.l_orderkey, a.l_suppkey FROM late a
+        | WHERE EXISTS (SELECT 1 FROM allsup b
+        |               WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+        |   AND NOT EXISTS (SELECT 1 FROM late c
+        |               WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey))
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name""".stripMargin,
 
     "q67_funnel_steps" ->
       """WITH c AS (
