@@ -66,6 +66,24 @@ object RelationalQueries3 {
         .orderBy($"numwait".desc, $"s_name")
     }),
 
+    // The spark.sql(...) entry path: the same engine surface users hit
+    // from SQL notebooks/BI — temp views over the tables, the query
+    // text identical to the DuckDB oracle modulo dialect. Catalyst
+    // plans SQL and DataFrame identically, and this entry pins that
+    // the SQL front door (including the extension-registered session)
+    // stays wired.
+    "q69_sql_entry" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("v_events")
+      customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c.c_mktsegment AS segment, e.event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM v_events e JOIN v_customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment, e.event_type
+        ORDER BY segment, event_type""")
+    }),
+
     // Ordered funnel: first click → first view AFTER that click →
     // first purchase AFTER that view, per user. Three partial-agg'd
     // min-aggregations chained by keyed left joins on user_id — the
@@ -119,6 +137,14 @@ object RelationalQueries3 {
         |SELECT s.s_name, COUNT(*) AS numwait
         |FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
         |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name""".stripMargin,
+
+    "q69_sql_entry" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type
+        |ORDER BY segment, event_type""".stripMargin,
 
     "q67_funnel_steps" ->
       """WITH c AS (

@@ -182,6 +182,25 @@ object StreamingQueries {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // The Spark 4 transformWithState successor API: same per-user
+    // profile semantics as stream_running_profile but with explicit
+    // ValueState + RocksDB-backed state (disk-spilling stores, native
+    // state TTL) — both stateful APIs stay pinned by the same oracle
+    // shape.
+    "stream_tws_profile" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val profiles = Streams.userProfileTws(typed)
+        .select($"user_id", $"n_events",
+          format_string("%.6f", $"sum_value").as("sum_value_s"),
+          format_string("%.6f", $"max_value").as("max_value_s"),
+          $"last_type")
+      toMemoryRocks(s, profiles, "stream_tws_profile_sink", "update")
+        .orderBy($"user_id")
+    }),
+
     // Custom keyed state via mapGroupsWithState: per-user running
     // profile. AvailableNow over a single input file = one micro-batch,
     // so the update-mode memory sink holds exactly one row per user.
@@ -199,6 +218,21 @@ object StreamingQueries {
         .orderBy($"user_id")
     })
   )
+
+  /** toMemory variant for transformWithState ops: TWS requires the
+    * RocksDB state store provider (state spills to disk — the 100 TB
+    * key-cardinality property); set it for the query, restore after. */
+  private def toMemoryRocks(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try toMemory(s, df, name, mode)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_agg" ->
@@ -269,6 +303,13 @@ object StreamingQueries {
         |FROM c
         |WHERE floor(cum/1000.0) > floor(prev/1000.0)
         |ORDER BY user_id, threshold_multiple""".stripMargin,
+
+    "stream_tws_profile" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | printf('%.6f', SUM(value ORDER BY ts, event_id)) AS sum_value_s,
+        | printf('%.6f', MAX(value)) AS max_value_s,
+        | arg_max(event_type, epoch_us(ts)) AS last_type
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // (user_id, ts) pairs are unique in the corpus, so arg_max on
     // epoch micros reproduces the processing-order "last" exactly.

@@ -111,7 +111,7 @@ object Streams {
     * `Timestamp.getTime` alone truncates to milliseconds, and the event
     * data carries micros — a per-user ms-tie with different micros
     * would reorder the cumulative sum vs the micro-ordered oracle. */
-  private def microsOf(t: java.sql.Timestamp): Long =
+  private[streaming] def microsOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
   /** 0..n outputs per key per micro-batch via flatMapGroupsWithState:
@@ -155,6 +155,24 @@ object Streams {
       }
   }
 
+  /** Per-user profile on the Spark 4 `transformWithState` API (the
+    * successor to mapGroupsWithState: typed state primitives, native
+    * per-state TTL, timers — and RocksDB-only, so state spills to disk
+    * instead of capping at executor heap, the property that matters at
+    * 100 TB key cardinality). Functionally mirrors
+    * `userRunningProfile` so the same oracle shape pins both APIs. */
+  def userProfileTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TwsProfile] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * profile (event count, running value sum, last event type) updated
     * per micro-batch. State is one small case class per key and BOUNDED
@@ -187,5 +205,43 @@ object Streams {
             next
           }
       }
+  }
+}
+
+/** Output row of the transformWithState profile op. */
+case class TwsProfile(user_id: Long, n_events: Long, sum_value: Double,
+    max_value: Double, last_type: String)
+
+/** StatefulProcessor for [[Streams.userProfileTws]]: one ValueState cell
+  * per user, updated in (event-time micros, event_id) order within each
+  * batch. TTL is NONE here because the gate runs bounded input; an
+  * unbounded deployment passes `TTLConfig(Duration.ofDays(30))` and the
+  * store evicts idle keys natively — the TTL lives in the STATE API
+  * now, not in hand-rolled timeout handling. */
+class ProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TwsProfile] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: ValueState[TwsProfile] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[TwsProfile]("profile",
+      Encoders.product[TwsProfile], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsProfile] = {
+    val evs = rows.toSeq.sortBy(e => (Streams.microsOf(e.ts), e.event_id))
+    if (evs.isEmpty) return Iterator.empty
+    val prev = Option(st.get())
+      .getOrElse(TwsProfile(key, 0L, 0.0, Double.NegativeInfinity, ""))
+    val next = TwsProfile(
+      key,
+      prev.n_events + evs.size,
+      prev.sum_value + evs.map(_.value).sum,
+      math.max(prev.max_value, evs.map(_.value).max),
+      evs.last.event_type)
+    st.update(next)
+    Iterator.single(next)
   }
 }
