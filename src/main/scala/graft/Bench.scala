@@ -46,7 +46,10 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator is locale-sensitive — a comma-
+    // decimal default locale would print "1,234" and break the JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(qs: Seq[(String, Double)], total: Double, extra: String): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"$extra}"""

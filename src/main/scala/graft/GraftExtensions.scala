@@ -34,8 +34,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("ngrams"),
       info("ngrams", "ngrams(tokens, n) - all n-token grams in position order"),
-      (es: Seq[Expression]) => NGrams(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())))
+      (es: Seq[Expression]) => {
+        // arbitrary SQL reaches this builder: fail at analysis time
+        // with a clear message, not an opaque internal exception
+        require(es.length == 2,
+          s"ngrams(tokens, n) takes exactly 2 arguments, got ${es.length}")
+        val nExpr = es(1)
+        require(nExpr.foldable,
+          s"ngrams: n must be a literal, got ${nExpr.sql}")
+        val n = nExpr.eval()
+        require(n != null && n.isInstanceOf[Number],
+          s"ngrams: n must be a non-null integer literal, got ${nExpr.sql}")
+        NGrams(es.head, n.asInstanceOf[Number].intValue())
+      }))
     e.injectFunction((
       FunctionIdentifier("token_chunk_slices"),
       info("token_chunk_slices",

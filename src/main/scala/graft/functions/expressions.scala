@@ -147,12 +147,16 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Distinct 3-token shingles of an array<string>, first-occurrence order
-  * (same output as array_distinct over the transform/concat HOF chain,
-  * which re-ran interpreted concat lambdas per position). <3 tokens →
-  * empty array. Null tokens render as "" — identical to NGrams, which
-  * is what makes the ShingleFusion optimizer rewrite
-  * array_distinct(ngrams(t,3)) → shingles3(t) semantics-preserving. */
+/** Distinct 3-token shingles of an array<string>, first-occurrence
+  * order — the single-pass kernel for the interpreted
+  * transform/concat_ws HOF chain (which re-ran lambdas per position).
+  * <3 tokens → empty array. Null-token divergence from the HOF chain:
+  * concat_ws SKIPS nulls ("a c") while this kernel renders them as ""
+  * ("a  c") — identical to NGrams, which is what makes the
+  * ShingleFusion rewrite array_distinct(ngrams(t,3)) → shingles3(t)
+  * semantics-preserving. All in-repo callers tokenize with split(),
+  * which never yields null elements, so the divergence is unobservable
+  * here; it is a deliberate spec for null-carrying inputs. */
 case class Shingles3(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -182,8 +186,11 @@ case class Shingles3(child: Expression)
   * deduplicated (Shingles3 gives the distinct set; repeated-span
   * analysis needs every occurrence). `n` is a plan-time constant, so
   * the kernel is a single tight loop per row; <n tokens → empty array.
-  * DuckDB twin: array_to_string(t[i:i+n-1], ' ') over
-  * unnest(range(1, len(t)-n+2)). */
+  * Null tokens render as "" (same spec as Shingles3 — see its note on
+  * the divergence from concat_ws/array_to_string, which skip nulls;
+  * split()-tokenized input never carries nulls).
+  * DuckDB twin on null-free arrays: array_to_string(t[i:i+n-1], ' ')
+  * over unnest(range(1, len(t)-n+2)). */
 case class NGrams(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, s"ngrams: n must be >= 1, got $n")

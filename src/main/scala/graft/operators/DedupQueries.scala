@@ -120,26 +120,26 @@ object DedupQueries {
     // iterative state. Oracle: DuckDB recursive CTE, same closure.
     "dedup_cluster_reps" -> ((s, d) => {
       import s.implicits._
-      // the loop runs only over the ACTIVE vertex set (docs with at
+      // The CORPUS-SCALE stage — the shingle join inside jaccardPairs —
+      // runs at the session's shuffle-partition setting: one pass over
+      // the pair stream, each pair exploded to both edge directions, so
+      // a single checkpoint job materializes the symmetric edge list (a
+      // union of pairs with its swap would either evaluate the pair
+      // join twice or need its own barrier).
+      val edges = jaccardPairs(s, d)
+        .select(explode(array(
+          struct($"d1".as("src"), $"d2".as("dst")),
+          struct($"d2".as("src"), $"d1".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+        .localCheckpoint()
+      // The LOOP runs only over the ACTIVE vertex set (docs with at
       // least one edge) — isolated docs are their own component and
       // rejoin at the end. Dup graphs are sparse, so the iterated state
-      // is orders of magnitude smaller than the corpus. The edge list
-      // and initial labels are checkpointed once, before the loop, at
-      // few shuffle partitions (they are label-table-sized, not
-      // corpus-sized).
+      // is orders of magnitude smaller than the corpus; only these
+      // label-table-sized jobs run at few shuffle partitions.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        // one pass over the pair stream: explode each pair to both edge
-        // directions, so a single checkpoint job materializes the
-        // symmetric edge list (a union of pairs with its swap would
-        // either evaluate the pair join twice or need its own barrier)
-        val edges = jaccardPairs(s, d)
-          .select(explode(array(
-            struct($"d1".as("src"), $"d2".as("dst")),
-            struct($"d2".as("src"), $"d1".as("dst")))).as("e"))
-          .select($"e.src".as("src"), $"e.dst".as("dst"))
-          .localCheckpoint()
         var labels = edges.select($"src".as("doc_id")).distinct()
           .select($"doc_id", $"doc_id".as("lab")).localCheckpoint()
         var changed = true
@@ -164,7 +164,11 @@ object DedupQueries {
               least(col("x.lab"), coalesce(col("plab"), col("x.lab"))).as("lab"),
               col("x.old").as("old"))
             .localCheckpoint()
-          changed = next.filter($"lab" =!= $"old").limit(1).count() > 0
+          // single full-scan job over the checkpointed round result —
+          // limit(1).count() would trigger CollectLimit's incremental
+          // partition cascade (several jobs) on every converged round
+          val row = next.agg(max(when($"lab" =!= $"old", 1).otherwise(0))).first()
+          changed = !row.isNullAt(0) && row.getInt(0) > 0 // null = empty graph
           labels = next.select($"doc_id", $"lab")
           iter += 1
           if (sys.env.contains("GRAFT_DEBUG"))
