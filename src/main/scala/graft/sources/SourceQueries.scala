@@ -61,6 +61,38 @@ object SourceQueries {
         .orderBy($"s_nationkey")
     }),
 
+    // XML sink → XML source (native in Spark 4 — no external package).
+    // rowTag framing + explicit schema back; keys and name lengths
+    // survive the text encoding exactly.
+    "src_xml_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val src = nation(s, d)
+      val path = tmp("nation_xml")
+      src.write.mode("overwrite").option("rootTag", "nations")
+        .option("rowTag", "nation").format("xml").save(path)
+      s.read.schema(src.schema).option("rowTag", "nation").format("xml").load(path)
+        .groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(length($"n_name")).cast("long").as("name_chars"))
+        .orderBy($"n_regionkey")
+    }),
+
+    // binaryFile source — the ingestion path for opaque multimodal
+    // payloads (images/audio ride the same reader at scale): land the
+    // corpus as one text object, then read it back as raw bytes and
+    // prove the byte count matches the table exactly (one trailing
+    // newline per document line).
+    "src_binaryfile" -> ((s, d) => {
+      import s.implicits._
+      val path = tmp("documents_bin")
+      documents(s, d).select($"text").repartition(1)
+        .write.mode("overwrite").text(path)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt").load(path)
+        .agg(count(lit(1)).as("n_files"),
+          sum(length($"content")).cast("long").as("total_bytes"))
+    }),
+
     // Plain-text sink → text source (one line per document; the corpus
     // format LLM-data pipelines actually exchange). The aggregate's
     // min/max md5 fingerprints pin content (not just counts) across
@@ -129,6 +161,16 @@ object SourceQueries {
       """SELECT s_nationkey, COUNT(*) AS n_supp,
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "src_xml_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        | CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "src_binaryfile" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files,
+        | CAST(SUM(length(text) + 1) AS BIGINT) AS total_bytes
+        |FROM documents""".stripMargin,
 
     "src_text_roundtrip" ->
       """SELECT COUNT(*) AS n_lines,
