@@ -66,6 +66,23 @@ object RelationalQueries3 {
         .orderBy($"numwait".desc, $"s_name")
     }),
 
+    // Spark 4 VARIANT path for semi-structured data: parse once into
+    // the binary variant encoding, extract typed fields with
+    // variant_get — the shredding-friendly replacement for repeated
+    // get_json_object string re-parsing (q18 pins the classic path; at
+    // 100 TB the variant encoding is parsed once per row, not once per
+    // extraction).
+    "q70_variant_json" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select($"event_type",
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
     // The spark.sql(...) entry path: the same engine surface users hit
     // from SQL notebooks/BI — temp views over the tables, the query
     // text identical to the DuckDB oracle modulo dialect. Catalyst
@@ -137,6 +154,13 @@ object RelationalQueries3 {
         |SELECT s.s_name, COUNT(*) AS numwait
         |FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
         |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name""".stripMargin,
+
+    "q70_variant_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        | CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q69_sql_entry" ->
       """SELECT c.c_mktsegment AS segment, e.event_type,
