@@ -188,6 +188,20 @@ object DedupQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // Degree histogram of the similarity graph — the shape diagnostic
+    // that tells you whether near-dup families are pairs (degree 1),
+    // stars (one hub), or chains BEFORE running the clustering: a
+    // heavy tail here predicts the propagation round count. Two keyed
+    // aggregations over the pair list; the corpus never re-enters.
+    "dedup_graph_degrees" -> ((s, d) => {
+      import s.implicits._
+      jaccardPairs(s, d)
+        .select(explode(array($"d1", $"d2")).as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+        .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"degree")
+    }),
+
     // Corpus duplication dashboard: one row summarizing how much an
     // exact and a normalized-exact dedup pass would each remove —
     // the number every curation run reports first. Distinct counts are
@@ -353,6 +367,15 @@ object DedupQueries {
         |FROM final GROUP BY lab ORDER BY rep_id""".stripMargin,
     // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
     // → rows-only checks.
+
+    "dedup_graph_degrees" ->
+      s"""WITH $pairsCte,
+        |deg AS (
+        | SELECT doc_id, COUNT(*) AS degree
+        | FROM (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)
+        | GROUP BY doc_id)
+        |SELECT degree, COUNT(*) AS n_docs
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
 
     "dedup_summary" ->
       """SELECT n_docs, n_uniq_exact, n_uniq_norm,
