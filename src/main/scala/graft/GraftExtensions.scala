@@ -42,10 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val nExpr = es(1)
         require(nExpr.foldable,
           s"ngrams: n must be a literal, got ${nExpr.sql}")
-        val n = nExpr.eval()
-        require(n != null && n.isInstanceOf[Number],
-          s"ngrams: n must be a non-null integer literal, got ${nExpr.sql}")
-        NGrams(es.head, n.asInstanceOf[Number].intValue())
+        // integral types only — Number.intValue would silently truncate
+        // 2.7 to 2 or 2^32+3 to 3
+        val n: Long = nExpr.eval() match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case s: java.lang.Short => s.longValue()
+          case b: java.lang.Byte => b.longValue()
+          case other => throw new IllegalArgumentException(
+            s"ngrams: n must be a non-null integral literal, got ${nExpr.sql} ($other)")
+        }
+        require(n >= 1 && n <= Int.MaxValue,
+          s"ngrams: n must be in [1, ${Int.MaxValue}], got $n")
+        NGrams(es.head, n.toInt)
       }))
     e.injectFunction((
       FunctionIdentifier("token_chunk_slices"),

@@ -9,6 +9,7 @@ object Verify {
     val only = args.drop(2).toSet // optional filter for fast local iteration
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,9 +25,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // several operators cache/checkpoint intermediates that only the
-      // session can release — drop them so a 120-query run doesn't
-      // accumulate block-store memory
+      // several operators cache() intermediates that only the session
+      // can release — drop them so a 120+-query run doesn't accumulate
+      // block-store memory. (localCheckpoint RDD blocks are NOT covered
+      // here; those free asynchronously via ContextCleaner once the
+      // per-query RDD references are unreachable.)
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

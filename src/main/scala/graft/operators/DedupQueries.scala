@@ -211,7 +211,7 @@ object DedupQueries {
     "dedup_summary" -> ((s, d) => {
       import s.implicits._
       documents(s, d)
-        .select($"doc_id", md5($"text".cast("binary")).as("fp"),
+        .select(md5($"text".cast("binary")).as("fp"),
           md5(normalize($"text").cast("binary")).as("fpn"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct($"fp").as("n_uniq_exact"),

@@ -169,7 +169,7 @@ object SourceQueries {
 
     "src_binaryfile" ->
       """SELECT CAST(1 AS BIGINT) AS n_files,
-        | CAST(SUM(length(text) + 1) AS BIGINT) AS total_bytes
+        | CAST(SUM(strlen(text) + 1) AS BIGINT) AS total_bytes
         |FROM documents""".stripMargin,
 
     "src_text_roundtrip" ->
