@@ -182,6 +182,51 @@ object StreamingQueries {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // CDC upsert via foreachBatch across REAL multiple micro-batches:
+    // the events land as two files, maxFilesPerTrigger=1 forces one
+    // micro-batch per file, and each batch MERGEs into a versioned
+    // keyed snapshot (latest event per user, (ts, event_id) argmax via
+    // struct max — order-independent, so batch arrival order cannot
+    // change the result). foreachBatch is the escape hatch for sinks
+    // the streaming API lacks (JDBC/Delta MERGE); the versioned-dir
+    // snapshot here is the same pattern with plain parquet.
+    "stream_cdc_upsert" -> ((s, d) => {
+      import s.implicits._
+      val base = s"${sys.props("java.io.tmpdir")}/graft_cdc"
+      val inDir = s"$base/in"
+      val batchEv = graft.Tables.events(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      // deterministic two-file landing (split by event_id parity)
+      batchEv.filter($"event_id" % 2 === 0).repartition(1)
+        .write.mode("overwrite").parquet(s"$inDir/even")
+      batchEv.filter($"event_id" % 2 === 1).repartition(1)
+        .write.mode("overwrite").parquet(s"$inDir/odd")
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*")
+        .parquet(s"$inDir/*")
+      var snapVersion = -1L
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val reduced = batch.groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))
+          val merged =
+            if (snapVersion < 0) reduced
+            else s.read.parquet(s"$base/snap_v$snapVersion").unionByName(reduced)
+              .groupBy(col("user_id")).agg(max(col("m")).as("m"))
+          merged.write.mode("overwrite").parquet(s"$base/snap_v$id")
+          snapVersion = id
+        }
+        .option("checkpointLocation", s"$base/ck_${System.nanoTime()}")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(snapVersion >= 1, s"expected >=2 micro-batches, saw ${snapVersion + 1}")
+      s.read.parquet(s"$base/snap_v$snapVersion")
+        .select($"user_id", micros($"m.ts").as("ts_us"), $"m.event_id".as("event_id"),
+          $"m.event_type".as("event_type"), $"m.value".as("value"))
+        .orderBy($"user_id")
+    }),
+
     // The Spark 4 transformWithState successor API: same per-user
     // profile semantics as stream_running_profile but with explicit
     // ValueState + RocksDB-backed state (disk-spilling stores, native
@@ -303,6 +348,13 @@ object StreamingQueries {
         |FROM c
         |WHERE floor(cum/1000.0) > floor(prev/1000.0)
         |ORDER BY user_id, threshold_multiple""".stripMargin,
+
+    "stream_cdc_upsert" ->
+      """SELECT user_id, ts_us, event_id, event_type, value FROM (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "stream_tws_profile" ->
       """SELECT user_id, COUNT(*) AS n_events,
