@@ -61,6 +61,27 @@ object SourceQueries {
         .orderBy($"s_nationkey")
     }),
 
+    // Bucketed tables — the PRE-shuffle: both fact tables written
+    // bucketed+sorted on the join key, so every future join between
+    // them plans with zero exchanges (BucketingSpec pins the no-
+    // Exchange plan; this gate entry pins the VALUES through the
+    // bucketed layout). At 100 TB this converts the recurring
+    // lineitem⋈orders shuffle into a one-time layout cost.
+    "src_bucketed_join" -> ((s, d) => {
+      import s.implicits._
+      val wh = tmp("bucketed_wh")
+      s.sql("DROP TABLE IF EXISTS li_bg")
+      s.sql("DROP TABLE IF EXISTS ord_bg")
+      lineitem(s, d).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li_bg").saveAsTable("li_bg")
+      orders(s, d).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord_bg").saveAsTable("ord_bg")
+      s.table("li_bg").join(s.table("ord_bg"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // XML sink → XML source (native in Spark 4 — no external package).
     // rowTag framing + explicit schema back; keys and name lengths
     // survive the text encoding exactly.
@@ -161,6 +182,12 @@ object SourceQueries {
       """SELECT s_nationkey, COUNT(*) AS n_supp,
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "src_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "src_xml_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
