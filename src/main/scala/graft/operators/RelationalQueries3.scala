@@ -66,6 +66,40 @@ object RelationalQueries3 {
         .orderBy($"numwait".desc, $"s_name")
     }),
 
+    // Bitwise aggregates — order-independent by construction (AND/OR/
+    // XOR are commutative+associative), so partial+final aggregation
+    // is exact at any parallelism; the category's absence elsewhere in
+    // the suite is why it gets its own row.
+    "q71_bitwise_agg" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"event_type")
+        .agg(bit_or($"user_id").as("or_users"),
+          bit_and($"user_id").as("and_users"),
+          bit_xor($"event_id").as("xor_events"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // Mergeable-sketch profiling (Spark 4 DataSketches HLL): per-day
+    // user sketches unioned into a whole-corpus estimate — the ONLY
+    // shape that lets 100 TB distinct-count dashboards incrementally
+    // fold new partitions into old (re-aggregating raw data each run
+    // doesn't scale; sketch union is a few KB per day). Sketch binaries
+    // and estimator differ from DuckDB's approx algorithm → rows-only
+    // check; the exact-distinct twin q09 pins the semantics.
+    "q72_hll_sketch_union" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(hll_sketch_agg($"user_id").as("sk"),
+          count(lit(1)).as("n_events"))
+      daily.agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).as("distinct_users_est"),
+        sum($"n_events").as("n_events_total"),
+        count(lit(1)).as("n_days"))
+    }),
+
     // Spark 4 VARIANT path for semi-structured data: parse once into
     // the binary variant encoding, extract typed fields with
     // variant_get — the shredding-friendly replacement for repeated
@@ -154,6 +188,16 @@ object RelationalQueries3 {
         |SELECT s.s_name, COUNT(*) AS numwait
         |FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
         |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name""".stripMargin,
+
+    "q71_bitwise_agg" ->
+      """SELECT event_type,
+        | bit_or(user_id) AS or_users,
+        | bit_and(user_id) AS and_users,
+        | bit_xor(event_id) AS xor_events,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q72_hll_sketch_union: sketch estimator differs from DuckDB's
+    // approx_count_distinct → rows-only by contract (like q28/q55).
 
     "q70_variant_json" ->
       """SELECT event_type, COUNT(*) AS n,
