@@ -66,6 +66,35 @@ object RelationalQueries3 {
         .orderBy($"numwait".desc, $"s_name")
     }),
 
+    // Ordered string aggregation (LISTAGG semantics): deterministic by
+    // sorting the collected set before joining — collect_list order is
+    // partition-arrival nondeterministic, sort_array repairs it, which
+    // is the only way a distributed string_agg can hash-match a serial
+    // engine.
+    "q73_string_agg" -> ((s, d) => {
+      import s.implicits._
+      nation(s, d)
+        .groupBy($"n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy($"n_regionkey")
+    }),
+
+    // Error-safe TRY family — the declarative twin of the reference's
+    // keep-the-record-on-bad-value semantics (app.py suppresses the
+    // derived column on type mismatch instead of dropping the row):
+    // try_cast/try_divide/try_element_at turn failures into nulls so
+    // one bad cell can't fail a 100 TB job.
+    "q74_try_funcs" -> ((s, d) => {
+      import s.implicits._
+      events(s, d).select($"event_id",
+        expr("try_cast(event_type AS DOUBLE)").as("as_num"),
+        expr("try_divide(value, 0.0)").as("div0"),
+        expr("try_divide(value, 2.0)").as("half"),
+        expr("try_element_at(split(event_type, 'x'), 9)").as("oob"))
+        .orderBy($"event_id")
+    }),
+
     // Bitwise aggregates — order-independent by construction (AND/OR/
     // XOR are commutative+associative), so partial+final aggregation
     // is exact at any parallelism; the category's absence elsewhere in
@@ -188,6 +217,20 @@ object RelationalQueries3 {
         |SELECT s.s_name, COUNT(*) AS numwait
         |FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
         |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name""".stripMargin,
+
+    "q73_string_agg" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q74_try_funcs" ->
+      """SELECT event_id,
+        | TRY_CAST(event_type AS DOUBLE) AS as_num,
+        | value / NULLIF(0.0, 0.0) AS div0,
+        | value / 2.0 AS half,
+        | string_split(event_type, 'x')[9] AS oob
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q71_bitwise_agg" ->
       """SELECT event_type,
