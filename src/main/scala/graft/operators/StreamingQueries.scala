@@ -193,6 +193,12 @@ object StreamingQueries {
     "stream_cdc_upsert" -> ((s, d) => {
       import s.implicits._
       val base = s"${sys.props("java.io.tmpdir")}/graft_cdc"
+      // clear the whole working area up front: bounds the on-disk
+      // footprint across repeated runs and lets the checkpoint use a
+      // FIXED name (a fresh dir per run would accumulate forever)
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
       val inDir = s"$base/in"
       val batchEv = graft.Tables.events(s, d)
         .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
@@ -217,7 +223,7 @@ object StreamingQueries {
           merged.write.mode("overwrite").parquet(s"$base/snap_v$id")
           snapVersion = id
         }
-        .option("checkpointLocation", s"$base/ck_${System.nanoTime()}")
+        .option("checkpointLocation", s"$base/ck")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       require(snapVersion >= 1, s"expected >=2 micro-batches, saw ${snapVersion + 1}")

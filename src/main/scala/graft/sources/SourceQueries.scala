@@ -70,16 +70,14 @@ object SourceQueries {
     "src_bucketed_join" -> ((s, d) => {
       import s.implicits._
       val wh = tmp("bucketed_wh")
-      // DROP removes only the metastore entry; the external path must be
-      // cleared too or a rerun's CTAS fails on the non-empty directory
-      s.sql("DROP TABLE IF EXISTS li_bg")
-      s.sql("DROP TABLE IF EXISTS ord_bg")
-      val whPath = new org.apache.hadoop.fs.Path(wh)
-      whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(whPath, true)
-      lineitem(s, d).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      // overwrite mode drops/recreates the table AND clears the external
+      // path in one step — reruns stay clean without manual catalog or
+      // filesystem bookkeeping
+      lineitem(s, d).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/li_bg").saveAsTable("li_bg")
-      orders(s, d).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/ord_bg").saveAsTable("ord_bg")
       s.table("li_bg").join(s.table("ord_bg"), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
