@@ -114,19 +114,27 @@ object RelationalQueries3 {
     // user sketches unioned into a whole-corpus estimate — the ONLY
     // shape that lets 100 TB distinct-count dashboards incrementally
     // fold new partitions into old (re-aggregating raw data each run
-    // doesn't scale; sketch union is a few KB per day). Sketch binaries
-    // and estimator differ from DuckDB's approx algorithm → rows-only
-    // check; the exact-distinct twin q09 pins the semantics.
+    // doesn't scale; sketch union is a few KB per day). The sketch
+    // estimate itself is engine-specific, so the oracle checks the
+    // INVARIANT instead: the unioned estimate must land within the HLL
+    // error bound of the exact distinct count (lgK=12 → RSE ≈ 1.6%;
+    // 5% is >3σ), plus the exact side columns DuckDB can recompute.
     "q72_hll_sketch_union" -> ((s, d) => {
       import s.implicits._
       val daily = events(s, d)
         .groupBy(date_trunc("day", $"ts").as("day"))
         .agg(hll_sketch_agg($"user_id").as("sk"),
           count(lit(1)).as("n_events"))
-      daily.agg(
-        hll_sketch_estimate(hll_union_agg($"sk")).as("distinct_users_est"),
+      val unioned = daily.agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
         sum($"n_events").as("n_events_total"),
         count(lit(1)).as("n_days"))
+      val exact = events(s, d)
+        .agg(countDistinct($"user_id").as("exact_users"))
+      unioned.crossJoin(exact) // both sides are single rows
+        .select($"n_days", $"n_events_total", $"exact_users",
+          ($"est" >= $"exact_users" * 0.95 &&
+            $"est" <= $"exact_users" * 1.05).as("est_within_5pct"))
     }),
 
     // Spark 4 VARIANT path for semi-structured data: parse once into
@@ -239,8 +247,16 @@ object RelationalQueries3 {
         | bit_xor(event_id) AS xor_events,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q72_hll_sketch_union: sketch estimator differs from DuckDB's
-    // approx_count_distinct → rows-only by contract (like q28/q55).
+    // q72_hll_sketch_union: the sketch estimate is engine-specific, so
+    // the oracle recomputes the exact columns and pins the error-bound
+    // invariant as a literal TRUE — a broken sketch union now fails the
+    // hash compare instead of passing silently.
+    "q72_hll_sketch_union" ->
+      """SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        | CAST(COUNT(*) AS BIGINT) AS n_events_total,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS est_within_5pct
+        |FROM events""".stripMargin,
 
     "q70_variant_json" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -192,10 +192,15 @@ object StreamingQueries {
     // snapshot here is the same pattern with plain parquet.
     "stream_cdc_upsert" -> ((s, d) => {
       import s.implicits._
-      val base = s"${sys.props("java.io.tmpdir")}/graft_cdc"
+      // Working dir is namespaced by applicationId so concurrent
+      // sessions on one host (e.g. a Bench and a Verify run) cannot
+      // clobber each other's input files / checkpoint / snapshots.
+      val base =
+        s"${sys.props("java.io.tmpdir")}/graft_cdc_${s.sparkContext.applicationId}"
       // clear the whole working area up front: bounds the on-disk
-      // footprint across repeated runs and lets the checkpoint use a
-      // FIXED name (a fresh dir per run would accumulate forever)
+      // footprint across repeated runs WITHIN a session and lets the
+      // checkpoint use a fixed name (a fresh dir per run would
+      // accumulate forever)
       val basePath = new org.apache.hadoop.fs.Path(base)
       basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(basePath, true)

@@ -195,10 +195,14 @@ object Streams {
           } else {
             val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, ""))
             val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+            // fold one event at a time in (ts, event_id) order: float
+            // addition is non-associative, so a batch-local sum would
+            // drift from the oracle's strictly ordered sum once a key
+            // spans multiple micro-batches
             val next = UserProfile(
               userId,
               prev.n_events + evs.size,
-              prev.sum_value + evs.map(_.value).sum,
+              evs.foldLeft(prev.sum_value)(_ + _.value),
               evs.lastOption.map(_.event_type).getOrElse(prev.last_type))
             state.update(next)
             state.setTimeoutTimestamp(evs.map(_.ts.getTime).max, stateTtl)
@@ -235,10 +239,13 @@ class ProfileProcessor
     if (evs.isEmpty) return Iterator.empty
     val prev = Option(st.get())
       .getOrElse(TwsProfile(key, 0L, 0.0, Double.NegativeInfinity, ""))
+    // ordered per-event fold (not a batch-local sum): keeps the float
+    // accumulation bit-identical to the oracle's (ts, event_id)-ordered
+    // sum across any micro-batch split of a key's events
     val next = TwsProfile(
       key,
       prev.n_events + evs.size,
-      prev.sum_value + evs.map(_.value).sum,
+      evs.foldLeft(prev.sum_value)(_ + _.value),
       math.max(prev.max_value, evs.map(_.value).max),
       evs.last.event_type)
     st.update(next)
