@@ -265,55 +265,111 @@ object DedupQueries {
     // Same verify threshold as dedup_ngram_jaccard, so at high recall
     // the outputs converge — the LSH path just avoids the shingle-join
     // amplification at scale. Hash functions aren't SQL-portable → no
-    // oracle (rows-only check).
-    "dedup_minhash_lsh" -> ((s, d) => {
-      import s.implicits._
-      val sh = docShingles(s, d).filter(size($"sh") > 0).cache()
-      // Materialize the signature behind a cache barrier: the banding
-      // lambda references it 16×, and higher-order lambdas have no
-      // common-subexpression elimination — inlined, the 64-hash
-      // signature would be recomputed once PER BAND (measured 5× the
-      // whole query's runtime at sf0.1).
-      val sig = sh.select($"doc_id", minhashSignature($"sh", 64).as("sig")).cache()
-      // band rows carry only (doc_id, band, key) — signatures and
-      // shingle arrays never enter the candidate shuffle
-      val bands = sig
-        .select($"doc_id", posexplode(lshBands($"sig", 16, 4)).as(Seq("band", "key")))
-      val cand = bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .distinct()
-      // verify: exact Jaccard on the (few) surviving candidates only
-      cand
-        .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
-        .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
-        .select($"d1", $"d2", jaccard($"sh1", $"sh2").as("jaccard"))
-        .filter($"jaccard" >= 0.5)
-        .orderBy($"d1", $"d2")
-    }),
+    // oracle for the pair list itself (rows-only check); the paired
+    // dedup_minhash_lsh_check gates its recall against the exact pairs.
+    "dedup_minhash_lsh" -> ((s, d) => minhashPairs(s, d).orderBy(col("d1"), col("d2"))),
 
     // SimHash near-dup: 64-bit signature; candidates share one of four
     // 16-bit bands (pigeonhole: any pair within Hamming distance 3 must
     // agree on ≥1 band); verify = Hamming ≤ 3 via bit_count(XOR).
-    "dedup_simhash" -> ((s, d) => {
+    // Signature not SQL-portable → rows-only; dedup_simhash_check pins
+    // the pigeonhole-exactness invariant.
+    "dedup_simhash" -> ((s, d) => simhashPairs(s, d).orderBy(col("d1"), col("d2"))),
+
+    // Quality gate for the MinHash+LSH path: recall of the banded
+    // candidate→verify pipeline against the exact jaccard-join pair set
+    // (dedup_ngram_jaccard — SQL-recomputable). Measured recall is 1.0
+    // at sf0.001/0.01/0.1 (near-dup families here are close to exact
+    // copies, so 4-row band collision probability ≈ 1); the 0.9 floor
+    // leaves margin while still failing loudly if the banding or verify
+    // join breaks. n_exact_pairs rides along so the oracle also pins the
+    // exact side.
+    "dedup_minhash_lsh_check" -> ((s, d) => {
       import s.implicits._
-      val sig = documents(s, d)
+      val exact = jaccardPairs(s, d).select($"d1", $"d2").cache()
+      val overlap = exact.join(minhashPairs(s, d).select($"d1", $"d2"), Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_found"))
+      exact.agg(count(lit(1)).as("n_exact_pairs")).crossJoin(overlap) // 1×1 rows
+        .select($"n_exact_pairs",
+          ($"n_found" * 10000L / greatest($"n_exact_pairs", lit(1L)) >= 9000).as("recall_ok"))
+    }),
+
+    // Exactness gate for the SimHash path: on the bounded doc_id<500
+    // subset (complete at the gate SFs, a fixed-size sample beyond), the
+    // banded candidate set must equal the brute-force all-pairs Hamming
+    // ≤ 3 set EXACTLY — the pigeonhole guarantee (≤3 differing bits
+    // cannot touch all 4 bands) makes banding lossless, so this is a
+    // deterministic invariant, not a statistical one. The brute side is
+    // ≤ 500² /2 signature pairs regardless of corpus size.
+    "dedup_simhash_check" -> ((s, d) => {
+      import s.implicits._
+      val cap = 500
+      val sig = documents(s, d).filter($"doc_id" < cap)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", simhash64(tokens($"text")).as("sim"))
         .cache()
-      val banded = sig.select($"doc_id", $"sim",
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", $"sim", b * 16).bitwiseAND(lit(0xFFFFL)).cast("long")))
-          .as(Seq("band", "key")))
-      banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+      val brute = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
           bit_count($"a.sim".bitwiseXOR($"b.sim")).as("hamming"))
-        .distinct()
         .filter($"hamming" <= 3)
-        .orderBy($"d1", $"d2")
+        .select($"d1", $"d2")
+      val banded = simhashPairs(s, d)
+        .filter($"d1" < cap && $"d2" < cap).select($"d1", $"d2")
+      val nBrute = brute.agg(count(lit(1)).as("n_brute"))
+      val nBand = banded.agg(count(lit(1)).as("n_banded"))
+      val nBoth = brute.join(banded, Seq("d1", "d2")).agg(count(lit(1)).as("n_both"))
+      val nDocs = documents(s, d).filter($"doc_id" < cap)
+        .agg(count(lit(1)).as("n_docs_checked"))
+      nDocs.crossJoin(nBrute).crossJoin(nBand).crossJoin(nBoth) // all 1-row
+        .select($"n_docs_checked",
+          ($"n_brute" === $"n_both" && $"n_banded" === $"n_both").as("pigeonhole_exact_ok"))
     })
   )
+
+  /** The dedup_minhash_lsh pipeline (see its scaladoc in `queries`). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, d).filter(size($"sh") > 0).cache()
+    // Materialize the signature behind a cache barrier: the banding
+    // lambda references it 16×, and higher-order lambdas have no
+    // common-subexpression elimination — inlined, the 64-hash
+    // signature would be recomputed once PER BAND (measured 5× the
+    // whole query's runtime at sf0.1).
+    val sig = sh.select($"doc_id", minhashSignature($"sh", 64).as("sig")).cache()
+    // band rows carry only (doc_id, band, key) — signatures and
+    // shingle arrays never enter the candidate shuffle
+    val bands = sig
+      .select($"doc_id", posexplode(lshBands($"sig", 16, 4)).as(Seq("band", "key")))
+    val cand = bands.as("a").join(bands.as("b"),
+      $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    // verify: exact Jaccard on the (few) surviving candidates only
+    cand
+      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
+      .select($"d1", $"d2", jaccard($"sh1", $"sh2").as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
+
+  /** The dedup_simhash banded pipeline (see its scaladoc in `queries`). */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", simhash64(tokens($"text")).as("sim"))
+      .cache()
+    val banded = sig.select($"doc_id", $"sim",
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", $"sim", b * 16).bitwiseAND(lit(0xFFFFL)).cast("long")))
+        .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+      $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        bit_count($"a.sim".bitwiseXOR($"b.sim")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+  }
 
   /** DuckDB twin of [[jaccardPairs]], shared by the pair and cluster
     * oracles (kept as a CTE block so both stay literally identical). */
@@ -366,7 +422,18 @@ object DedupQueries {
         |SELECT lab AS rep_id, COUNT(*) AS n_members
         |FROM final GROUP BY lab ORDER BY rep_id""".stripMargin,
     // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
-    // → rows-only checks.
+    // → rows-only checks on the pair lists; the *_check twins below pin
+    // their quality/exactness invariants against SQL-recomputable sides.
+
+    "dedup_minhash_lsh_check" ->
+      s"""WITH $pairsCte
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+        |FROM pairs""".stripMargin,
+
+    "dedup_simhash_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_checked,
+        | TRUE AS pigeonhole_exact_ok
+        |FROM documents WHERE doc_id < 500""".stripMargin,
 
     "dedup_graph_degrees" ->
       s"""WITH $pairsCte,

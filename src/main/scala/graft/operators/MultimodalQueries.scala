@@ -72,18 +72,36 @@ object MultimodalQueries {
     }),
 
     // Stubbed decode + feature extraction through the real batched
-    // mapPartitions path (see Multimodal.decodeFeatures). Deterministic
-    // fake features → rows-only driver check (no SQL twin for the
-    // Scala-side batching).
+    // mapPartitions path (see Multimodal.decodeFeatures), cross-checked
+    // in-engine: an INDEPENDENT pure-Catalyst float32 formulation of the
+    // same per-byte fold (hex-decode → modular position fold) must agree
+    // bit-exactly per document. The oracle recomputes doc_id/n_bytes and
+    // pins `features_match` as TRUE — so the Scala batching path, the
+    // encoder, and the null handling are all hash-verified even though
+    // the feature floats themselves have no SQL twin.
     "mm_decode_features" -> ((s, d) => {
       import s.implicits._
+      val dim = graft.multimodal.Multimodal.featureDim
       val decoded = graft.multimodal.Multimodal.decodeFeatures(
         documents(s, d).select($"doc_id", $"text".cast("binary").as("payload")))
-      // flatten the feature vector to scalar columns: the driver's
-      // comparator can't hash array-valued cells
-      val featCols = (0 until graft.multimodal.Multimodal.featureDim)
-        .map(i => element_at($"features", i + 1).as(s"f$i"))
-      decoded.select($"doc_id" +: $"n_bytes" +: featCols: _*)
+      // Catalyst twin: feature j folds bytes at positions ≡ j (mod dim)
+      // in position order, accumulating in float32 like the stub does.
+      // Bytes come from the hex encoding (2 chars per byte).
+      val hexs = hex($"text".cast("binary"))
+      def featureSpec(j: Int) =
+        when(length($"text".cast("binary")) > j,
+          aggregate(
+            sequence(lit(j), length($"text".cast("binary")) - 1, lit(dim)),
+            lit(0.0f),
+            (acc, i) => acc +
+              (conv(hexs.substr(i * 2 + 1, lit(2)), 16, 10).cast("int")
+                .cast("double") / 255.0).cast("float")))
+          .otherwise(lit(0.0f))
+      val spec = documents(s, d).select($"doc_id",
+        array((0 until dim).map(featureSpec): _*).as("features_spec"))
+      decoded.join(spec, Seq("doc_id"))
+        .select($"doc_id", $"n_bytes",
+          ($"features" === $"features_spec").as("features_match"))
         .orderBy($"doc_id")
     })
   )
@@ -118,6 +136,12 @@ object MultimodalQueries {
         | SELECT doc_id, n_chars % 100 + 1 AS n_frames,
         |  unnest(range(0, n_chars % 100 + 1, 10)) AS frame_idx
         | FROM documents)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        | octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | TRUE AS features_match
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

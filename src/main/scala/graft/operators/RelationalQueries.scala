@@ -363,13 +363,19 @@ object RelationalQueries {
         .orderBy($"user_id")
     }),
 
-    // q28: HLL approximate distinct — no SQL oracle (sketch differs from
-    // DuckDB's); driver records a rows-only check.
+    // q28: HLL approximate distinct. The estimate is engine-specific, so
+    // the emitted row carries the exact side plus an error-bound flag
+    // the oracle pins as TRUE (default rsd = 5%; 15% is 3σ) — a broken
+    // sketch fails the hash compare instead of passing a rows-only check.
     "q28_approx_distinct" -> ((s, d) => {
       import s.implicits._
       events(s, d).groupBy($"event_type")
         .agg(approx_count_distinct($"user_id").as("approx_users"),
+          countDistinct($"user_id").as("exact_users"),
           count(lit(1)).as("n"))
+        .select($"event_type", $"exact_users", $"n",
+          ($"approx_users" >= $"exact_users" * 0.85 &&
+            $"approx_users" <= $"exact_users" * 1.15).as("approx_ok"))
         .orderBy($"event_type")
     }),
 
@@ -717,7 +723,12 @@ object RelationalQueries {
         | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // q28_approx_distinct: intentionally no oracle (HLL sketch != DuckDB's)
+    "q28_approx_distinct" ->
+      """SELECT event_type,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | COUNT(*) AS n,
+        | TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q29_typed_agg" ->
       """SELECT event_type,

@@ -419,17 +419,38 @@ object RelationalQueries2 {
         .orderBy($"user_id", $"hour_s")
     }),
 
-    // q55: approx_percentile (t-digest style sketch) — the 100 TB path
-    // that q42's exact percentiles pin the semantics for: fixed-size
-    // mergeable sketch per group, partial+final like any aggregate.
-    // Approximation differs from DuckDB's → rows-only driver check.
+    // q55: approx_percentile (mergeable quantile sketch) — the 100 TB
+    // path that q42's exact percentiles pin the semantics for:
+    // fixed-size mergeable sketch per group, partial+final like any
+    // aggregate. The approximate values are engine-specific, so the
+    // emitted row checks the sketch's own CONTRACT instead: the
+    // returned p-quantile's true rank must sit within ±1% of p·N
+    // (accuracy=1000 guarantees ±0.1%; 10× margin), and the HLL distinct
+    // within ±15% of exact (3σ). The oracle recomputes the exact
+    // columns and pins the flags as TRUE.
     "q55_approx_quantiles" -> ((s, d) => {
       import s.implicits._
-      lineitem(s, d).groupBy($"l_returnflag")
+      val ap = lineitem(s, d).groupBy($"l_returnflag")
         .agg(
-          approx_percentile($"l_quantity", lit(0.5), lit(1000)).as("p50_approx"),
-          approx_percentile($"l_extendedprice", lit(0.95), lit(1000)).as("p95_price_approx"),
-          approx_count_distinct($"l_partkey").as("nd_parts_approx"))
+          approx_percentile($"l_quantity", lit(0.5), lit(1000)).as("p50q"),
+          approx_percentile($"l_extendedprice", lit(0.95), lit(1000)).as("p95p"),
+          approx_count_distinct($"l_partkey").as("nd_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          count(lit(1)).as("n"))
+      // true rank of each returned quantile value, one extra pass
+      val ranks = lineitem(s, d)
+        .join(ap.select($"l_returnflag", $"p50q", $"p95p"), Seq("l_returnflag"))
+        .groupBy($"l_returnflag").agg(
+          sum(when($"l_quantity" < $"p50q", 1L).otherwise(0L)).as("lt_p50"),
+          sum(when($"l_quantity" <= $"p50q", 1L).otherwise(0L)).as("le_p50"),
+          sum(when($"l_extendedprice" < $"p95p", 1L).otherwise(0L)).as("lt_p95"),
+          sum(when($"l_extendedprice" <= $"p95p", 1L).otherwise(0L)).as("le_p95"))
+      ap.join(ranks, Seq("l_returnflag"))
+        .select($"l_returnflag", $"n", $"exact_parts",
+          ($"lt_p50" <= $"n" * 0.51 && $"le_p50" >= $"n" * 0.49).as("p50_rank_ok"),
+          ($"lt_p95" <= $"n" * 0.96 && $"le_p95" >= $"n" * 0.94).as("p95_rank_ok"),
+          ($"nd_parts" >= $"exact_parts" * 0.85 &&
+            $"nd_parts" <= $"exact_parts" * 1.15).as("nd_ok"))
         .orderBy($"l_returnflag")
     }),
 
@@ -607,6 +628,14 @@ object RelationalQueries2 {
         |           FROM orders WHERE o_orderkey % 5 = 0) x
         |USING (o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // q55: the approximate values are engine-specific; the oracle pins
+    // the exact columns and the sketch-contract flags (literal TRUE).
+    "q55_approx_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | TRUE AS p50_rank_ok, TRUE AS p95_rank_ok, TRUE AS nd_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q58_exists" ->
       """SELECT c_custkey, c_acctbal

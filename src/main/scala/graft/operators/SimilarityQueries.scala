@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.VectorFunctions._
@@ -8,9 +8,14 @@ import graft.functions.VectorFunctions._
 /** Similarity search over `embeddings.embedding` (array<float>, 64-dim).
   *
   * Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
-  * variant is the 100 TB scale path (candidates from a sign-bucket
-  * equi-join instead of a query×corpus cross product). Both are pure
-  * Catalyst higher-order expressions — no UDFs, no collect.
+  * and IVF variants are the 100 TB scale paths (candidates from keyed
+  * equi-joins instead of a query×corpus cross product). All pure Catalyst
+  * higher-order expressions — no UDFs, no corpus-sized collects.
+  *
+  * The approximate variants additionally ship `*_check` twins that gate
+  * recall@k against the exact brute-force top-k, so the driver's oracle
+  * hash-verifies the ANN quality invariant instead of recording a
+  * rows-only pass.
   */
 object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -18,25 +23,139 @@ object SimilarityQueries {
   private val K = 5
   private val N_QUERIES = 5
 
-  private val queriesBase: Map[String, Q] = Map(
-    // Brute-force exact top-k: broadcast the small query set against the
-    // corpus (at 100 TB: corpus stays partitioned, queries broadcast;
-    // per-partition top-k then global top-k via the window).
+  /** Exact top-K: broadcast the small query set against the corpus (at
+    * 100 TB: corpus stays partitioned, queries broadcast; per-partition
+    * top-k then global top-k via the window). */
+  private def bruteTopK(s: SparkSession, d: String,
+      excludeSelf: Boolean = true): DataFrame = {
+    import s.implicits._
+    // corpus lands as one row group → spread the scoring across cores
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val queriesDf = embeddings(s, d).filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val scored = emb.join(broadcast(queriesDf),
+        if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
+      .select($"q_id", $"vec_id",
+        cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"q_id", $"rank", $"vec_id", $"cosine")
+  }
+
+  /** ANN via multi-table random-hyperplane LSH: L=4 tables × 8 sign
+    * bits; a corpus vector is a candidate if it collides with the query
+    * in ANY table (classic recall amplification). Hyperplane weights
+    * derive deterministically from xxhash64(table, plane, dim) — no
+    * driver-side randomness, reproducible across executors. At 100 TB
+    * the (table, bucket) equi-join replaces the query×corpus product. */
+  private def lshTopK(s: SparkSession, d: String,
+      tables: Int = 4, planes: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    import s.implicits._
+    // bucket(t) = 8 sign bits of the projections onto table t's planes
+    def bucket(emb: Column, t: Column) =
+      aggregate(
+        sequence(lit(0), lit(planes - 1)),
+        lit(0L),
+        (acc, b) => acc.bitwiseOR(
+          when(
+            aggregate(
+              zip_with(
+                emb,
+                transform(sequence(lit(0), lit(63)),
+                  i => (pmod(xxhash64(t, b, i), lit(1000L)).cast("double") / 1000.0 - 0.5)),
+                (x, w) => x.cast("double") * w),
+              lit(0.0), (a2, v) => a2 + v) > 0.0,
+            call_function("shiftleft", lit(1L), b)).otherwise(0L)))
+    def withBuckets(df: DataFrame) = df
+      .select(col("*"), posexplode(transform(sequence(lit(0), lit(tables - 1)),
+        t => bucket(col("embedding"), t))).as(Seq("tbl", "bucket")))
+    val emb = withBuckets(embeddings(s, d).select($"vec_id", $"embedding"))
+    val queriesDf = withBuckets(
+      embeddings(s, d).filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"embedding"))
+      .select($"q_id", $"embedding".as("q_emb"), $"tbl", $"bucket")
+    val cand = emb.join(broadcast(queriesDf), Seq("tbl", "bucket"))
+      .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
+      .select($"q_id", $"vec_id", $"q_emb", $"embedding")
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand.select($"q_id", $"vec_id",
+      cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"q_id", $"rank", $"vec_id", $"cosine")
+  }
+
+  /** IVF-style ANN: spherical k-means centroids form the inverted-file
+    * cells; every vector is assigned to its nearest centroid, and a
+    * query probes only its 2 nearest cells. At 100 TB the corpus is
+    * partitioned by cell id, so a probe touches 2/16 of the data
+    * instead of all of it. The quantizer is trained here with
+    * DataFrame-native Lloyd iterations — assignment is a Catalyst
+    * expression over the corpus, the centroid update is one
+    * groupBy(cell, dim) mean, and the model (16×64 floats) rides the
+    * driver→literal path exactly as it would ride a broadcast on a
+    * cluster. (Spark ML's KMeans fits too, but its RDD conversion and
+    * per-iteration job fan-out cost ~5 s of fixed overhead on a model
+    * this small.) */
+  private def ivfTopK(s: SparkSession, d: String,
+      kCells: Int = 16, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d).select($"vec_id", $"embedding").cache()
+    // deterministic seeds: the kCells vectors with smallest hashed id
+    var model: Seq[(Int, Seq[Float])] = emb
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(kCells)
+      .select($"embedding").as[Seq[Float]].collect().toSeq.zipWithIndex
+      .map { case (c, i) => (i, c) }
+    // nearest-centroid id for a vector, against the current model —
+    // an explicit 16-wide array of codegen'd cosine calls (a HOF
+    // lambda would evaluate interpreted, and a custom expression
+    // under a lambda trips attribute resolution)
+    def cellOf(v: Column, m: Seq[(Int, Seq[Float])]) = {
+      val sims = array(m.map { case (_, c) => cosineSimilarity(v, typedlit(c)) }: _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+    for (_ <- 1 to 2) { // Lloyd: assign (distributed) → mean (grouped)
+      val means = emb
+        .select(cellOf($"embedding", model).as("cell"),
+          posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim").agg(avg($"x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq)
+        }
+      model = model.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    val assigned = emb.withColumn("cell", cellOf($"embedding", model))
+    // query → its 2 nearest cells, via cosine against centroid vectors
+    val centroids = model.toDF("cell", "centroid")
+    val queriesDf = assigned.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val probes = queriesDf.crossJoin(broadcast(centroids))
+      .select($"q_id", $"q_emb", $"cell",
+        cosineSimilarity($"q_emb", $"centroid").as("csim"))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"csim".desc, $"cell".asc)
+    val probeCells = probes.withColumn("pr", row_number().over(w0))
+      .filter($"pr" <= nProbe).select($"q_id", $"q_emb", $"cell")
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
+      .select($"q_id", $"vec_id", cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"q_id", $"rank", $"vec_id", $"cosine")
+  }
+
+  val queries: Map[String, Q] = Map[String, Q](
     "sim_knn_brute" -> ((s, d) => {
       import s.implicits._
-      // corpus lands as one row group → spread the scoring across cores
-      val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
-      val queriesDf = embeddings(s, d).filter($"vec_id" < N_QUERIES)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-      val scored = emb.join(broadcast(queriesDf), $"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id",
-          cosineSimilarity($"q_emb", $"embedding").as("cosine"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= K)
-        .select($"q_id", $"rank", $"vec_id", $"cosine")
-        .orderBy($"q_id", $"rank")
+      bruteTopK(s, d).orderBy($"q_id", $"rank")
     }),
 
     // Embedding near-duplicate pairs above a cosine threshold; candidate
@@ -53,122 +172,59 @@ object SimilarityQueries {
         .orderBy($"v1", $"v2")
     }),
 
-    // ANN via multi-table random-hyperplane LSH: L=4 tables × 8 sign
-    // bits; a corpus vector is a candidate if it collides with the query
-    // in ANY table (classic recall amplification). Hyperplane weights
-    // derive deterministically from xxhash64(table, plane, dim) — no
-    // driver-side randomness, reproducible across executors. At 100 TB
-    // the (table, bucket) equi-join replaces the query×corpus product.
-    // No SQL oracle (approximate + hash-derived planes) → rows-only check.
+    // Raw ANN result lists: approximate + hash-derived planes/centroids
+    // → no SQL twin for the lists themselves (rows-only check); the
+    // paired *_check queries gate their recall against the exact top-K.
     "sim_knn_lsh" -> ((s, d) => {
       import s.implicits._
-      val tables = 4
-      val planes = 8
-      // bucket(t) = 8 sign bits of the projections onto table t's planes
-      def bucket(emb: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
-        aggregate(
-          sequence(lit(0), lit(planes - 1)),
-          lit(0L),
-          (acc, b) => acc.bitwiseOR(
-            when(
-              aggregate(
-                zip_with(
-                  emb,
-                  transform(sequence(lit(0), lit(63)),
-                    i => (pmod(xxhash64(t, b, i), lit(1000L)).cast("double") / 1000.0 - 0.5)),
-                  (x, w) => x.cast("double") * w),
-                lit(0.0), (a2, v) => a2 + v) > 0.0,
-              call_function("shiftleft", lit(1L), b)).otherwise(0L)))
-      def withBuckets(df: DataFrame) = df
-        .select(col("*"), posexplode(transform(sequence(lit(0), lit(tables - 1)),
-          t => bucket(col("embedding"), t))).as(Seq("tbl", "bucket")))
-      val emb = withBuckets(embeddings(s, d).select($"vec_id", $"embedding"))
-      val queriesDf = withBuckets(
-        embeddings(s, d).filter($"vec_id" < N_QUERIES)
-          .select($"vec_id".as("q_id"), $"embedding"))
-        .select($"q_id", $"embedding".as("q_emb"), $"tbl", $"bucket")
-      val cand = emb.join(broadcast(queriesDf), Seq("tbl", "bucket"))
-        .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id", $"q_emb", $"embedding")
-        .dropDuplicates("q_id", "vec_id")
-      val scored = cand.select($"q_id", $"vec_id",
-        cosineSimilarity($"q_emb", $"embedding").as("cosine"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= K)
-        .select($"q_id", $"rank", $"vec_id", $"cosine")
-        .orderBy($"q_id", $"rank")
-    })
-  )
+      lshTopK(s, d).orderBy($"q_id", $"rank")
+    }),
 
-  private val queriesMore: Map[String, Q] = Map(
-    // IVF-style ANN: spherical k-means centroids form the inverted-file
-    // cells; every vector is assigned to its nearest centroid, and a
-    // query probes only its 2 nearest cells. At 100 TB the corpus is
-    // partitioned by cell id, so a probe touches 2/16 of the data
-    // instead of all of it. The quantizer is trained here with
-    // DataFrame-native Lloyd iterations — assignment is a Catalyst
-    // expression over the corpus, the centroid update is one
-    // groupBy(cell, dim) mean, and the model (16×64 floats) rides the
-    // driver→literal path exactly as it would ride a broadcast on a
-    // cluster. (Spark ML's KMeans fits too, but its RDD conversion and
-    // per-iteration job fan-out cost ~5 s of fixed overhead on a model
-    // this small.) Approximate → rows-only driver check.
     "sim_knn_ivf" -> ((s, d) => {
       import s.implicits._
-      val kCells = 16
-      val emb = embeddings(s, d).select($"vec_id", $"embedding").cache()
-      // deterministic seeds: the kCells vectors with smallest hashed id
-      var model: Seq[(Int, Seq[Float])] = emb
-        .orderBy(xxhash64($"vec_id"), $"vec_id").limit(kCells)
-        .select($"embedding").as[Seq[Float]].collect().toSeq.zipWithIndex
-        .map { case (c, i) => (i, c) }
-      // nearest-centroid id for a vector, against the current model —
-      // an explicit 16-wide array of codegen'd cosine calls (a HOF
-      // lambda would evaluate interpreted, and a custom expression
-      // under a lambda trips attribute resolution)
-      def cellOf(v: org.apache.spark.sql.Column, m: Seq[(Int, Seq[Float])]) = {
-        val sims = array(m.map { case (_, c) => cosineSimilarity(v, typedlit(c)) }: _*)
-        (array_position(sims, array_max(sims)) - 1).cast("int")
-      }
-      for (_ <- 1 to 2) { // Lloyd: assign (distributed) → mean (grouped)
-        val means = emb
-          .select(cellOf($"embedding", model).as("cell"),
-            posexplode($"embedding").as(Seq("dim", "x")))
-          .groupBy($"cell", $"dim").agg(avg($"x").as("m"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (cell, rows) =>
-            (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq)
-          }
-        model = model.map { case (i, old) => (i, means.getOrElse(i, old)) }
-      }
-      val assigned = emb.withColumn("cell", cellOf($"embedding", model))
-      // query → its 2 nearest cells, via cosine against centroid vectors
-      val centroids = model.toDF("cell", "centroid")
-      val queriesDf = assigned.filter($"vec_id" < N_QUERIES)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-      val probes = queriesDf.crossJoin(broadcast(centroids))
-        .select($"q_id", $"q_emb", $"cell",
-          cosineSimilarity($"q_emb", $"centroid").as("csim"))
-      val w0 = org.apache.spark.sql.expressions.Window
-        .partitionBy($"q_id").orderBy($"csim".desc, $"cell".asc)
-      val probeCells = probes.withColumn("pr", row_number().over(w0))
-        .filter($"pr" <= 2).select($"q_id", $"q_emb", $"cell")
-      val scored = assigned.join(broadcast(probeCells), Seq("cell"))
-        .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id", cosineSimilarity($"q_emb", $"embedding").as("cosine"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= K)
-        .select($"q_id", $"rank", $"vec_id", $"cosine")
-        .orderBy($"q_id", $"rank")
+      ivfTopK(s, d).orderBy($"q_id", $"rank")
     })
+  ) ++ Map[String, Q](
+    // ANN quality gates, two invariants per index:
+    //  (1) self-retrieval@1 — run the index WITHOUT excluding the query
+    //      vector itself: rank 1 must be the query (cosine 1). This is
+    //      deterministic (an LSH vector always collides with itself in
+    //      every table; an IVF query always probes its own assignment
+    //      cell) and exercises the full index→probe→score→rank path —
+    //      the bug class where query-side and corpus-side bucketing
+    //      drift apart fails it instantly.
+    //  (2) aggregate recall@K vs the exact top-K, floored WELL above the
+    //      random-candidate baseline (~candidate_fraction ≈ 25%) but
+    //      below the measured recall at every SF (LSH 0.44–0.64, IVF
+    //      0.40–0.52 on this corpus — the synthetic embeddings carry
+    //      little neighborhood structure, so per-query floors would
+    //      overfit noise; the aggregate floor still catches any broken
+    //      bucketing, which drops recall to ≈0).
+    "sim_knn_lsh_check" -> ((s, d) =>
+      annCheck(s, d, lshTopK(_, _, 4, 4, _), minRecallBp = 3000)),
+    "sim_knn_ivf_check" -> ((s, d) =>
+      annCheck(s, d, ivfTopK(_, _, 16, 4, _), minRecallBp = 3000))
   )
 
-  val queries: Map[String, Q] = queriesBase ++ queriesMore
+  /** Shared ANN gate: one row of invariant booleans + oracle-computable
+    * exact columns (see the check scaladoc in `queries`). */
+  private def annCheck(s: SparkSession, d: String,
+      variant: (SparkSession, String, Boolean) => DataFrame,
+      minRecallBp: Int): DataFrame = {
+    import s.implicits._
+    val totalHits = variant(s, d, true).select($"q_id", $"vec_id")
+      .join(bruteTopK(s, d).select($"q_id", $"vec_id"), Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val selfTop1 = variant(s, d, false).filter($"rank" === 1)
+      .agg(count(lit(1)).as("n_top1"),
+        sum(when($"vec_id" === $"q_id", 1).otherwise(0)).as("n_self"))
+    val nq = embeddings(s, d).filter($"vec_id" < N_QUERIES)
+      .agg(count(lit(1)).as("n_queries"))
+    nq.crossJoin(totalHits).crossJoin(selfTop1) // all single-row sides
+      .select($"n_queries",
+        ($"n_top1" === $"n_queries" && $"n_self" === $"n_queries").as("self_top1_ok"),
+        ($"n_hits" * 10000L / ($"n_queries" * K) >= minRecallBp).as("recall_ok"))
+  }
 
   // Exact-arithmetic DuckDB twins: double-cast per element, sequential
   // list_sum fold — same bits as the Spark HOF fold.
@@ -193,6 +249,19 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} > 0.35
-         |ORDER BY v1, v2""".stripMargin
+         |ORDER BY v1, v2""".stripMargin,
+
+    // ANN quality gates: the oracle recomputes the query universe and
+    // pins both invariants as literal TRUE — a broken index (or a
+    // bucketing drift between query and corpus sides) fails the hash.
+    "sim_knn_lsh_check" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         | TRUE AS self_top1_ok, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $N_QUERIES""".stripMargin,
+
+    "sim_knn_ivf_check" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         | TRUE AS self_top1_ok, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $N_QUERIES""".stripMargin
   )
 }
