@@ -30,7 +30,8 @@ object SparkEntry {
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
       AsOfJoin.queries ++
-      RelationalQueries3.queries
+      RelationalQueries3.queries ++
+      RelationalQueries4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++
       AsOfJoin.oracles ++
-      RelationalQueries3.oracles
+      RelationalQueries3.oracles ++
+      RelationalQueries4.oracles
 }

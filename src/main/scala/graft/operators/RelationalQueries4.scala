@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-7 additions: recursive CTE (iterative plans inside one SQL
+  * statement), linear-regression aggregates pinned against exact
+  * arithmetic, and URL parsing/encoding — three operator families a
+  * warehouse user expects that the suite didn't yet exercise.
+  */
+object RelationalQueries4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Recursive CTE: generate the full month calendar between the first
+    // and last order date (gap-free even if a month has no orders),
+    // then left-join per-month order counts and exact decimal revenue.
+    // The recursion is driver-free — Spark 4's WITH RECURSIVE plans the
+    // UnionLoop itself; the grid is O(months), never O(rows), so the
+    // iterative part stays trivially small while the joined aggregate
+    // side is a normal partial+final shuffle at any scale.
+    "q75_recursive_cte" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT date_trunc('month', MIN(o_orderdate)) FROM v_orders
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM v_orders)
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(o.rev, 0) AS DOUBLE) AS revenue
+        FROM months LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS om,
+                 COUNT(*) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM v_orders GROUP BY date_trunc('month', o_orderdate)) o
+          ON months.m = o.om
+        ORDER BY month""")
+    }),
+
+    // Linear-regression aggregates. Hash-matched columns derive slope/
+    // intercept/r² from exact DECIMAL sums (the q43 pattern: the only
+    // order-independent formulation, rendered at %.9f below the
+    // DECIMAL→DOUBLE ulp noise floor). Spark's native streaming
+    // regr_slope/regr_intercept/regr_r2 aggregates are exercised too
+    // and pinned to the exact values within 1e-6 relative tolerance —
+    // their co-moment merge order varies with partitioning, so the
+    // oracle checks the invariant (literal TRUE), not the bits.
+    "q76_regr_stats" -> ((s, d) => {
+      import s.implicits._
+      val sums = lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec($"l_quantity")).cast("double").as("sx"),
+          sum(dec($"l_quantity") * dec($"l_quantity")).cast("double").as("sxx"),
+          sum(dec($"l_extendedprice")).cast("double").as("sy"),
+          sum(dec($"l_extendedprice") * dec($"l_extendedprice")).cast("double").as("syy"),
+          sum(dec($"l_quantity") * dec($"l_extendedprice")).cast("double").as("sxy"),
+          expr("regr_slope(l_extendedprice, l_quantity)").as("nslope"),
+          expr("regr_intercept(l_extendedprice, l_quantity)").as("nicept"),
+          expr("regr_r2(l_extendedprice, l_quantity)").as("nr2"))
+      val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+      val icept = ($"sy" - slope * $"sx") / $"n"
+      val r2 = pow($"n" * $"sxy" - $"sx" * $"sy", 2) /
+        (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy"))
+      def close(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        abs(a - b) <= lit(1e-6) * (lit(1.0) + abs(b))
+      sums.select($"l_returnflag", $"n",
+        format_string("%.9f", slope).as("slope"),
+        format_string("%.9f", icept).as("intercept"),
+        format_string("%.9f", r2).as("r2"),
+        (close($"nslope", slope) && close($"nicept", icept) && close($"nr2", r2))
+          .as("native_ok"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // URL functions over a deterministically constructed URL column:
+    // parse_url host/path/query + single-param extraction, plus a
+    // form-encoding check. The oracle recomputes every parsed field
+    // directly from the source columns — ground truth, not a parser
+    // twin — so a parse_url regression fails the hash. Pure narrow
+    // projection: codegen'd, zero shuffle at any scale.
+    "q77_url_funcs" -> ((s, d) => {
+      import s.implicits._
+      val url = concat(lit("https://ex.com/"), $"event_type", lit("/"), $"user_id",
+        lit("?uid="), $"user_id", lit("&t="), $"event_type")
+      events(s, d).select(
+        $"event_id",
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("uid")).as("uid"),
+        url_encode(concat(lit("t v="), $"event_type")).as("enc"))
+        .orderBy($"event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q75_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+        |)
+        |SELECT strftime(m, '%Y-%m') AS month,
+        |       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+        |       CAST(COALESCE(o.rev, 0) AS DOUBLE) AS revenue
+        |FROM months LEFT JOIN (
+        |  SELECT date_trunc('month', o_orderdate) AS om,
+        |         COUNT(*) AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY date_trunc('month', o_orderdate)) o
+        |  ON months.m = o.om
+        |ORDER BY month""".stripMargin,
+
+    // Exact-sum regression stats; native-aggregate agreement pinned TRUE.
+    "q76_regr_stats" ->
+      """SELECT l_returnflag, n,
+        | printf('%.9f', (n*sxy - sx*sy) / (n*sxx - sx*sx)) AS slope,
+        | printf('%.9f', (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n) AS intercept,
+        | printf('%.9f', ((n*sxy - sx*sy)*(n*sxy - sx*sy)) /
+        |   ((n*sxx - sx*sx) * (n*syy - sy*sy))) AS r2,
+        | TRUE AS native_ok
+        |FROM (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Ground truth reconstructed from the source columns (DuckDB has no
+    // parse_url): host is the constant authority, path/query/uid/enc
+    // are string algebra over event_type and user_id ('t v=' form-
+    // encodes to 't+v%3D'; event_type is [a-z]+, identity under
+    // x-www-form-urlencoded).
+    "q77_url_funcs" ->
+      """SELECT event_id,
+        | 'ex.com' AS host,
+        | '/' || event_type || '/' || CAST(user_id AS VARCHAR) AS path,
+        | 'uid=' || CAST(user_id AS VARCHAR) || '&t=' || event_type AS query,
+        | CAST(user_id AS VARCHAR) AS uid,
+        | 't+v%3D' || event_type AS enc
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

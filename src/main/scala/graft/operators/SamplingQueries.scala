@@ -200,6 +200,29 @@ object SamplingQueries {
           row_number().over(w).cast("long") - 1 + element_at(typedlit(offsets), $"pid"))
         .select($"doc_id", $"pos")
         .orderBy($"doc_id")
+    }),
+
+    // Weighted Bernoulli sampling, inclusion probability ∝ n_chars
+    // (expected-size 50): include doc iff u·W < k·w·2⁶⁰, where u is a
+    // 60-bit uniform from md5(doc_id). ENTIRELY integer/decimal
+    // arithmetic — no ln/pow whose libm rounding could diverge across
+    // engines — so the selection is bit-reproducible and exactly
+    // oracle-expressible. One narrow scan plus a broadcast single-row
+    // total; like every sampler here it is retry/rescale-stable at
+    // 100 TB (u and w are per-row constants; only W shifts as the
+    // corpus grows, as any ∝-weight scheme requires).
+    "samp_weighted" -> ((s, d) => {
+      import s.implicits._
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val docs = documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      val total = docs.agg(sum($"n_chars").cast(D38).as("w_total"))
+      val u60 = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 15),
+        16, 10).cast(D38)
+      docs.crossJoin(broadcast(total)) // single-row side
+        .filter(u60 * $"w_total" <
+          lit(50) * $"n_chars".cast(D38) * lit(BigDecimal("1152921504606846976")))
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
     })
   )
 
@@ -282,6 +305,15 @@ object SamplingQueries {
     "samp_shuffle" ->
       """SELECT doc_id,
         | ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // HUGEINT (int128) keeps u·W and k·w·2⁶⁰ exact, mirroring Spark's
+    // DECIMAL(38,0) arithmetic bit-for-bit.
+    "samp_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::HUGEINT
+        |      * (SELECT SUM(n_chars) FROM documents)::HUGEINT
+        |    < 50::HUGEINT * n_chars::HUGEINT * 1152921504606846976::HUGEINT
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -152,6 +152,98 @@ object SimilarityQueries {
       .select($"q_id", $"rank", $"vec_id", $"cosine")
   }
 
+  /** Product-quantization ANN (spherical PQ + ADC): the 64-dim vector
+    * splits into M=8 subspaces of 8 dims; each subspace gets its own
+    * 16-centroid codebook (2 DataFrame-native Lloyd rounds, all 8
+    * subspaces trained in ONE job per round — the model is 8×16×8
+    * floats on the driver, exactly the broadcast-sized path IVF uses).
+    * A corpus vector is encoded as 8 small codes — at 100 TB that is an
+    * 8-byte index row per vector instead of 256 bytes of floats, the
+    * whole point of PQ: the candidate scan touches codes only, never
+    * raw embeddings. Queries score via asymmetric distance computation:
+    * a per-query 8×16 lookup table of subspace cosines (640 rows for 5
+    * queries, broadcast), summed per vector in one keyed aggregation;
+    * the top-256 ADC candidates are re-ranked with exact cosine.
+    *
+    * Self-retrieval invariant (the `_check` gate): the query's own ADC
+    * score Σₘ cos(qₘ, centroid(code(qₘ))) is per-subspace maximal, so
+    * no vector can out-score it and self always reaches the exact
+    * re-rank, which puts it at rank 1 with cosine 1. */
+  private def pqTopK(s: SparkSession, d: String,
+      excludeSelf: Boolean = true): DataFrame = {
+    import s.implicits._
+    val M = 8; val SUB = 8; val KC = 16; val CAND = 256
+    val emb = embeddings(s, d).select($"vec_id", $"embedding")
+    // corpus exploded once into (vec_id, m, sub): 8-dim subvector rows.
+    // Keeping the codebook probe at 16 cosine calls per ROW (the cell
+    // index rides element_at over the flat model literal) instead of
+    // 8×16=128 per vector keeps the generated code well under janino's
+    // 64 KB method limit — the 128-wide formulation trips the limit and
+    // silently falls back to the interpreted path.
+    val sub = emb.select($"vec_id",
+      posexplode(array((0 until M).map(m => slice($"embedding", m * SUB + 1, SUB)): _*))
+        .as(Seq("m", "sub")))
+      .cache()
+    // deterministic seeds, sliced into per-subspace codebooks
+    val seeds: Array[Seq[Float]] = emb
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(KC)
+      .select($"embedding").as[Seq[Float]].collect()
+    var model: IndexedSeq[Seq[Float]] = // flat index m*KC + c
+      for (m <- 0 until M; c <- 0 until KC)
+        yield seeds(c).slice(m * SUB, (m + 1) * SUB).toSeq
+    // nearest codebook entry for a (m, sub) row against the current model
+    def codeOf(mod: IndexedSeq[Seq[Float]]) = {
+      val sims = array((0 until KC).map(c =>
+        cosineSimilarity($"sub",
+          element_at(typedlit(mod), $"m" * KC + c + 1))): _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+    for (_ <- 1 to 2) { // Lloyd: assign (distributed) → mean (grouped)
+      val means = sub
+        .select($"m", codeOf(model).as("cell"), posexplode($"sub").as(Seq("sdim", "x")))
+        .groupBy($"m", $"cell", $"sdim").agg(avg($"x").as("mu"))
+        .collect()
+        .groupBy(r => r.getInt(0) * KC + r.getInt(1))
+        .map { case (k, rows) =>
+          (k, rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq)
+        }
+      model = model.indices.map(i => means.getOrElse(i, model(i)))
+    }
+    // corpus → (vec_id, m, code): the 8-byte-per-vector PQ index
+    val codes = sub.select($"vec_id", $"m", codeOf(model).as("code"))
+    val queriesDf = emb.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    // per-query ADC lookup table: subspace cosine against every codebook entry
+    val centroids = model.zipWithIndex
+      .map { case (v, i) => (i / KC, i % KC, v) }
+      .toDF("m", "cell", "centroid")
+    val lut = queriesDf
+      .select($"q_id",
+        posexplode(array((0 until M).map(m => slice($"q_emb", m * SUB + 1, SUB)): _*))
+        .as(Seq("m", "q_sub")))
+      .join(centroids, "m")
+      .select($"q_id", $"m", $"cell",
+        cosineSimilarity($"q_sub", $"centroid").as("sim"))
+    val adc = codes.join(broadcast(lut), codes("m") === lut("m") && $"code" === $"cell")
+      .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
+      .groupBy($"q_id", $"vec_id").agg(sum($"sim").as("adc"))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"adc".desc, $"vec_id".asc)
+    val cand = adc.withColumn("r", row_number().over(w0)).filter($"r" <= CAND)
+      .select($"q_id", $"vec_id")
+    // exact re-rank of the candidate set
+    val scored = cand
+      .join(emb, "vec_id")
+      .join(broadcast(queriesDf), "q_id")
+      .select($"q_id", $"vec_id",
+        cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"q_id", $"rank", $"vec_id", $"cosine")
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
     "sim_knn_brute" -> ((s, d) => {
       import s.implicits._
@@ -183,6 +275,11 @@ object SimilarityQueries {
     "sim_knn_ivf" -> ((s, d) => {
       import s.implicits._
       ivfTopK(s, d).orderBy($"q_id", $"rank")
+    }),
+
+    "sim_knn_pq" -> ((s, d) => {
+      import s.implicits._
+      pqTopK(s, d).orderBy($"q_id", $"rank")
     })
   ) ++ Map[String, Q](
     // ANN quality gates, two invariants per index:
@@ -203,7 +300,11 @@ object SimilarityQueries {
     "sim_knn_lsh_check" -> ((s, d) =>
       annCheck(s, d, lshTopK(_, _, 4, 4, _), minRecallBp = 3000)),
     "sim_knn_ivf_check" -> ((s, d) =>
-      annCheck(s, d, ivfTopK(_, _, 16, 4, _), minRecallBp = 3000))
+      annCheck(s, d, ivfTopK(_, _, 16, 4, _), minRecallBp = 3000)),
+    // PQ re-ranks its top-256 ADC candidates with exact cosine, so its
+    // recall floor can sit higher than the bucketed indexes'.
+    "sim_knn_pq_check" -> ((s, d) =>
+      annCheck(s, d, pqTopK(_, _, _), minRecallBp = 3000))
   )
 
   /** Shared ANN gate: one row of invariant booleans + oracle-computable
@@ -260,6 +361,11 @@ object SimilarityQueries {
          |FROM embeddings WHERE vec_id < $N_QUERIES""".stripMargin,
 
     "sim_knn_ivf_check" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         | TRUE AS self_top1_ok, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $N_QUERIES""".stripMargin,
+
+    "sim_knn_pq_check" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
          | TRUE AS self_top1_ok, TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < $N_QUERIES""".stripMargin
