@@ -20,15 +20,19 @@ object RelationalQueries4 {
     // The recursion is driver-free — Spark 4's WITH RECURSIVE plans the
     // UnionLoop itself; the grid is O(months), never O(rows), so the
     // iterative part stays trivially small while the joined aggregate
-    // side is a normal partial+final shuffle at any scale.
+    // side is a normal partial+final shuffle at any scale. The upper
+    // bound rides ALONG the recursion as a column (anchor computes it
+    // once): a scalar subquery in the recursive term's WHERE would
+    // re-scan the fact table on every one of the ~80 iterations —
+    // measured 11 s vs 2 s for this query at sf0.1.
     "q75_recursive_cte" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("v_orders")
       s.sql("""
-        WITH RECURSIVE months(m) AS (
-          SELECT date_trunc('month', MIN(o_orderdate)) FROM v_orders
+        WITH RECURSIVE months(m, hi) AS (
+          SELECT date_trunc('month', MIN(o_orderdate)),
+                 date_trunc('month', MAX(o_orderdate)) FROM v_orders
           UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM months
-          WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM v_orders)
+          SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
         )
         SELECT date_format(m, 'yyyy-MM') AS month,
                CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
@@ -101,11 +105,11 @@ object RelationalQueries4 {
 
   val oracles: Map[String, String] = Map(
     "q75_recursive_cte" ->
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT date_trunc('month', MIN(o_orderdate)),
+        |         date_trunc('month', MAX(o_orderdate)) FROM orders
         |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH FROM months
-        |  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
         |)
         |SELECT strftime(m, '%Y-%m') AS month,
         |       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
