@@ -82,6 +82,34 @@ object RelationalQueries4 {
         .orderBy($"l_returnflag")
     }),
 
+    // Time-weighted average — the right mean for irregularly sampled
+    // sensor/metric streams (the reference's IoT domain): each reading
+    // holds until the next one, so it weighs by its holding duration,
+    // not by sample count. Exact across engines by construction:
+    // durations are integer micros from lead(), values 2-decimal
+    // DECIMALs, so both sums are exact and the one double division at
+    // the end sees identical operands. One keyed window shuffle + a
+    // partial+final aggregate — nothing corpus-sized crosses stages.
+    "q78_time_weighted_avg" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"ts", $"event_id")
+      events(s, d)
+        .select($"event_type", $"ts", $"event_id", $"value")
+        .withColumn("dur_us", micros(lead($"ts", 1).over(w)) - micros($"ts"))
+        .filter($"dur_us".isNotNull) // last reading has no holding interval
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"dur_us").as("total_dur_us"),
+          // %.9f: the weighted sum's unscaled value exceeds 2^53, so
+          // the DECIMAL→DOUBLE cast rounds differently at the last ulp
+          // across engines (same noise floor as q43)
+          format_string("%.9f",
+            sum(dec($"value") * $"dur_us").cast("double") /
+              sum($"dur_us").cast("double")).as("twa"))
+        .orderBy($"event_type")
+    }),
+
     // URL functions over a deterministically constructed URL column:
     // parse_url host/path/query + single-param extraction, plus a
     // form-encoding check. The oracle recomputes every parsed field
@@ -139,6 +167,18 @@ object RelationalQueries4 {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         | FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q78_time_weighted_avg" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us, value
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+        |  printf('%.9f', CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_us) AS DOUBLE)
+        |    / CAST(SUM(dur_us) AS DOUBLE)) AS twa
+        |FROM t WHERE dur_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Ground truth reconstructed from the source columns (DuckDB has no
     // parse_url): host is the constant authority, path/query/uid/enc

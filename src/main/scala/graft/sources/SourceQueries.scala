@@ -154,6 +154,40 @@ object SourceQueries {
         .orderBy($"o_orderpriority")
     }),
 
+    // Z-order clustering rewrite — the multi-dimensional cousin of the
+    // compaction job above: lineitem is rewritten sorted by the
+    // interleaved-bit z-value of (l_partkey, l_suppkey), so a box
+    // predicate on BOTH keys prunes files (each file's min/max footer
+    // stats cover a small z-curve tile, not the whole key plane —
+    // ZOrderSpec measures the bounding-box collapse). Bucketing and
+    // interleaving are pure integer arithmetic (DIV + shift/mask), so
+    // the oracle recomputes the exact z-cell aggregate from the
+    // original table: a hash match proves the rewrite both preserved
+    // every row and computed the same curve. One range shuffle on z —
+    // identical cost shape to any clustered rewrite at 100 TB.
+    "src_zorder_cluster" -> ((s, d) => {
+      import s.implicits._
+      val path = tmp("lineitem_zorder")
+      val bounds = lineitem(s, d)
+        .agg((max($"l_partkey") + 1).as("pmax"), (max($"l_suppkey") + 1).as("smax"))
+      val withZ = lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"l_quantity")
+        .crossJoin(broadcast(bounds)) // single-row side
+        .withColumn("px", expr("l_partkey * 256 DIV pmax")) // 8 bucket bits
+        .withColumn("py", expr("l_suppkey * 256 DIV smax"))
+        .withColumn("z", (0 until 8).map(b =>
+            shiftleft(shiftright($"px", b).bitwiseAND(1), 2 * b + 1) +
+              shiftleft(shiftright($"py", b).bitwiseAND(1), 2 * b))
+          .reduce(_ + _))
+        .drop("pmax", "smax")
+      withZ.repartitionByRange(16, $"z").sortWithinPartitions($"z")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy(shiftright($"z", 12).as("zcell")) // 16 coarse curve tiles
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"zcell")
+    }),
+
     // Hive-style partitioned parquet sink, read back through a
     // partition-pruning filter — at 100 TB the filter prunes
     // directories before any file is opened.
@@ -217,6 +251,28 @@ object SourceQueries {
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Same integer bucket + bit-interleave as the Spark side, computed
+    // straight off the original table — proves the clustered rewrite
+    // lost nothing and agrees on the curve.
+    "src_zorder_cluster" ->
+      """WITH b AS (SELECT MAX(l_partkey) + 1 AS pmax, MAX(l_suppkey) + 1 AS smax
+        |           FROM lineitem),
+        |z AS (
+        |  SELECT l_quantity,
+        |    ((((l_partkey * 256 // pmax) >> 0) & 1) << 1)  + ((((l_suppkey * 256 // smax) >> 0) & 1) << 0) +
+        |    ((((l_partkey * 256 // pmax) >> 1) & 1) << 3)  + ((((l_suppkey * 256 // smax) >> 1) & 1) << 2) +
+        |    ((((l_partkey * 256 // pmax) >> 2) & 1) << 5)  + ((((l_suppkey * 256 // smax) >> 2) & 1) << 4) +
+        |    ((((l_partkey * 256 // pmax) >> 3) & 1) << 7)  + ((((l_suppkey * 256 // smax) >> 3) & 1) << 6) +
+        |    ((((l_partkey * 256 // pmax) >> 4) & 1) << 9)  + ((((l_suppkey * 256 // smax) >> 4) & 1) << 8) +
+        |    ((((l_partkey * 256 // pmax) >> 5) & 1) << 11) + ((((l_suppkey * 256 // smax) >> 5) & 1) << 10) +
+        |    ((((l_partkey * 256 // pmax) >> 6) & 1) << 13) + ((((l_suppkey * 256 // smax) >> 6) & 1) << 12) +
+        |    ((((l_partkey * 256 // pmax) >> 7) & 1) << 15) + ((((l_suppkey * 256 // smax) >> 7) & 1) << 14)
+        |    AS z
+        |  FROM lineitem CROSS JOIN b)
+        |SELECT z >> 12 AS zcell, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin
   )
 }
