@@ -110,6 +110,52 @@ object RelationalQueries4 {
         .orderBy($"event_type")
     }),
 
+    // Theta sketches (Spark 4 DataSketches): the mergeable-sketch
+    // family that, unlike HLL, supports SET ALGEBRA — intersection and
+    // difference of audience sets without re-scanning raw data, the
+    // standard 100 TB overlap-analytics shape (each side is a few KB of
+    // sketch, the raw corpus is touched once). Below the sketch's 4096
+    // nominal entries theta is EXACT, and this corpus has ≤1500
+    // distinct users, so the oracle compares the estimates against
+    // DuckDB's exact distinct counts at full hash precision.
+    "q79_theta_sketch_ops" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .agg(
+          expr("theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)")
+            .as("sk_c"),
+          expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)")
+            .as("sk_p"))
+        .select(
+          expr("CAST(theta_sketch_estimate(sk_c) AS BIGINT)").as("n_click_users"),
+          expr("CAST(theta_sketch_estimate(sk_p) AS BIGINT)").as("n_purchase_users"),
+          expr("CAST(theta_sketch_estimate(theta_intersection(sk_c, sk_p)) AS BIGINT)")
+            .as("n_both"),
+          expr("CAST(theta_sketch_estimate(theta_union(sk_c, sk_p)) AS BIGINT)")
+            .as("n_either"),
+          expr("CAST(theta_sketch_estimate(theta_difference(sk_c, sk_p)) AS BIGINT)")
+            .as("n_click_only"))
+    }),
+
+    // Frequent-items sketch with explicit partial states: per-day
+    // approx_top_k_accumulate, combine across days, estimate once —
+    // the accumulate/combine split is the incremental-dashboard shape
+    // (yesterday's states persist; only the new day re-scans). The
+    // tracked-item budget (10) exceeds the column's cardinality (5),
+    // so counts are exact and the explicit re-sort below makes the
+    // output order engine-independent — the oracle recomputes exact
+    // group counts.
+    "q80_approx_top_k" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(expr("approx_top_k_accumulate(event_type, 10)").as("st"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st), 10)").as("top"))
+        .select(explode($"top").as("t"))
+        .select($"t.item".as("item"), $"t.count".as("cnt"))
+        .orderBy($"cnt".desc, $"item")
+    }),
+
     // URL functions over a deterministically constructed URL column:
     // parse_url host/path/query + single-param extraction, plus a
     // form-encoding check. The oracle recomputes every parsed field
@@ -167,6 +213,29 @@ object RelationalQueries4 {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         | FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Exact ground truth: every audience set is far below theta's
+    // exact-mode capacity, so sketch estimates must equal the true
+    // distinct counts bit-for-bit.
+    "q79_theta_sketch_ops" ->
+      """SELECT
+        | (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS n_click_users,
+        | (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS n_purchase_users,
+        | (SELECT COUNT(DISTINCT e1.user_id) FROM events e1
+        |   WHERE e1.event_type = 'click'
+        |     AND EXISTS (SELECT 1 FROM events e2
+        |                 WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase')) AS n_both,
+        | (SELECT COUNT(DISTINCT user_id) FROM events
+        |   WHERE event_type IN ('click', 'purchase')) AS n_either,
+        | (SELECT COUNT(DISTINCT e1.user_id) FROM events e1
+        |   WHERE e1.event_type = 'click'
+        |     AND NOT EXISTS (SELECT 1 FROM events e2
+        |                 WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase')) AS n_click_only""".stripMargin,
+
+    "q80_approx_top_k" ->
+      """SELECT event_type AS item, COUNT(*) AS cnt
+        |FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, item""".stripMargin,
 
     "q78_time_weighted_avg" ->
       """WITH t AS (
