@@ -82,6 +82,22 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"chunking shuffled $exchanges times:\n${p.take(1500)}")
   }
 
+  test("q75: recursion plans as UnionLoop with the monthly agg broadcast to it") {
+    val p = plan("q75_recursive_cte")
+    assert(p.contains("UnionLoop"), "recursive CTE should plan as UnionLoop")
+    assert(p.contains("BroadcastHashJoin"),
+      "the month grid should broadcast-join the aggregate, not shuffle it")
+  }
+
+  test("q78: groupBy reuses the window's hash partitioning (one keyed shuffle)") {
+    val p = plan("q78_time_weighted_avg")
+    // exactly 2 exchanges: the keyed window shuffle + the 5-row final sort
+    val exchanges = p.linesIterator.count(_.trim.stripPrefix(":- ").stripPrefix("+- ")
+      .startsWith("Exchange"))
+    assert(exchanges <= 2,
+      s"time-weighted avg shuffled $exchanges times (window partitioning not reused)")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
