@@ -156,6 +156,30 @@ object RelationalQueries4 {
         .orderBy($"cnt".desc, $"item")
     }),
 
+    // Dynamic-gap session windows: the native session_window operator
+    // with a PER-EVENT gap (purchases hold a session open 45 min,
+    // everything else 15) — the shape real engagement analytics needs,
+    // where activity type determines the timeout. Spark merges
+    // overlapping [ts, ts+gap) intervals per key with one keyed
+    // shuffle; the oracle reproduces the merge exactly as a running
+    // max of interval ends (boundary when ts >= max prior end), all in
+    // integer micros.
+    "q81_session_dynamic_gap" -> ((s, d) => {
+      import s.implicits._
+      // string gaps: session_window's dynamic form needs
+      // CalendarIntervalType, which ANSI INTERVAL literals are not
+      val gap = when($"event_type" === "purchase", lit("45 minutes"))
+        .otherwise(lit("15 minutes"))
+      events(s, d)
+        .groupBy($"user_id", session_window($"ts", gap).as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .select($"user_id",
+          micros($"sw.start").as("session_start_us"),
+          micros($"sw.end").as("session_end_us"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start_us")
+    }),
+
     // URL functions over a deterministically constructed URL column:
     // parse_url host/path/query + single-param extraction, plus a
     // form-encoding check. The oracle recomputes every parsed field
@@ -213,6 +237,34 @@ object RelationalQueries4 {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         | FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Session merge replayed as a running max of interval ends: an
+    // event starts a new session iff its timestamp is at or past every
+    // prior event's (ts + gap) in the key — identical to Spark's
+    // overlapping-interval union. session_end is the max merged end.
+    "q81_session_dynamic_gap" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    CASE WHEN event_type = 'purchase' THEN 2700000000 ELSE 900000000 END AS gap_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM g),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS boundary
+        |  FROM m),
+        |sflag AS (
+        |  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id,
+        |  MIN(us) AS session_start_us,
+        |  MAX(us + gap_us) AS session_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sflag GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     // Exact ground truth: every audience set is far below theta's
     // exact-mode capacity, so sketch estimates must equal the true
