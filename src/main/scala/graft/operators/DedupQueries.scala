@@ -202,6 +202,32 @@ object DedupQueries {
         .orderBy($"degree")
     }),
 
+    // Triangle census of the similarity graph — the standard graph-
+    // analytics primitive behind clustering coefficients and community
+    // tightness. Edges are oriented by doc_id (d1 < d2 from the pair
+    // stage), so each triangle is counted exactly once by the
+    // wedge-close join: e1(a,b) ⋈ e2(b,c) semi-joined against e3(a,c).
+    // All joins are keyed; at 100 TB the orientation key switches from
+    // id to degree (degree-ordering bounds the wedge fan-out of hub
+    // nodes — same plan, different orientation column). Wedge counts
+    // come from the degree table, never by materializing wedges.
+    "dedup_graph_triangles" -> ((s, d) => {
+      import s.implicits._
+      val e = jaccardPairs(s, d).select($"d1", $"d2").localCheckpoint()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.d2") === col("e2.d1"))
+        .join(e.as("e3"),
+          col("e1.d1") === col("e3.d1") && col("e2.d2") === col("e3.d2"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = e.select(explode(array($"d1", $"d2")).as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("dg"))
+        .agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      edges.crossJoin(wedges).crossJoin(tri) // all single-row sides
+        .select($"n_edges", $"n_wedges", $"n_triangles")
+    }),
+
     // Corpus duplication dashboard: one row summarizing how much an
     // exact and a normalized-exact dedup pass would each remove —
     // the number every curation run reports first. Distinct counts are
@@ -434,6 +460,21 @@ object DedupQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_checked,
         | TRUE AS pigeonhole_exact_ok
         |FROM documents WHERE doc_id < 500""".stripMargin,
+
+    "dedup_graph_triangles" ->
+      s"""WITH $pairsCte,
+        |e AS (SELECT d1, d2 FROM pairs),
+        |deg AS (
+        |  SELECT doc_id, COUNT(*) AS dg
+        |  FROM (SELECT d1 AS doc_id FROM e UNION ALL SELECT d2 FROM e)
+        |  GROUP BY doc_id),
+        |tri AS (
+        |  SELECT COUNT(*) AS t FROM e e1
+        |  JOIN e e2 ON e1.d2 = e2.d1
+        |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.d1 = e1.d1 AND e3.d2 = e2.d2))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
 
     "dedup_graph_degrees" ->
       s"""WITH $pairsCte,
