@@ -180,6 +180,28 @@ object RelationalQueries4 {
         .orderBy($"user_id", $"session_start_us")
     }),
 
+    // Retention cohort matrix — the product-analytics staple: each
+    // user anchors at their first-activity week, then every (segment,
+    // week-offset) cell counts users still active that many weeks
+    // later. All integer arithmetic (week-truncated timestamps, day
+    // diffs DIV 7, counts). Three keyed shuffles — the per-user anchor
+    // agg, the distinct activity weeks, and the final cell agg; the
+    // customer dim broadcasts.
+    "q82_retention_cohorts" -> ((s, d) => {
+      import s.implicits._
+      val anchor = events(s, d).groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("c_week"))
+      val activity = events(s, d)
+        .select($"user_id", date_trunc("week", $"ts").as("a_week")).distinct()
+      anchor.join(activity, "user_id")
+        .join(broadcast(customer(s, d).select($"c_custkey", $"c_mktsegment")),
+          $"user_id" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("segment"),
+          expr("datediff(a_week, c_week) DIV 7").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"segment", $"week_offset")
+    }),
+
     // URL functions over a deterministically constructed URL column:
     // parse_url host/path/query + single-param extraction, plus a
     // form-encoding check. The oracle recomputes every parsed field
@@ -237,6 +259,20 @@ object RelationalQueries4 {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         | FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q82_retention_cohorts" ->
+      """WITH anchor AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS c_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS a_week FROM events)
+        |SELECT c.c_mktsegment AS segment,
+        |  date_diff('day', an.c_week, a.a_week) // 7 AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM anchor an
+        |JOIN activity a ON an.user_id = a.user_id
+        |JOIN customer c ON an.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY segment, week_offset""".stripMargin,
 
     // Session merge replayed as a running max of interval ends: an
     // event starts a new session iff its timestamp is at or past every
