@@ -31,7 +31,8 @@ object SparkEntry {
       MultimodalQueries.queries ++
       AsOfJoin.queries ++
       RelationalQueries3.queries ++
-      RelationalQueries4.queries
+      RelationalQueries4.queries ++
+      RelationalQueries5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++
       AsOfJoin.oracles ++
       RelationalQueries3.oracles ++
-      RelationalQueries4.oracles
+      RelationalQueries4.oracles ++
+      RelationalQueries5.oracles
 }

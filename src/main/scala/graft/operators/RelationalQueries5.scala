@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-7 batch 2: time-series anomaly detection, a Deequ-style data
+  * quality constraint suite, equi-depth histograms, and the classic
+  * skyline (Pareto frontier) operator — four operator families a
+  * warehouse/curation user reaches for that the suite didn't yet cover.
+  */
+object RelationalQueries5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Rolling z-score anomaly detection over the event stream: each
+    // reading is scored against the mean/stddev of the PRECEDING 20
+    // same-type readings (never its own value — that would dilute the
+    // very spike being tested). One keyed window shuffle; state per row
+    // is two exact decimal sums, so the frame never materializes.
+    // Exactness: sums ride DECIMAL (order-independent), the double
+    // math after the cast sees identical operands on both engines, and
+    // the z-score prints at %.9f below the ulp noise floor.
+    "q83_rolling_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        .rowsBetween(-20, -1)
+      events(s, d)
+        .select($"event_type", $"event_id", $"ts", $"value")
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(dec($"value")).over(w).cast("double"))
+        .withColumn("sxx", sum(dec($"value") * dec($"value")).over(w).cast("double"))
+        .filter($"n" >= 10)
+        .withColumn("mean", $"sx" / $"n")
+        .withColumn("variance", ($"sxx" - $"sx" * $"sx" / $"n") / $"n")
+        .withColumn("z", ($"value" - $"mean") / sqrt($"variance"))
+        .filter(abs($"z") > 3.0)
+        .select($"event_type", $"event_id", micros($"ts").as("ts_us"), $"value",
+          format_string("%.9f", $"z").as("zscore"))
+        .orderBy($"event_type", $"event_id")
+    }),
+
+    // Data-quality constraint suite (the Deequ/dbt-test shape): each
+    // constraint is one row — name, metric in floored basis points,
+    // pass flag. Completeness/range/accepted-values fold into ONE
+    // conditional aggregate per table (one scan each no matter how many
+    // constraints ride it); uniqueness is a two-level distinct count;
+    // referential integrity is a broadcast-able anti-join count. At
+    // 100 TB this is the audit pass you run before publishing a
+    // snapshot — every metric is a partial+final agg, nothing wide.
+    "q84_quality_constraints" -> ((s, d) => {
+      import s.implicits._
+      // integer basis points: Spark's `/` on integers returns DOUBLE, so
+      // every metric uses DIV to mirror DuckDB's `//` floor semantics
+      def bp(good: String): Column = expr(s"$good * 10000 DIV total")
+      val li = lineitem(s, d).agg(
+        count(lit(1)).as("total"),
+        count($"l_returnflag").as("c_complete"),
+        count(when($"l_discount" >= 0.0 && $"l_discount" <= 0.1, 1)).as("c_range"),
+        count(when($"l_returnflag".isin("A", "N", "R"), 1)).as("c_accepted"),
+        count(when($"l_quantity" > 0.0, 1)).as("c_positive"))
+      val liRows = li.select(explode(array(
+        struct(lit("completeness_l_returnflag").as("constraint"),
+          bp("c_complete").as("metric_bp"),
+          ($"c_complete" === $"total").as("passed")),
+        struct(lit("range_l_discount_0_0.1").as("constraint"),
+          bp("c_range").as("metric_bp"),
+          ($"c_range" === $"total").as("passed")),
+        struct(lit("accepted_values_l_returnflag").as("constraint"),
+          bp("c_accepted").as("metric_bp"),
+          ($"c_accepted" === $"total").as("passed")),
+        struct(lit("positive_l_quantity").as("constraint"),
+          bp("c_positive").as("metric_bp"),
+          ($"c_positive" === $"total").as("passed")))).as("r"))
+        .select($"r.constraint", $"r.metric_bp", $"r.passed")
+      val uniq = orders(s, d)
+        .agg(count(lit(1)).as("total"), countDistinct($"o_orderkey").as("c_uniq"))
+        .select(lit("uniqueness_o_orderkey").as("constraint"),
+          expr("c_uniq * 10000 DIV total").as("metric_bp"),
+          ($"c_uniq" === $"total").as("passed"))
+      val refi = lineitem(s, d).select($"l_orderkey")
+        .join(orders(s, d).select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left")
+        .agg(count(lit(1)).as("total"), count($"o_orderkey").as("c_ref"))
+        .select(lit("ref_integrity_l_orderkey").as("constraint"),
+          expr("c_ref * 10000 DIV total").as("metric_bp"),
+          ($"c_ref" === $"total").as("passed"))
+      liRows.unionByName(uniq).unionByName(refi).orderBy($"constraint")
+    }),
+
+    // Equi-depth histogram: NTILE over a TOTAL order (price, orderkey,
+    // linenumber — ties broken deterministically so both engines cut
+    // identical bins), then per-bin count/min/max/exact-decimal sum.
+    // The global sort is the honest cost of exact equi-depth; the
+    // approximate path at 100 TB is q55's approx_percentile cuts. Bin
+    // count (8) is fixed, so the final aggregate is 8 rows.
+    "q85_equidepth_bins" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      lineitem(s, d)
+        .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        .withColumn("bin", ntile(8).over(w))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"l_extendedprice").as("lo"),
+          max($"l_extendedprice").as("hi"),
+          dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"bin")
+    }),
+
+    // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001): parts
+    // where no other part is both cheaper-or-equal AND bigger-or-equal
+    // (one strict). Not a quadratic dominance join: collapse to one
+    // max-size row per distinct price, running-max over that (tiny)
+    // ordered set, then broadcast the per-price thresholds back. A part
+    // is dominated iff a strictly cheaper price reached its size
+    // (prev_max >= size) or its own price group holds a strictly
+    // bigger part (incl_max > size). The single-partition window runs
+    // over DISTINCT PRICES, not rows — at 100 TB with a dense price
+    // domain this becomes the two-pass prefix-max (per-partition max +
+    // driver-merged boundary offsets) the token packer already uses.
+    "q86_skyline" -> ((s, d) => {
+      import s.implicits._
+      val p = part(s, d).select($"p_partkey", $"p_retailprice", $"p_size")
+      val perPrice = p.groupBy($"p_retailprice").agg(max($"p_size").as("maxsz"))
+      val wIncl = Window.orderBy($"p_retailprice").rowsBetween(Window.unboundedPreceding, 0)
+      val wPrev = Window.orderBy($"p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+      val thresholds = perPrice
+        .withColumn("incl_max", max($"maxsz").over(wIncl))
+        .withColumn("prev_max", max($"maxsz").over(wPrev))
+        .select($"p_retailprice", $"incl_max", $"prev_max")
+      p.join(thresholds, Seq("p_retailprice"))
+        .filter(!(coalesce($"prev_max" >= $"p_size", lit(false)) ||
+          $"incl_max" > $"p_size"))
+        .select($"p_partkey", $"p_retailprice", $"p_size")
+        .orderBy($"p_retailprice", $"p_partkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q83_rolling_anomaly" ->
+      """WITH w AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |    COUNT(*) OVER fr AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS sxx
+        |  FROM events
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, event_id, ts_us, value,
+        |    (value - sx / n) / sqrt((sxx - sx * sx / n) / n) AS z
+        |  FROM w WHERE n >= 10)
+        |SELECT event_type, event_id, ts_us, value, printf('%.9f', z) AS zscore
+        |FROM z WHERE abs(z) > 3.0
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q84_quality_constraints" ->
+      """WITH li AS (
+        |  SELECT COUNT(*) AS total,
+        |    COUNT(l_returnflag) AS c_complete,
+        |    COUNT(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 1 END) AS c_range,
+        |    COUNT(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 END) AS c_accepted,
+        |    COUNT(CASE WHEN l_quantity > 0.0 THEN 1 END) AS c_positive
+        |  FROM lineitem),
+        |ord AS (
+        |  SELECT COUNT(*) AS total, COUNT(DISTINCT o_orderkey) AS c_uniq FROM orders),
+        |refi AS (
+        |  SELECT COUNT(*) AS total, COUNT(o.o_orderkey) AS c_ref
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'completeness_l_returnflag' AS constraint,
+        |    c_complete * 10000 // total AS metric_bp, c_complete = total AS passed FROM li
+        |  UNION ALL
+        |  SELECT 'range_l_discount_0_0.1', c_range * 10000 // total, c_range = total FROM li
+        |  UNION ALL
+        |  SELECT 'accepted_values_l_returnflag', c_accepted * 10000 // total, c_accepted = total FROM li
+        |  UNION ALL
+        |  SELECT 'positive_l_quantity', c_positive * 10000 // total, c_positive = total FROM li
+        |  UNION ALL
+        |  SELECT 'uniqueness_o_orderkey', c_uniq * 10000 // total, c_uniq = total FROM ord
+        |  UNION ALL
+        |  SELECT 'ref_integrity_l_orderkey', c_ref * 10000 // total, c_ref = total FROM refi)
+        |ORDER BY "constraint"""".stripMargin,
+
+    "q85_equidepth_bins" ->
+      """WITH b AS (
+        |  SELECT l_extendedprice,
+        |    NTILE(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+        |  FROM lineitem)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q86_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin
+  )
+}
