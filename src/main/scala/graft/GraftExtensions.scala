@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.{CosineSimilarity, MinHashSignature, NGrams, SimHash64, TokenChunkSlices}
 
 /** SparkSessionExtensions entry point: registers the native kernels as
@@ -55,6 +56,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(n >= 1 && n <= Int.MaxValue,
           s"ngrams: n must be in [1, ${Int.MaxValue}], got $n")
         NGrams(es.head, n.toInt)
+      }))
+    // Catalyst's runtime-filter bloom expressions, exposed as SQL
+    // functions (Spark registers them only for internal use by
+    // InjectRuntimeFilter). bloom_filter_agg(xxhash64(k), items, bits)
+    // builds a binary sketch; bloom_might_contain(bf, xxhash64(k))
+    // probes it — the explicit semi-join-reduction primitive for
+    // shipping a compact filter to a 100 TB probe side.
+    e.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64(col), est_items, num_bits) - binary bloom filter over a LONG column"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3,
+          s"bloom_filter_agg(value, est_items, num_bits) takes exactly 3 arguments, got ${es.length}")
+        new BloomFilterAggregate(es.head, es(1), es(2))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, xxhash64(col)) - probe a bloom_filter_agg sketch"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"bloom_might_contain(bloom, value) takes exactly 2 arguments, got ${es.length}")
+        BloomFilterMightContain(es.head, es(1))
       }))
     e.injectFunction((
       FunctionIdentifier("token_chunk_slices"),

@@ -228,6 +228,52 @@ object DedupQueries {
         .select($"n_edges", $"n_wedges", $"n_triangles")
     }),
 
+    // PageRank over the similarity graph — the centrality diagnostic
+    // that surfaces the "hub" documents whose boilerplate stitches
+    // near-dup families together. All arithmetic is INTEGER: ranks are
+    // scaled to 1e12 units, per-neighbor contributions use DIV (floor),
+    // and the damping step is (85·Σ) DIV 100 — deterministic on any
+    // engine and any aggregation order, unlike double-precision
+    // PageRank whose sums are order-dependent. Five fixed iterations,
+    // each one keyed join + keyed agg over the (sparse) edge list; the
+    // corpus never re-enters after the pair stage. State rides
+    // localCheckpoint like the CC loop so per-round plans stay flat.
+    // Symmetric edges mean no dangling nodes: every active vertex has
+    // out-degree ≥ 1, so no mass-leak correction term is needed.
+    "dedup_graph_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val SCALE = 1000000000000L
+      val edges = jaccardPairs(s, d)
+        .select(explode(array(
+          struct($"d1".as("src"), $"d2".as("dst")),
+          struct($"d2".as("src"), $"d1".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+        .localCheckpoint()
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
+        var rank = deg.select($"src".as("doc_id"), lit(SCALE).as("r")).localCheckpoint()
+        for (_ <- 1 to 5) {
+          val recv = edges
+            .join(rank.select($"doc_id".as("src"), $"r"), Seq("src"))
+            .join(deg, Seq("src"))
+            .select($"dst", expr("r DIV deg").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("csum"))
+          rank = deg.select($"src".as("doc_id"))
+            .join(recv.select($"dst".as("doc_id"), $"csum"), Seq("doc_id"), "left")
+            .select($"doc_id",
+              (lit(15L * (SCALE / 100L)) + expr("85 * coalesce(csum, 0L) DIV 100")).as("r"))
+            .localCheckpoint()
+        }
+        deg.select($"src".as("doc_id"), $"deg")
+          .join(rank, Seq("doc_id"))
+          .select($"doc_id", $"deg", $"r".as("rank_scaled"))
+          .orderBy($"rank_scaled".desc, $"doc_id")
+          .limit(20)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // Corpus duplication dashboard: one row summarizing how much an
     // exact and a normalized-exact dedup pass would each remove —
     // the number every curation run reports first. Distinct counts are
@@ -450,6 +496,33 @@ object DedupQueries {
     // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
     // → rows-only checks on the pair lists; the *_check twins below pin
     // their quality/exactness invariants against SQL-recomputable sides.
+
+    // Integer PageRank unrolled to 5 chained CTEs (standard SQL forbids
+    // aggregation inside a recursive term, so fixed iterations unroll).
+    // Arithmetic mirrors the Spark side operator-for-operator: floor
+    // division for contributions and damping, BIGINT casts after every
+    // DuckDB SUM (HUGEINT otherwise).
+    "dedup_graph_pagerank" -> {
+      def iter(n: Int): String = {
+        val prev = if (n == 1) "r0" else s"r${n - 1}"
+        s"""r$n AS (
+           |  SELECT d.src AS doc_id,
+           |    CAST(150000000000 + 85 * COALESCE(c.csum, 0) // 100 AS BIGINT) AS r
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM(r.r // g.deg) AS BIGINT) AS csum
+           |    FROM edges e JOIN $prev r ON e.src = r.doc_id JOIN deg g ON e.src = g.src
+           |    GROUP BY e.dst) c ON d.src = c.dst)""".stripMargin
+      }
+      s"""WITH $pairsCte,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS doc_id, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT d.src AS doc_id, d.deg, r5.r AS rank_scaled
+         |FROM deg d JOIN r5 ON d.src = r5.doc_id
+         |ORDER BY rank_scaled DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     "dedup_minhash_lsh_check" ->
       s"""WITH $pairsCte

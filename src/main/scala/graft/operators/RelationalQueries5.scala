@@ -120,6 +120,47 @@ object RelationalQueries5 {
     // over DISTINCT PRICES, not rows — at 100 TB with a dense price
     // domain this becomes the two-pass prefix-max (per-partition max +
     // driver-merged boundary offsets) the token packer already uses.
+    // Explicit bloom-filter semi-join reduction, via Catalyst's own
+    // runtime-filter expressions exposed as SQL functions by
+    // GraftExtensions (bloom_filter_agg / bloom_might_contain): build a
+    // compact sketch over the "hot" build-side keys, broadcast it
+    // (1-row cross join), probe the dimension with might_contain. This
+    // is the hand-rolled version of what InjectRuntimeFilter does
+    // automatically — exposed because at 100 TB you sometimes build the
+    // filter ONCE and reuse it across many queries, which the optimizer
+    // path can't express. The gate pins the two invariants that make a
+    // bloom prefilter sound: zero false negatives, and a false-positive
+    // rate under 2% of non-members (800k bits for ≤100k items). Only
+    // n_exact is SQL-recomputable; the flags are engine-side checks.
+    "q87_bloom_prefilter" -> ((s, d) => {
+      // might_contain requires its bloom side to be a constant or a
+      // scalar subquery (never a join column), so this one lives in SQL:
+      // the subquery materializes the sketch once and the probe side
+      // sees it as a literal — exactly how a reusable prebuilt filter
+      // behaves at scale.
+      orders(s, d).createOrReplaceTempView("v_orders_bloom")
+      customer(s, d).createOrReplaceTempView("v_customer_bloom")
+      s.sql("""
+        WITH hot AS (
+          SELECT o_custkey FROM v_orders_bloom WHERE o_totalprice > 490000.0),
+        cand AS (
+          SELECT c_custkey FROM v_customer_bloom
+          WHERE bloom_might_contain(
+            (SELECT bloom_filter_agg(xxhash64(o_custkey), 100000L, 800000L) FROM hot),
+            xxhash64(c_custkey))),
+        exact AS (
+          SELECT c_custkey FROM v_customer_bloom c
+          WHERE EXISTS (SELECT 1 FROM hot h WHERE h.o_custkey = c.c_custkey))
+        SELECT
+          (SELECT COUNT(*) FROM exact) AS n_exact_customers,
+          (SELECT COUNT(*) FROM exact e
+           WHERE NOT EXISTS (SELECT 1 FROM cand cd
+                             WHERE cd.c_custkey = e.c_custkey)) = 0 AS no_false_negatives,
+          ((SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM exact)) * 10000 <=
+            ((SELECT COUNT(*) FROM v_customer_bloom) - (SELECT COUNT(*) FROM exact)) * 200
+            AS fp_rate_ok""")
+    }),
+
     "q86_skyline" -> ((s, d) => {
       import s.implicits._
       val p = part(s, d).select($"p_partkey", $"p_retailprice", $"p_size")
@@ -193,6 +234,13 @@ object RelationalQueries5 {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q87_bloom_prefilter" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_customers,
+        | TRUE AS no_false_negatives, TRUE AS fp_rate_ok
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 490000.0)""".stripMargin,
 
     "q86_skyline" ->
       """SELECT p_partkey, p_retailprice, p_size

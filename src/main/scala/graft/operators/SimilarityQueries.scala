@@ -245,6 +245,23 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map[String, Q](
+    // Feature scaling for the embedding column: per-vector L2 norm and
+    // the first component re-expressed in unit-norm coordinates — the
+    // preprocessing step every cosine-based index assumes. Pure narrow
+    // map (no shuffle at any scale); arithmetic is the same strict
+    // left-to-right double fold as the knn queries, so the DuckDB twin
+    // reproduces the exact bits and both print at %.9f.
+    "feat_l2_normalize" -> ((s, d) => {
+      import s.implicits._
+      val norm = sqrt(normSq($"embedding"))
+      embeddings(s, d)
+        .select($"vec_id", $"label",
+          format_string("%.9f", norm).as("l2_norm"),
+          format_string("%.9f",
+            element_at($"embedding", 1).cast("double") / norm).as("x0_unit"))
+        .orderBy($"vec_id")
+    }),
+
     "sim_knn_brute" -> ((s, d) => {
       import s.implicits._
       bruteTopK(s, d).orderBy($"q_id", $"rank")
@@ -335,6 +352,13 @@ object SimilarityQueries {
     s"(${dot.format(a, a, b)} / (sqrt(${dot.format(a, a, a)}) * sqrt(${dot.format(b, b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    "feat_l2_normalize" ->
+      s"""SELECT vec_id, label,
+         | printf('%.9f', sqrt(${dot.format("embedding", "embedding", "embedding")})) AS l2_norm,
+         | printf('%.9f', CAST(embedding[1] AS DOUBLE)
+         |   / sqrt(${dot.format("embedding", "embedding", "embedding")})) AS x0_unit
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "sim_knn_brute" ->
       s"""SELECT q_id, rank, vec_id, cosine FROM (
          | SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

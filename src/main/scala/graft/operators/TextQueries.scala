@@ -142,6 +142,28 @@ object TextQueries {
     // so its exploded shingle set broadcasts — the corpus is never
     // shuffled, only scanned, which is the only shape that works when
     // the corpus is 100 TB and the benchmark is megabytes.
+    // Inverted index build — the retrieval-side primitive every
+    // search/RAG corpus needs: token → document frequency + a bounded
+    // posting list (first 20 doc ids, ascending). The explode is
+    // per-token distinct WITHIN a doc before the shuffle (array_distinct
+    // on the token array), so shuffle volume is bounded by vocabulary ×
+    // docs, not raw token count; postings are capped so no group ever
+    // materializes an unbounded list — at 100 TB full postings would go
+    // to a bucketed sink instead of a query result. (df DESC, token) is
+    // a total order → deterministic top-30.
+    "text_inverted_index" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", explode(array_distinct(tokens($"text"))).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",",
+            transform(slice(sort_array(collect_set($"doc_id")), 1, 20),
+              _.cast("string"))).as("postings"))
+        .orderBy($"df".desc, $"token")
+        .limit(30)
+    }),
+
     "text_decontaminate" -> ((s, d) => {
       import s.implicits._
       import graft.functions.TextFunctions._
@@ -218,6 +240,15 @@ object TextQueries {
         | SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
         | FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents))
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+        |FROM tok GROUP BY token
+        |ORDER BY df DESC, token LIMIT 30""".stripMargin,
 
     "text_decontaminate" ->
       """WITH sh AS (
