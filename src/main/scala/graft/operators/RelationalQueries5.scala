@@ -7,8 +7,10 @@ import graft.Tables._
 import graft.OracleParity._
 
 /** Round-7 batch 2: time-series anomaly detection, a Deequ-style data
-  * quality constraint suite, equi-depth histograms, and the classic
-  * skyline (Pareto frontier) operator — four operator families a
+  * quality constraint suite, equi-depth histograms, the classic skyline
+  * (Pareto frontier) operator, an explicit bloom-filter semi-join
+  * reduction, record-linkage blocking diagnostics, information-theoretic
+  * segment profiling, and mode/median — operator families a
   * warehouse/curation user reaches for that the suite didn't yet cover.
   */
 object RelationalQueries5 {
@@ -109,17 +111,6 @@ object RelationalQueries5 {
         .orderBy($"bin")
     }),
 
-    // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001): parts
-    // where no other part is both cheaper-or-equal AND bigger-or-equal
-    // (one strict). Not a quadratic dominance join: collapse to one
-    // max-size row per distinct price, running-max over that (tiny)
-    // ordered set, then broadcast the per-price thresholds back. A part
-    // is dominated iff a strictly cheaper price reached its size
-    // (prev_max >= size) or its own price group holds a strictly
-    // bigger part (incl_max > size). The single-partition window runs
-    // over DISTINCT PRICES, not rows — at 100 TB with a dense price
-    // domain this becomes the two-pass prefix-max (per-partition max +
-    // driver-merged boundary offsets) the token packer already uses.
     // Explicit bloom-filter semi-join reduction, via Catalyst's own
     // runtime-filter expressions exposed as SQL functions by
     // GraftExtensions (bloom_filter_agg / bloom_might_contain): build a
@@ -161,6 +152,94 @@ object RelationalQueries5 {
             AS fp_rate_ok""")
     }),
 
+    // Record-linkage blocking diagnostic: fuzzy-match candidate pairs
+    // within first-token blocks, histogrammed by edit distance — the
+    // pass you run to validate a blocking key BEFORE the expensive
+    // linkage join (too many far pairs = block too coarse; near pairs
+    // outside blocks = too fine). Work is bounded two ways: the
+    // quadratic join runs only WITHIN blocks (keyed equi-join, never a
+    // cross join), and the record set is capped at a fixed 4000 ids
+    // (complete at the gate SFs, a deterministic sample beyond — the
+    // same bounded-diagnostic contract as dedup_simhash_check). The
+    // levenshtein kernel is codegen'd on both engines and identical by
+    // definition (classic Wagner–Fischer).
+    "q88_fuzzy_blocking" -> ((s, d) => {
+      import s.implicits._
+      val p = part(s, d).filter($"p_partkey" < 4000)
+        .select($"p_partkey", $"p_name", split($"p_name", " ")(0).as("block_token"))
+      val pairs = p.as("a").join(p.as("b"),
+        $"a.block_token" === $"b.block_token" && $"a.p_partkey" < $"b.p_partkey")
+        .select($"a.block_token".as("block_token"),
+          levenshtein($"a.p_name", $"b.p_name").as("lev"))
+      val nparts = p.groupBy($"block_token").agg(count(lit(1)).as("n_parts"))
+      pairs.groupBy($"block_token")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"lev" === 0, 1L).otherwise(0L)).as("n_exact_pairs"),
+          sum(when($"lev" >= 1 && $"lev" <= 3, 1L).otherwise(0L)).as("n_near_pairs"),
+          max($"lev").as("max_lev"))
+        .join(nparts, Seq("block_token"))
+        .select($"block_token", $"n_parts", $"n_pairs",
+          $"n_exact_pairs", $"n_near_pairs", $"max_lev")
+        .orderBy($"block_token")
+    }),
+
+    // Shannon entropy of the event-type mix per customer segment — the
+    // information-theoretic profiling op (low entropy = one behavior
+    // dominates the segment). Two keyed aggregates + a broadcast dim
+    // join; the per-segment probabilities come from integer counts, so
+    // both engines feed identical doubles into p·ln p and the %.9f
+    // print sits far above the float summation-order noise floor (the
+    // q43 pattern).
+    "q89_entropy_segments" -> ((s, d) => {
+      import s.implicits._
+      val cnt = events(s, d)
+        .join(broadcast(customer(s, d).select($"c_custkey", $"c_mktsegment")),
+          $"user_id" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("segment"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy($"segment")
+      cnt.withColumn("tot", sum($"n").over(wt))
+        .groupBy($"segment")
+        .agg(sum($"n").as("n_events"),
+          count(lit(1)).as("n_types"),
+          format_string("%.9f",
+            -sum(($"n" * lit(1.0) / $"tot") * log($"n" * lit(1.0) / $"tot")))
+            .as("entropy"))
+        .orderBy($"segment")
+    }),
+
+    // Mode (deterministic: smallest modal value wins ties) and exact
+    // interpolated median per group. Mode is rank-over-counts — two
+    // keyed aggregates, no sort of raw data; median is the inverse-
+    // distribution percentile_cont, exact for these integer-valued
+    // quantities (interpolation lands on .0/.5 — bit-identical across
+    // engines).
+    "q90_mode_median" -> ((s, d) => {
+      import s.implicits._
+      val cnt = lineitem(s, d).groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"n".desc, $"l_quantity")
+      val mode = cnt.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"n".as("mode_n"))
+      val med = lineitem(s, d).groupBy($"l_returnflag")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("median_qty"),
+          count(lit(1)).as("n_rows"))
+      mode.join(med, Seq("l_returnflag"))
+        .select($"l_returnflag", $"mode_qty", $"mode_n", $"median_qty", $"n_rows")
+        .orderBy($"l_returnflag")
+    }),
+
+    // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001): parts
+    // where no other part is both cheaper-or-equal AND bigger-or-equal
+    // (one strict). Not a quadratic dominance join: collapse to one
+    // max-size row per distinct price, running-max over that (tiny)
+    // ordered set, then broadcast the per-price thresholds back. A part
+    // is dominated iff a strictly cheaper price reached its size
+    // (prev_max >= size) or its own price group holds a strictly
+    // bigger part (incl_max > size). The single-partition window runs
+    // over DISTINCT PRICES, not rows — at 100 TB with a dense price
+    // domain this becomes the two-pass prefix-max (per-partition max +
+    // driver-merged boundary offsets) the token packer already uses.
     "q86_skyline" -> ((s, d) => {
       import s.implicits._
       val p = part(s, d).select($"p_partkey", $"p_retailprice", $"p_size")
@@ -234,6 +313,57 @@ object RelationalQueries5 {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q88_fuzzy_blocking" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS block_token
+        |  FROM part WHERE p_partkey < 4000),
+        |pairs AS (
+        |  SELECT a.block_token, levenshtein(a.p_name, b.p_name) AS lev
+        |  FROM p a JOIN p b
+        |    ON a.block_token = b.block_token AND a.p_partkey < b.p_partkey),
+        |np AS (SELECT block_token, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |       FROM p GROUP BY block_token)
+        |SELECT pr.block_token, np.n_parts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN lev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_pairs,
+        |  CAST(SUM(CASE WHEN lev BETWEEN 1 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_pairs,
+        |  CAST(MAX(lev) AS BIGINT) AS max_lev
+        |FROM pairs pr JOIN np ON pr.block_token = np.block_token
+        |GROUP BY pr.block_token, np.n_parts
+        |ORDER BY pr.block_token""".stripMargin,
+
+    "q89_entropy_segments" ->
+      """WITH cnt AS (
+        |  SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n
+        |  FROM events JOIN customer ON user_id = c_custkey
+        |  GROUP BY 1, 2),
+        |wt AS (
+        |  SELECT segment, n, SUM(n) OVER (PARTITION BY segment) AS tot FROM cnt)
+        |SELECT segment, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  printf('%.9f', -SUM((n * 1.0 / tot) * ln(n * 1.0 / tot))) AS entropy
+        |FROM wt GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q90_mode_median" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |mode AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY n DESC, l_quantity) AS rn
+        |  FROM cnt),
+        |med AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.5) AS median_qty,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT m.l_returnflag, m.mode_qty, CAST(m.mode_n AS BIGINT) AS mode_n,
+        |  md.median_qty, md.n_rows
+        |FROM mode m JOIN med md ON m.l_returnflag = md.l_returnflag
+        |WHERE m.rn = 1
+        |ORDER BY m.l_returnflag""".stripMargin,
 
     "q87_bloom_prefilter" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_customers,

@@ -142,6 +142,31 @@ object TextQueries {
     // so its exploded shingle set broadcasts — the corpus is never
     // shuffled, only scanned, which is the only shape that works when
     // the corpus is 100 TB and the benchmark is megabytes.
+    // Bigram language-model statistics: P(w2 | w1) as integer basis
+    // points over corpus bigram counts — the n-gram-LM estimation shape
+    // (KenLM-style counting) reduced to two keyed aggregates. The
+    // conditioning denominator is derived FROM the bigram counts
+    // (Σ counts of bigrams starting at w1), so the whole query is
+    // count → re-key → join, all partial-aggregated map-side; raw
+    // token streams never shuffle twice. Integer DIV keeps the
+    // probabilities exact across engines; (n_bigram DESC, bigram) is a
+    // total order for the top-25.
+    "text_bigram_lm" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.GraftExpressions.ngrams
+      val big = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(ngrams(tokens($"text"), 2)).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n_bigram"))
+        .withColumn("w1", split($"bigram", " ")(0))
+      val w1c = big.groupBy($"w1").agg(sum($"n_bigram").as("n_w1"))
+      big.join(w1c, Seq("w1"))
+        .select($"bigram", $"n_bigram", $"n_w1",
+          expr("n_bigram * 10000 DIV n_w1").as("cond_bp"))
+        .orderBy($"n_bigram".desc, $"bigram")
+        .limit(25)
+    }),
+
     // Inverted index build — the retrieval-side primitive every
     // search/RAG corpus needs: token → document frequency + a bounded
     // posting list (first 20 doc ids, ascending). The explode is
@@ -240,6 +265,18 @@ object TextQueries {
         | SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
         | FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents)),
+        |bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_bigram FROM g GROUP BY bigram),
+        |bw AS (SELECT bigram, n_bigram, string_split(bigram, ' ')[1] AS w1 FROM bc),
+        |w1c AS (SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_w1 FROM bw GROUP BY w1)
+        |SELECT bigram, n_bigram, n_w1,
+        |  CAST(n_bigram * 10000 // n_w1 AS BIGINT) AS cond_bp
+        |FROM bw JOIN w1c USING (w1)
+        |ORDER BY n_bigram DESC, bigram LIMIT 25""".stripMargin,
 
     "text_inverted_index" ->
       """WITH tok AS (
