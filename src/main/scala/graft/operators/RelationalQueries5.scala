@@ -229,6 +229,59 @@ object RelationalQueries5 {
         .orderBy($"l_returnflag")
     }),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences — the sequence-analytics primitive behind session-flow
+    // and next-action models. One keyed window (lead) to form
+    // transitions, then two keyed aggregates; probabilities in integer
+    // basis points (DIV) so the matrix is exact across engines. At
+    // 100 TB the window shuffle is keyed by user — no global sort.
+    "q91_markov_transitions" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = events(s, d)
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = tr.groupBy($"from_type").agg(sum($"n_trans").as("n_from"))
+      tr.join(tot, Seq("from_type"))
+        .select($"from_type", $"to_type", $"n_trans", $"n_from",
+          expr("n_trans * 10000 DIV n_from").as("prob_bp"))
+        .orderBy($"from_type", $"to_type")
+    }),
+
+    // Chi-squared test of independence between customer segment and
+    // event type — the categorical-association test a feature-audit
+    // pass runs before trusting a segmentation. Observed counts are one
+    // keyed aggregate; expected counts come from window marginals over
+    // the TINY cell table (segments × types), never the raw events.
+    // All inputs to the double math are integer counts → identical
+    // operands both engines; %.9f masks summation-order ulps.
+    "q92_chi2_independence" -> ((s, d) => {
+      import s.implicits._
+      val cells = events(s, d)
+        .join(broadcast(customer(s, d).select($"c_custkey", $"c_mktsegment")),
+          $"user_id" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("segment"), $"event_type")
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy($"segment")
+      val wc = Window.partitionBy($"event_type")
+      val wg = Window.partitionBy()
+      cells
+        .withColumn("rt", sum($"o").over(wr))
+        .withColumn("ct", sum($"o").over(wc))
+        .withColumn("gt", sum($"o").over(wg))
+        .withColumn("e", $"rt" * $"ct" * lit(1.0) / $"gt")
+        .agg(
+          max($"gt").as("n_events"),
+          countDistinct($"segment").as("n_segments"),
+          countDistinct($"event_type").as("n_types"),
+          format_string("%.9f",
+            sum(($"o" - $"e") * ($"o" - $"e") / $"e")).as("chi2"))
+        .select($"n_events", $"n_segments", $"n_types",
+          (($"n_segments" - 1) * ($"n_types" - 1)).as("dof"), $"chi2")
+    }),
+
     // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001): parts
     // where no other part is both cheaper-or-equal AND bigger-or-equal
     // (one strict). Not a quadratic dominance join: collapse to one
@@ -364,6 +417,42 @@ object RelationalQueries5 {
         |FROM mode m JOIN med md ON m.l_returnflag = md.l_returnflag
         |WHERE m.rn = 1
         |ORDER BY m.l_returnflag""".stripMargin,
+
+    "q91_markov_transitions" ->
+      """WITH tr0 AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        |  FROM tr0 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        |  FROM tr GROUP BY from_type)
+        |SELECT from_type, to_type, n_trans, n_from,
+        |  CAST(n_trans * 10000 // n_from AS BIGINT) AS prob_bp
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q92_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment, event_type, COUNT(*) AS o
+        |  FROM events JOIN customer ON user_id = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o,
+        |    SUM(o) OVER (PARTITION BY segment) AS rt,
+        |    SUM(o) OVER (PARTITION BY event_type) AS ct,
+        |    SUM(o) OVER () AS gt,
+        |    segment, event_type
+        |  FROM cells),
+        |e AS (SELECT *, rt * ct * 1.0 / gt AS exp FROM m)
+        |SELECT CAST(MAX(gt) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT segment) AS BIGINT) AS n_segments,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST((COUNT(DISTINCT segment) - 1) * (COUNT(DISTINCT event_type) - 1) AS BIGINT) AS dof,
+        |  printf('%.9f', SUM((o - exp) * (o - exp) / exp)) AS chi2
+        |FROM e""".stripMargin,
 
     "q87_bloom_prefilter" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_customers,
