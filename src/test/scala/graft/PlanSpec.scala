@@ -98,6 +98,27 @@ class PlanSpec extends SparkSuite {
       s"time-weighted avg shuffled $exchanges times (window partitioning not reused)")
   }
 
+  test("q86: skyline is prefix-max + join-back, never a dominance nested loop") {
+    val p = plan("q86_skyline")
+    assert(p.contains("Window"), "per-price prefix-max window missing")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "skyline fell back to a quadratic dominance join")
+  }
+
+  test("q87: bloom prefilter probes a scalar-subquery sketch in the scan filter") {
+    val p = plan("q87_bloom_prefilter")
+    assert(p.contains("might_contain"), "bloom probe missing from the plan")
+    assert(p.toLowerCase.contains("subquery"),
+      "bloom sketch should be built once as a scalar subquery")
+  }
+
+  test("q91/q83: sequence windows stay keyed (no single-partition window)") {
+    assert(!plan("q91_markov_transitions").contains("SinglePartition"),
+      "markov lead() window collapsed to one task")
+    assert(!plan("q83_rolling_anomaly").contains("SinglePartition"),
+      "rolling anomaly window collapsed to one task")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
