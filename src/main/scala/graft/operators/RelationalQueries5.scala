@@ -229,6 +229,27 @@ object RelationalQueries5 {
         .orderBy($"l_returnflag")
     }),
 
+    // Fuzzy-match pair extraction: the linkage join itself (q88 is the
+    // blocking diagnostic; this emits the matched pairs). The predicate
+    // is written in the natural declarative form `levenshtein(a,b) <= 2`
+    // — the injected LevenshteinBounding rule rewrites it to Spark's
+    // banded `levenshtein(a, b, 2) >= 0` kernel, which walks a 5-wide
+    // DP band and bails on length mismatch instead of filling the full
+    // |a|·|b| matrix per candidate pair (the dominant cost of a fuzzy
+    // verify at 100 TB). Candidates come only from the block equi-join;
+    // ExtensionsSpec pins that the rewrite actually fires.
+    "q93_fuzzy_pairs" -> ((s, d) => {
+      import s.implicits._
+      val p = part(s, d).filter($"p_partkey" < 4000)
+        .select($"p_partkey", $"p_name", split($"p_name", " ")(0).as("blk"))
+      p.as("a").join(p.as("b"),
+        $"a.blk" === $"b.blk" && $"a.p_partkey" < $"b.p_partkey")
+        .filter(levenshtein($"a.p_name", $"b.p_name") <= 2)
+        .select($"a.p_partkey".as("p1"), $"b.p_partkey".as("p2"),
+          levenshtein($"a.p_name", $"b.p_name").as("lev"))
+        .orderBy($"p1", $"p2")
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences — the sequence-analytics primitive behind session-flow
     // and next-action models. One keyed window (lead) to form
@@ -417,6 +438,16 @@ object RelationalQueries5 {
         |FROM mode m JOIN med md ON m.l_returnflag = md.l_returnflag
         |WHERE m.rn = 1
         |ORDER BY m.l_returnflag""".stripMargin,
+
+    "q93_fuzzy_pairs" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_partkey < 4000)
+        |SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY p1, p2""".stripMargin,
 
     "q91_markov_transitions" ->
       """WITH tr0 AS (

@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.ArrayDistinct
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 import graft.functions.{NGrams, Shingles3}
 
 /** Injected optimizer rewrite (the third Catalyst extension tier next
@@ -24,5 +25,39 @@ object ShingleFusion extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case ArrayDistinct(NGrams(t, 3)) => Shingles3(t)
       case ArrayDistinct(s: Shingles3) => s
+    }
+}
+
+/** Rewrites thresholded edit-distance predicates to Spark's BOUNDED
+  * Levenshtein: `levenshtein(a, b) <= k` becomes
+  * `levenshtein(a, b, k) >= 0`. The unbounded form fills the full
+  * O(|a|·|b|) DP matrix before the comparison ever runs; the bounded
+  * form walks only a 2k+1-wide band and bails out immediately when the
+  * length difference alone exceeds k — O(k·min(|a|,|b|)) per pair. On
+  * a 100 TB record-linkage join the predicate is evaluated once per
+  * candidate pair, so this is the difference between the fuzzy verify
+  * step costing |s|² and costing k·|s| per pair. Same trick as
+  * ShingleFusion: the user writes the natural declarative predicate
+  * and the optimizer owns the kernel choice.
+  *
+  * Semantics-preserving: the bounded form returns the exact distance
+  * when it is ≤ k and -1 otherwise, so `bounded >= 0 ⇔ distance <= k`;
+  * null inputs yield null under both forms (filter drops the row
+  * either way). Only non-negative integer literal thresholds rewrite —
+  * a negative k means `bounded` never returns ≥ 0, matching the
+  * always-false original.
+  */
+object LevenshteinBounding extends Rule[LogicalPlan] {
+  private def bounded(a: Expression, b: Expression, k: Int): Expression =
+    GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(k))), Literal(0))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) if k >= 0 =>
+        bounded(a, b, k)
+      case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) if k >= 1 =>
+        bounded(a, b, k - 1)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k >= 0 =>
+        bounded(a, b, k)
     }
 }

@@ -41,6 +41,25 @@ class ExtensionsSpec extends SparkSuite {
     assert(!red.queryExecution.optimizedPlan.toString.contains("array_distinct"))
   }
 
+  test("optimizer bounds thresholded levenshtein predicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parquet-backed, so the filter survives to the optimized plan
+    val df = Tables.part(spark, sf).limit(64)
+      .select($"p_partkey", $"p_name")
+    val j = df.as("a").join(df.as("b"), $"a.p_partkey" < $"b.p_partkey")
+      .filter(levenshtein($"a.p_name", $"b.p_name") <= 2)
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Some(2)) >= 0"),
+      s"LevenshteinBounding did not rewrite the predicate:\n$opt")
+    // rewritten predicate must select exactly the pairs the unbounded
+    // form selects (bounded returns -1 above threshold, never a wrong hit)
+    val n = j.count()
+    val nRef = df.as("a").join(df.as("b"), $"a.p_partkey" < $"b.p_partkey")
+      .filter(expr("levenshtein(a.p_name, b.p_name, 2) >= 0")).count()
+    assert(n === nRef)
+  }
+
   test("codegen'd cosine matches the interpreted eval path") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
