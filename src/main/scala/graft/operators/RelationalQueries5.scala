@@ -303,6 +303,49 @@ object RelationalQueries5 {
           (($"n_segments" - 1) * ($"n_types" - 1)).as("dof"), $"chi2")
     }),
 
+    // Last-touch attribution: every purchase is credited to the most
+    // recent PRIOR non-purchase event of the same user (the standard
+    // marketing-attribution shape). One keyed window with IGNORE NULLS
+    // last_value over the user's timeline — no self-join, no as-of
+    // join; purchases with no prior touch attribute to '(none)'.
+    // Revenue rides exact decimals.
+    "q94_last_touch_attribution" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .withColumn("touch",
+          last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+            .over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy(coalesce($"touch", lit("(none)")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("attributed_value"))
+        .orderBy($"touch_type")
+    }),
+
+    // RFM segmentation — recency / frequency / monetary quintiles per
+    // customer from the orders table, the classic CRM scoring pass.
+    // Each quintile is an NTILE over a TOTAL order (metric + custkey
+    // tiebreak) so both engines cut identical bins; output is the
+    // 125-cell segment matrix, not per-customer rows. The three global
+    // NTILEs share q85's honest caveat: exact global quantiles sort;
+    // the approximate path at scale is approx_percentile cuts.
+    "q95_rfm_segments" -> ((s, d) => {
+      import s.implicits._
+      val per = orders(s, d).groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(dec($"o_totalprice")).as("monetary"))
+      val r = per
+        .withColumn("r_score", ntile(5).over(Window.orderBy($"last_order".desc, $"o_custkey")))
+        .withColumn("f_score", ntile(5).over(Window.orderBy($"freq".desc, $"o_custkey")))
+        .withColumn("m_score", ntile(5).over(Window.orderBy($"monetary".desc, $"o_custkey")))
+      r.groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          dsumExpr($"monetary").as("segment_value"))
+        .orderBy($"r_score", $"f_score", $"m_score")
+    }),
+
     // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001): parts
     // where no other part is both cheaper-or-equal AND bigger-or-equal
     // (one strict). Not a quadratic dominance join: collapse to one
@@ -438,6 +481,36 @@ object RelationalQueries5 {
         |FROM mode m JOIN med md ON m.l_returnflag = md.l_returnflag
         |WHERE m.rn = 1
         |ORDER BY m.l_returnflag""".stripMargin,
+
+    "q94_last_touch_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, '(none)') AS touch_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+
+    "q95_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order, COUNT(*) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |sc AS (
+        |  SELECT NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+        |    NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+        |    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+        |    monetary
+        |  FROM per)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(monetary) AS DOUBLE) AS segment_value
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
 
     "q93_fuzzy_pairs" ->
       """WITH p AS (
