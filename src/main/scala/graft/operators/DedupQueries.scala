@@ -118,6 +118,10 @@ object DedupQueries {
     // footprint as a cache; on executor loss the query fails and
     // retries rather than silently recomputing — correct for derived
     // iterative state. Oracle: DuckDB recursive CTE, same closure.
+    // (A declarative WITH RECURSIVE twin needs UNION-distinct recursion
+    // — the reach closure diverges under UNION ALL on cycles — which
+    // Spark 4.1 rejects (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the
+    // driver-coordinated loop is the only Spark-side shape today.)
     "dedup_cluster_reps" -> ((s, d) => {
       import s.implicits._
       // The CORPUS-SCALE stage — the shingle join inside jaccardPairs —

@@ -35,6 +35,20 @@ class KernelPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("bounded levenshtein agrees with unbounded at every threshold (rule soundness)") {
+    // the LevenshteinBounding rewrite is sound iff
+    // (lev(a,b) <= k) <=> (lev(a,b,k) >= 0) for all a, b, k >= 0
+    val cases = Seq.fill(64)((doc(1 + rnd.nextInt(6)), doc(1 + rnd.nextInt(6))))
+    (0 to 7).foreach { k =>
+      val rows = cases.toDF("a", "b")
+        .select(
+          (levenshtein($"a", $"b") <= k).as("unbounded"),
+          (levenshtein($"a", $"b", k) >= 0).as("bounded"))
+        .collect()
+      rows.foreach { r => assert(r.getBoolean(0) === r.getBoolean(1), s"k=$k") }
+    }
+  }
+
   test("ngrams matches the HOF formulation and counts every occurrence") {
     import graft.functions.GraftExpressions.ngrams
     val cases = Seq.fill(64)(doc(1 + rnd.nextInt(40)))
