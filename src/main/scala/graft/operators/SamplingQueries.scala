@@ -223,6 +223,54 @@ object SamplingQueries {
           lit(50) * $"n_chars".cast(D38) * lit(BigDecimal("1152921504606846976")))
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy($"doc_id")
+    }),
+
+    // Weighted sampling WITHOUT replacement, fixed size k=20 — the
+    // Efraimidis–Spirakis one-pass scheme: each row gets key
+    // ln(u)/w (u hash-uniform, w = n_chars) and the k largest keys win.
+    // Distributed shape: per-partition top-k then a k-row merge (Spark
+    // plans the ORDER+LIMIT as TakeOrderedAndProject), so nothing
+    // corpus-sized sorts. Cross-engine exactness: u is the SAME 60-bit
+    // md5 integer both sides, 2^60 is a power of two (exact double),
+    // and IEEE ln/division on identical operands give identical keys —
+    // so the selected SET is identical; output re-orders by doc_id.
+    "samp_weighted_topk" -> ((s, d) => {
+      import s.implicits._
+      val u60 = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 15),
+        16, 10).cast("double")
+      val key = log(u60 / lit(1.152921504606846976e18)) / $"n_chars"
+      documents(s, d)
+        .select($"doc_id", $"lang", $"n_chars", key.as("k"))
+        .orderBy($"k".desc, $"doc_id")
+        .limit(20)
+        .select($"doc_id", $"lang", $"n_chars",
+          format_string("%.9f", $"k").as("es_key"))
+        .orderBy($"doc_id")
+    }),
+
+    // Population Stability Index — the standard distribution-drift
+    // monitor between a reference slice (orders before 1995) and a
+    // current slice (1995+), over 10 fixed price deciles. Fixed-width
+    // bins keep it one partial+final aggregate (exact equi-depth would
+    // sort; that trade is q85's). Laplace +1 smoothing makes the terms
+    // total and well-defined with empty bins; all probabilities derive
+    // from integer counts so both engines feed ln identical operands.
+    "q96_psi_drift" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy() // 10 bin rows
+      orders(s, d)
+        .select(year($"o_orderdate").as("y"),
+          least(floor($"o_totalprice" / 50000).cast("int"), lit(9)).as("bin"))
+        .groupBy($"bin")
+        .agg(sum(when($"y" < 1995, 1L).otherwise(0L)).as("n_ref"),
+          sum(when($"y" >= 1995, 1L).otherwise(0L)).as("n_cur"))
+        .withColumn("p", ($"n_ref" + 1) * lit(1.0) / (sum($"n_ref").over(w) + 10))
+        .withColumn("q", ($"n_cur" + 1) * lit(1.0) / (sum($"n_cur").over(w) + 10))
+        .withColumn("term", ($"p" - $"q") * log($"p" / $"q"))
+        .select($"bin", $"n_ref", $"n_cur",
+          format_string("%.9f", $"term").as("psi_term"),
+          format_string("%.9f", sum($"term").over(w)).as("psi_total"))
+        .orderBy($"bin")
     })
   )
 
@@ -309,6 +357,37 @@ object SamplingQueries {
 
     // HUGEINT (int128) keeps u·W and k·w·2⁶⁰ exact, mirroring Spark's
     // DECIMAL(38,0) arithmetic bit-for-bit.
+    "samp_weighted_topk" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+        |       / 1152921504606846976.0) / n_chars AS k
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, printf('%.9f', k) AS es_key
+        |FROM (SELECT * FROM k ORDER BY k DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q96_psi_drift" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS bin,
+        |    CASE WHEN year(o_orderdate) < 1995 THEN 1 ELSE 0 END AS is_ref
+        |  FROM orders),
+        |cnt AS (
+        |  SELECT bin,
+        |    CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+        |    CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY bin),
+        |pq AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    (n_ref + 1) * 1.0 / (SUM(n_ref) OVER () + 10) AS p,
+        |    (n_cur + 1) * 1.0 / (SUM(n_cur) OVER () + 10) AS q
+        |  FROM cnt),
+        |t AS (SELECT *, (p - q) * ln(p / q) AS term FROM pq)
+        |SELECT bin, n_ref, n_cur,
+        |  printf('%.9f', term) AS psi_term,
+        |  printf('%.9f', SUM(term) OVER ()) AS psi_total
+        |FROM t ORDER BY bin""".stripMargin,
+
     "samp_weighted" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::HUGEINT
