@@ -250,6 +250,36 @@ object RelationalQueries5 {
         .orderBy($"p1", $"p2")
     }),
 
+    // Spark 4 SQL UDFs — the macro layer users extend the engine with
+    // WITHOUT touching Scala: a scalar function (CREATE FUNCTION ...
+    // RETURN expr) and a table-valued function (RETURNS TABLE) joined
+    // as a relation. Both inline into the plan at analysis time (no
+    // black-box eval boundary — predicates still push through them),
+    // which is what keeps SQL-level extensibility codegen-friendly at
+    // scale. The oracle recomputes both inline.
+    "q97_sql_udf" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("v_li_udf")
+      // decimal-per-factor arithmetic INSIDE the macro (the q01 parity
+      // pattern) — a double product would round differently per engine
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc(p DOUBLE, disc DOUBLE)
+               RETURNS DECIMAL(38,4)
+               RETURN CAST(p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(disc AS DECIMAL(18,2)))""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tiers()
+               RETURNS TABLE(lo DOUBLE, hi DOUBLE, tier STRING)
+               RETURN SELECT * FROM VALUES
+                 (0.0, 20000.0, 'low'), (20000.0, 45000.0, 'mid'),
+                 (45000.0, 1e9, 'high') AS t(lo, hi, tier)""")
+      s.sql("""
+        SELECT t.tier, l.l_returnflag,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(graft_disc(l.l_extendedprice, l.l_discount)) AS DOUBLE)
+            AS disc_revenue
+        FROM v_li_udf l JOIN graft_tiers() t
+          ON l.l_extendedprice >= t.lo AND l.l_extendedprice < t.hi
+        GROUP BY t.tier, l.l_returnflag
+        ORDER BY t.tier, l.l_returnflag""")
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences — the sequence-analytics primitive behind session-flow
     // and next-action models. One keyed window (lead) to form
@@ -521,6 +551,21 @@ object RelationalQueries5 {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY p1, p2""".stripMargin,
+
+    "q97_sql_udf" ->
+      """WITH tiers(lo, hi, tier) AS (
+        |  SELECT * FROM (VALUES
+        |    (0.0, 20000.0, 'low'), (20000.0, 45000.0, 'mid'),
+        |    (45000.0, 1e9, 'high')) t(lo, hi, tier))
+        |SELECT t.tier, l.l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS disc_revenue
+        |FROM lineitem l JOIN tiers t
+        |  ON l.l_extendedprice >= t.lo AND l.l_extendedprice < t.hi
+        |GROUP BY t.tier, l.l_returnflag
+        |ORDER BY t.tier, l.l_returnflag""".stripMargin,
 
     "q91_markov_transitions" ->
       """WITH tr0 AS (
