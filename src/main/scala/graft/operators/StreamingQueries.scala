@@ -257,6 +257,23 @@ object StreamingQueries {
         .orderBy($"user_id")
     }),
 
+    // transformWithState with MAP state: per-user favorite event type
+    // from a MapState[event_type, count] — the sub-keyed-aggregate
+    // state primitive (ValueState is pinned by stream_tws_profile;
+    // this pins MapState). Counts are order-independent and the
+    // (count DESC, type) tie-break is total, so the emission is
+    // deterministic under any micro-batch split of a user's events.
+    "stream_tws_favorite" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val favs = Streams.userFavoriteTws(typed)
+        .select($"user_id", $"favorite_type", $"fav_n", $"n_types")
+      toMemoryRocks(s, favs, "stream_tws_favorite_sink", "update")
+        .orderBy($"user_id")
+    }),
+
     // Custom keyed state via mapGroupsWithState: per-user running
     // profile. AvailableNow over a single input file = one micro-batch,
     // so the update-mode memory sink holds exactly one row per user.
@@ -366,6 +383,19 @@ object StreamingQueries {
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "stream_tws_favorite" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_types
+        |  FROM c)
+        |SELECT user_id, event_type AS favorite_type, CAST(n AS BIGINT) AS fav_n,
+        |  CAST(n_types AS BIGINT) AS n_types
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "stream_tws_profile" ->
       """SELECT user_id, COUNT(*) AS n_events,

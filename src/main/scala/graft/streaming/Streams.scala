@@ -173,6 +173,26 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Per-user favorite event type on transformWithState with MAP state:
+    * one MapState[event_type, count] per user instead of a single value
+    * cell — the state primitive for per-key sub-keyed aggregates
+    * (feature counters, per-device sensor mixes). RocksDB-backed like
+    * every TWS op, so a hot user with many sub-keys spills to disk
+    * rather than capping the heap. Counts are order-independent and the
+    * tie-break (min type name) is total, so the emission is
+    * deterministic under any micro-batch split. */
+  def userFavoriteTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TwsFavorite] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new FavoriteProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * profile (event count, running value sum, last event type) updated
     * per micro-batch. State is one small case class per key and BOUNDED
@@ -250,5 +270,41 @@ class ProfileProcessor
       evs.last.event_type)
     st.update(next)
     Iterator.single(next)
+  }
+}
+
+/** Output row of the transformWithState MapState favorite op. */
+case class TwsFavorite(user_id: Long, favorite_type: String, fav_n: Long,
+    n_types: Long)
+
+/** StatefulProcessor for [[Streams.userFavoriteTws]]: MapState keyed by
+  * event_type holding running counts; each batch folds its rows into
+  * the map and emits the current favorite (max count, min type name on
+  * ties — a total order, so the output is micro-batch-split
+  * invariant). */
+class FavoriteProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TwsFavorite] {
+  import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsFavorite] = {
+    var any = false
+    rows.foreach { e =>
+      any = true
+      val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, prev + 1L)
+    }
+    if (!any) return Iterator.empty
+    val all = counts.iterator().toSeq
+    // favorite = max count, tie -> lexicographically smallest type
+    val (favType, favN) = all.minBy { case (t, n) => (-n, t) }
+    Iterator.single(TwsFavorite(key, favType, favN, all.size.toLong))
   }
 }
