@@ -376,6 +376,54 @@ object RelationalQueries5 {
         .orderBy($"r_score", $"f_score", $"m_score")
     }),
 
+    // Kaplan–Meier survival estimator over click→purchase conversion
+    // time, with right-censoring (users who never purchase are censored
+    // at the study end) — the survival-analysis staple for time-to-
+    // event product questions. The curve S(t) = Π (1 - d/n) is computed
+    // as exp of an ORDERED cumulative sum of ln terms: every operand
+    // derives from integer counts and the window order is total, so
+    // both engines produce identical bits at every step (no %.9f
+    // hand-waving needed — but printed at %.9f anyway). The windows run
+    // over DISTINCT DURATIONS (a tiny set), not users; per-user firsts
+    // are keyed aggregates.
+    "q98_survival_km" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val fc = ev.filter($"event_type" === "click")
+        .groupBy($"user_id").agg(min($"ts").as("fc"))
+      val fp = ev.filter($"event_type" === "purchase")
+        .join(fc, Seq("user_id"))
+        .filter($"ts" >= $"fc")
+        .groupBy($"user_id").agg(min($"ts").as("fp"))
+      val studyEnd = ev.agg(max($"ts").as("study_end"))
+      val users = fc.join(fp, Seq("user_id"), "left")
+        .crossJoin(broadcast(studyEnd)) // 1-row side
+        .select(
+          when($"fp".isNotNull, datediff(to_date($"fp"), to_date($"fc")))
+            .otherwise(datediff(to_date($"study_end"), to_date($"fc"))).as("dur"),
+          $"fp".isNotNull.cast("long").as("event"))
+      val byDur = users.groupBy($"dur")
+        .agg(sum($"event").as("d_events"), count(lit(1)).as("n_at_dur"))
+      val wRisk = Window.orderBy($"dur".desc).rowsBetween(Window.unboundedPreceding, 0)
+      val wSurv = Window.orderBy($"dur").rowsBetween(Window.unboundedPreceding, 0)
+      byDur
+        .withColumn("n_at_risk", sum($"n_at_dur").over(wRisk))
+        // d == n would be ln(0): survival is exactly 0 from that point
+        // on (an absorbing state), flagged instead of fed to ln —
+        // DuckDB raises on ln(0) and Spark nulls it, so neither engine
+        // may ever see the zero operand
+        .withColumn("zflag",
+          max(when($"d_events" === $"n_at_risk", 1).otherwise(0)).over(wSurv))
+        .withColumn("lnterm",
+          when($"d_events" < $"n_at_risk",
+            log(lit(1.0) - $"d_events" * lit(1.0) / $"n_at_risk")).otherwise(lit(0.0)))
+        .withColumn("surv",
+          when($"zflag" === 1, lit(0.0)).otherwise(exp(sum($"lnterm").over(wSurv))))
+        .select($"dur".as("t_days"), $"n_at_risk", $"d_events",
+          format_string("%.9f", $"surv").as("survival"))
+        .orderBy($"t_days")
+    }),
+
     // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001): parts
     // where no other part is both cheaper-or-equal AND bigger-or-equal
     // (one strict). Not a quadratic dominance join: collapse to one
@@ -551,6 +599,42 @@ object RelationalQueries5 {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY p1, p2""".stripMargin,
+
+    "q98_survival_km" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(ts) AS fc FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, MIN(e.ts) AS fp
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fc.fc
+        |  GROUP BY e.user_id),
+        |se AS (SELECT MAX(ts) AS study_end FROM events),
+        |u AS (
+        |  SELECT CASE WHEN fp.fp IS NOT NULL
+        |           THEN date_diff('day', CAST(fc.fc AS DATE), CAST(fp.fp AS DATE))
+        |           ELSE date_diff('day', CAST(fc.fc AS DATE), CAST(se.study_end AS DATE)) END AS dur,
+        |    CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END AS event
+        |  FROM fc LEFT JOIN fp USING (user_id) CROSS JOIN se),
+        |bd AS (
+        |  SELECT dur, CAST(SUM(event) AS BIGINT) AS d_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_at_dur
+        |  FROM u GROUP BY dur),
+        |r AS (
+        |  SELECT *, CAST(SUM(n_at_dur) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_at_risk
+        |  FROM bd),
+        |k AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN d_events = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS zflag,
+        |    exp(SUM(CASE WHEN d_events < n_at_risk
+        |              THEN ln(1.0 - d_events * 1.0 / n_at_risk) ELSE 0.0 END)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)) AS surv0
+        |  FROM r)
+        |SELECT dur AS t_days, n_at_risk, d_events,
+        |  printf('%.9f', CASE WHEN zflag = 1 THEN 0.0 ELSE surv0 END) AS survival
+        |FROM k ORDER BY t_days""".stripMargin,
 
     "q97_sql_udf" ->
       """WITH tiers(lo, hi, tier) AS (
