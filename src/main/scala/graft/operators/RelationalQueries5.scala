@@ -376,6 +376,59 @@ object RelationalQueries5 {
         .orderBy($"r_score", $"f_score", $"m_score")
     }),
 
+    // Gini coefficient of revenue concentration across customers — the
+    // inequality metric behind "what share of revenue comes from the
+    // top x%". Uses the rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    // over customers sorted by spend: Σ(i·xᵢ) is an exact DECIMAL sum
+    // of rank×decimal products (order-independent), so the only double
+    // math is the final division — identical operands both engines,
+    // printed at %.9f. The rank window is global but runs over
+    // customers (one row each), with the same honest caveat as q85.
+    "q99_gini_concentration" -> ((s, d) => {
+      import s.implicits._
+      val per = orders(s, d).groupBy($"o_custkey")
+        .agg(sum(dec($"o_totalprice")).as("m"))
+      val w = Window.orderBy($"m", $"o_custkey")
+      per.withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"m").cast("double").as("total"),
+          sum($"m" * $"i").cast("double").as("wsum"))
+        .select($"n_customers",
+          format_string("%.2f", $"total").as("total_revenue"),
+          format_string("%.9f",
+            lit(2.0) * $"wsum" / ($"n_customers" * $"total") -
+              ($"n_customers" + lit(1.0)) / $"n_customers").as("gini"))
+    }),
+
+    // Two-proportion z-test — the A/B-test significance primitive:
+    // does the BUILDING segment convert (purchase share of events) at a
+    // different rate than everyone else? Pooled-variance z from four
+    // integer counts; every double derives from those counts so the
+    // statistic is engine-identical at %.9f. Two broadcast-joined
+    // conditional aggregates — one scan of events.
+    "q100_ab_test_z" -> ((s, d) => {
+      import s.implicits._
+      val cells = events(s, d)
+        .join(broadcast(customer(s, d).select($"c_custkey", $"c_mktsegment")),
+          $"user_id" === $"c_custkey")
+        .agg(
+          sum(when($"c_mktsegment" === "BUILDING", 1L).otherwise(0L)).as("n1"),
+          sum(when($"c_mktsegment" === "BUILDING" && $"event_type" === "purchase", 1L)
+            .otherwise(0L)).as("x1"),
+          sum(when($"c_mktsegment" =!= "BUILDING", 1L).otherwise(0L)).as("n2"),
+          sum(when($"c_mktsegment" =!= "BUILDING" && $"event_type" === "purchase", 1L)
+            .otherwise(0L)).as("x2"))
+      val p1 = $"x1" * lit(1.0) / $"n1"
+      val p2 = $"x2" * lit(1.0) / $"n2"
+      val pp = ($"x1" + $"x2") * lit(1.0) / ($"n1" + $"n2")
+      val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / $"n1" + lit(1.0) / $"n2"))
+      cells.select($"n1", $"x1", $"n2", $"x2",
+        format_string("%.9f", p1).as("rate_building"),
+        format_string("%.9f", p2).as("rate_rest"),
+        format_string("%.9f", z).as("z_stat"),
+        (abs(z) > 1.959963985).as("significant_95"))
+    }),
+
     // Kaplan–Meier survival estimator over click→purchase conversion
     // time, with right-censoring (users who never purchase are censored
     // at the study end) — the survival-analysis staple for time-to-
@@ -599,6 +652,43 @@ object RelationalQueries5 {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY p1, p2""".stripMargin,
+
+    "q99_gini_concentration" ->
+      """WITH per AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT m, ROW_NUMBER() OVER (ORDER BY m, o_custkey) AS i FROM per)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  printf('%.2f', CAST(SUM(m) AS DOUBLE)) AS total_revenue,
+        |  printf('%.9f',
+        |    2.0 * CAST(SUM(m * i) AS DOUBLE) / (COUNT(*) * CAST(SUM(m) AS DOUBLE))
+        |      - (COUNT(*) + 1.0) / COUNT(*)) AS gini
+        |FROM rk""".stripMargin,
+
+    "q100_ab_test_z" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN c_mktsegment <> 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN c_mktsegment <> 'BUILDING' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM events JOIN customer ON user_id = c_custkey),
+        |z AS (
+        |  SELECT *,
+        |    x1 * 1.0 / n1 AS p1, x2 * 1.0 / n2 AS p2,
+        |    (x1 + x2) * 1.0 / (n1 + n2) AS pp
+        |  FROM c),
+        |f AS (
+        |  SELECT *,
+        |    (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)) AS zs
+        |  FROM z)
+        |SELECT n1, x1, n2, x2,
+        |  printf('%.9f', p1) AS rate_building,
+        |  printf('%.9f', p2) AS rate_rest,
+        |  printf('%.9f', zs) AS z_stat,
+        |  abs(zs) > 1.959963985 AS significant_95
+        |FROM f""".stripMargin,
 
     "q98_survival_km" ->
       """WITH fc AS (
