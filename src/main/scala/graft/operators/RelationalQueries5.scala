@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.OracleParity._
 
-/** Round-7 batch 2: time-series anomaly detection, a Deequ-style data
-  * quality constraint suite, equi-depth histograms, the classic skyline
-  * (Pareto frontier) operator, an explicit bloom-filter semi-join
-  * reduction, record-linkage blocking diagnostics, information-theoretic
-  * segment profiling, and mode/median — operator families a
-  * warehouse/curation user reaches for that the suite didn't yet cover.
+/** Round-7 batch 2 (q83–q100): time-series anomaly detection, a
+  * Deequ-style data quality constraint suite, equi-depth histograms,
+  * the classic skyline (Pareto frontier) operator, an explicit
+  * bloom-filter semi-join reduction, record-linkage blocking
+  * diagnostics + the fuzzy linkage join, information-theoretic segment
+  * profiling, mode/median, Markov transitions, chi-squared and
+  * two-proportion significance tests, last-touch attribution, RFM
+  * segmentation, PSI drift, Spark 4 SQL UDF macros, Kaplan–Meier
+  * survival, and Gini concentration — the statistics / product-
+  * analytics / data-quality operator families a warehouse or curation
+  * user reaches for that the suite didn't yet cover.
   */
 object RelationalQueries5 {
   type Q = (SparkSession, String) => DataFrame
