@@ -381,6 +381,57 @@ object RelationalQueries5 {
         .orderBy($"r_score", $"f_score", $"m_score")
     }),
 
+    // Cohort lifetime-value curves: cumulative revenue per signup-week
+    // cohort as weeks elapse — the companion to q82's retention matrix
+    // (that one counts surviving users; this one accumulates value).
+    // Integer week arithmetic, decimal revenue, and the cumulative sum
+    // runs per cohort over its (few) week offsets — a keyed window over
+    // an aggregate, never over raw events.
+    "q101_cohort_ltv" -> ((s, d) => {
+      import s.implicits._
+      val anchor = events(s, d).groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("c_week"))
+      val wk = events(s, d)
+        .join(anchor, Seq("user_id"))
+        .groupBy($"c_week", expr("datediff(date_trunc('week', ts), c_week) DIV 7").as("week_offset"))
+        .agg(sum(dec($"value")).as("rev"), count(lit(1)).as("n_events"))
+      val wCum = Window.partitionBy($"c_week").orderBy($"week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      wk.withColumn("cum_rev", sum($"rev").over(wCum))
+        .select(date_format($"c_week", "yyyy-MM-dd").as("cohort_week"),
+          $"week_offset", $"n_events",
+          $"rev".cast("double").as("week_revenue"),
+          $"cum_rev".cast("double").as("ltv_to_date"))
+        .orderBy($"cohort_week", $"week_offset")
+    }),
+
+    // Benford first-digit test over order totals — the forensic
+    // data-quality screen (fabricated or unit-mangled numeric columns
+    // drift from log-uniform leading digits). Observed counts are one
+    // aggregate over a narrow projection; expected shares are
+    // log10(1 + 1/d) literals computed identically on both engines; the
+    // chi-squared distance accumulates over 9 rows. (TPC-H-style price
+    // columns are roughly uniform in a band, NOT Benford — the point
+    // here is the operator, and the verdict column reports honestly.)
+    "q102_benford_digits" -> ((s, d) => {
+      import s.implicits._
+      val wg = Window.partitionBy()
+      orders(s, d)
+        .select(substring($"o_totalprice".cast("string"), 1, 1).cast("int").as("digit"))
+        .filter($"digit" >= 1) // guard: prices are positive, leading digit 1-9
+        .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+        .withColumn("n_total", sum($"n_obs").over(wg))
+        .withColumn("p_exp", log10(lit(1.0) + lit(1.0) / $"digit"))
+        .withColumn("chi_term",
+          pow($"n_obs" - $"p_exp" * $"n_total", 2) / ($"p_exp" * $"n_total"))
+        .select($"digit", $"n_obs",
+          format_string("%.9f", $"p_exp").as("benford_share"),
+          format_string("%.9f", $"n_obs" * lit(1.0) / $"n_total").as("observed_share"),
+          format_string("%.9f", $"chi_term").as("chi_term"),
+          format_string("%.9f", sum($"chi_term").over(wg)).as("chi2_total"))
+        .orderBy($"digit")
+    }),
+
     // Gini coefficient of revenue concentration across customers — the
     // inequality metric behind "what share of revenue comes from the
     // top x%". Uses the rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
@@ -657,6 +708,45 @@ object RelationalQueries5 {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY p1, p2""".stripMargin,
+
+    "q101_cohort_ltv" ->
+      """WITH anchor AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS c_week
+        |  FROM events GROUP BY user_id),
+        |wk AS (
+        |  SELECT anchor.c_week,
+        |    date_diff('day', anchor.c_week, date_trunc('week', e.ts)) // 7 AS week_offset,
+        |    CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS week_revenue,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    SUM(CAST(e.value AS DECIMAL(18,2))) AS rev_dec
+        |  FROM events e JOIN anchor ON e.user_id = anchor.user_id
+        |  GROUP BY 1, 2)
+        |SELECT strftime(c_week, '%Y-%m-%d') AS cohort_week, week_offset, n_events,
+        |  week_revenue,
+        |  CAST(SUM(rev_dec) OVER (PARTITION BY c_week ORDER BY week_offset
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ltv_to_date
+        |FROM wk ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q102_benford_digits" ->
+      """WITH o AS (
+        |  SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |c AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM o WHERE digit >= 1 GROUP BY digit),
+        |m AS (
+        |  SELECT *, CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total,
+        |    log10(1.0 + 1.0 / digit) AS p_exp
+        |  FROM c),
+        |t AS (
+        |  SELECT *, pow(n_obs - p_exp * n_total, 2) / (p_exp * n_total) AS chi_term
+        |  FROM m)
+        |SELECT digit, n_obs,
+        |  printf('%.9f', p_exp) AS benford_share,
+        |  printf('%.9f', n_obs * 1.0 / n_total) AS observed_share,
+        |  printf('%.9f', chi_term) AS chi_term,
+        |  printf('%.9f', SUM(chi_term) OVER ()) AS chi2_total
+        |FROM t ORDER BY digit""".stripMargin,
 
     "q99_gini_concentration" ->
       """WITH per AS (
