@@ -257,6 +257,23 @@ object StreamingQueries {
         .orderBy($"user_id")
     }),
 
+    // transformWithState with LIST state: streaming rolling-z-score
+    // anomaly detection against a ≤20-value ring buffer per event type
+    // — the streaming twin of the q83 batch window (same oracle SQL),
+    // completing the typed-state trio. The processor reproduces the
+    // batch window's decimal-sum arithmetic bit-for-bit, so the
+    // streaming and batch paths hash-match the same DuckDB twin.
+    "stream_tws_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val anoms = Streams.anomalyTws(typed)
+        .select($"event_type", $"event_id", $"ts_us", $"value", $"zscore")
+      toMemoryRocks(s, anoms, "stream_tws_anomaly_sink", "append")
+        .orderBy($"event_type", $"event_id")
+    }),
+
     // transformWithState with MAP state: per-user favorite event type
     // from a MapState[event_type, count] — the sub-keyed-aggregate
     // state primitive (ValueState is pinned by stream_tws_profile;
@@ -383,6 +400,24 @@ object StreamingQueries {
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // identical SQL to the q83 batch twin — one oracle pins both paths
+    "stream_tws_anomaly" ->
+      """WITH w AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |    COUNT(*) OVER fr AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS sxx
+        |  FROM events
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, event_id, ts_us, value,
+        |    (value - sx / n) / sqrt((sxx - sx * sx / n) / n) AS z
+        |  FROM w WHERE n >= 10)
+        |SELECT event_type, event_id, ts_us, value, printf('%.9f', z) AS zscore
+        |FROM z WHERE abs(z) > 3.0
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "stream_tws_favorite" ->
       """WITH c AS (

@@ -193,6 +193,25 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Streaming rolling-z-score anomaly detection on transformWithState
+    * with LIST state: a ≤20-value ring buffer per event type scores
+    * each reading against its recent history — the streaming twin of
+    * the q83 batch window, completing the typed-state trio (ValueState
+    * / MapState / ListState all exercised). State is bounded by
+    * construction (20 doubles per key), so an unbounded stream never
+    * grows it. */
+  def anomalyTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TwsAnomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .transformWithState(new AnomalyProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * profile (event count, running value sum, last event type) updated
     * per micro-batch. State is one small case class per key and BOUNDED
@@ -306,5 +325,58 @@ class FavoriteProcessor
     // favorite = max count, tie -> lexicographically smallest type
     val (favType, favN) = all.minBy { case (t, n) => (-n, t) }
     Iterator.single(TwsFavorite(key, favType, favN, all.size.toLong))
+  }
+}
+
+/** Output row of the transformWithState ListState anomaly op. */
+case class TwsAnomaly(event_type: String, event_id: Long, ts_us: Long,
+    value: Double, zscore: String)
+
+/** StatefulProcessor for [[Streams.anomalyTws]]: a bounded ring buffer
+  * (ListState, ≤20 values) of the most recent readings per event type;
+  * each new reading is z-scored against the buffer BEFORE being
+  * appended — the streaming twin of q83's 20-row lookback window, and
+  * the arithmetic reproduces the batch query's bit-for-bit (per-value
+  * DECIMAL(18,2)/(37,4) rounding, exact decimal sums, double math in
+  * the same operation order). */
+class AnomalyProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsAnomaly] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+  import java.math.{BigDecimal => JBD, RoundingMode}
+
+  @transient private var buf: ListState[Double] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    buf = getHandle.getListState[Double]("ring", Encoders.scalaDouble, TTLConfig.NONE)
+
+  /** The same rounding Spark's double→DECIMAL(18,2) cast applies. */
+  private def d2(v: Double): JBD =
+    JBD.valueOf(v).setScale(2, RoundingMode.HALF_UP)
+
+  override def handleInputRows(key: String, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsAnomaly] = {
+    val evs = rows.toSeq.sortBy(e => (Streams.microsOf(e.ts), e.event_id))
+    if (evs.isEmpty) return Iterator.empty
+    var ring = buf.get().toVector
+    val out = Vector.newBuilder[TwsAnomaly]
+    evs.foreach { e =>
+      val n = ring.size
+      if (n >= 10) {
+        // exact decimal sums, cast to double only once — identical to
+        // the batch window's sum(dec(v)) / sum(dec(v)*dec(v)) shape
+        val sx = ring.map(d2).reduce(_.add(_)).doubleValue
+        val sxx = ring.map(v => d2(v).multiply(d2(v))).reduce(_.add(_)).doubleValue
+        val mean = sx / n
+        val variance = (sxx - sx * sx / n) / n
+        val z = (e.value - mean) / math.sqrt(variance)
+        if (math.abs(z) > 3.0)
+          out += TwsAnomaly(key, e.event_id, Streams.microsOf(e.ts), e.value,
+            String.format(java.util.Locale.ROOT, "%.9f", Double.box(z)))
+      }
+      ring = (ring :+ e.value).takeRight(20)
+    }
+    buf.put(ring.toArray)
+    out.result().iterator
   }
 }
