@@ -212,6 +212,24 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Timer-driven idle-key eviction on transformWithState (the fourth
+    * and last TWS primitive after Value/Map/List state): event-time
+    * timers re-armed per batch; when the watermark passes a key's
+    * (last event + ttl), the engine calls handleExpiredTimer and the
+    * key's final summary is emitted and its state dropped. Pinned by
+    * StreamingSpec across real micro-batches. */
+  def idleEvictTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes", ttlMs: Long = 30L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[TwsIdle] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleEvictProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * profile (event count, running value sum, last event type) updated
     * per micro-batch. State is one small case class per key and BOUNDED
@@ -378,5 +396,45 @@ class AnomalyProcessor
     }
     buf.put(ring.toArray)
     out.result().iterator
+  }
+}
+
+/** Output row of the timer-based idle-eviction op. */
+case class TwsIdle(user_id: Long, n_events: Long, evicted: Boolean)
+
+/** StatefulProcessor exercising the transformWithState TIMER API: each
+  * batch re-arms an event-time timer at (key's last event + ttl); when
+  * the watermark passes it, handleExpiredTimer emits the key's final
+  * summary and clears its state — native idle-key eviction, the
+  * mechanism that keeps per-key state bounded by the ACTIVE key set on
+  * an unbounded stream (the hand-rolled GroupStateTimeout dance of the
+  * mGWS ops, now owned by the engine). */
+class IdleEvictProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TwsIdle] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsIdle] = {
+    val evs = rows.toSeq
+    if (evs.isEmpty) return Iterator.empty
+    val n = (if (st.exists()) st.get() else 0L) + evs.size
+    st.update(n)
+    // one live timer per key: drop the stale arm, re-arm at last+ttl
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(evs.map(_.ts.getTime).max + ttlMs)
+    Iterator.single(TwsIdle(key, n, evicted = false))
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsIdle] = {
+    val n = if (st.exists()) st.get() else 0L
+    st.clear()
+    Iterator.single(TwsIdle(key, n, evicted = true))
   }
 }

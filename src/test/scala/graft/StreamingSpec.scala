@@ -121,6 +121,41 @@ class StreamingSpec extends SparkSuite {
     assert(last === UserProfile(7, 3, 8.0, "purchase"))
   }
 
+  test("transformWithState timers evict idle keys once the watermark passes last+ttl") {
+    import graft.streaming.{TwsIdle, UserEvent}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = MemoryStream[UserEvent](spark, 4)
+      val q = Streams.idleEvictTws(events.toDS(), watermark = "1 minute",
+          ttlMs = 10L * 60 * 1000)
+        .writeStream.format("memory").queryName("idle_evict")
+        .outputMode("append").start()
+      // batch 1: user 7 active; timer armed at 00:01 + 10 min = 00:11
+      events.addData(
+        UserEvent(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        UserEvent(2, ts("2024-01-01 00:01:00"), 7, "view", 2.0))
+      q.processAllAvailable()
+      // batches 2-3: only user 8, two hours later — watermark crosses
+      // 00:11, so user 7's timer fires and its state is evicted
+      events.addData(UserEvent(3, ts("2024-01-01 02:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      events.addData(UserEvent(4, ts("2024-01-01 02:30:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("idle_evict").as[TwsIdle].collect()
+      val evicted = rows.filter(r => r.evicted && r.user_id == 7)
+      assert(evicted.length === 1, s"expected one eviction record: ${rows.toSeq}")
+      assert(evicted.head.n_events === 2)
+      assert(!rows.exists(r => r.evicted && r.user_id == 8), "active key evicted")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState emits one alert per threshold crossing, none otherwise") {
     import graft.streaming.{UserEvent, ValueAlert}
     val events = MemoryStream[UserEvent](spark, 4)
