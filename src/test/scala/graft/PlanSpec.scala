@@ -119,6 +119,19 @@ class PlanSpec extends SparkSuite {
       "rolling anomaly window collapsed to one task")
   }
 
+  test("join strategy hints are honored (broadcast / merge / shuffle_hash)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey")
+    def planOf(j: org.apache.spark.sql.DataFrame) =
+      j.queryExecution.sparkPlan.toString
+    assert(planOf(li.join(org.apache.spark.sql.functions.broadcast(o),
+      li("l_orderkey") === o("o_orderkey"))).contains("BroadcastHashJoin"))
+    assert(planOf(li.join(o.hint("merge"),
+      li("l_orderkey") === o("o_orderkey"))).contains("SortMergeJoin"))
+    assert(planOf(li.join(o.hint("shuffle_hash"),
+      li("l_orderkey") === o("o_orderkey"))).contains("ShuffledHashJoin"))
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
