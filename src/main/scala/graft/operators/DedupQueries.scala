@@ -46,7 +46,11 @@ object DedupQueries {
     // (h, d1, d2) and shuffle fine; AQE broadcasts them when the build
     // side turns out small at runtime, and Spark's runtime bloom-filter
     // injection covers the semi-join-reduction role at scale.
-    val exr = ex.join(keep, Seq("h")).cache()
+    // `exr` feeds three consumers (sizes + both sides of the self-join);
+    // eager localCheckpoint materializes it ONCE and truncates lineage,
+    // where cache() left three full shingle-pipeline plans competing for
+    // block-manager space across a long multi-query session.
+    val exr = ex.join(keep, Seq("h")).localCheckpoint()
     val sizes = exr.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = exr.as("a").join(exr.as("b"),
       $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
@@ -139,13 +143,17 @@ object DedupQueries {
       // The LOOP runs only over the ACTIVE vertex set (docs with at
       // least one edge) — isolated docs are their own component and
       // rejoin at the end. Dup graphs are sparse, so the iterated state
-      // is orders of magnitude smaller than the corpus; only these
-      // label-table-sized jobs run at few shuffle partitions.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      // is orders of magnitude smaller than the corpus. Each round's
+      // checkpointed table is explicitly repartitioned to a few
+      // doc_id-hashed partitions (NOT via mutating the session-global
+      // shuffle-partition conf — a concurrent query on the same session
+      // must never observe a temporary value) and AQE coalesces the
+      // intermediate shuffles to match.
+      val loopParts = 4
+      locally {
         var labels = edges.select($"src".as("doc_id")).distinct()
-          .select($"doc_id", $"doc_id".as("lab")).localCheckpoint()
+          .select($"doc_id", $"doc_id".as("lab"))
+          .repartition(loopParts, $"doc_id").localCheckpoint()
         var changed = true
         var iter = 0
         val maxRounds = 16
@@ -157,6 +165,7 @@ object DedupQueries {
           val half = labels.join(nbrMin, Seq("doc_id"), "left")
             .select($"doc_id",
               least($"lab", coalesce($"nlab", $"lab")).as("lab"), $"lab".as("old"))
+            .repartition(loopParts, $"doc_id")
             .localCheckpoint() // referenced twice below — materialize once
           // pointer doubling: follow the new label's own new label.
           // Labels are always ids of same-component vertices, so the
@@ -167,6 +176,7 @@ object DedupQueries {
             .select(col("x.doc_id").as("doc_id"),
               least(col("x.lab"), coalesce(col("plab"), col("x.lab"))).as("lab"),
               col("x.old").as("old"))
+            .repartition(loopParts, $"doc_id")
             .localCheckpoint()
           // single full-scan job over the checkpointed round result —
           // limit(1).count() would trigger CollectLimit's incremental
@@ -189,7 +199,7 @@ object DedupQueries {
           .groupBy($"rep".as("rep_id"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy($"rep_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     }),
 
     // Degree histogram of the similarity graph — the shape diagnostic
@@ -253,11 +263,17 @@ object DedupQueries {
           struct($"d2".as("src"), $"d1".as("dst")))).as("e"))
         .select($"e.src".as("src"), $"e.dst".as("dst"))
         .localCheckpoint()
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
-        var rank = deg.select($"src".as("doc_id"), lit(SCALE).as("r")).localCheckpoint()
+      // Rank/degree tables are vertex-sized (sparse graph ≪ corpus);
+      // explicit small repartition on the checkpointed state instead of
+      // mutating session-global shuffle partitions (concurrent queries
+      // must never observe a temporary conf value). AQE coalesces the
+      // per-round join shuffles to match.
+      val loopParts = 4
+      locally {
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .repartition(loopParts, $"src").localCheckpoint()
+        var rank = deg.select($"src".as("doc_id"), lit(SCALE).as("r"))
+          .localCheckpoint()
         for (_ <- 1 to 5) {
           val recv = edges
             .join(rank.select($"doc_id".as("src"), $"r"), Seq("src"))
@@ -268,6 +284,7 @@ object DedupQueries {
             .join(recv.select($"dst".as("doc_id"), $"csum"), Seq("doc_id"), "left")
             .select($"doc_id",
               (lit(15L * (SCALE / 100L)) + expr("85 * coalesce(csum, 0L) DIV 100")).as("r"))
+            .repartition(loopParts, $"doc_id")
             .localCheckpoint()
         }
         deg.select($"src".as("doc_id"), $"deg")
@@ -275,7 +292,7 @@ object DedupQueries {
           .select($"doc_id", $"deg", $"r".as("rank_scaled"))
           .orderBy($"rank_scaled".desc, $"doc_id")
           .limit(20)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     }),
 
     // Corpus duplication dashboard: one row summarizing how much an
@@ -362,7 +379,7 @@ object DedupQueries {
     // exact side.
     "dedup_minhash_lsh_check" -> ((s, d) => {
       import s.implicits._
-      val exact = jaccardPairs(s, d).select($"d1", $"d2").cache()
+      val exact = jaccardPairs(s, d).select($"d1", $"d2").localCheckpoint()
       val overlap = exact.join(minhashPairs(s, d).select($"d1", $"d2"), Seq("d1", "d2"))
         .agg(count(lit(1)).as("n_found"))
       exact.agg(count(lit(1)).as("n_exact_pairs")).crossJoin(overlap) // 1×1 rows
@@ -383,7 +400,7 @@ object DedupQueries {
       val sig = documents(s, d).filter($"doc_id" < cap)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", simhash64(tokens($"text")).as("sim"))
-        .cache()
+        .localCheckpoint()
       val brute = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
           bit_count($"a.sim".bitwiseXOR($"b.sim")).as("hamming"))
@@ -405,13 +422,20 @@ object DedupQueries {
   /** The dedup_minhash_lsh pipeline (see its scaladoc in `queries`). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = docShingles(s, d).filter(size($"sh") > 0).cache()
-    // Materialize the signature behind a cache barrier: the banding
+    // Eager localCheckpoint, not cache(): `sh` feeds three consumers
+    // (the signature plus both verify-join sides) and `sig` anchors the
+    // banding stage. A checkpoint materializes each exactly once and
+    // truncates lineage; stacked cache() barriers in a long multi-query
+    // session were vulnerable to block-manager eviction re-running the
+    // whole shingle pipeline per consumer (the one bench outlier r7
+    // recorded). Same executor-memory footprint, no eviction cliff.
+    val sh = docShingles(s, d).filter(size($"sh") > 0).localCheckpoint()
+    // Materialize the signature behind its own barrier: the banding
     // lambda references it 16×, and higher-order lambdas have no
     // common-subexpression elimination — inlined, the 64-hash
     // signature would be recomputed once PER BAND (measured 5× the
     // whole query's runtime at sf0.1).
-    val sig = sh.select($"doc_id", minhashSignature($"sh", 64).as("sig")).cache()
+    val sig = sh.select($"doc_id", minhashSignature($"sh", 64).as("sig")).localCheckpoint()
     // band rows carry only (doc_id, band, key) — signatures and
     // shingle arrays never enter the candidate shuffle
     val bands = sig
@@ -434,7 +458,7 @@ object DedupQueries {
     val sig = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", simhash64(tokens($"text")).as("sim"))
-      .cache()
+      .localCheckpoint()
     val banded = sig.select($"doc_id", $"sim",
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", $"sim", b * 16).bitwiseAND(lit(0xFFFFL)).cast("long")))

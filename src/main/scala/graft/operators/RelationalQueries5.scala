@@ -235,23 +235,26 @@ object RelationalQueries5 {
     }),
 
     // Fuzzy-match pair extraction: the linkage join itself (q88 is the
-    // blocking diagnostic; this emits the matched pairs). The predicate
-    // is written in the natural declarative form `levenshtein(a,b) <= 2`
-    // — the injected LevenshteinBounding rule rewrites it to Spark's
-    // banded `levenshtein(a, b, 2) >= 0` kernel, which walks a 5-wide
-    // DP band and bails on length mismatch instead of filling the full
-    // |a|·|b| matrix per candidate pair (the dominant cost of a fuzzy
-    // verify at 100 TB). Candidates come only from the block equi-join;
-    // ExtensionsSpec pins that the rewrite actually fires.
+    // blocking diagnostic; this emits the matched pairs). The bounded
+    // `levenshtein(a, b, 2)` kernel is projected ONCE — it walks a
+    // 5-wide DP band and bails on length mismatch instead of filling
+    // the full |a|·|b| matrix per candidate pair (the dominant cost of
+    // a fuzzy verify at 100 TB) — and the filter `lev >= 0` reads the
+    // aliased column, so the plan contains exactly one edit-distance
+    // evaluation per candidate and zero unbounded ones (ExtensionsSpec
+    // pins both). Users who write the declarative `levenshtein(a,b)<=k`
+    // predicate get the same kernel from the injected
+    // LevenshteinBounding rule. Candidates come only from the block
+    // equi-join.
     "q93_fuzzy_pairs" -> ((s, d) => {
       import s.implicits._
       val p = part(s, d).filter($"p_partkey" < 4000)
         .select($"p_partkey", $"p_name", split($"p_name", " ")(0).as("blk"))
       p.as("a").join(p.as("b"),
         $"a.blk" === $"b.blk" && $"a.p_partkey" < $"b.p_partkey")
-        .filter(levenshtein($"a.p_name", $"b.p_name") <= 2)
         .select($"a.p_partkey".as("p1"), $"b.p_partkey".as("p2"),
-          levenshtein($"a.p_name", $"b.p_name").as("lev"))
+          levenshtein($"a.p_name", $"b.p_name", 2).as("lev"))
+        .filter($"lev" >= 0)
         .orderBy($"p1", $"p2")
     }),
 

@@ -29,10 +29,29 @@ import graft.streaming.{Streams, UserEvent, UserProfile}
 object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Every streaming gate runs on an ISOLATED child session: shared
+    * SparkContext (and block-manager/cache), but its own SQLConf —
+    * so the streaming-specific settings (state-store partition count,
+    * legacy-nanos parquet read, RocksDB provider) never leak into a
+    * concurrently executing batch query on the main session. This is
+    * the per-query alternative to mutate-and-restore on shared state:
+    * on a production cluster the same isolation comes for free from
+    * running each streaming job in its own SparkSession. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Stateful streaming operators open one state store per shuffle
+    // partition, sized to the stream's state volume (not the
+    // session-wide batch setting) — on a real cluster this is the one
+    // knob that must be chosen before the first checkpoint, because
+    // the state partitioning is pinned by it.
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Streaming twin of Tables.events: schema-on-read parquet file
     * source with the same nanos→micros reconstruction. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // schema must be supplied to readStream: infer it from a batch probe
     // of the same path (cheap — footer only)
     val schema = s.read.parquet(s"$d/events.parquet").schema
@@ -44,24 +63,21 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Drain `df` through a memory sink and return its contents. Stateful
-    * streaming operators open one state store per shuffle partition, so
-    * the partition count is sized to the stream's state volume (not the
-    * session-wide batch setting) — on a real cluster this is the one
-    * knob that must be chosen before the first checkpoint, because the
-    * state partitioning is pinned by it. */
+  /** Drain `df` through a memory sink and return its contents. Runs
+    * with the conf of `df`'s (isolated) session — see [[streamSession]]. */
   private def toMemory(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     s.table(name)
   }
 
-  val queries: Map[String, Q] = Map(
+  /** The public gate entries wrap [[raw]] so each invocation gets its
+    * own isolated session (see [[streamSession]]). */
+  lazy val queries: Map[String, Q] =
+    raw.map { case (k, f) => k -> ((s: SparkSession, d: String) => f(streamSession(s), d)) }
+
+  private val raw: Map[String, Q] = Map(
     // Watermarked tumbling-window aggregation over a streaming file
     // source. Complete output mode so the memory sink holds every
     // window (append mode would also work here — AvailableNow's final
@@ -311,17 +327,12 @@ object StreamingQueries {
 
   /** toMemory variant for transformWithState ops: TWS requires the
     * RocksDB state store provider (state spills to disk — the 100 TB
-    * key-cardinality property); set it for the query, restore after. */
+    * key-cardinality property). `s` is this query's isolated child
+    * session, so the provider setting is scoped to the query. */
   private def toMemoryRocks(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try toMemory(s, df, name, mode)
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+    toMemory(s, df, name, mode)
   }
 
   val oracles: Map[String, String] = Map(

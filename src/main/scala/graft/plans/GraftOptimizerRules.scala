@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -59,5 +59,8 @@ object LevenshteinBounding extends Rule[LogicalPlan] {
         bounded(a, b, k - 1)
       case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k >= 0 =>
         bounded(a, b, k)
+      // k > lev ⇔ lev <= k-1 (the reversed-literal strict phrasing)
+      case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k >= 1 =>
+        bounded(a, b, k - 1)
     }
 }

@@ -58,6 +58,38 @@ class ExtensionsSpec extends SparkSuite {
     val nRef = df.as("a").join(df.as("b"), $"a.p_partkey" < $"b.p_partkey")
       .filter(expr("levenshtein(a.p_name, b.p_name, 2) >= 0")).count()
     assert(n === nRef)
+    // the reversed-literal strict phrasing (k > lev ⇔ lev <= k-1)
+    // must rewrite too — and to the same k-1 bound
+    val jRev = df.as("a").join(df.as("b"), $"a.p_partkey" < $"b.p_partkey")
+      .filter(lit(3) > levenshtein($"a.p_name", $"b.p_name"))
+    val optRev = jRev.queryExecution.optimizedPlan.toString
+    assert(optRev.contains("Some(2)) >= 0"),
+      s"LevenshteinBounding did not rewrite the reversed strict predicate:\n$optRev")
+    assert(jRev.count() === n)
+  }
+
+  test("q93_fuzzy_pairs' optimized plan has no unbounded levenshtein") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    val q = graft.operators.RelationalQueries5.queries("q93_fuzzy_pairs")(spark, sf)
+    val unbounded = q.queryExecution.optimizedPlan.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect {
+        case l: Levenshtein if l.threshold.isEmpty => l
+      })
+    }.flatten
+    assert(unbounded.isEmpty,
+      s"unbounded Levenshtein survives in q93's plan: $unbounded")
+    // predicate pushdown substitutes the alias below the projection, so
+    // the optimized plan carries two BOUNDED nodes: one in the Filter
+    // (prunes per candidate pair, bails on length mismatch) and one in
+    // the Project (computes the output value for survivors only) — the
+    // shape you want; what must never appear is the unbounded form.
+    val bounded = q.queryExecution.optimizedPlan.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect {
+        case l: Levenshtein if l.threshold.nonEmpty => l
+      })
+    }.flatten
+    assert(bounded.nonEmpty && bounded.size <= 2,
+      s"expected 1-2 bounded Levenshtein nodes in q93's plan, got ${bounded.size}")
   }
 
   test("codegen'd cosine matches the interpreted eval path") {
