@@ -42,6 +42,11 @@ object RelationalQueries5 {
         .filter($"n" >= 10)
         .withColumn("mean", $"sx" / $"n")
         .withColumn("variance", ($"sxx" - $"sx" * $"sx" / $"n") / $"n")
+        // variance > 0 guard: a constant lookback yields z = ±Inf (or
+        // NaN) which both engines would RETAIN (NaN/Inf sort above 3.0)
+        // but print differently ('Infinity' vs 'inf') — degenerate
+        // windows are not anomalies, on either engine
+        .filter($"variance" > 0)
         .withColumn("z", ($"value" - $"mean") / sqrt($"variance"))
         .filter(abs($"z") > 3.0)
         .select($"event_type", $"event_id", micros($"ts").as("ts_us"), $"value",
@@ -578,7 +583,7 @@ object RelationalQueries5 {
         |z AS (
         |  SELECT event_type, event_id, ts_us, value,
         |    (value - sx / n) / sqrt((sxx - sx * sx / n) / n) AS z
-        |  FROM w WHERE n >= 10)
+        |  FROM w WHERE n >= 10 AND (sxx - sx * sx / n) / n > 0)
         |SELECT event_type, event_id, ts_us, value, printf('%.9f', z) AS zscore
         |FROM z WHERE abs(z) > 3.0
         |ORDER BY event_type, event_id""".stripMargin,

@@ -425,7 +425,7 @@ object StreamingQueries {
         |z AS (
         |  SELECT event_type, event_id, ts_us, value,
         |    (value - sx / n) / sqrt((sxx - sx * sx / n) / n) AS z
-        |  FROM w WHERE n >= 10)
+        |  FROM w WHERE n >= 10 AND (sxx - sx * sx / n) / n > 0)
         |SELECT event_type, event_id, ts_us, value, printf('%.9f', z) AS zscore
         |FROM z WHERE abs(z) > 3.0
         |ORDER BY event_type, event_id""".stripMargin,

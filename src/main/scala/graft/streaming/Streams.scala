@@ -356,7 +356,15 @@ case class TwsAnomaly(event_type: String, event_id: Long, ts_us: Long,
   * appended — the streaming twin of q83's 20-row lookback window, and
   * the arithmetic reproduces the batch query's bit-for-bit (per-value
   * DECIMAL(18,2)/(37,4) rounding, exact decimal sums, double math in
-  * the same operation order). */
+  * the same operation order).
+  *
+  * Parity scope: the bit-for-bit claim holds when each key's events
+  * arrive in event-time order across micro-batches (e.g. a single
+  * AvailableNow batch, as the gate runs, or an in-order source). A
+  * LATE event in a later micro-batch is scored against the
+  * arrival-ordered ring, which can diverge from the batch oracle's
+  * globally ts-ordered frame — buffering by watermark before scoring
+  * would close that gap at the cost of emit latency. */
 class AnomalyProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsAnomaly] {
   import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
@@ -387,10 +395,15 @@ class AnomalyProcessor
         val sxx = ring.map(v => d2(v).multiply(d2(v))).reduce(_.add(_)).doubleValue
         val mean = sx / n
         val variance = (sxx - sx * sx / n) / n
-        val z = (e.value - mean) / math.sqrt(variance)
-        if (math.abs(z) > 3.0)
-          out += TwsAnomaly(key, e.event_id, Streams.microsOf(e.ts), e.value,
-            String.format(java.util.Locale.ROOT, "%.9f", Double.box(z)))
+        // variance > 0 guard, mirroring the q83 batch filter: a
+        // constant lookback is not an anomaly signal (and ±Inf/NaN
+        // z-scores format engine-specifically)
+        if (variance > 0) {
+          val z = (e.value - mean) / math.sqrt(variance)
+          if (math.abs(z) > 3.0)
+            out += TwsAnomaly(key, e.event_id, Streams.microsOf(e.ts), e.value,
+              String.format(java.util.Locale.ROOT, "%.9f", Double.box(z)))
+        }
       }
       ring = (ring :+ e.value).takeRight(20)
     }
@@ -402,10 +415,17 @@ class AnomalyProcessor
 /** Output row of the timer-based idle-eviction op. */
 case class TwsIdle(user_id: Long, n_events: Long, evicted: Boolean)
 
+/** State of [[IdleEvictProcessor]]: running count + MAX-SEEN event
+  * time. The max must be carried in state: a late-but-within-watermark
+  * batch can hold only OLDER timestamps, and re-arming from the batch
+  * max alone would move the timer backward — possibly to an
+  * already-expired instant, evicting an active key early. */
+case class TwsIdleState(n: Long, max_ts_ms: Long)
+
 /** StatefulProcessor exercising the transformWithState TIMER API: each
-  * batch re-arms an event-time timer at (key's last event + ttl); when
-  * the watermark passes it, handleExpiredTimer emits the key's final
-  * summary and clears its state — native idle-key eviction, the
+  * batch re-arms an event-time timer at (key's max-seen event + ttl);
+  * when the watermark passes it, handleExpiredTimer emits the key's
+  * final summary and clears its state — native idle-key eviction, the
   * mechanism that keeps per-key state bounded by the ACTIVE key set on
   * an unbounded stream (the hand-rolled GroupStateTimeout dance of the
   * mGWS ops, now owned by the engine). */
@@ -414,26 +434,31 @@ class IdleEvictProcessor(ttlMs: Long)
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
   import org.apache.spark.sql.{Encoders, streaming}
 
-  @transient private var st: ValueState[Long] = _
+  @transient private var st: ValueState[TwsIdleState] = _
 
   override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
-    st = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    st = getHandle.getValueState[TwsIdleState]("idle",
+      Encoders.product[TwsIdleState], TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsIdle] = {
     val evs = rows.toSeq
     if (evs.isEmpty) return Iterator.empty
-    val n = (if (st.exists()) st.get() else 0L) + evs.size
-    st.update(n)
-    // one live timer per key: drop the stale arm, re-arm at last+ttl
+    val prev = Option(st.get()).getOrElse(TwsIdleState(0L, Long.MinValue))
+    // monotone max across batches: a late batch with older timestamps
+    // must never pull the eviction horizon backward
+    val next = TwsIdleState(prev.n + evs.size,
+      math.max(prev.max_ts_ms, evs.map(_.ts.getTime).max))
+    st.update(next)
+    // one live timer per key: drop the stale arm, re-arm at max+ttl
     getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-    getHandle.registerTimer(evs.map(_.ts.getTime).max + ttlMs)
-    Iterator.single(TwsIdle(key, n, evicted = false))
+    getHandle.registerTimer(next.max_ts_ms + ttlMs)
+    Iterator.single(TwsIdle(key, next.n, evicted = false))
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsIdle] = {
-    val n = if (st.exists()) st.get() else 0L
+    val n = Option(st.get()).map(_.n).getOrElse(0L)
     st.clear()
     Iterator.single(TwsIdle(key, n, evicted = true))
   }

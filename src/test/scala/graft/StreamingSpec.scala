@@ -156,6 +156,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("a late batch with older timestamps never pulls the eviction timer backward") {
+    import graft.streaming.{TwsIdle, UserEvent}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = MemoryStream[UserEvent](spark, 5)
+      val q = Streams.idleEvictTws(events.toDS(), watermark = "60 minutes",
+          ttlMs = 10L * 60 * 1000)
+        .writeStream.format("memory").queryName("idle_evict_late")
+        .outputMode("append").start()
+      // batch 1: user 7 max-seen ts 00:20 → timer must sit at 00:30
+      events.addData(
+        UserEvent(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        UserEvent(2, ts("2024-01-01 00:20:00"), 7, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: LATE but within-watermark event at 00:05 — re-arming
+      // from the batch max alone would regress the timer to 00:15
+      events.addData(UserEvent(3, ts("2024-01-01 00:05:00"), 7, "click", 3.0))
+      q.processAllAvailable()
+      // batch 3: watermark advances to 00:16 — past the REGRESSED
+      // instant but before the true horizon 00:30: must NOT evict
+      events.addData(UserEvent(4, ts("2024-01-01 01:16:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      assert(!spark.table("idle_evict_late").as[TwsIdle].collect()
+        .exists(r => r.evicted && r.user_id == 7),
+        "timer regressed: key evicted before max-seen + ttl")
+      // batch 4: watermark crosses 00:30 — now the eviction fires, and
+      // the summary counts the late event too
+      events.addData(UserEvent(5, ts("2024-01-01 01:31:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val evicted = spark.table("idle_evict_late").as[TwsIdle].collect()
+        .filter(r => r.evicted && r.user_id == 7)
+      assert(evicted.length === 1, s"expected one eviction record, got ${evicted.toSeq}")
+      assert(evicted.head.n_events === 3)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState emits one alert per threshold crossing, none otherwise") {
     import graft.streaming.{UserEvent, ValueAlert}
     val events = MemoryStream[UserEvent](spark, 4)
