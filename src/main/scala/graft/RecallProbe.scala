@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic: measured recall@K of each ANN index vs the exact top-K,
+  * per scale factor — the numbers the `sim_knn_*_check` floors are
+  * calibrated from (floor = measured at the gate SF minus 10 points,
+  * so a partial bucketing break fails the gate, not just a total one).
+  * `runMain graft.RecallProbe [sfDir ...]` (defaults to all three). */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for (d <- dirs; idx <- Seq("sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq")) {
+      val brute = SparkEntry.queries("sim_knn_brute")(spark, d).select("q_id", "vec_id")
+      val ann = SparkEntry.queries(idx)(spark, d).select("q_id", "vec_id")
+      val hits = ann.join(brute, Seq("q_id", "vec_id")).count()
+      val denom = brute.count()
+      println(f"$d%-28s $idx%-12s recall ${hits.toDouble / denom}%.3f ($hits/$denom)")
+    }
+    spark.stop()
+  }
+}

@@ -307,21 +307,24 @@ object SimilarityQueries {
     //      cell) and exercises the full index→probe→score→rank path —
     //      the bug class where query-side and corpus-side bucketing
     //      drift apart fails it instantly.
-    //  (2) aggregate recall@K vs the exact top-K, floored WELL above the
-    //      random-candidate baseline (~candidate_fraction ≈ 25%) but
-    //      below the measured recall at every SF (LSH 0.44–0.64, IVF
-    //      0.40–0.52 on this corpus — the synthetic embeddings carry
-    //      little neighborhood structure, so per-query floors would
-    //      overfit noise; the aggregate floor still catches any broken
-    //      bucketing, which drops recall to ≈0).
+    //  (2) aggregate recall@K vs the exact top-K. Per-index floors are
+    //      calibrated from graft.RecallProbe's measured recall at ALL
+    //      three SFs (LSH 0.40/0.64/0.44, IVF 0.52/0.40/0.52, PQ
+    //      1.00/1.00/0.72 at sf0.001/0.01/0.1 — deterministic
+    //      pipelines, so these numbers are exactly reproducible), set
+    //      two pairs (800 bp of the 25-pair denominator) under the
+    //      worst SF: a PARTIAL bucketing break now fails the gate, not
+    //      just a total one. The synthetic embeddings carry little
+    //      neighborhood structure, so per-query floors would overfit
+    //      noise; the aggregate floor is the robust invariant.
     "sim_knn_lsh_check" -> ((s, d) =>
-      annCheck(s, d, lshTopK(_, _, 4, 4, _), minRecallBp = 3000)),
+      annCheck(s, d, lshTopK(_, _, 4, 4, _), minRecallBp = 3200)),
     "sim_knn_ivf_check" -> ((s, d) =>
-      annCheck(s, d, ivfTopK(_, _, 16, 4, _), minRecallBp = 3000)),
+      annCheck(s, d, ivfTopK(_, _, 16, 4, _), minRecallBp = 3200)),
     // PQ re-ranks its top-256 ADC candidates with exact cosine, so its
-    // recall floor can sit higher than the bucketed indexes'.
+    // recall floor sits far higher than the bucketed indexes'.
     "sim_knn_pq_check" -> ((s, d) =>
-      annCheck(s, d, pqTopK(_, _, _), minRecallBp = 3000))
+      annCheck(s, d, pqTopK(_, _, _), minRecallBp = 6200))
   )
 
   /** Shared ANN gate: one row of invariant booleans + oracle-computable
