@@ -201,6 +201,28 @@ object SourceQueries {
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // Catalog + statistics-driven planning: the testdata registered as
+    // EXTERNAL catalog tables, ANALYZE ... FOR ALL COLUMNS run, and the
+    // classic segment-revenue join planned UNDER CBO from catalog
+    // rowCount/NDV stats instead of file sizes (PlanSpec pins that the
+    // stats actually flip a join-strategy decision; this gate pins that
+    // the catalog read path + CBO planning produce the same answer as
+    // the path-based read). See CatalogTables for why this is the
+    // 100 TB planning path.
+    "src_catalog_stats" -> ((s, d) => {
+      val ss = CatalogTables.cboSession(s)
+      val db = CatalogTables.ensure(ss, d)
+      ss.sql(
+        s"""SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM $db.orders o
+           |JOIN $db.customer c ON o.o_custkey = c.c_custkey
+           |JOIN $db.nation n ON c.c_nationkey = n.n_nationkey
+           |WHERE c.c_mktsegment = 'BUILDING'
+           |GROUP BY n.n_name
+           |ORDER BY n.n_name""".stripMargin)
     })
   )
 
@@ -252,6 +274,16 @@ object SourceQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "src_catalog_stats" ->
+      """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
 
     // Same integer bucket + bit-interleave as the Spark side, computed
     // straight off the original table — proves the clustered rewrite

@@ -132,6 +132,56 @@ class PlanSpec extends SparkSuite {
       li("l_orderkey") === o("o_orderkey"))).contains("ShuffledHashJoin"))
   }
 
+  test("catalog column stats drive the dim-join broadcast decision (CBO)") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.col
+    val dims = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+    // two child sessions over the same data: path-based (no stats) vs
+    // catalog tables with ANALYZE ... FOR ALL COLUMNS under CBO
+    val sNo = spark.newSession()
+    val sCbo = graft.sources.CatalogTables.cboSession(spark)
+    val db = graft.sources.CatalogTables.ensure(sCbo, sf)
+    def filteredDim(s: SparkSession, useCatalog: Boolean) = {
+      val cust = if (useCatalog) s.table(s"$db.customer")
+        else s.read.parquet(s"$sf/customer.parquet")
+      cust.select(dims.map(col): _*).filter(col("c_mktsegment") === "BUILDING")
+    }
+    // with column stats, the filter's estimate carries a rowCount
+    // shrunk by NDV-based selectivity (~1/5); the size-only estimator
+    // cannot shrink a filter at all. (plan.stats reads the THREAD's
+    // active SQLConf, so each session must be active while its stats
+    // are computed — queryExecution itself self-manages this, .stats
+    // does not)
+    def statsIn(s: SparkSession, useCatalog: Boolean) = {
+      SparkSession.setActiveSession(s)
+      try filteredDim(s, useCatalog).queryExecution.optimizedPlan.stats
+      finally SparkSession.setActiveSession(spark)
+    }
+    val statsCbo = statsIn(sCbo, useCatalog = true)
+    val statsNo = statsIn(sNo, useCatalog = false)
+    assert(statsCbo.rowCount.isDefined, "ANALYZE stats did not reach the plan")
+    assert(statsCbo.rowCount.get > 0 && statsCbo.rowCount.get < 150,
+      s"expected NDV-selectivity-shrunk rowCount, got ${statsCbo.rowCount}")
+    assert(statsCbo.sizeInBytes < statsNo.sizeInBytes,
+      s"CBO estimate (${statsCbo.sizeInBytes}) should undercut the size-only " +
+        s"estimate (${statsNo.sizeInBytes})")
+    // a broadcast threshold BETWEEN the two estimates: only the
+    // stats-aware session may broadcast the dim — the strategy decision
+    // itself now comes from the catalog stats, not the file size
+    val t = (statsCbo.sizeInBytes + statsNo.sizeInBytes) / 2
+    def joinPlan(s: SparkSession, useCatalog: Boolean) = {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", t.toString)
+      val ord = (if (useCatalog) s.table(s"$db.orders")
+        else s.read.parquet(s"$sf/orders.parquet")).select("o_orderkey", "o_custkey")
+      ord.join(filteredDim(s, useCatalog), col("o_custkey") === col("c_custkey"))
+        .queryExecution.sparkPlan.toString
+    }
+    assert(joinPlan(sCbo, useCatalog = true).contains("BroadcastHashJoin"),
+      "stats-based estimate under the threshold must broadcast the dim")
+    assert(!joinPlan(sNo, useCatalog = false).contains("BroadcastHashJoin"),
+      "size-only estimate over the threshold must not broadcast")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
