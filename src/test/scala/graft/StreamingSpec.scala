@@ -156,6 +156,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("RocksDB state store completes correctly with state larger than its memory cap") {
+    import graft.streaming.{TwsProfile, UserEvent}
+    // the disk-spill property the Streams scaladoc claims: bound
+    // RocksDB's block-cache+memtable budget to 1 MB, then push ~60k
+    // keys of ValueState (several MB) through one TWS op — the store
+    // must spill to SST files and the query must still produce the
+    // exact per-key profiles
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val nKeys = 60000
+      val events = MemoryStream[UserEvent](spark, 6)
+      val q = Streams.userProfileTws(events.toDS())
+        .writeStream.format("memory").queryName("rocks_spill")
+        .outputMode("update").start()
+      events.addData((0 until nKeys).map(u =>
+        UserEvent(u.toLong, ts("2024-01-01 00:00:00"), u.toLong, "click", u.toDouble)))
+      q.processAllAvailable()
+      // second batch over the SAME keys: state written by batch 1 must
+      // be read back intact from the spilled store
+      events.addData((0 until nKeys).map(u =>
+        UserEvent((nKeys + u).toLong, ts("2024-01-01 00:01:00"), u.toLong, "view", 1.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("rocks_spill").as[TwsProfile].collect()
+      val latest = rows.groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      assert(latest.size === nKeys)
+      // exact fold: batch-1 value + batch-2 value, last_type from batch 2
+      assert(latest(1234L) === TwsProfile(1234L, 2, 1235.0, 1234.0, "view"))
+      assert(latest(59999L) === TwsProfile(59999L, 2, 60000.0, 59999.0, "view"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("a late batch with older timestamps never pulls the eviction timer backward") {
     import graft.streaming.{TwsIdle, UserEvent}
     val key = "spark.sql.streaming.stateStore.providerClass"
