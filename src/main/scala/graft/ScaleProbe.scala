@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical 10× scale spot-check for the dedup/graph/ANN families
+  * (PLANS.md records the results): materializes a 10×-documents /
+  * 10×-embeddings corpus under /tmp and times each family at 1× vs
+  * 10×, printing per-query seconds and the pair-count growth factor.
+  *
+  * Corpus construction preserves the DUPLICATE-FAMILY DISTRIBUTION:
+  * copy i of the documents table rewrites every token t → "t_i", a
+  * bijection on shingles, so within-copy Jaccard structure is
+  * identical to the original while cross-copy shingle sets are
+  * disjoint — true near-dup pairs (and the df-capped shingle
+  * universe) grow exactly linearly, which is what a 10×-bigger crawl
+  * with the same duplication rate looks like. Naive 10× duplication
+  * (no salt) would instead create 10-wide cross-copy families and
+  * quadratically inflate pairs — a different corpus, not a bigger one.
+  *
+  * `runMain graft.ScaleProbe [queries...]` — SPARK_GRAFT_SF_DIR is the
+  * 1× base (default sf0.1). */
+object ScaleProbe {
+  private val Copies = 10
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir10 = s"${sys.props("java.io.tmpdir")}/graft_scale10x"
+
+    // ---- materialize the 10× corpus (idempotent per JVM tmpdir) ----
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val nDocs = docs.count()
+    val docs10 = (0 until Copies).map { i =>
+      docs.select(
+        ($"doc_id" + lit(i.toLong * nDocs)).as("doc_id"),
+        array_join(transform(split($"text", " "), t => concat(t, lit(s"_$i"))), " ").as("text"),
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionByName _)
+    docs10.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir10/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nEmb = emb.count()
+    val emb10 = (0 until Copies).map { i =>
+      emb.select(($"vec_id" + lit(i.toLong * nEmb)).as("vec_id"), $"label", $"embedding")
+    }.reduce(_ unionByName _)
+    emb10.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir10/embeddings.parquet")
+    println(s"corpus: ${nDocs}x$Copies docs, ${nEmb}x$Copies vectors at $dir10")
+
+    // ---- time each family at 1× and 10× ----
+    val qs = if (args.nonEmpty) args.toSeq else Seq(
+      "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_reps",
+      "dedup_graph_pagerank", "dedup_minhash_lsh", "dedup_simhash",
+      "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq")
+    for (q <- qs; (tag, d) <- Seq(("1x", base), ("10x", dir10))) {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, d).count()
+      println(f"$q%-22s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}
