@@ -32,7 +32,8 @@ object SparkEntry {
       AsOfJoin.queries ++
       RelationalQueries3.queries ++
       RelationalQueries4.queries ++
-      RelationalQueries5.queries
+      RelationalQueries5.queries ++
+      RelationalQueries6.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       AsOfJoin.oracles ++
       RelationalQueries3.oracles ++
       RelationalQueries4.oracles ++
-      RelationalQueries5.oracles
+      RelationalQueries5.oracles ++
+      RelationalQueries6.oracles
 }

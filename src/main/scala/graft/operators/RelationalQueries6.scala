@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-8 additions (q103–q105): time-series exponential smoothing,
+  * gaps-and-islands sequence detection, and a nonparametric two-sample
+  * test — the remaining time-series / sequence / statistics shapes a
+  * warehouse user reaches for that the suite didn't yet cover.
+  */
+object RelationalQueries6 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exponentially weighted moving average over each event-type
+    // series: a 20-row suffix window collected in frame order and
+    // folded left-to-right (num ← 0.9·num + x, den ← 0.9·den + 1), so
+    // the smoothing recursion itself runs inside the engine with NO
+    // order-dependent floating sum — both engines execute the
+    // identical sequential double fold (the cosine-parity pattern).
+    // One keyed window shuffle; the collected frame is bounded (≤20
+    // doubles/row), so state per row is constant at any scale.
+    "q103_ewma_smooth" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        .rowsBetween(-19, 0)
+      events(s, d)
+        .select($"event_type", $"event_id", $"ts", $"value")
+        .withColumn("vals", collect_list($"value").over(w))
+        .select($"event_type", $"event_id", micros($"ts").as("ts_us"), $"value",
+          size($"vals").cast("long").as("n_window"),
+          format_string("%.9f",
+            aggregate($"vals", lit(0.0), (a, x) => a * lit(0.9) + x) /
+              aggregate($"vals", lit(0.0), (a, _) => a * lit(0.9) + lit(1.0)))
+            .as("ewma"))
+        .orderBy($"event_type", $"event_id")
+    }),
+
+    // Gaps-and-islands: per customer, maximal runs of CONSECUTIVE
+    // order days (the classic sequence-detection shape behind streak
+    // analytics and SLA gap audits). day − row_number() is constant
+    // within a run, so islands fall out of one keyed window plus one
+    // keyed aggregate — no self-join, no iteration. Pure integer date
+    // arithmetic → exact parity.
+    "q104_gaps_islands" -> ((s, d) => {
+      import s.implicits._
+      val days = orders(s, d)
+        .select($"o_custkey",
+          datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date")).as("day"))
+        .distinct()
+      val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      days.withColumn("rn", row_number().over(w))
+        .withColumn("grp", $"day" - $"rn")
+        .groupBy($"o_custkey", $"grp")
+        .agg(min($"day").cast("long").as("start_day"),
+          max($"day").cast("long").as("end_day"),
+          count(lit(1)).as("n_days"))
+        .select($"o_custkey", $"start_day", $"end_day", $"n_days")
+        .orderBy($"o_custkey", $"start_day")
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) test: do click and purchase
+    // event values come from the same distribution? Rank statistics
+    // are computed on the DISTINCT-VALUE table (per-value counts +
+    // cumulative sum), not the raw rows — the shuffle carries one row
+    // per distinct value, and tie handling is exact because average
+    // ranks ride as DOUBLED integers (2·rank_min + t − 1), never as
+    // fractional decimals. Only the final z-score touches doubles, on
+    // operands both engines derive from identical integers. At 100 TB
+    // the distinct-value window becomes a range-partitioned two-pass
+    // rank (the q85 equi-depth pattern) — same plan shape.
+    "q105_mann_whitney" -> ((s, d) => {
+      import s.implicits._
+      val perv = events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"value")
+        .agg(count(lit(1)).as("nv"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).as("nv1"))
+      val w = Window.orderBy($"value").rowsBetween(Window.unboundedPreceding, 0)
+      val stats = perv
+        .withColumn("cum", sum($"nv").over(w))
+        .withColumn("rmin", $"cum" - $"nv" + 1)
+        .agg(
+          sum($"nv1").as("n1"),
+          sum($"nv" - $"nv1").as("n2"),
+          // Σ over click rows of (2·rank_min + t − 1) = 2·R1 exactly
+          sum($"nv1" * (lit(2) * $"rmin" + $"nv" - 1)).as("r1_doubled"),
+          sum($"nv" * $"nv" * $"nv" - $"nv").as("ties_t"))
+      val u1d = $"r1_doubled" - $"n1" * ($"n1" + 1)
+      val nn = $"n1" + $"n2"
+      // operand-for-operand the oracle's formula: every input is an
+      // exact integer, so the double math sees identical bits
+      val z = (u1d.cast("double") / lit(2.0) - $"n1" * $"n2" / lit(2.0)) /
+        sqrt($"n1" * $"n2" / lit(12.0) *
+          ((nn + 1) - $"ties_t".cast("double") / (nn * (nn - 1))))
+      stats.select($"n1", $"n2", u1d.as("u1_doubled"),
+        format_string("%.6f", z).as("z"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q103_ewma_smooth" ->
+      """SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |  CAST(len(vals) AS BIGINT) AS n_window,
+        |  printf('%.9f',
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), vals),
+        |      (a, x) -> a * CAST(0.9 AS DOUBLE) + x) /
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(vals, x -> CAST(1 AS DOUBLE))),
+        |      (a, x) -> a * CAST(0.9 AS DOUBLE) + x)) AS ewma
+        |FROM (
+        |  SELECT event_type, event_id, ts, value,
+        |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q104_gaps_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_custkey, day,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY day) AS rn
+        |  FROM d)
+        |SELECT o_custkey, CAST(MIN(day) AS BIGINT) AS start_day,
+        |  CAST(MAX(day) AS BIGINT) AS end_day, COUNT(*) AS n_days
+        |FROM (SELECT o_custkey, day, day - rn AS grp FROM r)
+        |GROUP BY o_custkey, grp
+        |ORDER BY o_custkey, start_day""".stripMargin,
+
+    "q105_mann_whitney" ->
+      """WITH perv AS (
+        |  SELECT value, COUNT(*) AS nv,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nv1
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY value),
+        |r AS (
+        |  SELECT nv, nv1,
+        |    SUM(nv) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv + 1 AS rmin
+        |  FROM perv),
+        |st AS (
+        |  SELECT CAST(SUM(nv1) AS BIGINT) AS n1,
+        |    CAST(SUM(nv - nv1) AS BIGINT) AS n2,
+        |    CAST(SUM(nv1 * (2 * rmin + nv - 1)) AS BIGINT) AS r1_doubled,
+        |    CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS ties_t
+        |  FROM r)
+        |SELECT n1, n2,
+        |  CAST(r1_doubled - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+        |  printf('%.6f',
+        |    (CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2.0
+        |      - n1 * n2 / 2.0)
+        |    / sqrt(n1 * n2 / 12.0 *
+        |        ((n1 + n2 + 1) - CAST(ties_t AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))))) AS z
+        |FROM st""".stripMargin
+  )
+}

@@ -151,6 +151,44 @@ object TextQueries {
     // token streams never shuffle twice. Integer DIV keeps the
     // probabilities exact across engines; (n_bigram DESC, bigram) is a
     // total order for the top-25.
+    // Per-document bigram-LM scoring (the perplexity-filter shape of
+    // corpus curation: CCNet/Gopher-style quality ranking by how
+    // "surprising" a doc is to a corpus LM): add-one-smoothed
+    // P(w2|w1) from corpus counts, scored back over every doc's
+    // bigrams, average negative log-likelihood per doc. The counts are
+    // two keyed aggregates (the text_bigram_lm shape), scoring is a
+    // keyed join — the raw token stream shuffles once. Parity: the
+    // per-doc sum folds the per-bigram nll values in POSITION order
+    // (collect_list of (pos, nll) → array_sort → sequential double
+    // fold), so no order-dependent floating sum exists on either side;
+    // ln operands are identical rationals built from exact counts.
+    "text_perplexity" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.GraftExpressions.ngrams
+      val vocab = documents(s, d)
+        .select(explode(tokens($"text")).as("tok"))
+        .agg(countDistinct($"tok")).head().getLong(0) // model-sized scalar
+      val pos = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", posexplode(ngrams(tokens($"text"), 2)).as(Seq("pos", "bigram")))
+      val bc = pos.groupBy($"bigram").agg(count(lit(1)).as("n_bigram"))
+        .withColumn("w1", split($"bigram", " ")(0))
+      val w1c = bc.groupBy($"w1").agg(sum($"n_bigram").as("n_w1"))
+      val scored = pos
+        .join(bc.select($"bigram", $"n_bigram", $"w1"), Seq("bigram"))
+        .join(w1c, Seq("w1"))
+        .select($"doc_id", $"pos",
+          (-log(($"n_bigram" + lit(1.0)) / ($"n_w1" + lit(vocab.toDouble)))).as("nll"))
+      scored.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(
+            transform(array_sort(collect_list(struct($"pos", $"nll"))), x => x("nll")),
+            lit(0.0), (a, x) => a + x).as("sum_nll"))
+        .select($"doc_id", $"n_bigrams",
+          format_string("%.6f", $"sum_nll" / $"n_bigrams").as("avg_nll"))
+        .orderBy($"doc_id")
+    }),
+
     "text_bigram_lm" -> ((s, d) => {
       import s.implicits._
       import graft.functions.GraftExpressions.ngrams
@@ -265,6 +303,26 @@ object TextQueries {
         | SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
         | FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t)),
+        |bc AS (SELECT bigram, COUNT(*) AS n_bigram FROM g GROUP BY bigram),
+        |bw AS (SELECT bigram, n_bigram, string_split(bigram, ' ')[1] AS w1 FROM bc),
+        |w1c AS (SELECT w1, SUM(n_bigram) AS n_w1 FROM bw GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sc AS (
+        |  SELECT g.doc_id, g.pos,
+        |    -ln((bw.n_bigram + 1.0) / (w1c.n_w1 + CAST(vocab AS DOUBLE))) AS nll
+        |  FROM g JOIN bw USING (bigram) JOIN w1c USING (w1) CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  printf('%.6f',
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(nll ORDER BY pos)),
+        |      (a, x) -> a + x) / COUNT(*)) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_bigram_lm" ->
       """WITH g AS (
