@@ -98,6 +98,24 @@ object RelationalQueries6 {
           ((nn + 1) - $"ties_t".cast("double") / (nn * (nn - 1))))
       stats.select($"n1", $"n2", u1d.as("u1_doubled"),
         format_string("%.6f", z).as("z"))
+    }),
+
+    // Key-skew diagnostic — the report you run BEFORE picking a salting
+    // factor or an AQE skew threshold: the 10 heaviest join/agg keys
+    // with their share of all rows and their heat relative to the mean
+    // key (n·n_keys/total), in floored basis points for exact parity.
+    // One keyed aggregate + a two-long-column summary broadcast back;
+    // the top-10 is a TakeOrdered, so nothing corpus-sized sorts.
+    "q106_skew_report" -> ((s, d) => {
+      import s.implicits._
+      val cnt = events(s, d).groupBy($"user_id").agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(count(lit(1)).as("n_keys"), sum($"n").as("total"))
+      cnt.crossJoin(broadcast(tot)) // single-row side
+        .select($"user_id", $"n", $"n_keys", $"total",
+          expr("n * 10000 DIV total").as("share_bp"),
+          expr("n * n_keys * 10000 DIV total").as("vs_avg_bp"))
+        .orderBy($"n".desc, $"user_id")
+        .limit(10)
     })
   )
 
@@ -157,6 +175,18 @@ object RelationalQueries6 {
         |      - n1 * n2 / 2.0)
         |    / sqrt(n1 * n2 / 12.0 *
         |        ((n1 + n2 + 1) - CAST(ties_t AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))))) AS z
-        |FROM st""".stripMargin
+        |FROM st""".stripMargin,
+
+    "q106_skew_report" ->
+      """WITH cnt AS (
+        |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS total
+        |  FROM cnt)
+        |SELECT user_id, n, n_keys, total,
+        |  CAST(n * 10000 // total AS BIGINT) AS share_bp,
+        |  CAST(n * n_keys * 10000 // total AS BIGINT) AS vs_avg_bp
+        |FROM cnt CROSS JOIN tot
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin
   )
 }

@@ -234,6 +234,49 @@ object SamplingQueries {
     // md5 integer both sides, 2^60 is a power of two (exact double),
     // and IEEE ln/division on identical operands give identical keys —
     // so the selected SET is identical; output re-orders by doc_id.
+    // Poisson bootstrap confidence interval for the corpus mean doc
+    // length: B=32 resampling replicas in ONE pass — each (row,
+    // replica) pair draws a deterministic Poisson(1) count from the
+    // same 60-bit md5 uniform both engines compute (the standard
+    // streaming approximation of with-replacement resampling; the
+    // thresholds are the exact Poisson(1) CDF literals). Per-replica
+    // means are rational (Σc·x / Σc over exact integers), so the
+    // replica SET is bit-identical cross-engine; the CI bounds are the
+    // 2nd-lowest / 2nd-highest replica means (~93.75% coverage for
+    // B=32). Scale shape: the ×B explode is bounded amplification
+    // feeding one keyed aggregate — no per-replica pass over the
+    // corpus, which is the only bootstrap that works at 100 TB.
+    "samp_bootstrap_ci" -> ((s, d) => {
+      import s.implicits._
+      val B = 32
+      val u = conv(substring(md5(
+          concat($"doc_id".cast("string"), lit("#"), $"b".cast("string")).cast("binary")),
+          1, 15), 16, 10).cast("double") / lit(1.152921504606846976e18)
+      val c = when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428846, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .when(u < 0.9994058151824183, 5)
+        .otherwise(6)
+      val means = documents(s, d)
+        .select($"doc_id", $"n_chars", explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .select($"b", c.as("c"), $"n_chars")
+        .groupBy($"b")
+        .agg(sum($"c" * $"n_chars").as("sx"), sum($"c").as("sn"))
+        .select($"b", ($"sx".cast("double") / $"sn".cast("double")).as("m"))
+      val w = Window.orderBy($"m", $"b") // B rows — never corpus-sized
+      val ranked = means.withColumn("rn", row_number().over(w))
+      val point = documents(s, d)
+        .agg((sum($"n_chars").cast("double") / count(lit(1)).cast("double")).as("mean"))
+      point
+        .crossJoin(ranked.filter($"rn" === 2).select($"m".as("lo")))      // 1-row
+        .crossJoin(ranked.filter($"rn" === B - 1).select($"m".as("hi")))  // 1-row
+        .select(format_string("%.6f", $"mean").as("mean"),
+          format_string("%.6f", $"lo").as("boot_lo"),
+          format_string("%.6f", $"hi").as("boot_hi"))
+    }),
+
     "samp_weighted_topk" -> ((s, d) => {
       import s.implicits._
       val u60 = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 15),
@@ -354,6 +397,36 @@ object SamplingQueries {
       """SELECT doc_id,
         | ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "samp_bootstrap_ci" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars, unnest(range(0, 32)) AS b FROM documents),
+        |u AS (
+        |  SELECT b, n_chars,
+        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+        |      / 1152921504606846976.0 AS u
+        |  FROM r),
+        |c AS (
+        |  SELECT b, n_chars,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428846 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         ELSE 6 END AS c
+        |  FROM u),
+        |m AS (
+        |  SELECT b, CAST(SUM(c * n_chars) AS BIGINT) AS sx, CAST(SUM(c) AS BIGINT) AS sn
+        |  FROM c GROUP BY b),
+        |mm AS (SELECT b, CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE) AS m FROM m),
+        |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM mm),
+        |pt AS (SELECT CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+        |       FROM documents)
+        |SELECT printf('%.6f', pt.mean) AS mean,
+        |  printf('%.6f', (SELECT m FROM rk WHERE rn = 2)) AS boot_lo,
+        |  printf('%.6f', (SELECT m FROM rk WHERE rn = 31)) AS boot_hi
+        |FROM pt""".stripMargin,
 
     // HUGEINT (int128) keeps u·W and k·w·2⁶⁰ exact, mirroring Spark's
     // DECIMAL(38,0) arithmetic bit-for-bit.

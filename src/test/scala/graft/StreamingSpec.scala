@@ -156,6 +156,53 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState state survives a checkpointed query restart") {
+    import graft.streaming.{TwsProfile, UserEvent}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ck = Files.createTempDirectory("tws-restart-ck").toString
+      val out = Files.createTempDirectory("tws-restart-out").toString
+      val events = MemoryStream[UserEvent](spark, 7)
+      // foreachBatch parquet sink: the memory sink is not restartable
+      // from a checkpoint; foreachBatch is, and is the production sink
+      // shape for exactly this lifecycle
+      def start() = Streams.userProfileTws(events.toDS())
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TwsProfile], _: Long) =>
+          b.toDF().write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .outputMode("update").start()
+      // run 1: two events for user 7, then STOP (simulated failure /
+      // redeploy — the production lifecycle every streaming job has)
+      val q1 = start()
+      events.addData(
+        UserEvent(1, ts("2024-01-01 00:00:00"), 7, "click", 2.0),
+        UserEvent(2, ts("2024-01-01 00:01:00"), 7, "view", 3.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // run 2: a NEW query from the same checkpoint — committed source
+      // offsets resume and the RocksDB state restores, so the next
+      // batch folds INTO the recovered profile rather than restarting
+      events.addData(UserEvent(3, ts("2024-01-01 00:02:00"), 7, "purchase", 4.0))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(out).as[TwsProfile].collect()
+        .filter(_.user_id == 7)
+      assert(rows.nonEmpty, "restarted query emitted nothing")
+      val last = rows.maxBy(_.n_events)
+      assert(last === TwsProfile(7, 3, 9.0, 4.0, "purchase"),
+        s"state not recovered across restart: $last")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("RocksDB state store completes correctly with state larger than its memory cap") {
     import graft.streaming.{TwsProfile, UserEvent}
     // the disk-spill property the Streams scaladoc claims: bound
