@@ -353,6 +353,29 @@ object DedupQueries {
         .limit(20)
     }),
 
+    // INCREMENTAL dedup — the production ingest shape: a new batch
+    // (doc_id ≡ 4 mod 5 stands in for today's crawl) is deduped
+    // against the EXISTING corpus without rescanning it for pairs:
+    // one anti-join keyed on the 16-byte normalized fingerprint (at
+    // 100 TB the corpus side is a bucketed fingerprint index, so the
+    // anti-join is zero-exchange on the index side and Spark's runtime
+    // bloom filter prunes the batch before the shuffle), then a
+    // within-batch keep-min window. Only batch-sized data ever sorts.
+    "dedup_incremental" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")
+      val all = documents(s, d)
+        .select($"doc_id", md5(normalize($"text").cast("binary")).as("fp"))
+      val corpus = all.filter($"doc_id" % 5 =!= 4)
+      val batch = all.filter($"doc_id" % 5 === 4)
+      batch.join(corpus.select($"fp"), Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
+    }),
+
     // MinHash + LSH near-dup: 64-hash signature, 16 bands × 4 rows →
     // candidates from band-key equi-join, then exact-Jaccard verify.
     // Same verify threshold as dedup_ngram_jaccard, so at high recall
@@ -507,6 +530,22 @@ object DedupQueries {
     "dedup_ngram_jaccard" ->
       s"""WITH $pairsCte
         |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |corpus AS (SELECT fp FROM f WHERE doc_id % 5 <> 4),
+        |batch AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 4),
+        |nodup AS (
+        |  SELECT b.doc_id, b.fp FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp))
+        |SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM nodup)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Connected components as a recursive closure: every label a node
     // can reach is enumerated, the minimum is its component id.

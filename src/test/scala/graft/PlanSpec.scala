@@ -132,6 +132,13 @@ class PlanSpec extends SparkSuite {
       li("l_orderkey") === o("o_orderkey"))).contains("ShuffledHashJoin"))
   }
 
+  test("q103/dedup_incremental: keyed EWMA window; anti-join ingest dedup") {
+    assert(!plan("q103_ewma_smooth").contains("SinglePartition"),
+      "EWMA window collapsed to one task")
+    assert(plan("dedup_incremental").contains("LeftAnti"),
+      "incremental dedup should plan the corpus probe as an anti-join")
+  }
+
   test("catalog column stats drive the dim-join broadcast decision (CBO)") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions.col
