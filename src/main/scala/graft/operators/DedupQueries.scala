@@ -29,10 +29,19 @@ object DedupQueries {
       .select($"doc_id", shingles3(tokens($"text")).as("sh"))
   }
 
-  /** Near-dup pairs (jaccard ≥ 0.5) over the df-capped shingle universe
-    * — shared by dedup_ngram_jaccard and the clustering on top of it.
-    * See the dedup_ngram_jaccard scaladoc below for the scale analysis. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, h) rows of the df-capped shingle universe (cap = 10) —
+    * the shared candidate-generation substrate of the jaccard and
+    * containment joins. No broadcast hints here: `keep` is corpus-
+    * cardinality (one row per surviving shingle hash), so a forced
+    * broadcast is a driver OOM at 100 TB; the join is keyed and AQE
+    * broadcasts it when the build side turns out small at runtime,
+    * with Spark's runtime bloom-filter injection covering the
+    * semi-join-reduction role at scale. The result feeds multiple
+    * consumers (sizes + both sides of a self-join), so it rides an
+    * eager localCheckpoint — materialized ONCE with truncated lineage,
+    * where cache() left several full shingle-pipeline plans competing
+    * for block-manager space across a long multi-query session. */
+  private def cappedShingleRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cap = 10
     val ex = docShingles(s, d)
@@ -40,17 +49,15 @@ object DedupQueries {
       .select($"doc_id", xxhash64($"shingle").as("h"))
     val keep = ex.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" <= cap).select($"h")
-    // No broadcast hints here: `keep` and `sizes` are corpus-cardinality
-    // (one row per surviving shingle hash / per doc), so a forced
-    // broadcast is a driver OOM at 100 TB. All three joins are keyed
-    // (h, d1, d2) and shuffle fine; AQE broadcasts them when the build
-    // side turns out small at runtime, and Spark's runtime bloom-filter
-    // injection covers the semi-join-reduction role at scale.
-    // `exr` feeds three consumers (sizes + both sides of the self-join);
-    // eager localCheckpoint materializes it ONCE and truncates lineage,
-    // where cache() left three full shingle-pipeline plans competing for
-    // block-manager space across a long multi-query session.
-    val exr = ex.join(keep, Seq("h")).localCheckpoint()
+    ex.join(keep, Seq("h")).localCheckpoint()
+  }
+
+  /** Near-dup pairs (jaccard ≥ 0.5) over the df-capped shingle universe
+    * — shared by dedup_ngram_jaccard and the clustering on top of it.
+    * See the dedup_ngram_jaccard scaladoc below for the scale analysis. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exr = cappedShingleRows(s, d)
     val sizes = exr.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = exr.as("a").join(exr.as("b"),
       $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
@@ -353,6 +360,30 @@ object DedupQueries {
         .limit(20)
     }),
 
+    // CONTAINMENT near-dup — the asymmetric complement of jaccard:
+    // containment(A→B) = |A∩B|/|A| finds documents SUBSTANTIALLY
+    // CONTAINED in another (quoted articles, boilerplate-wrapped
+    // copies, chunk-of-document dupes) that a symmetric jaccard
+    // threshold misses when the container is much larger. Same
+    // df-capped shingle substrate and keyed joins as the jaccard pair
+    // join; the self-join runs on doc_id ≠ (both directions — the
+    // relation is asymmetric) and the verify denominator is the
+    // CONTAINED side's shingle count only.
+    "dedup_containment" -> ((s, d) => {
+      import s.implicits._
+      val exr = cappedShingleRows(s, d)
+      val sizes = exr.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      exr.as("a").join(exr.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
+        .groupBy($"a.doc_id".as("contained_id"), $"b.doc_id".as("container_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("contained_id"), $"n".as("n_in")), Seq("contained_id"))
+        .select($"contained_id", $"container_id",
+          ($"inter" * lit(1.0) / $"n_in").as("containment"))
+        .filter($"containment" >= 0.9)
+        .orderBy($"contained_id", $"container_id")
+    }),
+
     // INCREMENTAL dedup — the production ingest shape: a new batch
     // (doc_id ≡ 4 mod 5 stands in for today's crawl) is deduped
     // against the EXISTING corpus without rescanning it for pairs:
@@ -530,6 +561,27 @@ object DedupQueries {
     "dedup_ngram_jaccard" ->
       s"""WITH $pairsCte
         |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |keep AS (
+        |  SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle)
+        |  WHERE df <= 10),
+        |exr AS (SELECT doc_id, shingle FROM ex JOIN keep USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM exr GROUP BY doc_id),
+        |cinter AS (
+        |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, COUNT(*) AS i
+        |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT contained_id, container_id, containment FROM (
+        |  SELECT contained_id, container_id, i * 1.0 / s1.n AS containment
+        |  FROM cinter JOIN sizes s1 ON contained_id = s1.doc_id)
+        |WHERE containment >= 0.9
+        |ORDER BY contained_id, container_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH f AS (

@@ -100,6 +100,31 @@ object RelationalQueries6 {
         format_string("%.6f", z).as("z"))
     }),
 
+    // Robust outlier detection via median absolute deviation — the
+    // heavy-tail-safe twin of the q83 z-score (one extreme reading
+    // shifts a mean/stddev but not a median/MAD). Two grouped exact
+    // interpolated medians (the q90 parity pattern: percentile_cont ↔
+    // quantile_cont share the lower + (upper−lower)·frac formula, so
+    // identical inputs give identical bits) + two broadcast-able joins
+    // of the 5-row per-type statistics; nothing corpus-sized sorts.
+    // mad > 0 guards the degenerate all-ties window on both engines.
+    "q107_mad_outliers" -> ((s, d) => {
+      import s.implicits._
+      val med = events(s, d).groupBy($"event_type")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val dev = events(s, d)
+        .join(broadcast(med), Seq("event_type"))
+        .select($"event_type", $"event_id", micros($"ts").as("ts_us"), $"value",
+          abs($"value" - $"med").as("dev"))
+      val mad = dev.groupBy($"event_type")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter($"mad" > 0 && $"dev" / (lit(1.4826) * $"mad") > 3.5)
+        .select($"event_type", $"event_id", $"ts_us", $"value",
+          format_string("%.6f", $"dev" / (lit(1.4826) * $"mad")).as("robust_z"))
+        .orderBy($"event_type", $"event_id")
+    }),
+
     // Key-skew diagnostic — the report you run BEFORE picking a salting
     // factor or an AQE skew threshold: the 10 heaviest join/agg keys
     // with their share of all rows and their heat relative to the mean
@@ -176,6 +201,23 @@ object RelationalQueries6 {
         |    / sqrt(n1 * n2 / 12.0 *
         |        ((n1 + n2 + 1) - CAST(ties_t AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))))) AS z
         |FROM st""".stripMargin,
+
+    "q107_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |    abs(value - med) AS dev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, event_id, ts_us, value,
+        |  printf('%.6f', dev / (1.4826 * mad)) AS robust_z
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE mad > 0 AND dev / (1.4826 * mad) > 3.5
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "q106_skew_report" ->
       """WITH cnt AS (
