@@ -100,6 +100,29 @@ object RelationalQueries6 {
         format_string("%.6f", z).as("z"))
     }),
 
+    // Period-over-period reporting: monthly revenue with MoM and YoY
+    // deltas in floored basis points. Prior periods come from SELF-
+    // JOINS on an integer month key (year·12 + month − 1), never a
+    // LAG over assumed-contiguous rows — a missing month yields NULL
+    // deltas instead of silently comparing against the wrong period.
+    // Revenue sums are exact decimals cast to double, so both engines
+    // floor identical bits; the month table is tiny, so the two
+    // self-joins broadcast at any corpus scale.
+    "q108_period_over_period" -> ((s, d) => {
+      import s.implicits._
+      val monthly = orders(s, d)
+        .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate") - 1).as("mk"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      val prev = monthly.select(($"mk" + 1).as("mk"), $"revenue".as("rev_prev"))
+      val yago = monthly.select(($"mk" + 12).as("mk"), $"revenue".as("rev_yago"))
+      monthly.join(prev, Seq("mk"), "left").join(yago, Seq("mk"), "left")
+        .select(($"mk" / 12).cast("long").as("yr"), (pmod($"mk", lit(12)) + 1).as("mo"),
+          $"n_orders", $"revenue",
+          floor(($"revenue" - $"rev_prev") * 10000 / $"rev_prev").cast("long").as("mom_bp"),
+          floor(($"revenue" - $"rev_yago") * 10000 / $"rev_yago").cast("long").as("yoy_bp"))
+        .orderBy($"yr", $"mo")
+    }),
+
     // Robust outlier detection via median absolute deviation — the
     // heavy-tail-safe twin of the q83 z-score (one extreme reading
     // shifts a mean/stddev but not a median/MAD). Two grouped exact
@@ -201,6 +224,21 @@ object RelationalQueries6 {
         |    / sqrt(n1 * n2 / 12.0 *
         |        ((n1 + n2 + 1) - CAST(ties_t AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))))) AS z
         |FROM st""".stripMargin,
+
+    "q108_period_over_period" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mk,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(m.mk // 12 AS BIGINT) AS yr, CAST(m.mk % 12 + 1 AS BIGINT) AS mo,
+        |  m.n_orders, m.revenue,
+        |  CAST(floor((m.revenue - p.revenue) * 10000 / p.revenue) AS BIGINT) AS mom_bp,
+        |  CAST(floor((m.revenue - y.revenue) * 10000 / y.revenue) AS BIGINT) AS yoy_bp
+        |FROM m
+        |LEFT JOIN m p ON m.mk = p.mk + 1
+        |LEFT JOIN m y ON m.mk = y.mk + 12
+        |ORDER BY yr, mo""".stripMargin,
 
     "q107_mad_outliers" ->
       """WITH med AS (

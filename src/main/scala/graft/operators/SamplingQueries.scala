@@ -234,6 +234,26 @@ object SamplingQueries {
     // md5 integer both sides, 2^60 is a power of two (exact double),
     // and IEEE ln/division on identical operands give identical keys —
     // so the selected SET is identical; output re-orders by doc_id.
+    // Contrastive negative sampling — the embedding-training primitive:
+    // each anchor vector draws K=4 deterministic uniform negatives from
+    // the corpus by hashing (anchor, k), with the classic +1-shift
+    // exclusion (draw from N−1 and shift past the anchor) so a negative
+    // can never equal its anchor. Pure narrow map over the anchors (the
+    // corpus is addressed by id, never scanned), reproducible across
+    // runs/engines because the randomness is the shared 60-bit md5.
+    "samp_negative_pairs" -> ((s, d) => {
+      import s.implicits._
+      val n = embeddings(s, d).count() // corpus size — model-sized scalar
+      val u60 = conv(substring(md5(
+          concat($"vec_id".cast("string"), lit("#"), $"k".cast("string")).cast("binary")),
+          1, 15), 16, 10).cast("long")
+      val draw = u60 % lit(n - 1)
+      embeddings(s, d).select($"vec_id", explode(sequence(lit(0), lit(3))).as("k"))
+        .select($"vec_id", $"k".cast("long").as("k"),
+          (draw + when(draw >= $"vec_id", 1L).otherwise(0L)).as("neg_id"))
+        .orderBy($"vec_id", $"k")
+    }),
+
     // Poisson bootstrap confidence interval for the corpus mean doc
     // length: B=32 resampling replicas in ONE pass — each (row,
     // replica) pair draws a deterministic Poisson(1) count from the
@@ -397,6 +417,18 @@ object SamplingQueries {
       """SELECT doc_id,
         | ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "samp_negative_pairs" ->
+      """WITH n AS (SELECT COUNT(*) AS nn FROM embeddings),
+        |a AS (SELECT vec_id, unnest(range(0, 4)) AS k FROM embeddings),
+        |dr AS (
+        |  SELECT vec_id, k,
+        |    ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+        |      % (nn - 1) AS draw
+        |  FROM a CROSS JOIN n)
+        |SELECT vec_id, k,
+        |  CAST(draw + CASE WHEN draw >= vec_id THEN 1 ELSE 0 END AS BIGINT) AS neg_id
+        |FROM dr ORDER BY vec_id, k""".stripMargin,
 
     "samp_bootstrap_ci" ->
       """WITH r AS (

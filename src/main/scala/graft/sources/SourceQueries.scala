@@ -203,6 +203,41 @@ object SourceQueries {
         .orderBy($"o_orderpriority")
     }),
 
+    // PERMISSIVE malformed-record CSV read — the reference's corrupt-
+    // record side-output contract (O3/O11) exercised on a second
+    // format: rows with a non-numeric key column land in the corrupt
+    // column instead of killing the scan, and the good/bad split is
+    // aggregated in one pass (no second scan for the DLQ). Corruption
+    // is injected deterministically (n_nationkey ≡ 3 mod 5), so the
+    // oracle recomputes the exact split from the clean table.
+    "src_csv_malformed" -> ((s, d) => {
+      import s.implicits._
+      val path = tmp("nation_malformed_csv")
+      nation(s, d)
+        .select(when($"n_nationkey" % 5 === 3,
+            concat(lit("corrupt-line-"), $"n_nationkey".cast("string")))
+          .otherwise(concat($"n_nationkey".cast("string"),
+            lit(","), $"n_name", lit(","), $"n_regionkey".cast("string"))).as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt STRING")
+      // CSV column pruning skips token-count validation for columns the
+      // query never touches — an aggregate over (_corrupt, n_regionkey)
+      // would silently see zero corrupt rows. Disable pruning on an
+      // isolated child session (the streaming-gate pattern) so the DLQ
+      // split is computed against the FULL row contract.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+      ss.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .agg(
+          count(when($"_corrupt".isNull, 1)).as("n_good"),
+          count($"_corrupt").as("n_corrupt"),
+          sum(when($"_corrupt".isNull, $"n_regionkey")).cast("long").as("sum_region_good"))
+    }),
+
     // Catalog + statistics-driven planning: the testdata registered as
     // EXTERNAL catalog tables, ANALYZE ... FOR ALL COLUMNS run, and the
     // classic segment-revenue join planned UNDER CBO from catalog
@@ -274,6 +309,14 @@ object SourceQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "src_csv_malformed" ->
+      """SELECT
+        |  COUNT(CASE WHEN n_nationkey % 5 <> 3 THEN 1 END) AS n_good,
+        |  COUNT(CASE WHEN n_nationkey % 5 = 3 THEN 1 END) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 3 THEN n_regionkey END) AS BIGINT)
+        |    AS sum_region_good
+        |FROM nation""".stripMargin,
 
     "src_catalog_stats" ->
       """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
