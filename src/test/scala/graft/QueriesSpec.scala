@@ -14,6 +14,26 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("observe() metrics ride a pipeline without a second pass") {
+    // the production monitoring hook: named metrics are collected
+    // DURING the action (accumulator-style, zero extra scans) — the
+    // shape a 100 TB pipeline uses for row-count/quality telemetry
+    // instead of separate count() jobs over the same data
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation("iot_metrics")
+    val out = Tables.lineitem(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("high_discount"))
+      .filter(col("l_discount") > 0.05)
+    val filtered = out.count()
+    val m = obs.get
+    assert(m("rows_seen").asInstanceOf[Long] > filtered,
+      "observe should see pre-filter traffic")
+    assert(m("high_discount").asInstanceOf[Long] === filtered,
+      "observed metric must equal the filtered count without a second scan")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs, returns rows, and emits only scalar columns on sf0.001") {
       val df = fn(spark, sf)
