@@ -151,6 +151,45 @@ object TextQueries {
     // token streams never shuffle twice. Integer DIV keeps the
     // probabilities exact across engines; (n_bigram DESC, bigram) is a
     // total order for the top-25.
+    // Zipf-law fit of the token frequency distribution — the corpus-
+    // health statistic (natural text shows slope ≈ −1 in log-log
+    // rank/frequency space; generated or templated text deviates
+    // sharply). Least-squares over ln(rank), ln(freq) of the top-1000
+    // tokens: the regression sums fold over a RANK-ORDERED collected
+    // array (≤1000 elements, one global row), so no order-dependent
+    // float sum exists on either engine — same q76 closed-form slope/
+    // intercept/r² formulas on bit-identical sums.
+    "text_zipf_fit" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val K = 1000
+      val freq = documents(s, d)
+        .select(explode(tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok").limit(K) // TakeOrdered — vocab never sorts
+      val w = Window.orderBy($"n".desc, $"tok") // ≤K rows
+      val pts = freq.withColumn("r", row_number().over(w))
+        .select(struct($"r",
+          log($"r".cast("double")).as("lx"),
+          log($"n".cast("double")).as("ly")).as("p"))
+      val agg0 = pts.agg(collect_list($"p").as("ps"), count(lit(1)).as("k"))
+      def fsum(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(array_sort($"ps"), lit(0.0), (a, x) => a + f(x))
+      val kd = $"k".cast("double")
+      val (sx, sy) = (fsum(_("lx")), fsum(_("ly")))
+      val sxx = fsum(x => x("lx") * x("lx"))
+      val syy = fsum(x => x("ly") * x("ly"))
+      val sxy = fsum(x => x("lx") * x("ly"))
+      val slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+      val icept = (sy - slope * sx) / kd
+      val r2 = pow(kd * sxy - sx * sy, 2) /
+        ((kd * sxx - sx * sx) * (kd * syy - sy * sy))
+      agg0.select($"k",
+        format_string("%.6f", slope).as("zipf_slope"),
+        format_string("%.6f", icept).as("zipf_intercept"),
+        format_string("%.6f", r2).as("r2"))
+    }),
+
     // Per-document bigram-LM scoring (the perplexity-filter shape of
     // corpus curation: CCNet/Gopher-style quality ranking by how
     // "surprising" a doc is to a corpus LM): add-one-smoothed
@@ -303,6 +342,34 @@ object TextQueries {
         | SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
         | FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT tok, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok ORDER BY n DESC, tok LIMIT 1000),
+        |r AS (
+        |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r FROM f),
+        |l AS (
+        |  SELECT r, ln(CAST(r AS DOUBLE)) AS lx, ln(CAST(n AS DOUBLE)) AS ly,
+        |    ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) AS xx,
+        |    ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE)) AS yy,
+        |    ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE)) AS xy
+        |  FROM r),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lx ORDER BY r)), (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ly ORDER BY r)), (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(xx ORDER BY r)), (a, x) -> a + x) AS sxx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(yy ORDER BY r)), (a, x) -> a + x) AS syy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(xy ORDER BY r)), (a, x) -> a + x) AS sxy
+        |  FROM l)
+        |SELECT k,
+        |  printf('%.6f', (k * sxy - sx * sy) / (k * sxx - sx * sx)) AS zipf_slope,
+        |  printf('%.6f', (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k) AS zipf_intercept,
+        |  printf('%.6f', pow(k * sxy - sx * sy, 2)
+        |    / ((k * sxx - sx * sx) * (k * syy - sy * sy))) AS r2
+        |FROM s""".stripMargin,
 
     "text_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -53,4 +53,36 @@ class BucketingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("cell-bucketed ANN index scans only the probed buckets") {
+    // the 100 TB IVF layout: the corpus persisted bucketed by cell id,
+    // so an nProbe-cell query physically reads nProbe/16 of the files —
+    // bucket pruning is the disk-level analogue of the in-memory
+    // (cell = key) probe join the sim_knn_ivf query plans
+    val wh = Files.createTempDirectory("graft-warehouse-ann").toString
+    spark.sql("DROP TABLE IF EXISTS emb_cells")
+    import org.apache.spark.sql.functions._
+    Tables.embeddings(spark, sf)
+      .withColumn("cell", pmod(xxhash64($"vec_id"), lit(16)).cast("int"))
+      .write.bucketBy(16, "cell")
+      .option("path", s"$wh/emb_cells").saveAsTable("emb_cells")
+    // a scan-only query has no distribution requirement, so the
+    // planner's auto-bucketed-scan heuristic would flatten the layout
+    // and lose the pruning — pin it on for the probe
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val probed = spark.table("emb_cells").filter($"cell".isin(1, 5, 9, 13))
+      val plan = probed.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SelectedBucketsCount: 4 out of 16"),
+        s"bucket pruning did not engage:\n$plan")
+      // pruned read returns exactly the probed cells' vectors
+      val expected = Tables.embeddings(spark, sf)
+        .withColumn("cell", pmod(xxhash64($"vec_id"), lit(16)).cast("int"))
+        .filter($"cell".isin(1, 5, 9, 13)).count()
+      assert(probed.count() === expected)
+    } finally spark.conf.set(autoKey, prevAuto)
+    spark.sql("DROP TABLE IF EXISTS emb_cells")
+  }
 }
