@@ -76,6 +76,47 @@ object AsOfJoin {
         .orderBy($"event_id")
     }),
 
+    // q109: NEAREST as-of join (pandas merge_asof direction='nearest'):
+    // each reading attaches the purchase closest in time, before OR
+    // after, ties to the earlier one. Same union-merge shape as the
+    // backward join — ONE shuffle keyed by user, one sort, and TWO
+    // window passes sharing that sort (LOCF backward + first-forward),
+    // so the bidirectional lookup costs no more exchanges than the
+    // one-directional. The tie/choice arithmetic runs in exact micros.
+    // Oracle: two native DuckDB ASOF joins (>= and <=) + the same
+    // choice CASE — the equal-instant case lands on 'prior' in both
+    // engines (distance 0 wins the <= tie).
+    "q109_asof_nearest" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val readings = ev.filter($"event_type" =!= "purchase")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      val calib = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("c_ts"), $"value".as("c_value"))
+      val l = readings.withColumn("_t", $"ts").withColumn("_side", lit(1))
+      val r = calib.withColumn("_t", $"c_ts").withColumn("_side", lit(0))
+      val u = l.unionByName(r, allowMissingColumns = true)
+      val wB = Window.partitionBy($"user_id").orderBy($"_t".asc, $"_side".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy($"user_id").orderBy($"_t".asc, $"_side".asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val filled = u
+        .withColumn("p_ts", last($"c_ts", ignoreNulls = true).over(wB))
+        .withColumn("p_value", last($"c_value", ignoreNulls = true).over(wB))
+        .withColumn("n_ts", first($"c_ts", ignoreNulls = true).over(wF))
+        .withColumn("n_value", first($"c_value", ignoreNulls = true).over(wF))
+        .filter($"_side" === 1)
+      val dP = micros($"ts") - micros($"p_ts")
+      val dN = micros($"n_ts") - micros($"ts")
+      val usePrior = $"p_ts".isNotNull && ($"n_ts".isNull || dP <= dN)
+      filled.select($"event_id", $"user_id", $"event_type", micros($"ts").as("ts_us"),
+        when(usePrior, micros($"p_ts")).otherwise(micros($"n_ts")).as("near_ts_us"),
+        when(usePrior, $"p_value").otherwise($"n_value").as("near_value"),
+        when($"p_ts".isNull && $"n_ts".isNull, "none")
+          .when(usePrior, "prior").otherwise("next").as("direction"))
+        .orderBy($"event_id")
+    }),
+
     // q65: INTERVAL OVERLAP join — user sessions (30-min gap, gap-
     // extended end, same windows as q48/stream_session_agg) joined to
     // "incident hours" (hours whose error count exceeds 1.2× the mean
@@ -124,6 +165,29 @@ object AsOfJoin {
         |FROM (SELECT * FROM events WHERE event_type <> 'purchase') r
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') c
         | ON r.user_id = c.user_id AND r.ts >= c.ts
+        |ORDER BY r.event_id""".stripMargin,
+
+    "q109_asof_nearest" ->
+      """WITH r AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT r.event_id, c.ts AS p_ts, c.value AS p_value
+        |  FROM r ASOF LEFT JOIN c ON r.user_id = c.user_id AND r.ts >= c.ts),
+        |f AS (
+        |  SELECT r.event_id, c.ts AS n_ts, c.value AS n_value
+        |  FROM r ASOF LEFT JOIN c ON r.user_id = c.user_id AND r.ts <= c.ts)
+        |SELECT r.event_id, r.user_id, r.event_type, epoch_us(r.ts) AS ts_us,
+        |  CASE WHEN p_ts IS NOT NULL AND (n_ts IS NULL
+        |         OR epoch_us(r.ts) - epoch_us(p_ts) <= epoch_us(n_ts) - epoch_us(r.ts))
+        |       THEN epoch_us(p_ts) ELSE epoch_us(n_ts) END AS near_ts_us,
+        |  CASE WHEN p_ts IS NOT NULL AND (n_ts IS NULL
+        |         OR epoch_us(r.ts) - epoch_us(p_ts) <= epoch_us(n_ts) - epoch_us(r.ts))
+        |       THEN p_value ELSE n_value END AS near_value,
+        |  CASE WHEN p_ts IS NULL AND n_ts IS NULL THEN 'none'
+        |       WHEN p_ts IS NOT NULL AND (n_ts IS NULL
+        |         OR epoch_us(r.ts) - epoch_us(p_ts) <= epoch_us(n_ts) - epoch_us(r.ts))
+        |       THEN 'prior' ELSE 'next' END AS direction
+        |FROM r JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY r.event_id""".stripMargin,
 
     // naive overlap predicate — pins that the Spark side's bucketed
