@@ -136,77 +136,17 @@ object DedupQueries {
     "dedup_cluster_reps" -> ((s, d) => {
       import s.implicits._
       // The CORPUS-SCALE stage — the shingle join inside jaccardPairs —
-      // runs at the session's shuffle-partition setting: one pass over
-      // the pair stream, each pair exploded to both edge directions, so
-      // a single checkpoint job materializes the symmetric edge list (a
-      // union of pairs with its swap would either evaluate the pair
-      // join twice or need its own barrier).
-      val edges = jaccardPairs(s, d)
-        .select(explode(array(
-          struct($"d1".as("src"), $"d2".as("dst")),
-          struct($"d2".as("src"), $"d1".as("dst")))).as("e"))
-        .select($"e.src".as("src"), $"e.dst".as("dst"))
-        .localCheckpoint()
-      // The LOOP runs only over the ACTIVE vertex set (docs with at
-      // least one edge) — isolated docs are their own component and
-      // rejoin at the end. Dup graphs are sparse, so the iterated state
-      // is orders of magnitude smaller than the corpus. Each round's
-      // checkpointed table is explicitly repartitioned to a few
-      // doc_id-hashed partitions (NOT via mutating the session-global
-      // shuffle-partition conf — a concurrent query on the same session
-      // must never observe a temporary value) and AQE coalesces the
-      // intermediate shuffles to match.
-      val loopParts = 4
-      locally {
-        var labels = edges.select($"src".as("doc_id")).distinct()
-          .select($"doc_id", $"doc_id".as("lab"))
-          .repartition(loopParts, $"doc_id").localCheckpoint()
-        var changed = true
-        var iter = 0
-        val maxRounds = 16
-        while (changed && iter < maxRounds) {
-          val tR = System.nanoTime()
-          val nbrMin = edges
-            .join(labels.select($"doc_id".as("dst2"), $"lab".as("nl")), $"dst" === $"dst2")
-            .groupBy($"src".as("doc_id")).agg(min($"nl").as("nlab"))
-          val half = labels.join(nbrMin, Seq("doc_id"), "left")
-            .select($"doc_id",
-              least($"lab", coalesce($"nlab", $"lab")).as("lab"), $"lab".as("old"))
-            .repartition(loopParts, $"doc_id")
-            .localCheckpoint() // referenced twice below — materialize once
-          // pointer doubling: follow the new label's own new label.
-          // Labels are always ids of same-component vertices, so the
-          // lookup stays within the component; least() is monotone.
-          val next = half.as("x")
-            .join(half.select($"doc_id".as("pk"), $"lab".as("plab")).as("y"),
-              col("x.lab") === col("y.pk"), "left")
-            .select(col("x.doc_id").as("doc_id"),
-              least(col("x.lab"), coalesce(col("plab"), col("x.lab"))).as("lab"),
-              col("x.old").as("old"))
-            .repartition(loopParts, $"doc_id")
-            .localCheckpoint()
-          // single full-scan job over the checkpointed round result —
-          // limit(1).count() would trigger CollectLimit's incremental
-          // partition cascade (several jobs) on every converged round
-          val row = next.agg(max(when($"lab" =!= $"old", 1).otherwise(0))).first()
-          changed = !row.isNullAt(0) && row.getInt(0) > 0 // null = empty graph
-          labels = next.select($"doc_id", $"lab")
-          iter += 1
-          if (sys.env.contains("GRAFT_DEBUG"))
-            System.err.println(f"[cc] round $iter: ${(System.nanoTime() - tR) / 1e9}%.2f s changed=$changed")
-        }
-        if (changed)
-          throw new IllegalStateException(
-            s"dedup_cluster_reps: connected components did not converge in $maxRounds " +
-              "pointer-doubling rounds (component diameter > 2^" + maxRounds + ") — refusing " +
-              "to return unconverged cluster labels")
-        documents(s, d).select($"doc_id")
-          .join(labels, Seq("doc_id"), "left")
-          .select($"doc_id", coalesce($"lab", $"doc_id").as("rep"))
-          .groupBy($"rep".as("rep_id"))
-          .agg(count(lit(1)).as("n_members"))
-          .orderBy($"rep_id")
-      }
+      // runs at the session's shuffle-partition setting; the CC loop
+      // itself is the shared ConnectedComponents.labels helper (also
+      // the engine of sim_cluster_reps).
+      val labels = ConnectedComponents.labels(s,
+        jaccardPairs(s, d).select($"d1", $"d2"), "dedup_cluster_reps")
+      documents(s, d).select($"doc_id")
+        .join(labels.select($"id".as("doc_id"), $"lab"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"lab", $"doc_id").as("rep"))
+        .groupBy($"rep".as("rep_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"rep_id")
     }),
 
     // Degree histogram of the similarity graph — the shape diagnostic

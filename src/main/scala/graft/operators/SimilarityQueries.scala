@@ -281,6 +281,29 @@ object SimilarityQueries {
         .orderBy($"v1", $"v2")
     }),
 
+    // SEMANTIC dedup clustering — connected components over the
+    // embedding-cosine near-dup graph (the sim_neardup_pairs edges):
+    // the semantic twin of dedup_cluster_reps, collapsing paraphrase
+    // families A~B~C to one representative even when A≁C directly.
+    // Same label-bucketed candidate generation (never all-pairs), same
+    // shared pointer-doubling CC engine; oracle is a DuckDB recursive
+    // reach closure over the identical exact-fold cosine pairs.
+    "sim_cluster_reps" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d).select($"vec_id", $"label", $"embedding")
+      val pairs = emb.as("a").join(emb.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .filter(cosineSimilarity($"a.embedding", $"b.embedding") > 0.35)
+        .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"))
+      val labels = ConnectedComponents.labels(s, pairs, "sim_cluster_reps")
+      embeddings(s, d).select($"vec_id")
+        .join(labels.select($"id".as("vec_id"), $"lab"), Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"lab", $"vec_id").as("rep"))
+        .groupBy($"rep".as("rep_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"rep_id")
+    }),
+
     // Raw ANN result lists: approximate + hash-derived planes/centroids
     // → no SQL twin for the lists themselves (rows-only check); the
     // paired *_check queries gate their recall against the exact top-K.
@@ -378,6 +401,22 @@ object SimilarityQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} > 0.35
          |ORDER BY v1, v2""".stripMargin,
+
+    "sim_cluster_reps" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.embedding", "b.embedding")} > 0.35),
+         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+         |          UNION ALL SELECT v2, v1 FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+         |final AS (SELECT id, MIN(lab) AS lab FROM reach GROUP BY id)
+         |SELECT lab AS rep_id, COUNT(*) AS n_members
+         |FROM final GROUP BY lab ORDER BY rep_id""".stripMargin,
 
     // ANN quality gates: the oracle recomputes the query universe and
     // pins both invariants as literal TRUE — a broken index (or a
