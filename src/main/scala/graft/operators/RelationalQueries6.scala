@@ -100,6 +100,36 @@ object RelationalQueries6 {
         format_string("%.6f", z).as("z"))
     }),
 
+    // Decile lift report — the concentration chart behind "top 10% of
+    // customers drive X% of revenue": customers ranked by exact-decimal
+    // total spend into NTILE(10) deciles, per-decile totals, cumulative
+    // revenue share in floored basis points. The global NTILE runs over
+    // the CUSTOMER AGGREGATE (one row per customer), not raw orders —
+    // the q85 equi-depth pattern; at 100 TB the rank becomes a
+    // range-partitioned two-pass, same plan shape. All ratios divide
+    // exact-decimal-derived doubles, so both engines floor identical
+    // bits.
+    "q110_decile_lift" -> ((s, d) => {
+      import s.implicits._
+      val spend = orders(s, d).groupBy($"o_custkey")
+        .agg(sum(dec($"o_totalprice")).as("spend"))
+      val w = Window.orderBy($"spend".desc, $"o_custkey")
+      val deciles = spend.withColumn("decile", ntile(10).over(w))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"), sum($"spend").as("dec_spend"))
+      val wc = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy()
+      deciles
+        .withColumn("cum", sum($"dec_spend").over(wc))
+        .withColumn("total", sum($"dec_spend").over(wt))
+        .select($"decile", $"n_customers",
+          $"dec_spend".cast("double").as("decile_revenue"),
+          floor($"cum".cast("double") * 10000 / $"total".cast("double"))
+            .cast("long").as("cum_share_bp"))
+        .orderBy($"decile")
+    }),
+
     // Period-over-period reporting: monthly revenue with MoM and YoY
     // deltas in floored basis points. Prior periods come from SELF-
     // JOINS on an integer month key (year·12 + month − 1), never a
@@ -224,6 +254,25 @@ object RelationalQueries6 {
         |    / sqrt(n1 * n2 / 12.0 *
         |        ((n1 + n2 + 1) - CAST(ties_t AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))))) AS z
         |FROM st""".stripMargin,
+
+    "q110_decile_lift" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT o_custkey, spend,
+        |    NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        |  FROM spend),
+        |d AS (
+        |  SELECT decile, COUNT(*) AS n_customers, SUM(spend) AS dec_spend
+        |  FROM ranked GROUP BY decile)
+        |SELECT decile, n_customers,
+        |  CAST(dec_spend AS DOUBLE) AS decile_revenue,
+        |  CAST(floor(
+        |    CAST(SUM(dec_spend) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) * 10000
+        |    / CAST(SUM(dec_spend) OVER () AS DOUBLE)) AS BIGINT) AS cum_share_bp
+        |FROM d ORDER BY decile""".stripMargin,
 
     "q108_period_over_period" ->
       """WITH m AS (

@@ -151,6 +151,28 @@ object TextQueries {
     // token streams never shuffle twice. Integer DIV keeps the
     // probabilities exact across engines; (n_bigram DESC, bigram) is a
     // total order for the top-25.
+    // Per-document n-gram NOVELTY — the dedup-ROI curve: what fraction
+    // of each doc's distinct shingles appear here FIRST (by doc_id
+    // order)? A corpus whose late documents score near zero is mostly
+    // re-crawl; near 10000 bp means fresh content. Two keyed
+    // aggregates (shingle → min doc, then doc → counts) — the same
+    // shuffle shape as the dedup family, integer basis points for
+    // exact parity.
+    "text_ngram_novelty" -> ((s, d) => {
+      import s.implicits._
+      val ex = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(shingles3(tokens($"text"))).as("shingle"))
+      val first = ex.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+      ex.join(first, Seq("shingle"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          expr("n_novel * 10000 DIV n_shingles").as("novel_bp"))
+        .orderBy($"doc_id")
+    }),
+
     // Zipf-law fit of the token frequency distribution — the corpus-
     // health statistic (natural text shows slope ≈ −1 in log-log
     // rank/frequency space; generated or templated text deviates
@@ -342,6 +364,20 @@ object TextQueries {
         | SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
         | FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(t)-1),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+        |    AS novel_bp
+        |FROM sh JOIN first USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_zipf_fit" ->
       """WITH f AS (
