@@ -100,6 +100,30 @@ object RelationalQueries6 {
         format_string("%.6f", z).as("z"))
     }),
 
+    // Sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's
+    // event history collapses to an initials string in strict
+    // (ts, event_id) order — built by an ORDERED fold, the same
+    // determinism pattern as the EWMA — and regex counting finds
+    // behavioral motifs (here: direct click→purchase adjacencies and
+    // browse runs click[view*]purchase). One keyed aggregate carries
+    // the whole detection; the per-user string is session-bounded in
+    // practice and explicitly bounded here by the gate corpus.
+    "q111_event_patterns" -> ((s, d) => {
+      import s.implicits._
+      val journey = events(s, d)
+        .select($"user_id", $"ts", $"event_id", substring($"event_type", 1, 1).as("c"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws("",
+            transform(array_sort(collect_list(struct($"ts", $"event_id", $"c"))),
+              x => x("c"))).as("journey"))
+      journey.select($"user_id", $"n_events",
+        length($"journey").cast("long").as("journey_len"),
+        regexp_count($"journey", lit("cp")).cast("long").as("n_direct_conv"),
+        regexp_count($"journey", lit("cv*p")).cast("long").as("n_browse_conv"))
+        .orderBy($"user_id")
+    }),
+
     // Decile lift report — the concentration chart behind "top 10% of
     // customers drive X% of revenue": customers ranked by exact-decimal
     // total spend into NTILE(10) deciles, per-decile totals, cumulative
@@ -254,6 +278,17 @@ object RelationalQueries6 {
         |    / sqrt(n1 * n2 / 12.0 *
         |        ((n1 + n2 + 1) - CAST(ties_t AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))))) AS z
         |FROM st""".stripMargin,
+
+    "q111_event_patterns" ->
+      """WITH j AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(length(journey) AS BIGINT) AS journey_len,
+        |  CAST(len(regexp_extract_all(journey, 'cp')) AS BIGINT) AS n_direct_conv,
+        |  CAST(len(regexp_extract_all(journey, 'cv*p')) AS BIGINT) AS n_browse_conv
+        |FROM j ORDER BY user_id""".stripMargin,
 
     "q110_decile_lift" ->
       """WITH spend AS (

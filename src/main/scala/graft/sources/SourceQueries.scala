@@ -203,6 +203,31 @@ object SourceQueries {
         .orderBy($"o_orderpriority")
     }),
 
+    // Parquet SCHEMA EVOLUTION read: two landing generations of the
+    // same table — v1 without, v2 with an added column — read as one
+    // dataset via mergeSchema; v1 rows surface NULL for the added
+    // column. This is the contract every long-lived 100 TB table needs
+    // (columns get added mid-history; old files must stay readable
+    // without rewrite). The aggregate pins both the union row count
+    // and the null-fill semantics.
+    "src_schema_evolution" -> ((s, d) => {
+      import s.implicits._
+      val path = tmp("orders_evolved")
+      val base = orders(s, d)
+      // generation 1: early orders, before the priority column existed
+      base.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/v1")
+      // generation 2: later landings carry the new column
+      base.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+        .write.mode("overwrite").parquet(s"$path/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+        .groupBy(coalesce($"o_orderpriority", lit("(pre-evolution)")).as("priority"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"priority")
+    }),
+
     // PERMISSIVE malformed-record CSV read — the reference's corrupt-
     // record side-output contract (O3/O11) exercised on a second
     // format: rows with a non-numeric key column land in the corrupt
@@ -309,6 +334,13 @@ object SourceQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-evolution)'
+        |            ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
 
     "src_csv_malformed" ->
       """SELECT
