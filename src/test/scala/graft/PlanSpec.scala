@@ -132,6 +132,19 @@ class PlanSpec extends SparkSuite {
       li("l_orderkey") === o("o_orderkey"))).contains("ShuffledHashJoin"))
   }
 
+  test("q109/q103: bidirectional as-of and EWMA cost one data shuffle each") {
+    // the union-merge shape's whole point: backward + forward lookups
+    // (q109) fuse into ONE Window operator over one keyed exchange —
+    // the second exchange is the output ORDER BY, not a data shuffle
+    for (q <- Seq("q109_asof_nearest", "q103_ewma_smooth")) {
+      val p = plan(q)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+      val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$q plans $exchanges exchanges (expected key + output sort):\n$p")
+      assert(windows === 1, s"$q did not fuse its window passes ($windows Window ops)")
+    }
+  }
+
   test("q103/dedup_incremental: keyed EWMA window; anti-join ingest dedup") {
     assert(!plan("q103_ewma_smooth").contains("SinglePartition"),
       "EWMA window collapsed to one task")
