@@ -100,6 +100,32 @@ object RelationalQueries6 {
         format_string("%.6f", z).as("z"))
     }),
 
+    // Incident burst detection: maximal runs of CONSECUTIVE hours
+    // whose error count exceeds the scale-free 1.2× mean threshold
+    // (the q65 incident definition) — the alerting shape behind
+    // "errors elevated for N straight hours". Hourly aggregation is
+    // one keyed agg over events; the island key (hour_index − rn) then
+    // groups a table of AT MOST corpus-hours rows, so the window cost
+    // is aggregate-sized at any event volume. Exact integer hours.
+    "q112_error_bursts" -> ((s, d) => {
+      import s.implicits._
+      val hourly = events(s, d).filter($"event_type" === "error")
+        .groupBy((micros(date_trunc("hour", $"ts")) / 3600000000L).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_errors"))
+      val hot = hourly
+        .withColumn("mean_n", avg($"n_errors").over(Window.partitionBy()))
+        .filter($"n_errors" > lit(1.2) * $"mean_n")
+      val w = Window.orderBy($"hr") // ≤ corpus-hours rows
+      hot.withColumn("rn", row_number().over(w))
+        .withColumn("grp", $"hr" - $"rn")
+        .groupBy($"grp")
+        .agg(min($"hr").as("start_hr"), max($"hr").as("end_hr"),
+          count(lit(1)).as("n_hours"), sum($"n_errors").as("total_errors"))
+        .select(($"start_hr" * 3600000000L).as("start_us"),
+          ($"end_hr" * 3600000000L).as("end_us"), $"n_hours", $"total_errors")
+        .orderBy($"start_us")
+    }),
+
     // Sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's
     // event history collapses to an initials string in strict
     // (ts, event_id) order — built by an ORDERED fold, the same
@@ -278,6 +304,23 @@ object RelationalQueries6 {
         |    / sqrt(n1 * n2 / 12.0 *
         |        ((n1 + n2 + 1) - CAST(ties_t AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))))) AS z
         |FROM st""".stripMargin,
+
+    "q112_error_bursts" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) // 3600000000 AS hr,
+        |    COUNT(*) AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |hot AS (
+        |  SELECT hr, n_errors FROM hourly
+        |  WHERE n_errors > 1.2 * (SELECT AVG(n_errors) FROM hourly)),
+        |r AS (
+        |  SELECT hr, n_errors, ROW_NUMBER() OVER (ORDER BY hr) AS rn FROM hot)
+        |SELECT CAST(MIN(hr) * 3600000000 AS BIGINT) AS start_us,
+        |  CAST(MAX(hr) * 3600000000 AS BIGINT) AS end_us,
+        |  COUNT(*) AS n_hours,
+        |  CAST(SUM(n_errors) AS BIGINT) AS total_errors
+        |FROM (SELECT hr, n_errors, hr - rn AS grp FROM r)
+        |GROUP BY grp ORDER BY start_us""".stripMargin,
 
     "q111_event_patterns" ->
       """WITH j AS (
