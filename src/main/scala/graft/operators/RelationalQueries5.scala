@@ -104,15 +104,19 @@ object RelationalQueries5 {
     // Equi-depth histogram: NTILE over a TOTAL order (price, orderkey,
     // linenumber — ties broken deterministically so both engines cut
     // identical bins), then per-bin count/min/max/exact-decimal sum.
-    // The global sort is the honest cost of exact equi-depth; the
-    // approximate path at 100 TB is q55's approx_percentile cuts. Bin
-    // count (8) is fixed, so the final aggregate is 8 rows.
+    // EXACT at scale: the rank is GlobalRank's two-pass range-
+    // partitioned row_number (every task ranks only its own key range)
+    // and NTILE is reconstructed arithmetically from rank + total —
+    // no single-partition window anywhere in the plan. The cheaper
+    // approximate path at 100 TB remains q55's approx_percentile cuts.
     "q85_equidepth_bins" -> ((s, d) => {
       import s.implicits._
-      val w = Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-      lineitem(s, d)
+      val base = lineitem(s, d)
         .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-        .withColumn("bin", ntile(8).over(w))
+      val (ranked, n) = GlobalRank.withRank(base, "_r",
+        Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber"))
+      ranked
+        .withColumn("bin", GlobalRank.ntileFromRank($"_r", n, 8))
         .groupBy($"bin")
         .agg(count(lit(1)).as("n_rows"),
           min($"l_extendedprice").as("lo"),
@@ -370,19 +374,26 @@ object RelationalQueries5 {
     // customer from the orders table, the classic CRM scoring pass.
     // Each quintile is an NTILE over a TOTAL order (metric + custkey
     // tiebreak) so both engines cut identical bins; output is the
-    // 125-cell segment matrix, not per-customer rows. The three global
-    // NTILEs share q85's honest caveat: exact global quantiles sort;
-    // the approximate path at scale is approx_percentile cuts.
+    // 125-cell segment matrix, not per-customer rows. Each of the
+    // three quintiles is a GlobalRank two-pass rank (range-partitioned,
+    // never a single-partition window) + the arithmetic NTILE — three
+    // keyed shuffles over the per-customer AGGREGATE, exact at any
+    // customer cardinality. The approximate path at scale remains
+    // approx_percentile cuts.
     "q95_rfm_segments" -> ((s, d) => {
       import s.implicits._
       val per = orders(s, d).groupBy($"o_custkey")
         .agg(max($"o_orderdate").as("last_order"),
           count(lit(1)).as("freq"),
           sum(dec($"o_totalprice")).as("monetary"))
-      val r = per
-        .withColumn("r_score", ntile(5).over(Window.orderBy($"last_order".desc, $"o_custkey")))
-        .withColumn("f_score", ntile(5).over(Window.orderBy($"freq".desc, $"o_custkey")))
-        .withColumn("m_score", ntile(5).over(Window.orderBy($"monetary".desc, $"o_custkey")))
+      val (r1, n) = GlobalRank.withRank(per, "_rr", Seq($"last_order".desc, $"o_custkey"))
+      val (r2, _) = GlobalRank.withRank(
+        r1.withColumn("r_score", GlobalRank.ntileFromRank($"_rr", n, 5)).drop("_rr"),
+        "_fr", Seq($"freq".desc, $"o_custkey"))
+      val (r3, _) = GlobalRank.withRank(
+        r2.withColumn("f_score", GlobalRank.ntileFromRank($"_fr", n, 5)).drop("_fr"),
+        "_mr", Seq($"monetary".desc, $"o_custkey"))
+      val r = r3.withColumn("m_score", GlobalRank.ntileFromRank($"_mr", n, 5)).drop("_mr")
       r.groupBy($"r_score", $"f_score", $"m_score")
         .agg(count(lit(1)).as("n_customers"),
           dsumExpr($"monetary").as("segment_value"))
@@ -446,14 +457,15 @@ object RelationalQueries5 {
     // over customers sorted by spend: Σ(i·xᵢ) is an exact DECIMAL sum
     // of rank×decimal products (order-independent), so the only double
     // math is the final division — identical operands both engines,
-    // printed at %.9f. The rank window is global but runs over
-    // customers (one row each), with the same honest caveat as q85.
+    // printed at %.9f. The rank is GlobalRank's two-pass distributed
+    // row_number over the per-customer aggregate — exact at any
+    // customer cardinality, no single-partition window.
     "q99_gini_concentration" -> ((s, d) => {
       import s.implicits._
       val per = orders(s, d).groupBy($"o_custkey")
         .agg(sum(dec($"o_totalprice")).as("m"))
-      val w = Window.orderBy($"m", $"o_custkey")
-      per.withColumn("i", row_number().over(w))
+      val (ranked, _) = GlobalRank.withRank(per, "i", Seq($"m", $"o_custkey"))
+      ranked
         .agg(count(lit(1)).as("n_customers"),
           sum($"m").cast("double").as("total"),
           sum($"m" * $"i").cast("double").as("wsum"))

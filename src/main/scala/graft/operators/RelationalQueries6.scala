@@ -163,16 +163,23 @@ object RelationalQueries6 {
       import s.implicits._
       val spend = orders(s, d).groupBy($"o_custkey")
         .agg(sum(dec($"o_totalprice")).as("spend"))
-      val w = Window.orderBy($"spend".desc, $"o_custkey")
-      val deciles = spend.withColumn("decile", ntile(10).over(w))
+      val (ranked, n) = GlobalRank.withRank(spend, "_r", Seq($"spend".desc, $"o_custkey"))
+      val deciles = ranked
+        .withColumn("decile", GlobalRank.ntileFromRank($"_r", n, 10))
         .groupBy($"decile")
         .agg(count(lit(1)).as("n_customers"), sum($"spend").as("dec_spend"))
-      val wc = Window.orderBy($"decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy()
+      // cumulative + total over the 10-row decile aggregate WITHOUT a
+      // global window: a broadcast triangular self-join (d2 ≤ decile)
+      // for the running sum and a broadcast 1-row total — both sides
+      // are bucket-count-sized, so nothing single-partitions even when
+      // the decile table grows to percentiles/permilles.
+      val tot = deciles.agg(sum($"dec_spend").as("total"))
       deciles
-        .withColumn("cum", sum($"dec_spend").over(wc))
-        .withColumn("total", sum($"dec_spend").over(wt))
+        .join(broadcast(deciles.select($"decile".as("_d2"), $"dec_spend".as("_s2"))),
+          $"_d2" <= $"decile")
+        .groupBy($"decile", $"n_customers", $"dec_spend")
+        .agg(sum($"_s2").as("cum"))
+        .crossJoin(broadcast(tot))
         .select($"decile", $"n_customers",
           $"dec_spend".cast("double").as("decile_revenue"),
           floor($"cum".cast("double") * 10000 / $"total".cast("double"))

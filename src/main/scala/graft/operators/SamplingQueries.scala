@@ -172,7 +172,7 @@ object SamplingQueries {
 
     // Deterministic GLOBAL shuffle for training-order assignment: every
     // doc gets a stable pseudorandom position (rank of md5(doc_id)).
-    // The enumeration is the same two-pass trick as tokenOffsets —
+    // The enumeration is GlobalRank's two-pass distributed rank —
     // range-partition by the shuffle key, per-partition row_number,
     // driver-side exclusive prefix over the partition COUNTS — never a
     // single-partition global window. Rerunning over a grown corpus
@@ -181,24 +181,11 @@ object SamplingQueries {
     // reproducible.
     "samp_shuffle" -> ((s, d) => {
       import s.implicits._
-      val nParts = math.max(4, s.sparkContext.defaultParallelism)
       val keyed = documents(s, d)
         .select($"doc_id", md5($"doc_id".cast("string").cast("binary")).as("k"))
-        .repartitionByRange(nParts, $"k", $"doc_id")
-        .withColumn("pid", spark_partition_id())
-        .cache()
-      val counts = keyed.groupBy($"pid")
-        .agg(count(lit(1)).as("n"), min($"k").as("lo"))
-        .collect().sortBy(_.getAs[String]("lo"))
-      var acc = 0L
-      val offsets = counts.map { r =>
-        val o = r.getAs[Int]("pid") -> acc; acc += r.getAs[Long]("n"); o
-      }.toMap
-      val w = Window.partitionBy($"pid").orderBy($"k", $"doc_id")
-      keyed
-        .withColumn("pos",
-          row_number().over(w).cast("long") - 1 + element_at(typedlit(offsets), $"pid"))
-        .select($"doc_id", $"pos")
+      val (ranked, _) = GlobalRank.withRank(keyed, "_rank1", Seq($"k", $"doc_id"))
+      ranked
+        .select($"doc_id", ($"_rank1" - 1).as("pos"))
         .orderBy($"doc_id")
     }),
 

@@ -207,4 +207,22 @@ class PlanSpec extends SparkSuite {
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
+
+  test("exact global ranks (q85/q95/q99/q110/samp_shuffle) never window over a single partition") {
+    // The scale-killer shape is a logical Window with an EMPTY
+    // partition spec — physical planning turns that into Exchange
+    // SinglePartition + one task holding every row. All five exact-
+    // rank queries must run GlobalRank's range-partitioned two-pass
+    // instead: every Window node in their optimized plans is keyed.
+    for (q <- Seq("q85_equidepth_bins", "q95_rfm_segments",
+        "q99_gini_concentration", "q110_decile_lift", "samp_shuffle")) {
+      val wins = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty, s"$q: expected the keyed rank window to survive optimization")
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty, s"$q has a global (single-partition) window")
+      }
+    }
+  }
 }
