@@ -37,15 +37,28 @@ object Bench {
         .groupBy(col("doc_id")).count().count()
     }
 
+    // Min of TWO runs per query: in a 190+-query single-session bench,
+    // whichever query of a family runs first absorbs session-wide
+    // one-time costs (janino compiles, classloading, page-cache first
+    // touch) — r7/r8 both recorded 5-25× outliers that re-measured at
+    // warm speed under graft.Prof. The min is the plan's own cost, the
+    // number the per-round gate is meant to compare.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // each query pays its own scan/compute — no cross-query cache reuse
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      def once(): Double = {
+        // each run pays its own scan/compute — no cross-query (or
+        // cross-run) cache reuse
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      val t = try math.min(once(), once())
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (System.nanoTime() - t0) / 1e9 // keep valid JSON: time-to-failure
+        }
+      name -> t
     }
     // Locale.ROOT: the f interpolator is locale-sensitive — a comma-
     // decimal default locale would print "1,234" and break the JSON

@@ -71,37 +71,35 @@ object MultimodalQueries {
         .orderBy($"doc_id")
     }),
 
-    // Stubbed decode + feature extraction through the real batched
-    // mapPartitions path (see Multimodal.decodeFeatures), cross-checked
-    // in-engine: an INDEPENDENT pure-Catalyst float32 formulation of the
-    // same per-byte fold (hex-decode → modular position fold) must agree
-    // bit-exactly per document. The oracle recomputes doc_id/n_bytes and
-    // pins `features_match` as TRUE — so the Scala batching path, the
-    // encoder, and the null handling are all hash-verified even though
-    // the feature floats themselves have no SQL twin.
+    // REAL codec round-trip through the batched mapPartitions contract:
+    // synthesize a deterministic PNG per document (dims from n_chars,
+    // solid RGB from md5(doc_id) — all Catalyst-computable), encode it
+    // with the JDK ImageIO PNG writer, then DECODE the bytes back to
+    // pixels in Multimodal.decodeFeatures and extract width/height/
+    // channel means. The in-query cross-check pins the decoded
+    // dimensions and means against the generation parameters (PNG is
+    // lossless, solid fill ⇒ mean == fill exactly), so the oracle's
+    // `features_match = TRUE` hash-verifies actual bytes→pixels work —
+    // encoder, decoder, batching, and null handling. Both hops are
+    // zero-shuffle mapPartitions; a 100 TB corpus decodes embarrassingly
+    // parallel with `batchSize` payloads in flight per task.
     "mm_decode_features" -> ((s, d) => {
       import s.implicits._
-      val dim = graft.multimodal.Multimodal.featureDim
-      val decoded = graft.multimodal.Multimodal.decodeFeatures(
-        documents(s, d).select($"doc_id", $"text".cast("binary").as("payload")))
-      // Catalyst twin: feature j folds bytes at positions ≡ j (mod dim)
-      // in position order, accumulating in float32 like the stub does.
-      // Bytes come from the hex encoding (2 chars per byte).
-      val hexs = hex($"text".cast("binary"))
-      def featureSpec(j: Int) =
-        when(length($"text".cast("binary")) > j,
-          aggregate(
-            sequence(lit(j), length($"text".cast("binary")) - 1, lit(dim)),
-            lit(0.0f),
-            (acc, i) => acc +
-              (conv(hexs.substr(i * 2 + 1, lit(2)), 16, 10).cast("int")
-                .cast("double") / 255.0).cast("float")))
-          .otherwise(lit(0.0f))
-      val spec = documents(s, d).select($"doc_id",
-        array((0 until dim).map(featureSpec): _*).as("features_spec"))
-      decoded.join(spec, Seq("doc_id"))
-        .select($"doc_id", $"n_bytes",
-          ($"features" === $"features_spec").as("features_match"))
+      val h = md5($"doc_id".cast("string").cast("binary"))
+      val meta = documents(s, d).select($"doc_id",
+        ($"n_chars" % 64 + 1).cast("int").as("exp_w"),
+        (($"n_chars" * 7) % 48 + 1).cast("int").as("exp_h"),
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("exp_r"),
+        conv(substring(h, 3, 2), 16, 10).cast("int").as("exp_g"),
+        conv(substring(h, 5, 2), 16, 10).cast("int").as("exp_b"))
+      val payloads = graft.multimodal.Multimodal.encodePayloads(
+        meta.select($"doc_id", $"exp_w", $"exp_h", $"exp_r", $"exp_g", $"exp_b"))
+      val decoded = graft.multimodal.Multimodal.decodeFeatures(payloads)
+      decoded.join(meta, Seq("doc_id"))
+        .withColumn("features_match",
+          $"n_bytes" > 0 && $"width" === $"exp_w" && $"height" === $"exp_h" &&
+            $"mean_r" === $"exp_r" && $"mean_g" === $"exp_g" && $"mean_b" === $"exp_b")
+        .select($"doc_id", $"exp_w".as("width"), $"exp_h".as("height"), $"features_match")
         .orderBy($"doc_id")
     })
   )
@@ -140,7 +138,8 @@ object MultimodalQueries {
 
     "mm_decode_features" ->
       """SELECT doc_id,
-        | octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | n_chars % 64 + 1 AS width,
+        | (n_chars * 7) % 48 + 1 AS height,
         | TRUE AS features_match
         |FROM documents ORDER BY doc_id""".stripMargin
   )

@@ -1,0 +1,69 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import graft.multimodal.Multimodal
+
+/** The multimodal codec is REAL (JDK ImageIO): pin it against a golden
+  * PNG written independently of Multimodal's own encoder, the
+  * encode→decode round-trip, corrupt-byte degradation, and the batched
+  * DataFrame plumbing. */
+class MultimodalSpec extends SparkSuite {
+
+  /** Golden image: 2×3, four distinct corner-ish pixels — written with
+    * raw BufferedImage/ImageIO calls, NOT Multimodal.encodePng, so the
+    * decoder is tested against an independent producer. */
+  private def goldenPng(): Array[Byte] = {
+    val img = new BufferedImage(2, 3, BufferedImage.TYPE_INT_RGB)
+    // column-major fill: (x, y) -> rgb
+    val px = Seq(
+      (0, 0, 0xff0000), (1, 0, 0x00ff00),
+      (0, 1, 0x0000ff), (1, 1, 0x102030),
+      (0, 2, 0xffffff), (1, 2, 0x000000))
+    px.foreach { case (x, y, rgb) => img.setRGB(x, y, rgb) }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeOne recovers dimensions and exact channel means from a golden PNG") {
+    val Some((w, h, mr, mg, mb)) = Multimodal.decodeOne(goldenPng())
+    assert((w, h) === (2, 3))
+    // sums over the six pixels above, floor-divided by 6
+    assert(mr === (0xff + 0x10 + 0xff) / 6)
+    assert(mg === (0xff + 0x20 + 0xff) / 6)
+    assert(mb === (0xff + 0x30 + 0xff) / 6)
+  }
+
+  test("encodePng -> decodeOne round-trips dims and solid fill exactly") {
+    for ((w, h, r, g, b) <- Seq((1, 1, 0, 0, 0), (64, 48, 255, 255, 255), (7, 13, 17, 129, 254))) {
+      val Some((dw, dh, mr, mg, mb)) = Multimodal.decodeOne(Multimodal.encodePng(w, h, r, g, b))
+      assert((dw, dh, mr, mg, mb) === (w, h, r, g, b), s"round-trip $w x $h rgb($r,$g,$b)")
+    }
+  }
+
+  test("corrupt and empty payloads degrade to None, never throw") {
+    assert(Multimodal.decodeOne(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeOne("not a png".getBytes("UTF-8")).isEmpty)
+    // valid header, truncated body
+    assert(Multimodal.decodeOne(goldenPng().take(20)).isEmpty)
+  }
+
+  test("batched DataFrame encode -> decode validates per-row; corrupt row yields null features") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val meta = Seq((1L, 3, 2, 10, 20, 30), (2L, 1, 1, 255, 0, 128))
+      .toDF("doc_id", "w", "h", "r", "g", "b")
+    val decoded = Multimodal.decodeFeatures(Multimodal.encodePayloads(meta))
+      .orderBy($"doc_id").collect()
+    assert(decoded.map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toSeq ===
+      Seq((1L, 3, 2, 10, 20, 30), (2L, 1, 1, 255, 0, 128)))
+    assert(decoded.forall(_.getLong(1) > 0), "png payloads must be non-empty")
+
+    val corrupt = Seq((9L, "junk".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val row = Multimodal.decodeFeatures(corrupt).collect().head
+    assert(row.getLong(1) === 4L && row.isNullAt(2) && row.isNullAt(4))
+  }
+}
