@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Diagnostic: measured recall@K of each ANN index vs the exact top-K,
   * per scale factor — the numbers the `sim_knn_*_check` floors are
-  * calibrated from (floor = measured at the gate SF minus 10 points,
-  * so a partial bucketing break fails the gate, not just a total one).
+  * calibrated from. One rule for all three indexes: floor = measured
+  * recall at the WORST of the three SFs minus 800 bp (two pairs of the
+  * 25-pair denominator) — LSH 4000−800=3200, IVF 4000−800=3200,
+  * PQ 7200−800=6400 — so a partial bucketing break fails the gate,
+  * not just a total one.
   * `runMain graft.RecallProbe [sfDir ...]` (defaults to all three). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {

@@ -85,7 +85,14 @@ object AsOfJoin {
     // one-directional. The tie/choice arithmetic runs in exact micros.
     // Oracle: two native DuckDB ASOF joins (>= and <=) + the same
     // choice CASE — the equal-instant case lands on 'prior' in both
-    // engines (distance 0 wins the <= tie).
+    // engines (distance 0 wins the <= tie). Two purchases at the SAME
+    // (user_id, ts) would otherwise be an undefined pick in both
+    // engines (Spark's LOCF sort tie, DuckDB's ASOF): the Spark side
+    // collapses the tie group to its max value with a window that
+    // rides the SAME user_id exchange (HashPartitioning(user_id)
+    // satisfies the finer (user,instant,side) clustering — subset
+    // rule — so no second shuffle), and the oracle pre-reduces its
+    // calib CTE to max(value) per (user_id, ts).
     "q109_asof_nearest" -> ((s, d) => {
       import s.implicits._
       val ev = events(s, d)
@@ -96,11 +103,17 @@ object AsOfJoin {
       val l = readings.withColumn("_t", $"ts").withColumn("_side", lit(1))
       val r = calib.withColumn("_t", $"c_ts").withColumn("_side", lit(0))
       val u = l.unionByName(r, allowMissingColumns = true)
+        .repartition($"user_id")
+      // deterministic tie collapse: every same-instant purchase row now
+      // carries the group max, so whichever physical row LOCF lands on,
+      // the answer is the same
+      val wTie = Window.partitionBy($"user_id", $"_t", $"_side")
       val wB = Window.partitionBy($"user_id").orderBy($"_t".asc, $"_side".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wF = Window.partitionBy($"user_id").orderBy($"_t".asc, $"_side".asc)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val filled = u
+        .withColumn("c_value", max($"c_value").over(wTie))
         .withColumn("p_ts", last($"c_ts", ignoreNulls = true).over(wB))
         .withColumn("p_value", last($"c_value", ignoreNulls = true).over(wB))
         .withColumn("n_ts", first($"c_ts", ignoreNulls = true).over(wF))
@@ -169,7 +182,8 @@ object AsOfJoin {
 
     "q109_asof_nearest" ->
       """WITH r AS (SELECT * FROM events WHERE event_type <> 'purchase'),
-        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(value) AS value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
         |b AS (
         |  SELECT r.event_id, c.ts AS p_ts, c.value AS p_value
         |  FROM r ASOF LEFT JOIN c ON r.user_id = c.user_id AND r.ts >= c.ts),

@@ -40,7 +40,14 @@ object DedupQueries {
     * consumers (sizes + both sides of a self-join), so it rides an
     * eager localCheckpoint — materialized ONCE with truncated lineage,
     * where cache() left several full shingle-pipeline plans competing
-    * for block-manager space across a long multi-query session. */
+    * for block-manager space across a long multi-query session. The
+    * trade-off: localCheckpoint's blocks are unreplicated executor
+    * state, so on a real cluster an executor loss FAILS the query
+    * (cache degrades gracefully by recomputing its lineage); the
+    * cluster-scale variants are reliable checkpoint() to HDFS/S3 or a
+    * replicated StorageLevel, at a write-cost premium. For a dedup
+    * pass — cheap to rerun, hot for minutes not days — fail-and-rerun
+    * is the standard production trade. */
   private def cappedShingleRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cap = 10

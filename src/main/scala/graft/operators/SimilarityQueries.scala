@@ -345,9 +345,10 @@ object SimilarityQueries {
     "sim_knn_ivf_check" -> ((s, d) =>
       annCheck(s, d, ivfTopK(_, _, 16, 4, _), minRecallBp = 3200)),
     // PQ re-ranks its top-256 ADC candidates with exact cosine, so its
-    // recall floor sits far higher than the bucketed indexes'.
+    // recall floor sits far higher than the bucketed indexes'. Same
+    // calibration rule as LSH/IVF: worst-SF measured (7200 bp) − 800.
     "sim_knn_pq_check" -> ((s, d) =>
-      annCheck(s, d, pqTopK(_, _, _), minRecallBp = 6200))
+      annCheck(s, d, pqTopK(_, _, _), minRecallBp = 6400))
   )
 
   /** Shared ANN gate: one row of invariant booleans + oracle-computable

@@ -160,16 +160,29 @@ object Streams {
     * per-state TTL, timers — and RocksDB-only, so state spills to disk
     * instead of capping at executor heap, the property that matters at
     * 100 TB key cardinality). Functionally mirrors
-    * `userRunningProfile` so the same oracle shape pins both APIs. */
+    * `userRunningProfile` so the same oracle shape pins both APIs.
+    *
+    * `ttl` (optional) switches on the state store's NATIVE per-value
+    * TTL: the profile cell of a key idle longer than `ttl` (processing
+    * time) is expired by the store itself — no timers, no hand-rolled
+    * timeout bookkeeping — which is how an unbounded deployment keeps
+    * state from growing with lifetime key cardinality. TTL requires
+    * processing TimeMode; the gate's bounded-input runs keep
+    * TTLConfig.NONE. */
   def userProfileTws(events: org.apache.spark.sql.Dataset[UserEvent],
-      watermark: String = "10 minutes")
+      watermark: String = "10 minutes",
+      ttl: java.time.Duration = null)
       : org.apache.spark.sql.Dataset[TwsProfile] = {
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    val (ttlConf, timeMode) =
+      if (ttl == null) (TTLConfig.NONE, TimeMode.None())
+      else (TTLConfig(ttl), TimeMode.ProcessingTime())
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .transformWithState(new ProfileProcessor(),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new ProfileProcessor(ttlConf),
+        timeMode,
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
@@ -275,20 +288,24 @@ case class TwsProfile(user_id: Long, n_events: Long, sum_value: Double,
 
 /** StatefulProcessor for [[Streams.userProfileTws]]: one ValueState cell
   * per user, updated in (event-time micros, event_id) order within each
-  * batch. TTL is NONE here because the gate runs bounded input; an
-  * unbounded deployment passes `TTLConfig(Duration.ofDays(30))` and the
-  * store evicts idle keys natively — the TTL lives in the STATE API
-  * now, not in hand-rolled timeout handling. */
-class ProfileProcessor
+  * batch. The `ttl` is the state API's NATIVE TTL (a production
+  * deployment passes e.g. `TTLConfig(Duration.ofDays(30))`): the store
+  * itself expires a cell idle longer than the TTL — an expired key's
+  * next read is empty and its profile restarts — so idle-key cleanup
+  * needs no timers or hand-rolled timeout handling. The gate's
+  * bounded-input runs pass TTLConfig.NONE; StreamingSpec pins the
+  * expiry behavior with a short TTL on RocksDB. */
+class ProfileProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TwsProfile] {
-  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{TimerValues, ValueState}
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var st: ValueState[TwsProfile] = _
 
   override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
     st = getHandle.getValueState[TwsProfile]("profile",
-      Encoders.product[TwsProfile], TTLConfig.NONE)
+      Encoders.product[TwsProfile], ttl)
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsProfile] = {

@@ -134,14 +134,17 @@ class PlanSpec extends SparkSuite {
 
   test("q109/q103: bidirectional as-of and EWMA cost one data shuffle each") {
     // the union-merge shape's whole point: backward + forward lookups
-    // (q109) fuse into ONE Window operator over one keyed exchange —
-    // the second exchange is the output ORDER BY, not a data shuffle
-    for (q <- Seq("q109_asof_nearest", "q103_ewma_smooth")) {
+    // (q109) fuse into ONE LOCF Window operator over one keyed
+    // exchange — the second exchange is the output ORDER BY, not a
+    // data shuffle. q109 additionally runs the same-instant tie-
+    // collapse window, which must ride the SAME user_id exchange
+    // (subset rule), hence the exchange bound stays at 2.
+    for ((q, maxWindows) <- Seq("q109_asof_nearest" -> 2, "q103_ewma_smooth" -> 1)) {
       val p = plan(q)
       val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
       val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
       assert(exchanges <= 2, s"$q plans $exchanges exchanges (expected key + output sort):\n$p")
-      assert(windows === 1, s"$q did not fuse its window passes ($windows Window ops)")
+      assert(windows <= maxWindows, s"$q did not fuse its window passes ($windows Window ops)")
     }
   }
 

@@ -156,6 +156,62 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState NATIVE TTL expires idle state between micro-batches (RocksDB)") {
+    import graft.streaming.{TwsProfile, UserEvent}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = MemoryStream[UserEvent](spark, 11)
+      // 5 s processing-time TTL via the state API itself (TTLConfig,
+      // not timers): a profile cell untouched for >5 s is expired by
+      // the store, so the key's next read starts from empty. NOTE:
+      // processing-time mode schedules continuous (empty) micro-
+      // batches to advance the TTL clock, so the query never settles
+      // for processAllAvailable — the test POLLS the sink for each
+      // expected emission instead of awaiting quiescence.
+      def rows7 = spark.table("tws_ttl").as[TwsProfile].collect()
+        .filter(_.user_id == 7).sortBy(_.max_value).toSeq
+      def awaitSink(cond: => Boolean): Unit = {
+        val t0 = System.currentTimeMillis()
+        while (!cond) {
+          assert(System.currentTimeMillis() - t0 < 90000,
+            s"timed out waiting for stream output: $rows7")
+          Thread.sleep(100)
+        }
+      }
+      val q = Streams.userProfileTws(events.toDS(),
+          ttl = java.time.Duration.ofSeconds(5))
+        .writeStream.format("memory").queryName("tws_ttl")
+        .outputMode("update").start()
+      try {
+        // batch 1: user 7 seeded
+        events.addData(UserEvent(1, ts("2024-01-01 00:00:00"), 7, "click", 2.0))
+        awaitSink(rows7.nonEmpty)
+        // batch 2 WITHIN the TTL: state must still be live (control —
+        // proves the reset below is expiry, not per-batch amnesia)
+        events.addData(UserEvent(2, ts("2024-01-01 00:01:00"), 7, "view", 3.0))
+        awaitSink(rows7.exists(_.n_events == 2))
+        // idle past the TTL, then batch 3: the store must have expired
+        // user 7's cell, so the profile restarts at n_events = 1
+        Thread.sleep(6500)
+        events.addData(UserEvent(3, ts("2024-01-01 00:02:00"), 7, "purchase", 4.0))
+        awaitSink(rows7.exists(_.max_value == 4.0))
+      } finally q.stop()
+      // max_value is monotone across the three batches (2, 3, 4) — a
+      // chronological sort key for the update-mode emissions
+      val rows = rows7
+      assert(rows.map(_.n_events) === Seq(1L, 2L, 1L),
+        s"expected live accumulation then TTL reset: $rows")
+      assert(rows.last === TwsProfile(7, 1, 4.0, 4.0, "purchase"),
+        s"post-TTL profile should restart from empty: ${rows.last}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState state survives a checkpointed query restart") {
     import graft.streaming.{TwsProfile, UserEvent}
     val key = "spark.sql.streaming.stateStore.providerClass"
