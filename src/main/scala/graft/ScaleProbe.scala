@@ -54,13 +54,33 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
     emb10.repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir10/embeddings.parquet")
+    // 10× orders/lineitem for the exact-global-rank window family
+    // (q85/q95/q99/q110): copy i shifts every key by i·(max+1), so the
+    // per-customer aggregate cardinality ALSO grows 10× — the rank
+    // input scales, not just the fact rows under it.
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    val custStep = ord.agg(max($"o_custkey")).head.getLong(0) + 1
+    val okeyStep = ord.agg(max($"o_orderkey")).head.getLong(0) + 1
+    val ord10 = (0 until Copies).map { i =>
+      ord.select(($"o_orderkey" + lit(i * okeyStep)).as("o_orderkey"),
+        ($"o_custkey" + lit(i * custStep)).as("o_custkey"),
+        $"o_orderstatus", $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+    }.reduce(_ unionByName _)
+    ord10.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$dir10/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val li10 = (0 until Copies).map { i =>
+      li.withColumn("l_orderkey", $"l_orderkey" + lit(i * okeyStep))
+    }.reduce(_ unionByName _)
+    li10.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$dir10/lineitem.parquet")
     println(s"corpus: ${nDocs}x$Copies docs, ${nEmb}x$Copies vectors at $dir10")
 
     // ---- time each family at 1× and 10× ----
     val qs = if (args.nonEmpty) args.toSeq else Seq(
       "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_reps",
       "dedup_graph_pagerank", "dedup_minhash_lsh", "dedup_simhash",
-      "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq")
+      "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq",
+      "q85_equidepth_bins", "q95_rfm_segments",
+      "q99_gini_concentration", "q110_decile_lift", "samp_shuffle")
     for (q <- qs; (tag, d) <- Seq(("1x", base), ("10x", dir10))) {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
