@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Streams, UserEvent}
+
+/** Streaming THROUGHPUT profile: sustained rows/sec for the stateful
+  * stream families (tumbling window agg, transformWithState anomaly,
+  * stream-stream interval join) — the numbers the batch Bench can't
+  * see. The correctness gate pins stream results; this pins their RATE
+  * so a state-store or shuffle regression in the streaming path shows
+  * up the same way a batch plan regression does.
+  *
+  * Method: all sf events (100k at sf0.1), event-time-ordered, fed
+  * through a MemoryStream in fixed-size micro-batches (drained with
+  * processAllAvailable per batch — the steady-state shape, not one
+  * AvailableNow gulp), RocksDB state store, 8 state partitions.
+  * rows/sec = input rows / wall from first feed to final drain.
+  * Results print as one JSON line and append to BENCH_DETAIL.json's
+  * sibling STREAM_BENCH.json for the round record.
+  *
+  * Scale reading: local[32] single-JVM rates are a floor — each
+  * stateful op shuffles once per batch to its 8 state partitions, so
+  * on a cluster the same plan scales with state-partition count, and
+  * the per-core rate here is the number to hold. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: per-batch commits append a delta log
+      // instead of re-snapshotting the full store — THE knob that sets
+      // sustained micro-batch rate with RocksDB state (snapshots still
+      // happen, async, every N batches)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    // event-time order, the arrival order a log stream actually has
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[UserEvent].orderBy($"ts", $"event_id").collect()
+    val batchRows = 5000
+    val batches = events.grouped(batchRows).toSeq
+    println(s"feeding ${events.length} events in ${batches.size} micro-batches of <=$batchRows")
+
+    /** Feed all batches through `mk`'s query, draining each; returns rows/sec. */
+    def run(name: String, mode: String)
+        (mk: org.apache.spark.sql.Dataset[UserEvent] => DataFrame): (String, Double) = {
+      val in = MemoryStream[UserEvent](spark, math.abs(name.hashCode % 1000) + 100)
+      val q = mk(in.toDS()).writeStream.format("memory")
+        .queryName(s"sb_$name").outputMode(mode).start()
+      val t0 = System.nanoTime()
+      batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rate = events.length / secs
+      println(f"$name%-22s ${secs}%7.2f s  ${rate}%9.0f rows/s")
+      name -> rate
+    }
+
+    val results = Seq(
+      run("tumbling_agg", "update") { ds =>
+        ds.toDF().withWatermark("ts", "10 minutes")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      },
+      run("tws_anomaly", "append")(ds => Streams.anomalyTws(ds).toDF()),
+      run("stream_stream_join", "append") { ds =>
+        val purchases = ds.toDF().filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+          .withWatermark("p_ts", "10 minutes")
+        val clicks = ds.toDF().filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+          .withWatermark("c_ts", "1 hour")
+        purchases.join(clicks,
+          $"p_user" === $"c_user" &&
+            $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") && $"c_ts" <= $"p_ts")
+      })
+
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+    val json = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString(s"""{"metric":"stream_rows_per_sec","rows":${events.length},"sf":"$sfDir",""", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("STREAM_BENCH.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
