@@ -33,7 +33,8 @@ object SparkEntry {
       RelationalQueries3.queries ++
       RelationalQueries4.queries ++
       RelationalQueries5.queries ++
-      RelationalQueries6.queries
+      RelationalQueries6.queries ++
+      RelationalQueries7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       RelationalQueries3.oracles ++
       RelationalQueries4.oracles ++
       RelationalQueries5.oracles ++
-      RelationalQueries6.oracles
+      RelationalQueries6.oracles ++
+      RelationalQueries7.oracles
 }

@@ -66,6 +66,36 @@ object GlobalRank {
     (ranked, acc)
   }
 
+  /** `df` plus an INCLUSIVE global prefix sum of the long-typed
+    * `weight` column in `sortExprs` order — the weighted twin of
+    * [[withRank]] (same two passes: per-partition weight totals to the
+    * driver, exclusive prefix, partition-local cumulative). Returns
+    * the total weight too. Long weights keep every comparison exact;
+    * scale fractional weights to integers first. */
+  def withPrefixSum(df: DataFrame, cumCol: String, weight: Column,
+      sortExprs: Seq[Column]): (DataFrame, Long) = {
+    val s = df.sparkSession
+    val nParts = {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byBytes = (bytes / (64L << 20)).toLong + 1
+      math.min(65536L, math.max(s.sparkContext.defaultParallelism.toLong, byBytes)).toInt
+    }
+    val keyed = df
+      .repartitionByRange(nParts, sortExprs: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = keyed.groupBy(col("_gr_pid")).agg(sum(weight).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = pid -> acc; acc += t; o }.toMap
+    val w = Window.partitionBy(col("_gr_pid")).orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = keyed
+      .withColumn(cumCol, sum(weight).over(w) + element_at(typedlit(offsets), col("_gr_pid")))
+      .drop("_gr_pid")
+    (cum, acc)
+  }
+
   /** Exact integer floor-division for non-negative long columns: the
     * numerator is made exactly divisible first, so the double divide is
     * IEEE-exact for any value below 2^53 — no float-rounding flake at

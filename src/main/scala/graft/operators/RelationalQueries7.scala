@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-9 additions (q113–q118): regression-as-aggregation (OLS),
+  * Benford data-quality screening, multi-step funnel conversion,
+  * column-level table profiling, incremental materialized-view
+  * maintenance, and an exact distributed weighted median on the
+  * GlobalRank prefix machinery — the remaining statistics / BI /
+  * warehouse-maintenance shapes the suite didn't yet cover.
+  */
+object RelationalQueries7 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Ordinary least squares (price ~ quantity) per returnflag, as ONE
+    // partial+final aggregation: five order-independent DECIMAL sums
+    // (Σx Σy Σxy Σx² Σy²) and a count, then slope/intercept/R² from
+    // the closed forms in DOUBLE. Both engines see identical decimal
+    // sums, cast them to identical doubles, and evaluate the same
+    // expression tree, so %.9f prints the same bits. This is the
+    // regression shape that scales: no per-group iteration, no matrix
+    // library — a map-side-combinable aggregate at any row count.
+    "q113_ols_regression" -> ((s, d) => {
+      import s.implicits._
+      val agg = lineitem(s, d).groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("sx"),
+        sum(dec($"l_extendedprice")).cast("double").as("sy"),
+        sum(dec($"l_quantity") * dec($"l_extendedprice")).cast("double").as("sxy"),
+        sum(dec($"l_quantity") * dec($"l_quantity")).cast("double").as("sxx"),
+        sum(dec($"l_extendedprice") * dec($"l_extendedprice")).cast("double").as("syy"))
+      val num = $"n" * $"sxy" - $"sx" * $"sy"
+      val den = $"n" * $"sxx" - $"sx" * $"sx"
+      val denY = $"n" * $"syy" - $"sy" * $"sy"
+      agg.select($"l_returnflag", $"n",
+        format_string("%.9f", num / den).as("slope"),
+        format_string("%.9f", ($"sy" - num / den * $"sx") / $"n").as("intercept"),
+        format_string("%.9f", num * num / (den * denY)).as("r2"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Benford's-law screening of o_totalprice — the forensic data-
+    // quality test for fabricated or truncated numeric columns. First
+    // significant digit via DECIMAL→string (no log10 on the data path,
+    // so no libm boundary risk); expected frequencies are the nine
+    // floor(log10(1+1/d)·10⁴) constants written literally in BOTH
+    // engines. Everything else is integer counts and DIV.
+    "q114_benford_quality" -> ((s, d) => {
+      import s.implicits._
+      val benford = typedlit(Map(1 -> 3010L, 2 -> 1760L, 3 -> 1249L, 4 -> 969L,
+        5 -> 791L, 6 -> 669L, 7 -> 579L, 8 -> 511L, 9 -> 457L))
+      val dig = substring(dec($"o_totalprice").cast("string"), 1, 1).cast("int")
+      val counts = orders(s, d).groupBy(dig.as("digit"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum($"n").as("total"))
+      counts.crossJoin(broadcast(total))
+        .select($"digit", $"n",
+          expr("n * 10000 DIV total").as("observed_bp"),
+          element_at(benford, $"digit").as("benford_bp"),
+          abs(expr("n * 10000 DIV total") - element_at(benford, $"digit")).as("dev_bp"))
+        .orderBy($"digit")
+    }),
+
+    // Multi-step ORDERED funnel (view → click-after-view → purchase-
+    // after-click) — the product-analytics conversion primitive. Three
+    // window passes over ONE user_id shuffle (each stage's anchor is
+    // the previous window's result, all partitioned by the same key),
+    // then a keyed per-user collapse and one global roll-up. Stage
+    // timestamps must be ORDERED (a click before the first view does
+    // not count), which is what separates this from q84's flat
+    // event-type counts. Counts and DIV only — exact parity.
+    "q115_funnel_conversion" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+      val staged = events(s, d)
+        .select($"user_id", $"event_type", $"ts")
+        .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("t2", min(when($"event_type" === "click" && $"ts" >= $"t1", $"ts")).over(w))
+        .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" >= $"t2", $"ts")).over(w))
+      staged.groupBy($"user_id")
+        .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+        .agg(count($"t1").as("n_view"),
+          count($"t2").as("n_click_after_view"),
+          count($"t3").as("n_purchase_after_click"))
+        .select($"n_view", $"n_click_after_view", $"n_purchase_after_click",
+          expr("n_click_after_view * 10000 DIV n_view").as("click_conv_bp"),
+          expr("n_purchase_after_click * 10000 DIV n_view").as("purchase_conv_bp"))
+    }),
+
+    // Column-level table profile of `orders` — the warehouse
+    // "describe my table" operator (null counts, exact NDV, typed
+    // min/max rendered with explicit per-type formatting so both
+    // engines print identical strings). One single-column scan per
+    // row: at 100 TB each profile row reads exactly one column's
+    // pages (columnar pruning is the whole economics of profiling),
+    // and each aggregate is partial+final.
+    "q116_column_profile" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+      def prof(name: String, c: Column, fmt: Column => Column): DataFrame =
+        o.agg(
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+          count_distinct(c).as("n_distinct"),
+          fmt(min(c)).as("min_str"), fmt(max(c)).as("max_str"))
+          .select(lit(name).as("col_name"), $"n_nulls", $"n_distinct",
+            $"min_str", $"max_str")
+      val asStr = (c: Column) => c.cast("string")
+      val asMoney = (c: Column) => format_string("%.2f", c)
+      Seq(
+        prof("o_orderkey", $"o_orderkey", asStr),
+        prof("o_custkey", $"o_custkey", asStr),
+        prof("o_orderstatus", $"o_orderstatus", asStr),
+        prof("o_totalprice", $"o_totalprice", asMoney),
+        prof("o_orderdate", $"o_orderdate", fmtTs),
+        prof("o_orderpriority", $"o_orderpriority", asStr))
+        .reduce(_ unionByName _)
+        .orderBy($"col_name")
+    }),
+
+    // Incremental materialized-view maintenance: the monthly-revenue
+    // MV is kept as snapshot ⊎ delta — the snapshot aggregate (orders
+    // before the cutoff) is MERGED with the delta month's aggregate by
+    // re-aggregating the two PARTIAL aggregates, never rescanning the
+    // snapshot's fact rows. That merge being exactly the full
+    // recompute (the oracle) is the algebraic property (sum/count are
+    // commutative monoids) that makes incremental pipelines sound.
+    // DECIMAL partials, so associativity is exact, not approximate.
+    "q117_mv_incremental" -> ((s, d) => {
+      import s.implicits._
+      val cutoff = to_timestamp(lit("1997-01-01"))
+      def monthly(df: DataFrame): DataFrame = df
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+        .agg(sum(dec($"o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
+      val snapshot = monthly(orders(s, d).filter($"o_orderdate" < cutoff))
+      val delta = monthly(orders(s, d).filter($"o_orderdate" >= cutoff))
+      snapshot.unionByName(delta)
+        .groupBy($"month")
+        .agg(sum($"rev").cast("double").as("revenue"),
+          sum($"n_orders").as("n_orders"))
+        .orderBy($"month")
+    }),
+
+    // Exact WEIGHTED median of l_extendedprice (weight = quantity) via
+    // GlobalRank's distributed prefix-sum machinery: range-partition
+    // by price, per-partition weight totals to the driver, partition-
+    // local cumulative + offset — the weighted twin of the q85 rank,
+    // and the same reason it scales: no single-partition window, the
+    // driver sees one row per partition. The median is the smallest
+    // price whose doubled cumulative weight reaches the total (integer
+    // weights, so the comparison is exact in both engines).
+    "q118_weighted_median" -> ((s, d) => {
+      import s.implicits._
+      val base = lineitem(s, d).select($"l_extendedprice", $"l_orderkey",
+        $"l_linenumber", $"l_quantity".cast("long").as("w"))
+      val (cum, total) = GlobalRank.withPrefixSum(base, "_cw", col("w"),
+        Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber"))
+      cum.filter($"_cw" * 2 >= total)
+        .agg(min($"l_extendedprice").as("m"))
+        .select(format_string("%.2f", $"m").as("weighted_median"),
+          lit(total).as("total_weight"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q113_ols_regression" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  printf('%.9f', (n*sxy - sx*sy) / (n*sxx - sx*sx)) AS slope,
+        |  printf('%.9f', (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n) AS intercept,
+        |  printf('%.9f', (n*sxy - sx*sy)*(n*sxy - sx*sy)
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy))) AS r2
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q114_benford_quality" ->
+      """WITH c AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT digit, n,
+        |  CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249
+        |    WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579
+        |    WHEN 8 THEN 511 ELSE 457 END AS benford_bp
+        |  FROM c)
+        |SELECT digit, n,
+        |  n * 10000 // (SELECT SUM(CAST(n AS BIGINT)) FROM c) AS observed_bp,
+        |  CAST(benford_bp AS BIGINT) AS benford_bp,
+        |  abs(n * 10000 // (SELECT SUM(CAST(n AS BIGINT)) FROM c) - benford_bp) AS dev_bp
+        |FROM b ORDER BY digit""".stripMargin,
+
+    "q115_funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id),
+        |agg AS (
+        |  SELECT (SELECT count(t1) FROM s1) AS n_view,
+        |    (SELECT count(*) FROM s2) AS n_click_after_view,
+        |    (SELECT count(*) FROM s3) AS n_purchase_after_click)
+        |SELECT n_view, n_click_after_view, n_purchase_after_click,
+        |  n_click_after_view * 10000 // n_view AS click_conv_bp,
+        |  n_purchase_after_click * 10000 // n_view AS purchase_conv_bp
+        |FROM agg""".stripMargin,
+
+    "q116_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_str, CAST(max(o_orderkey) AS VARCHAR) AS max_str
+        |  FROM orders
+        |  UNION ALL SELECT 'o_custkey',
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL SELECT 'o_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_totalprice),
+        |    printf('%.2f', min(o_totalprice)), printf('%.2f', max(o_totalprice))
+        |  FROM orders
+        |  UNION ALL SELECT 'o_orderdate',
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderdate),
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM orders
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+        |  FROM orders)
+        |ORDER BY col_name""".stripMargin,
+
+    "q117_mv_incremental" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q118_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_extendedprice AS x,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM lineitem),
+        |t AS (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tw FROM lineitem)
+        |SELECT printf('%.2f', min(x)) AS weighted_median,
+        |  (SELECT tw FROM t) AS total_weight
+        |FROM c WHERE 2 * cw >= (SELECT tw FROM t)""".stripMargin
+  )
+}

@@ -284,6 +284,27 @@ object SamplingQueries {
           format_string("%.6f", $"hi").as("boot_hi"))
     }),
 
+    // Data-MIXTURE rebalancing — the LLM-corpus curation move: each
+    // language gets a TARGET inclusion rate (downsample the dominant
+    // 'en', keep most of the tail) and every doc keeps/drops itself
+    // from one md5-derived 60-bit uniform, u·10⁴ < rate_bp·2⁶⁰ in
+    // exact DECIMAL(38,0)/HUGEINT arithmetic (the samp_weighted
+    // pattern, with a per-GROUP target instead of a per-row weight).
+    // Stateless per row ⇒ embarrassingly parallel, rerun-stable, and
+    // the realized mix converges to the targets by construction.
+    "samp_mixture" -> ((s, d) => {
+      import s.implicits._
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val u60 = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 15),
+        16, 10).cast(D38)
+      val rateBp = when($"lang" === "en", 3000L).otherwise(8000L)
+      documents(s, d)
+        .filter(u60 * lit(10000) <
+          rateBp.cast(D38) * lit(BigDecimal("1152921504606846976")))
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
     "samp_weighted_topk" -> ((s, d) => {
       import s.implicits._
       val u60 = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 15),
@@ -446,6 +467,14 @@ object SamplingQueries {
         |  printf('%.6f', (SELECT m FROM rk WHERE rn = 2)) AS boot_lo,
         |  printf('%.6f', (SELECT m FROM rk WHERE rn = 31)) AS boot_hi
         |FROM pt""".stripMargin,
+
+    "samp_mixture" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::HUGEINT
+        |      * 10000
+        |    < (CASE WHEN lang = 'en' THEN 3000 ELSE 8000 END)::HUGEINT
+        |      * 1152921504606846976::HUGEINT
+        |ORDER BY doc_id""".stripMargin,
 
     // HUGEINT (int128) keeps u·W and k·w·2⁶⁰ exact, mirroring Spark's
     // DECIMAL(38,0) arithmetic bit-for-bit.

@@ -18,6 +18,29 @@ object TextQueries {
   private val stopList = Seq("the", "a", "of", "and", "to", "in", "is")
 
   val queries: Map[String, Q] = Map(
+    // Per-language lexical-diversity profile: docs, tokens, TYPES
+    // (distinct tokens), type-token ratio, mean token length — the
+    // corpus-health numbers a curation pass reads before/after dedup
+    // (a collapsing TTR is the classic symptom of template spam).
+    // One explode + one keyed aggregate; the distinct-token count is
+    // the only expensive term and it's a partial+final count_distinct
+    // keyed by lang, not a global sort. Integer sums + DIV ⇒ exact.
+    "text_lexical_diversity" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      documents(s, d)
+        .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"lang")
+        .agg(count_distinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          count_distinct($"tok").as("n_types"),
+          sum(length($"tok")).as("n_tok_chars"))
+        .select($"lang", $"n_docs", $"n_tokens", $"n_types",
+          expr("n_types * 10000 DIV n_tokens").as("ttr_bp"),
+          expr("n_tok_chars * 10000 DIV n_tokens").as("mean_tok_len_e4"))
+        .orderBy($"lang")
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex tokenizer
     // (letter runs / digit runs / single symbols).
     "text_token_count" -> ((s, d) => {
@@ -304,6 +327,16 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_tokens, count(DISTINCT tok) AS n_types,
+        |  count(DISTINCT tok) * 10000 // count(*) AS ttr_bp,
+        |  CAST(SUM(CAST(length(tok) AS BIGINT)) AS BIGINT) * 10000 // count(*) AS mean_tok_len_e4
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+
     "text_token_count" ->
       """SELECT doc_id,
         | length(text) AS n_chars_calc,
