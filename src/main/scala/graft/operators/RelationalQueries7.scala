@@ -163,6 +163,99 @@ object RelationalQueries7 {
         .agg(min($"l_extendedprice").as("m"))
         .select(format_string("%.2f", $"m").as("weighted_median"),
           lit(total).as("total_weight"))
+    }),
+
+    // Market-basket association rules over order lines: top-20 part
+    // pairs by co-occurrence, with support / confidence / lift in
+    // exact integer basis points. The pair join is keyed by orderkey
+    // and quadratic only WITHIN an order (≤7 lines in TPC-H shape), so
+    // candidate volume is lines·(avg basket −1), linear in the fact
+    // table — the same bounded-blowup argument as the df-capped
+    // shingle join. Top-k rides a total order (count desc, pair), so
+    // the cut is deterministic; everything after is integer DIV.
+    "q119_market_basket" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val nOrd = li.select($"ok").distinct().agg(count(lit(1)).as("n_ord"))
+      val partN = li.groupBy($"pk").agg(count(lit(1)).as("n_part"))
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .groupBy($"a.pk".as("p1"), $"b.pk".as("p2"))
+        .agg(count(lit(1)).as("n_both"))
+        .orderBy($"n_both".desc, $"p1", $"p2")
+        .limit(20)
+      pairs
+        .join(partN.select($"pk".as("p1"), $"n_part".as("n1")), Seq("p1"))
+        .join(partN.select($"pk".as("p2"), $"n_part".as("n2")), Seq("p2"))
+        .crossJoin(broadcast(nOrd))
+        .select($"p1", $"p2", $"n_both",
+          expr("n_both * 10000 DIV n_ord").as("support_bp"),
+          expr("n_both * 10000 DIV n1").as("confidence_bp"),
+          expr("n_both * n_ord * 10000 DIV (n1 * n2)").as("lift_e4"))
+        .orderBy($"n_both".desc, $"p1", $"p2")
+    }),
+
+    // Slowly-changing-dimension TYPE 2 build from the order stream:
+    // each customer's o_orderpriority history collapses into validity
+    // intervals [valid_from, valid_to) per maximal run of the same
+    // value — the dimension-table maintenance pass every warehouse
+    // runs. Runs fall out of the rn − rn_per_value gaps-islands trick
+    // (two row_numbers over the SAME keyed sort → one shuffle), and
+    // valid_to is the next run's start via lead(). All windows are
+    // keyed by customer; dates are formatted, arithmetic is integer.
+    "q120_scd2_dimension" -> ((s, d) => {
+      import s.implicits._
+      val wAll = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wVal = Window.partitionBy($"o_custkey", $"o_orderpriority")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val runs = orders(s, d)
+        .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
+        .withColumn("grp", row_number().over(wAll) - row_number().over(wVal))
+        .groupBy($"o_custkey", $"o_orderpriority", $"grp")
+        .agg(min($"o_orderdate").as("from_ts"), count(lit(1)).as("n_orders"))
+      val wSeq = Window.partitionBy($"o_custkey").orderBy($"from_ts", $"o_orderpriority")
+      runs
+        .withColumn("to_ts", lead($"from_ts", 1).over(wSeq))
+        .select($"o_custkey", $"o_orderpriority",
+          fmtTs($"from_ts").as("valid_from"),
+          coalesce(fmtTs($"to_ts"), lit("9999-12-31 00:00:00")).as("valid_to"),
+          $"n_orders")
+        .orderBy($"o_custkey", $"valid_from", $"o_orderpriority")
+    }),
+
+    // Cumulative audience reach: per day, first-time users and the
+    // running distinct-user total. Exact distinct-over-growing-window
+    // without any distinct-window state: a user contributes to the
+    // cumulative count exactly on their FIRST day (keyed min), so the
+    // running total is a prefix sum over the per-day AGGREGATE — the
+    // window input is calendar-bounded (one row per day), the q86/q105
+    // bounded-global-window class, not a data-sized sort.
+    "q121_cumulative_reach" -> ((s, d) => {
+      import s.implicits._
+      val firstDay = events(s, d).groupBy($"user_id")
+        .agg(min(to_date($"ts")).as("day"))
+      val perDay = firstDay.groupBy($"day").agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay
+        .withColumn("cum_users", sum($"new_users").over(w))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"new_users", $"cum_users")
+        .orderBy($"day")
+    }),
+
+    // Day-of-week × hour seasonality profile of the event stream (the
+    // ops-dashboard heatmap): counts and exact-decimal value sums per
+    // (dow, hour) cell. Pure keyed aggregation; the dow numbering is
+    // pinned to DuckDB's 0=Sunday convention explicitly rather than
+    // trusting either engine's locale default.
+    "q122_hourly_seasonality" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy((dayofweek($"ts") - 1).as("dow"), hour($"ts").as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum($"value").as("sum_value"),
+          format_string("%.6f", sum(dec($"value")).cast("double") / count(lit(1)))
+            .as("mean_value"))
+        .orderBy($"dow", $"hour")
     })
   )
 
@@ -269,6 +362,60 @@ object RelationalQueries7 {
         |t AS (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tw FROM lineitem)
         |SELECT printf('%.2f', min(x)) AS weighted_median,
         |  (SELECT tw FROM t) AS total_weight
-        |FROM c WHERE 2 * cw >= (SELECT tw FROM t)""".stripMargin
+        |FROM c WHERE 2 * cw >= (SELECT tw FROM t)""".stripMargin,
+
+    "q119_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_ord FROM li),
+        |pn AS (SELECT pk, count(*) AS n_part FROM li GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk
+        |  ORDER BY n_both DESC, p1, p2 LIMIT 20)
+        |SELECT p1, p2, n_both,
+        |  n_both * 10000 // (SELECT n_ord FROM n) AS support_bp,
+        |  n_both * 10000 // n1.n_part AS confidence_bp,
+        |  n_both * (SELECT n_ord FROM n) * 10000 // (n1.n_part * n2.n_part) AS lift_e4
+        |FROM pairs
+        |JOIN pn n1 ON n1.pk = p1
+        |JOIN pn n2 ON n2.pk = p2
+        |ORDER BY n_both DESC, p1, p2""".stripMargin,
+
+    "q120_scd2_dimension" ->
+      """WITH runs AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |      - row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+        |                           ORDER BY o_orderdate, o_orderkey) AS grp,
+        |    o_orderdate
+        |  FROM orders),
+        |agg AS (
+        |  SELECT o_custkey, o_orderpriority, grp,
+        |    min(o_orderdate) AS from_ts, count(*) AS n_orders
+        |  FROM runs GROUP BY o_custkey, o_orderpriority, grp)
+        |SELECT o_custkey, o_orderpriority,
+        |  strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(lead(from_ts) OVER (PARTITION BY o_custkey
+        |      ORDER BY from_ts, o_orderpriority), '%Y-%m-%d %H:%M:%S'),
+        |    '9999-12-31 00:00:00') AS valid_to,
+        |  n_orders
+        |FROM agg
+        |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
+
+    "q121_cumulative_reach" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+        |p AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  SUM(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM p ORDER BY day""".stripMargin,
+
+    "q122_hourly_seasonality" ->
+      """SELECT dayofweek(ts) AS dow, hour(ts) AS hour,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  printf('%.6f', CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS mean_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
