@@ -17,63 +17,89 @@ object RelationalQueries7 {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // Ordinary least squares (price ~ quantity) per returnflag, as ONE
-    // partial+final aggregation: five order-independent DECIMAL sums
-    // (Σx Σy Σxy Σx² Σy²) and a count, then slope/intercept/R² from
-    // the closed forms in DOUBLE. Both engines see identical decimal
-    // sums, cast them to identical doubles, and evaluate the same
-    // expression tree, so %.9f prints the same bits. This is the
-    // regression shape that scales: no per-group iteration, no matrix
-    // library — a map-side-combinable aggregate at any row count.
-    "q113_ols_regression" -> ((s, d) => {
+    // MULTIPLE linear regression (price ~ quantity + discount) per
+    // returnflag — two regressors via the 2×2 normal equations in
+    // closed form, where q76_regr_stats stops at the single-feature
+    // regr_* aggregates. Ten order-independent DECIMAL sums in ONE
+    // partial+final aggregate, then coefficients/R² from Cramer's rule
+    // in DOUBLE: both engines see identical decimal sums, cast to
+    // identical doubles, and evaluate the same expression tree, so
+    // %.9f prints the same bits. This is the regression shape that
+    // scales — no per-group iteration, no matrix library, map-side
+    // combinable at any row count.
+    "q113_ols_multiple" -> ((s, d) => {
       import s.implicits._
       val agg = lineitem(s, d).groupBy($"l_returnflag").agg(
         count(lit(1)).as("n"),
-        sum(dec($"l_quantity")).cast("double").as("sx"),
+        sum(dec($"l_quantity")).cast("double").as("s1"),
+        sum(dec($"l_discount")).cast("double").as("s2"),
         sum(dec($"l_extendedprice")).cast("double").as("sy"),
-        sum(dec($"l_quantity") * dec($"l_extendedprice")).cast("double").as("sxy"),
-        sum(dec($"l_quantity") * dec($"l_quantity")).cast("double").as("sxx"),
+        sum(dec($"l_quantity") * dec($"l_quantity")).cast("double").as("s11"),
+        sum(dec($"l_discount") * dec($"l_discount")).cast("double").as("s22"),
+        sum(dec($"l_quantity") * dec($"l_discount")).cast("double").as("s12"),
+        sum(dec($"l_quantity") * dec($"l_extendedprice")).cast("double").as("s1y"),
+        sum(dec($"l_discount") * dec($"l_extendedprice")).cast("double").as("s2y"),
         sum(dec($"l_extendedprice") * dec($"l_extendedprice")).cast("double").as("syy"))
-      val num = $"n" * $"sxy" - $"sx" * $"sy"
-      val den = $"n" * $"sxx" - $"sx" * $"sx"
-      val denY = $"n" * $"syy" - $"sy" * $"sy"
-      agg.select($"l_returnflag", $"n",
-        format_string("%.9f", num / den).as("slope"),
-        format_string("%.9f", ($"sy" - num / den * $"sx") / $"n").as("intercept"),
-        format_string("%.9f", num * num / (den * denY)).as("r2"))
+      val c = agg.select($"l_returnflag", $"n", $"s1", $"s2", $"sy",
+        ($"s11" - $"s1" * $"s1" / $"n").as("c11"),
+        ($"s22" - $"s2" * $"s2" / $"n").as("c22"),
+        ($"s12" - $"s1" * $"s2" / $"n").as("c12"),
+        ($"s1y" - $"s1" * $"sy" / $"n").as("c1y"),
+        ($"s2y" - $"s2" * $"sy" / $"n").as("c2y"),
+        ($"syy" - $"sy" * $"sy" / $"n").as("cyy"))
+      val den = $"c11" * $"c22" - $"c12" * $"c12"
+      val b1 = ($"c22" * $"c1y" - $"c12" * $"c2y") / den
+      val b2 = ($"c11" * $"c2y" - $"c12" * $"c1y") / den
+      c.select($"l_returnflag", $"n",
+        format_string("%.9f", b1).as("b_quantity"),
+        format_string("%.9f", b2).as("b_discount"),
+        format_string("%.9f", ($"sy" - b1 * $"s1" - b2 * $"s2") / $"n").as("intercept"),
+        format_string("%.9f", (b1 * $"c1y" + b2 * $"c2y") / $"cyy").as("r2"))
         .orderBy($"l_returnflag")
     }),
 
-    // Benford's-law screening of o_totalprice — the forensic data-
-    // quality test for fabricated or truncated numeric columns. First
-    // significant digit via DECIMAL→string (no log10 on the data path,
-    // so no libm boundary risk); expected frequencies are the nine
-    // floor(log10(1+1/d)·10⁴) constants written literally in BOTH
-    // engines. Everything else is integer counts and DIV.
-    "q114_benford_quality" -> ((s, d) => {
+    // Two-sample Kolmogorov–Smirnov test: does the order-value
+    // DISTRIBUTION differ between finalized ('F') and open ('O')
+    // orders? D = max over pooled sample points of |ECDF₁ − ECDF₂| —
+    // the distribution-shift detector that complements q105's rank-sum
+    // (Mann–Whitney moves with location; KS sees any shape change).
+    // Exact and distributed: both cumulative counts ride ONE
+    // GlobalRank prefix pass with the group indicator packed into the
+    // weight (w = is_F·2³¹ + 1, so cum DIV 2³¹ = cum_F and cum mod 2³¹
+    // = pooled rank — one checkpoint, not two), and the max |·| is an
+    // exact integer cross-multiplication, no float until the final
+    // division. Never a single-partition window.
+    "q114_ks_test" -> ((s, d) => {
       import s.implicits._
-      val benford = typedlit(Map(1 -> 3010L, 2 -> 1760L, 3 -> 1249L, 4 -> 969L,
-        5 -> 791L, 6 -> 669L, 7 -> 579L, 8 -> 511L, 9 -> 457L))
-      val dig = substring(dec($"o_totalprice").cast("string"), 1, 1).cast("int")
-      val counts = orders(s, d).groupBy(dig.as("digit"))
-        .agg(count(lit(1)).as("n"))
-      val total = counts.agg(sum($"n").as("total"))
-      counts.crossJoin(broadcast(total))
-        .select($"digit", $"n",
-          expr("n * 10000 DIV total").as("observed_bp"),
-          element_at(benford, $"digit").as("benford_bp"),
-          abs(expr("n * 10000 DIV total") - element_at(benford, $"digit")).as("dev_bp"))
-        .orderBy($"digit")
+      val P = 2147483648L // 2^31
+      val base = orders(s, d).filter($"o_orderstatus".isin("F", "O"))
+        .select($"o_totalprice", $"o_orderkey",
+          when($"o_orderstatus" === "F", 1L).otherwise(0L).as("w1"))
+        .withColumn("wpack", $"w1" * P + 1L)
+      val (cum, total) = GlobalRank.withPrefixSum(base, "_cp", col("wpack"),
+        Seq($"o_totalprice", $"o_orderkey"))
+      val n1 = total / P
+      val n2 = total % P - n1
+      cum
+        .withColumn("cum1", expr(s"_cp DIV ${P}L"))
+        .withColumn("cum2", expr(s"_cp % ${P}L") - $"cum1")
+        .withColumn("dnum", abs($"cum1" * n2 - $"cum2" * n1))
+        .orderBy($"dnum".desc, $"o_totalprice".desc, $"o_orderkey".desc)
+        .limit(1)
+        .select(lit(n1).as("n1"), lit(n2).as("n2"),
+          format_string("%.9f", $"dnum".cast("double") / lit(n1 * n2)).as("ks_d"),
+          format_string("%.2f", $"o_totalprice").as("ks_at"))
     }),
 
     // Multi-step ORDERED funnel (view → click-after-view → purchase-
-    // after-click) — the product-analytics conversion primitive. Three
-    // window passes over ONE user_id shuffle (each stage's anchor is
-    // the previous window's result, all partitioned by the same key),
-    // then a keyed per-user collapse and one global roll-up. Stage
-    // timestamps must be ORDERED (a click before the first view does
-    // not count), which is what separates this from q84's flat
-    // event-type counts. Counts and DIV only — exact parity.
+    // after-click) rolled up to CONVERSION RATES — the aggregate twin
+    // of q67_funnel_steps (which emits per-user stage timestamps via
+    // chained keyed joins). This variant instead chains three window
+    // passes over ONE user_id shuffle (each stage's anchor is the
+    // previous window's result, same partition key, so EnsureRequirements
+    // reuses the exchange), then a keyed per-user collapse and one
+    // global roll-up — fewer shuffles than the join chain when the
+    // deliverable is rates, not rows. Counts and DIV only — exact.
     "q115_funnel_conversion" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id")
@@ -195,14 +221,15 @@ object RelationalQueries7 {
         .orderBy($"n_both".desc, $"p1", $"p2")
     }),
 
-    // Slowly-changing-dimension TYPE 2 build from the order stream:
-    // each customer's o_orderpriority history collapses into validity
-    // intervals [valid_from, valid_to) per maximal run of the same
-    // value — the dimension-table maintenance pass every warehouse
-    // runs. Runs fall out of the rn − rn_per_value gaps-islands trick
-    // (two row_numbers over the SAME keyed sort → one shuffle), and
-    // valid_to is the next run's start via lead(). All windows are
-    // keyed by customer; dates are formatted, arithmetic is integer.
+    // Slowly-changing-dimension TYPE 2 build with RUN COLLAPSE: each
+    // customer's o_orderpriority history becomes validity intervals
+    // [valid_from, valid_to) per maximal run of the SAME value — the
+    // change-data-compaction q66_scd2_intervals deliberately skips
+    // (q66 versions every change row; this op suppresses no-op
+    // "changes", the dimension-maintenance semantics). Runs fall out
+    // of the rn − rn_per_value gaps-islands trick (two row_numbers
+    // over the same keyed sort → one shuffle), and valid_to is the
+    // next run's start via lead(). All windows keyed by customer.
     "q120_scd2_dimension" -> ((s, d) => {
       import s.implicits._
       val wAll = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
@@ -260,37 +287,51 @@ object RelationalQueries7 {
   )
 
   val oracles: Map[String, String] = Map(
-    "q113_ols_regression" ->
+    "q113_ols_multiple" ->
       """WITH a AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n, s1, s2, sy,
+        |    s11 - s1*s1/n AS c11, s22 - s2*s2/n AS c22, s12 - s1*s2/n AS c12,
+        |    s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y, syy - sy*sy/n AS cyy
+        |  FROM a)
         |SELECT l_returnflag, n,
-        |  printf('%.9f', (n*sxy - sx*sy) / (n*sxx - sx*sx)) AS slope,
-        |  printf('%.9f', (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n) AS intercept,
-        |  printf('%.9f', (n*sxy - sx*sy)*(n*sxy - sx*sy)
-        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy))) AS r2
-        |FROM a ORDER BY l_returnflag""".stripMargin,
+        |  printf('%.9f', (c22*c1y - c12*c2y) / (c11*c22 - c12*c12)) AS b_quantity,
+        |  printf('%.9f', (c11*c2y - c12*c1y) / (c11*c22 - c12*c12)) AS b_discount,
+        |  printf('%.9f', (sy - (c22*c1y - c12*c2y) / (c11*c22 - c12*c12) * s1
+        |    - (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) * s2) / n) AS intercept,
+        |  printf('%.9f', ((c22*c1y - c12*c2y) / (c11*c22 - c12*c12) * c1y
+        |    + (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) * c2y) / cyy) AS r2
+        |FROM c ORDER BY l_returnflag""".stripMargin,
 
-    "q114_benford_quality" ->
-      """WITH c AS (
-        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-        |    count(*) AS n
-        |  FROM orders GROUP BY 1),
-        |b AS (SELECT digit, n,
-        |  CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249
-        |    WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579
-        |    WHEN 8 THEN 511 ELSE 457 END AS benford_bp
-        |  FROM c)
-        |SELECT digit, n,
-        |  n * 10000 // (SELECT SUM(CAST(n AS BIGINT)) FROM c) AS observed_bp,
-        |  CAST(benford_bp AS BIGINT) AS benford_bp,
-        |  abs(n * 10000 // (SELECT SUM(CAST(n AS BIGINT)) FROM c) - benford_bp) AS dev_bp
-        |FROM b ORDER BY digit""".stripMargin,
+    "q114_ks_test" ->
+      """WITH b AS (
+        |  SELECT o_totalprice AS x, o_orderkey AS ok,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS w1
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |n AS (SELECT CAST(SUM(w1) AS BIGINT) AS n1,
+        |  CAST(COUNT(*) AS BIGINT) - CAST(SUM(w1) AS BIGINT) AS n2 FROM b),
+        |c AS (
+        |  SELECT x, ok,
+        |    CAST(SUM(w1) OVER w AS BIGINT) AS cum1,
+        |    CAST(row_number() OVER w AS BIGINT) - CAST(SUM(w1) OVER w AS BIGINT) AS cum2
+        |  FROM b WINDOW w AS (ORDER BY x, ok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
+        |  printf('%.9f', CAST(dnum AS DOUBLE) / ((SELECT n1 FROM n) * (SELECT n2 FROM n))) AS ks_d,
+        |  printf('%.2f', x) AS ks_at
+        |FROM (
+        |  SELECT x, ok, abs(cum1 * (SELECT n2 FROM n) - cum2 * (SELECT n1 FROM n)) AS dnum
+        |  FROM c ORDER BY dnum DESC, x DESC, ok DESC LIMIT 1)""".stripMargin,
 
     "q115_funnel_conversion" ->
       """WITH s1 AS (

@@ -284,24 +284,28 @@ object SamplingQueries {
           format_string("%.6f", $"hi").as("boot_hi"))
     }),
 
-    // Data-MIXTURE rebalancing — the LLM-corpus curation move: each
-    // language gets a TARGET inclusion rate (downsample the dominant
-    // 'en', keep most of the tail) and every doc keeps/drops itself
-    // from one md5-derived 60-bit uniform, u·10⁴ < rate_bp·2⁶⁰ in
-    // exact DECIMAL(38,0)/HUGEINT arithmetic (the samp_weighted
-    // pattern, with a per-GROUP target instead of a per-row weight).
-    // Stateless per row ⇒ embarrassingly parallel, rerun-stable, and
-    // the realized mix converges to the targets by construction.
-    "samp_mixture" -> ((s, d) => {
+    // SOURCE-INTERLEAVED training order: every doc gets a global
+    // position such that the corpus's sources round-robin through the
+    // training stream (source s's k-th doc lands at k·|S| + idx(s)) —
+    // the "mix sources evenly across every epoch slice" guarantee a
+    // curriculum otherwise loses to chance, complementing samp_shuffle's
+    // uniform order. The per-source rank is a KEYED window (each
+    // source ranks its own partition — never a global sort), ordered
+    // by md5 so the within-source order is itself a deterministic
+    // shuffle; only the source→index vocabulary (tiny at any corpus
+    // scale) touches the driver.
+    "samp_interleave" -> ((s, d) => {
       import s.implicits._
-      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val u60 = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 15),
-        16, 10).cast(D38)
-      val rateBp = when($"lang" === "en", 3000L).otherwise(8000L)
+      val srcs = documents(s, d).select($"source").distinct()
+        .orderBy($"source").collect().map(_.getString(0))
+      val idx = typedlit(srcs.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap)
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
       documents(s, d)
-        .filter(u60 * lit(10000) <
-          rateBp.cast(D38) * lit(BigDecimal("1152921504606846976")))
-        .select($"doc_id", $"lang", $"source")
+        .select($"doc_id", $"source")
+        .withColumn("r", row_number().over(w).cast("long") - 1)
+        .select($"doc_id", $"source",
+          ($"r" * srcs.length + element_at(idx, $"source")).as("pos"))
         .orderBy($"doc_id")
     }),
 
@@ -468,13 +472,17 @@ object SamplingQueries {
         |  printf('%.6f', (SELECT m FROM rk WHERE rn = 31)) AS boot_hi
         |FROM pt""".stripMargin,
 
-    "samp_mixture" ->
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::HUGEINT
-        |      * 10000
-        |    < (CASE WHEN lang = 'en' THEN 3000 ELSE 8000 END)::HUGEINT
-        |      * 1152921504606846976::HUGEINT
-        |ORDER BY doc_id""".stripMargin,
+    "samp_interleave" ->
+      """WITH s AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS si
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r
+        |  FROM documents)
+        |SELECT doc_id, r.source, r * (SELECT count(*) FROM s) + si AS pos
+        |FROM r JOIN s USING (source) ORDER BY doc_id""".stripMargin,
 
     // HUGEINT (int128) keeps u·W and k·w·2⁶⁰ exact, mirroring Spark's
     // DECIMAL(38,0) arithmetic bit-for-bit.
