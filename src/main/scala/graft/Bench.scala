@@ -21,6 +21,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The corpus-sized single-partition windows are gone (q85/q95/q99/
+    // q110 run GlobalRank's two-pass rank; PlanSpec pins it). What
+    // remains are windows over AGGREGATE-sized inputs — 9 Benford
+    // digits, 10 bins, ≤K top-k rows — where one partition is the
+    // correct plan; WindowExec still logs its blanket warning for
+    // those, so drop that one logger to ERROR to keep the bench tail
+    // (the driver reads the last 2000 bytes) parseable signal.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // JVM/codegen warmup: exercise the code paths the measured queries
     // share (parquet scan, native shingle kernel, explode, hash join,

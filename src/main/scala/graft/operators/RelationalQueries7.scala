@@ -269,6 +269,100 @@ object RelationalQueries7 {
         .orderBy($"day")
     }),
 
+    // Inter-arrival-time profile per event type — the stream-health
+    // stats (rate, burstiness) an ops dashboard reads. Gaps are exact
+    // integer micros from one keyed lag window; mean is an exact
+    // integer-sum division; p50/p95 ride percentile_cont WITHIN GROUP
+    // on both engines (the q90/q107 interpolation-parity idiom),
+    // printed at %.4f to sit far above ulp noise on micro-second
+    // magnitudes. One shuffle, aggregate output.
+    "q123_interarrival_stats" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"us", $"event_id")
+      events(s, d)
+        .select($"event_type", micros($"ts").as("us"), $"event_id")
+        .withColumn("gap", $"us" - lag($"us", 1).over(w))
+        .filter($"gap".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          min($"gap").as("min_gap_us"),
+          max($"gap").as("max_gap_us"),
+          sum($"gap").as("sum_gap"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY gap)").as("p50"),
+          expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY gap)").as("p95"))
+        .select($"event_type", $"n_gaps", $"min_gap_us", $"max_gap_us",
+          expr("sum_gap * 10000 DIV n_gaps").as("mean_gap_e4"),
+          format_string("%.4f", $"p50").as("p50_gap_us"),
+          format_string("%.4f", $"p95").as("p95_gap_us"))
+        .orderBy($"event_type")
+    }),
+
+    // NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the missing-
+    // key dimension lookup where NULL is a legitimate bucket (here:
+    // urgent orders are keyed NULL and must land on the dimension's
+    // NULL row, which a plain equi-join silently drops). Spark plans
+    // <=> as a hash join on a null-safe key — still a keyed shuffle,
+    // NOT a nested loop — which is the property worth pinning against
+    // the SQL-standard IS NOT DISTINCT FROM.
+    "q124_null_safe_join" -> ((s, d) => {
+      import s.implicits._
+      val fact = orders(s, d)
+        .select(nullif($"o_orderpriority", lit("1-URGENT")).as("k"), $"o_totalprice")
+      val dim = orders(s, d).select($"o_orderpriority").distinct()
+        .select(nullif($"o_orderpriority", lit("1-URGENT")).as("dk"))
+      fact.join(dim, $"k" <=> $"dk")
+        .groupBy($"dk")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+        .select(coalesce($"dk", lit("(null=urgent)")).as("priority_key"),
+          $"n_orders", $"revenue")
+        .orderBy($"priority_key")
+    }),
+
+    // Time-series RESAMPLING with LINEAR interpolation: each event
+    // type's irregular readings are sampled onto an hourly grid, value
+    // at each grid instant interpolated between the surrounding
+    // readings — the numeric upgrade of q57's LOCF gap-fill. Same
+    // union-merge machinery as the q109 bidirectional as-of: grid rows
+    // and readings share ONE user-keyed sort, LOCF backward + first-
+    // forward fill both neighbors, and the interpolation is double
+    // math over exact integer micros, identical operands both engines.
+    // Interior grid points only (both neighbors exist) — extrapolation
+    // is a modeling choice, not a resampling one.
+    "q125_linear_interp" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"event_type", micros($"ts").as("us"), $"value")
+      val hourUs = 3600L * 1000000L
+      val bounds = ev.groupBy($"event_type")
+        .agg(min($"us").as("lo"), max($"us").as("hi"))
+        .withColumn("gstart", $"lo" - ($"lo" % hourUs) + hourUs)
+        .filter($"gstart" <= $"hi") // a type inside one hour has no grid
+      val grid = bounds.select($"event_type",
+        explode(sequence($"gstart", $"hi", lit(hourUs))).as("us"))
+        .withColumn("is_grid", lit(1))
+      val u = ev.withColumn("is_grid", lit(0))
+        .unionByName(grid.withColumn("value", lit(null).cast("double")),
+          allowMissingColumns = true)
+        .repartition($"event_type")
+      val wB = Window.partitionBy($"event_type").orderBy($"us".asc, $"is_grid".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy($"event_type").orderBy($"us".asc, $"is_grid".asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      u
+        .withColumn("p_us", last(when($"is_grid" === 0, $"us"), ignoreNulls = true).over(wB))
+        .withColumn("p_v", last(when($"is_grid" === 0, $"value"), ignoreNulls = true).over(wB))
+        .withColumn("n_us", first(when($"is_grid" === 0, $"us"), ignoreNulls = true).over(wF))
+        .withColumn("n_v", first(when($"is_grid" === 0, $"value"), ignoreNulls = true).over(wF))
+        .filter($"is_grid" === 1 && $"p_us".isNotNull && $"n_us".isNotNull)
+        .select($"event_type", $"us".as("grid_us"),
+          format_string("%.9f",
+            when($"n_us" === $"p_us", $"p_v")
+              .otherwise($"p_v" + ($"n_v" - $"p_v") *
+                (($"us" - $"p_us").cast("double") / ($"n_us" - $"p_us").cast("double"))))
+            .as("interp_value"))
+        .orderBy($"event_type", $"grid_us")
+    }),
+
     // Day-of-week × hour seasonality profile of the event stream (the
     // ops-dashboard heatmap): counts and exact-decimal value sums per
     // (dow, hour) cell. Pure keyed aggregation; the dow numbering is
@@ -451,6 +545,62 @@ object RelationalQueries7 {
         |  SUM(new_users) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
         |FROM p ORDER BY day""".stripMargin,
+
+    "q123_interarrival_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+        |  CAST(SUM(gap) AS BIGINT) * 10000 // count(*) AS mean_gap_e4,
+        |  printf('%.4f', quantile_cont(gap, 0.5)) AS p50_gap_us,
+        |  printf('%.4f', quantile_cont(gap, 0.95)) AS p95_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q124_null_safe_join" ->
+      """WITH fact AS (
+        |  SELECT nullif(o_orderpriority, '1-URGENT') AS k, o_totalprice FROM orders),
+        |dim AS (
+        |  SELECT nullif(o_orderpriority, '1-URGENT') AS dk
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
+        |SELECT coalesce(dk, '(null=urgent)') AS priority_key,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM fact JOIN dim ON fact.k IS NOT DISTINCT FROM dim.dk
+        |GROUP BY dk ORDER BY priority_key""".stripMargin,
+
+    "q125_linear_interp" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        |b AS (
+        |  SELECT event_type, min(us) AS lo, max(us) AS hi,
+        |    min(us) - (min(us) % 3600000000) + 3600000000 AS gstart
+        |  FROM ev GROUP BY event_type),
+        |g AS (
+        |  SELECT event_type, unnest(range(gstart, hi + 1, 3600000000)) AS us
+        |  FROM b WHERE gstart <= hi),
+        |u AS (
+        |  SELECT event_type, us, value, 0 AS is_grid FROM ev
+        |  UNION ALL SELECT event_type, us, NULL, 1 FROM g),
+        |f AS (
+        |  SELECT event_type, us, is_grid,
+        |    last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER wb AS p_us,
+        |    last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wb AS p_v,
+        |    first_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER wf AS n_us,
+        |    first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wf AS n_v
+        |  FROM u WINDOW
+        |    wb AS (PARTITION BY event_type ORDER BY us, is_grid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY event_type ORDER BY us, is_grid
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, us AS grid_us,
+        |  printf('%.9f', CASE WHEN n_us = p_us THEN p_v
+        |    ELSE p_v + (n_v - p_v) * (CAST(us - p_us AS DOUBLE) / CAST(n_us - p_us AS DOUBLE)) END)
+        |    AS interp_value
+        |FROM f WHERE is_grid = 1 AND p_us IS NOT NULL AND n_us IS NOT NULL
+        |ORDER BY event_type, grid_us""".stripMargin,
 
     "q122_hourly_seasonality" ->
       """SELECT dayofweek(ts) AS dow, hour(ts) AS hour,

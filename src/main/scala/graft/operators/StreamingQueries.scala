@@ -198,6 +198,35 @@ object StreamingQueries {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // Stream-stream LEFT OUTER join — the unmatched side emits only
+    // when the watermark proves no future match can arrive, which is
+    // the semantic difference from the inner join above (and the state
+    // eviction it rides on). Emission rule pinned by the oracle: a
+    // matched purchase emits its pairs immediately; an UNMATCHED
+    // purchase emits a null-padded row iff the final global watermark
+    // (min over both streams' max-event-minus-delay) passed its
+    // timestamp — purchases newer than the watermark stay in state and
+    // are NOT in the result, exactly what an unbounded run would show.
+    "stream_left_outer_join" -> ((s, d) => {
+      import s.implicits._
+      val purchases = eventsStream(s, d)
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = eventsStream(s, d)
+        .filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+          $"p_user" === $"c_user" &&
+            $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") && $"c_ts" <= $"p_ts",
+          "leftOuter")
+        .select($"purchase_id", $"click_id", $"p_user".as("user_id"),
+          micros($"p_ts").as("p_ts_us"), micros($"c_ts").as("c_ts_us"))
+      toMemory(s, joined, "stream_left_outer_join_sink", "append")
+        .orderBy($"purchase_id", $"click_id")
+    }),
+
     // CDC upsert via foreachBatch across REAL multiple micro-batches:
     // the events land as two files, maxFilesPerTrigger=1 forces one
     // micro-batch per file, and each batch MERGEs into a versioned
@@ -385,6 +414,24 @@ object StreamingQueries {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         | ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // outer rows gated on the FINAL GLOBAL WATERMARK, mirroring the
+    // engine's state-eviction rule: wm = min(max purchase ts − 10 min,
+    // max click ts − 1 h); unmatched purchases at/after wm are still
+    // in join state when the stream drains, so they are absent
+    "stream_left_outer_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(ts) - INTERVAL '10 minutes' FROM events WHERE event_type = 'purchase'),
+        |    (SELECT max(ts) - INTERVAL '1 hour' FROM events WHERE event_type = 'click')) AS w)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        | p.user_id, epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+        |WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
         |ORDER BY purchase_id, click_id""".stripMargin,
 
     "stream_alerts" ->

@@ -218,7 +218,8 @@ class PlanSpec extends SparkSuite {
     // rank queries must run GlobalRank's range-partitioned two-pass
     // instead: every Window node in their optimized plans is keyed.
     for (q <- Seq("q85_equidepth_bins", "q95_rfm_segments",
-        "q99_gini_concentration", "q110_decile_lift", "samp_shuffle")) {
+        "q99_gini_concentration", "q110_decile_lift", "samp_shuffle",
+        "q114_ks_test", "q118_weighted_median")) {
       val wins = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
