@@ -211,6 +211,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q115: three funnel stages ride ONE user_id exchange (windows chain, no re-shuffle)") {
+    val p = plan("q115_funnel_conversion")
+    val keyedExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(keyedExchanges <= 1,
+      s"funnel stages re-shuffled ($keyedExchanges user_id exchanges):\n$p")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
+    assert(windows === 3, s"expected 3 chained window stages, got $windows")
+  }
+
+  test("q124: null-safe equality (<=>) still plans a hash join, not a nested loop") {
+    val p = plan("q124_null_safe_join")
+    assert(p.contains("HashJoin"), s"null-safe join fell off the hash-join path:\n$p")
+    assert(!p.contains("NestedLoop") || p.contains("BroadcastHashJoin"),
+      s"null-safe join planned a nested loop:\n$p")
+  }
+
   test("exact global ranks (q85/q95/q99/q110/samp_shuffle) never window over a single partition") {
     // The scale-killer shape is a logical Window with an EMPTY
     // partition spec — physical planning turns that into Exchange
