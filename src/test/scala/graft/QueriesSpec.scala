@@ -10,6 +10,33 @@ class QueriesSpec extends SparkSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("no query name collides across operator files (Map ++ would silently drop one)") {
+    import graft.operators._
+    val files = Seq(
+      "RelationalQueries" -> RelationalQueries.queries.keySet,
+      "RelationalQueries2" -> RelationalQueries2.queries.keySet,
+      "StreamingQueries" -> StreamingQueries.queries.keySet,
+      "SamplingQueries" -> SamplingQueries.queries.keySet,
+      "SourceQueries" -> graft.sources.SourceQueries.queries.keySet,
+      "IotQueries" -> IotQueries.queries.keySet,
+      "TextQueries" -> TextQueries.queries.keySet,
+      "DedupQueries" -> DedupQueries.queries.keySet,
+      "SimilarityQueries" -> SimilarityQueries.queries.keySet,
+      "MultimodalQueries" -> MultimodalQueries.queries.keySet,
+      "AsOfJoin" -> AsOfJoin.queries.keySet,
+      "RelationalQueries3" -> RelationalQueries3.queries.keySet,
+      "RelationalQueries4" -> RelationalQueries4.queries.keySet,
+      "RelationalQueries5" -> RelationalQueries5.queries.keySet,
+      "RelationalQueries6" -> RelationalQueries6.queries.keySet,
+      "RelationalQueries7" -> RelationalQueries7.queries.keySet)
+    val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
+      .groupBy(_._1).filter(_._2.size > 1)
+    assert(dupes.isEmpty, s"query keys declared in multiple files: ${
+      dupes.map { case (k, fs) => s"$k in ${fs.map(_._2).mkString("+")}" }.mkString(", ")}")
+    assert(files.map(_._2.size).sum === SparkEntry.queries.size,
+      "merged queries map lost entries to a key collision")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
