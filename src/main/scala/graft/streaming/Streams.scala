@@ -336,16 +336,17 @@ case class TwsFavorite(user_id: Long, favorite_type: String, fav_n: Long,
   * the map and emits the current favorite (max count, min type name on
   * ties — a total order, so the output is micro-batch-split
   * invariant). */
-class FavoriteProcessor
+class FavoriteProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TwsFavorite] {
-  import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig}
+  import org.apache.spark.sql.streaming.{MapState, TimerValues}
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var counts: MapState[String, Long] = _
 
   override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
     counts = getHandle.getMapState[String, Long]("counts",
-      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      Encoders.STRING, Encoders.scalaLong, ttl)
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsFavorite] = {
@@ -382,16 +383,17 @@ case class TwsAnomaly(event_type: String, event_id: Long, ts_us: Long,
   * arrival-ordered ring, which can diverge from the batch oracle's
   * globally ts-ordered frame — buffering by watermark before scoring
   * would close that gap at the cost of emit latency. */
-class AnomalyProcessor
+class AnomalyProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
     extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsAnomaly] {
-  import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
+  import org.apache.spark.sql.streaming.{ListState, TimerValues}
   import org.apache.spark.sql.{Encoders, streaming}
   import java.math.{BigDecimal => JBD, RoundingMode}
 
   @transient private var buf: ListState[Double] = _
 
   override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
-    buf = getHandle.getListState[Double]("ring", Encoders.scalaDouble, TTLConfig.NONE)
+    buf = getHandle.getListState[Double]("ring", Encoders.scalaDouble, ttl)
 
   /** The same rounding Spark's double→DECIMAL(18,2) cast applies. */
   private def d2(v: Double): JBD =
