@@ -363,6 +363,88 @@ object RelationalQueries7 {
         .orderBy($"event_type", $"grid_us")
     }),
 
+    // SEASONALITY-CORRECTED anomaly detection: each reading is z-scored
+    // against its own (event_type, hour-of-day) cell's mean/stddev —
+    // the baseline-subtraction upgrade of q83's rolling window (q83
+    // catches "unusual vs recent"; this catches "unusual for 3 AM").
+    // Cell stats are one aggregate (type×24 cells — broadcast-sized at
+    // any corpus scale) joined back to the stream; variance from exact
+    // decimal sums, double math over identical operands both engines.
+    "q126_seasonal_residuals" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"event_type", hour($"ts").as("hr"), $"event_id",
+          micros($"ts").as("ts_us"), $"value")
+      val cells = ev.groupBy($"event_type", $"hr")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"value")).cast("double").as("sx"),
+          sum(dec($"value") * dec($"value")).cast("double").as("sxx"))
+        .withColumn("mean", $"sx" / $"n")
+        .withColumn("variance", ($"sxx" - $"sx" * $"sx" / $"n") / $"n")
+        .filter($"n" >= 10 && $"variance" > 0)
+      ev.join(broadcast(cells), Seq("event_type", "hr"))
+        .withColumn("z", ($"value" - $"mean") / sqrt($"variance"))
+        .filter(abs($"z") > 3.0)
+        .select($"event_type", $"event_id", $"ts_us", $"value",
+          format_string("%.9f", $"z").as("seasonal_z"))
+        .orderBy($"event_type", $"event_id")
+    }),
+
+    // CUSUM changepoint detection per event-type series: the running
+    // sum of deviations from the series mean peaks where the level
+    // shifts — the classic drift detector. EXACT arithmetic throughout:
+    // deviations are scaled to integers (value_cents·n − sum_cents, so
+    // the mean subtraction never divides), the cumulative sum is a
+    // keyed integer prefix, and the argmax is a deterministic top-1
+    // per key. No floats until nothing is left to compute.
+    "q127_cusum_changepoint" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"event_type", $"event_id", micros($"ts").as("us"),
+          (dec($"value") * 100).cast("long").as("cents"))
+      val tot = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      val w = Window.partitionBy($"event_type").orderBy($"us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy($"event_type")
+        .orderBy(abs($"cusum").desc, $"us", $"event_id")
+      ev.join(broadcast(tot), Seq("event_type"))
+        .withColumn("cusum", sum($"cents" * $"n" - $"sum_cents").over(w))
+        .withColumn("rn", row_number().over(wPick))
+        .filter($"rn" === 1)
+        .select($"event_type", $"n".as("n_events"),
+          $"us".as("cp_ts_us"), $"event_id".as("cp_event_id"),
+          abs($"cusum").as("max_abs_cusum"))
+        .orderBy($"event_type")
+    }),
+
+    // ABC inventory classification — the Pareto workhorse: parts
+    // ranked by revenue, class A = first 80% of cumulative revenue,
+    // B = next 15%, C = the tail. The cumulative share over the
+    // corpus-cardinality part table rides GlobalRank's prefix-sum
+    // machinery (weights = exact revenue cents), so the classification
+    // is exact at any part count with no single-partition window —
+    // the q110 decile pattern generalized to value-share cuts.
+    "q128_abc_classification" -> ((s, d) => {
+      import s.implicits._
+      val parts = lineitem(s, d).groupBy($"l_partkey")
+        .agg(sum(dec($"l_extendedprice") * 100).cast("long").as("cents"))
+      val (cum, total) = GlobalRank.withPrefixSum(parts, "_cw", col("cents"),
+        Seq($"cents".desc, $"l_partkey"))
+      cum
+        .withColumn("abc_class",
+          when($"_cw" * 100 <= total * 80L, "A")
+            .when($"_cw" * 100 <= total * 95L, "B")
+            .otherwise("C"))
+        .groupBy($"abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum($"cents").as("class_cents"))
+        .select($"abc_class", $"n_parts",
+          ($"class_cents".cast("double") / 100).as("class_revenue"),
+          expr(s"class_cents * 10000 DIV ${total}L").as("share_bp"))
+        .orderBy($"abc_class")
+    }),
+
     // Day-of-week × hour seasonality profile of the event stream (the
     // ops-dashboard heatmap): counts and exact-decimal value sums per
     // (dow, hour) cell. Pure keyed aggregation; the dow numbering is
@@ -601,6 +683,67 @@ object RelationalQueries7 {
         |    AS interp_value
         |FROM f WHERE is_grid = 1 AND p_us IS NOT NULL AND n_us IS NOT NULL
         |ORDER BY event_type, grid_us""".stripMargin,
+
+    "q126_seasonal_residuals" ->
+      """WITH ev AS (
+        |  SELECT event_type, hour(ts) AS hr, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, hr, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM ev GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT event_type, hr, sx / n AS mean, (sxx - sx*sx/n) / n AS variance
+        |  FROM c WHERE n >= 10 AND (sxx - sx*sx/n) / n > 0)
+        |SELECT ev.event_type, ev.event_id, ev.ts_us, ev.value,
+        |  printf('%.9f', (ev.value - mean) / sqrt(variance)) AS seasonal_z
+        |FROM ev JOIN cc ON ev.event_type = cc.event_type AND ev.hr = cc.hr
+        |WHERE abs((ev.value - mean) / sqrt(variance)) > 3.0
+        |ORDER BY ev.event_type, ev.event_id""".stripMargin,
+
+    "q127_cusum_changepoint" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (SELECT event_type, count(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT ev.event_type, ev.event_id, ev.us, t.n,
+        |    SUM(ev.cents * t.n - t.sum_cents) OVER (
+        |      PARTITION BY ev.event_type ORDER BY ev.us, ev.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM ev JOIN t USING (event_type)),
+        |p AS (
+        |  SELECT event_type, n, us, event_id, CAST(abs(cusum) AS BIGINT) AS a,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(cusum) DESC, us, event_id) AS rn
+        |  FROM c)
+        |SELECT event_type, n AS n_events, us AS cp_ts_us,
+        |  event_id AS cp_event_id, a AS max_abs_cusum
+        |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q128_abc_classification" ->
+      """WITH p AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM p),
+        |c AS (
+        |  SELECT l_partkey, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM p),
+        |k AS (
+        |  SELECT CASE WHEN cw * 100 <= (SELECT total FROM t) * 80 THEN 'A'
+        |              WHEN cw * 100 <= (SELECT total FROM t) * 95 THEN 'B'
+        |              ELSE 'C' END AS abc_class, cents
+        |  FROM c)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  CAST(SUM(cents) AS DOUBLE) / 100 AS class_revenue,
+        |  CAST(SUM(cents) AS BIGINT) * 10000 // (SELECT total FROM t) AS share_bp
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q122_hourly_seasonality" ->
       """SELECT dayofweek(ts) AS dow, hour(ts) AS hour,
