@@ -79,10 +79,12 @@ object AsOfJoin {
     // q109: NEAREST as-of join (pandas merge_asof direction='nearest'):
     // each reading attaches the purchase closest in time, before OR
     // after, ties to the earlier one. Same union-merge shape as the
-    // backward join — ONE shuffle keyed by user, one sort, and TWO
-    // window passes sharing that sort (LOCF backward + first-forward),
-    // so the bidirectional lookup costs no more exchanges than the
-    // one-directional. The tie/choice arithmetic runs in exact micros.
+    // backward join — ONE data shuffle keyed by user carries the tie
+    // collapse, the backward LOCF, and the reversed-scan forward
+    // lookup (two sorts, zero extra exchanges), so the bidirectional
+    // lookup costs no more shuffles than the one-directional and every
+    // frame streams in O(rows) even on a hot key. The tie/choice
+    // arithmetic runs in exact micros.
     // Oracle: two native DuckDB ASOF joins (>= and <=) + the same
     // choice CASE — the equal-instant case lands on 'prior' in both
     // engines (distance 0 wins the <= tie). Two purchases at the SAME
@@ -110,14 +112,21 @@ object AsOfJoin {
       val wTie = Window.partitionBy($"user_id", $"_t", $"_side")
       val wB = Window.partitionBy($"user_id").orderBy($"_t".asc, $"_side".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wF = Window.partitionBy($"user_id").orderBy($"_t".asc, $"_side".asc)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // forward lookup = running last() over the REVERSED sort, not a
+      // currentRow..unboundedFollowing frame: Spark rescans the
+      // partition tail per row for unbounded-FOLLOWING frames —
+      // O(rows²) on a hot key — while this streams in O(rows). The
+      // _side desc tiebreak keeps a same-instant purchase out of a
+      // reading's forward frame, exactly as the asc formulation did
+      // (the equal-instant case is the backward pass's to win).
+      val wF = Window.partitionBy($"user_id").orderBy($"_t".desc, $"_side".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val filled = u
         .withColumn("c_value", max($"c_value").over(wTie))
         .withColumn("p_ts", last($"c_ts", ignoreNulls = true).over(wB))
         .withColumn("p_value", last($"c_value", ignoreNulls = true).over(wB))
-        .withColumn("n_ts", first($"c_ts", ignoreNulls = true).over(wF))
-        .withColumn("n_value", first($"c_value", ignoreNulls = true).over(wF))
+        .withColumn("n_ts", last($"c_ts", ignoreNulls = true).over(wF))
+        .withColumn("n_value", last($"c_value", ignoreNulls = true).over(wF))
         .filter($"_side" === 1)
       val dP = micros($"ts") - micros($"p_ts")
       val dN = micros($"n_ts") - micros($"ts")

@@ -344,15 +344,23 @@ object RelationalQueries7 {
         .unionByName(grid.withColumn("value", lit(null).cast("double")),
           allowMissingColumns = true)
         .repartition($"event_type")
+      // Forward fill runs as a running last() over the REVERSED sort,
+      // not a currentRow..unboundedFollowing frame: Spark evaluates
+      // unbounded-FOLLOWING frames by rescanning the partition tail
+      // per row — O(rows²) per partition, a 174 s melt on the 5 fat
+      // event_type partitions at sf0.1 — while unboundedPreceding
+      // frames stream in O(rows). Same semantics (the is_grid desc
+      // tiebreak keeps same-instant readings out of their grid row's
+      // forward frame, exactly as the asc formulation did).
       val wB = Window.partitionBy($"event_type").orderBy($"us".asc, $"is_grid".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wF = Window.partitionBy($"event_type").orderBy($"us".asc, $"is_grid".asc)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wF = Window.partitionBy($"event_type").orderBy($"us".desc, $"is_grid".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       u
         .withColumn("p_us", last(when($"is_grid" === 0, $"us"), ignoreNulls = true).over(wB))
         .withColumn("p_v", last(when($"is_grid" === 0, $"value"), ignoreNulls = true).over(wB))
-        .withColumn("n_us", first(when($"is_grid" === 0, $"us"), ignoreNulls = true).over(wF))
-        .withColumn("n_v", first(when($"is_grid" === 0, $"value"), ignoreNulls = true).over(wF))
+        .withColumn("n_us", last(when($"is_grid" === 0, $"us"), ignoreNulls = true).over(wF))
+        .withColumn("n_v", last(when($"is_grid" === 0, $"value"), ignoreNulls = true).over(wF))
         .filter($"is_grid" === 1 && $"p_us".isNotNull && $"n_us".isNotNull)
         .select($"event_type", $"us".as("grid_us"),
           format_string("%.9f",

@@ -133,13 +133,15 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q109/q103: bidirectional as-of and EWMA cost one data shuffle each") {
-    // the union-merge shape's whole point: backward + forward lookups
-    // (q109) fuse into ONE LOCF Window operator over one keyed
-    // exchange — the second exchange is the output ORDER BY, not a
-    // data shuffle. q109 additionally runs the same-instant tie-
-    // collapse window, which must ride the SAME user_id exchange
-    // (subset rule), hence the exchange bound stays at 2.
-    for ((q, maxWindows) <- Seq("q109_asof_nearest" -> 2, "q103_ewma_smooth" -> 1)) {
+    // the union-merge shape's whole point: every window pass (q109:
+    // tie collapse + backward LOCF + reversed-scan forward lookup)
+    // rides ONE keyed exchange — the second exchange is the output
+    // ORDER BY, not a data shuffle. The forward pass deliberately
+    // re-sorts descending instead of using an unbounded-FOLLOWING
+    // frame (which Spark evaluates by rescanning the partition tail
+    // per row — quadratic on a hot key), so q109 carries 3 keyed
+    // Window ops but still exactly 2 exchanges.
+    for ((q, maxWindows) <- Seq("q109_asof_nearest" -> 3, "q103_ewma_smooth" -> 1)) {
       val p = plan(q)
       val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
       val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
