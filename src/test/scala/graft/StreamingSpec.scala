@@ -156,6 +156,46 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream-stream LEFT OUTER join holds unmatched rows until the watermark evicts them") {
+    import graft.streaming.UserEvent
+    val pIn = MemoryStream[UserEvent](spark, 21)
+    val cIn = MemoryStream[UserEvent](spark, 22)
+    val purchases = pIn.toDS().toDF()
+      .select($"event_id".as("purchase_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = cIn.toDS().toDF()
+      .select($"event_id".as("click_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") && $"c_ts" <= $"p_ts",
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("soj_outer")
+      .outputMode("append").start()
+    try {
+      def rows = spark.table("soj_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      // batch 1: user 7 matches; user 8 has NO click — must NOT emit yet
+      // (a future click could still arrive)
+      pIn.addData(UserEvent(100, ts("2024-01-01 00:30:00"), 7, "purchase", 1.0),
+        UserEvent(101, ts("2024-01-01 00:40:00"), 8, "purchase", 1.0))
+      cIn.addData(UserEvent(200, ts("2024-01-01 00:25:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(rows.contains((100L, 200L)), "matched pair must emit immediately")
+      assert(!rows.exists(_._1 == 101L), "unmatched row emitted before watermark proof")
+      // batches 2-3: both streams move to 03:00 -> global watermark
+      // passes 00:40, so user 8's null-padded row must now emit
+      pIn.addData(UserEvent(102, ts("2024-01-01 03:00:00"), 9, "purchase", 1.0))
+      cIn.addData(UserEvent(201, ts("2024-01-01 03:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      pIn.addData(UserEvent(103, ts("2024-01-01 03:30:00"), 9, "purchase", 1.0))
+      cIn.addData(UserEvent(202, ts("2024-01-01 03:30:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      assert(rows.contains((101L, -1L)),
+        s"watermark passed the unmatched purchase but no null-padded row: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState NATIVE TTL expires idle state between micro-batches (RocksDB)") {
     import graft.streaming.{TwsProfile, UserEvent}
     val key = "spark.sql.streaming.stateStore.providerClass"
