@@ -56,6 +56,15 @@ class GlobalRankSpec extends SparkSuite {
     assert(cum.join(expected, Seq("k", "id")).filter($"cw" =!= $"cw0").count() === 0L)
   }
 
+  test("withRank and withPrefixSum tolerate empty input") {
+    val empty = sample.filter($"k" < 0)
+    val (r, n) = GlobalRank.withRank(empty, "r", Seq($"k", $"id"))
+    assert(n === 0L && r.count() === 0L)
+    val (c, t) = GlobalRank.withPrefixSum(
+      empty.withColumn("w", lit(1L)), "cw", col("w"), Seq($"k", $"id"))
+    assert(t === 0L && c.count() === 0L)
+  }
+
   test("rank is invariant to the input's physical partitioning") {
     def ranks(parts: Int) = {
       val (r, _) = GlobalRank.withRank(sample.repartition(parts), "r", Seq($"k", $"id"))
