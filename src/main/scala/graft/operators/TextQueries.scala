@@ -41,6 +41,27 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Vocabulary-induction primitive: the FIRST BPE iteration — count
+    // every adjacent character pair across the corpus's tokens and
+    // rank the top merge candidates. (Real BPE training loops this;
+    // the per-iteration workload IS this query, so its plan shape —
+    // narrow per-token explode, keyed count, TakeOrdered top-k — is
+    // the thing to get right at 100 TB.) Character positions are code
+    // points in both engines, so zh/de tokens pair identically.
+    "text_bpe_pairs" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      documents(s, d)
+        .select(explode(tokens($"text")).as("tok"))
+        .filter(length($"tok") >= 2)
+        .select(explode(
+          expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(30)
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex tokenizer
     // (letter runs / digit runs / single symbols).
     "text_token_count" -> ((s, d) => {
@@ -327,6 +348,16 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |idx AS (
+        |  SELECT tok, unnest(range(1, length(tok))) AS i
+        |  FROM toks WHERE length(tok) >= 2),
+        |p AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair FROM idx)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
     "text_lexical_diversity" ->
       """WITH toks AS (
         |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
