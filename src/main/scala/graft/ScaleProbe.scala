@@ -28,6 +28,7 @@ object ScaleProbe {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "16g")
       .getOrCreate()
@@ -72,6 +73,24 @@ object ScaleProbe {
       li.withColumn("l_orderkey", $"l_orderkey" + lit(i * okeyStep))
     }.reduce(_ unionByName _)
     li10.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$dir10/lineitem.parquet")
+    // 10× events for the time-series window family (q123/q125/q126/
+    // q127): copy i shifts the raw nanos timestamps by i·(span + 1 h),
+    // so every per-type SERIES gets 10× longer — the window/prefix
+    // inputs scale in sequence length, the dimension that melts a
+    // quadratic frame. (ts is the raw nanos long via nanosAsLong;
+    // Tables.events reconstructs micros the same way on the copy.)
+    val evRaw = spark.read.parquet(s"$base/events.parquet")
+    val (tsLo, tsHi) = {
+      val r = evRaw.agg(min($"ts"), max($"ts")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val evStep = tsHi - tsLo + 3600L * 1000000000L
+    val nEv = evRaw.count()
+    val ev10 = (0 until Copies).map { i =>
+      evRaw.withColumn("ts", $"ts" + lit(i * evStep))
+        .withColumn("event_id", $"event_id" + lit(i * (nEv + 1)))
+    }.reduce(_ unionByName _)
+    ev10.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$dir10/events.parquet")
     println(s"corpus: ${nDocs}x$Copies docs, ${nEmb}x$Copies vectors at $dir10")
 
     // ---- time each family at 1× and 10× ----
