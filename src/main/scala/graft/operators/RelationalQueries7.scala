@@ -68,7 +68,11 @@ object RelationalQueries7 {
     // weight (w = is_F·2³¹ + 1, so cum DIV 2³¹ = cum_F and cum mod 2³¹
     // = pooled rank — one checkpoint, not two), and the max |·| is an
     // exact integer cross-multiplication, no float until the final
-    // division. Never a single-partition window.
+    // division. Never a single-partition window. Packing bound: the
+    // pooled sample must stay under 2³¹ rows (and cum_F·2³¹ under
+    // 2⁶³) — two billion rows per test; a 100 TB deployment either
+    // samples per-test (KS converges at ~10⁶ rows anyway) or widens
+    // the radix and drops to two prefix passes.
     "q114_ks_test" -> ((s, d) => {
       import s.implicits._
       val P = 2147483648L // 2^31
