@@ -54,22 +54,28 @@ object Bench {
     // warm speed under graft.Prof. The min is the plan's own cost, the
     // number the per-round gate is meant to compare.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // Each attempt is timed on its own and failures are dropped from
+      // the min: a run-2 crash can no longer smear a run-1 success
+      // into cumulative wall, and a query with NO successful run
+      // records the explicit -1.0 marker (and lands in "failed") so a
+      // failure is never mistaken for a pass in BENCH_DETAIL.json.
+      def once(): Option[Double] = {
         // each run pays its own scan/compute — no cross-query (or
         // cross-run) cache reuse
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t0 = System.nanoTime()
-      val t = try math.min(once(), once())
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (System.nanoTime() - t0) / 1e9 // keep valid JSON: time-to-failure
+          None
         }
-      name -> t
+      }
+      val ok = Seq(once(), once()).flatten
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
+    val failedNames = results.collect { case (n, t) if t < 0 => n }
     // Locale.ROOT: the f interpolator is locale-sensitive — a comma-
     // decimal default locale would print "1,234" and break the JSON
     def fmt(v: Double): String =
@@ -78,11 +84,15 @@ object Bench {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"$extra}"""
     }
-    val total = results.map(_._2).sum
+    // total counts successful queries only; failures are named.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson =
+      if (failedNames.isEmpty) ""
+      else failedNames.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     // Full per-query detail → file (the driver commits stray files at
     // round end, so this lands in the repo for the judge).
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      line(results, total, s""","n":${results.size}""") + "\n")
+      line(results, total, s""","n":${results.size}$failedJson""") + "\n")
     // The driver captures only the LAST 2000 bytes of stdout; a 100+
     // query map (~3.4 KB) gets its head clipped and the round's bench
     // JSON fails to parse (BENCH_r03 "parsed": null). Print the slowest
@@ -93,10 +103,10 @@ object Bench {
     val shown = Iterator.range(slowFirst.size, 0, -1)
       .map(slowFirst.take)
       .find(s => line(s, total,
-        s""","queries_shown":${s.size},"queries_total":${results.size},"detail":"BENCH_DETAIL.json"""").length <= budget)
+        s""","queries_shown":${s.size},"queries_total":${results.size},"detail":"BENCH_DETAIL.json"$failedJson""").length <= budget)
       .getOrElse(Seq.empty)
     println(line(shown.sortBy(_._1), total,
-      s""","queries_shown":${shown.size},"queries_total":${results.size},"detail":"BENCH_DETAIL.json""""))
+      s""","queries_shown":${shown.size},"queries_total":${results.size},"detail":"BENCH_DETAIL.json"$failedJson"""))
     spark.stop()
   }
 }

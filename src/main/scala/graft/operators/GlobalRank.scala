@@ -96,6 +96,46 @@ object GlobalRank {
     (cum, acc)
   }
 
+  /** INCLUSIVE and EXCLUSIVE (strictly-before rows only) global
+    * running MAX of long-castable `value` in `sortExprs` order — the
+    * prefix-max sibling of [[withPrefixSum]], for skyline/frontier
+    * shapes. Same two passes: per-partition maxes to the driver (one
+    * row per partition), exclusive prefix-max offsets, partition-local
+    * running max merged with the offset via null-skipping `greatest`.
+    * `prevCol` is null on the globally-first row (no prior row), the
+    * same contract as a global `rowsBetween(unboundedPreceding, -1)`
+    * window. */
+  def withPrefixMax(df: DataFrame, inclCol: String, prevCol: String,
+      value: Column, sortExprs: Seq[Column]): DataFrame = {
+    val s = df.sparkSession
+    val nParts = {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byBytes = (bytes / (64L << 20)).toLong + 1
+      math.min(65536L, math.max(s.sparkContext.defaultParallelism.toLong, byBytes)).toInt
+    }
+    val keyed = df
+      .repartitionByRange(nParts, sortExprs: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+      .localCheckpoint()
+    val maxes = keyed.groupBy(col("_gr_pid")).agg(max(value.cast("long")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // offset(pid) = max over all EARLIER partitions; absent (null) for
+    // the first non-empty partition, so greatest() falls back to the
+    // partition-local running max alone.
+    var acc = Option.empty[Long]
+    val offsets: Map[Int, Long] = maxes.flatMap { case (pid, m) =>
+      val o = acc.map(pid -> _); acc = Some(acc.fold(m)(math.max(_, m))); o
+    }.toMap
+    val base = Window.partitionBy(col("_gr_pid")).orderBy(sortExprs: _*)
+    val off = element_at(typedlit(offsets), col("_gr_pid"))
+    keyed
+      .withColumn(inclCol, greatest(
+        max(value.cast("long")).over(base.rowsBetween(Window.unboundedPreceding, 0)), off))
+      .withColumn(prevCol, greatest(
+        max(value.cast("long")).over(base.rowsBetween(Window.unboundedPreceding, -1)), off))
+      .drop("_gr_pid")
+  }
+
   /** Exact integer floor-division for non-negative long columns: the
     * numerator is made exactly divisible first, so the double divide is
     * IEEE-exact for any value below 2^53 — no float-rounding flake at

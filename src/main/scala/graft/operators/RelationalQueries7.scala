@@ -243,15 +243,20 @@ object RelationalQueries7 {
         .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
         .withColumn("grp", row_number().over(wAll) - row_number().over(wVal))
         .groupBy($"o_custkey", $"o_orderpriority", $"grp")
-        .agg(min($"o_orderdate").as("from_ts"), count(lit(1)).as("n_orders"))
-      val wSeq = Window.partitionBy($"o_custkey").orderBy($"from_ts", $"o_orderpriority")
+        .agg(min($"o_orderdate").as("from_ts"), count(lit(1)).as("n_orders"),
+          min($"o_orderkey").as("run_key"))
+      // run_key (the run's first orderkey) makes the sequence order
+      // TOTAL: (from_ts, o_orderpriority) alone can tie when >=3
+      // same-date orders of one customer interleave priorities, which
+      // would leave lead() and the output order engine-dependent.
+      val wSeq = Window.partitionBy($"o_custkey").orderBy($"from_ts", $"run_key")
       runs
         .withColumn("to_ts", lead($"from_ts", 1).over(wSeq))
+        .orderBy($"o_custkey", $"from_ts", $"run_key")
         .select($"o_custkey", $"o_orderpriority",
           fmtTs($"from_ts").as("valid_from"),
           coalesce(fmtTs($"to_ts"), lit("9999-12-31 00:00:00")).as("valid_to"),
           $"n_orders")
-        .orderBy($"o_custkey", $"valid_from", $"o_orderpriority")
     }),
 
     // Cumulative audience reach: per day, first-time users and the
@@ -617,27 +622,28 @@ object RelationalQueries7 {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |      - row_number() OVER (PARTITION BY o_custkey, o_orderpriority
         |                           ORDER BY o_orderdate, o_orderkey) AS grp,
-        |    o_orderdate
+        |    o_orderdate, o_orderkey
         |  FROM orders),
         |agg AS (
         |  SELECT o_custkey, o_orderpriority, grp,
-        |    min(o_orderdate) AS from_ts, count(*) AS n_orders
+        |    min(o_orderdate) AS from_ts, count(*) AS n_orders,
+        |    min(o_orderkey) AS run_key
         |  FROM runs GROUP BY o_custkey, o_orderpriority, grp)
         |SELECT o_custkey, o_orderpriority,
         |  strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  coalesce(strftime(lead(from_ts) OVER (PARTITION BY o_custkey
-        |      ORDER BY from_ts, o_orderpriority), '%Y-%m-%d %H:%M:%S'),
+        |      ORDER BY from_ts, run_key), '%Y-%m-%d %H:%M:%S'),
         |    '9999-12-31 00:00:00') AS valid_to,
         |  n_orders
         |FROM agg
-        |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
+        |ORDER BY o_custkey, from_ts, run_key""".stripMargin,
 
     "q121_cumulative_reach" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
         |p AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
         |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
-        |  SUM(new_users) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |  CAST(SUM(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM p ORDER BY day""".stripMargin,
 
     "q123_interarrival_stats" ->

@@ -224,8 +224,14 @@ class PlanSpec extends SparkSuite {
 
   test("q124: null-safe equality (<=>) still plans a hash join, not a nested loop") {
     val p = plan("q124_null_safe_join")
-    assert(p.contains("HashJoin"), s"null-safe join fell off the hash-join path:\n$p")
-    assert(!p.contains("NestedLoop") || p.contains("BroadcastHashJoin"),
+    // <=> is a valid equi-join key, so the planner must produce a
+    // hash join (broadcast or shuffled) and NO nested-loop node may
+    // appear anywhere in the plan — the old disjunctive form passed
+    // whenever any broadcast hash join coexisted with a nested loop.
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"null-safe join fell off the hash-join path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"null-safe join planned a nested loop:\n$p")
   }
 
@@ -237,7 +243,7 @@ class PlanSpec extends SparkSuite {
     // instead: every Window node in their optimized plans is keyed.
     for (q <- Seq("q85_equidepth_bins", "q95_rfm_segments",
         "q99_gini_concentration", "q110_decile_lift", "samp_shuffle",
-        "q114_ks_test", "q118_weighted_median")) {
+        "q114_ks_test", "q118_weighted_median", "q86_skyline")) {
       val wins = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
