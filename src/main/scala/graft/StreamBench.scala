@@ -69,6 +69,50 @@ object StreamBench {
       name -> rate
     }
 
+    def sides(ds: org.apache.spark.sql.Dataset[UserEvent]) = {
+      val purchases = ds.toDF().filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = ds.toDF().filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+        .withWatermark("c_ts", "1 hour")
+      (purchases, clicks)
+    }
+    val joinCond = $"p_user" === $"c_user" &&
+      $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") && $"c_ts" <= $"p_ts"
+
+    /** CDC-upsert rate: foreachBatch MERGE of each micro-batch into a
+      * versioned keyed parquet snapshot (the stream_cdc_upsert shape).
+      * Dominated by the per-batch snapshot rewrite — the number a real
+      * JDBC/Delta MERGE sink would pay too. */
+    def runCdc(): (String, Double) = {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_sb_cdc_${spark.sparkContext.applicationId}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(basePath, true)
+      val in = MemoryStream[UserEvent](spark, 991)
+      var snapVersion = -1L
+      val q = in.toDS().toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val reduced = batch.groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))
+          val merged =
+            if (snapVersion < 0) reduced
+            else spark.read.parquet(s"$base/snap_v$snapVersion").unionByName(reduced)
+              .groupBy(col("user_id")).agg(max(col("m")).as("m"))
+          merged.write.mode("overwrite").parquet(s"$base/snap_v$id")
+          snapVersion = id
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      val t0 = System.nanoTime()
+      batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rate = events.length / secs
+      println(f"${"cdc_upsert"}%-22s ${secs}%7.2f s  ${rate}%9.0f rows/s")
+      "cdc_upsert" -> rate
+    }
+
     val results = Seq(
       run("tumbling_agg", "update") { ds =>
         ds.toDF().withWatermark("ts", "10 minutes")
@@ -77,20 +121,40 @@ object StreamBench {
       },
       run("tws_anomaly", "append")(ds => Streams.anomalyTws(ds).toDF()),
       run("stream_stream_join", "append") { ds =>
-        val purchases = ds.toDF().filter($"event_type" === "purchase")
-          .select($"event_id".as("purchase_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
-          .withWatermark("p_ts", "10 minutes")
-        val clicks = ds.toDF().filter($"event_type" === "click")
-          .select($"event_id".as("click_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
-          .withWatermark("c_ts", "1 hour")
-        purchases.join(clicks,
-          $"p_user" === $"c_user" &&
-            $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") && $"c_ts" <= $"p_ts")
-      })
+        val (purchases, clicks) = sides(ds)
+        purchases.join(clicks, joinCond)
+      },
+      // the state-heaviest op: unmatched left rows are held until the
+      // watermark proves no match can arrive, so state outlives the
+      // inner join's and eviction does extra work per batch
+      run("left_outer_join", "append") { ds =>
+        val (purchases, clicks) = sides(ds)
+        purchases.join(clicks, joinCond, "leftOuter")
+      },
+      runCdc())
 
+    // Regression floors: ~half the rate measured on an otherwise-idle
+    // host (r10: 3892/6338/2112/2069/4121 rows/s at sf0.1) — tolerant
+    // of ambient load, but a genuine state-store or shuffle regression
+    // (2×+) trips them. Trips are recorded in the JSON ("below_floor")
+    // so the round diff surfaces them like a batch bench regression.
+    val floors = Map(
+      "tumbling_agg" -> 1900.0, "tws_anomaly" -> 3100.0,
+      "stream_stream_join" -> 1000.0, "left_outer_join" -> 1000.0,
+      "cdc_upsert" -> 2000.0)
+    val below = results.collect {
+      case (k, v) if floors.get(k).exists(v < _) => k }
+    below.foreach(k => System.err.println(
+      s"[stream-bench] WARNING: $k below floor ${floors(k)} rows/s"))
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+    val floorJson = floors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString(""","floors":{""", ",", "}")
+    val belowJson =
+      if (below.isEmpty) "" else below.map("\"" + _ + "\"").mkString(""","below_floor":[""", ",", "]")
     val json = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString(s"""{"metric":"stream_rows_per_sec","rows":${events.length},"sf":"$sfDir",""", ",", "}")
+      .mkString(s"""{"metric":"stream_rows_per_sec","rows":${events.length},"sf":"$sfDir",""",
+        ",", floorJson + belowJson + "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("STREAM_BENCH.json"), json + "\n")
     println(json)
     spark.stop()
