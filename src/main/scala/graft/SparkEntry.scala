@@ -34,7 +34,8 @@ object SparkEntry {
       RelationalQueries4.queries ++
       RelationalQueries5.queries ++
       RelationalQueries6.queries ++
-      RelationalQueries7.queries
+      RelationalQueries7.queries ++
+      RelationalQueries8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
       RelationalQueries4.oracles ++
       RelationalQueries5.oracles ++
       RelationalQueries6.oracles ++
-      RelationalQueries7.oracles
+      RelationalQueries7.oracles ++
+      RelationalQueries8.oracles
 }

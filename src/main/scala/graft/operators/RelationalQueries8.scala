@@ -1,0 +1,389 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-10 additions (q129–q135): rank statistics (Spearman),
+  * engagement ratios (DAU/WAU/MAU stickiness), one-way ANOVA,
+  * winsorized robust mean, market concentration (HHI), session bounce
+  * rate, and series autocorrelation — statistics / product-analytics
+  * shapes the suite didn't yet cover, all on the established exactness
+  * contract: integer/decimal sums (order-independent, map-side
+  * combinable), doubles only at the very end through identical
+  * expression trees on both engines, rendered with format_string.
+  */
+object RelationalQueries8 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val D38 = DecimalType(38, 0)
+
+  /** Money column as exact integer cents, decimal-38 typed (overflow-
+    * safe for 100 TB sums — a bigint cents sum saturates around 9e16
+    * dollars, which a petabyte-scale fact table can actually reach). */
+  private def cents38(c: org.apache.spark.sql.Column) =
+    (dec(c) * 100).cast(D38)
+
+  val queries: Map[String, Q] = Map(
+    // SPEARMAN rank correlation (quantity vs price) with tie-AVERAGED
+    // ranks, fully distributed: per-column value counts (keyed agg),
+    // GlobalRank.withPrefixSum over the distinct-value sets for
+    // cumulative counts, then 2×avg-rank = 2·cnt_before + cnt + 1
+    // joined back to rows (quantity side broadcast — 50 values; price
+    // side a keyed join). No row-level global window anywhere: the
+    // only full sorts run over DISTINCT VALUES. The correlation itself
+    // is Pearson over the doubled ranks (scale cancels) from six
+    // DECIMAL(38)-exact sums — both engines see identical integers,
+    // cast to identical doubles, and print identical bits at %.9f.
+    "q129_spearman_corr" -> ((s, d) => {
+      import s.implicits._
+      val base = lineitem(s, d).select(
+        $"l_quantity".cast("long").as("x"),
+        cents38($"l_extendedprice").cast("long").as("y"))
+      def r2Of(colName: String): DataFrame = {
+        val counts = base.groupBy(col(colName)).agg(count(lit(1)).as("cnt"))
+        val (cum, _) = GlobalRank.withPrefixSum(
+          counts, "_cum", col("cnt"), Seq(col(colName)))
+        cum.select(col(colName),
+          (lit(2) * col("_cum") - col("cnt") + 1).as(s"r2_$colName"))
+      }
+      val withRanks = base
+        .join(broadcast(r2Of("x")), Seq("x"))
+        .join(r2Of("y"), Seq("y"))
+      val sums = withRanks.agg(
+        count(lit(1)).as("n"),
+        sum($"r2_x".cast(D38)).as("sx"),
+        sum($"r2_y".cast(D38)).as("sy"),
+        sum(($"r2_x".cast(D38) * $"r2_x".cast(D38))).as("sxx"),
+        sum(($"r2_y".cast(D38) * $"r2_y".cast(D38))).as("syy"),
+        sum(($"r2_x".cast(D38) * $"r2_y".cast(D38))).as("sxy"))
+      val nD = $"n".cast(D38)
+      val num = (nD * $"sxy" - $"sx" * $"sy").cast("double")
+      val dx = (nD * $"sxx" - $"sx" * $"sx").cast("double")
+      val dy = (nD * $"syy" - $"sy" * $"sy").cast("double")
+      sums.select($"n",
+        format_string("%.9f", num / sqrt(dx * dy)).as("spearman_rho"))
+    }),
+
+    // DAU / WAU(7) / MAU(28) / stickiness over ordering customers.
+    // Exact rolling DISTINCT counts without any distinct-window state:
+    // each (customer, day) pair CONTRIBUTES to the w trailing days, so
+    // exploding the pair to its contribution days (a bounded ×7/×28
+    // blowup of the pair table, which is itself ≪ the fact table) turns
+    // the rolling distinct into a plain keyed count — shuffle-friendly
+    // and linear at any corpus size, where a naive per-day correlated
+    // distinct scan is quadratic.
+    "q130_active_user_ratios" -> ((s, d) => {
+      import s.implicits._
+      val pairs = orders(s, d)
+        .select($"o_custkey".as("u"), to_date($"o_orderdate").as("day"))
+        .distinct()
+      val days = pairs.select($"day").distinct()
+      val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
+      def rolling(w: Int, name: String) = pairs
+        .select($"u", explode(sequence($"day", date_add($"day", w - 1))).as("day"))
+        .distinct()
+        .groupBy($"day").agg(count(lit(1)).as(name))
+      days
+        .join(dau, Seq("day"))
+        .join(rolling(7, "wau7"), Seq("day"))
+        .join(rolling(28, "mau28"), Seq("day"))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"),
+          $"dau", $"wau7", $"mau28",
+          expr("dau * 10000 DIV mau28").as("stickiness_bp"))
+        .orderBy($"day")
+    }),
+
+    // One-way ANOVA of price across returnflags: F-statistic and η²
+    // from per-group (n, Σc, Σc²) in ONE partial+final aggregate over
+    // exact DECIMAL(38) cents. The only order-sensitive double — the
+    // Σ_g S_g²/n_g term — folds over an ARRAY SORTED BY GROUP KEY
+    // (aggregate() / list_reduce), so both engines add the k=3 group
+    // terms in the same order and the F bits match. Group count is a
+    // constant, so the fold is aggregate-sized at any corpus size.
+    "q131_anova_oneway" -> ((s, d) => {
+      import s.implicits._
+      val c = cents38($"l_extendedprice")
+      val g = lineitem(s, d).groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n_g"),
+        sum(c).as("s_g"),
+        sum(c * c).as("ss_g"))
+      val folded = g.agg(
+        count(lit(1)).as("k"),
+        sum($"n_g").as("n"),
+        sum($"s_g").as("s"),
+        sum($"ss_g").as("ss"),
+        aggregate(
+          array_sort(collect_list(struct($"l_returnflag".as("f"),
+            ($"s_g".cast("double") * $"s_g".cast("double") / $"n_g").as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("tsum"))
+      val sD = $"s".cast("double")
+      val ssb = $"tsum" - sD * sD / $"n"
+      val ssw = $"ss".cast("double") - $"tsum"
+      folded.select($"n", $"k",
+        format_string("%.9f", ssb / (ssb + ssw)).as("eta_sq"),
+        format_string("%.6f", (ssb / ($"k" - 1)) / (ssw / ($"n" - $"k"))).as("f_stat"))
+    }),
+
+    // Winsorized mean: prices clipped at the exact p05/p95 ORDER
+    // STATISTICS (value at global rank ⌈0.05n⌉ / ⌈0.95n⌉ — rank-based,
+    // so both engines agree bit-for-bit, unlike interpolating
+    // percentile definitions). The rank rides GlobalRank's two-pass
+    // range partitioning; the two threshold rows are the only driver
+    // collect (model-sized); the clipped sum is exact DECIMAL(38)
+    // cents. The value at rank k is tiebreak-independent, so the
+    // oracle's plain row_number over cents picks the same thresholds.
+    "q132_winsorized_mean" -> ((s, d) => {
+      import s.implicits._
+      val base = lineitem(s, d).select(
+        cents38($"l_extendedprice").cast("long").as("c"),
+        $"l_orderkey", $"l_linenumber")
+      val (ranked, n) = GlobalRank.withRank(base, "_r",
+        Seq($"c", $"l_orderkey", $"l_linenumber"))
+      val k05 = (5 * n + 99) / 100
+      val k95 = (95 * n + 99) / 100
+      val thr = ranked.filter($"_r" === k05 || $"_r" === k95)
+        .agg(min($"c").as("lo"), max($"c").as("hi"))
+      // the mean is reported as EXACT micro-dollars (floor DIV) — a
+      // formatted double hit a printf tie at sf0.01 (Java HALF_UP vs
+      // C round-half-even on the same bits); integer arithmetic has
+      // no ties to disagree on. Long cents·1e4 saturates ~9e14
+      // dollars of clipped sum; the 100 TB variant lifts to D38.
+      ranked.crossJoin(broadcast(thr))
+        .select(greatest(least($"c", $"hi"), $"lo").as("cc"), $"lo", $"hi")
+        .groupBy($"lo", $"hi")
+        .agg(count(lit(1)).as("n"), sum($"cc").as("sum_c"))
+        .select($"n",
+          format_string("%.2f", $"lo" / lit(100.0)).as("p05"),
+          format_string("%.2f", $"hi" / lit(100.0)).as("p95"),
+          expr("sum_c * 10000 DIV n").as("mean_e6"))
+    }),
+
+    // Herfindahl–Hirschman market concentration per nation: supplier
+    // revenue shares in integer basis points (floor DIV — deterministic
+    // in both engines), HHI = Σ share_bp². Dims broadcast, fact side
+    // shuffles ONCE on (nation, supplier); the per-nation totals table
+    // is 25 rows — broadcast back. Long cents are safe to ~9e16
+    // dollar-cents per supplier; the 100 TB variant lifts the sums to
+    // DECIMAL(38) (cents38) at the cost of a decimal DIV.
+    "q133_hhi_concentration" -> ((s, d) => {
+      import s.implicits._
+      val rev = lineitem(s, d)
+        .join(broadcast(supplier(s, d).select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nation(s, d).select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", $"s_suppkey")
+        .agg(sum(cents38($"l_extendedprice").cast("long")).as("rev_c"))
+      val tot = rev.groupBy($"n_name").agg(sum($"rev_c").as("tot_c"))
+      rev.join(broadcast(tot), Seq("n_name"))
+        .withColumn("share_bp", expr("rev_c * 10000 DIV tot_c"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          max($"share_bp").as("top_share_bp"),
+          sum($"share_bp" * $"share_bp").as("hhi_e8"))
+        .orderBy($"n_name")
+    }),
+
+    // Session bounce rate per day: 30-minute-gap sessions (the q48
+    // boundary convention: a gap STRICTLY greater than 30 min starts a
+    // new session), bounce = single-event session. session_window is
+    // a keyed aggregate — one shuffle on user_id, no global state —
+    // and the daily rollup is integer basis points.
+    "q134_bounce_rate" -> ((s, d) => {
+      import s.implicits._
+      val sess = events(s, d)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select(to_date($"session_window.start").as("day"), $"n_events")
+      sess.groupBy($"day")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when($"n_events" === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"),
+          $"n_sessions", $"n_bounces",
+          expr("n_bounces * 10000 DIV n_sessions").as("bounce_bp"))
+        .orderBy($"day")
+    }),
+
+    // Lag-k autocorrelation (k = 1, 7) of daily order revenue. The
+    // lagged pairing is an EQUI-join of the daily series against
+    // itself shifted by k calendar days — no window over the whole
+    // series, so a 100-year × 1000-series variant still shuffles on
+    // the date key only. Pearson from exact DECIMAL(38) cent sums,
+    // doubles at the end (same tree both engines).
+    "q135_autocorr_daily" -> ((s, d) => {
+      import s.implicits._
+      val daily = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(cents38($"o_totalprice").cast("long")).as("rev"))
+      def rho(k: Int): DataFrame = {
+        val a = daily.select($"day", $"rev".as("x"))
+        val b = daily.select(date_add($"day", k).as("day"), $"rev".as("y"))
+        val sums = a.join(b, Seq("day")).agg(
+          count(lit(1)).as("n"),
+          sum($"x".cast(D38)).as("sx"), sum($"y".cast(D38)).as("sy"),
+          sum($"x".cast(D38) * $"x".cast(D38)).as("sxx"),
+          sum($"y".cast(D38) * $"y".cast(D38)).as("syy"),
+          sum($"x".cast(D38) * $"y".cast(D38)).as("sxy"))
+        val nD = $"n".cast(D38)
+        val num = (nD * $"sxy" - $"sx" * $"sy").cast("double")
+        val dx = (nD * $"sxx" - $"sx" * $"sx").cast("double")
+        val dy = (nD * $"syy" - $"sy" * $"sy").cast("double")
+        sums.select(lit(k).as("lag"), $"n".as("n_pairs"),
+          format_string("%.9f", num / sqrt(dx * dy)).as("autocorr"))
+      }
+      rho(1).unionByName(rho(7)).orderBy($"lag")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q129_spearman_corr" ->
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT
+        |    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS r2x,
+        |    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS r2y
+        |  FROM base),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    SUM(CAST(r2x AS HUGEINT)) AS sx, SUM(CAST(r2y AS HUGEINT)) AS sy,
+        |    SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+        |    SUM(CAST(r2y AS HUGEINT) * r2y) AS syy,
+        |    SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  printf('%.9f', CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
+        |    AS spearman_rho
+        |FROM s""".stripMargin,
+
+    "q130_active_user_ratios" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS u, CAST(o_orderdate AS DATE) AS day FROM orders),
+        |days AS (SELECT DISTINCT day FROM pairs),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day),
+        |wau AS (
+        |  SELECT d.day AS day, CAST(count(DISTINCT p.u) AS BIGINT) AS wau7
+        |  FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day),
+        |mau AS (
+        |  SELECT d.day AS day, CAST(count(DISTINCT p.u) AS BIGINT) AS mau28
+        |  FROM days d JOIN pairs p ON p.day BETWEEN d.day - 27 AND d.day
+        |  GROUP BY d.day)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, wau7, mau28,
+        |  dau * 10000 // mau28 AS stickiness_bp
+        |FROM days d JOIN dau USING (day) JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
+
+    "q131_anova_oneway" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS f, CAST(count(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s_g,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+        |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS ss_g
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |    SUM(s_g) AS s, SUM(ss_g) AS ss,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g ORDER BY f)),
+        |      (a, x) -> a + x) AS tsum
+        |  FROM g)
+        |SELECT n, k,
+        |  printf('%.9f', (tsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) /
+        |    ((tsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |      + (CAST(ss AS DOUBLE) - tsum))) AS eta_sq,
+        |  printf('%.6f', ((tsum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+        |    / ((CAST(ss AS DOUBLE) - tsum) / (n - k))) AS f_stat
+        |FROM t""".stripMargin,
+
+    "q132_winsorized_mean" ->
+      """WITH base AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS nn
+        |  FROM base),
+        |th AS (
+        |  SELECT
+        |    min(CASE WHEN rn = (5 * nn + 99) // 100 THEN c END) AS lo,
+        |    max(CASE WHEN rn = (95 * nn + 99) // 100 THEN c END) AS hi
+        |  FROM r),
+        |cl AS (
+        |  SELECT greatest(least(c, hi), lo) AS cc, lo, hi FROM base, th)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  printf('%.2f', lo / 100.0) AS p05,
+        |  printf('%.2f', hi / 100.0) AS p95,
+        |  CAST(SUM(CAST(cc AS HUGEINT)) * 10000 // count(*) AS BIGINT) AS mean_e6
+        |FROM cl GROUP BY lo, hi""".stripMargin,
+
+    "q133_hhi_concentration" ->
+      """WITH rev AS (
+        |  SELECT n_name, s_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name, s_suppkey),
+        |tot AS (SELECT n_name, CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM rev GROUP BY n_name),
+        |sh AS (
+        |  SELECT rev.n_name, rev_c * 10000 // tot_c AS share_bp
+        |  FROM rev JOIN tot ON rev.n_name = tot.n_name)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(max(share_bp) AS BIGINT) AS top_share_bp,
+        |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi_e8
+        |FROM sh GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q134_bounce_rate" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sg AS (
+        |  SELECT user_id, ts,
+        |    SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, sid, CAST(MIN(ts) AS DATE) AS day, count(*) AS n
+        |  FROM sg GROUP BY user_id, sid)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+        |    // CAST(count(*) AS BIGINT) AS bounce_bp
+        |FROM sess GROUP BY day
+        |ORDER BY day""".stripMargin,
+
+    "q135_autocorr_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY day),
+        |p AS (
+        |  SELECT k.lag AS lag, a.rev AS x, b.rev AS y
+        |  FROM (VALUES (1), (7)) k(lag)
+        |  JOIN daily a ON true
+        |  JOIN daily b ON b.day = a.day - k.lag),
+        |s AS (
+        |  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM p GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  printf('%.9f', CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
+        |    AS autocorr
+        |FROM s ORDER BY lag""".stripMargin
+  )
+}

@@ -28,7 +28,8 @@ class QueriesSpec extends SparkSuite {
       "RelationalQueries4" -> RelationalQueries4.queries.keySet,
       "RelationalQueries5" -> RelationalQueries5.queries.keySet,
       "RelationalQueries6" -> RelationalQueries6.queries.keySet,
-      "RelationalQueries7" -> RelationalQueries7.queries.keySet)
+      "RelationalQueries7" -> RelationalQueries7.queries.keySet,
+      "RelationalQueries8" -> RelationalQueries8.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${
