@@ -346,6 +346,36 @@ object SamplingQueries {
           format_string("%.9f", $"term").as("psi_term"),
           format_string("%.9f", sum($"term").over(w)).as("psi_total"))
         .orderBy($"bin")
+    }),
+
+    // Temperature-scaled source mixing — the multilingual/multi-source
+    // training-mix allocator (mT5-style p_s ∝ size^α, here α = 2 so
+    // every weight stays an exact integer; the α<1 variant runs the
+    // same largest-remainder machinery over correctly-rounded double
+    // weights). A 100-doc epoch budget is apportioned by LARGEST
+    // REMAINDER: base = ⌊T·w/W⌋ per source, the leftover seats go to
+    // the biggest remainders (source-name tiebreak) — exact integer
+    // arithmetic end-to-end, so the allocation is reproducible on any
+    // cluster. Per-source weights are one keyed aggregate over the
+    // corpus; the allocation itself runs on |sources| rows — aggregate-
+    // sized at any corpus scale, like the PSI bins above.
+    "samp_temperature_mix" -> ((s, d) => {
+      import s.implicits._
+      val T = 100L
+      val wAll = Window.partitionBy() // |sources| rows
+      val wRk = Window.orderBy($"rem".desc, $"source") // |sources| rows
+      documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+        .withColumn("weight", $"chars" * $"chars")
+        .withColumn("w_tot", sum($"weight").over(wAll))
+        .withColumn("base", expr(s"weight * $T DIV w_tot"))
+        .withColumn("rem", expr(s"(weight * $T) % w_tot"))
+        .withColumn("extra",
+          when(row_number().over(wRk) <= lit(T) - sum($"base").over(wAll), 1L)
+            .otherwise(0L))
+        .select($"source", $"n_docs", $"weight", ($"base" + $"extra").as("quota"))
+        .orderBy($"source")
     })
   )
 
@@ -522,6 +552,25 @@ object SamplingQueries {
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::HUGEINT
         |      * (SELECT SUM(n_chars) FROM documents)::HUGEINT
         |    < 50::HUGEINT * n_chars::HUGEINT * 1152921504606846976::HUGEINT
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "samp_temperature_mix" ->
+      """WITH w AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source),
+        |a AS (SELECT source, n_docs, chars * chars AS weight FROM w),
+        |b AS (
+        |  SELECT source, n_docs, weight,
+        |    weight * 100 // SUM(weight) OVER () AS base,
+        |    (weight * 100) % SUM(weight) OVER () AS rem
+        |  FROM a),
+        |c AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    SUM(base) OVER () AS base_tot
+        |  FROM b)
+        |SELECT source, n_docs, CAST(weight AS BIGINT) AS weight,
+        |  CAST(base + CASE WHEN rk <= 100 - base_tot THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM c ORDER BY source""".stripMargin
   )
 }

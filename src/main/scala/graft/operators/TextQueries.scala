@@ -41,6 +41,37 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Per-document token-distribution Shannon entropy + its normalized
+    // form (÷ ln types) — the information-theoretic quality signal that
+    // separates template spam (near-0) from natural text, complementing
+    // text_lexical_diversity's corpus-level TTR. All probabilities
+    // derive from integer counts; the per-doc entropy sum folds over an
+    // array SORTED BY TOKEN (aggregate/list_reduce), so both engines
+    // add the p·ln p terms in the same order — the same order-killing
+    // trick as the ANOVA group fold. The fold array is per-doc
+    // vocabulary-sized (bounded by doc length), never corpus-sized, so
+    // the shape holds at 100 TB: one explode, two keyed aggregates.
+    "text_token_entropy" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      val tc = documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      tc.groupBy($"doc_id").agg(
+          sum($"cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          array_sort(collect_list(struct($"tok", $"cnt"))).as("arr"))
+        .withColumn("ent", -aggregate($"arr", lit(0.0),
+          (a, x) => a + (x.getField("cnt") * lit(1.0) / $"n_tokens") *
+            log(x.getField("cnt") * lit(1.0) / $"n_tokens")))
+        .select($"doc_id", $"n_tokens", $"n_types",
+          format_string("%.9f", $"ent").as("entropy"),
+          format_string("%.9f",
+            when($"n_types" > 1, $"ent" / log($"n_types".cast("double")))
+              .otherwise(lit(0.0))).as("norm_entropy"))
+        .orderBy($"doc_id")
+    }),
+
     // Vocabulary-induction primitive: the FIRST BPE iteration — count
     // every adjacent character pair across the corpus's tokens and
     // rank the top merge candidates. (Real BPE training loops this;
@@ -367,6 +398,31 @@ object TextQueries {
         |  count(DISTINCT tok) * 10000 // count(*) AS ttr_bp,
         |  CAST(SUM(CAST(length(tok) AS BIGINT)) AS BIGINT) * 10000 // count(*) AS mean_tok_len_e4
         |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_token_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM tc GROUP BY doc_id),
+        |term AS (
+        |  SELECT tc.doc_id, tok,
+        |    (cnt * 1.0 / n_tokens) * ln(cnt * 1.0 / n_tokens) AS tm
+        |  FROM tc JOIN tot USING (doc_id)),
+        |e AS (
+        |  SELECT doc_id,
+        |    -list_reduce(list_prepend(CAST(0 AS DOUBLE), list(tm ORDER BY tok)),
+        |      (a, x) -> a + x) AS ent
+        |  FROM term GROUP BY doc_id)
+        |SELECT e.doc_id, n_tokens, n_types,
+        |  printf('%.9f', ent) AS entropy,
+        |  printf('%.9f', CASE WHEN n_types > 1
+        |    THEN ent / ln(CAST(n_types AS DOUBLE)) ELSE 0.0 END) AS norm_entropy
+        |FROM e JOIN tot USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,
