@@ -40,9 +40,13 @@ object RelationalQueries8 {
     // cast to identical doubles, and print identical bits at %.9f.
     "q129_spearman_corr" -> ((s, d) => {
       import s.implicits._
+      // pinned once: the row set feeds both per-column count tables AND
+      // the final rank join — without the checkpoint the fact table
+      // would be scanned three times (same trade-off note as GlobalRank)
       val base = lineitem(s, d).select(
         $"l_quantity".cast("long").as("x"),
         cents38($"l_extendedprice").cast("long").as("y"))
+        .localCheckpoint()
       def r2Of(colName: String): DataFrame = {
         val counts = base.groupBy(col(colName)).agg(count(lit(1)).as("cnt"))
         val (cum, _) = GlobalRank.withPrefixSum(
@@ -78,9 +82,13 @@ object RelationalQueries8 {
     // distinct scan is quadratic.
     "q130_active_user_ratios" -> ((s, d) => {
       import s.implicits._
+      // pinned once: dau + two rolling explodes + the day spine all
+      // read the pair table — checkpointing turns four fact scans into
+      // one scan + one distinct
       val pairs = orders(s, d)
         .select($"o_custkey".as("u"), to_date($"o_orderdate").as("day"))
         .distinct()
+        .localCheckpoint()
       val days = pairs.select($"day").distinct()
       val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
       def rolling(w: Int, name: String) = pairs
@@ -178,8 +186,12 @@ object RelationalQueries8 {
           $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name", $"s_suppkey")
         .agg(sum(cents38($"l_extendedprice").cast("long")).as("rev_c"))
-      val tot = rev.groupBy($"n_name").agg(sum($"rev_c").as("tot_c"))
-      rev.join(broadcast(tot), Seq("n_name"))
+      // per-nation totals via a KEYED window over the already-aggregated
+      // (nation, supplier) table — a groupBy+join-back would re-scan the
+      // fact table a second time; this re-shuffles only supplier-count
+      // rows and every window stays keyed
+      rev
+        .withColumn("tot_c", sum($"rev_c").over(Window.partitionBy($"n_name")))
         .withColumn("share_bp", expr("rev_c * 10000 DIV tot_c"))
         .groupBy($"n_name")
         .agg(count(lit(1)).as("n_suppliers"),
@@ -216,9 +228,12 @@ object RelationalQueries8 {
     // doubles at the end (same tree both engines).
     "q135_autocorr_daily" -> ((s, d) => {
       import s.implicits._
+      // pinned once: the series self-joins at two lags (four reads) —
+      // one fact scan materializes the day-count-sized series
       val daily = orders(s, d)
         .groupBy(to_date($"o_orderdate").as("day"))
         .agg(sum(cents38($"o_totalprice").cast("long")).as("rev"))
+        .localCheckpoint()
       def rho(k: Int): DataFrame = {
         val a = daily.select($"day", $"rev".as("x"))
         val b = daily.select(date_add($"day", k).as("day"), $"rev".as("y"))
