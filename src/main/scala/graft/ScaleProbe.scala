@@ -79,6 +79,22 @@ object ScaleProbe {
     // inputs scale in sequence length, the dimension that melts a
     // quadratic frame. (ts is the raw nanos long via nanosAsLong;
     // Tables.events reconstructs micros the same way on the copy.)
+    // dims ride along 1× (supplier/nation for the HHI join family —
+    // the scaling input is the fact side); part is copied with SHIFTED
+    // PRICES so q86_skyline's distinct-price domain — its true scale
+    // axis — grows 10× too.
+    for (t <- Seq("supplier", "nation"))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir10/$t.parquet")
+    val pt = spark.read.parquet(s"$base/part.parquet")
+    val pkeyStep = pt.agg(max($"p_partkey")).head.getLong(0) + 1
+    val priceStep = math.ceil(
+      pt.agg(max($"p_retailprice")).head.getDouble(0)) + 1.0
+    val pt10 = (0 until Copies).map { i =>
+      pt.withColumn("p_partkey", $"p_partkey" + lit(i * pkeyStep))
+        .withColumn("p_retailprice", $"p_retailprice" + lit(i * priceStep))
+    }.reduce(_ unionByName _)
+    pt10.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$dir10/part.parquet")
     val evRaw = spark.read.parquet(s"$base/events.parquet")
     val (tsLo, tsHi) = {
       val r = evRaw.agg(min($"ts"), max($"ts")).head
