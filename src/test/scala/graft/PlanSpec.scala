@@ -235,6 +235,18 @@ class PlanSpec extends SparkSuite {
       s"null-safe join planned a nested loop:\n$p")
   }
 
+  test("q130/q135: reused intermediates are pinned — exactly one parquet scan each") {
+    // without the localCheckpoint, q130's day spine + DAU + two rolling
+    // explodes would re-scan orders four times (and q135's two-lag
+    // self-join twice each) — at 100 TB that's the dominant cost
+    for (q <- Seq("q130_active_user_ratios", "q135_autocorr_daily")) {
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans <= 2, // FormattedMode lists each node in tree + detail
+        s"$q re-scans its fact table ($scans 'Scan parquet' mentions):\n$p")
+    }
+  }
+
   test("exact global ranks (q85/q95/q99/q110/samp_shuffle) never window over a single partition") {
     // The scale-killer shape is a logical Window with an EMPTY
     // partition spec — physical planning turns that into Exchange
@@ -243,7 +255,9 @@ class PlanSpec extends SparkSuite {
     // instead: every Window node in their optimized plans is keyed.
     for (q <- Seq("q85_equidepth_bins", "q95_rfm_segments",
         "q99_gini_concentration", "q110_decile_lift", "samp_shuffle",
-        "q114_ks_test", "q118_weighted_median", "q86_skyline")) {
+        "q114_ks_test", "q118_weighted_median", "q86_skyline",
+        "q129_spearman_corr", "q132_winsorized_mean",
+        "q133_hhi_concentration")) {
       val wins = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
