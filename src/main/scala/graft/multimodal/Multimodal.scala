@@ -100,6 +100,109 @@ object Multimodal {
     Some((w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
   }
 
+  /** Deterministic 8×8-block pattern PNG at `scale` px/block: block
+    * (bx, by) is light (192) or dark (64) gray by bit 63−(by·8+bx) of
+    * `bits` — the same image CONTENT at any pixel size, which is what
+    * perceptual hashing must see through. */
+  def encodePatternPng(scale: Int, bits: Long): Array[Byte] = {
+    val side = 8 * scale
+    val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val v = if (((bits >>> (63 - (by * 8 + bx))) & 1L) == 1L) 192 else 64
+        val rgb = (v << 16) | (v << 8) | v
+        var y = by * scale
+        while (y < (by + 1) * scale) {
+          var x = bx * scale
+          while (x < (bx + 1) * scale) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched pattern synthesis: (doc_id, scale, bits_hex) → payloads.
+    * bits_hex is the 16-hex-char block pattern (e.g. an md5 prefix). */
+  def encodePatternPayloads(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Row(r.getLong(0), encodePatternPng(r.getInt(1),
+            java.lang.Long.parseUnsignedLong(r.getString(2), 16)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Average hash (aHash) of a decoded image: 8×8 box-downsample, one
+    * bit per cell (cell mean > global mean), MSB-first row-major — the
+    * classic perceptual fingerprint that is invariant to lossless
+    * rescaling of the same content. Exact integer comparisons
+    * throughout (64·cellSum > globalSum ⟺ cellMean > globalMean), so
+    * the hash is bit-deterministic. None for undecodable payloads or
+    * dimensions that don't box-tile into 8×8. */
+  private[graft] def ahashOne(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth % 8 != 0 || img.getHeight % 8 != 0 ||
+      img.getWidth == 0 || img.getHeight == 0) return None
+    val (cw, ch) = (img.getWidth / 8, img.getHeight / 8)
+    val cells = new Array[Long](64)
+    var total = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        var sum = 0L
+        var y = cy * ch
+        while (y < (cy + 1) * ch) {
+          var x = cx * cw
+          while (x < (cx + 1) * cw) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        cells(cy * 8 + cx) = sum
+        total += sum
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) * 64L > total) hash |= 1L << (63 - i)
+      i += 1
+    }
+    Some(hash)
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("phash", StringType)))
+
+  /** Batched decode→aHash of (doc_id, payload) → (doc_id, phash hex);
+    * null phash for dead payloads (the DLQ pattern, as decodeFeatures). */
+  def phashFeatures(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), ahashOne(payload).map(h => f"$h%016x").orNull)
+        }
+      }
+    }(enc)
+  }
+
   /** Batched decode of (doc_id: long, payload: binary) → dimensions +
     * channel means. Batches bound memory; the grouped iterator keeps
     * the stream lazy. */

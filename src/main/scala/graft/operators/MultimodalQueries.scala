@@ -101,6 +101,41 @@ object MultimodalQueries {
             $"mean_r" === $"exp_r" && $"mean_g" === $"exp_g" && $"mean_b" === $"exp_b")
         .select($"doc_id", $"exp_w".as("width"), $"exp_h".as("height"), $"features_match")
         .orderBy($"doc_id")
+    }),
+
+    // PERCEPTUAL-HASH image dedup — the visual-duplicate operator a
+    // multimodal curation pass runs after exact byte dedup: the same
+    // image content re-encoded at a different resolution has different
+    // bytes but must land in the same cluster. Each doc renders one of
+    // 40 visual classes (an 8×8 block pattern from md5 bits) at one of
+    // THREE pixel scales (8/16/24 px per block — different PNGs, same
+    // content); the decode side box-downsamples to 8×8 and takes the
+    // average hash with exact integer comparisons. aHash(pattern at
+    // any scale) == the pattern's own md5 bits, so clusters — and the
+    // fact that every cluster contains multiple encode sizes — are
+    // fully hash-verified against SQL-computable expectations: if the
+    // real decode→resample→threshold path drifted one bit, the phash
+    // groups would not match the oracle. Both hops are zero-shuffle
+    // batched mapPartitions; the cluster rollup is one keyed groupBy
+    // on the 64-bit hash — the same shape at 100 TB.
+    "mm_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val meta = documents(s, d).select($"doc_id",
+        ($"doc_id" % 3 + 1).cast("int").as("px"),
+        substring(md5(($"doc_id" % 40).cast("string").cast("binary")), 1, 16)
+          .as("bits_hex"))
+      val payloads = graft.multimodal.Multimodal.encodePatternPayloads(
+        meta.select($"doc_id", ($"px" * 8).cast("int").as("scale"), $"bits_hex"))
+      val hashed = graft.multimodal.Multimodal.phashFeatures(payloads)
+      hashed.join(meta, Seq("doc_id"))
+        .groupBy($"phash")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct($"px").as("n_sizes"),
+          min($"doc_id").as("sample_doc"),
+          min(($"phash" === $"bits_hex").cast("int")).as("all_match"))
+        .select($"phash", $"n_docs", $"n_sizes", $"sample_doc",
+          ($"all_match" === 1).as("all_match"))
+        .orderBy($"phash")
     })
   )
 
@@ -141,6 +176,19 @@ object MultimodalQueries {
         | n_chars % 64 + 1 AS width,
         | (n_chars * 7) % 48 + 1 AS height,
         | TRUE AS features_match
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_phash_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    substring(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 16) AS phash,
+        |    doc_id % 3 + 1 AS px
+        |  FROM documents)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT px) AS BIGINT) AS n_sizes,
+        |  CAST(min(doc_id) AS BIGINT) AS sample_doc,
+        |  TRUE AS all_match
+        |FROM m GROUP BY phash
+        |ORDER BY phash""".stripMargin
   )
 }

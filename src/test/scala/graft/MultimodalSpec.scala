@@ -66,4 +66,21 @@ class MultimodalSpec extends SparkSuite {
     val row = Multimodal.decodeFeatures(corrupt).collect().head
     assert(row.getLong(1) === 4L && row.isNullAt(2) && row.isNullAt(4))
   }
+
+  test("aHash is scale-invariant: same pattern at 8/16/24 px hashes identically, = its own bits") {
+    val bits = java.lang.Long.parseUnsignedLong("a5c3f00f12345678", 16)
+    val hashes = Seq(1, 2, 3).map { s =>
+      Multimodal.ahashOne(Multimodal.encodePatternPng(8 * s, bits))
+    }
+    assert(hashes.forall(_.contains(bits)),
+      s"expected ${bits.toHexString} at every scale, got ${hashes.map(_.map(_.toHexString))}")
+  }
+
+  test("aHash edge cases: all-dark pattern hashes to 0; corrupt payload yields None") {
+    assert(Multimodal.ahashOne(Multimodal.encodePatternPng(8, 0L)).contains(0L))
+    assert(Multimodal.ahashOne("not a png".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.ahashOne(Array.emptyByteArray).isEmpty)
+    // 7x7 image: doesn't tile into 8x8 boxes -> None, not a wrong hash
+    assert(Multimodal.ahashOne(Multimodal.encodePng(7, 7, 1, 2, 3)).isEmpty)
+  }
 }
