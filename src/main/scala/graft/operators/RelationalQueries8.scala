@@ -251,6 +251,46 @@ object RelationalQueries8 {
           format_string("%.9f", num / sqrt(dx * dy)).as("autocorr"))
       }
       rho(1).unionByName(rho(7)).orderBy($"lag")
+    }),
+
+    // New-vs-returning customer split per month — the acquisition-vs-
+    // retention decomposition every growth dashboard leads with. A
+    // customer is NEW in their first-order month (keyed min), RETURNING
+    // after; the month rollup joins the first-month table back on the
+    // customer key (both sides keyed aggregates of the same fact scan —
+    // pinned once). Integer basis points, no floats anywhere.
+    "q136_new_vs_returning" -> ((s, d) => {
+      import s.implicits._
+      val om = orders(s, d)
+        .select($"o_custkey", date_format($"o_orderdate", "yyyy-MM").as("m"))
+        .localCheckpoint()
+      val firstM = om.groupBy($"o_custkey").agg(min($"m").as("first_m"))
+      om.join(firstM, Seq("o_custkey"))
+        .groupBy($"m")
+        .agg(count_distinct($"o_custkey").as("n_active"),
+          count_distinct(when($"m" === $"first_m", $"o_custkey")).as("n_new"))
+        .select($"m".as("month"), $"n_active", $"n_new",
+          ($"n_active" - $"n_new").as("n_returning"),
+          expr("n_new * 10000 DIV n_active").as("new_share_bp"))
+        .orderBy($"month")
+    }),
+
+    // Order-frequency distribution: how many customers placed exactly k
+    // orders (plus the never-ordered count via an anti-join on the
+    // customer dim) — the engagement histogram behind "power-user"
+    // cuts. Two keyed aggregates; the histogram table is bounded by
+    // max-orders-per-customer, an aggregate-sized output at any scale.
+    "q137_order_frequency_hist" -> ((s, d) => {
+      import s.implicits._
+      val perCust = orders(s, d).groupBy($"o_custkey")
+        .agg(count(lit(1)).as("k"))
+      val zero = customer(s, d).select($"c_custkey")
+        .join(perCust, $"c_custkey" === $"o_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_customers"))
+        .select(lit(0L).as("k"), $"n_customers")
+      perCust.groupBy($"k").agg(count(lit(1)).as("n_customers"))
+        .unionByName(zero)
+        .orderBy($"k")
     })
   )
 
@@ -399,6 +439,33 @@ object RelationalQueries8 {
         |  printf('%.9f', CAST(n * sxy - sx * sy AS DOUBLE) /
         |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
         |    AS autocorr
-        |FROM s ORDER BY lag""".stripMargin
+        |FROM s ORDER BY lag""".stripMargin,
+
+    "q136_new_vs_returning" ->
+      """WITH om AS (
+        |  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS m FROM orders),
+        |fm AS (SELECT o_custkey, min(m) AS first_m FROM om GROUP BY o_custkey)
+        |SELECT om.m AS month,
+        |  CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_active,
+        |  CAST(count(DISTINCT CASE WHEN om.m = fm.first_m THEN om.o_custkey END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(count(DISTINCT om.o_custkey)
+        |    - count(DISTINCT CASE WHEN om.m = fm.first_m THEN om.o_custkey END)
+        |    AS BIGINT) AS n_returning,
+        |  count(DISTINCT CASE WHEN om.m = fm.first_m THEN om.o_custkey END) * 10000
+        |    // count(DISTINCT om.o_custkey) AS new_share_bp
+        |FROM om JOIN fm USING (o_custkey)
+        |GROUP BY om.m
+        |ORDER BY month""".stripMargin,
+
+    "q137_order_frequency_hist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS k FROM orders GROUP BY o_custkey),
+        |z AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM pc))
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_customers FROM pc GROUP BY k
+        |UNION ALL SELECT k, n_customers FROM z
+        |ORDER BY k""".stripMargin
   )
 }
