@@ -102,7 +102,15 @@ object SimilarityQueries {
     * per-iteration job fan-out cost ~5 s of fixed overhead on a model
     * this small.) */
   private def ivfTopK(s: SparkSession, d: String,
-      kCells: Int = 16, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+      kCells: Int = 16, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame =
+    ivfSearch(s, d, kCells, nProbe)(excludeSelf)
+
+  /** Trains the IVF quantizer ONCE and returns the search as a closure
+    * over the self-exclusion flag — annCheck runs both retrieval modes
+    * against one trained index (the production shape: build once,
+    * query many), instead of re-running Lloyd per variant. */
+  private def ivfSearch(s: SparkSession, d: String,
+      kCells: Int, nProbe: Int): Boolean => DataFrame = {
     import s.implicits._
     val emb = embeddings(s, d).select($"vec_id", $"embedding").cache()
     // deterministic seeds: the kCells vectors with smallest hashed id
@@ -130,7 +138,11 @@ object SimilarityQueries {
         }
       model = model.map { case (i, old) => (i, means.getOrElse(i, old)) }
     }
+    // the built index: cell assignment materialized once (both of
+    // annCheck's retrieval modes — and, on a cluster, every query
+    // batch — read the same pinned index, not a recomputation)
     val assigned = emb.withColumn("cell", cellOf($"embedding", model))
+      .localCheckpoint()
     // query → its 2 nearest cells, via cosine against centroid vectors
     val centroids = model.toDF("cell", "centroid")
     val queriesDf = assigned.filter($"vec_id" < N_QUERIES)
@@ -142,14 +154,16 @@ object SimilarityQueries {
       .partitionBy($"q_id").orderBy($"csim".desc, $"cell".asc)
     val probeCells = probes.withColumn("pr", row_number().over(w0))
       .filter($"pr" <= nProbe).select($"q_id", $"q_emb", $"cell")
-    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
-      .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
-      .select($"q_id", $"vec_id", cosineSimilarity($"q_emb", $"embedding").as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= K)
-      .select($"q_id", $"rank", $"vec_id", $"cosine")
+    (excludeSelf: Boolean) => {
+      val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+        .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
+        .select($"q_id", $"vec_id", cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id", $"cosine")
+    }
   }
 
   /** Product-quantization ANN (spherical PQ + ADC): the 64-dim vector
@@ -170,7 +184,13 @@ object SimilarityQueries {
     * no vector can out-score it and self always reaches the exact
     * re-rank, which puts it at rank 1 with cosine 1. */
   private def pqTopK(s: SparkSession, d: String,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true): DataFrame =
+    pqSearch(s, d)(excludeSelf)
+
+  /** Trains the PQ codebooks and encodes the corpus ONCE, returning
+    * the search as a closure over the self-exclusion flag (same
+    * build-once/query-many rationale as ivfSearch). */
+  private def pqSearch(s: SparkSession, d: String): Boolean => DataFrame = {
     import s.implicits._
     val M = 8; val SUB = 8; val KC = 16; val CAND = 256
     val emb = embeddings(s, d).select($"vec_id", $"embedding")
@@ -209,8 +229,11 @@ object SimilarityQueries {
         }
       model = model.indices.map(i => means.getOrElse(i, model(i)))
     }
-    // corpus → (vec_id, m, code): the 8-byte-per-vector PQ index
+    // corpus → (vec_id, m, code): the 8-byte-per-vector PQ index,
+    // pinned once — both retrieval modes (and any later query batch)
+    // read the encoded index, never re-encode
     val codes = sub.select($"vec_id", $"m", codeOf(model).as("code"))
+      .localCheckpoint()
     val queriesDf = emb.filter($"vec_id" < N_QUERIES)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     // per-query ADC lookup table: subspace cosine against every codebook entry
@@ -224,24 +247,26 @@ object SimilarityQueries {
       .join(centroids, "m")
       .select($"q_id", $"m", $"cell",
         cosineSimilarity($"q_sub", $"centroid").as("sim"))
-    val adc = codes.join(broadcast(lut), codes("m") === lut("m") && $"code" === $"cell")
-      .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
-      .groupBy($"q_id", $"vec_id").agg(sum($"sim").as("adc"))
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"q_id").orderBy($"adc".desc, $"vec_id".asc)
-    val cand = adc.withColumn("r", row_number().over(w0)).filter($"r" <= CAND)
-      .select($"q_id", $"vec_id")
-    // exact re-rank of the candidate set
-    val scored = cand
-      .join(emb, "vec_id")
-      .join(broadcast(queriesDf), "q_id")
-      .select($"q_id", $"vec_id",
-        cosineSimilarity($"q_emb", $"embedding").as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= K)
-      .select($"q_id", $"rank", $"vec_id", $"cosine")
+    (excludeSelf: Boolean) => {
+      val adc = codes.join(broadcast(lut), codes("m") === lut("m") && $"code" === $"cell")
+        .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
+        .groupBy($"q_id", $"vec_id").agg(sum($"sim").as("adc"))
+      val w0 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"adc".desc, $"vec_id".asc)
+      val cand = adc.withColumn("r", row_number().over(w0)).filter($"r" <= CAND)
+        .select($"q_id", $"vec_id")
+      // exact re-rank of the candidate set
+      val scored = cand
+        .join(emb, "vec_id")
+        .join(broadcast(queriesDf), "q_id")
+        .select($"q_id", $"vec_id",
+          cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id", $"cosine")
+    }
   }
 
   val queries: Map[String, Q] = Map[String, Q](
@@ -341,26 +366,28 @@ object SimilarityQueries {
     //      neighborhood structure, so per-query floors would overfit
     //      noise; the aggregate floor is the robust invariant.
     "sim_knn_lsh_check" -> ((s, d) =>
-      annCheck(s, d, lshTopK(_, _, 4, 4, _), minRecallBp = 3200)),
+      annCheck(s, d, excl => lshTopK(s, d, 4, 4, excl), minRecallBp = 3200)),
     "sim_knn_ivf_check" -> ((s, d) =>
-      annCheck(s, d, ivfTopK(_, _, 16, 4, _), minRecallBp = 3200)),
+      annCheck(s, d, ivfSearch(s, d, 16, 4), minRecallBp = 3200)),
     // PQ re-ranks its top-256 ADC candidates with exact cosine, so its
     // recall floor sits far higher than the bucketed indexes'. Same
     // calibration rule as LSH/IVF: worst-SF measured (7200 bp) − 800.
     "sim_knn_pq_check" -> ((s, d) =>
-      annCheck(s, d, pqTopK(_, _, _), minRecallBp = 6400))
+      annCheck(s, d, pqSearch(s, d), minRecallBp = 6400))
   )
 
   /** Shared ANN gate: one row of invariant booleans + oracle-computable
-    * exact columns (see the check scaladoc in `queries`). */
+    * exact columns (see the check scaladoc in `queries`). `search` is a
+    * built index closed over the self-exclusion flag — the trainable
+    * indexes (IVF/PQ) train once and serve both retrieval modes. */
   private def annCheck(s: SparkSession, d: String,
-      variant: (SparkSession, String, Boolean) => DataFrame,
+      search: Boolean => DataFrame,
       minRecallBp: Int): DataFrame = {
     import s.implicits._
-    val totalHits = variant(s, d, true).select($"q_id", $"vec_id")
+    val totalHits = search(true).select($"q_id", $"vec_id")
       .join(bruteTopK(s, d).select($"q_id", $"vec_id"), Seq("q_id", "vec_id"))
       .agg(count(lit(1)).as("n_hits"))
-    val selfTop1 = variant(s, d, false).filter($"rank" === 1)
+    val selfTop1 = search(false).filter($"rank" === 1)
       .agg(count(lit(1)).as("n_top1"),
         sum(when($"vec_id" === $"q_id", 1).otherwise(0)).as("n_self"))
     val nq = embeddings(s, d).filter($"vec_id" < N_QUERIES)
