@@ -291,6 +291,35 @@ object RelationalQueries8 {
       perCust.groupBy($"k").agg(count(lit(1)).as("n_customers"))
         .unionByName(zero)
         .orderBy($"k")
+    }),
+
+    // Hill tail-index estimator over the price distribution: alpha =
+    // k / Σ_{i≤k} ln(x_(i) / x_(k+1)) over the top-k order statistics —
+    // the standard heavy-tail exponent behind "how extreme can an
+    // order get" risk sizing. The top-(k+1) values come off GlobalRank
+    // (range-partitioned two-pass, value-desc), so no global sort; the
+    // ln terms are ratios of exact integer cents summed by a
+    // RANK-ORDERED fold over k+1 = 101 rows (aggregate-sized at any
+    // corpus size — ties in price are interchangeable under the fold,
+    // so the tiebreak never reaches the doubles).
+    "q138_hill_tail" -> ((s, d) => {
+      import s.implicits._
+      val kTop = 100
+      val base = lineitem(s, d).select(
+        cents38($"l_extendedprice").cast("long").as("c"),
+        $"l_orderkey", $"l_linenumber")
+      val (ranked, _) = GlobalRank.withRank(base, "_r",
+        Seq($"c".desc, $"l_orderkey", $"l_linenumber"))
+      val top = ranked.filter($"_r" <= kTop + 1)
+        .agg(array_sort(collect_list(struct($"_r", $"c"))).as("arr"))
+        .select($"arr", element_at($"arr", kTop + 1).getField("c").as("xk1"))
+      top.select(
+        lit(kTop).as("k"),
+        format_string("%.2f", $"xk1" / lit(100.0)).as("tail_threshold"),
+        format_string("%.6f", lit(kTop.toDouble) /
+          aggregate(slice($"arr", 1, kTop), lit(0.0),
+            (a, x) => a + log(x.getField("c") * lit(1.0) / $"xk1")))
+          .as("hill_alpha"))
     })
   )
 
@@ -466,6 +495,21 @@ object RelationalQueries8 {
         |  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM pc))
         |SELECT k, CAST(count(*) AS BIGINT) AS n_customers FROM pc GROUP BY k
         |UNION ALL SELECT k, n_customers FROM z
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    "q138_hill_tail" ->
+      """WITH base AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS rn FROM base),
+        |t AS (SELECT c, rn FROM r WHERE rn <= 101),
+        |xk AS (SELECT c AS xk1 FROM t WHERE rn = 101)
+        |SELECT 100 AS k,
+        |  printf('%.2f', xk1 / 100.0) AS tail_threshold,
+        |  printf('%.6f', 100.0 / list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE),
+        |      (SELECT list(ln(c * 1.0 / xk1) ORDER BY rn) FROM t, xk WHERE rn <= 100)),
+        |    (a, x) -> a + x)) AS hill_alpha
+        |FROM xk""".stripMargin
   )
 }

@@ -140,6 +140,29 @@ object TextQueries {
         .orderBy($"lang", $"guess")
     }),
 
+    // Vocabulary coverage curve — the tokenizer-sizing question "how
+    // many vocabulary entries cover 50/90/99% of corpus tokens". Token
+    // counts ride one keyed aggregate; the frequency-ranked cumulative
+    // share rides GlobalRank.withPrefixSum over the VOCABULARY (count
+    // desc, token), never the corpus; each k_P is then a pure count of
+    // vocab rows below the coverage cut — exact integer arithmetic
+    // end-to-end, no rank join, no floats anywhere.
+    "text_vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      val counts = documents(s, d)
+        .select(explode(tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val (cum, total) = GlobalRank.withPrefixSum(
+        counts, "_cum", col("cnt"), Seq($"cnt".desc, $"tok"))
+      cum.agg(
+        sum($"cnt").as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        (sum(when($"_cum" * 100 < lit(total) * 50, 1L).otherwise(0L)) + 1).as("k50"),
+        (sum(when($"_cum" * 100 < lit(total) * 90, 1L).otherwise(0L)) + 1).as("k90"),
+        (sum(when($"_cum" * 100 < lit(total) * 99, 1L).otherwise(0L)) + 1).as("k99"))
+    }),
+
     // Document fingerprint: md5 of the normalized text (exact-dup key
     // robust to case/whitespace).
     "text_fingerprint" -> ((s, d) => {
@@ -423,6 +446,23 @@ object TextQueries {
         |    THEN ent / ln(CAST(n_types AS DOUBLE)) ELSE 0.0 END) AS norm_entropy
         |FROM e JOIN tot USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH tc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |c AS (
+        |  SELECT cnt, SUM(cnt) OVER (ORDER BY cnt DESC, tok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tc),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tc)
+        |SELECT total AS n_tokens,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tc) AS n_vocab,
+        |  (SELECT CAST(count(*) + 1 AS BIGINT) FROM c, t WHERE cum * 100 < 50 * total) AS k50,
+        |  (SELECT CAST(count(*) + 1 AS BIGINT) FROM c, t WHERE cum * 100 < 90 * total) AS k90,
+        |  (SELECT CAST(count(*) + 1 AS BIGINT) FROM c, t WHERE cum * 100 < 99 * total) AS k99
+        |FROM t""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,
