@@ -222,4 +222,104 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ─── audio: WAV/RIFF via the JDK's javax.sound.sampled codec ────────
+  // The audio twin of the PNG path: WAV is the one container the JDK
+  // reads and writes natively, so it stands in for the mp3/flac/opus
+  // decoders a production pipeline would plug into the same
+  // `Array[Byte] => features` seam.
+
+  /** Deterministic 16-bit signed mono PCM square wave at 8 kHz: sample
+    * i is +amplitude while (i / halfPeriod) is even, −amplitude while
+    * odd. Square fill is to audio what solid fill is to the PNG path:
+    * peak, |x| sum, and zero-crossing count all have exact closed
+    * forms, which is what lets the decode be cross-checked in-query. */
+  def encodeWav(nSamples: Int, halfPeriod: Int, amplitude: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = if ((i / halfPeriod) % 2 == 0) amplitude else -amplitude
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched WAV synthesis: (doc_id, n_samples, half_period, amplitude)
+    * → (doc_id, payload). */
+  def encodeWavPayloads(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Row(r.getLong(0), encodeWav(r.getInt(1), r.getInt(2), r.getInt(3)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Real decode of one WAV payload via AudioSystem: header → format,
+    * frames → signed 16-bit LE samples, then exact integer features —
+    * (n_samples, sample_rate, peak |x|, Σ|x|, zero crossings). None
+    * for null / truncated / non-16-bit-mono payloads (DLQ pattern). */
+  private[graft] def decodeWavOne(
+      payload: Array[Byte]): Option[(Long, Int, Long, Long, Long)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.isBigEndian) return None
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      if (n == 0) return None
+      var peak = 0L; var sumAbs = 0L; var zc = 0L; var prev = 0
+      var i = 0
+      while (i < n) {
+        val v = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+        val a = math.abs(v).toLong
+        if (a > peak) peak = a
+        sumAbs += a
+        if (i > 0 && (v > 0) != (prev > 0)) zc += 1
+        prev = v
+        i += 1
+      }
+      Some((n.toLong, fmt.getSampleRate.toInt, peak, sumAbs, zc))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val wavSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("peak", LongType),
+    StructField("sum_abs", LongType),
+    StructField("zero_crossings", LongType)))
+
+  /** Batched decode of (doc_id, payload) → audio features; null
+    * features for dead payloads. Zero-shuffle, `batchSize` payloads
+    * in flight per task — the same contract as decodeFeatures. */
+  def wavFeatures(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(wavSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          decodeWavOne(payload) match {
+            case Some((n, sr, peak, sumAbs, zc)) => Row(id, n, sr, peak, sumAbs, zc)
+            case None => Row(id, null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
 }

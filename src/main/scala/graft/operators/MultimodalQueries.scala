@@ -136,6 +136,39 @@ object MultimodalQueries {
         .select($"phash", $"n_docs", $"n_sizes", $"sample_doc",
           ($"all_match" === 1).as("all_match"))
         .orderBy($"phash")
+    }),
+
+    // REAL audio codec round-trip — the WAV twin of mm_decode_features:
+    // synthesize a deterministic 16-bit mono PCM square wave per doc
+    // (length/period from n_chars, amplitude from md5(doc_id) — all
+    // Catalyst-computable), write it through the JDK's javax.sound
+    // WAV encoder, then DECODE the container back to samples and
+    // extract n_samples / sample rate / peak / Σ|x| / zero crossings.
+    // Square fill ⇒ every feature has an exact closed form (peak = A,
+    // Σ|x| = n·A, crossings = (n−1) div halfPeriod), so the oracle's
+    // `features_match = TRUE` hash-verifies actual bytes→samples work.
+    // Both hops are zero-shuffle batched mapPartitions — a 100 TB
+    // audio corpus decodes embarrassingly parallel.
+    "mm_wav_features" -> ((s, d) => {
+      import s.implicits._
+      val h = md5($"doc_id".cast("string").cast("binary"))
+      val meta = documents(s, d).select($"doc_id",
+        ($"n_chars" % 800 + 100).cast("int").as("exp_n"),
+        ($"n_chars" % 20 + 2).cast("int").as("half_p"),
+        (conv(substring(h, 1, 4), 16, 10).cast("int") % 8000 + 1).as("amp"))
+        .withColumn("exp_zc", expr("CAST((exp_n - 1) div half_p AS BIGINT)"))
+      val payloads = graft.multimodal.Multimodal.encodeWavPayloads(
+        meta.select($"doc_id", $"exp_n", $"half_p", $"amp"))
+      val decoded = graft.multimodal.Multimodal.wavFeatures(payloads)
+      decoded.join(meta, Seq("doc_id"))
+        .withColumn("features_match",
+          $"n_samples" === $"exp_n" && $"sample_rate" === 8000 &&
+            $"peak" === $"amp" && $"sum_abs" === $"exp_n".cast("long") * $"amp" &&
+            $"zero_crossings" === $"exp_zc")
+        .select($"doc_id", $"n_samples", $"sample_rate",
+          ($"n_samples" * 125L).as("duration_us"), $"zero_crossings",
+          $"features_match")
+        .orderBy($"doc_id")
     })
   )
 
@@ -189,6 +222,16 @@ object MultimodalQueries {
         |  CAST(min(doc_id) AS BIGINT) AS sample_doc,
         |  TRUE AS all_match
         |FROM m GROUP BY phash
-        |ORDER BY phash""".stripMargin
+        |ORDER BY phash""".stripMargin,
+
+    "mm_wav_features" ->
+      """SELECT doc_id,
+        | CAST(n_chars % 800 + 100 AS BIGINT) AS n_samples,
+        | 8000 AS sample_rate,
+        | CAST((n_chars % 800 + 100) * 125 AS BIGINT) AS duration_us,
+        | CAST((n_chars % 800 + 100 - 1) // (n_chars % 20 + 2) AS BIGINT)
+        |   AS zero_crossings,
+        | TRUE AS features_match
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -83,4 +83,36 @@ class MultimodalSpec extends SparkSuite {
     // 7x7 image: doesn't tile into 8x8 boxes -> None, not a wrong hash
     assert(Multimodal.ahashOne(Multimodal.encodePng(7, 7, 1, 2, 3)).isEmpty)
   }
+
+  test("encodeWav emits a RIFF/WAVE container; decodeWavOne recovers exact square-wave features") {
+    val wav = Multimodal.encodeWav(nSamples = 10, halfPeriod = 3, amplitude = 1000)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    // samples: +++ --- +++ -  -> crossings at i=3,6,9 = (10-1) div 3
+    val Some((n, sr, peak, sumAbs, zc)) = Multimodal.decodeWavOne(wav)
+    assert((n, sr, peak, sumAbs, zc) === ((10L, 8000, 1000L, 10000L, 3L)))
+  }
+
+  test("decodeWavOne: corrupt, empty, and truncated payloads degrade to None, never throw") {
+    assert(Multimodal.decodeWavOne("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWavOne(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeWavOne(null).isEmpty)
+    val wav = Multimodal.encodeWav(100, 5, 500)
+    assert(Multimodal.decodeWavOne(wav.take(20)).isEmpty, "truncated header")
+  }
+
+  test("batched WAV encode -> decode validates per-row; corrupt row yields null features") {
+    import spark.implicits._
+    val meta = Seq((1L, 8, 2, 700), (2L, 5, 10, 8000))
+      .toDF("doc_id", "n", "half_p", "amp")
+    val rows = Multimodal.wavFeatures(Multimodal.encodeWavPayloads(meta))
+      .orderBy($"doc_id").collect()
+    // doc 1: 8 samples period 2 -> zc = 7 div 2 = 3; doc 2: zc = 4 div 10 = 0
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq ===
+      Seq((1L, 8L, 8000, 700L, 5600L, 3L), (2L, 5L, 8000, 8000L, 40000L, 0L)))
+
+    val corrupt = Seq((9L, "junk".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val row = Multimodal.wavFeatures(corrupt).collect().head
+    assert(row.getLong(0) === 9L && row.isNullAt(1) && row.isNullAt(5))
+  }
 }
