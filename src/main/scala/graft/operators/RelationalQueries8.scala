@@ -320,6 +320,88 @@ object RelationalQueries8 {
           aggregate(slice($"arr", 1, kTop), lit(0.0),
             (a, x) => a + log(x.getField("c") * lit(1.0) / $"xk1")))
           .as("hill_alpha"))
+    }),
+
+    // GROWTH ACCOUNTING — the monthly MAU decomposition every growth
+    // team reads: active = new + retained + resurrected, churned =
+    // last month's actives who didn't return. Classification rides
+    // integer month keys (year·12+month−1) so "previous month" is an
+    // equi-join, never an interval probe: the customer-month table is
+    // distinct-reduced once, then every join (first month, prev-month
+    // flag) is keyed on o_custkey — at 100 TB that's three keyed
+    // shuffles of a table already collapsed to |customers×months|.
+    // Churn falls out of the month-level aggregate via lag(n_active) −
+    // n_retained over the aggregate-sized month table (≤ tens of rows
+    // at any corpus size), null across calendar gaps rather than a
+    // wrong comparison (q108's convention).
+    "q139_growth_accounting" -> ((s, d) => {
+      import s.implicits._
+      val cm = orders(s, d).select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).as("mk"))
+        .distinct()
+        .localCheckpoint() // feeds three consumers: first-month agg, prev-flag self-join, classification
+      val first = cm.groupBy($"o_custkey").agg(min($"mk").as("first_mk"))
+      val prev = cm.select($"o_custkey", ($"mk" + 1).as("mk"), lit(1).as("had_prev"))
+      val agg = cm.join(first, Seq("o_custkey"))
+        .join(prev, Seq("o_custkey", "mk"), "left")
+        .groupBy($"mk")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"mk" === $"first_mk", 1L).otherwise(0L)).as("n_new"),
+          sum(when($"mk" =!= $"first_mk" && $"had_prev".isNotNull, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when($"mk" =!= $"first_mk" && $"had_prev".isNull, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+      val w = Window.orderBy($"mk") // month table: aggregate-sized at any scale
+      agg
+        .withColumn("prev_mk", lag($"mk", 1).over(w))
+        .withColumn("prev_active", lag($"n_active", 1).over(w))
+        .select(
+          format_string("%04d-%02d", expr("mk div 12"), pmod($"mk", lit(12)) + 1)
+            .as("month"),
+          $"n_active", $"n_new", $"n_retained", $"n_resurrected",
+          when($"prev_mk" === $"mk" - 1, $"prev_active" - $"n_retained")
+            .as("n_churned"))
+        .orderBy($"month")
+    }),
+
+    // WELCH's unequal-variance t-test (BUILDING vs MACHINERY order
+    // values) — the two-sample mean comparison that doesn't assume
+    // equal variances, completing the inference family (q100 z-test,
+    // q105 Mann-Whitney, q114 KS, q131 ANOVA). ONE conditional-
+    // aggregate pass over the fact-dim join produces all six exact
+    // DECIMAL(38) sums (n/Σc/Σc² per group — partial+final, map-side
+    // combinable, no per-group subqueries); t and the Welch-
+    // Satterthwaite df then evaluate driver-free through the same
+    // double expression tree on both engines.
+    "q140_welch_ttest" -> ((s, d) => {
+      import s.implicits._
+      val j = orders(s, d)
+        .join(customer(s, d).select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+        .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+        .select(($"c_mktsegment" === "BUILDING").as("g"),
+          cents38($"o_totalprice").as("c"))
+      val z = lit(0).cast(D38)
+      val sums = j.agg(
+        sum(when($"g", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"g", 1L).otherwise(0L)).as("n2"),
+        sum(when($"g", $"c").otherwise(z)).as("s1"),
+        sum(when(!$"g", $"c").otherwise(z)).as("s2"),
+        sum(when($"g", $"c" * $"c").otherwise(z)).as("ss1"),
+        sum(when(!$"g", $"c" * $"c").otherwise(z)).as("ss2"))
+      val (n1d, n2d) = ($"n1".cast("double"), $"n2".cast("double"))
+      val (s1d, s2d) = ($"s1".cast("double"), $"s2".cast("double"))
+      val m1 = s1d / n1d
+      val m2 = s2d / n2d
+      val v1 = ($"ss1".cast("double") - s1d * s1d / n1d) / (n1d - 1)
+      val v2 = ($"ss2".cast("double") - s2d * s2d / n2d) / (n2d - 1)
+      val (se1, se2) = (v1 / n1d, v2 / n2d)
+      sums.select($"n1", $"n2",
+        format_string("%.4f", m1 / 100.0).as("mean1_usd"),
+        format_string("%.4f", m2 / 100.0).as("mean2_usd"),
+        format_string("%.6f", (m1 - m2) / sqrt(se1 + se2)).as("t_stat"),
+        format_string("%.2f", (se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1))).as("df_welch"))
     })
   )
 
@@ -510,6 +592,64 @@ object RelationalQueries8 {
         |    list_prepend(CAST(0 AS DOUBLE),
         |      (SELECT list(ln(c * 1.0 / xk1) ORDER BY rn) FROM t, xk WHERE rn <= 100)),
         |    (a, x) -> a + x)) AS hill_alpha
-        |FROM xk""".stripMargin
+        |FROM xk""".stripMargin,
+
+    "q139_growth_accounting" ->
+      """WITH cm AS (
+        |  SELECT DISTINCT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mk
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(mk) AS first_mk FROM cm GROUP BY o_custkey),
+        |a AS (
+        |  SELECT cm.mk AS mk, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN cm.mk = f.first_mk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN cm.mk <> f.first_mk AND p.o_custkey IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN cm.mk <> f.first_mk AND p.o_custkey IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM cm JOIN f USING (o_custkey)
+        |  LEFT JOIN cm p ON p.o_custkey = cm.o_custkey AND p.mk = cm.mk - 1
+        |  GROUP BY cm.mk)
+        |SELECT printf('%04d-%02d', mk // 12, mk % 12 + 1) AS month,
+        |  n_active, n_new, n_retained, n_resurrected,
+        |  CASE WHEN lag(mk) OVER (ORDER BY mk) = mk - 1
+        |    THEN lag(n_active) OVER (ORDER BY mk) - n_retained END AS n_churned
+        |FROM a ORDER BY month""".stripMargin,
+
+    "q140_welch_ttest" ->
+      """WITH j AS (
+        |  SELECT (c_mktsegment = 'BUILDING') AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    sum(CASE WHEN g THEN c ELSE 0 END) AS s1,
+        |    sum(CASE WHEN NOT g THEN c ELSE 0 END) AS s2,
+        |    sum(CASE WHEN g THEN c * c ELSE 0 END) AS ss1,
+        |    sum(CASE WHEN NOT g THEN c * c ELSE 0 END) AS ss2
+        |  FROM j),
+        |e AS (
+        |  SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1)
+        |      / CAST(n1 AS DOUBLE) AS se1,
+        |    (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1)
+        |      / CAST(n2 AS DOUBLE) AS se2,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+        |  FROM s)
+        |SELECT n1, n2,
+        |  printf('%.4f', m1 / 100.0) AS mean1_usd,
+        |  printf('%.4f', m2 / 100.0) AS mean2_usd,
+        |  printf('%.6f', (m1 - m2) / sqrt(se1 + se2)) AS t_stat,
+        |  printf('%.2f', (se1 + se2) * (se1 + se2) /
+        |    (se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1))) AS df_welch
+        |FROM e""".stripMargin
   )
 }

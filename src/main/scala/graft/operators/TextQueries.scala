@@ -93,6 +93,39 @@ object TextQueries {
         .limit(30)
     }),
 
+    // PMI keyword association — which terms co-occur in the same
+    // document more than chance predicts (topic structure / collocation
+    // mining; near-zero PMI everywhere is the template-corpus smell).
+    // Scale shape: per-doc presence comes from array_distinct BEFORE
+    // the explode (local dedup, no distinct shuffle); the pair space is
+    // bounded by restricting to the top-50-df vocabulary (broadcast
+    // both ways), so the per-doc self-join emits ≤ C(50,2) pairs —
+    // candidate generation stays keyed on doc_id at any corpus size.
+    // PMI itself is ln(n_ab·N / n_a·n_b) from exact integer counts
+    // through one shared double expression tree.
+    "text_pmi_cooccur" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      val dt = documents(s, d)
+        .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
+      val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val vocab = dt.groupBy($"tok").agg(count(lit(1)).as("dfc"))
+        .orderBy($"dfc".desc, $"tok").limit(50)
+      val k = dt.join(broadcast(vocab), Seq("tok"))
+      val a = k.select($"doc_id", $"tok".as("tok_a"), $"dfc".as("n_a"))
+      val b = k.select($"doc_id", $"tok".as("tok_b"), $"dfc".as("n_b"))
+      a.join(b, Seq("doc_id")).filter($"tok_a" < $"tok_b")
+        .groupBy($"tok_a", $"tok_b")
+        .agg(count(lit(1)).as("n_ab"), max($"n_a").as("n_a"), max($"n_b").as("n_b"))
+        .crossJoin(broadcast(nDocs))
+        .select($"tok_a", $"tok_b", $"n_ab", $"n_a", $"n_b",
+          format_string("%.6f",
+            log($"n_ab".cast("double") * $"n_docs" /
+              ($"n_a".cast("double") * $"n_b"))).as("pmi"))
+        .orderBy($"n_ab".desc, $"tok_a", $"tok_b")
+        .limit(20)
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex tokenizer
     // (letter runs / digit runs / single symbols).
     "text_token_count" -> ((s, d) => {
@@ -411,6 +444,26 @@ object TextQueries {
         |p AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair FROM idx)
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    "text_pmi_cooccur" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM dt GROUP BY tok),
+        |v AS (SELECT tok, dfc FROM df ORDER BY dfc DESC, tok LIMIT 50),
+        |k AS (SELECT dt.doc_id, dt.tok, v.dfc FROM dt JOIN v USING (tok)),
+        |p AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab,
+        |    max(a.dfc) AS n_a, max(b.dfc) AS n_b
+        |  FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY a.tok, b.tok)
+        |SELECT tok_a, tok_b, n_ab, n_a, n_b,
+        |  printf('%.6f', ln(CAST(n_ab AS DOUBLE) * n_docs
+        |    / (CAST(n_a AS DOUBLE) * n_b))) AS pmi
+        |FROM p, n
+        |ORDER BY n_ab DESC, tok_a, tok_b LIMIT 20""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH toks AS (
