@@ -267,4 +267,26 @@ class PlanSpec extends SparkSuite {
       }
     }
   }
+
+  test("q139: growth-accounting joins stay on the hash-join path; churn window is month-sized") {
+    val p = plan("q139_growth_accounting")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"customer-month joins fell off the keyed path:\n$p")
+    // exactly one Window — the lag over the aggregate-sized month table;
+    // classification itself must never window
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
+    assert(windows === 1, s"expected only the month-table lag window, got $windows")
+  }
+
+  test("text_pmi_cooccur: vocab rides broadcast joins, top-20 is TakeOrdered") {
+    val p = plan("text_pmi_cooccur")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df-capped vocabulary must broadcast, not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 pairs must plan as TakeOrdered, not a full sort:\n$p")
+    // the only nested-loop node allowed is the single-row n_docs join
+    // (FormattedMode mentions each node twice: tree + detail section)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"pair generation planned a nested loop:\n$p")
+  }
 }
