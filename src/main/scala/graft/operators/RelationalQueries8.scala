@@ -402,6 +402,60 @@ object RelationalQueries8 {
         format_string("%.6f", (m1 - m2) / sqrt(se1 + se2)).as("t_stat"),
         format_string("%.2f", (se1 + se2) * (se1 + se2) /
           (se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1))).as("df_welch"))
+    }),
+
+    // SNAPSHOT DIFF — the table-audit primitive behind CDC validation
+    // and "what changed between loads": two deterministic snapshots of
+    // the fact table (an earlier ship-date cut vs a later one that
+    // also reprices suppkey%10 rows and drops suppkey%13 rows) diffed
+    // into added / removed / changed / unchanged counts with ONE
+    // full-outer join keyed on the primary key. Values compare as
+    // exact integer cents — no row-hash canonicalization to disagree
+    // on. At 100 TB this is two pruned scans + one keyed shuffle
+    // (AQE-skew-safe); the output is a single audit row.
+    "q141_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d).select($"l_orderkey", $"l_linenumber",
+        $"l_suppkey", $"l_shipdate",
+        cents38($"l_extendedprice").cast("long").as("pc"))
+      val a = li.filter($"l_shipdate" <= lit("1997-01-01").cast("date"))
+        .select($"l_orderkey", $"l_linenumber", $"pc".as("pc_a"))
+      val b = li.filter($"l_shipdate" <= lit("1998-01-01").cast("date") &&
+          $"l_suppkey" % 13 =!= 0)
+        .select($"l_orderkey", $"l_linenumber",
+          when($"l_suppkey" % 10 === 0, expr("(pc * 11) DIV 10"))
+            .otherwise($"pc").as("pc_b"))
+      a.join(b, Seq("l_orderkey", "l_linenumber"), "full_outer")
+        .agg(
+          sum(when($"pc_a".isNotNull, 1L).otherwise(0L)).as("n_old"),
+          sum(when($"pc_b".isNotNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when($"pc_a".isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when($"pc_b".isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when($"pc_a" =!= $"pc_b", 1L).otherwise(0L)).as("n_changed"),
+          sum(when($"pc_a" === $"pc_b", 1L).otherwise(0L)).as("n_unchanged"))
+    }),
+
+    // SALTED TWO-STAGE AGGREGATE — the skew-mitigation pattern q106's
+    // report tells you to deploy, run for real and hash-proven equal
+    // to the plain aggregate: stage 1 groups by (user_id, salt) so a
+    // hot key's rows spread over 16 reducers; stage 2 merges the salt
+    // shards per key. Salt is deterministic (hash of the unique
+    // event_id mod 16), sums ride exact DECIMAL — so the result is
+    // bit-identical to the unsalted oracle GROUP BY, which is exactly
+    // the property that makes salting safe to apply mechanically at
+    // 100 TB. PlanSpec pins the two keyed exchange stages.
+    "q142_salted_agg" -> ((s, d) => {
+      import s.implicits._
+      val salted = events(s, d)
+        .select($"user_id", dec($"value").as("v"),
+          pmod(hash($"event_id"), lit(16)).as("_salt"))
+        .groupBy($"user_id", $"_salt")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      salted.groupBy($"user_id")
+        .agg(sum($"n").as("n_events"), sum($"sv").as("sv"))
+        .select($"user_id", $"n_events", $"sv".cast("double").as("sum_value"))
+        .orderBy($"n_events".desc, $"user_id")
+        .limit(20)
     })
   )
 
@@ -650,6 +704,34 @@ object RelationalQueries8 {
         |  printf('%.6f', (m1 - m2) / sqrt(se1 + se2)) AS t_stat,
         |  printf('%.2f', (se1 + se2) * (se1 + se2) /
         |    (se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1))) AS df_welch
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "q141_snapshot_diff" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_orderkey, l_linenumber, pc AS pc_a FROM li
+        |  WHERE l_shipdate <= DATE '1997-01-01'),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_suppkey % 10 = 0 THEN (pc * 11) // 10 ELSE pc END AS pc_b
+        |  FROM li
+        |  WHERE l_shipdate <= DATE '1998-01-01' AND l_suppkey % 13 <> 0)
+        |SELECT
+        |  CAST(sum(CASE WHEN pc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |  CAST(sum(CASE WHEN pc_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN pc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN pc_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN pc_a <> pc_b THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN pc_a = pc_b THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM a FULL JOIN b USING (l_orderkey, l_linenumber)""".stripMargin,
+
+    "q142_salted_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin
   )
 }

@@ -289,4 +289,12 @@ class PlanSpec extends SparkSuite {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(bnlj <= 2, s"pair generation planned a nested loop:\n$p")
   }
+
+  test("q142: salting really produces two keyed exchange stages (salted partial, keyed final)") {
+    val p = plan("q142_salted_agg")
+    assert("hashpartitioning\\(user_id#\\d+L?, _salt".r.findAllIn(p).nonEmpty,
+      s"salted stage-1 exchange missing — hot keys would hit one reducer:\n$p")
+    assert("hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).nonEmpty,
+      s"keyed final-merge exchange missing:\n$p")
+  }
 }
