@@ -86,6 +86,14 @@ object ScaleProbe {
     for (t <- Seq("supplier", "nation"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir10/$t.parquet")
+    // 10× customer with the SAME custkey step as orders, so the
+    // fact-dim join family (q137/q139/q140) keeps referential
+    // integrity and its per-customer cardinalities at 10×
+    val cu = spark.read.parquet(s"$base/customer.parquet")
+    val cu10 = (0 until Copies).map { i =>
+      cu.withColumn("c_custkey", $"c_custkey" + lit(i * custStep))
+    }.reduce(_ unionByName _)
+    cu10.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$dir10/customer.parquet")
     val pt = spark.read.parquet(s"$base/part.parquet")
     val pkeyStep = pt.agg(max($"p_partkey")).head.getLong(0) + 1
     val priceStep = math.ceil(
