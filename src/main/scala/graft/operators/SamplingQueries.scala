@@ -80,6 +80,41 @@ object SamplingQueries {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic A/B experiment assignment + the SAMPLE-RATIO-
+    // MISMATCH health check an experimentation platform runs before
+    // trusting any readout: arm = first md5 nibble of the unit id
+    // (stable under reprocessing, no RNG — the same property as the
+    // split family), conversion = has ≥1 order via one keyed left
+    // join, SRM = chi-square of the observed arm sizes against the
+    // designed 50/50. Everything reduces to ONE conditional-aggregate
+    // row; the chi-square evaluates through an identical double tree
+    // on both engines. A biased bucketing bug (the classic SRM cause)
+    // flips srm_chi2 — this query is the regression gate for the
+    // hash-assignment machinery itself.
+    "samp_ab_assign" -> ((s, d) => {
+      import s.implicits._
+      import graft.Tables.{customer, orders}
+      val arm = when(
+        substring(md5($"c_custkey".cast("string").cast("binary")), 1, 1) < "8",
+        "A").otherwise("B")
+      val conv = orders(s, d).select($"o_custkey").distinct()
+      val assigned = customer(s, d).select($"c_custkey", arm.as("arm"))
+        .join(conv, $"c_custkey" === $"o_custkey", "left")
+        .select($"arm", $"o_custkey".isNotNull.cast("long").as("converted"))
+      val agg = assigned.agg(
+        sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === "A", $"converted").otherwise(0L)).as("conv_a"),
+        sum(when($"arm" === "B", $"converted").otherwise(0L)).as("conv_b"))
+      val e = ($"n_a" + $"n_b") / 2.0
+      agg.select($"n_a", $"n_b", $"conv_a", $"conv_b",
+        expr("conv_a * 10000 DIV n_a").as("cvr_a_bp"),
+        expr("conv_b * 10000 DIV n_b").as("cvr_b_bp"),
+        format_string("%.6f",
+          ($"n_a" - e) * ($"n_a" - e) / e + ($"n_b" - e) * ($"n_b" - e) / e)
+          .as("srm_chi2"))
+    }),
+
     // ~80/10/10 train/val/test split, stable under reprocessing; the
     // aggregate proves the split is exhaustive and disjoint.
     "samp_train_val_test" -> ((s, d) => {
@@ -384,6 +419,32 @@ object SamplingQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_ab_assign" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+        |    THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS converted
+        |  FROM customer
+        |  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |    ON c_custkey = o.o_custkey),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM a),
+        |e AS (SELECT *, (n_a + n_b) / 2.0 AS ex FROM s)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  conv_a * 10000 // n_a AS cvr_a_bp,
+        |  conv_b * 10000 // n_b AS cvr_b_bp,
+        |  printf('%.6f',
+        |    (n_a - ex) * (n_a - ex) / ex + (n_b - ex) * (n_b - ex) / ex)
+        |    AS srm_chi2
+        |FROM e""".stripMargin,
 
     "samp_train_val_test" ->
       """SELECT split, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars
