@@ -473,6 +473,52 @@ object RelationalQueries2 {
       scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
         .select($"doc_id", $"lang", $"n_tokens", md5(scrub($"text")).as("clean_md5"))
         .orderBy($"doc_id")
+    }),
+
+    // pipe_pretrain_mix: the downstream half of the pretraining data
+    // pipeline — quality gate → normalized exact dedup → TEMPERATURE-
+    // MIXED language sampling (keep-rate (n_min/n_l)^0.5, the sqrt
+    // rebalancing that upweights tail languages) — composed as one
+    // DAG and summarized per language. The keep decision is
+    // deterministic md5 arithmetic (no RNG), the per-lang rates are
+    // an aggregate-sized broadcast, and the doc-level path is one
+    // dedup shuffle + one broadcast join — the whole mixture plan
+    // stays two shuffles at any corpus size. Exact integers
+    // everywhere except the rate itself (floor to basis points
+    // through one shared double tree).
+    "pipe_pretrain_mix" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions._
+      val cleaned = documents(s, d)
+        .select($"doc_id", $"lang",
+          size(tokens($"text")).cast("long").as("n_tokens"),
+          md5(normalize($"text")).as("fp"))
+        .filter($"n_tokens" >= 5)
+      val w = Window.partitionBy($"fp").orderBy($"doc_id")
+      val deduped = cleaned.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn", "fp")
+        .localCheckpoint() // feeds the lang census AND the kept-doc filter
+      val langN = deduped.groupBy($"lang").agg(count(lit(1)).as("n_before"))
+      val nMin = langN.agg(min($"n_before").as("n_min"))
+      val rates = langN.crossJoin(broadcast(nMin)) // single-row side
+        .select($"lang", $"n_before",
+          floor(lit(10000.0) *
+            sqrt($"n_min".cast("double") / $"n_before".cast("double")))
+            .cast("long").as("rate_bp"))
+      val u = pmod(conv(substring(
+        md5($"doc_id".cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long"), lit(10000L))
+      val kept = deduped.join(broadcast(rates.select($"lang", $"rate_bp")), Seq("lang"))
+        .filter(u < $"rate_bp")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("n_tokens_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .select($"lang", $"n_before", $"rate_bp",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"n_tokens_kept", lit(0L)).as("n_tokens_kept"))
+        .withColumn("share_bp", // lang table: aggregate-sized window
+          expr("n_tokens_kept * 10000 DIV sum(n_tokens_kept) OVER ()"))
+        .orderBy($"lang")
     })
   )
 
@@ -724,6 +770,39 @@ object RelationalQueries2 {
         | SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM scored)
         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
         | md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{3,}', '<NUM>', 'g')) AS clean_md5
-        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "pipe_pretrain_mix" ->
+      """WITH cleaned AS (
+        | SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents
+        | WHERE len(string_split(text, ' ')) >= 5),
+        |dd AS (
+        | SELECT doc_id, lang, n_tokens FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM cleaned) WHERE rn = 1),
+        |ln AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM dd GROUP BY lang),
+        |mn AS (SELECT min(n_before) AS n_min FROM ln),
+        |rates AS (
+        | SELECT lang, n_before,
+        |  CAST(floor(10000.0 *
+        |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_before AS DOUBLE))) AS BIGINT)
+        |    AS rate_bp
+        | FROM ln, mn),
+        |kept AS (
+        | SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |   CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+        | FROM dd JOIN rates USING (lang)
+        | WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |   % 10000 < rate_bp
+        | GROUP BY dd.lang)
+        |SELECT lang, n_before, rate_bp,
+        | coalesce(n_kept, 0) AS n_kept,
+        | coalesce(n_tokens_kept, 0) AS n_tokens_kept,
+        | coalesce(n_tokens_kept, 0) * 10000
+        |   // sum(coalesce(n_tokens_kept, 0)) OVER () AS share_bp
+        |FROM rates LEFT JOIN kept USING (lang)
+        |ORDER BY lang""".stripMargin
   )
 }
