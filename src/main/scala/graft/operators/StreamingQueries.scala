@@ -198,6 +198,32 @@ object StreamingQueries {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // CHAINED STATEFUL AGGREGATIONS — two event-time window operators
+    // pipelined in ONE streaming query (15-min pre-aggregation
+    // re-windowed into hours): the multi-stateful capability that
+    // lets a 100 TB stream pay its heavy shuffle at fine grain once
+    // and derive every coarser rollup downstream without a second
+    // pass over raw events. The outer groupBy windows over the inner
+    // aggregate's own window struct; both operators' state is
+    // watermark-bounded, and append mode emits an hour only when the
+    // watermark proves it complete — the oracle mirrors that gate
+    // exactly (hour_end <= final watermark), so the correctness hash
+    // pins the two-layer eviction semantics, not just the arithmetic.
+    "stream_chained_agg" -> ((s, d) => {
+      import s.implicits._
+      val quarter = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n15"))
+      val hourly = quarter
+        .groupBy(window($"window", "1 hour"), $"event_type")
+        .agg(sum($"n15").as("n"), count(lit(1)).as("n_subwindows"))
+        .select(fmtTs($"window.start").as("hour_start"), $"event_type",
+          $"n", $"n_subwindows")
+      toMemory(s, hourly, "stream_chained_agg_sink", "append")
+        .orderBy($"hour_start", $"event_type")
+    }),
+
     // Stream-stream LEFT OUTER join — the unmatched side emits only
     // when the watermark proves no future match can arrive, which is
     // the semantic difference from the inner join above (and the state
@@ -420,6 +446,22 @@ object StreamingQueries {
     // engine's state-eviction rule: wm = min(max purchase ts − 10 min,
     // max click ts − 1 h); unmatched purchases at/after wm are still
     // in join state when the stream drains, so they are absent
+    "stream_chained_agg" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+        |s1 AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS w15, event_type,
+        |    CAST(count(*) AS BIGINT) AS n15
+        |  FROM events GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', w15) AS h, event_type,
+        |    CAST(sum(n15) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_subwindows
+        |  FROM s1 GROUP BY 1, 2)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+        |  n, n_subwindows
+        |FROM s2, wm
+        |WHERE h + INTERVAL '1 hour' <= wm.w
+        |ORDER BY hour_start, event_type""".stripMargin,
+
     "stream_left_outer_join" ->
       """WITH wm AS (
         |  SELECT least(
