@@ -131,17 +131,28 @@ object StreamBench {
         val (purchases, clicks) = sides(ds)
         purchases.join(clicks, joinCond, "leftOuter")
       },
+      // two stateful operators in one pipeline (15-min -> hourly
+      // re-aggregation): each batch pays two state-store round trips,
+      // the per-batch overhead profile of Spark's multi-stateful path
+      run("chained_agg", "append") { ds =>
+        ds.toDF().withWatermark("ts", "10 minutes")
+          .groupBy(window($"ts", "15 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n15"))
+          .groupBy(window($"window", "1 hour"), $"event_type")
+          .agg(sum($"n15").as("n"))
+      },
       runCdc())
 
     // Regression floors: ~half the rate measured on an otherwise-idle
-    // host (r10: 3892/6338/2112/2069/4121 rows/s at sf0.1) — tolerant
-    // of ambient load, but a genuine state-store or shuffle regression
-    // (2×+) trips them. Trips are recorded in the JSON ("below_floor")
-    // so the round diff surfaces them like a batch bench regression.
+    // host (r10: 5891/7305/1956/1911/3280/3652 rows/s at sf0.1) —
+    // tolerant of ambient load, but a genuine state-store or shuffle
+    // regression (2×+) trips them. Trips are recorded in the JSON
+    // ("below_floor") so the round diff surfaces them like a batch
+    // bench regression.
     val floors = Map(
       "tumbling_agg" -> 1900.0, "tws_anomaly" -> 3100.0,
       "stream_stream_join" -> 1000.0, "left_outer_join" -> 1000.0,
-      "cdc_upsert" -> 2000.0)
+      "chained_agg" -> 1600.0, "cdc_upsert" -> 2000.0)
     val below = results.collect {
       case (k, v) if floors.get(k).exists(v < _) => k }
     below.foreach(k => System.err.println(
