@@ -93,6 +93,31 @@ object TextQueries {
         .limit(30)
     }),
 
+    // CROSS-DOC repeated-phrase census — the CCNet-style boilerplate
+    // detector: long token spans that recur verbatim across many
+    // documents (headers, footers, license blurbs) are exactly what
+    // line/paragraph-level dedup strips before training. Per-doc
+    // phrase presence is array_distinct BEFORE the explode (local
+    // dedup, no distinct shuffle — same shape as text_pmi_cooccur);
+    // the census is one keyed groupBy on the 8-gram (the NGrams
+    // native kernel), top-20 via TakeOrdered. Complements
+    // dedup_repeated_ngrams (within-doc) and text_ngram_novelty
+    // (per-doc novelty) with the corpus-level "what IS the
+    // boilerplate" ranking.
+    "text_boilerplate_phrases" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      import graft.functions.GraftExpressions.ngrams
+      documents(s, d)
+        .select($"doc_id",
+          explode(array_distinct(ngrams(tokens($"text"), 8))).as("phrase"))
+        .groupBy($"phrase")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("sample_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"n_docs".desc, $"phrase")
+        .limit(20)
+    }),
+
     // PMI keyword association — which terms co-occur in the same
     // document more than chance predicts (topic structure / collocation
     // mining; near-zero PMI everywhere is the template-corpus smell).
@@ -444,6 +469,20 @@ object TextQueries {
         |p AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair FROM idx)
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    "text_boilerplate_phrases" ->
+      """WITH ph AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 6),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||
+        |         t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]))) AS phrase
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |f AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(min(doc_id) AS BIGINT) AS sample_doc
+        |  FROM ph GROUP BY phrase)
+        |SELECT phrase, n_docs, sample_doc FROM f WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, phrase LIMIT 20""".stripMargin,
 
     "text_pmi_cooccur" ->
       """WITH dt AS (
