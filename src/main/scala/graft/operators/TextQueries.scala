@@ -133,6 +133,7 @@ object TextQueries {
       import graft.functions.TextFunctions.tokens
       val dt = documents(s, d)
         .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
+        .localCheckpoint() // feeds BOTH the df census and the pair join — one tokenize pass, not two
       val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val vocab = dt.groupBy($"tok").agg(count(lit(1)).as("dfc"))
         .orderBy($"dfc".desc, $"tok").limit(50)
