@@ -292,6 +292,44 @@ object SimilarityQueries {
       bruteTopK(s, d).orderBy($"q_id", $"rank")
     }),
 
+    // Per-label centroid separation — the embedding-space health probe
+    // a curation pass reads before trusting label buckets as IVF
+    // cells: collapsing inter-centroid distances mean the clusters
+    // (and every bucketed ANN shortcut built on them) are dissolving.
+    // Exactness: cross-ROW float sums are order-dependent, so each
+    // component is micro-quantized (floor(v·1e6) — float→double cast
+    // and one multiply are IEEE-identical on both engines) and all
+    // aggregation runs in DECIMAL(38) integers; the only doubles are
+    // the final sqrt/scale through one shared tree. Scale shape: one
+    // map-side-combinable (label,pos) aggregate over the exploded
+    // corpus, then a label×label join on a 640-row broadcast-sized
+    // centroid table — the corpus is touched once.
+    "sim_label_centroids" -> ((s, d) => {
+      import s.implicits._
+      val q = embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"label", $"pos",
+          floor($"v".cast("double") * lit(1000000.0))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("q"))
+      val cent = q.groupBy($"label", $"pos")
+        .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+        .localCheckpoint() // 640 rows; feeds both sides of the pair join
+      val a = cent.select($"label".as("label_a"), $"pos",
+        $"sq".as("sq_a"), $"n".as("n_a"))
+      val b = cent.select($"label".as("label_b"), $"pos",
+        $"sq".as("sq_b"), $"n".as("n_b"))
+      a.join(b, Seq("pos")).filter($"label_a" < $"label_b")
+        .withColumn("dc", $"sq_a" * $"n_b" - $"sq_b" * $"n_a")
+        .groupBy($"label_a", $"label_b")
+        .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+          sum($"dc" * $"dc").as("d2"))
+        .select($"label_a", $"label_b", $"n_a", $"n_b",
+          format_string("%.6f", sqrt($"d2".cast("double")) /
+            (($"n_a" * $"n_b").cast("double") * lit(1000000.0)))
+            .as("centroid_dist"))
+        .orderBy($"label_a", $"label_b")
+    }),
+
     // Embedding near-duplicate pairs above a cosine threshold; candidate
     // pruning by same-label bucket keeps it off the full cross join
     // (label works as a coarse IVF cell here).
@@ -412,6 +450,30 @@ object SimilarityQueries {
          | printf('%.9f', CAST(embedding[1] AS DOUBLE)
          |   / sqrt(${dot.format("embedding", "embedding", "embedding")})) AS x0_unit
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "sim_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, s.i AS pos,
+        |    CAST(floor(CAST(s.v AS DOUBLE) * 1000000.0) AS HUGEINT) AS q
+        |  FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'i': i, 'v': embedding[i]})) AS s
+        |    FROM embeddings)),
+        |cent AS (
+        |  SELECT label, pos, sum(q) AS sq, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY label, pos),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+        |    (a.sq * b.n - b.sq * a.n) AS dc
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label),
+        |g AS (
+        |  SELECT label_a, label_b, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    sum(dc * dc) AS d2
+        |  FROM p GROUP BY label_a, label_b)
+        |SELECT label_a, label_b, n_a, n_b,
+        |  printf('%.6f', sqrt(CAST(d2 AS DOUBLE))
+        |    / (CAST(n_a * n_b AS DOUBLE) * 1000000.0)) AS centroid_dist
+        |FROM g ORDER BY label_a, label_b""".stripMargin,
 
     "sim_knn_brute" ->
       s"""SELECT q_id, rank, vec_id, cosine FROM (
