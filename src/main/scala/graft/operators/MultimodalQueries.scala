@@ -138,6 +138,51 @@ object MultimodalQueries {
         .orderBy($"phash")
     }),
 
+    // VIDEO SCENE-CUT detection plumbing — the temporal multimodal op
+    // beyond mm_frame_sample's static sampling: each doc becomes a
+    // short "video" (3–5 frames, scene changing every 2 frames, frame
+    // colors md5-derived per scene), every frame is REALLY encoded
+    // and decoded through the PNG codec, and cuts are detected where
+    // the decoded inter-frame channel delta is nonzero — a per-asset
+    // keyed window over frame order, never a global sort. Frames ride
+    // a composite key (doc_id·16 + frame_idx) through the unchanged
+    // batched codec seam; expected cuts have the closed form
+    // (n_frames−1) div 2, so the oracle's cuts_match=TRUE hash-pins
+    // the decode→delta→threshold path end to end.
+    "mm_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val frames = documents(s, d)
+        .select($"doc_id", ($"doc_id" % 3 + 3).cast("int").as("n_frames"))
+        .select($"doc_id", $"n_frames",
+          explode(sequence(lit(0), $"n_frames" - 1)).as("f"))
+        .withColumn("hh", md5(concat_ws("#",
+          $"doc_id", expr("f div 2")).cast("binary")))
+      val payloads = graft.multimodal.Multimodal.encodePayloads(
+        frames.select(($"doc_id" * 16 + $"f").as("doc_id"),
+          lit(8).as("w"), lit(8).as("h"),
+          conv(substring($"hh", 1, 2), 16, 10).cast("int").as("r"),
+          conv(substring($"hh", 3, 2), 16, 10).cast("int").as("g"),
+          conv(substring($"hh", 5, 2), 16, 10).cast("int").as("b")))
+      val dec = graft.multimodal.Multimodal.decodeFeatures(payloads)
+        .select(expr("doc_id div 16").as("doc_id"),
+          pmod($"doc_id", lit(16)).cast("int").as("f"),
+          $"mean_r", $"mean_g", $"mean_b")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"f")
+      val cuts = dec
+        .withColumn("cut",
+          when(abs($"mean_r" - lag($"mean_r", 1).over(w)) +
+            abs($"mean_g" - lag($"mean_g", 1).over(w)) +
+            abs($"mean_b" - lag($"mean_b", 1).over(w)) > 0, 1L).otherwise(0L))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_frames"), sum($"cut").as("n_cuts"))
+      cuts
+        .withColumn("cuts_match",
+          $"n_cuts" === expr("CAST((n_frames - 1) div 2 AS BIGINT)"))
+        .select($"doc_id", $"n_frames", $"n_cuts", $"cuts_match")
+        .orderBy($"doc_id")
+    }),
+
     // REAL audio codec round-trip — the WAV twin of mm_decode_features:
     // synthesize a deterministic 16-bit mono PCM square wave per doc
     // (length/period from n_chars, amplitude from md5(doc_id) — all
@@ -223,6 +268,13 @@ object MultimodalQueries {
         |  TRUE AS all_match
         |FROM m GROUP BY phash
         |ORDER BY phash""".stripMargin,
+
+    "mm_scene_cuts" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 3 + 3 AS BIGINT) AS n_frames,
+        | CAST((doc_id % 3 + 3 - 1) // 2 AS BIGINT) AS n_cuts,
+        | TRUE AS cuts_match
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_wav_features" ->
       """SELECT doc_id,
