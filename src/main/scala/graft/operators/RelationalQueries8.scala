@@ -456,6 +456,42 @@ object RelationalQueries8 {
         .select($"user_id", $"n_events", $"sv".cast("double").as("sum_value"))
         .orderBy($"n_events".desc, $"user_id")
         .limit(20)
+    }),
+
+    // HOLT LINEAR-TREND smoothing (α=0.3, β=0.1) per event-type daily
+    // series + the one-step-ahead forecast — the 2-state upgrade of
+    // q103's EWMA that level-only smoothing can't express. The daily
+    // series is exact integer cents (decimal sum, DIV mean); the fold
+    // runs over a day-SORTED per-type array (aggregate-sized: days,
+    // not events), so both engines execute the identical recurrence
+    // in the identical order — DuckDB's list_reduce seeds from the
+    // first element, Spark's aggregate() is seeded with arr[0] and
+    // folds the tail, the same computation. Doubles appear only
+    // inside the fold, through one shared expression tree.
+    "q143_holt_linear" -> ((s, d) => {
+      import s.implicits._
+      // daily TOTAL, not mean: a mean needs integer division, and
+      // Spark's DIV truncates where DuckDB's // floors — they disagree
+      // on negative sums. The total stays in exact cents, no division.
+      val daily = events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum((dec($"value") * 100).cast("long")).as("y"))
+      daily.groupBy($"event_type")
+        .agg(array_sort(collect_list(struct($"day", $"y"))).as("arr"))
+        .select($"event_type", size($"arr").cast("long").as("n_days"),
+          expr("""
+            aggregate(
+              transform(slice(arr, 2, size(arr) - 1), e -> CAST(e.y AS DOUBLE)),
+              named_struct('l', CAST(arr[0].y AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)),
+              (a, x) -> named_struct(
+                'l', 0.3D * x + 0.7D * (a.l + a.b),
+                'b', 0.1D * ((0.3D * x + 0.7D * (a.l + a.b)) - a.l) + 0.9D * a.b))
+          """).as("st"))
+        .select($"event_type", $"n_days",
+          format_string("%.6f", $"st.l" / 100.0).as("level_usd"),
+          format_string("%.6f", $"st.b" / 100.0).as("trend_usd"),
+          format_string("%.6f", ($"st.l" + $"st.b") / 100.0).as("forecast_usd"))
+        .orderBy($"event_type")
     })
   )
 
@@ -732,6 +768,43 @@ object RelationalQueries8 {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id
-        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
+
+    // NOTE: the natural list_reduce-with-struct-state fold is WRONG in
+    // DuckDB — from the second application on, the lambda's struct
+    // fields are written into the reused accumulator vector
+    // sequentially, so the 'b' expression reads the freshly-written
+    // 'l' (verified: [100,200,300] yields b=6.417, not the correct
+    // 8.01). The oracle therefore folds via a recursive CTE — one row
+    // per (event_type, day index) — which has no aliasing.
+    "q143_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, CAST(y AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |fold AS (
+        |  SELECT event_type, rn, y AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.event_type, i.rn,
+        |    CAST(0.3 AS DOUBLE) * i.y + CAST(0.7 AS DOUBLE) * (f.l + f.b),
+        |    CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * i.y
+        |        + CAST(0.7 AS DOUBLE) * (f.l + f.b)) - f.l)
+        |      + CAST(0.9 AS DOUBLE) * f.b
+        |  FROM fold f JOIN idx i
+        |    ON i.event_type = f.event_type AND i.rn = f.rn + 1),
+        |last AS (SELECT event_type, max(rn) AS n FROM fold GROUP BY event_type)
+        |SELECT f.event_type, CAST(l2.n AS BIGINT) AS n_days,
+        |  printf('%.6f', f.l / 100.0) AS level_usd,
+        |  printf('%.6f', f.b / 100.0) AS trend_usd,
+        |  printf('%.6f', (f.l + f.b) / 100.0) AS forecast_usd
+        |FROM fold f JOIN last l2
+        |  ON f.event_type = l2.event_type AND f.rn = l2.n
+        |ORDER BY f.event_type""".stripMargin
   )
 }
