@@ -492,6 +492,43 @@ object RelationalQueries8 {
           format_string("%.6f", $"st.b" / 100.0).as("trend_usd"),
           format_string("%.6f", ($"st.l" + $"st.b") / 100.0).as("forecast_usd"))
         .orderBy($"event_type")
+    }),
+
+    // FULL-SCHEMA referential-integrity audit — every FK edge of the
+    // warehouse swept in one query (the q84 constraint suite covers
+    // one table; this is the cross-table edition a load pipeline runs
+    // after every batch). Each edge is one LeftAnti join against the
+    // parent's key set — dims broadcast, the two fact-side edges
+    // shuffle keyed — and the output is six audit rows however large
+    // the corpus. An orphan introduced by a bad load flips its row's
+    // ok flag (and the hash).
+    "q144_fk_audit" -> ((s, d) => {
+      import s.implicits._
+      def edge(label: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String): DataFrame = {
+        val orphans = child.select(col(childKey))
+          .join(parent.select(col(parentKey)),
+            col(childKey) === col(parentKey), "left_anti")
+        child.agg(count(lit(1)).as("n_child_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"))) // single-row sides
+          .select(lit(label).as("fk_edge"), $"n_child_rows", $"n_orphans",
+            ($"n_orphans" === 0L).as("ok"))
+      }
+      Seq(
+        edge("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+          orders(s, d), "o_orderkey"),
+        edge("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
+          supplier(s, d), "s_suppkey"),
+        edge("orders.o_custkey->customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey"),
+        edge("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+          nation(s, d), "n_nationkey"),
+        edge("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
+          nation(s, d), "n_nationkey"),
+        edge("nation.n_regionkey->region", nation(s, d), "n_regionkey",
+          region(s, d), "r_regionkey"))
+        .reduce(_ unionByName _)
+        .orderBy($"fk_edge")
     })
   )
 
@@ -805,6 +842,42 @@ object RelationalQueries8 {
         |  printf('%.6f', (f.l + f.b) / 100.0) AS forecast_usd
         |FROM fold f JOIN last l2
         |  ON f.event_type = l2.event_type AND f.rn = l2.n
-        |ORDER BY f.event_type""".stripMargin
+        |ORDER BY f.event_type""".stripMargin,
+
+    "q144_fk_audit" ->
+      """WITH e AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    (SELECT count(*) FROM lineitem) AS n_child_rows,
+        |    (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey->nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region',
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation WHERE NOT EXISTS
+        |      (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)))
+        |SELECT fk_edge, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  n_orphans = 0 AS ok
+        |FROM e ORDER BY fk_edge""".stripMargin
   )
 }
