@@ -529,6 +529,31 @@ object RelationalQueries8 {
           region(s, d), "r_regionkey"))
         .reduce(_ unionByName _)
         .orderBy($"fk_edge")
+    }),
+
+    // FORECAST BACKTEST — the model-evaluation harness behind every
+    // "should we ship this forecast" call, run for the two standard
+    // baselines: naive (yesterday) vs seasonal-naive (same weekday
+    // last week) on daily revenue. Scored only on days where BOTH
+    // lags exist (shifted equi-joins of the aggregate-sized day
+    // table against itself — q135's no-whole-series-window shape);
+    // MAE stays in exact integer cents end to end (sums are
+    // non-negative, so DIV/​// floor-vs-truncate parity is safe).
+    "q145_backtest_naive" -> ((s, d) => {
+      import s.implicits._
+      val daily = orders(s, d).groupBy($"o_orderdate".as("day"))
+        .agg(sum(cents38($"o_totalprice")).cast("long").as("r"))
+        .localCheckpoint() // three shifted self-join uses of the day table
+      val l1 = daily.select(date_add($"day", 1).as("day"), $"r".as("r1"))
+      val l7 = daily.select(date_add($"day", 7).as("day"), $"r".as("r7"))
+      daily.join(l1, Seq("day")).join(l7, Seq("day"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs($"r" - $"r1")).as("e1"),
+          sum(abs($"r" - $"r7")).as("e7"))
+        .select($"n_days",
+          expr("e1 DIV n_days").as("mae_naive_cents"),
+          expr("e7 DIV n_days").as("mae_seasonal_cents"),
+          ($"e7" < $"e1").as("seasonal_better"))
     })
   )
 
@@ -878,6 +903,23 @@ object RelationalQueries8 {
         |SELECT fk_edge, CAST(n_child_rows AS BIGINT) AS n_child_rows,
         |  CAST(n_orphans AS BIGINT) AS n_orphans,
         |  n_orphans = 0 AS ok
-        |FROM e ORDER BY fk_edge""".stripMargin
+        |FROM e ORDER BY fk_edge""".stripMargin,
+
+    "q145_backtest_naive" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT b.day, b.r, a1.r AS r1, a7.r AS r7
+        |  FROM daily b
+        |  JOIN daily a1 ON a1.day = b.day - 1
+        |  JOIN daily a7 ON a7.day = b.day - 7)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(r - r1)) AS BIGINT) // count(*) AS mae_naive_cents,
+        |  CAST(sum(abs(r - r7)) AS BIGINT) // count(*) AS mae_seasonal_cents,
+        |  sum(abs(r - r7)) < sum(abs(r - r1)) AS seasonal_better
+        |FROM j""".stripMargin
   )
 }
