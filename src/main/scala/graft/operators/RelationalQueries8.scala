@@ -554,6 +554,32 @@ object RelationalQueries8 {
           expr("e1 DIV n_days").as("mae_naive_cents"),
           expr("e7 DIV n_days").as("mae_seasonal_cents"),
           ($"e7" < $"e1").as("seasonal_better"))
+    }),
+
+    // CONVERSION-LAG distribution — how long after first touching the
+    // product users first pay (the activation-latency number next to
+    // q115's conversion RATE and q98's censored survival curve). ONE
+    // conditional-aggregate exchange per user (min click / min
+    // purchase in the same groupBy — never two scans or a self-join);
+    // delays are exact integer micros, the percentiles ride the
+    // percentile_cont WITHIN GROUP parity idiom (q123), printed as
+    // minutes at %.4f.
+    "q146_conversion_lag" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"user_id")
+        .agg(min(when($"event_type" === "click", micros($"ts"))).as("c_us"),
+          min(when($"event_type" === "purchase", micros($"ts"))).as("p_us"))
+        .filter($"c_us".isNotNull && $"p_us".isNotNull && $"p_us" >= $"c_us")
+        .select(($"p_us" - $"c_us").as("lag_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_us)").as("p50"),
+          expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_us)").as("p90"),
+          expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY lag_us)").as("p99"))
+        .select($"n_converted",
+          format_string("%.4f", $"p50" / 60000000.0).as("p50_min"),
+          format_string("%.4f", $"p90" / 60000000.0).as("p90_min"),
+          format_string("%.4f", $"p99" / 60000000.0).as("p99_min"))
     })
   )
 
@@ -920,6 +946,24 @@ object RelationalQueries8 {
         |  CAST(sum(abs(r - r1)) AS BIGINT) // count(*) AS mae_naive_cents,
         |  CAST(sum(abs(r - r7)) AS BIGINT) // count(*) AS mae_seasonal_cents,
         |  sum(abs(r - r7)) < sum(abs(r - r1)) AS seasonal_better
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "q146_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+        |  FROM events GROUP BY user_id),
+        |lags AS (
+        |  SELECT p_us - c_us AS lag_us FROM f
+        |  WHERE c_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= c_us)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  printf('%.4f', percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_us)
+        |    / 60000000.0) AS p50_min,
+        |  printf('%.4f', percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_us)
+        |    / 60000000.0) AS p90_min,
+        |  printf('%.4f', percentile_cont(0.99) WITHIN GROUP (ORDER BY lag_us)
+        |    / 60000000.0) AS p99_min
+        |FROM lags""".stripMargin
   )
 }
