@@ -362,6 +362,23 @@ object StreamingQueries {
         .orderBy($"user_id")
     }),
 
+    // transformWithState BOUNDED TOP-K: a ≤5-entry ListState
+    // leaderboard of the highest-value events per type — sketch-sized
+    // state (O(k) per key) on an unbounded stream, and because top-k
+    // merge is associative under the total (value DESC, event_id)
+    // order, the emission equals the batch row_number() top-k
+    // bit-for-bit — which is exactly what the oracle pins.
+    "stream_tws_topk" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val tops = Streams.topKTws(typed)
+        .select($"event_type", $"rank", $"event_id", $"value")
+      toMemoryRocks(s, tops, "stream_tws_topk_sink", "update")
+        .orderBy($"event_type", $"rank")
+    }),
+
     // Custom keyed state via mapGroupsWithState: per-user running
     // profile. AvailableNow over a single input file = one micro-batch,
     // so the update-mode memory sink holds exactly one row per user.
@@ -446,6 +463,14 @@ object StreamingQueries {
     // engine's state-eviction rule: wm = min(max purchase ts − 10 min,
     // max click ts − 1 h); unmatched purchases at/after wm are still
     // in join state when the stream drains, so they are absent
+    "stream_tws_topk" ->
+      """SELECT event_type, rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS INT) AS rank
+        |  FROM events) t
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+
     "stream_chained_agg" ->
       """WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
         |s1 AS (

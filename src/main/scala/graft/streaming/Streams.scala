@@ -225,6 +225,26 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Streaming BOUNDED TOP-K per key on transformWithState: a ≤k-entry
+    * ListState of the highest-value events per event type, merged per
+    * batch under the total order (value DESC, event_id ASC) — the
+    * trending-leaderboard op whose state stays O(k) per key however
+    * unbounded the stream (the sketch-state property of the batch
+    * TypedAggregators.TopK, now with streaming persistence). Top-k
+    * merge is associative and the order total, so the final emission
+    * is identical under ANY micro-batch split of the input. */
+  def topKTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TwsTopK] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .transformWithState(new TopKProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Timer-driven idle-key eviction on transformWithState (the fourth
     * and last TWS primitive after Value/Map/List state): event-time
     * timers re-armed per batch; when the watermark passes a key's
@@ -428,6 +448,41 @@ class AnomalyProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
     }
     buf.put(ring.toArray)
     out.result().iterator
+  }
+}
+
+/** Output row of the transformWithState bounded top-k op. */
+case class TwsTopK(event_type: String, rank: Int, event_id: Long, value: Double)
+
+/** One retained leaderboard entry of [[TopKProcessor]]. */
+case class TwsTopEntry(value: Double, event_id: Long)
+
+/** StatefulProcessor for [[Streams.topKTws]]: merges each batch's rows
+  * into a ≤k ListState under (value DESC, event_id ASC) and re-emits
+  * the current leaderboard. Values pass through un-arithmetic'd, so
+  * the streaming output equals the batch row_number() top-k exactly
+  * (bit-for-bit doubles) — the oracle pins that equivalence. */
+class TopKProcessor(k: Int = 5)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsTopK] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var top: ListState[TwsTopEntry] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    top = getHandle.getListState[TwsTopEntry]("top", Encoders.product[TwsTopEntry],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsTopK] = {
+    val incoming = rows.map(e => TwsTopEntry(e.value, e.event_id)).toSeq
+    if (incoming.isEmpty) return Iterator.empty
+    val merged = (top.get().toSeq ++ incoming)
+      .sortBy(e => (-e.value, e.event_id)).take(k)
+    top.put(merged.toArray)
+    merged.iterator.zipWithIndex.map { case (e, i) =>
+      TwsTopK(key, i + 1, e.event_id, e.value)
+    }
   }
 }
 

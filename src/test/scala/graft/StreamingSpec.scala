@@ -465,4 +465,41 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.table("dedup").select($"event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("transformWithState top-k leaderboard is invariant under micro-batch splits") {
+    import graft.streaming.UserEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val rows = (1 to 12).map { i =>
+      UserEvent(i.toLong, ts(f"2024-01-01 00:${i}%02d:00"), 1L, "click",
+        // two VALUE TIES (9.0) so the event_id tiebreak is exercised
+        if (i == 3 || i == 7) 9.0 else i.toDouble)
+    }
+    def finalTop(batches: Seq[Seq[UserEvent]], id: Int): Seq[(Int, Long, Double)] = {
+      val in = MemoryStream[UserEvent](spark, id)
+      val q = Streams.topKTws(in.toDS()).writeStream.format("memory")
+        .queryName(s"topk_$id").outputMode("update").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // update mode appends every generation (earlier generations can
+      // be SHORTER than k while the leaderboard fills); the final
+      // leaderboard is the last k appended rows, ordered by rank
+      spark.table(s"topk_$id").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .takeRight(5).sortBy(_._1).toSeq
+    }
+    val oneBatch = finalTop(Seq(rows), 31)
+    val threeBatches = finalTop(Seq(rows.take(4), rows.slice(4, 8), rows.drop(8)), 32)
+    // batch top-5 by (value desc, event_id): 12.0, 11.0, 10.0, 9.0(id 3), 9.0(id 7)
+    assert(oneBatch === Seq((1, 12L, 12.0), (2, 11L, 11.0), (3, 10L, 10.0),
+      (4, 3L, 9.0), (5, 7L, 9.0)))
+    assert(threeBatches === oneBatch, "split emission diverged from single-batch")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
