@@ -83,7 +83,7 @@ object ScaleProbe {
     // the scaling input is the fact side); part is copied with SHIFTED
     // PRICES so q86_skyline's distinct-price domain — its true scale
     // axis — grows 10× too.
-    for (t <- Seq("supplier", "nation"))
+    for (t <- Seq("supplier", "nation", "region"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir10/$t.parquet")
     // 10× customer with the SAME custkey step as orders, so the
