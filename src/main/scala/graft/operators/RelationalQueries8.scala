@@ -580,6 +580,34 @@ object RelationalQueries8 {
           format_string("%.4f", $"p50" / 60000000.0).as("p50_min"),
           format_string("%.4f", $"p90" / 60000000.0).as("p90_min"),
           format_string("%.4f", $"p99" / 60000000.0).as("p99_min"))
+    }),
+
+    // ORDER→SHIP SLA profile per priority class — the fulfillment-
+    // latency dashboard: mean / p95 days from order to line shipment
+    // and the share breaching a 90-day SLA, in exact integer days
+    // (datediff; DIV-parity safe because ship never precedes order in
+    // this schema — pinned by the min_delay column, which would go
+    // negative and flip the hash if that assumption ever broke). One
+    // fact-dim join keyed on orderkey, one aggregate; output is the
+    // priority table.
+    "q147_ship_sla" -> ((s, d) => {
+      import s.implicits._
+      val j = lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+        .join(orders(s, d).select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority",
+          datediff($"l_shipdate", $"o_orderdate").cast("long").as("delay"))
+      j.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          min($"delay").as("min_delay"),
+          sum($"delay").as("sum_delay"),
+          expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY delay)").as("p95"),
+          sum(when($"delay" > 90, 1L).otherwise(0L)).as("n_late"))
+        .select($"o_orderpriority", $"n_lines", $"min_delay",
+          expr("sum_delay DIV n_lines").as("mean_delay_days"),
+          format_string("%.4f", $"p95").as("p95_days"),
+          expr("n_late * 10000 DIV n_lines").as("late_share_bp"))
+        .orderBy($"o_orderpriority")
     })
   )
 
@@ -964,6 +992,23 @@ object RelationalQueries8 {
         |    / 60000000.0) AS p90_min,
         |  printf('%.4f', percentile_cont(0.99) WITHIN GROUP (ORDER BY lag_us)
         |    / 60000000.0) AS p99_min
-        |FROM lags""".stripMargin
+        |FROM lags""".stripMargin,
+
+    "q147_ship_sla" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT)
+        |      AS delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(min(delay) AS BIGINT) AS min_delay,
+        |  CAST(sum(delay) AS BIGINT) // count(*) AS mean_delay_days,
+        |  printf('%.4f', percentile_cont(0.95) WITHIN GROUP (ORDER BY delay))
+        |    AS p95_days,
+        |  CAST(sum(CASE WHEN delay > 90 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+        |    // count(*) AS late_share_bp
+        |FROM j GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }
