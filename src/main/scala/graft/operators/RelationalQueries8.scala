@@ -497,37 +497,60 @@ object RelationalQueries8 {
     // FULL-SCHEMA referential-integrity audit — every FK edge of the
     // warehouse swept in one query (the q84 constraint suite covers
     // one table; this is the cross-table edition a load pipeline runs
-    // after every batch). Each edge is one LeftAnti join against the
-    // parent's key set — dims broadcast, the two fact-side edges
-    // shuffle keyed — and the output is six audit rows however large
-    // the corpus. An orphan introduced by a bad load flips its row's
-    // ok flag (and the hash).
+    // after every batch). Each CHILD TABLE is scanned exactly ONCE:
+    // all of its outgoing edges ride the same pass as left joins
+    // against unique parent keys (PK side, so no row multiplication)
+    // with conditional orphan counts — lineitem resolves both its
+    // edges in one scan where the naive per-edge count+anti-join
+    // shape would read it four times. Dims broadcast, fact edges
+    // shuffle keyed; output is six audit rows however large the
+    // corpus. An orphan introduced by a bad load flips its row's ok
+    // flag (and the hash).
     "q144_fk_audit" -> ((s, d) => {
       import s.implicits._
-      def edge(label: String, child: DataFrame, childKey: String,
-          parent: DataFrame, parentKey: String): DataFrame = {
-        val orphans = child.select(col(childKey))
-          .join(parent.select(col(parentKey)),
-            col(childKey) === col(parentKey), "left_anti")
-        child.agg(count(lit(1)).as("n_child_rows"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"))) // single-row sides
-          .select(lit(label).as("fk_edge"), $"n_child_rows", $"n_orphans",
-            ($"n_orphans" === 0L).as("ok"))
-      }
+      def edgeRows(agg: DataFrame, edges: (String, String)*): DataFrame =
+        agg.select(explode(array(edges.map { case (label, orphCol) =>
+          struct(lit(label).as("fk_edge"), $"n".as("n_child_rows"),
+            col(orphCol).as("n_orphans"))
+        }: _*)).as("e")).select($"e.*")
+      val li = lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+        .join(orders(s, d).select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left")
+        .join(supplier(s, d).select($"s_suppkey".as("sk")),
+          $"l_suppkey" === $"sk", "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("orph_ord"),
+          sum(when($"sk".isNull, 1L).otherwise(0L)).as("orph_supp"))
+      val ord = orders(s, d).select($"o_custkey")
+        .join(customer(s, d).select($"c_custkey"),
+          $"o_custkey" === $"c_custkey", "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("orph_cust"))
+      val cust = customer(s, d).select($"c_nationkey")
+        .join(nation(s, d).select($"n_nationkey"),
+          $"c_nationkey" === $"n_nationkey", "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"n_nationkey".isNull, 1L).otherwise(0L)).as("orph_nat"))
+      val supp = supplier(s, d).select($"s_nationkey")
+        .join(nation(s, d).select($"n_nationkey"),
+          $"s_nationkey" === $"n_nationkey", "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"n_nationkey".isNull, 1L).otherwise(0L)).as("orph_nat"))
+      val nat = nation(s, d).select($"n_regionkey")
+        .join(region(s, d).select($"r_regionkey"),
+          $"n_regionkey" === $"r_regionkey", "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"r_regionkey".isNull, 1L).otherwise(0L)).as("orph_reg"))
       Seq(
-        edge("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
-          orders(s, d), "o_orderkey"),
-        edge("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
-          supplier(s, d), "s_suppkey"),
-        edge("orders.o_custkey->customer", orders(s, d), "o_custkey",
-          customer(s, d), "c_custkey"),
-        edge("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
-          nation(s, d), "n_nationkey"),
-        edge("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
-          nation(s, d), "n_nationkey"),
-        edge("nation.n_regionkey->region", nation(s, d), "n_regionkey",
-          region(s, d), "r_regionkey"))
+        edgeRows(li, "lineitem.l_orderkey->orders" -> "orph_ord",
+          "lineitem.l_suppkey->supplier" -> "orph_supp"),
+        edgeRows(ord, "orders.o_custkey->customer" -> "orph_cust"),
+        edgeRows(cust, "customer.c_nationkey->nation" -> "orph_nat"),
+        edgeRows(supp, "supplier.s_nationkey->nation" -> "orph_nat"),
+        edgeRows(nat, "nation.n_regionkey->region" -> "orph_reg"))
         .reduce(_ unionByName _)
+        .select($"fk_edge", $"n_child_rows", $"n_orphans",
+          ($"n_orphans" === 0L).as("ok"))
         .orderBy($"fk_edge")
     }),
 

@@ -290,6 +290,15 @@ class PlanSpec extends SparkSuite {
     assert(bnlj <= 2, s"pair generation planned a nested loop:\n$p")
   }
 
+  test("q144: the FK audit scans each child table once (both lineitem edges share one pass)") {
+    val p = plan("q144_fk_audit")
+    // FormattedMode mentions each node twice (tree + detail): one
+    // lineitem scan node = 2 mentions; the per-edge count+anti shape
+    // this pin guards against would show 4 nodes = 8
+    val liScans = "Scan parquet [^\\n]*lineitem".r.findAllIn(p).length
+    assert(liScans <= 2, s"lineitem scanned ${liScans / 2} times:\n$p")
+  }
+
   test("q142: salting really produces two keyed exchange stages (salted partial, keyed final)") {
     val p = plan("q142_salted_agg")
     assert("hashpartitioning\\(user_id#\\d+L?, _salt".r.findAllIn(p).nonEmpty,
