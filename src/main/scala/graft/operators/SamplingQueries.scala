@@ -115,6 +115,32 @@ object SamplingQueries {
           .as("srm_chi2"))
     }),
 
+    // CLASS-REBALANCING oversampling plan — the table a training-mix
+    // builder materializes before upsampling minority classes to
+    // parity with the majority: per label, the exact integer repeat
+    // factor (n_max DIV n) plus the fractional remainder rate in
+    // basis points that a deterministic hash-keep then applies
+    // (samp_ab_assign's machinery). Planned yield is exact integer
+    // arithmetic, so `planned_total >= n_max` is an invariant the
+    // hash pins. One aggregate over the label census — the plan
+    // itself is aggregate-sized at any corpus size.
+    "samp_class_balance" -> ((s, d) => {
+      import s.implicits._
+      val census = embeddings(s, d).groupBy($"label")
+        .agg(count(lit(1)).as("n"))
+      val mx = census.agg(max($"n").as("n_max"))
+      census.crossJoin(broadcast(mx)) // single-row side
+        .select($"label", $"n",
+          expr("n_max DIV n").as("repeat_n"),
+          expr("(n_max % n) * 10000 DIV n").as("extra_rate_bp"),
+          $"n_max")
+        .select($"label", $"n", $"repeat_n", $"extra_rate_bp",
+          expr("repeat_n * n + (extra_rate_bp * n) DIV 10000")
+            .as("planned_floor"),
+          ($"repeat_n" * $"n" >= $"n_max" - $"n").as("reaches_parity"))
+        .orderBy($"label")
+    }),
+
     // ~80/10/10 train/val/test split, stable under reprocessing; the
     // aggregate proves the split is exhaustive and disjoint.
     "samp_train_val_test" -> ((s, d) => {
@@ -419,6 +445,19 @@ object SamplingQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_class_balance" ->
+      """WITH c AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY label),
+        |m AS (SELECT max(n) AS n_max FROM c)
+        |SELECT label, n,
+        |  n_max // n AS repeat_n,
+        |  (n_max % n) * 10000 // n AS extra_rate_bp,
+        |  (n_max // n) * n + ((n_max % n) * 10000 // n) * n // 10000
+        |    AS planned_floor,
+        |  (n_max // n) * n >= n_max - n AS reaches_parity
+        |FROM c, m ORDER BY label""".stripMargin,
 
     "samp_ab_assign" ->
       """WITH a AS (
