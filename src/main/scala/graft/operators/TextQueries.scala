@@ -93,6 +93,73 @@ object TextQueries {
         .limit(30)
     }),
 
+    // ZLIB COMPRESSION-RATIO quality signal — the Gopher/RefinedWeb
+    // rule "documents that compress too well are template spam": each
+    // doc's UTF-8 bytes run through a REAL java.util.zip Deflater
+    // (level 6) in zero-shuffle batched mapPartitions (the multimodal
+    // codec contract applied to text). The byte counts aren't SQL-
+    // expressible, so this entry is rows-only; the paired
+    // text_compression_check twin hash-pins an aggregate invariant of
+    // the real codec output.
+    "text_compression_ratio" -> ((s, d) => {
+      import s.implicits._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_raw",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_deflated",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ratio_bp",
+          org.apache.spark.sql.types.LongType)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      documents(s, d).select($"doc_id", $"text")
+        .mapPartitions { rows =>
+          rows.grouped(64).flatMap { batch =>
+            batch.map { r =>
+              val bytes = r.getString(1).getBytes("UTF-8")
+              val defl = new java.util.zip.Deflater(6)
+              defl.setInput(bytes); defl.finish()
+              var total = 0L
+              val buf = new Array[Byte](8192)
+              while (!defl.finished()) total += defl.deflate(buf)
+              defl.end()
+              org.apache.spark.sql.Row(r.getLong(0), bytes.length.toLong,
+                total, total * 10000L / math.max(bytes.length, 1))
+            }
+          }
+        }(enc)
+        .orderBy($"doc_id")
+    }),
+
+    // Hash-pinned invariant of the REAL zlib output above: split docs
+    // at the median type-token ratio — the repetitive (low-TTR) half
+    // MUST compress to a smaller mean ratio than the varied half, or
+    // the codec path is broken. Counts are oracle-computable; the
+    // boolean is where the Deflater's actual bytes reach the hash.
+    "text_compression_check" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      val cr = queries("text_compression_ratio")(s, d)
+        .select($"doc_id", $"ratio_bp")
+      val ttr = documents(s, d).select($"doc_id",
+        (size(array_distinct(tokens($"text"))) * 10000L /
+          greatest(size(tokens($"text")), lit(1))).as("ttr_bp"))
+      val med = ttr.agg(
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ttr_bp)").as("m"))
+      val joined = cr.join(ttr, Seq("doc_id")).crossJoin(broadcast(med))
+      joined
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"ttr_bp" < $"m", $"ratio_bp")).as("low_sum"),
+          sum(when($"ttr_bp" < $"m", 1L).otherwise(0L)).as("low_n"),
+          sum(when($"ttr_bp" >= $"m", $"ratio_bp")).as("high_sum"),
+          sum(when($"ttr_bp" >= $"m", 1L).otherwise(0L)).as("high_n"))
+        .select($"n_docs",
+          (($"low_sum" * $"high_n") < ($"high_sum" * $"low_n"))
+            .as("repetitive_compresses_better"))
+    }),
+
     // CROSS-DOC repeated-phrase census — the CCNet-style boilerplate
     // detector: long token spans that recur verbatim across many
     // documents (headers, footers, license blurbs) are exactly what
@@ -470,6 +537,13 @@ object TextQueries {
         |p AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair FROM idx)
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    // text_compression_ratio: rows-only by contract (zlib byte counts
+    // are not SQL-expressible); gated by text_compression_check below.
+    "text_compression_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS repetitive_compresses_better
+        |FROM documents""".stripMargin,
 
     "text_boilerplate_phrases" ->
       """WITH ph AS (
