@@ -631,6 +631,74 @@ object RelationalQueries8 {
           format_string("%.4f", $"p95").as("p95_days"),
           expr("n_late * 10000 DIV n_lines").as("late_share_bp"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // CLASSICAL SEASONAL DECOMPOSITION (STL-lite) of daily revenue:
+    // trend = centered 7-observation moving total, detrended = 7·r −
+    // trend (×7 keeps everything integer — detrended values go
+    // NEGATIVE, where DIV/​// floor-vs-truncate parity breaks, so no
+    // integer division ever touches them), weekly seasonal = per-dow
+    // mean of the detrended series and residual spread around it —
+    // completing the time-series family (q143 forecasts the level,
+    // q126 scores anomalies, this one EXPLAINS the calendar shape).
+    // The only window is over the aggregate-sized day series; sums
+    // ride DECIMAL(38) (det² overflows int64 at 100 TB revenue).
+    "q148_seasonal_decompose" -> ((s, d) => {
+      import s.implicits._
+      val daily = orders(s, d)
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(sum(cents38($"o_totalprice")).cast("long").as("r"))
+      val w = Window.orderBy($"day").rowsBetween(-3, 3) // day series: aggregate-sized
+      val det = daily
+        .withColumn("n_w", count(lit(1)).over(w))
+        .withColumn("trend7", sum($"r").over(w))
+        .filter($"n_w" === 7)
+        .select((dayofweek($"day") - 1).as("dow"),
+          ($"r" * 7 - $"trend7").cast(D38).as("det"))
+      det.groupBy($"dow")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"det").as("s_det"),
+          sum($"det" * $"det").as("ss_det"))
+        .select($"dow", $"n_days",
+          format_string("%.4f",
+            $"s_det".cast("double") / ($"n_days" * 7.0) / 100.0)
+            .as("seasonal_usd"),
+          format_string("%.4f",
+            sqrt(($"ss_det".cast("double") -
+              $"s_det".cast("double") * $"s_det".cast("double") / $"n_days")
+              / $"n_days") / 7.0 / 100.0).as("resid_sd_usd"))
+        .orderBy($"dow")
+    }),
+
+    // QUANTILE NORMALIZATION across groups — the ML-preprocessing
+    // primitive that forces every language's doc-length distribution
+    // onto the shared global one: each doc keeps its WITHIN-LANG rank
+    // but takes the VALUE of the global order statistic at the same
+    // quantile (half-up rounded index, exact integer arithmetic —
+    // every division non-negative). The global order statistics come
+    // off GlobalRank's two-pass range-partitioned rank (never a
+    // single-partition window); the per-lang ranks are keyed windows;
+    // the remap is one equi-join on the computed index.
+    "q149_quantile_normalize" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id", $"lang", $"n_chars")
+        .localCheckpoint() // feeds global order stats AND per-lang ranks
+      val (globalRanked, _) = GlobalRank.withRank(
+        docs.select($"n_chars", $"doc_id"), "_gr", Seq($"n_chars", $"doc_id"))
+      val nGlobal = docs.agg(count(lit(1)).as("n_g"))
+      val wl = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+      val langRanked = docs
+        .withColumn("lr", row_number().over(wl))
+        .withColumn("n_l", count(lit(1)).over(Window.partitionBy($"lang")))
+      langRanked.crossJoin(broadcast(nGlobal)) // single-row side
+        .withColumn("gidx",
+          when($"n_l" === 1, expr("1 + (n_g - 1) DIV 2"))
+            .otherwise(expr(
+              "1 + (2 * (lr - 1) * (n_g - 1) + (n_l - 1)) DIV (2 * (n_l - 1))")))
+        .join(globalRanked.select($"_gr".as("gidx"),
+          $"n_chars".as("norm_chars")), Seq("gidx"))
+        .select($"doc_id", $"lang", $"n_chars", $"norm_chars")
+        .orderBy($"doc_id")
     })
   )
 
@@ -1032,6 +1100,54 @@ object RelationalQueries8 {
         |  CAST(sum(CASE WHEN delay > 90 THEN 1 ELSE 0 END) AS BIGINT) * 10000
         |    // count(*) AS late_share_bp
         |FROM j GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q148_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT day, r, count(*) OVER w AS n_w,
+        |    CAST(sum(r) OVER w AS BIGINT) AS trend7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dts AS (
+        |  SELECT dayofweek(day) AS dow, CAST(r * 7 - trend7 AS HUGEINT) AS det
+        |  FROM t WHERE n_w = 7),
+        |g AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(det) AS s_det, sum(det * det) AS ss_det
+        |  FROM dts GROUP BY dow)
+        |SELECT dow, n_days,
+        |  printf('%.4f', CAST(s_det AS DOUBLE) / (n_days * 7.0) / 100.0)
+        |    AS seasonal_usd,
+        |  printf('%.4f', sqrt((CAST(ss_det AS DOUBLE)
+        |      - CAST(s_det AS DOUBLE) * CAST(s_det AS DOUBLE) / n_days)
+        |      / n_days) / 7.0 / 100.0) AS resid_sd_usd
+        |FROM g ORDER BY dow""".stripMargin,
+
+    "q149_quantile_normalize" ->
+      """WITH docs AS (SELECT doc_id, lang, n_chars FROM documents),
+        |g AS (
+        |  SELECT n_chars AS norm_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS gidx
+        |  FROM docs),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_g FROM docs),
+        |l AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS lr,
+        |    count(*) OVER (PARTITION BY lang) AS n_l
+        |  FROM docs),
+        |i AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN n_l = 1 THEN 1 + (n_g - 1) // 2
+        |         ELSE 1 + (2 * (lr - 1) * (n_g - 1) + (n_l - 1))
+        |              // (2 * (n_l - 1)) END AS gidx
+        |  FROM l, ng)
+        |SELECT i.doc_id, i.lang, i.n_chars, g.norm_chars
+        |FROM i JOIN g USING (gidx)
+        |ORDER BY i.doc_id""".stripMargin
   )
 }
