@@ -699,6 +699,30 @@ object RelationalQueries8 {
           $"n_chars".as("norm_chars")), Seq("gidx"))
         .select($"doc_id", $"lang", $"n_chars", $"norm_chars")
         .orderBy($"doc_id")
+    }),
+
+    // CALENDAR-COMPLETENESS audit — the "did the load skip days" check
+    // a warehouse runs before trusting any time series built on top:
+    // expected span from min/max order date, present days from one
+    // keyed distinct, missing count by difference, and the LONGEST
+    // observation gap via lag over the aggregate-sized day table
+    // (q108's null-across-gaps convention made into the headline
+    // number). Everything is exact integer day arithmetic.
+    "q150_calendar_gaps" -> ((s, d) => {
+      import s.implicits._
+      val daily = orders(s, d)
+        .select($"o_orderdate".cast("date").as("day")).distinct()
+      val w = Window.orderBy($"day") // day table: aggregate-sized
+      val gaps = daily
+        .withColumn("gap", datediff($"day", lag($"day", 1).over(w)))
+      gaps.agg(
+          count(lit(1)).as("n_present"),
+          (datediff(max($"day"), min($"day")) + 1).cast("long").as("n_expected"),
+          max($"gap").cast("long").as("max_gap_days"))
+        .select($"n_present", $"n_expected",
+          ($"n_expected" - $"n_present").as("n_missing"),
+          $"max_gap_days",
+          ($"n_expected" === $"n_present").as("complete"))
     })
   )
 
@@ -1148,6 +1172,19 @@ object RelationalQueries8 {
         |  FROM l, ng)
         |SELECT i.doc_id, i.lang, i.n_chars, g.norm_chars
         |FROM i JOIN g USING (gidx)
-        |ORDER BY i.doc_id""".stripMargin
+        |ORDER BY i.doc_id""".stripMargin,
+
+    "q150_calendar_gaps" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+        |g AS (
+        |  SELECT day, day - lag(day) OVER (ORDER BY day) AS gap FROM daily)
+        |SELECT CAST(count(*) AS BIGINT) AS n_present,
+        |  CAST(max(day) - min(day) + 1 AS BIGINT) AS n_expected,
+        |  CAST(max(day) - min(day) + 1 AS BIGINT) - CAST(count(*) AS BIGINT)
+        |    AS n_missing,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days,
+        |  max(day) - min(day) + 1 = count(*) AS complete
+        |FROM g""".stripMargin
   )
 }
