@@ -723,6 +723,48 @@ object RelationalQueries8 {
           ($"n_expected" - $"n_present").as("n_missing"),
           $"max_gap_days",
           ($"n_expected" === $"n_present").as("complete"))
+    }),
+
+    // XmR CONTROL CHART (statistical process control) on daily
+    // revenue: individuals mean, average moving range, and the
+    // ±2.66·mR̄ natural process limits, plus the count of
+    // out-of-control days — the Shewhart chart behind "is this dip
+    // noise or a signal", a family (SPC) the suite didn't cover.
+    // Sums stay exact integer cents; the limits and the breach
+    // comparison evaluate through one shared double tree. The day
+    // table is aggregate-sized; it feeds the limit aggregate AND the
+    // breach count from one pinned pass.
+    "q151_xmr_control_chart" -> ((s, d) => {
+      import s.implicits._
+      val daily = orders(s, d)
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(sum(cents38($"o_totalprice")).cast("long").as("r"))
+        .localCheckpoint() // feeds the limit aggregate and the breach scan
+      val w = Window.orderBy($"day") // day series: aggregate-sized
+      val mr = daily.withColumn("mr", abs($"r" - lag($"r", 1).over(w)))
+      val lims = mr.agg(
+          count(lit(1)).as("n_days"),
+          sum($"r").as("s_r"),
+          sum($"mr").as("s_mr"),
+          count($"mr").as("n_mr"))
+        .select($"n_days",
+          ($"s_r".cast("double") / $"n_days").as("mean_c"),
+          ($"s_mr".cast("double") / $"n_mr").as("mrbar_c"))
+        .select($"n_days", $"mean_c", $"mrbar_c",
+          ($"mean_c" + lit(2.66) * $"mrbar_c").as("ucl_c"),
+          ($"mean_c" - lit(2.66) * $"mrbar_c").as("lcl_c"))
+      daily.crossJoin(broadcast(lims)) // single-row side
+        .agg(max($"n_days").as("n_days"),
+          max($"mean_c").as("mean_c"), max($"mrbar_c").as("mrbar_c"),
+          max($"ucl_c").as("ucl_c"), max($"lcl_c").as("lcl_c"),
+          sum(when($"r".cast("double") > $"ucl_c" ||
+            $"r".cast("double") < $"lcl_c", 1L).otherwise(0L)).as("n_breaches"))
+        .select($"n_days",
+          format_string("%.4f", $"mean_c" / 100.0).as("mean_usd"),
+          format_string("%.4f", $"mrbar_c" / 100.0).as("mrbar_usd"),
+          format_string("%.4f", $"ucl_c" / 100.0).as("ucl_usd"),
+          format_string("%.4f", $"lcl_c" / 100.0).as("lcl_usd"),
+          $"n_breaches")
     })
   )
 
@@ -1185,6 +1227,35 @@ object RelationalQueries8 {
         |    AS n_missing,
         |  CAST(max(gap) AS BIGINT) AS max_gap_days,
         |  max(day) - min(day) + 1 = count(*) AS complete
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q151_xmr_control_chart" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |mr AS (
+        |  SELECT day, r, abs(r - lag(r) OVER (ORDER BY day)) AS mrv FROM daily),
+        |lims AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(r) AS DOUBLE) / count(*) AS mean_c,
+        |    CAST(sum(mrv) AS DOUBLE) / count(mrv) AS mrbar_c
+        |  FROM mr),
+        |l2 AS (
+        |  SELECT n_days, mean_c, mrbar_c,
+        |    mean_c + 2.66 * mrbar_c AS ucl_c,
+        |    mean_c - 2.66 * mrbar_c AS lcl_c
+        |  FROM lims)
+        |SELECT l2.n_days,
+        |  printf('%.4f', mean_c / 100.0) AS mean_usd,
+        |  printf('%.4f', mrbar_c / 100.0) AS mrbar_usd,
+        |  printf('%.4f', ucl_c / 100.0) AS ucl_usd,
+        |  printf('%.4f', lcl_c / 100.0) AS lcl_usd,
+        |  CAST(sum(CASE WHEN CAST(r AS DOUBLE) > ucl_c
+        |    OR CAST(r AS DOUBLE) < lcl_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_breaches
+        |FROM daily, l2
+        |GROUP BY l2.n_days, mean_c, mrbar_c, ucl_c, lcl_c""".stripMargin
   )
 }
