@@ -35,7 +35,8 @@ object SparkEntry {
       RelationalQueries5.queries ++
       RelationalQueries6.queries ++
       RelationalQueries7.queries ++
-      RelationalQueries8.queries
+      RelationalQueries8.queries ++
+      RelationalQueries9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
       RelationalQueries5.oracles ++
       RelationalQueries6.oracles ++
       RelationalQueries7.oracles ++
-      RelationalQueries8.oracles
+      RelationalQueries8.oracles ++
+      RelationalQueries9.oracles
 }
