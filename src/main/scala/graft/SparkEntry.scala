@@ -36,7 +36,8 @@ object SparkEntry {
       RelationalQueries6.queries ++
       RelationalQueries7.queries ++
       RelationalQueries8.queries ++
-      RelationalQueries9.queries
+      RelationalQueries9.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -58,5 +59,6 @@ object SparkEntry {
       RelationalQueries6.oracles ++
       RelationalQueries7.oracles ++
       RelationalQueries8.oracles ++
-      RelationalQueries9.oracles
+      RelationalQueries9.oracles ++
+      GraphQueries.oracles
 }

@@ -62,7 +62,7 @@ object DedupQueries {
   /** Near-dup pairs (jaccard ≥ 0.5) over the df-capped shingle universe
     * — shared by dedup_ngram_jaccard and the clustering on top of it.
     * See the dedup_ngram_jaccard scaladoc below for the scale analysis. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val exr = cappedShingleRows(s, d)
     val sizes = exr.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -474,7 +474,7 @@ object DedupQueries {
 
   /** DuckDB twin of [[jaccardPairs]], shared by the pair and cluster
     * oracles (kept as a CTE block so both stay literally identical). */
-  private val pairsCte =
+  private[operators] val pairsCte =
     """sh AS (
       |  SELECT doc_id,
       |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s

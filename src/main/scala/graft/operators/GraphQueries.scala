@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-11 graph/recommender additions over the document similarity
+  * graph (the `jaccardPairs` substrate the dedup family already
+  * builds) and the order co-purchase graph:
+  *
+  *  - `graph_label_prop`  — community detection via synchronous
+  *    label propagation (the LPA the CC/PageRank family lacked:
+  *    CC answers "connected?", LPA answers "which community?");
+  *  - `graph_bfs_reach`   — multi-source BFS hop profile (graph
+  *    radius/reachability diagnostics);
+  *  - `cf_item_neighbors` — item-item collaborative filtering on
+  *    co-purchase cosine similarity (the recommender twin of q119's
+  *    association rules).
+  *
+  * Scale contract shared with `dedup_graph_pagerank`: edge/vertex
+  * tables are sparse-graph-sized (≪ corpus), every per-round step is
+  * a keyed join/aggregate, rounds are pointer-checkpointed so lineage
+  * never compounds, and nothing corpus-sized ever sorts globally or
+  * crosses the driver. Determinism: all tie-breaks are total orders
+  * (min label / min id), so fixed-round outputs are exact and the
+  * DuckDB oracles replay the same rounds as unrolled CTEs.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Undirected edge list (both orientations) of the ≥0.5-jaccard
+    * document similarity graph, pinned once per query. */
+  private def simEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    DedupQueries.jaccardPairs(s, d)
+      .select(explode(array(
+        struct($"d1".as("src"), $"d2".as("dst")),
+        struct($"d2".as("src"), $"d1".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .localCheckpoint()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // LABEL PROPAGATION communities: every vertex starts as its own
+    // label; each synchronous round adopts the MOST FREQUENT label
+    // among neighbors (ties → smallest label, a total order, so the
+    // fixed 4-round result is deterministic and oracle-replayable).
+    // Per round: one keyed join (edges ⋈ labels), one keyed count
+    // aggregate, one per-vertex window — all vertex/edge-sized. The
+    // round state is repartitioned small and pointer-checkpointed
+    // (the PageRank loop discipline: lineage stays one round deep).
+    "graph_label_prop" -> ((s, d) => {
+      import s.implicits._
+      val edges = simEdges(s, d)
+      val loopParts = 4
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("label"))
+        .repartition(loopParts, $"doc_id").localCheckpoint()
+      for (_ <- 1 to 4) {
+        val wv = Window.partitionBy($"dst").orderBy($"c".desc, $"label")
+        labels = edges
+          .join(labels.select($"doc_id".as("src"), $"label"), Seq("src"))
+          .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(wv))
+          .filter($"rn" === 1)
+          .select($"dst".as("doc_id"), $"label")
+          .repartition(loopParts, $"doc_id")
+          .localCheckpoint()
+      }
+      labels.groupBy($"label".as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"n_members".desc, $"community")
+        .limit(20)
+    }),
+
+    // Multi-source BFS hop profile: seeds = similarity-graph vertices
+    // with doc_id ≡ 0 (mod 10); frontier expansion joins the frontier
+    // against the edge list and anti-joins the visited set — the
+    // textbook distributed BFS (each round is two keyed joins over
+    // frontier-sized input, never the whole graph). 4 hops; output is
+    // the per-hop reachable census, aggregate-sized.
+    "graph_bfs_reach" -> ((s, d) => {
+      import s.implicits._
+      val edges = simEdges(s, d)
+      val loopParts = 4
+      var visited = edges.select($"src".as("doc_id")).distinct()
+        .filter($"doc_id" % 10 === 0)
+        .withColumn("dist", lit(0))
+        .repartition(loopParts, $"doc_id").localCheckpoint()
+      var frontier = visited.select($"doc_id")
+      for (h <- 1 to 4) {
+        val next = edges
+          .join(frontier.select($"doc_id".as("src")), Seq("src"))
+          .select($"dst".as("doc_id")).distinct()
+          .join(visited.select($"doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("dist", lit(h))
+          .repartition(loopParts, $"doc_id").localCheckpoint()
+        visited = visited.union(next)
+          .repartition(loopParts, $"doc_id").localCheckpoint()
+        frontier = next.select($"doc_id")
+      }
+      visited.groupBy($"dist")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"dist")
+    }),
+
+    // ITEM-ITEM collaborative filtering: cosine similarity over the
+    // order/part co-purchase matrix with binary weights —
+    // sim(a,b) = cooc(a,b) / √(freq(a)·freq(b)) — reported EXACTLY as
+    // cos²·1e8 DIV (integer; squaring clears the √ and preserves the
+    // ranking since cosine is non-negative). Top-3 neighbors per item.
+    // The pair join is per-order-bounded (q119's contract: an order
+    // has bounded lines, so pairs grow linearly with orders); the
+    // neighbor window is keyed by item. Nothing here is corpus-sorted.
+    "cf_item_neighbors" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val freq = li.groupBy($"pk").agg(count(lit(1)).as("f"))
+      val cooc = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .groupBy($"a.pk".as("p1"), $"b.pk".as("p2"))
+        .agg(count(lit(1)).as("cooc"))
+      val sym = cooc.select(explode(array(
+          struct($"p1".as("item"), $"p2".as("nbr"), $"cooc"),
+          struct($"p2".as("item"), $"p1".as("nbr"), $"cooc"))).as("e"))
+        .select($"e.item".as("item"), $"e.nbr".as("nbr"), $"e.cooc".as("cooc"))
+      val wn = Window.partitionBy($"item").orderBy($"cos2_e8".desc, $"nbr")
+      sym
+        .join(freq.select($"pk".as("item"), $"f".as("f_item")), Seq("item"))
+        .join(freq.select($"pk".as("nbr"), $"f".as("f_nbr")), Seq("nbr"))
+        .withColumn("cos2_e8",
+          expr("cooc * cooc * 100000000 DIV (f_item * f_nbr)"))
+        .withColumn("rank", row_number().over(wn))
+        .filter($"rank" <= 3)
+        .select($"item", $"rank", $"nbr", $"cooc", $"cos2_e8")
+        .orderBy($"item", $"rank")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "graph_label_prop" -> {
+      def round(n: Int): String = {
+        val prev = s"l${n - 1}"
+        s"""l$n AS (
+           |  SELECT doc_id, label FROM (
+           |    SELECT e.dst AS doc_id, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM edges e JOIN $prev l ON e.src = l.doc_id
+           |    GROUP BY e.dst, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH ${DedupQueries.pairsCte},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+         |FROM l4 GROUP BY label
+         |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+    },
+
+    "graph_bfs_reach" -> {
+      def hop(n: Int): String =
+        s"""n$n AS (
+           |  SELECT DISTINCT e.dst AS doc_id, $n AS dist
+           |  FROM edges e JOIN v${n - 1} f ON e.src = f.doc_id AND f.dist = ${n - 1}
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${n - 1} x WHERE x.doc_id = e.dst)),
+           |v$n AS (SELECT doc_id, dist FROM v${n - 1}
+           |        UNION ALL SELECT doc_id, dist FROM n$n)""".stripMargin
+      s"""WITH ${DedupQueries.pairsCte},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |v0 AS (SELECT DISTINCT src AS doc_id, 0 AS dist FROM edges
+         |       WHERE src % 10 = 0),
+         |${(1 to 4).map(hop).mkString(",\n")}
+         |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM v4 GROUP BY dist ORDER BY dist""".stripMargin
+    },
+
+    "cf_item_neighbors" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |freq AS (SELECT pk, CAST(count(*) AS BIGINT) AS f FROM li GROUP BY pk),
+        |cooc AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS cooc
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk),
+        |sym AS (
+        |  SELECT p1 AS item, p2 AS nbr, cooc FROM cooc
+        |  UNION ALL SELECT p2, p1, cooc FROM cooc),
+        |scored AS (
+        |  SELECT s.item, s.nbr, s.cooc,
+        |    s.cooc * s.cooc * 100000000 // (fi.f * fn.f) AS cos2_e8
+        |  FROM sym s
+        |  JOIN freq fi ON s.item = fi.pk
+        |  JOIN freq fn ON s.nbr = fn.pk),
+        |ranked AS (
+        |  SELECT item, nbr, cooc, CAST(cos2_e8 AS BIGINT) AS cos2_e8,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cos2_e8 DESC, nbr) AS rank
+        |  FROM scored)
+        |SELECT item, CAST(rank AS INTEGER) AS rank, nbr, cooc, cos2_e8
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY item, rank""".stripMargin)
+}
