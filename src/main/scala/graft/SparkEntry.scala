@@ -37,7 +37,8 @@ object SparkEntry {
       RelationalQueries7.queries ++
       RelationalQueries8.queries ++
       RelationalQueries9.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++
+      TextQueries2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -60,5 +61,6 @@ object SparkEntry {
       RelationalQueries7.oracles ++
       RelationalQueries8.oracles ++
       RelationalQueries9.oracles ++
-      GraphQueries.oracles
+      GraphQueries.oracles ++
+      TextQueries2.oracles
 }
