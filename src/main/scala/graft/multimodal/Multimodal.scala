@@ -322,4 +322,112 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ─── audio VAD fixture: tone bursts with exact activity closed forms ──
+
+  /** Burst square wave: `segLen`-sample segments alternate tone (even
+    * segments: ±amplitude square at halfPeriod) and digital silence
+    * (odd segments). The VAD twin of the square-wave fixture: with
+    * segLen a multiple of the analysis frame, active-frame and
+    * active-segment counts have exact closed forms. */
+  def encodeWavBursts(nSamples: Int, halfPeriod: Int, amplitude: Int,
+      segLen: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v =
+        if ((i / segLen) % 2 != 0) 0
+        else if ((i / halfPeriod) % 2 == 0) amplitude
+        else -amplitude
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched burst synthesis: (doc_id, n_samples, half_period,
+    * amplitude, seg_len) → (doc_id, payload). */
+  def encodeWavBurstPayloads(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Row(r.getLong(0),
+            encodeWavBursts(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Energy-based voice-activity detection over one decoded WAV:
+    * complete `frameLen`-sample frames, a frame is ACTIVE iff its
+    * Σ|x| exceeds `thrSumAbs` (mean-energy gate in integer form), and
+    * maximal runs of active frames merge into segments. Exact integer
+    * arithmetic end-to-end; None for dead payloads (DLQ pattern). */
+  private[graft] def vadOne(payload: Array[Byte], frameLen: Int,
+      thrSumAbs: Long): Option[(Long, Long, Long)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.isBigEndian) return None
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val nFrames = n / frameLen
+      if (nFrames == 0) return None
+      var nActive = 0L; var nSegs = 0L; var prevActive = false
+      var f = 0
+      while (f < nFrames) {
+        var sumAbs = 0L
+        var i = f * frameLen
+        val end = i + frameLen
+        while (i < end) {
+          val v = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          sumAbs += math.abs(v)
+          i += 1
+        }
+        val active = sumAbs > thrSumAbs
+        if (active) {
+          nActive += 1
+          if (!prevActive) nSegs += 1
+        }
+        prevActive = active
+        f += 1
+      }
+      Some((nFrames.toLong, nActive, nSegs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val vadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", LongType),
+    StructField("n_active", LongType),
+    StructField("n_segments", LongType)))
+
+  /** Batched VAD over (doc_id, payload) — zero-shuffle, `batchSize`
+    * payloads in flight per task, the decodeFeatures contract. */
+  def vadFeatures(df: DataFrame, frameLen: Int, thrSumAbs: Long): DataFrame = {
+    val enc = RowEncoder.encoderFor(vadSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          vadOne(payload, frameLen, thrSumAbs) match {
+            case Some((nf, na, ns)) => Row(id, nf, na, ns)
+            case None => Row(id, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
 }

@@ -214,6 +214,38 @@ object MultimodalQueries {
           ($"n_samples" * 125L).as("duration_us"), $"zero_crossings",
           $"features_match")
         .orderBy($"doc_id")
+    }),
+
+    // Energy-based VOICE-ACTIVITY DETECTION plumbing on the real WAV
+    // codec: deterministic tone-burst clips (alternating tone/silence
+    // segments, segment length a multiple of the 80-sample/10 ms
+    // analysis frame) are really encoded and re-decoded, framed, and
+    // gated on exact integer frame energy (Σ|x| > 500·80); maximal
+    // active runs merge into segments. Because bursts align to frames,
+    // frame/activity/segment counts have exact closed forms, cross-
+    // checked in-query (`vad_match`) and hash-pinned by the oracle —
+    // same zero-shuffle batched mapPartitions contract as every
+    // decode path here; the audio analog of mm_scene_cuts' cut logic.
+    "mm_audio_vad" -> ((s, d) => {
+      import s.implicits._
+      val h = md5($"doc_id".cast("string").cast("binary"))
+      val meta = documents(s, d).select($"doc_id",
+        (($"n_chars" % 3 + 1) * 160).cast("int").as("seg_len"),
+        ($"n_chars" % 6 + 2).cast("int").as("n_segs"),
+        ($"n_chars" % 10 + 2).cast("int").as("half_p"),
+        (conv(substring(h, 1, 4), 16, 10).cast("int") % 6000 + 2000).as("amp"))
+      val payloads = graft.multimodal.Multimodal.encodeWavBurstPayloads(
+        meta.select($"doc_id", ($"seg_len" * $"n_segs").cast("int").as("n_samples"),
+          $"half_p", $"amp", $"seg_len"))
+      val vad = graft.multimodal.Multimodal.vadFeatures(payloads, 80, 500L * 80)
+      vad.join(meta, Seq("doc_id"))
+        .withColumn("vad_match",
+          $"n_frames" === expr("CAST((seg_len * n_segs) DIV 80 AS BIGINT)") &&
+            $"n_active" ===
+              expr("CAST((seg_len DIV 80) * ((n_segs + 1) DIV 2) AS BIGINT)") &&
+            $"n_segments" === expr("CAST((n_segs + 1) DIV 2 AS BIGINT)"))
+        .select($"doc_id", $"n_frames", $"n_active", $"n_segments", $"vad_match")
+        .orderBy($"doc_id")
     })
   )
 
@@ -284,6 +316,16 @@ object MultimodalQueries {
         | CAST((n_chars % 800 + 100 - 1) // (n_chars % 20 + 2) AS BIGINT)
         |   AS zero_crossings,
         | TRUE AS features_match
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_vad" ->
+      """SELECT doc_id,
+        | CAST(((n_chars % 3 + 1) * 160 * (n_chars % 6 + 2)) // 80 AS BIGINT)
+        |   AS n_frames,
+        | CAST((n_chars % 3 + 1) * 2 * ((n_chars % 6 + 2 + 1) // 2) AS BIGINT)
+        |   AS n_active,
+        | CAST((n_chars % 6 + 2 + 1) // 2 AS BIGINT) AS n_segments,
+        | TRUE AS vad_match
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -115,4 +115,31 @@ class MultimodalSpec extends SparkSuite {
     val row = Multimodal.wavFeatures(corrupt).collect().head
     assert(row.getLong(0) === 9L && row.isNullAt(1) && row.isNullAt(5))
   }
+
+  test("vadOne: burst clip yields exact frame/activity/segment counts; gate is strict") {
+    // 3 segments of 160 samples (2 frames each): tone, silence, tone
+    val wav = Multimodal.encodeWavBursts(
+      nSamples = 480, halfPeriod = 4, amplitude = 1000, segLen = 160)
+    val Some((nf, na, ns)) = Multimodal.vadOne(wav, 80, 500L * 80)
+    assert((nf, na, ns) === ((6L, 4L, 2L)))
+    // amplitude exactly AT the mean threshold is NOT active (> gate)
+    val quiet = Multimodal.encodeWavBursts(480, 4, 500, 160)
+    val Some((_, na2, ns2)) = Multimodal.vadOne(quiet, 80, 500L * 80)
+    assert((na2, ns2) === ((0L, 0L)))
+    // adjacent tone segments merge into ONE segment when silence gap
+    // is absent (segLen spanning the whole clip)
+    val solid = Multimodal.encodeWavBursts(480, 4, 1000, 480)
+    val Some((_, na3, ns3)) = Multimodal.vadOne(solid, 80, 500L * 80)
+    assert((na3, ns3) === ((6L, 1L)))
+  }
+
+  test("vadOne: corrupt/truncated payloads degrade to None; trailing partial frame is dropped") {
+    assert(Multimodal.vadOne("junk".getBytes("UTF-8"), 80, 40000L).isEmpty)
+    assert(Multimodal.vadOne(Array.emptyByteArray, 80, 40000L).isEmpty)
+    assert(Multimodal.vadOne(null, 80, 40000L).isEmpty)
+    // 200 samples at frameLen 80 -> 2 complete frames, 40-sample tail ignored
+    val wav = Multimodal.encodeWavBursts(200, 4, 1000, 200)
+    val Some((nf, na, ns)) = Multimodal.vadOne(wav, 80, 500L * 80)
+    assert((nf, na, ns) === ((2L, 2L, 1L)))
+  }
 }
