@@ -218,6 +218,51 @@ object RelationalQueries9 {
         .select($"l_partkey", $"est", $"exact", ($"est" - $"exact").as("overcount"))
         .orderBy($"est".desc, $"l_partkey")
         .limit(20)
+    }),
+
+    // HOLT-WINTERS additive seasonal smoothing (α=.3, β=.1, γ=.2,
+    // weekly m=7) — the seasonal upgrade of q143's Holt recurrence:
+    // level/trend plus a 7-slot seasonal state vector, folded over
+    // each series' day-sorted array (aggregate-sized: calendar days
+    // per event type). The 9-state recurrence runs engine-side as one
+    // sequential aggregate() fold — identical IEEE op sequence on
+    // both engines (the oracle replays it as a recursive CTE carrying
+    // the seasonal LIST, q143's idiom extended), so the %.6f renders
+    // agree bit-for-bit. l_new is recomputed inside the b/s branches
+    // because SQL lambdas cannot bind intermediates — identical
+    // operand trees, identical bits. Forecast = l + b + s[next].
+    "q157_holt_winters" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum((dec($"value") * 100).cast("long")).as("y"))
+      daily.groupBy($"event_type")
+        .agg(array_sort(collect_list(struct($"day", $"y"))).as("arr"))
+        .select($"event_type", size($"arr").cast("long").as("n_days"),
+          expr("""
+            aggregate(
+              transform(slice(arr, 2, size(arr) - 1), e -> CAST(e.y AS DOUBLE)),
+              named_struct('l', CAST(arr[0].y AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+                's', array_repeat(CAST(0.0 AS DOUBLE), 7), 't', 1),
+              (a, x) -> named_struct(
+                'l', 0.3D * (x - element_at(a.s, a.t % 7 + 1))
+                     + 0.7D * (a.l + a.b),
+                'b', 0.1D * ((0.3D * (x - element_at(a.s, a.t % 7 + 1))
+                       + 0.7D * (a.l + a.b)) - a.l) + 0.9D * a.b,
+                's', transform(sequence(0, 6), j -> IF(j = a.t % 7,
+                       0.2D * (x - (0.3D * (x - element_at(a.s, a.t % 7 + 1))
+                         + 0.7D * (a.l + a.b)))
+                         + 0.8D * element_at(a.s, a.t % 7 + 1),
+                       element_at(a.s, j + 1))),
+                't', a.t + 1))
+          """).as("st"))
+        .select($"event_type", $"n_days",
+          format_string("%.6f", $"st.l" / 100.0).as("level_usd"),
+          format_string("%.6f", $"st.b" / 100.0).as("trend_usd"),
+          format_string("%.6f", ($"st.l" + $"st.b" +
+            expr("element_at(st.s, CAST(n_days % 7 AS INT) + 1)")) / 100.0)
+            .as("forecast_usd"))
+        .orderBy($"event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -363,5 +408,45 @@ object RelationalQueries9 {
         |  GROUP BY e.l_partkey, e.exact)
         |SELECT l_partkey, est, exact, est - exact AS overcount
         |FROM est
-        |ORDER BY est DESC, l_partkey LIMIT 20""".stripMargin)
+        |ORDER BY est DESC, l_partkey LIMIT 20""".stripMargin,
+
+    "q157_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, CAST(y AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |fold AS (
+        |  SELECT event_type, rn, y AS l, CAST(0 AS DOUBLE) AS b,
+        |    list_transform(range(0, 7), j -> CAST(0 AS DOUBLE)) AS s
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.event_type, i.rn,
+        |    CAST(0.3 AS DOUBLE) * (i.y - f.s[(i.rn - 1) % 7 + 1])
+        |      + CAST(0.7 AS DOUBLE) * (f.l + f.b),
+        |    CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE)
+        |        * (i.y - f.s[(i.rn - 1) % 7 + 1])
+        |        + CAST(0.7 AS DOUBLE) * (f.l + f.b)) - f.l)
+        |      + CAST(0.9 AS DOUBLE) * f.b,
+        |    list_transform(range(0, 7), j -> CASE WHEN j = (i.rn - 1) % 7
+        |      THEN CAST(0.2 AS DOUBLE) * (i.y - (CAST(0.3 AS DOUBLE)
+        |             * (i.y - f.s[(i.rn - 1) % 7 + 1])
+        |             + CAST(0.7 AS DOUBLE) * (f.l + f.b)))
+        |           + CAST(0.8 AS DOUBLE) * f.s[(i.rn - 1) % 7 + 1]
+        |      ELSE f.s[j + 1] END)
+        |  FROM fold f JOIN idx i
+        |    ON i.event_type = f.event_type AND i.rn = f.rn + 1),
+        |last AS (SELECT event_type, max(rn) AS n FROM fold GROUP BY event_type)
+        |SELECT f.event_type, CAST(l2.n AS BIGINT) AS n_days,
+        |  printf('%.6f', f.l / 100.0) AS level_usd,
+        |  printf('%.6f', f.b / 100.0) AS trend_usd,
+        |  printf('%.6f', (f.l + f.b + f.s[CAST(l2.n % 7 AS INT) + 1]) / 100.0)
+        |    AS forecast_usd
+        |FROM fold f JOIN last l2
+        |  ON f.event_type = l2.event_type AND f.rn = l2.n
+        |ORDER BY f.event_type""".stripMargin)
 }
