@@ -257,7 +257,7 @@ class PlanSpec extends SparkSuite {
         "q99_gini_concentration", "q110_decile_lift", "samp_shuffle",
         "q114_ks_test", "q118_weighted_median", "q86_skyline",
         "q129_spearman_corr", "q132_winsorized_mean",
-        "q133_hhi_concentration")) {
+        "q133_hhi_concentration", "q153_tukey_fences", "samp_curriculum")) {
       val wins = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
@@ -305,5 +305,46 @@ class PlanSpec extends SparkSuite {
       s"salted stage-1 exchange missing — hot keys would hit one reducer:\n$p")
     assert("hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).nonEmpty,
       s"keyed final-merge exchange missing:\n$p")
+  }
+
+  test("text_bm25: top-20 rides TakeOrdered; df/total tables broadcast back") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must not globally sort the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"3-row df table should broadcast, not shuffle the tf table:\n$p")
+  }
+
+  test("cf_item_neighbors: per-item neighbor rank is a keyed window; top rows via TakeOrdered") {
+    // The only window is the per-item neighbor rank — it must carry a
+    // partition spec, or one task would hold the whole pair table.
+    val wins = SparkEntry.queries("cf_item_neighbors")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty, "cf_item_neighbors: expected the keyed rank window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "cf_item_neighbors has a global (single-partition) window")
+    }
+  }
+
+  test("graph_label_prop: community census is a partial+final agg over TakeOrdered top-20") {
+    // The loop windows run keyed inside the pointer-checkpointed
+    // rounds (materialized before the final plan); the returned plan
+    // is the census — pin its top-k + combine shape.
+    val p = plan("graph_label_prop")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"community top-20 must plan as TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"census must map-side combine:\n$p")
+  }
+
+  test("q156: the 2048-cell sketch broadcasts to the estimate probe (fact side never re-shuffles on cell)") {
+    val p = plan("q156_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch-probe join must broadcast the sketch:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 estimates must plan as TakeOrdered, not a global sort:\n$p")
   }
 }
