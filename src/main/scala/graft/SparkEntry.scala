@@ -38,7 +38,10 @@ object SparkEntry {
       RelationalQueries8.queries ++
       RelationalQueries9.queries ++
       GraphQueries.queries ++
-      TextQueries2.queries
+      TextQueries2.queries ++
+      RelationalQueries10.queries ++
+      GraphQueries2.queries ++
+      MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -62,5 +65,8 @@ object SparkEntry {
       RelationalQueries8.oracles ++
       RelationalQueries9.oracles ++
       GraphQueries.oracles ++
-      TextQueries2.oracles
+      TextQueries2.oracles ++
+      RelationalQueries10.oracles ++
+      GraphQueries2.oracles ++
+      MlQueries.oracles
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-11 graph additions on the document-similarity edge substrate
+  * (`DedupQueries.jaccardPairs`, the same graph the CC / PageRank /
+  * LPA / BFS family rides):
+  *
+  *  - `graph_kcore_peel`   — k-core decomposition by iterative peeling
+  *    (the density stratification CC can't see: CC says "connected",
+  *    the 3-core says "densely embedded");
+  *  - `graph_adamic_adar`  — common-neighbor link prediction with
+  *    Adamic–Adar weighting (the "which near-dupes did the threshold
+  *    miss?" ranking over non-adjacent 2-hop pairs).
+  *
+  * Scale contract (shared with the rest of the graph family): every
+  * per-round step is a keyed join/aggregate on edge/vertex-sized
+  * tables, round state is pointer-checkpointed so lineage never
+  * compounds, and all tie-breaks are total orders so fixed-round
+  * outputs replay exactly as unrolled CTEs in the DuckDB oracle.
+  * Determinism of AA scores: each neighbor's 1/ln(deg) term is
+  * floor-quantized to integer nano-units BEFORE the per-pair sum, so
+  * the score is an exact integer at any summation order.
+  */
+object GraphQueries2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K_CORE = 3
+  private val ROUNDS = 4
+
+  /** Undirected edge list (both orientations), pinned per query. */
+  private def simEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    DedupQueries.jaccardPairs(s, d)
+      .select(explode(array(
+        struct($"d1".as("src"), $"d2".as("dst")),
+        struct($"d2".as("src"), $"d1".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .localCheckpoint()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // K-CORE PEELING: each round drops vertices with degree < k in the
+    // CURRENT subgraph and re-induces the edges; after enough rounds
+    // the fixed point is the k-core. Fixed ROUNDS=4 keeps the oracle
+    // an unrolled CTE (the convergence profile itself is the output —
+    // a round that removes nothing certifies the fixed point early).
+    // Per round: one degree aggregate + two semi-joins, all edge-sized;
+    // directed edge counts are reported (undirected edges = half).
+    "graph_kcore_peel" -> ((s, d) => {
+      import s.implicits._
+      var edges = simEdges(s, d)
+      val out = Seq.newBuilder[(Int, Long, Long)]
+      out += ((0, edges.select($"src").distinct().count(), edges.count()))
+      for (r <- 1 to ROUNDS) {
+        val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= K_CORE).select($"src".as("v"))
+        edges = edges
+          .join(keep.select($"v".as("src")), Seq("src"), "left_semi")
+          .join(keep.select($"v".as("dst")), Seq("dst"), "left_semi")
+          .select($"src", $"dst")
+          .repartition(4, $"src").localCheckpoint()
+        out += ((r, edges.select($"src").distinct().count(), edges.count()))
+      }
+      s.createDataFrame(out.result()).toDF("round", "n_vertices", "n_dir_edges")
+        .orderBy($"round")
+    }),
+
+    // ADAMIC–ADAR link prediction: for every NON-adjacent pair (a,b)
+    // sharing ≥1 neighbor, score = Σ_z 1/ln(deg(z)) over common
+    // neighbors z — "which parts will be co-bought next?" over the
+    // CO-PURCHASE graph (parts co-ordered in ≥2 orders; the similarity
+    // graph is pure cliques by construction, so its AA set is empty —
+    // the recommender graph is where 2-hop structure lives). Wedge
+    // enumeration is the z-keyed self-join of the edge list (bounded
+    // by Σ deg², the standard wedge bound); existing edges drop via
+    // one anti-join; top-20 rides TakeOrderedAndProject.
+    "graph_adamic_adar" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val cooc = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .groupBy($"a.pk".as("p1"), $"b.pk".as("p2"))
+        .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      val edges = cooc
+        .select(explode(array(
+          struct($"p1".as("src"), $"p2".as("dst")),
+          struct($"p2".as("src"), $"p1".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+        .localCheckpoint()
+      val deg = edges.groupBy($"src".as("z")).agg(count(lit(1)).as("deg"))
+      // each common neighbor's AA term, exact nano-units (only deg >= 2
+      // vertices can be wedge centers, and ln(deg) > 0 there)
+      val aa = deg.filter($"deg" >= 2).withColumn("aa_nano",
+        floor(lit(1e9) / log($"deg".cast("double"))).cast("long"))
+      val wedges = edges.select($"src".as("z"), $"dst".as("a"))
+        .join(edges.select($"src".as("z"), $"dst".as("b")), Seq("z"))
+        .filter($"a" < $"b")
+        .join(aa.select($"z", $"aa_nano"), Seq("z"))
+      val scored = wedges.groupBy($"a", $"b")
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum($"aa_nano").as("aa_score_nano"))
+      val nonAdj = scored.join(
+        edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"), "left_anti")
+      nonAdj
+        .orderBy($"aa_score_nano".desc, $"a".asc, $"b".asc)
+        .limit(20)
+        .select($"a", $"b", $"common_neighbors", $"aa_score_nano")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_kcore_peel" -> {
+      def round(n: Int): String = {
+        val prev = s"e${n - 1}"
+        s"""k$n AS (
+           |  SELECT src AS v FROM $prev GROUP BY src HAVING count(*) >= $K_CORE),
+           |e$n AS (
+           |  SELECT e.src, e.dst FROM $prev e
+           |  WHERE EXISTS (SELECT 1 FROM k$n a WHERE a.v = e.src)
+           |    AND EXISTS (SELECT 1 FROM k$n b WHERE b.v = e.dst))""".stripMargin
+      }
+      s"""WITH ${DedupQueries.pairsCte},
+         |e0 AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |       UNION ALL SELECT d2, d1 FROM pairs),
+         |${(1 to ROUNDS).map(round).mkString(",\n")}
+         |${(0 to ROUNDS).map(r =>
+           s"""SELECT $r AS round,
+              |  CAST(count(DISTINCT src) AS BIGINT) AS n_vertices,
+              |  CAST(count(*) AS BIGINT) AS n_dir_edges FROM e$r""".stripMargin)
+           .mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin
+    },
+
+    "graph_adamic_adar" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |cooc AS (
+         |  SELECT a.pk AS p1, b.pk AS p2
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+         |edges AS (SELECT p1 AS src, p2 AS dst FROM cooc
+         |          UNION ALL SELECT p2, p1 FROM cooc),
+         |deg AS (
+         |  SELECT src AS z, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src),
+         |aa AS (
+         |  SELECT z, CAST(floor(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS aa_nano
+         |  FROM deg WHERE deg >= 2),
+         |wedges AS (
+         |  SELECT e1.dst AS a, e2.dst AS b, aa.aa_nano
+         |  FROM edges e1
+         |  JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  JOIN aa ON aa.z = e1.src),
+         |scored AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+         |    CAST(SUM(aa_nano) AS BIGINT) AS aa_score_nano
+         |  FROM wedges GROUP BY a, b),
+         |nonadj AS (
+         |  SELECT s.* FROM scored s
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM edges e WHERE e.src = s.a AND e.dst = s.b))
+         |SELECT a, b, common_neighbors, aa_score_nano
+         |FROM nonadj
+         |ORDER BY aa_score_nano DESC, a, b LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-11 embedding-space ML additions:
+  *
+  *  - `ml_kmeans_lloyd` — HASH-MATCHED Lloyd k-means. The IVF index
+  *    (sim_knn_ivf) already trains centroids but is rows-only by
+  *    contract; this is the exact twin: every coordinate is floor-
+  *    quantized to integer MILLI-units, so assignment distances are
+  *    exact integers, centroid updates are ⌊Σq/n⌋ on exact sums, and
+  *    two full Lloyd rounds replay bit-for-bit as an unrolled CTE in
+  *    DuckDB. Distributed shape: the (k·d)-row centroid table
+  *    broadcasts to the corpus-sized assignment join (O(n·d·k) work,
+  *    the Lloyd lower bound), updates are one keyed aggregate, rounds
+  *    are pointer-checkpointed.
+  *  - `sim_mips_topk` — maximum-inner-product top-k (the retrieval
+  *    scoring un-normalized embeddings need, distinct from cosine
+  *    sim_knn_brute): dot products over milli-quantized integers are
+  *    exact at any order, so the ranking is hash-matched, not
+  *    rows-only. Queries broadcast; per-partition top-k merges k-row
+  *    sides (TakeOrdered shape under the per-query window).
+  */
+object MlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 8      // clusters
+  private val DIMS = 64
+  private val TOPK = 5
+
+  /** Corpus exploded to (vec_id, dim, qv) with milli-quantized integer
+    * coordinates — the substrate both queries score on. */
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select($"vec_id", posexplode(
+        transform($"embedding", x => floor(x.cast("double") * 1000).cast("long")))
+        .as(Seq("dim", "qv")))
+      .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+      .localCheckpoint()
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ml_kmeans_lloyd" -> ((s, d) => {
+      import s.implicits._
+      val e = quantized(s, d)
+      // seeds: the first K vectors (deterministic, oracle-replayable)
+      var cent = e.filter($"vec_id" < K)
+        .select($"vec_id".as("cluster"), $"dim", $"qv".as("c"))
+        .localCheckpoint()
+      def assign(c: DataFrame): DataFrame = {
+        val dist = e.join(broadcast(c), Seq("dim"))
+          .groupBy($"vec_id", $"cluster")
+          .agg(sum(($"qv" - $"c") * ($"qv" - $"c")).as("dist"))
+        val wv = Window.partitionBy($"vec_id").orderBy($"dist", $"cluster")
+        dist.withColumn("rn", row_number().over(wv)).filter($"rn" === 1)
+          .select($"vec_id", $"cluster", $"dist")
+      }
+      for (_ <- 1 to 1) { // one update between the two assignment passes
+        val a = assign(cent)
+        cent = a.join(e, Seq("vec_id"))
+          .groupBy($"cluster", $"dim")
+          .agg(floor(sum($"qv").cast("double") / count(lit(1))).cast("long").as("c"))
+          .localCheckpoint()
+      }
+      assign(cent)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"), sum($"dist").as("inertia"))
+        .orderBy($"cluster")
+    }),
+
+    "sim_mips_topk" -> ((s, d) => {
+      import s.implicits._
+      val qv = transform($"embedding", x => floor(x.cast("double") * 1000).cast("long"))
+      val emb = embeddings(s, d).select($"vec_id", qv.as("q"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val queriesDf = embeddings(s, d)
+        .filter($"vec_id" >= TOPK && $"vec_id" < 2 * TOPK)
+        .select($"vec_id".as("q_id"), qv.as("qq"))
+      val scored = emb.join(broadcast(queriesDf), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          aggregate(zip_with($"q", $"qq", (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("dot_q"))
+      val w = Window.partitionBy($"q_id").orderBy($"dot_q".desc, $"vec_id".asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TOPK)
+        .select($"q_id", $"rank", $"vec_id", $"dot_q")
+        .orderBy($"q_id", $"rank")
+    })
+  )
+
+  private val qdot =
+    s"CAST(list_sum(list_transform(range(1, ${DIMS + 1}), i -> " +
+      "CAST(floor(CAST(%s[i] AS DOUBLE) * 1000) AS BIGINT) * " +
+      "CAST(floor(CAST(%s[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "ml_kmeans_lloyd" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, i AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+         |  FROM embeddings, generate_series(1, $DIMS) AS g(i)),
+         |c0 AS (SELECT vec_id AS cluster, dim, qv AS c FROM e WHERE vec_id < $K),
+         |d1 AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    CAST(SUM((e.qv - c.c) * (e.qv - c.c)) AS BIGINT) AS dist
+         |  FROM e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cluster),
+         |a1 AS (
+         |  SELECT vec_id, cluster, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cluster) AS rn FROM d1)
+         |  WHERE rn = 1),
+         |c1 AS (
+         |  SELECT a.cluster, e.dim,
+         |    CAST(floor(CAST(SUM(e.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM a1 a JOIN e ON a.vec_id = e.vec_id GROUP BY a.cluster, e.dim),
+         |d2 AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    CAST(SUM((e.qv - c.c) * (e.qv - c.c)) AS BIGINT) AS dist
+         |  FROM e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cluster),
+         |a2 AS (
+         |  SELECT vec_id, cluster, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cluster) AS rn FROM d2)
+         |  WHERE rn = 1)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(dist) AS BIGINT) AS inertia
+         |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "sim_mips_topk" ->
+      s"""SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, dot_q FROM (
+         | SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |  ${qdot.format("q.embedding", "e.embedding")} AS dot_q,
+         |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${qdot.format("q.embedding", "e.embedding")} DESC,
+         |      e.vec_id ASC) AS rank
+         | FROM embeddings q JOIN embeddings e
+         |   ON q.vec_id >= $TOPK AND q.vec_id < ${2 * TOPK}
+         |    AND e.vec_id != q.vec_id) t
+         |WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin
+  )
+}

@@ -29,7 +29,13 @@ class QueriesSpec extends SparkSuite {
       "RelationalQueries5" -> RelationalQueries5.queries.keySet,
       "RelationalQueries6" -> RelationalQueries6.queries.keySet,
       "RelationalQueries7" -> RelationalQueries7.queries.keySet,
-      "RelationalQueries8" -> RelationalQueries8.queries.keySet)
+      "RelationalQueries8" -> RelationalQueries8.queries.keySet,
+      "RelationalQueries9" -> RelationalQueries9.queries.keySet,
+      "RelationalQueries10" -> RelationalQueries10.queries.keySet,
+      "GraphQueries" -> GraphQueries.queries.keySet,
+      "GraphQueries2" -> GraphQueries2.queries.keySet,
+      "MlQueries" -> MlQueries.queries.keySet,
+      "TextQueries2" -> TextQueries2.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${
