@@ -347,4 +347,58 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 estimates must plan as TakeOrdered, not a global sort:\n$p")
   }
+
+  test("graph_adamic_adar: top-20 rides TakeOrdered; no nested-loop join anywhere") {
+    val p = plan("graph_adamic_adar")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"AA top-20 must plan as TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"wedge enumeration fell off the hash-join path:\n$p")
+  }
+
+  test("ml_kmeans_lloyd: the k*d centroid table broadcasts to the assignment join") {
+    // The corpus side must never shuffle on dim — assignment is a
+    // broadcast join of the 512-row centroid table against the
+    // exploded corpus, then one keyed (vec_id, cluster) aggregate.
+    val p = plan("ml_kmeans_lloyd")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast into the assignment join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"assignment must not plan a cartesian product:\n$p")
+  }
+
+  test("sim_mips_topk: queries broadcast; per-query rank window is keyed") {
+    val p = plan("sim_mips_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 5-query side must broadcast against the corpus:\n$p")
+    val wins = SparkEntry.queries("sim_mips_topk")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "per-query top-k must window per q_id, never over a single partition")
+  }
+
+  test("q158: Friedman ranks window per week block, never over a single partition") {
+    val wins = SparkEntry.queries("q158_friedman_test")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    // the k-row final stats window is aggregate-sized by construction;
+    // the per-block rank windows must all carry a partition spec
+    assert(wins.count(_.partitionSpec.nonEmpty) >= 2,
+      "expected the per-block rank + tie windows to be keyed")
+  }
+
+  test("samp_kfold/text_charset_profile: one exchange each — a keyed partial+final aggregate") {
+    for (q <- Seq("samp_kfold", "text_charset_profile")) {
+      val p = plan(q)
+      // unique Exchange nodes (formatted mode prints tree + details):
+      // keyed agg (+ distinct expand), the 5-row window, the output sort
+      val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+      assert(p.contains("HashAggregate"), s"$q must hash-aggregate:\n$p")
+      assert(exchanges <= 4,
+        s"$q grew corpus-sized extra shuffles:\n$p")
+    }
+  }
 }
