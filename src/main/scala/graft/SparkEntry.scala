@@ -41,7 +41,8 @@ object SparkEntry {
       TextQueries2.queries ++
       RelationalQueries10.queries ++
       GraphQueries2.queries ++
-      MlQueries.queries
+      MlQueries.queries ++
+      TextQueries3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -68,5 +69,6 @@ object SparkEntry {
       TextQueries2.oracles ++
       RelationalQueries10.oracles ++
       GraphQueries2.oracles ++
-      MlQueries.oracles
+      MlQueries.oracles ++
+      TextQueries3.oracles
 }

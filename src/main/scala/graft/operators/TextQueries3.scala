@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions.tokens
+
+/** Round-11 retrieval/curation additions:
+  *
+  *  - `text_rrf_fusion` — HYBRID retrieval: lexical (token-Jaccard)
+  *    and semantic (embedding-cosine, doc_id = vec_id) rankings for
+  *    the same query documents, fused by Reciprocal Rank Fusion.
+  *    RRF terms floor(1e6/(60+rank)) are exact integers over integer
+  *    ranks, so the fused ranking is hash-matched — the fusion layer
+  *    every two-tower retrieval stack runs, as one declarative plan.
+  *  - `pipe_dataset_card` — the one-row corpus datasheet (sizes,
+  *    language/source spread, exact-duplicate rate, token mass) a
+  *    curation run publishes alongside the dataset. Pure exact-integer
+  *    aggregates; every number is already defined by some family
+  *    member, assembled here in ONE pass over the corpus.
+  *
+  * Scale notes: query sides broadcast (|Q| = 3 documents); candidate
+  * generation is a keyed token join bounded by document token counts;
+  * per-query rankings are keyed windows over candidate sets; the
+  * final fuse is a (q_id, cand) full-outer join of two top-50 lists —
+  * K-sized, not corpus-sized. The dataset card is one partial+final
+  * aggregate over a single corpus scan.
+  */
+object TextQueries3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NQ = 3       // query documents: doc_id < NQ
+  private val POOL = 50    // per-ranking candidate depth
+  private val TOPK = 10    // fused results per query
+  private val RRF_K = 60
+
+  val queries: Map[String, Q] = Map(
+    "text_rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      // --- lexical ranking: token-set Jaccard in exact basis points ---
+      val toks = documents(s, d)
+        .select($"doc_id", explode(array_distinct(tokens($"text"))).as("t"))
+      val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val qToks = toks.filter($"doc_id" < NQ)
+        .select($"doc_id".as("q_id"), $"t")
+      val inter = toks.join(broadcast(qToks), Seq("t"))
+        .filter($"doc_id" =!= $"q_id")
+        .groupBy($"q_id", $"doc_id")
+        .agg(count(lit(1)).as("inter"))
+      val jac = inter
+        .join(sizes.select($"doc_id".as("q_id"), $"n".as("nq")), Seq("q_id"))
+        .join(sizes, Seq("doc_id"))
+        .select($"q_id", $"doc_id",
+          expr("inter * 10000 DIV (nq + n - inter)").as("jsim_bp"))
+      val wLex = Window.partitionBy($"q_id").orderBy($"jsim_bp".desc, $"doc_id".asc)
+      val lex = jac.withColumn("lex_rank", row_number().over(wLex))
+        .filter($"lex_rank" <= POOL)
+        .select($"q_id", $"doc_id", $"lex_rank")
+      // --- semantic ranking: embedding cosine (doc_id = vec_id) ---
+      val emb = embeddings(s, d)
+      val qEmb = emb.filter($"vec_id" < NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val cos = emb.join(broadcast(qEmb), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("doc_id"),
+          graft.functions.VectorFunctions.cosineSimilarity($"q_emb", $"embedding")
+            .as("cosine"))
+      val wSem = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"doc_id".asc)
+      val sem = cos.withColumn("sem_rank", row_number().over(wSem))
+        .filter($"sem_rank" <= POOL)
+        .select($"q_id", $"doc_id", $"sem_rank")
+      // --- reciprocal rank fusion: exact integer micro-units ---
+      val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+        .select($"q_id", $"doc_id", $"lex_rank", $"sem_rank",
+          (coalesce(expr(s"1000000 DIV ($RRF_K + lex_rank)"), lit(0L))
+            + coalesce(expr(s"1000000 DIV ($RRF_K + sem_rank)"), lit(0L)))
+            .as("rrf_micro"))
+      val wF = Window.partitionBy($"q_id").orderBy($"rrf_micro".desc, $"doc_id".asc)
+      fused.withColumn("rank", row_number().over(wF))
+        .filter($"rank" <= TOPK)
+        .select($"q_id", $"rank", $"doc_id", $"rrf_micro", $"lex_rank", $"sem_rank")
+        .orderBy($"q_id", $"rank")
+    }),
+
+    "pipe_dataset_card" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          md5($"text").as("fp"),
+          size(tokens($"text")).cast("long").as("n_toks"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source").as("n_sources"),
+          sum($"n_chars").as("total_chars"),
+          sum($"n_toks").as("total_tokens"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"),
+          countDistinct($"fp").as("n_unique_texts"))
+        .withColumn("dup_docs", $"n_docs" - $"n_unique_texts")
+        .withColumn("dup_bp", expr("(n_docs - n_unique_texts) * 10000 DIV n_docs"))
+        .withColumn("mean_chars", expr("total_chars DIV n_docs"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_rrf_fusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT q.doc_id AS q_id, c.doc_id AS doc_id,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM toks q JOIN toks c ON q.t = c.t AND c.doc_id != q.doc_id
+         |  WHERE q.doc_id < $NQ
+         |  GROUP BY q.doc_id, c.doc_id),
+         |jac AS (
+         |  SELECT i.q_id, i.doc_id,
+         |    i.inter * 10000 // (sq.n + sc.n - i.inter) AS jsim_bp
+         |  FROM inter i
+         |  JOIN sizes sq ON sq.doc_id = i.q_id
+         |  JOIN sizes sc ON sc.doc_id = i.doc_id),
+         |lex AS (
+         |  SELECT q_id, doc_id, lex_rank FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY jsim_bp DESC, doc_id) AS lex_rank FROM jac)
+         |  WHERE lex_rank <= $POOL),
+         |cos AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+         |    list_sum(list_transform(range(1, len(q.embedding)+1),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+         |      * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         |      AS cosine
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.vec_id < $NQ AND e.vec_id != q.vec_id),
+         |sem AS (
+         |  SELECT q_id, doc_id, sem_rank FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, doc_id) AS sem_rank FROM cos)
+         |  WHERE sem_rank <= $POOL),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    l.lex_rank, s.sem_rank,
+         |    coalesce(1000000 // ($RRF_K + l.lex_rank), 0)
+         |      + coalesce(1000000 // ($RRF_K + s.sem_rank), 0) AS rrf_micro
+         |  FROM lex l FULL OUTER JOIN sem s
+         |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro,
+         |  CAST(lex_rank AS INTEGER) AS lex_rank,
+         |  CAST(sem_rank AS INTEGER) AS sem_rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS rank FROM fused)
+         |WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
+
+    "pipe_dataset_card" ->
+      """WITH per AS (
+        |  SELECT doc_id, lang, source, n_chars, md5(text) AS fp,
+        |    len(string_split(text, ' ')) AS n_toks
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+        |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+        |  (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_bp,
+        |  SUM(n_chars) // count(*) AS mean_chars
+        |FROM per""".stripMargin
+  )
+}
