@@ -72,6 +72,41 @@ object MlQueries {
         .orderBy($"cluster")
     }),
 
+    // PCA top component via POWER ITERATION, exact integers end-to-end:
+    // the covariance-like Gram matrix Σ qᵢqⱼ is built MAP-SIDE from
+    // each row's outer product (no self-join — one narrow projection +
+    // one (i,j)-keyed aggregate, d² = 4096 cells at any corpus size),
+    // then 3 power rounds run on the aggregate-sized cell table:
+    // v ← G·v, rescaled to ±1000 by sign·(|x|·1000 DIV max|x|) so both
+    // engines truncate identically (plain DIV/​// diverge on negatives:
+    // Spark truncates, DuckDB floors — sign-splitting removes the
+    // hazard). Deterministic for a fixed v₀ = 1⃗; the oracle replays
+    // the rounds as unrolled CTEs.
+    "ml_pca_power" -> ((s, d) => {
+      import s.implicits._
+      val gram = embeddings(s, d)
+        .select(transform($"embedding", x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+        .select(explode(flatten(
+          transform($"q", (xi, i) =>
+            transform($"q", (xj, j) => struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("c"))
+        .groupBy($"c.i".as("i"), $"c.j".as("j"))
+        .agg(sum($"c.p").as("g"))
+        .localCheckpoint() // 4096 rows at any corpus size
+      def rescale(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy() // 64 rows
+        df.withColumn("m", max(abs($"s")).over(w))
+          .select($"i".as("j"),
+            (signum($"s").cast("long") * expr("abs(s) * 1000 DIV m")).as("v"))
+      }
+      var v = gram.select($"i").distinct().select($"i".as("j"), lit(1000L).as("v"))
+      for (_ <- 1 to 3) {
+        val raw = gram.join(broadcast(v), Seq("j"))
+          .groupBy($"i").agg(sum($"g" * $"v").as("s"))
+        v = rescale(raw).localCheckpoint() // 64 rows
+      }
+      v.select($"j".as("dim"), $"v".as("v_milli")).orderBy($"dim")
+    }),
+
     "sim_mips_topk" -> ((s, d) => {
       import s.implicits._
       val qv = transform($"embedding", x => floor(x.cast("double") * 1000).cast("long"))
@@ -129,6 +164,28 @@ object MlQueries {
          |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(SUM(dist) AS BIGINT) AS inertia
          |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "ml_pca_power" -> {
+      def round(n: Int): String =
+        s"""r$n AS (
+           |  SELECT g.i, SUM(g.g * v.v) AS s
+           |  FROM gram g JOIN v${n - 1} v ON g.j = v.j GROUP BY g.i),
+           |v$n AS (
+           |  SELECT i AS j, CAST(
+           |    (CASE WHEN s < 0 THEN -1 WHEN s > 0 THEN 1 ELSE 0 END)
+           |    * (abs(s) * 1000 // (SELECT max(abs(s)) FROM r$n)) AS BIGINT) AS v
+           |  FROM r$n)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, i - 1 AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+         |  FROM embeddings, generate_series(1, $DIMS) AS g(i)),
+         |gram AS (
+         |  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT i AS j, CAST(1000 AS BIGINT) AS v FROM gram),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT j AS dim, v AS v_milli FROM v3 ORDER BY dim""".stripMargin
+    },
 
     "sim_mips_topk" ->
       s"""SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, dot_q FROM (

@@ -188,6 +188,67 @@ object RelationalQueries10 {
           format_string("%.6f", $"mu").as("mean_runs"), $"z")
     }),
 
+    // MANN–KENDALL trend test — "is daily revenue monotonically
+    // trending?" The nonparametric companion of q161 (randomness) and
+    // q159 (correlation): S = Σ_{i<j} sign(x_j − x_i) over the
+    // day-ordered series, variance with the exact tie-correction term,
+    // both pure integers off the aggregate-sized day table; z evaluates
+    // once through an identical double tree (continuity-corrected).
+    "q162_mann_kendall" -> ((s, d) => {
+      import s.implicits._
+      val daily = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(cents38($"o_totalprice")).cast("long").as("rev"))
+        .localCheckpoint() // day-table-sized
+      val a = daily.select($"day".as("da"), $"rev".as("xa"))
+      val b = daily.select($"day".as("db"), $"rev".as("xb"))
+      val sStat = a.join(b, $"da" < $"db")
+        .agg(sum(when($"xb" > $"xa", 1L).when($"xb" < $"xa", -1L).otherwise(0L))
+          .as("s_stat"))
+      val ties = daily.groupBy($"rev").agg(count(lit(1)).as("t"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum($"t").as("n_days"),
+          sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tie_term"))
+      sStat.crossJoin(ties) // both single-row
+        .withColumn("var18",
+          $"n_days" * ($"n_days" - 1) * (lit(2) * $"n_days" + 5) - $"tie_term")
+        .withColumn("z", format_string("%.6f",
+          when($"s_stat" > 0, ($"s_stat" - 1).cast("double"))
+            .when($"s_stat" < 0, ($"s_stat" + 1).cast("double"))
+            .otherwise(lit(0.0))
+            / sqrt($"var18".cast("double") / 18.0)))
+        .select($"n_days", $"s_stat", $"var18", $"z")
+    }),
+
+    // COCHRAN–ARMITAGE trend test — "does the finished-order share
+    // RISE with order priority?" The ordered-categories member of the
+    // proportion-test family (q100 is two-group): scores w_i = the
+    // priority's leading digit, outcome = o_orderstatus 'F'. The
+    // statistic needs only five per-group integer pairs (n_i, r_i) and
+    // the grand totals — one conditional-aggregate exchange, z once
+    // through an identical double tree.
+    "q163_cochran_armitage" -> ((s, d) => {
+      import s.implicits._
+      val g = orders(s, d)
+        .groupBy(substring($"o_orderpriority", 1, 1).cast("int").as("w"))
+        .agg(count(lit(1)).as("n_i"),
+          sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("r_i"))
+      val wAll = Window.partitionBy() // 5 rows
+      g.withColumn("grand_n", sum($"n_i").over(wAll))
+        .withColumn("grand_r", sum($"r_i").over(wAll))
+        .withColumn("num_term", $"w" * ($"r_i" * $"grand_n" - $"n_i" * $"grand_r"))
+        .withColumn("sw1", sum($"w" * $"n_i").over(wAll))
+        .withColumn("sw2", sum($"w" * $"w" * $"n_i").over(wAll))
+        .withColumn("num", sum($"num_term").over(wAll))
+        .withColumn("z", format_string("%.6f",
+          $"num".cast("double") /
+            sqrt(($"grand_r" * ($"grand_n" - $"grand_r")).cast("double")
+              / $"grand_n".cast("double")
+              * ($"grand_n" * $"sw2" - $"sw1" * $"sw1").cast("double"))))
+        .select($"w", $"n_i", $"r_i", $"num", $"z")
+        .orderBy($"w")
+    }),
+
     // K-FOLD cross-validation assignment — the evaluation-protocol
     // member of the deterministic split family (samp_train_val_test
     // gives one split; this gives all 5 rotations at once). Fold =
@@ -349,6 +410,54 @@ object RelationalQueries10 {
         |      / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
         |        * (CAST(n_pos + n_neg AS DOUBLE) - 1)))) AS z
         |FROM agg""".stripMargin,
+
+    "q162_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+        |    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n_days,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY rev)),
+        |v AS (
+        |  SELECT n_days, s_stat,
+        |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+        |  FROM s, t)
+        |SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+        |  printf('%.6f',
+        |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |          ELSE 0.0 END)
+        |    / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS z
+        |FROM v""".stripMargin,
+
+    "q163_cochran_armitage" ->
+      """WITH g AS (
+        |  SELECT CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS w,
+        |    CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r_i
+        |  FROM orders GROUP BY 1),
+        |e1 AS (
+        |  SELECT w, n_i, r_i,
+        |    SUM(n_i) OVER () AS grand_n, SUM(r_i) OVER () AS grand_r,
+        |    SUM(w * n_i) OVER () AS sw1, SUM(w * w * n_i) OVER () AS sw2
+        |  FROM g),
+        |e AS (
+        |  SELECT *,
+        |    SUM(w * (r_i * grand_n - n_i * grand_r)) OVER () AS num
+        |  FROM e1)
+        |SELECT w, n_i, r_i, CAST(num AS BIGINT) AS num,
+        |  printf('%.6f', CAST(num AS DOUBLE) /
+        |    sqrt(CAST(grand_r * (grand_n - grand_r) AS DOUBLE)
+        |      / CAST(grand_n AS DOUBLE)
+        |      * CAST(grand_n * sw2 - sw1 * sw1 AS DOUBLE))) AS z
+        |FROM e ORDER BY w""".stripMargin,
 
     "samp_kfold" ->
       """WITH f AS (

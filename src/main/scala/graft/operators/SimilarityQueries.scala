@@ -344,6 +344,32 @@ object SimilarityQueries {
         .orderBy($"v1", $"v2")
     }),
 
+    // Threshold-calibration SWEEP for semantic dedup — the curve a
+    // curation run reads before committing to a cosine cutoff: pair
+    // and affected-doc counts at each candidate threshold, from ONE
+    // label-bucketed scoring pass (the sim_neardup_pairs substrate;
+    // thresholds explode over the scored pairs, never re-score).
+    // Counts are exact because both engines compare the same
+    // left-to-right-fold doubles.
+    "sim_threshold_sweep" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d).select($"vec_id", $"label", $"embedding")
+      val scored = emb.as("a").join(emb.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+          cosineSimilarity($"a.embedding", $"b.embedding").as("cosine"))
+        .filter($"cosine" > 0.30)
+      scored
+        .select($"v1", $"v2", $"cosine",
+          explode(array(lit(30), lit(35), lit(40))).as("th_bp"))
+        .filter($"cosine" > $"th_bp".cast("double") / 100.0)
+        .groupBy($"th_bp")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"v1").as("n_left_docs"),
+          min($"v1").as("min_v1"), max($"v2").as("max_v2"))
+        .orderBy($"th_bp")
+    }),
+
     // SEMANTIC dedup clustering — connected components over the
     // embedding-cosine near-dup graph (the sim_neardup_pairs edges):
     // the semantic twin of dedup_cluster_reps, collapsing paraphrase
@@ -491,6 +517,22 @@ object SimilarityQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} > 0.35
          |ORDER BY v1, v2""".stripMargin,
+
+    "sim_threshold_sweep" ->
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${cos("a.embedding", "b.embedding")} AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.embedding", "b.embedding")} > 0.30),
+         |sweep AS (
+         |  SELECT s.*, t.th_bp
+         |  FROM scored s, (VALUES (30), (35), (40)) t(th_bp)
+         |  WHERE s.cosine > CAST(t.th_bp AS DOUBLE) / 100.0)
+         |SELECT th_bp, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT v1) AS BIGINT) AS n_left_docs,
+         |  min(v1) AS min_v1, max(v2) AS max_v2
+         |FROM sweep GROUP BY th_bp ORDER BY th_bp""".stripMargin,
 
     "sim_cluster_reps" ->
       s"""WITH RECURSIVE pairs AS (

@@ -22,6 +22,22 @@ object SourceQueries {
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip/$name"
 
   val queries: Map[String, Q] = Map(
+    // Hidden FILE-METADATA columns (_metadata.file_name / row lineage)
+    // — the provenance surface an audit needs when a corpus spans
+    // thousands of landing files: per-file row counts and id ranges
+    // straight off the scan, no extra pass. The oracle pins the
+    // basename and the content stats, so a scan that silently reads a
+    // different file (or drops rows) fails the hash.
+    "src_metadata_columns" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(s"$d/documents.parquet")
+        .select($"doc_id", col("_metadata.file_name").as("file_name"))
+        .groupBy($"file_name")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"file_name")
+    }),
+
     // CSV sink → CSV source (header + explicit schema back; quoting exercised
     // by the free-text name column).
     "src_csv_roundtrip" -> ((s, d) => {
@@ -287,6 +303,12 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "src_metadata_columns" ->
+      """SELECT 'documents.parquet' AS file_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents""".stripMargin,
+
     "src_csv_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         | CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
