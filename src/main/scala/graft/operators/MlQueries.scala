@@ -73,24 +73,25 @@ object MlQueries {
     }),
 
     // PCA top component via POWER ITERATION, exact integers end-to-end:
-    // the covariance-like Gram matrix Σ qᵢqⱼ is built MAP-SIDE from
-    // each row's outer product (no self-join — one narrow projection +
-    // one (i,j)-keyed aggregate, d² = 4096 cells at any corpus size),
-    // then 3 power rounds run on the aggregate-sized cell table:
-    // v ← G·v, rescaled to ±1000 by sign·(|x|·1000 DIV max|x|) so both
-    // engines truncate identically (plain DIV/​// diverge on negatives:
-    // Spark truncates, DuckDB floors — sign-splitting removes the
-    // hazard). Deterministic for a fixed v₀ = 1⃗; the oracle replays
-    // the rounds as unrolled CTEs.
+    // the covariance-like Gram matrix Σ qᵢqⱼ is built from the
+    // quantized substrate's CO-PARTITIONED self-join on vec_id (both
+    // sides share one vec_id partitioning, so the n·d² outer-product
+    // rows never shuffle — they flow straight into the map-side
+    // partial of the (i,j) aggregate, d² = 4096 cells at any corpus
+    // size; an earlier nested-higher-order-function formulation
+    // evaluated interpreted and ran 20× slower), then 3 power rounds
+    // run on the aggregate-sized cell table: v ← G·v, rescaled to
+    // ±1000 by sign·(|x|·1000 DIV max|x|) so both engines truncate
+    // identically (plain DIV/​// diverge on negatives: Spark
+    // truncates, DuckDB floors — sign-splitting removes the hazard).
+    // Deterministic for a fixed v₀ = 1⃗; the oracle replays the rounds
+    // as unrolled CTEs.
     "ml_pca_power" -> ((s, d) => {
       import s.implicits._
-      val gram = embeddings(s, d)
-        .select(transform($"embedding", x => floor(x.cast("double") * 1000).cast("long")).as("q"))
-        .select(explode(flatten(
-          transform($"q", (xi, i) =>
-            transform($"q", (xj, j) => struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("c"))
-        .groupBy($"c.i".as("i"), $"c.j".as("j"))
-        .agg(sum($"c.p").as("g"))
+      val q = quantized(s, d)
+      val gram = q.select($"vec_id", $"dim".as("i"), $"qv".as("qa"))
+        .join(q.select($"vec_id", $"dim".as("j"), $"qv".as("qb")), Seq("vec_id"))
+        .groupBy($"i", $"j").agg(sum($"qa" * $"qb").as("g"))
         .localCheckpoint() // 4096 rows at any corpus size
       def rescale(df: DataFrame): DataFrame = {
         val w = Window.partitionBy() // 64 rows

@@ -249,6 +249,72 @@ object RelationalQueries10 {
         .orderBy($"w")
     }),
 
+    // LASPEYRES / PAASCHE / FISHER price indices between two years —
+    // the classical economics roll-up a revenue warehouse publishes
+    // ("how much of growth is price vs volume?"). Per-part unit
+    // prices are floor-quantized to integer MICRO-CENTS (P·1e6 DIV Q,
+    // positive so DIV and // agree), index numerators/denominators are
+    // then exact integer Σ u·q over the parts present in BOTH years —
+    // one (part,year) exchange, the index itself is aggregate-sized.
+    "q164_price_index" -> ((s, d) => {
+      import s.implicits._
+      val (y0, y1) = (1995, 1996)
+      val py = lineitem(s, d)
+        .join(orders(s, d).select($"o_orderkey", year($"o_orderdate").as("y")),
+          $"l_orderkey" === $"o_orderkey")
+        .filter($"y" === y0 || $"y" === y1)
+        .groupBy($"l_partkey".as("pk"), $"y")
+        .agg(sum(cents38($"l_extendedprice")).cast("long").as("p"),
+          sum($"l_quantity".cast("long")).as("q"))
+        .withColumn("u", expr("p * 1000000 DIV q"))
+      val both = py.filter($"y" === y0)
+        .select($"pk", $"u".as("u0"), $"q".as("q0"))
+        .join(py.filter($"y" === y1).select($"pk", $"u".as("u1"), $"q".as("q1")),
+          Seq("pk"))
+      both.agg(
+        count(lit(1)).as("n_parts"),
+        sum(($"u1" * $"q0").cast(D38)).as("l_num"),
+        sum(($"u0" * $"q0").cast(D38)).as("l_den"),
+        sum(($"u1" * $"q1").cast(D38)).as("p_num"),
+        sum(($"u0" * $"q1").cast(D38)).as("p_den"))
+        .select(lit(y0).as("year0"), lit(y1).as("year1"), $"n_parts",
+          expr("l_num * 10000 DIV l_den").as("laspeyres_bp"),
+          expr("p_num * 10000 DIV p_den").as("paasche_bp"),
+          format_string("%.6f", sqrt(
+            ($"l_num".cast("double") / $"l_den".cast("double"))
+              * ($"p_num".cast("double") / $"p_den".cast("double"))))
+            .as("fisher"))
+    }),
+
+    // XYZ demand-variability classes — the inventory-planning twin of
+    // q128's ABC value classes: X (steady, CV<0.5), Y (variable,
+    // CV<1.0), Z (erratic) per part over its monthly demand series.
+    // The CV threshold compare never touches floats: CV² vs t² cross-
+    // multiplies to integers (4·(n·Σx²−S²) < S² for t=0.5), so class
+    // assignment is exact at any scale; one (part,month) exchange +
+    // one part-keyed aggregate.
+    "q165_xyz_classes" -> ((s, d) => {
+      import s.implicits._
+      val pm = lineitem(s, d)
+        .join(orders(s, d).select($"o_orderkey",
+          (year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_partkey".as("pk"), $"ym")
+        .agg(sum($"l_quantity".cast("long")).as("x"))
+      val stats = pm.groupBy($"pk")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
+        .withColumn("var_num", $"n" * $"sxx" - $"sx" * $"sx")
+      val cls = stats.withColumn("xyz_class",
+        when($"var_num" * 4 < $"sx" * $"sx", "X")
+          .when($"var_num" < $"sx" * $"sx", "Y")
+          .otherwise("Z"))
+      cls.groupBy($"xyz_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum($"n").as("part_months"),
+          min($"pk").as("min_part"), max($"pk").as("max_part"))
+        .orderBy($"xyz_class")
+    }),
+
     // K-FOLD cross-validation assignment — the evaluation-protocol
     // member of the deterministic split family (samp_train_val_test
     // gives one split; this gives all 5 rotations at once). Fold =
@@ -458,6 +524,56 @@ object RelationalQueries10 {
         |      / CAST(grand_n AS DOUBLE)
         |      * CAST(grand_n * sw2 - sw1 * sw1 AS DOUBLE))) AS z
         |FROM e ORDER BY w""".stripMargin,
+
+    "q164_price_index" ->
+      """WITH py AS (
+        |  SELECT l_partkey AS pk, year(o_orderdate) AS y,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS p,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |u AS (SELECT pk, y, p * 1000000 // q AS u, q FROM py),
+        |matched AS (
+        |  SELECT a.pk, a.u AS u0, a.q AS q0, b.u AS u1, b.q AS q1
+        |  FROM u a JOIN u b ON a.pk = b.pk AND a.y = 1995 AND b.y = 1996),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |    SUM(CAST(u1 AS HUGEINT) * q0) AS l_num,
+        |    SUM(CAST(u0 AS HUGEINT) * q0) AS l_den,
+        |    SUM(CAST(u1 AS HUGEINT) * q1) AS p_num,
+        |    SUM(CAST(u0 AS HUGEINT) * q1) AS p_den
+        |  FROM matched)
+        |SELECT CAST(1995 AS INTEGER) AS year0, CAST(1996 AS INTEGER) AS year1,
+        |  n_parts,
+        |  CAST(l_num * 10000 // l_den AS BIGINT) AS laspeyres_bp,
+        |  CAST(p_num * 10000 // p_den AS BIGINT) AS paasche_bp,
+        |  printf('%.6f', sqrt(
+        |    (CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+        |    * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))) AS fisher
+        |FROM agg""".stripMargin,
+
+    "q165_xyz_classes" ->
+      """WITH pm AS (
+        |  SELECT l_partkey AS pk,
+        |    year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM pm GROUP BY pk),
+        |cls AS (
+        |  SELECT pk, n,
+        |    CASE WHEN (n * sxx - sx * sx) * 4 < sx * sx THEN 'X'
+        |         WHEN (n * sxx - sx * sx) < sx * sx THEN 'Y'
+        |         ELSE 'Z' END AS xyz_class
+        |  FROM st)
+        |SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(n) AS BIGINT) AS part_months,
+        |  min(pk) AS min_part, max(pk) AS max_part
+        |FROM cls GROUP BY xyz_class ORDER BY xyz_class""".stripMargin,
 
     "samp_kfold" ->
       """WITH f AS (

@@ -420,6 +420,40 @@ object SamplingQueries {
     // cluster. Per-source weights are one keyed aggregate over the
     // corpus; the allocation itself runs on |sources| rows — aggregate-
     // sized at any corpus scale, like the PSI bins above.
+    // NEYMAN-OPTIMAL stratified allocation — the sampling-design twin
+    // of samp_stratified's equal-rate draw: a fixed audit budget is
+    // apportioned across language strata ∝ N_h·S_h (stratum size ×
+    // population sd), which minimizes the estimator variance. The
+    // Neyman weight collapses to sqrt(N_h·Σx² − (Σx)²) on exact
+    // integer sums — one keyed aggregate; floor(sqrt) of an exactly-
+    // representable integer is bit-identical on both engines (at
+    // corpus scales past 2^53 the same weight would come from an
+    // exact integer sqrt over DECIMAL — the quantization boundary is
+    // documented, not silent). The largest-remainder apportionment is
+    // samp_temperature_mix's exact-integer machinery, |strata| rows.
+    "samp_neyman_alloc" -> ((s, d) => {
+      import s.implicits._
+      val T = 100L
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wAll = Window.partitionBy() // |strata| rows
+      val wRk = Window.orderBy($"rem".desc, $"lang") // |strata| rows
+      documents(s, d)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars".cast(D38)).as("sx"),
+          sum(($"n_chars".cast(D38) * $"n_chars".cast(D38))).as("sxx"))
+        .withColumn("var_num", ($"n_docs" * $"sxx" - $"sx" * $"sx").cast("double"))
+        .withColumn("weight", floor(sqrt($"var_num")).cast("long"))
+        .withColumn("w_tot", sum($"weight").over(wAll))
+        .withColumn("base", expr(s"weight * $T DIV w_tot"))
+        .withColumn("rem", expr(s"(weight * $T) % w_tot"))
+        .withColumn("extra",
+          when(row_number().over(wRk) <= lit(T) - sum($"base").over(wAll), 1L)
+            .otherwise(0L))
+        .select($"lang", $"n_docs", $"weight", ($"base" + $"extra").as("quota"))
+        .orderBy($"lang")
+    }),
+
     "samp_temperature_mix" -> ((s, d) => {
       import s.implicits._
       val T = 100L
@@ -653,6 +687,31 @@ object SamplingQueries {
         |      * (SELECT SUM(n_chars) FROM documents)::HUGEINT
         |    < 50::HUGEINT * n_chars::HUGEINT * 1152921504606846976::HUGEINT
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_neyman_alloc" ->
+      """WITH w AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY lang),
+        |a AS (
+        |  SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+        |      AS weight
+        |  FROM w),
+        |b AS (
+        |  SELECT lang, n_docs, weight,
+        |    weight * 100 // SUM(weight) OVER () AS base,
+        |    (weight * 100) % SUM(weight) OVER () AS rem
+        |  FROM a),
+        |c AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |    SUM(base) OVER () AS base_tot
+        |  FROM b)
+        |SELECT lang, n_docs, weight,
+        |  CAST(base + CASE WHEN rk <= 100 - base_tot THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM c ORDER BY lang""".stripMargin,
 
     "samp_temperature_mix" ->
       """WITH w AS (
