@@ -108,6 +108,69 @@ object MlQueries {
       v.select($"j".as("dim"), $"v".as("v_milli")).orderBy($"dim")
     }),
 
+    // k-NN LABEL CLASSIFIER EVAL — the "is this embedding space any
+    // good?" harness: leave-one-out 5-NN majority vote over a
+    // deterministic 5% eval sample (vec_id % 20 = 0 — bounded at any
+    // corpus size), reported as the full CONFUSION MATRIX. Votes and
+    // tie-breaks are total orders (count desc, label asc) over exact
+    // ranks, so the matrix is hash-matched. Eval rows broadcast; the
+    // scoring join is (corpus × sample), the same bound as sim_knn.
+    "ml_knn_classifier" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+      val qs = embeddings(s, d).filter($"vec_id" % 20 === 0)
+        .select($"vec_id".as("q"), $"label".as("true_label"), $"embedding".as("q_emb"))
+      val scored = emb.join(broadcast(qs), $"vec_id" =!= $"q")
+        .select($"q", $"true_label", $"label".as("cand_label"),
+          graft.functions.VectorFunctions.cosineSimilarity($"q_emb", $"embedding")
+            .as("cosine"), $"vec_id")
+      val wTop = Window.partitionBy($"q").orderBy($"cosine".desc, $"vec_id".asc)
+      val top5 = scored.withColumn("rn", row_number().over(wTop)).filter($"rn" <= 5)
+      val votes = top5.groupBy($"q", $"true_label", $"cand_label")
+        .agg(count(lit(1)).as("cnt"))
+      val wVote = Window.partitionBy($"q").orderBy($"cnt".desc, $"cand_label".asc)
+      votes.withColumn("rk", row_number().over(wVote)).filter($"rk" === 1)
+        .groupBy($"true_label", $"cand_label".as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"true_label", $"pred_label")
+    }),
+
+    // Simplified SILHOUETTE on squared centroid distances — the
+    // cluster-quality metric for the label partition (and the shape a
+    // kmeans evaluation reuses): a² = squared distance to own
+    // centroid, b² = min squared distance to any other centroid,
+    // s = (b²−a²)/max(a²,b²) per point, all EXACT integers on the
+    // milli-quantized substrate (centroids are floor(Σq/n) — floor is
+    // floor on both engines, unlike DIV/// on negatives; the per-point
+    // ratio is sign·(|b²−a²|·1e6 DIV max)). One keyed centroid
+    // aggregate + a broadcast dim join, label-count-sized output.
+    "ml_silhouette_lite" -> ((s, d) => {
+      import s.implicits._
+      val e = quantized(s, d)
+      val labels = embeddings(s, d).select($"vec_id", $"label".as("own"))
+      val cent = e.join(labels, Seq("vec_id"))
+        .groupBy($"own".as("cl"), $"dim")
+        .agg(floor(sum($"qv").cast("double") / count(lit(1))).cast("long").as("c"))
+      val dist = e.join(broadcast(cent), Seq("dim"))
+        .groupBy($"vec_id", $"cl")
+        .agg(sum(($"qv" - $"c") * ($"qv" - $"c")).as("d2"))
+      val ab = dist.join(labels, Seq("vec_id"))
+        .groupBy($"vec_id", $"own")
+        .agg(sum(when($"cl" === $"own", $"d2")).as("a2"),
+          min(when($"cl" =!= $"own", $"d2")).as("b2"))
+      val sMicro = ab.withColumn("s_micro",
+        when(greatest($"a2", $"b2") === 0, 0L)
+          .otherwise(signum(($"b2" - $"a2").cast("double")).cast("long")
+            * expr("abs(b2 - a2) * 1000000 DIV greatest(a2, b2)")))
+      sMicro.groupBy($"own".as("label"))
+        .agg(count(lit(1)).as("n_vecs"), sum($"s_micro").as("s_sum"))
+        // sign-split mean: negative silhouettes must floor identically
+        .select($"label", $"n_vecs",
+          (signum($"s_sum".cast("double")).cast("long")
+            * expr("abs(s_sum) DIV n_vecs")).as("mean_s_micro"))
+        .orderBy($"label")
+    }),
+
     "sim_mips_topk" -> ((s, d) => {
       import s.implicits._
       val qv = transform($"embedding", x => floor(x.cast("double") * 1000).cast("long"))
@@ -165,6 +228,67 @@ object MlQueries {
          |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(SUM(dist) AS BIGINT) AS inertia
          |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "ml_knn_classifier" -> {
+      val cs = "list_sum(list_transform(range(1, len(%s)+1), " +
+        "i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
+      def dot(a: String, b: String) = cs.format(a, a, b)
+      val cos = s"(${dot("q.embedding", "e.embedding")} / " +
+        s"(sqrt(${dot("q.embedding", "q.embedding")}) * " +
+        s"sqrt(${dot("e.embedding", "e.embedding")})))"
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q, q.label AS tl, e.label AS cl, e.vec_id AS c,
+         |    $cos AS cosine
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.vec_id % 20 = 0 AND e.vec_id != q.vec_id),
+         |top5 AS (
+         |  SELECT q, tl, cl FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q
+         |      ORDER BY cosine DESC, c) AS rn FROM scored)
+         |  WHERE rn <= 5),
+         |votes AS (
+         |  SELECT q, tl, cl, count(*) AS cnt FROM top5 GROUP BY q, tl, cl),
+         |pred AS (
+         |  SELECT q, tl, cl AS pl FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q
+         |      ORDER BY cnt DESC, cl) AS rk FROM votes)
+         |  WHERE rk = 1)
+         |SELECT tl AS true_label, pl AS pred_label,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY tl, pl ORDER BY true_label, pred_label""".stripMargin
+    },
+
+    "ml_silhouette_lite" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, i AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+         |  FROM embeddings, generate_series(1, $DIMS) AS g(i)),
+         |lab AS (SELECT vec_id, label AS own FROM embeddings),
+         |cent AS (
+         |  SELECT l.own AS cl, e.dim,
+         |    CAST(floor(CAST(SUM(e.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM e JOIN lab l ON e.vec_id = l.vec_id GROUP BY l.own, e.dim),
+         |dist AS (
+         |  SELECT e.vec_id, c.cl,
+         |    CAST(SUM((e.qv - c.c) * (e.qv - c.c)) AS BIGINT) AS d2
+         |  FROM e JOIN cent c ON e.dim = c.dim GROUP BY e.vec_id, c.cl),
+         |ab AS (
+         |  SELECT d.vec_id, l.own,
+         |    CAST(SUM(CASE WHEN d.cl = l.own THEN d.d2 END) AS BIGINT) AS a2,
+         |    CAST(MIN(CASE WHEN d.cl != l.own THEN d.d2 END) AS BIGINT) AS b2
+         |  FROM dist d JOIN lab l ON d.vec_id = l.vec_id
+         |  GROUP BY d.vec_id, l.own),
+         |sm AS (
+         |  SELECT own,
+         |    CASE WHEN greatest(a2, b2) = 0 THEN 0
+         |      ELSE (CASE WHEN b2 < a2 THEN -1 WHEN b2 > a2 THEN 1 ELSE 0 END)
+         |        * (abs(b2 - a2) * 1000000 // greatest(a2, b2)) END AS s_micro
+         |  FROM ab)
+         |SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST((CASE WHEN SUM(s_micro) < 0 THEN -1
+         |    WHEN SUM(s_micro) > 0 THEN 1 ELSE 0 END)
+         |    * (abs(SUM(s_micro)) // count(*)) AS BIGINT) AS mean_s_micro
+         |FROM sm GROUP BY own ORDER BY label""".stripMargin,
 
     "ml_pca_power" -> {
       def round(n: Int): String =

@@ -420,6 +420,33 @@ object SamplingQueries {
     // cluster. Per-source weights are one keyed aggregate over the
     // corpus; the allocation itself runs on |sources| rows — aggregate-
     // sized at any corpus scale, like the PSI bins above.
+    // IMPORTANCE REWEIGHTING toward a uniform language target — the
+    // "rebalance without resampling" knob a training loop applies as
+    // per-example loss weights: w_l = target_share / corpus_share in
+    // exact basis points (N·10000 DIV (k·n_l)), clipped at 5× (the
+    // standard variance guard), with the resulting EFFECTIVE SAMPLE
+    // SIZE (Σnw)²/Σnw² published alongside — the honest "how many
+    // docs is this reweighted corpus worth" number. One keyed
+    // aggregate; everything after is |languages|-sized integers.
+    "samp_importance_weights" -> ((s, d) => {
+      import s.implicits._
+      val wAll = Window.partitionBy() // |langs| rows
+      documents(s, d)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_total", sum($"n_docs").over(wAll))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("weight_bp",
+          least(expr("n_total * 10000 DIV (k * n_docs)"), lit(50000L)))
+        // DECIMAL(38) squares: (Σ n·w)² overflows int64 past ~1e9 docs
+        .withColumn("ess_docs",
+          expr("""(CAST(SUM(n_docs * weight_bp) OVER () AS DECIMAL(38,0))
+                  * CAST(SUM(n_docs * weight_bp) OVER () AS DECIMAL(38,0)))
+                  DIV CAST(SUM(n_docs * weight_bp * weight_bp) OVER () AS DECIMAL(38,0))"""))
+        .select($"lang", $"n_docs", $"weight_bp", $"ess_docs")
+        .orderBy($"lang")
+    }),
+
     // NEYMAN-OPTIMAL stratified allocation — the sampling-design twin
     // of samp_stratified's equal-rate draw: a fixed audit budget is
     // apportioned across language strata ∝ N_h·S_h (stratum size ×
@@ -687,6 +714,20 @@ object SamplingQueries {
         |      * (SELECT SUM(n_chars) FROM documents)::HUGEINT
         |    < 50::HUGEINT * n_chars::HUGEINT * 1152921504606846976::HUGEINT
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_importance_weights" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n_docs,
+        |    least(SUM(n_docs) OVER () * 10000
+        |      // (COUNT(*) OVER () * n_docs), 50000) AS weight_bp
+        |  FROM g)
+        |SELECT lang, n_docs, CAST(weight_bp AS BIGINT) AS weight_bp,
+        |  CAST((SUM(n_docs * weight_bp) OVER ()) * (SUM(n_docs * weight_bp) OVER ())
+        |    // SUM(n_docs * weight_bp * weight_bp) OVER () AS BIGINT) AS ess_docs
+        |FROM w ORDER BY lang""".stripMargin,
 
     "samp_neyman_alloc" ->
       """WITH w AS (
