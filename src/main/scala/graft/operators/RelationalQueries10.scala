@@ -315,6 +315,48 @@ object RelationalQueries10 {
         .orderBy($"xyz_class")
     }),
 
+    // CROSTON intermittent-demand forecasting — the sparse-series
+    // member of the forecasting family (q143 Holt assumes demand
+    // every period; Croston is the standard when most periods are
+    // ZERO, smoothing nonzero sizes and inter-demand intervals
+    // separately; forecast = z/p). Convention pinned on both sides:
+    // z₀ = first demand, p₀ = 1, α = 0.2, updates only on demand
+    // months. Same engine-side fold discipline as q143: the recurrence
+    // runs over month-sorted AGGREGATE-SIZED per-part arrays in one
+    // identical double sequence on both engines; the oracle replays it
+    // as a recursive CTE keyed by (part, step). Parts with <4 demand
+    // months are excluded (no series to smooth).
+    "q166_croston" -> ((s, d) => {
+      import s.implicits._
+      val pm = lineitem(s, d)
+        .join(orders(s, d).select($"o_orderkey",
+          ((year($"o_orderdate") - 1992) * 12 + month($"o_orderdate") - 1).as("midx")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_partkey".as("pk"), $"midx")
+        .agg(sum($"l_quantity".cast("long")).as("x"))
+      pm.groupBy($"pk")
+        .agg(array_sort(collect_list(struct($"midx", $"x"))).as("arr"))
+        .filter(size($"arr") >= 4)
+        .select($"pk", size($"arr").cast("long").as("n_periods"),
+          expr("""
+            aggregate(
+              slice(arr, 2, size(arr) - 1),
+              named_struct(
+                'z', CAST(arr[0].x AS DOUBLE),
+                'p', CAST(1.0 AS DOUBLE),
+                'lm', arr[0].midx),
+              (a, e) -> named_struct(
+                'z', 0.2D * CAST(e.x AS DOUBLE) + 0.8D * a.z,
+                'p', 0.2D * CAST(e.midx - a.lm AS DOUBLE) + 0.8D * a.p,
+                'lm', e.midx))
+          """).as("st"))
+        .select($"pk", $"n_periods",
+          format_string("%.6f", $"st.z").as("demand_size"),
+          format_string("%.6f", $"st.p").as("avg_interval"),
+          format_string("%.6f", $"st.z" / $"st.p").as("forecast_per_month"))
+        .orderBy($"pk")
+    }),
+
     // K-FOLD cross-validation assignment — the evaluation-protocol
     // member of the deterministic split family (samp_train_val_test
     // gives one split; this gives all 5 rotations at once). Fold =
@@ -574,6 +616,36 @@ object RelationalQueries10 {
         |  CAST(SUM(n) AS BIGINT) AS part_months,
         |  min(pk) AS min_part, max(pk) AS max_part
         |FROM cls GROUP BY xyz_class ORDER BY xyz_class""".stripMargin,
+
+    "q166_croston" ->
+      """WITH RECURSIVE pm AS (
+        |  SELECT l_partkey AS pk,
+        |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS midx,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |eligible AS (
+        |  SELECT pk FROM pm GROUP BY pk HAVING count(*) >= 4),
+        |idx AS (
+        |  SELECT p.pk, p.midx, CAST(p.x AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY p.pk ORDER BY p.midx) AS rn
+        |  FROM pm p JOIN eligible e ON p.pk = e.pk),
+        |fold AS (
+        |  SELECT pk, rn, midx, x AS z, CAST(1.0 AS DOUBLE) AS p
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.pk, i.rn, i.midx,
+        |    CAST(0.2 AS DOUBLE) * i.x + CAST(0.8 AS DOUBLE) * f.z,
+        |    CAST(0.2 AS DOUBLE) * CAST(i.midx - f.midx AS DOUBLE)
+        |      + CAST(0.8 AS DOUBLE) * f.p
+        |  FROM fold f JOIN idx i ON i.pk = f.pk AND i.rn = f.rn + 1),
+        |last AS (SELECT pk, max(rn) AS n FROM fold GROUP BY pk)
+        |SELECT f.pk, CAST(l2.n AS BIGINT) AS n_periods,
+        |  printf('%.6f', f.z) AS demand_size,
+        |  printf('%.6f', f.p) AS avg_interval,
+        |  printf('%.6f', f.z / f.p) AS forecast_per_month
+        |FROM fold f JOIN last l2 ON f.pk = l2.pk AND f.rn = l2.n
+        |ORDER BY f.pk""".stripMargin,
 
     "samp_kfold" ->
       """WITH f AS (

@@ -390,6 +390,31 @@ class PlanSpec extends SparkSuite {
       "expected the per-block rank + tie windows to be keyed")
   }
 
+  test("ml_pca_power: the Gram self-join reuses the substrate's vec_id partitioning (no join shuffle)") {
+    // quantized() repartitions by vec_id and localCheckpoints; both
+    // join sides read that same materialization, so the n·d² outer
+    // product must flow join→partial-agg with only the 4096-cell
+    // final exchange — no corpus-sized exchange may follow the scan.
+    val p = plan("ml_pca_power")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"Gram build fell off the hash/merge-join path:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"Gram build must never plan a cartesian product:\n$p")
+  }
+
+  test("ml_knn_classifier: eval sample broadcasts; vote windows stay keyed") {
+    val p = plan("ml_knn_classifier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the eval sample must broadcast against the corpus:\n$p")
+    val wins = SparkEntry.queries("ml_knn_classifier")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "top-5 and majority-vote windows must be per-query, never single-partition")
+  }
+
   test("samp_kfold/text_charset_profile: one exchange each — a keyed partial+final aggregate") {
     for (q <- Seq("samp_kfold", "text_charset_profile")) {
       val p = plan(q)
