@@ -315,6 +315,33 @@ object RelationalQueries10 {
         .orderBy($"xyz_class")
     }),
 
+    // PEAK ORDERS-IN-FLIGHT — the interval-stabbing maximum ("how many
+    // orders were simultaneously open on the worst day of each
+    // year?"): +1 at o_orderdate, −1 the day after the order's last
+    // shipment, running sum over the day-keyed delta table, per-year
+    // argmax with a day tie-break. The classic sweep-line shape at
+    // scale: two delta rows per order collapse into the aggregate-
+    // sized calendar before the only window runs.
+    "q167_open_orders_peak" -> ((s, d) => {
+      import s.implicits._
+      val span = lineitem(s, d)
+        .groupBy($"l_orderkey").agg(max(to_date($"l_shipdate")).as("closed"))
+        .join(orders(s, d).select($"o_orderkey", to_date($"o_orderdate").as("opened")),
+          $"l_orderkey" === $"o_orderkey")
+      val deltas = span.select($"opened".as("day"), lit(1L).as("delta"))
+        .unionByName(span.select(date_add($"closed", 1).as("day"), lit(-1L).as("delta")))
+        .groupBy($"day").agg(sum($"delta").as("d"))
+      val wRun = Window.orderBy($"day") // day-table-sized
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val open = deltas.withColumn("open_cnt", sum($"d").over(wRun))
+      val wYr = Window.partitionBy(year($"day"))
+        .orderBy($"open_cnt".desc, $"day".asc)
+      open.withColumn("rk", row_number().over(wYr)).filter($"rk" === 1)
+        .select(year($"day").as("yr"), fmtTs($"day".cast("timestamp")).as("peak_day"),
+          $"open_cnt".as("peak_open"))
+        .orderBy($"yr")
+    }),
+
     // CROSTON intermittent-demand forecasting — the sparse-series
     // member of the forecasting family (q143 Holt assumes demand
     // every period; Croston is the standard when most periods are
@@ -616,6 +643,33 @@ object RelationalQueries10 {
         |  CAST(SUM(n) AS BIGINT) AS part_months,
         |  min(pk) AS min_part, max(pk) AS max_part
         |FROM cls GROUP BY xyz_class ORDER BY xyz_class""".stripMargin,
+
+    "q167_open_orders_peak" ->
+      """WITH span AS (
+        |  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS opened,
+        |    c.closed
+        |  FROM orders o JOIN (
+        |    SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS closed
+        |    FROM lineitem GROUP BY l_orderkey) c
+        |  ON o.o_orderkey = c.l_orderkey),
+        |deltas AS (
+        |  SELECT day, CAST(SUM(delta) AS BIGINT) AS d FROM (
+        |    SELECT opened AS day, 1 AS delta FROM span
+        |    UNION ALL
+        |    SELECT closed + 1, -1 FROM span)
+        |  GROUP BY day),
+        |open_cnt AS (
+        |  SELECT day, SUM(d) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_cnt
+        |  FROM deltas),
+        |ranked AS (
+        |  SELECT CAST(year(day) AS INTEGER) AS yr, day, open_cnt,
+        |    row_number() OVER (PARTITION BY year(day)
+        |      ORDER BY open_cnt DESC, day) AS rk
+        |  FROM open_cnt)
+        |SELECT yr, strftime(CAST(day AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS peak_day,
+        |  CAST(open_cnt AS BIGINT) AS peak_open
+        |FROM ranked WHERE rk = 1 ORDER BY yr""".stripMargin,
 
     "q166_croston" ->
       """WITH RECURSIVE pm AS (

@@ -420,6 +420,33 @@ object SamplingQueries {
     // cluster. Per-source weights are one keyed aggregate over the
     // corpus; the allocation itself runs on |sources| rows — aggregate-
     // sized at any corpus scale, like the PSI bins above.
+    // SEQUENCE-LENGTH BUCKETING + padding-waste audit — the batching
+    // decision a training loader makes: docs grouped into power-of-two
+    // token-length buckets, with the exact padding waste each bucket
+    // would pay if padded to its ceiling (the number that justifies
+    // length-bucketed batching over naive global padding). Bucket =
+    // ceil(log2(n_tokens) − 1e-9): the epsilon absorbs any ≤1-ulp libm
+    // disagreement between engines at exact powers of two (where a
+    // k+ε rounding would otherwise flip the ceil); every other number
+    // in the query is an exact integer. One narrow scan + one keyed
+    // aggregate.
+    "pack_length_buckets" -> ((s, d) => {
+      import s.implicits._
+      val toks = size(split($"text", " ")).cast("long")
+      documents(s, d)
+        .select($"doc_id", toks.as("n_toks"))
+        .withColumn("bucket_cap",
+          expr("CAST(power(2, CAST(ceil(log2(n_toks) - 1e-9) AS INT)) AS BIGINT)"))
+        .groupBy($"bucket_cap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").as("total_tokens"),
+          min($"n_toks").as("min_toks"), max($"n_toks").as("max_toks"))
+        .withColumn("padded_tokens", $"n_docs" * $"bucket_cap")
+        .withColumn("waste_bp",
+          expr("(n_docs * bucket_cap - total_tokens) * 10000 DIV (n_docs * bucket_cap)"))
+        .orderBy($"bucket_cap")
+    }),
+
     // IMPORTANCE REWEIGHTING toward a uniform language target — the
     // "rebalance without resampling" knob a training loop applies as
     // per-example loss weights: w_l = target_share / corpus_share in
@@ -714,6 +741,26 @@ object SamplingQueries {
         |      * (SELECT SUM(n_chars) FROM documents)::HUGEINT
         |    < 50::HUGEINT * n_chars::HUGEINT * 1152921504606846976::HUGEINT
         |ORDER BY doc_id""".stripMargin,
+
+    "pack_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(power(2, CAST(ceil(log2(n_toks) - 1e-9) AS INTEGER)) AS BIGINT)
+        |      AS bucket_cap
+        |  FROM t),
+        |agg AS (
+        |  SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |    min(n_toks) AS min_toks, max(n_toks) AS max_toks
+        |  FROM b GROUP BY bucket_cap)
+        |SELECT bucket_cap, n_docs, total_tokens, min_toks, max_toks,
+        |  n_docs * bucket_cap AS padded_tokens,
+        |  (n_docs * bucket_cap - total_tokens) * 10000
+        |    // (n_docs * bucket_cap) AS waste_bp
+        |FROM agg ORDER BY bucket_cap""".stripMargin,
 
     "samp_importance_weights" ->
       """WITH g AS (
