@@ -103,7 +103,15 @@ object ScaleProbe {
         .withColumn("p_retailprice", $"p_retailprice" + lit(i * priceStep))
     }.reduce(_ unionByName _)
     pt10.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$dir10/part.parquet")
-    val evRaw = spark.read.parquet(s"$base/events.parquet")
+    // normalize ts to a NANOS long regardless of the generation's
+    // encoding (nanos-as-long vs TIMESTAMP(MICROS)) — the copies are
+    // written back as LongType nanos, which Tables.events handles
+    val evRaw0 = spark.read.parquet(s"$base/events.parquet")
+    val evRaw = evRaw0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => evRaw0
+      case _ => evRaw0.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
     val (tsLo, tsHi) = {
       val r = evRaw.agg(min($"ts"), max($"ts")).head
       (r.getLong(0), r.getLong(1))

@@ -46,8 +46,7 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // event-time order, the arrival order a log stream actually has
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = Tables.events(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[UserEvent].orderBy($"ts", $"event_id").collect()
     val batchRows = 5000

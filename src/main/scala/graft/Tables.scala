@@ -22,14 +22,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as a long (nanos) and rebuild a
-    * micros TimestampType via integer division — the same truncation
-    * DuckDB applies when narrowing ns → µs, so oracle parity holds. */
+  /** `events.ts` has been generated as parquet TIMESTAMP(NANOS) in some
+    * rounds (which Spark's vectorized reader rejects — read as long
+    * nanos and rebuild micros via integer division, the same truncation
+    * DuckDB applies narrowing ns → µs) and plain TIMESTAMP(MICROS) in
+    * others (arrives as TIMESTAMP_NTZ — cast to the session-UTC
+    * TimestampType, value-preserving). Dispatch on the actual file
+    * schema so either generation reads identically on both engines. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -57,10 +57,17 @@ object StreamingQueries {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the file source wants a directory: stream the testdata dir,
     // glob-filtered to the one table
-    s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // ts encoding varies by testdata generation (nanos-as-long vs
+    // TIMESTAMP(MICROS)) — same dispatch as Tables.events
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Drain `df` through a memory sink and return its contents. Runs
