@@ -42,7 +42,8 @@ object SparkEntry {
       RelationalQueries10.queries ++
       GraphQueries2.queries ++
       MlQueries.queries ++
-      TextQueries3.queries
+      TextQueries3.queries ++
+      RelationalQueries11.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -70,5 +71,6 @@ object SparkEntry {
       RelationalQueries10.oracles ++
       GraphQueries2.oracles ++
       MlQueries.oracles ++
-      TextQueries3.oracles
+      TextQueries3.oracles ++
+      RelationalQueries11.oracles
 }

@@ -48,6 +48,17 @@ object GlobalRank {
       val byBytes = (bytes / (64L << 20)).toLong + 1
       math.min(65536L, math.max(s.sparkContext.defaultParallelism.toLong, byBytes)).toInt
     }
+    withRank(df, rankCol, sortExprs, nParts)
+  }
+
+  /** [[withRank]] with an EXPLICIT range-partition count — for inputs
+    * whose Catalyst size estimate is unusable (e.g. the output of a
+    * theta join, where the estimator multiplies child sizes and the
+    * byte-based heuristic above would explode to the 65536 clamp).
+    * Callers own the sizing argument; document it at the call site. */
+  def withRank(df: DataFrame, rankCol: String, sortExprs: Seq[Column],
+      nParts: Int): (DataFrame, Long) = {
+    val s = df.sparkSession
     val keyed = df
       .repartitionByRange(nParts, sortExprs: _*)
       .withColumn("_gr_pid", spark_partition_id())

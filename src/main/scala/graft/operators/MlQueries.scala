@@ -31,6 +31,17 @@ object MlQueries {
   private val DIMS = 64
   private val TOPK = 5
 
+  /** The PCA Gram build (pre-checkpoint) — package-visible so PlanSpec
+    * can pin the join stage that `ml_pca_power`'s eager 4096-row
+    * localCheckpoint otherwise truncates out of the final plan. */
+  private[graft] def pcaGram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    q.select($"vec_id", $"dim".as("i"), $"qv".as("qa"))
+      .join(q.select($"vec_id", $"dim".as("j"), $"qv".as("qb")), Seq("vec_id"))
+      .groupBy($"i", $"j").agg(sum($"qa" * $"qb").as("g"))
+  }
+
   /** Corpus exploded to (vec_id, dim, qv) with milli-quantized integer
     * coordinates — the substrate both queries score on. */
   private def quantized(s: SparkSession, d: String): DataFrame = {
@@ -88,10 +99,7 @@ object MlQueries {
     // as unrolled CTEs.
     "ml_pca_power" -> ((s, d) => {
       import s.implicits._
-      val q = quantized(s, d)
-      val gram = q.select($"vec_id", $"dim".as("i"), $"qv".as("qa"))
-        .join(q.select($"vec_id", $"dim".as("j"), $"qv".as("qb")), Seq("vec_id"))
-        .groupBy($"i", $"j").agg(sum($"qa" * $"qb").as("g"))
+      val gram = pcaGram(s, d)
         .localCheckpoint() // 4096 rows at any corpus size
       def rescale(df: DataFrame): DataFrame = {
         val w = Window.partitionBy() // 64 rows

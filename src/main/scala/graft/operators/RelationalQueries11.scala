@@ -1,0 +1,389 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-10 closing batch (q168–q172): higher-moment normality testing
+  * (Jarque–Bera), robust trend estimation (Theil–Sen median slope on
+  * the distributed GlobalRank machinery), structural-break inference
+  * (Chow F-test), revenue variance decomposition (price/volume/mix),
+  * and categorical effect size (Cramér's V on top of the chi-square
+  * idiom).
+  *
+  * Exactness contract (same as q152+): every shuffled aggregate is an
+  * integer/decimal sum; doubles appear only in final operand-identical
+  * expression trees rendered with format_string, or in IEEE-identical
+  * per-row divisions of exact integers (q169's slopes — the same
+  * dividend/divisor pair yields the same double on both engines).
+  */
+object RelationalQueries11 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val D38 = DecimalType(38, 0)
+  // factor width for decimal×decimal products: DuckDB's multiply rule
+  // is width₁+width₂ ≤ 38 (it ERRORS above, where Spark caps at 38) —
+  // so exact products must cast FACTORS to (19,0) on both engines
+  private val D19 = DecimalType(19, 0)
+
+  val queries: Map[String, Q] = Map(
+    // JARQUE–BERA normality test per return flag — the higher-moment
+    // member of the q43 family: skewness and excess kurtosis from raw
+    // power sums, JB = n/6·(S² + K²/4). l_quantity in integer cents
+    // (≤5000) keeps every per-row power inside int64 (c⁴ ≤ 6.25e14);
+    // the SUMS are decimal(38,0) (600k × 6.25e14 ≈ 4e20 would overflow
+    // int64). One map-side-combinable groupBy; output is 3 rows.
+    "q168_jarque_bera" -> ((s, d) => {
+      import s.implicits._
+      val c = (dec($"l_quantity") * 100).cast("long")
+      val li = lineitem(s, d)
+        .select($"l_returnflag", c.as("c"))
+        .withColumn("c2", $"c" * $"c")
+        .withColumn("c3", $"c2" * $"c")
+        .withColumn("c4", $"c3" * $"c")
+      val g = li.groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum($"c".cast(D38)).cast("double").as("s1"),
+        sum($"c2".cast(D38)).cast("double").as("s2"),
+        sum($"c3".cast(D38)).cast("double").as("s3"),
+        sum($"c4".cast(D38)).cast("double").as("s4"))
+      val nD = $"n".cast("double")
+      val m = $"s1" / nD
+      val m2 = $"s2" / nD - m * m
+      val m3 = $"s3" / nD - lit(3.0) * m * $"s2" / nD + lit(2.0) * m * m * m
+      val m4 = $"s4" / nD - lit(4.0) * m * $"s3" / nD +
+        lit(6.0) * m * m * $"s2" / nD - lit(3.0) * m * m * m * m
+      // m2·sqrt(m2) ≡ m2^1.5 but sqrt is IEEE-correctly-rounded on
+      // both engines where libm pow is not (the pack_length_buckets
+      // log2 lesson) — so the tree stays bit-identical cross-engine
+      val skew = m3 / (m2 * sqrt(m2))
+      val kurt = m4 / (m2 * m2) - lit(3.0)
+      g.select($"l_returnflag", $"n",
+          format_string("%.6f", skew).as("skewness"),
+          format_string("%.6f", kurt).as("excess_kurtosis"),
+          format_string("%.6f", nD / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0)))
+            .as("jb_stat"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // THEIL–SEN robust slope of daily revenue: the median of all
+    // pairwise slopes (rev_b−rev_a)/(day_b−day_a) — outlier-immune
+    // where q170's OLS is not. Pair count is CALENDAR-bounded (~2400
+    // order dates → ~2.9M pairs regardless of SF; the q162
+    // mann_kendall argument). The median pick is the distributed
+    // two-pass GlobalRank, never a single-partition global window;
+    // the lower median (rank ⌈n/2⌉) avoids averaging two doubles.
+    // Slopes are per-row divisions of identical exact integers, so
+    // both engines produce bit-identical IEEE doubles; (da, db) is
+    // the total-order tiebreak for equal slopes.
+    "q169_theil_sen" -> ((s, d) => {
+      import s.implicits._
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date($"o_orderdate"), lit("1992-01-01")).as("dx"))
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("rev"))
+      val a = daily.select($"dx".as("da"), $"rev".as("ra"))
+      val b = daily.select($"dx".as("db"), $"rev".as("rb"))
+      val pairs = a.join(b, $"da" < $"db")
+        .select($"da", $"db",
+          (($"rb" - $"ra").cast("double") / ($"db" - $"da").cast("double")).as("slope"))
+      // explicit nParts: the pairs frame is a theta-join output whose
+      // Catalyst size estimate multiplies child sizes (useless), and
+      // its true cardinality is calendar²-bounded (~3M rows, ~70 MB)
+      // at ANY corpus scale — defaultParallelism ranges is right-sized
+      val (ranked, n) = GlobalRank.withRank(
+        pairs, "rk", Seq($"slope".asc, $"da".asc, $"db".asc),
+        s.sparkContext.defaultParallelism)
+      val medianRank = (n + 1) / 2
+      ranked.filter($"rk" === medianRank)
+        .select(lit(n).as("n_pairs"),
+          format_string("%.9f", $"slope").as("ts_slope"))
+    }),
+
+    // CHOW structural-break F-test: does the daily-revenue-on-time OLS
+    // line break at 1998-01-01 (mid-range of the 1995–2001 order
+    // calendar)? SSR of the pooled fit vs the two segment fits,
+    // F = ((SSRp−SSR1−SSR2)/2)/((SSR1+SSR2)/(n−4)). The raw-power-sum
+    // SSR formula (q43's) is catastrophically cancelling here — syy
+    // and sy²/n agree to ~5 leading digits, so the DECIMAL→DOUBLE
+    // last-ulp divergence between engines surfaces in the rendered
+    // output. Instead: EXACT CENTERED sums — X = n·x−Σx, Y = n·y−Σy
+    // are exact integers (the scaled deviations), their power sums are
+    // exact decimals, and SSR·n² = ΣY² − (ΣXY)²/ΣX² involves no
+    // near-equal subtraction until the final modest-magnitude terms.
+    // Shape: one (day) exchange → two broadcast-sized mean joins →
+    // aggregate-sized math. Int64 bounds: |Y| ≤ n_days·maxdailycents
+    // ≈ 2e12 at sf0.1; the D19-factor products keep the SUMS exact at
+    // any scale (upgrade X,Y themselves to D19 if a corpus ever has
+    // n_days·cents > 9e18).
+    "q170_chow_break" -> ((s, d) => {
+      import s.implicits._
+      val daily = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("rev"))
+        .select(
+          when($"day" < lit("1998-01-01"), 0).otherwise(1).as("seg"),
+          datediff($"day", lit("1995-01-01")).cast("long").as("x"),
+          $"rev".as("y"))
+      val segSums = daily.groupBy($"seg").agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"))
+      val totSums = daily.groupBy().agg(
+        count(lit(1)).as("nn"), sum($"x").as("tsx"), sum($"y").as("tsy"))
+      val rowsC = daily
+        .join(broadcast(segSums), Seq("seg"))
+        .crossJoin(broadcast(totSums))
+        .select($"seg", $"n", $"nn",
+          ($"n" * $"x" - $"sx").as("xs"), ($"n" * $"y" - $"sy").as("ys"),
+          ($"nn" * $"x" - $"tsx").as("xp"), ($"nn" * $"y" - $"tsy").as("yp"))
+      val perSeg = rowsC.groupBy($"seg").agg(
+        max($"n").as("n"),
+        sum(($"xs".cast(D19) * $"xs".cast(D19))).as("sxx"),
+        sum(($"ys".cast(D19) * $"ys".cast(D19))).as("syy"),
+        sum(($"xs".cast(D19) * $"ys".cast(D19))).as("sxy"))
+      val pooled = rowsC.groupBy().agg(
+        max($"nn").as("nn"),
+        sum(($"xp".cast(D19) * $"xp".cast(D19))).as("pxx"),
+        sum(($"yp".cast(D19) * $"yp".cast(D19))).as("pyy"),
+        sum(($"xp".cast(D19) * $"yp".cast(D19))).as("pxy"))
+      def ssr(n: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+              syy: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column) =
+        (syy.cast("double") - sxy.cast("double") * sxy.cast("double") / sxx.cast("double")) /
+          (n.cast("double") * n.cast("double"))
+      def seg(i: Int, c: org.apache.spark.sql.Column) = max(when($"seg" === i, c))
+      val one = perSeg.groupBy().agg(
+        seg(0, $"n").as("n1"), seg(1, $"n").as("n2"),
+        seg(0, $"sxx").as("sxx1"), seg(1, $"sxx").as("sxx2"),
+        seg(0, $"syy").as("syy1"), seg(1, $"syy").as("syy2"),
+        seg(0, $"sxy").as("sxy1"), seg(1, $"sxy").as("sxy2"))
+        .crossJoin(broadcast(pooled))
+      val ssr1 = ssr($"n1", $"sxx1", $"syy1", $"sxy1")
+      val ssr2 = ssr($"n2", $"sxx2", $"syy2", $"sxy2")
+      val ssrP = ssr($"nn", $"pxx", $"pyy", $"pxy")
+      one.select(
+        $"n1".as("n_pre"), $"n2".as("n_post"),
+        format_string("%.6e", ssr1).as("ssr_pre"),
+        format_string("%.6e", ssr2).as("ssr_post"),
+        format_string("%.6e", ssrP).as("ssr_pooled"),
+        format_string("%.6f",
+          ((ssrP - ssr1 - ssr2) / lit(2.0)) /
+            ((ssr1 + ssr2) / ($"n1" + $"n2" - 4).cast("double"))).as("f_stat"))
+    }),
+
+    // PRICE/VOLUME/MIX decomposition of the 1996→1997 revenue change
+    // per part type: Δrev = p94·Δq (volume) + q94·Δp (price) + Δp·Δq
+    // (cross). Quantities and cents revenues are exact bigint sums;
+    // the unit prices p = rev/qty are the only doubles and appear in
+    // identical trees. part is a dimension → broadcast; one keyed
+    // exchange on (type, yr) then a 150-row pivot.
+    "q171_price_volume_mix" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+        .filter(year($"l_shipdate").isin(1996, 1997))
+        .join(broadcast(part(s, d).select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_type", year($"l_shipdate").as("yr"))
+        .agg(
+          sum(dec($"l_quantity").cast("long")).as("q"),
+          sum((dec($"l_extendedprice") * 100).cast("long")).as("r"))
+      val piv = li.groupBy($"p_type").agg(
+        sum(when($"yr" === 1996, $"q")).as("q0"),
+        sum(when($"yr" === 1997, $"q")).as("q1"),
+        sum(when($"yr" === 1996, $"r")).as("r0"),
+        sum(when($"yr" === 1997, $"r")).as("r1"))
+        .filter($"q0".isNotNull && $"q1".isNotNull)
+      val p0 = $"r0".cast("double") / $"q0".cast("double")
+      val p1 = $"r1".cast("double") / $"q1".cast("double")
+      piv.select($"p_type", $"q0", $"q1", $"r0", $"r1",
+          ($"r1" - $"r0").as("delta_rev"),
+          format_string("%.4f", ($"q1" - $"q0").cast("double") * p0).as("volume_effect"),
+          format_string("%.4f", (p1 - p0) * $"q0".cast("double")).as("price_effect"),
+          format_string("%.4f", (p1 - p0) * ($"q1" - $"q0").cast("double")).as("cross_effect"))
+        .orderBy($"p_type")
+    }),
+
+    // CRAMÉR'S V — the effect-size companion to q92's chi-square, on a
+    // different contingency (l_returnflag × l_linestatus): V =
+    // sqrt(χ²/(n·(min(r,c)−1))). Counts are exact; expected counts and
+    // χ² are identical double trees over a ≤6-cell table.
+    "q172_cramers_v" -> ((s, d) => {
+      import s.implicits._
+      val cells = lineitem(s, d)
+        .groupBy($"l_returnflag".as("rf"), $"l_linestatus".as("ls"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy($"rf")
+      val wc = Window.partitionBy($"ls")
+      val wg = Window.partitionBy()
+      val chi = cells
+        .withColumn("rt", sum($"o").over(wr))
+        .withColumn("ct", sum($"o").over(wc))
+        .withColumn("n", sum($"o").over(wg))
+        .withColumn("r", size(collect_set($"rf").over(wg)))
+        .withColumn("c", size(collect_set($"ls").over(wg)))
+        .select($"o", $"rt", $"ct", $"n", $"r", $"c",
+          (($"o".cast("double") - $"rt".cast("double") * $"ct".cast("double") / $"n".cast("double")) *
+            ($"o".cast("double") - $"rt".cast("double") * $"ct".cast("double") / $"n".cast("double")) /
+            ($"rt".cast("double") * $"ct".cast("double") / $"n".cast("double"))).as("term"))
+      chi.groupBy($"n", $"r", $"c")
+        .agg(sum($"term").as("chi2"))
+        .select($"n", $"r", $"c",
+          format_string("%.6f", $"chi2").as("chi2"),
+          format_string("%.6f",
+            sqrt($"chi2" / ($"n".cast("double") * (least($"r", $"c") - 1).cast("double"))))
+            .as("cramers_v"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q168_jarque_bera" ->
+      """WITH rows_c AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(c*c*c AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(c*c*c*c AS DECIMAL(38,0))) AS DOUBLE) AS s4
+        |  FROM rows_c GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    s1/CAST(n AS DOUBLE) AS m1,
+        |    s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)) AS m2,
+        |    s3/CAST(n AS DOUBLE) - 3.0*(s1/CAST(n AS DOUBLE))*s2/CAST(n AS DOUBLE)
+        |      + 2.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)) AS m3,
+        |    s4/CAST(n AS DOUBLE) - 4.0*(s1/CAST(n AS DOUBLE))*s3/CAST(n AS DOUBLE)
+        |      + 6.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*s2/CAST(n AS DOUBLE)
+        |      - 3.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)) AS m4
+        |  FROM g),
+        |sk AS (
+        |  SELECT l_returnflag, n,
+        |    m3 / (m2 * sqrt(m2)) AS skew,
+        |    m4 / (m2*m2) - 3.0 AS kurt
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  printf('%.6f', skew) AS skewness,
+        |  printf('%.6f', kurt) AS excess_kurtosis,
+        |  printf('%.6f', CAST(n AS DOUBLE)/6.0 * (skew*skew + kurt*kurt/4.0)) AS jb_stat
+        |FROM sk ORDER BY l_returnflag""".stripMargin,
+
+    "q169_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS dx,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.dx AS da, b.dx AS db,
+        |    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.dx - a.dx AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.dx < b.dx),
+        |ranked AS (
+        |  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, da, db) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM pairs)
+        |SELECT CAST(n AS BIGINT) AS n_pairs, printf('%.9f', slope) AS ts_slope
+        |FROM ranked WHERE rk = (n + 1) // 2""".stripMargin,
+
+    "q170_chow_break" ->
+      """WITH daily AS (
+        |  SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01' THEN 0 ELSE 1 END AS seg,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |seg_sums AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM daily GROUP BY seg),
+        |tot_sums AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(SUM(x) AS BIGINT) AS tsx, CAST(SUM(y) AS BIGINT) AS tsy
+        |  FROM daily),
+        |rows_c AS (
+        |  SELECT d.seg, s.n, t.nn,
+        |    s.n * d.x - s.sx AS xs, s.n * d.y - s.sy AS ys,
+        |    t.nn * d.x - t.tsx AS xp, t.nn * d.y - t.tsy AS yp
+        |  FROM daily d JOIN seg_sums s USING (seg) CROSS JOIN tot_sums t),
+        |per_seg AS (
+        |  SELECT seg, MAX(n) AS n,
+        |    SUM(CAST(xs AS DECIMAL(19,0)) * CAST(xs AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(ys AS DECIMAL(19,0)) * CAST(ys AS DECIMAL(19,0))) AS syy,
+        |    SUM(CAST(xs AS DECIMAL(19,0)) * CAST(ys AS DECIMAL(19,0))) AS sxy
+        |  FROM rows_c GROUP BY seg),
+        |pooled AS (
+        |  SELECT MAX(nn) AS nn,
+        |    SUM(CAST(xp AS DECIMAL(19,0)) * CAST(xp AS DECIMAL(19,0))) AS pxx,
+        |    SUM(CAST(yp AS DECIMAL(19,0)) * CAST(yp AS DECIMAL(19,0))) AS pyy,
+        |    SUM(CAST(xp AS DECIMAL(19,0)) * CAST(yp AS DECIMAL(19,0))) AS pxy
+        |  FROM rows_c),
+        |one AS (
+        |  SELECT
+        |    MAX(n) FILTER (WHERE seg = 0) AS n1, MAX(n) FILTER (WHERE seg = 1) AS n2,
+        |    MAX(sxx) FILTER (WHERE seg = 0) AS sxx1, MAX(sxx) FILTER (WHERE seg = 1) AS sxx2,
+        |    MAX(syy) FILTER (WHERE seg = 0) AS syy1, MAX(syy) FILTER (WHERE seg = 1) AS syy2,
+        |    MAX(sxy) FILTER (WHERE seg = 0) AS sxy1, MAX(sxy) FILTER (WHERE seg = 1) AS sxy2
+        |  FROM per_seg),
+        |f AS (
+        |  SELECT n1 AS n_pre, n2 AS n_post,
+        |    (CAST(syy1 AS DOUBLE) - CAST(sxy1 AS DOUBLE)*CAST(sxy1 AS DOUBLE)/CAST(sxx1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS ssr1,
+        |    (CAST(syy2 AS DOUBLE) - CAST(sxy2 AS DOUBLE)*CAST(sxy2 AS DOUBLE)/CAST(sxx2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ssr2,
+        |    (CAST(pyy AS DOUBLE) - CAST(pxy AS DOUBLE)*CAST(pxy AS DOUBLE)/CAST(pxx AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS ssrp
+        |  FROM one CROSS JOIN pooled)
+        |SELECT n_pre, n_post,
+        |  printf('%.6e', ssr1) AS ssr_pre,
+        |  printf('%.6e', ssr2) AS ssr_post,
+        |  printf('%.6e', ssrp) AS ssr_pooled,
+        |  printf('%.6f', ((ssrp - ssr1 - ssr2) / 2.0)
+        |    / ((ssr1 + ssr2) / CAST(n_pre + n_post - 4 AS DOUBLE))) AS f_stat
+        |FROM f""".stripMargin,
+
+    "q171_price_volume_mix" ->
+      """WITH li AS (
+        |  SELECT p.p_type, year(CAST(l.l_shipdate AS DATE)) AS yr,
+        |    CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE year(CAST(l.l_shipdate AS DATE)) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT p_type,
+        |    SUM(q) FILTER (WHERE yr = 1996) AS q0, SUM(q) FILTER (WHERE yr = 1997) AS q1,
+        |    SUM(r) FILTER (WHERE yr = 1996) AS r0, SUM(r) FILTER (WHERE yr = 1997) AS r1
+        |  FROM li GROUP BY p_type)
+        |SELECT p_type,
+        |  CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1,
+        |  CAST(r0 AS BIGINT) AS r0, CAST(r1 AS BIGINT) AS r1,
+        |  CAST(r1 - r0 AS BIGINT) AS delta_rev,
+        |  printf('%.4f', CAST(q1 - q0 AS DOUBLE) * (CAST(r0 AS DOUBLE)/CAST(q0 AS DOUBLE))) AS volume_effect,
+        |  printf('%.4f', (CAST(r1 AS DOUBLE)/CAST(q1 AS DOUBLE) - CAST(r0 AS DOUBLE)/CAST(q0 AS DOUBLE))
+        |    * CAST(q0 AS DOUBLE)) AS price_effect,
+        |  printf('%.4f', (CAST(r1 AS DOUBLE)/CAST(q1 AS DOUBLE) - CAST(r0 AS DOUBLE)/CAST(q0 AS DOUBLE))
+        |    * CAST(q1 - q0 AS DOUBLE)) AS cross_effect
+        |FROM piv WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+        |ORDER BY p_type""".stripMargin,
+
+    "q172_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (
+        |  SELECT o,
+        |    SUM(o) OVER (PARTITION BY rf) AS rt,
+        |    SUM(o) OVER (PARTITION BY ls) AS ct,
+        |    SUM(o) OVER () AS n,
+        |    (SELECT COUNT(DISTINCT rf) FROM cells) AS r,
+        |    (SELECT COUNT(DISTINCT ls) FROM cells) AS c
+        |  FROM cells),
+        |chi AS (
+        |  SELECT CAST(n AS BIGINT) AS n, CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+        |    SUM((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))) AS chi2
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT n, r, c,
+        |  printf('%.6f', chi2) AS chi2,
+        |  printf('%.6f', sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))) AS cramers_v
+        |FROM chi""".stripMargin)
+}

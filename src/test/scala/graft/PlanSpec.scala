@@ -395,7 +395,11 @@ class PlanSpec extends SparkSuite {
     // join sides read that same materialization, so the n·d² outer
     // product must flow join→partial-agg with only the 4096-cell
     // final exchange — no corpus-sized exchange may follow the scan.
-    val p = plan("ml_pca_power")
+    // Pin the Gram FRAGMENT: ml_pca_power's own final plan starts at
+    // the eager 4096-row localCheckpoint, which truncates the join out.
+    val p = graft.operators.MlQueries.pcaGram(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"),
       s"Gram build fell off the hash/merge-join path:\n$p")
