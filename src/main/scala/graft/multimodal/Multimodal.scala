@@ -142,6 +142,79 @@ object Multimodal {
     }(enc)
   }
 
+  val patchSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("np_x", IntegerType),
+    StructField("np_y", IntegerType),
+    StructField("n_patches", IntegerType),
+    StructField("n_light", LongType),
+    StructField("max_patch_sum", LongType),
+    StructField("min_patch_sum", LongType)))
+
+  /** ViT-style PATCHIFICATION of one decoded image: tile into ps×ps
+    * pixel patches (floor grid — ragged edges dropped, the standard
+    * resize-then-crop contract), per-patch exact integer r+g+b sums,
+    * and the grid summary (light-patch count vs the mid-gray 128·3·ps²
+    * threshold, max/min patch energy). None for dead payloads. */
+  private[graft] def patchOne(payload: Array[Byte], ps: Int)
+      : Option[(Int, Int, Int, Int, Int, Long, Long, Long)] = {
+    if (payload == null || payload.isEmpty || ps <= 0) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (npx, npy) = (w / ps, h / ps)
+    if (npx == 0 || npy == 0) return None
+    var (nLight, maxSum, minSum) = (0L, Long.MinValue, Long.MaxValue)
+    val thr = 384L * ps * ps // mid-gray 128 × 3 channels × patch pixels
+    var py = 0
+    while (py < npy) {
+      var px = 0
+      while (px < npx) {
+        var sum = 0L
+        var y = py * ps
+        while (y < (py + 1) * ps) {
+          var x = px * ps
+          while (x < (px + 1) * ps) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        if (sum > thr) nLight += 1
+        if (sum > maxSum) maxSum = sum
+        if (sum < minSum) minSum = sum
+        px += 1
+      }
+      py += 1
+    }
+    Some((w, h, npx, npy, npx * npy, nLight, maxSum, minSum))
+  }
+
+  /** Batched patchification of (doc_id: long, payload: binary,
+    * ps: int) → the per-image patch-grid summary. Same zero-shuffle
+    * mapPartitions seam as decodeFeatures. */
+  def patchFeatures(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(patchSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          patchOne(payload, r.getInt(2)) match {
+            case Some((w, h, npx, npy, np, nl, mx, mn)) =>
+              Row(id, w, h, npx, npy, np, nl, mx, mn)
+            case None => Row(id, null, null, null, null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Average hash (aHash) of a decoded image: 8×8 box-downsample, one
     * bit per cell (cell mean > global mean), MSB-first row-major — the
     * classic perceptual fingerprint that is invariant to lossless

@@ -42,6 +42,34 @@ object GraphQueries2 {
       .localCheckpoint()
   }
 
+  /** The degree-capped co-purchase graph shared by the link-prediction
+    * queries: (sym, capped) where `sym` is the symmetric weighted edge
+    * list of parts co-ordered ≥2 times and `capped` keeps each
+    * vertex's top-8 neighbors under a (count desc, dst) total order —
+    * the densification guard that keeps wedge enumeration linear when
+    * volume grows over a fixed part universe. */
+  private def coPurchase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val cap = 8
+    val li = lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val cooc = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("p1"), $"b.pk".as("p2"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+    val sym = cooc
+      .select(explode(array(
+        struct($"p1".as("src"), $"p2".as("dst"), $"c"),
+        struct($"p2".as("src"), $"p1".as("dst"), $"c"))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.c".as("c"))
+      .localCheckpoint()
+    val wCap = Window.partitionBy($"src").orderBy($"c".desc, $"dst".asc)
+    val capped = sym.withColumn("rn", row_number().over(wCap))
+      .filter($"rn" <= cap).select($"src", $"dst")
+      .localCheckpoint()
+    (sym, capped)
+  }
+
   val queries: Map[String, Q] = Map(
     // K-CORE PEELING: each round drops vertices with degree < k in the
     // CURRENT subgraph and re-induces the edges; after enough rounds
@@ -88,23 +116,7 @@ object GraphQueries2 {
     // no truly co-occurring pair can ever be predicted.
     "graph_adamic_adar" -> ((s, d) => {
       import s.implicits._
-      val cap = 8
-      val li = lineitem(s, d)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      val cooc = li.as("a").join(li.as("b"),
-          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-        .groupBy($"a.pk".as("p1"), $"b.pk".as("p2"))
-        .agg(count(lit(1)).as("c")).filter($"c" >= 2)
-      val sym = cooc
-        .select(explode(array(
-          struct($"p1".as("src"), $"p2".as("dst"), $"c"),
-          struct($"p2".as("src"), $"p1".as("dst"), $"c"))).as("e"))
-        .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.c".as("c"))
-        .localCheckpoint()
-      val wCap = Window.partitionBy($"src").orderBy($"c".desc, $"dst".asc)
-      val capped = sym.withColumn("rn", row_number().over(wCap))
-        .filter($"rn" <= cap).select($"src", $"dst")
-        .localCheckpoint()
+      val (sym, capped) = coPurchase(s, d)
       val deg = capped.groupBy($"src".as("z")).agg(count(lit(1)).as("deg"))
       // each wedge center's AA term, exact nano-units (deg >= 2 there)
       val aa = deg.filter($"deg" >= 2).withColumn("aa_nano",
@@ -122,6 +134,36 @@ object GraphQueries2 {
         .orderBy($"aa_score_nano".desc, $"a".asc, $"b".asc)
         .limit(20)
         .select($"a", $"b", $"common_neighbors", $"aa_score_nano")
+    }),
+
+    // NEIGHBOR-JACCARD link prediction — the set-overlap companion to
+    // Adamic–Adar on the same capped co-purchase graph: score(a,b) =
+    // |N(a)∩N(b)| / |N(a)∪N(b)| over the capped neighbor lists, in
+    // exact basis points (integer DIV on non-negative operands, so
+    // Spark's truncation == DuckDB's floor). Wedge enumeration,
+    // degrees, and the adjacency exclusion all reuse the shared
+    // degree-capped substrate — linear under densification by the
+    // same cap argument; everything after the wedge join is
+    // candidate-sized.
+    "graph_jaccard_links" -> ((s, d) => {
+      import s.implicits._
+      val (sym, capped) = coPurchase(s, d)
+      val deg = capped.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val wedges = capped.select($"src".as("z"), $"dst".as("a"))
+        .join(capped.select($"src".as("z"), $"dst".as("b")), Seq("z"))
+        .filter($"a" < $"b")
+      val common = wedges.groupBy($"a", $"b")
+        .agg(count(lit(1)).as("common_neighbors"))
+      val scored = common
+        .join(deg.select($"src".as("a"), $"deg".as("deg_a")), Seq("a"))
+        .join(deg.select($"src".as("b"), $"deg".as("deg_b")), Seq("b"))
+        .withColumn("jaccard_bp",
+          expr("common_neighbors * 10000 DIV (deg_a + deg_b - common_neighbors)"))
+      scored.join(
+          sym.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"), "left_anti")
+        .orderBy($"jaccard_bp".desc, $"a".asc, $"b".asc)
+        .limit(20)
+        .select($"a", $"b", $"common_neighbors", $"deg_a", $"deg_b", $"jaccard_bp")
     })
   )
 
@@ -183,6 +225,42 @@ object GraphQueries2 {
          |    SELECT 1 FROM sym e WHERE e.src = s.a AND e.dst = s.b))
          |SELECT a, b, common_neighbors, aa_score_nano
          |FROM nonadj
-         |ORDER BY aa_score_nano DESC, a, b LIMIT 20""".stripMargin
+         |ORDER BY aa_score_nano DESC, a, b LIMIT 20""".stripMargin,
+
+    "graph_jaccard_links" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |cooc AS (
+         |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+         |sym AS (SELECT p1 AS src, p2 AS dst, c FROM cooc
+         |        UNION ALL SELECT p2, p1, c FROM cooc),
+         |capped AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY c DESC, dst) AS rn FROM sym)
+         |  WHERE rn <= 8),
+         |deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM capped GROUP BY src),
+         |common AS (
+         |  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+         |  FROM capped e1
+         |  JOIN capped e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY e1.dst, e2.dst),
+         |scored AS (
+         |  SELECT c.a, c.b, c.common_neighbors, da.deg AS deg_a, db.deg AS deg_b,
+         |    c.common_neighbors * 10000 // (da.deg + db.deg - c.common_neighbors) AS jaccard_bp
+         |  FROM common c
+         |  JOIN deg da ON da.src = c.a
+         |  JOIN deg db ON db.src = c.b),
+         |nonadj AS (
+         |  SELECT s.* FROM scored s
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM sym e WHERE e.src = s.a AND e.dst = s.b))
+         |SELECT a, b, common_neighbors, deg_a, deg_b, jaccard_bp
+         |FROM nonadj
+         |ORDER BY jaccard_bp DESC, a, b LIMIT 20""".stripMargin
   )
 }

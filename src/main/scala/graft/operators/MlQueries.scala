@@ -30,6 +30,9 @@ object MlQueries {
   private val K = 8      // clusters
   private val DIMS = 64
   private val TOPK = 5
+  private val MMR_NQ = 3    // MMR query documents: vec_id < 3
+  private val MMR_POOL = 20 // MMR relevance candidates per query
+  private val MMR_K = 5     // MMR picks per query
 
   /** The PCA Gram build (pre-checkpoint) — package-visible so PlanSpec
     * can pin the join stage that `ml_pca_power`'s eager 4096-row
@@ -196,6 +199,61 @@ object MlQueries {
         .filter($"rank" <= TOPK)
         .select($"q_id", $"rank", $"vec_id", $"dot_q")
         .orderBy($"q_id", $"rank")
+    }),
+
+    // MMR-DIVERSIFIED retrieval — the redundancy-killing re-rank on
+    // top of plain top-k (sim_knn/sim_mips return near-duplicates of
+    // the best hit; Maximal Marginal Relevance trades relevance
+    // against similarity-to-already-selected): greedy picks maximize
+    // 7·rel − 3·maxsim (λ=0.7 scaled to integers) over milli-quantized
+    // exact dot products, so every argmax is a total order and the
+    // whole selection is HASH-MATCHED — the oracle replays the five
+    // greedy rounds as unrolled CTEs. Scale: relevance scoring is the
+    // broadcast-query corpus pass (the sim_knn bound); everything
+    // after lives on the 20-candidate-per-query table, and the greedy
+    // loop never touches the corpus again.
+    "sim_mmr_diversify" -> ((s, d) => {
+      import s.implicits._
+      val qv = transform($"embedding", x => floor(x.cast("double") * 1000).cast("long"))
+      def qd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val emb = embeddings(s, d).select($"vec_id", qv.as("q"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val queriesDf = embeddings(s, d).filter($"vec_id" < MMR_NQ)
+        .select($"vec_id".as("q_id"), qv.as("qq"))
+      val rel = emb.join(broadcast(queriesDf), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", qd($"q", $"qq").as("rel"))
+      val wTop = Window.partitionBy($"q_id").orderBy($"rel".desc, $"vec_id".asc)
+      val cand = rel.withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= MMR_POOL).select($"q_id", $"vec_id", $"rel")
+        .localCheckpoint() // ≤ NQ·POOL = 60 rows
+      val cvec = cand.join(emb, Seq("vec_id"))
+      val ps = cvec.select($"q_id", $"vec_id".as("cand_id"), $"q".as("cq"))
+        .join(cvec.select($"q_id", $"vec_id".as("other_id"), $"q".as("oq")), Seq("q_id"))
+        .filter($"cand_id" =!= $"other_id")
+        .select($"q_id", $"cand_id", $"other_id", qd($"cq", $"oq").as("sim"))
+        .localCheckpoint() // ≤ NQ·POOL² rows
+      var selected = cand
+        .withColumn("rn", row_number().over(wTop)).filter($"rn" === 1)
+        .select($"q_id", $"vec_id", $"rel",
+          (lit(7L) * $"rel").as("mmr_score"), lit(1).as("pick"))
+        .localCheckpoint()
+      val psr = ps.select($"q_id".as("pq"), $"cand_id", $"other_id", $"sim")
+      for (k <- 2 to MMR_K) {
+        val scoredK = cand
+          .join(selected.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"), "left_anti")
+          .join(psr, $"q_id" === $"pq" && $"vec_id" === $"cand_id")
+          .join(selected.select($"q_id".as("sq"), $"vec_id".as("sel_id")),
+            $"pq" === $"sq" && $"other_id" === $"sel_id")
+          .groupBy($"q_id", $"vec_id", $"rel")
+          .agg((lit(7L) * $"rel" - lit(3L) * max($"sim")).as("mmr_score"))
+        val wK = Window.partitionBy($"q_id").orderBy($"mmr_score".desc, $"vec_id".asc)
+        val pickK = scoredK.withColumn("rn", row_number().over(wK))
+          .filter($"rn" === 1)
+          .select($"q_id", $"vec_id", $"rel", $"mmr_score", lit(k).as("pick"))
+        selected = selected.unionByName(pickK).localCheckpoint()
+      }
+      selected.orderBy($"q_id", $"pick")
     })
   )
 
@@ -330,6 +388,58 @@ object MlQueries {
          | FROM embeddings q JOIN embeddings e
          |   ON q.vec_id >= $TOPK AND q.vec_id < ${2 * TOPK}
          |    AND e.vec_id != q.vec_id) t
-         |WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin
+         |WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
+
+    // The five greedy MMR rounds replayed as unrolled CTEs: each round
+    // scores the not-yet-selected candidates by 7·rel − 3·max(sim to
+    // the selected set) and takes the (score desc, vec_id) argmax —
+    // all BIGINT arithmetic over the same milli-quantized dots.
+    "sim_mmr_diversify" -> {
+      def selK(k: Int): String = {
+        val prev = s"selall${k - 1}"
+        s"""scored$k AS (
+           |  SELECT c.q_id, c.vec_id, c.rel,
+           |    7*c.rel - 3*MAX(p.sim) AS mmr_score
+           |  FROM cand c
+           |  JOIN ps p ON p.q_id = c.q_id AND p.cand_id = c.vec_id
+           |  JOIN $prev s ON s.q_id = p.q_id AND s.vec_id = p.other_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+           |                    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+           |  GROUP BY c.q_id, c.vec_id, c.rel),
+           |sel$k AS (
+           |  SELECT q_id, vec_id, rel, mmr_score, $k AS pick FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY mmr_score DESC, vec_id) AS rn FROM scored$k)
+           |  WHERE rn = 1),
+           |selall$k AS (SELECT q_id, vec_id FROM selall${k - 1}
+           |             UNION ALL SELECT q_id, vec_id FROM sel$k)"""
+      }
+      s"""WITH cand AS (
+         |  SELECT q_id, vec_id, rel FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |      ${qdot.format("q.embedding", "e.embedding")} AS rel,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${qdot.format("q.embedding", "e.embedding")} DESC,
+         |          e.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings e
+         |      ON q.vec_id < $MMR_NQ AND e.vec_id != q.vec_id) t
+         |  WHERE rn <= $MMR_POOL),
+         |cv AS (SELECT c.q_id, c.vec_id, c.rel, e.embedding
+         |       FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+         |ps AS (SELECT a.q_id, a.vec_id AS cand_id, b.vec_id AS other_id,
+         |    ${qdot.format("a.embedding", "b.embedding")} AS sim
+         |  FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id != b.vec_id),
+         |sel1 AS (
+         |  SELECT q_id, vec_id, rel, CAST(7*rel AS BIGINT) AS mmr_score, 1 AS pick FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, vec_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |selall1 AS (SELECT q_id, vec_id FROM sel1),
+         |${(2 to MMR_K).map(selK).mkString(",\n")}
+         |SELECT q_id, vec_id, rel, CAST(mmr_score AS BIGINT) AS mmr_score,
+         |  CAST(pick AS INTEGER) AS pick
+         |FROM (${(1 to MMR_K).map(k => s"SELECT * FROM sel$k").mkString("\n      UNION ALL ")})
+         |ORDER BY q_id, pick""".stripMargin
+    }
   )
 }

@@ -138,6 +138,30 @@ object MultimodalQueries {
         .orderBy($"phash")
     }),
 
+    // ViT-style PATCH GRID over really-decoded pixels: every fixture
+    // image (the phash pattern corpus — 8×8 blocks of 192/64 gray at
+    // px∈{1,2,3} block scales) is decoded through the real PNG codec
+    // and tiled into block-aligned patches; per-patch exact r+g+b
+    // energy sums yield the light-patch census and the max/min patch
+    // energies. Every output has a CLOSED FORM in the fixture params
+    // (n_light = popcount of the md5-derived bit pattern; energies =
+    // 576/192·ps²), so the oracle hash-pins the bytes→pixels→patches
+    // path end to end — the patchification plumbing a ViT ingest
+    // pipeline runs, as one zero-shuffle mapPartitions pass.
+    "mm_patch_grid" -> ((s, d) => {
+      import s.implicits._
+      val meta = documents(s, d).select($"doc_id",
+        ($"doc_id" % 3 + 1).cast("int").as("px"),
+        substring(md5(($"doc_id" % 40).cast("string").cast("binary")), 1, 16)
+          .as("bits_hex"))
+      val payloads = graft.multimodal.Multimodal.encodePatternPayloads(
+        meta.select($"doc_id", ($"px" * 8).cast("int").as("scale"), $"bits_hex"))
+      val stats = graft.multimodal.Multimodal.patchFeatures(
+        payloads.join(meta, Seq("doc_id"))
+          .select($"doc_id", $"payload", ($"px" * 8).cast("int").as("ps")))
+      stats.orderBy($"doc_id")
+    }),
+
     // VIDEO SCENE-CUT detection plumbing — the temporal multimodal op
     // beyond mm_frame_sample's static sampling: each doc becomes a
     // short "video" (3–5 frames, scene changing every 2 frames, frame
@@ -300,6 +324,31 @@ object MultimodalQueries {
         |  TRUE AS all_match
         |FROM m GROUP BY phash
         |ORDER BY phash""".stripMargin,
+
+    "mm_patch_grid" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 3 + 1 AS BIGINT) AS px,
+        |    substring(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 16) AS bits_hex
+        |  FROM documents),
+        |pop AS (
+        |  SELECT m.doc_id,
+        |    CAST(SUM(bit_count(CAST(strpos('0123456789abcdef',
+        |      substring(m.bits_hex, g.i, 1)) - 1 AS INTEGER))) AS BIGINT) AS n_light
+        |  FROM m, generate_series(1, 16) AS g(i)
+        |  GROUP BY m.doc_id)
+        |SELECT m.doc_id,
+        |  CAST(m.px * 64 AS INTEGER) AS width,
+        |  CAST(m.px * 64 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS np_x, CAST(8 AS INTEGER) AS np_y,
+        |  CAST(64 AS INTEGER) AS n_patches,
+        |  p.n_light,
+        |  CAST(CASE WHEN p.n_light > 0 THEN 36864 * m.px * m.px
+        |            ELSE 12288 * m.px * m.px END AS BIGINT) AS max_patch_sum,
+        |  CAST(CASE WHEN p.n_light < 64 THEN 12288 * m.px * m.px
+        |            ELSE 36864 * m.px * m.px END AS BIGINT) AS min_patch_sum
+        |FROM m JOIN pop p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_scene_cuts" ->
       """SELECT doc_id,

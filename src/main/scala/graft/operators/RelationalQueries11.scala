@@ -203,6 +203,29 @@ object RelationalQueries11 {
         .orderBy($"p_type")
     }),
 
+    // RAPID-REORDER audit — the duplicate/split-payment forensics
+    // sweep: two orders by the same customer within 7 days, reported
+    // with the amount delta in basis points of the larger amount
+    // (near-0 bp = likely duplicate payment, large = split or
+    // unrelated). The pair join is EQUI on custkey — per-customer
+    // bounded, never all-pairs — with the date window and orderkey
+    // orientation as residual filters; all arithmetic is exact
+    // integer cents (DIV on non-negative operands only).
+    "q173_duplicate_payments" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d).select($"o_custkey".as("cust"), $"o_orderkey".as("ok"),
+        (dec($"o_totalprice") * 100).cast("long").as("cents"),
+        to_date($"o_orderdate").as("day"))
+      o.as("a").join(o.as("b"),
+          $"a.cust" === $"b.cust" && $"a.ok" < $"b.ok" &&
+            abs(datediff($"b.day", $"a.day")) <= 7)
+        .select($"a.cust".as("o_custkey"), $"a.ok".as("ok1"), $"b.ok".as("ok2"),
+          datediff($"b.day", $"a.day").cast("long").as("day_gap"),
+          expr("abs(b.cents - a.cents) * 10000 DIV greatest(a.cents, b.cents)")
+            .as("amount_delta_bp"))
+        .orderBy($"o_custkey", $"ok1", $"ok2")
+    }),
+
     // CRAMÉR'S V — the effect-size companion to q92's chi-square, on a
     // different contingency (l_returnflag × l_linestatus): V =
     // sqrt(χ²/(n·(min(r,c)−1))). Counts are exact; expected counts and
@@ -363,6 +386,20 @@ object RelationalQueries11 {
         |    * CAST(q1 - q0 AS DOUBLE)) AS cross_effect
         |FROM piv WHERE q0 IS NOT NULL AND q1 IS NOT NULL
         |ORDER BY p_type""".stripMargin,
+
+    "q173_duplicate_payments" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS day
+        |  FROM orders)
+        |SELECT a.cust AS o_custkey, a.ok AS ok1, b.ok AS ok2,
+        |  CAST(b.day - a.day AS BIGINT) AS day_gap,
+        |  abs(b.cents - a.cents) * 10000 // greatest(a.cents, b.cents) AS amount_delta_bp
+        |FROM o a JOIN o b
+        |  ON a.cust = b.cust AND a.ok < b.ok
+        |  AND abs(b.day - a.day) <= 7
+        |ORDER BY o_custkey, ok1, ok2""".stripMargin,
 
     "q172_cramers_v" ->
       """WITH cells AS (

@@ -141,6 +141,35 @@ object SamplingQueries {
         .orderBy($"label")
     }),
 
+    // LEAKAGE-FREE cluster-aware split: near-duplicate documents must
+    // never straddle train/test (a near-copy of a training doc in the
+    // eval set inflates every metric), so the md5 split key is the
+    // doc's NEAR-DUP CLUSTER label (ConnectedComponents over the exact
+    // n-gram Jaccard pair graph — the dedup_cluster_reps engine), not
+    // the doc id: every member of a cluster lands in the same split by
+    // construction. `clusters_intact` re-proves it from the data (max
+    // distinct splits per cluster == 1). Scale: the pair graph + CC
+    // are the already-measured dedup path; the split itself is one
+    // keyed aggregate.
+    "samp_group_split" -> ((s, d) => {
+      import s.implicits._
+      val labels = ConnectedComponents.labels(s,
+        DedupQueries.jaccardPairs(s, d).select($"d1", $"d2"), "samp_group_split")
+      val grouped = documents(s, d).select($"doc_id")
+        .join(labels.select($"id".as("doc_id"), $"lab"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"lab", $"doc_id").as("grp"))
+      val b = hashBucket($"grp")
+      val split = grouped.withColumn("split",
+        when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
+      val intact = split.groupBy($"grp")
+        .agg(countDistinct($"split").as("nsp"))
+        .groupBy().agg((max($"nsp") === 1).as("clusters_intact"))
+      split.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"grp").as("n_clusters"))
+        .crossJoin(broadcast(intact))
+        .orderBy($"split")
+    }),
+
     // ~80/10/10 train/val/test split, stable under reprocessing; the
     // aggregate proves the split is exhaustive and disjoint.
     "samp_train_val_test" -> ((s, d) => {
@@ -572,6 +601,28 @@ object SamplingQueries {
         |    (n_a - ex) * (n_a - ex) / ex + (n_b - ex) * (n_b - ex) / ex)
         |    AS srm_chi2
         |FROM e""".stripMargin,
+
+    "samp_group_split" ->
+      s"""WITH RECURSIVE ${DedupQueries.pairsCte},
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(doc_id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+        |grp AS (SELECT doc_id, MIN(lab) AS grp FROM reach GROUP BY doc_id),
+        |sp AS (SELECT doc_id, grp,
+        |  CASE WHEN substring(md5(CAST(grp AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substring(md5(CAST(grp AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM grp),
+        |intact AS (
+        |  SELECT MAX(nsp) = 1 AS clusters_intact FROM (
+        |    SELECT grp, COUNT(DISTINCT split) AS nsp FROM sp GROUP BY grp))
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_clusters,
+        |  (SELECT clusters_intact FROM intact) AS clusters_intact
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "samp_train_val_test" ->
       """SELECT split, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars

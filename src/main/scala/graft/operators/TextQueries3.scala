@@ -100,6 +100,42 @@ object TextQueries3 {
         .withColumn("dup_docs", $"n_docs" - $"n_unique_texts")
         .withColumn("dup_bp", expr("(n_docs - n_unique_texts) * 10000 DIV n_docs"))
         .withColumn("mean_chars", expr("total_chars DIV n_docs"))
+    }),
+
+    // LIX READABILITY per language — words/sentence + 100·longwords/
+    // words, the syllable-free readability index (fully computable
+    // from regex counts, unlike Flesch). Per-doc counts are exact
+    // integers from identical regexes on both engines (\S+ tokens,
+    // \S{7,} long words, [.!?]+ sentence terminators, min 1); the
+    // corpus LIX comes from the exact per-language SUMS, and the
+    // easy/medium/hard banding applies identical double trees per
+    // row BEFORE counting, so every output is hash-stable. One
+    // partial+final keyed aggregate over a single corpus scan.
+    "text_readability_lix" -> ((s, d) => {
+      import s.implicits._
+      val counts = documents(s, d).select($"lang",
+        size(regexp_extract_all($"text", lit("""\S+"""), lit(0))).cast("long").as("w"),
+        size(regexp_extract_all($"text", lit("""\S{7,}"""), lit(0))).cast("long").as("lw"),
+        greatest(size(regexp_extract_all($"text", lit("""[.!?]+"""), lit(0))), lit(1))
+          .cast("long").as("sent"))
+      val lixDoc = $"w".cast("double") / $"sent".cast("double") +
+        lit(100.0) * $"lw".cast("double") / greatest($"w", lit(1L)).cast("double")
+      counts
+        .withColumn("band",
+          when(lixDoc < 35.0, "easy").when(lixDoc < 50.0, "medium").otherwise("hard"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"w").as("total_words"),
+          sum($"lw").as("total_longwords"),
+          sum($"sent").as("total_sentences"),
+          sum(when($"band" === "easy", 1L).otherwise(0L)).as("n_easy"),
+          sum(when($"band" === "medium", 1L).otherwise(0L)).as("n_medium"),
+          sum(when($"band" === "hard", 1L).otherwise(0L)).as("n_hard"))
+        .withColumn("lix_corpus", format_string("%.4f",
+          $"total_words".cast("double") / $"total_sentences".cast("double") +
+            lit(100.0) * $"total_longwords".cast("double") / $"total_words".cast("double")))
+        .orderBy($"lang")
     })
   )
 
@@ -176,6 +212,32 @@ object TextQueries3 {
         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
         |  (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_bp,
         |  SUM(n_chars) // count(*) AS mean_chars
-        |FROM per""".stripMargin
+        |FROM per""".stripMargin,
+
+    "text_readability_lix" ->
+      """WITH counts AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '\S{7,}')) AS BIGINT) AS lw,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sent
+        |  FROM documents),
+        |banded AS (
+        |  SELECT *,
+        |    CASE WHEN CAST(w AS DOUBLE)/CAST(sent AS DOUBLE)
+        |           + 100.0*CAST(lw AS DOUBLE)/CAST(greatest(w, 1) AS DOUBLE) < 35.0 THEN 'easy'
+        |         WHEN CAST(w AS DOUBLE)/CAST(sent AS DOUBLE)
+        |           + 100.0*CAST(lw AS DOUBLE)/CAST(greatest(w, 1) AS DOUBLE) < 50.0 THEN 'medium'
+        |         ELSE 'hard' END AS band
+        |  FROM counts)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS total_words,
+        |  CAST(SUM(lw) AS BIGINT) AS total_longwords,
+        |  CAST(SUM(sent) AS BIGINT) AS total_sentences,
+        |  CAST(SUM(CASE WHEN band = 'easy' THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+        |  CAST(SUM(CASE WHEN band = 'medium' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        |  CAST(SUM(CASE WHEN band = 'hard' THEN 1 ELSE 0 END) AS BIGINT) AS n_hard,
+        |  printf('%.4f', CAST(SUM(w) AS DOUBLE)/CAST(SUM(sent) AS DOUBLE)
+        |    + 100.0*CAST(SUM(lw) AS DOUBLE)/CAST(SUM(w) AS DOUBLE)) AS lix_corpus
+        |FROM banded GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -430,4 +430,24 @@ class PlanSpec extends SparkSuite {
         s"$q grew corpus-sized extra shuffles:\n$p")
     }
   }
+
+  test("q169: Theil-Sen median pick rides GlobalRank — every window is keyed") {
+    // the ~3M-pair slope table must never funnel through a single-
+    // partition global window; GlobalRank's pass-2 window partitions
+    // by _gr_pid (already dropped from the final plan, so inspect the
+    // logical windows of the built frame)
+    val wins = SparkEntry.queries("q169_theil_sen")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "median rank must come from the partitioned two-pass rank, not a global window")
+  }
+
+  test("q170/q171: mean joins and the part dimension broadcast (no fact-side shuffle)") {
+    assert(plan("q170_chow_break").contains("BroadcastHashJoin"),
+      "per-segment mean join must broadcast the 2-row sums table")
+    assert(plan("q171_price_volume_mix").contains("BroadcastHashJoin"),
+      "part dimension must broadcast against lineitem")
+  }
 }

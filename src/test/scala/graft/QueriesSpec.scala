@@ -36,7 +36,8 @@ class QueriesSpec extends SparkSuite {
       "GraphQueries2" -> GraphQueries2.queries.keySet,
       "MlQueries" -> MlQueries.queries.keySet,
       "TextQueries2" -> TextQueries2.queries.keySet,
-      "TextQueries3" -> TextQueries3.queries.keySet)
+      "TextQueries3" -> TextQueries3.queries.keySet,
+      "RelationalQueries11" -> RelationalQueries11.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${
