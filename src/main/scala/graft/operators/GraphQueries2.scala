@@ -136,6 +136,39 @@ object GraphQueries2 {
         .select($"a", $"b", $"common_neighbors", $"aa_score_nano")
     }),
 
+    // DEGREE ASSORTATIVITY of the similarity graph — "do high-degree
+    // docs link to other high-degree docs?" (positive r = hub-to-hub
+    // boilerplate families, negative = star-shaped near-dup clusters;
+    // the one-number structure summary the dedup family's planning
+    // reads). Pearson correlation of (deg(src), deg(dst)) over the
+    // DIRECTED edge list: degrees are exact integer counts, all five
+    // sums are exact (D19-factor decimal products), and r evaluates
+    // once through an identical double tree. Two keyed aggregates +
+    // one edge-sized join — no corpus re-entry.
+    "graph_assortativity" -> ((s, d) => {
+      import s.implicits._
+      val edges = simEdges(s, d)
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val dd = edges
+        .join(deg.select($"src", $"deg".as("dx")), Seq("src"))
+        .join(deg.select($"src".as("dst2"), $"deg".as("dy")), $"dst" === $"dst2")
+        .select($"dx", $"dy")
+      val D19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val g = dd.groupBy().agg(
+        count(lit(1)).as("m"),
+        sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum(($"dx".cast(D19) * $"dx".cast(D19))).as("sxx"),
+        sum(($"dy".cast(D19) * $"dy".cast(D19))).as("syy"),
+        sum(($"dx".cast(D19) * $"dy".cast(D19))).as("sxy"))
+      val mD = $"m".cast("double")
+      def dcol(c: org.apache.spark.sql.Column) = c.cast("double")
+      g.select($"m".as("n_dir_edges"),
+        format_string("%.9f",
+          (mD * dcol($"sxy") - dcol($"sx") * dcol($"sy")) /
+            (sqrt(mD * dcol($"sxx") - dcol($"sx") * dcol($"sx")) *
+             sqrt(mD * dcol($"syy") - dcol($"sy") * dcol($"sy")))).as("assortativity_r"))
+    }),
+
     // NEIGHBOR-JACCARD link prediction — the set-overlap companion to
     // Adamic–Adar on the same capped co-purchase graph: score(a,b) =
     // |N(a)∩N(b)| / |N(a)∪N(b)| over the capped neighbor lists, in
@@ -226,6 +259,30 @@ object GraphQueries2 {
          |SELECT a, b, common_neighbors, aa_score_nano
          |FROM nonadj
          |ORDER BY aa_score_nano DESC, a, b LIMIT 20""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH ${DedupQueries.pairsCte},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |dd AS (
+         |  SELECT a.deg AS dx, b.deg AS dy
+         |  FROM edges e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst),
+         |g AS (
+         |  SELECT COUNT(*) AS m,
+         |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |    SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0))) AS sxx,
+         |    SUM(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) AS syy,
+         |    SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) AS sxy
+         |  FROM dd)
+         |SELECT CAST(m AS BIGINT) AS n_dir_edges,
+         |  printf('%.9f',
+         |    (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+         |    AS assortativity_r
+         |FROM g""".stripMargin,
 
     "graph_jaccard_links" ->
       s"""WITH li AS (

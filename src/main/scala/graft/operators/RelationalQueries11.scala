@@ -226,6 +226,71 @@ object RelationalQueries11 {
         .orderBy($"o_custkey", $"ok1", $"ok2")
     }),
 
+    // DISCOUNT ELASTICITY — the demand-curve read: does quantity
+    // respond to discount depth? Mean quantity per exact discount band
+    // (decimal-cast bands, never float rounding), quantized to integer
+    // MILLI-units (qty·1000 DIV n — non-negative, so Spark DIV ==
+    // DuckDB //), then the OLS slope over the 11 aggregate band points
+    // from exact integer sums through one identical double tree. One
+    // keyed exchange; everything after is 11 rows.
+    "q174_discount_elasticity" -> ((s, d) => {
+      import s.implicits._
+      val bands = lineitem(s, d)
+        .groupBy((dec($"l_discount") * 100).cast("long").as("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_quantity").cast("long")).as("sq"))
+        .select($"band", $"n",
+          expr("sq * 1000 DIV n").as("mean_qty_milli"))
+      val g = bands.groupBy().agg(
+        count(lit(1)).as("k"),
+        sum($"band").as("sx"),
+        sum($"mean_qty_milli").as("sy"),
+        sum($"band" * $"band").as("sxx"),
+        sum($"band" * $"mean_qty_milli").as("sxy"))
+      g.select($"k".as("n_bands"),
+        format_string("%.9f",
+          ($"k" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"k" * $"sxx" - $"sx" * $"sx").cast("double"))
+          .as("qty_milli_per_point"))
+    }),
+
+    // MARKOV STEADY STATE — the stationary distribution of q91's
+    // behavior transition matrix ("where does a user journey settle?"),
+    // by four power-iteration rounds in EXACT integer arithmetic:
+    // transition probs are floor-bp (q91's), the state vector carries
+    // micro-units, and each update is (Σ v_i·p_ij) DIV 10000 — one
+    // truncation AFTER the exact integer sum, so the result is
+    // order-independent and replays as four unrolled CTEs in DuckDB.
+    // The matrix is (event types)² ≈ tiny at any corpus size; only the
+    // transition count build touches the corpus (one keyed window +
+    // aggregate).
+    "q175_markov_steady_state" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = events(s, d)
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = tr.groupBy($"from_type").agg(sum($"n_trans").as("n_from"))
+      val p = tr.join(tot, Seq("from_type"))
+        .select($"from_type", $"to_type",
+          expr("n_trans * 10000 DIV n_from").as("bp"))
+        .localCheckpoint() // (types)² rows
+      val k = p.select($"from_type").distinct().count()
+      var v = p.select($"from_type".as("state")).distinct()
+        .select($"state", lit(1000000L / k).as("m"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        v = p.join(v, $"from_type" === $"state")
+          .groupBy($"to_type")
+          .agg(expr("SUM(m * bp) DIV 10000").as("m"))
+          .select($"to_type".as("state"), $"m")
+          .localCheckpoint()
+      }
+      v.orderBy($"state").select($"state", $"m".as("mass_micro"))
+    }),
+
     // CRAMÉR'S V — the effect-size companion to q92's chi-square, on a
     // different contingency (l_returnflag × l_linestatus): V =
     // sqrt(χ²/(n·(min(r,c)−1))). Counts are exact; expected counts and
@@ -400,6 +465,52 @@ object RelationalQueries11 {
         |  ON a.cust = b.cust AND a.ok < b.ok
         |  AND abs(b.day - a.day) <= 7
         |ORDER BY o_custkey, ok1, ok2""".stripMargin,
+
+    "q174_discount_elasticity" ->
+      """WITH bands AS (
+        |  SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem GROUP BY 1),
+        |pts AS (SELECT band, n, sq * 1000 // n AS mean_qty_milli FROM bands),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(band) AS BIGINT) AS sx,
+        |    CAST(SUM(mean_qty_milli) AS BIGINT) AS sy,
+        |    CAST(SUM(band * band) AS BIGINT) AS sxx,
+        |    CAST(SUM(band * mean_qty_milli) AS BIGINT) AS sxy
+        |  FROM pts)
+        |SELECT k AS n_bands,
+        |  printf('%.9f', CAST(k * sxy - sx * sy AS DOUBLE)
+        |    / CAST(k * sxx - sx * sx AS DOUBLE)) AS qty_milli_per_point
+        |FROM g""".stripMargin,
+
+    "q175_markov_steady_state" -> {
+      def iter(n: Int): String =
+        s"""v$n AS (
+           |  SELECT p.to_type AS state,
+           |    CAST(SUM(v.m * p.bp) // 10000 AS BIGINT) AS m
+           |  FROM v${n - 1} v JOIN p ON p.from_type = v.state
+           |  GROUP BY p.to_type)"""
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |tr AS (
+         |  SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+         |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+         |        FROM tr GROUP BY from_type),
+         |p AS (
+         |  SELECT t.from_type, t.to_type, t.n_trans * 10000 // g.n_from AS bp
+         |  FROM tr t JOIN tot g USING (from_type)),
+         |v0 AS (
+         |  SELECT DISTINCT from_type AS state,
+         |    CAST(1000000 // (SELECT COUNT(DISTINCT from_type) FROM p) AS BIGINT) AS m
+         |  FROM p),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT state, m AS mass_micro FROM v4 ORDER BY state""".stripMargin
+    },
 
     "q172_cramers_v" ->
       """WITH cells AS (
