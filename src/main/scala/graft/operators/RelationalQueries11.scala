@@ -254,6 +254,101 @@ object RelationalQueries11 {
           .as("qty_milli_per_point"))
     }),
 
+    // LEVENE'S TEST (mean-based) for variance homogeneity of account
+    // balances across market segments — the assumption gate in front
+    // of q131's ANOVA (its F is only trustworthy when group variances
+    // are comparable; W answers exactly that). Deviations are EXACT
+    // scaled integers: z = |n_g·x − Σx_g| (= n_g·|x − x̄_g|, no
+    // rational mean ever materializes; balances may be negative, abs
+    // handles it), so A_g = Σz and B_g = Σz² are exact decimals. The
+    // only order-sensitive double sums fold over group-key-sorted
+    // 5-element arrays (q131's idiom); W = ((N−k)/(k−1))·between/
+    // within evaluates once through an identical tree. Two keyed
+    // exchanges + a broadcast mean join; everything after is 5 rows.
+    "q176_levene_test" -> ((s, d) => {
+      import s.implicits._
+      val c = customer(s, d).select($"c_mktsegment".as("g"),
+        (dec($"c_acctbal") * 100).cast("long").as("x"))
+      val means = c.groupBy($"g").agg(
+        count(lit(1)).as("n_g"), sum($"x").as("s_g"))
+      val z = c.join(broadcast(means), Seq("g"))
+        .select($"g", $"n_g", abs($"n_g" * $"x" - $"s_g").as("z"))
+      val gstats = z.groupBy($"g").agg(
+        max($"n_g").as("n_g"),
+        sum($"z".cast(D38)).as("a_g"),
+        sum(($"z".cast(D19) * $"z".cast(D19))).as("b_g"))
+      val folded = gstats.agg(
+        count(lit(1)).as("k"),
+        sum($"n_g").as("n"),
+        aggregate(
+          array_sort(collect_list(struct($"g".as("f"),
+            ($"a_g".cast("double") / $"n_g".cast("double")).as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("zsum"),
+        aggregate(
+          array_sort(collect_list(struct($"g".as("f"),
+            ($"b_g".cast("double") / ($"n_g" * $"n_g").cast("double") -
+              ($"a_g".cast("double") / $"n_g".cast("double")) *
+                ($"a_g".cast("double") / $"n_g".cast("double")) / $"n_g".cast("double"))
+              .as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("within"))
+      // between needs the grand mean first: fold it in a second pass
+      val withMean = folded.select($"k", $"n", $"within",
+        ($"zsum" / $"n".cast("double")).as("zbar"))
+      val between = gstats.crossJoin(broadcast(withMean))
+        .select($"k", $"n", $"within", $"zbar", $"g",
+          ($"n_g".cast("double") *
+            ($"a_g".cast("double") / ($"n_g" * $"n_g").cast("double") - $"zbar") *
+            ($"a_g".cast("double") / ($"n_g" * $"n_g").cast("double") - $"zbar")).as("bt"))
+        .groupBy($"k", $"n", $"within", $"zbar")
+        .agg(aggregate(
+          array_sort(collect_list(struct($"g".as("f"), $"bt".as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("between"))
+      between.select($"n", $"k",
+        format_string("%.9f",
+          (($"n" - $"k").cast("double") / ($"k" - 1).cast("double")) *
+            $"between" / $"within").as("levene_w"))
+    }),
+
+    // COHEN'S D effect size between the alphabetically first and last
+    // market segments' order values — the "is the difference LARGE,
+    // not just significant?" companion to q140's Welch t. Exact
+    // conditional decimal sums, pooled SD and d through one identical
+    // double tree; segment endpoints derived from the data (min/max
+    // name), never hardcoded.
+    "q177_cohens_d" -> ((s, d) => {
+      import s.implicits._
+      val seg = orders(s, d)
+        .join(broadcast(customer(s, d).select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("g"), (dec($"o_totalprice") * 100).cast("long").as("x"))
+      val lohi = seg.agg(min($"g").as("glo"), max($"g").as("ghi"))
+      val g = seg.crossJoin(broadcast(lohi))
+        .filter($"g" === $"glo" || $"g" === $"ghi")
+        .groupBy()
+        .agg(
+          max($"glo").as("seg_lo"), max($"ghi").as("seg_hi"),
+          sum(when($"g" === $"glo", 1L).otherwise(0L)).as("n1"),
+          sum(when($"g" === $"ghi", 1L).otherwise(0L)).as("n2"),
+          sum(when($"g" === $"glo", $"x".cast(D38)).otherwise(lit(0).cast(D38))).as("s1"),
+          sum(when($"g" === $"ghi", $"x".cast(D38)).otherwise(lit(0).cast(D38))).as("s2"),
+          sum(when($"g" === $"glo", $"x".cast(D19) * $"x".cast(D19))
+            .otherwise(lit(0).cast(D38))).as("ss1"),
+          sum(when($"g" === $"ghi", $"x".cast(D19) * $"x".cast(D19))
+            .otherwise(lit(0).cast(D38))).as("ss2"))
+      def v(ss: org.apache.spark.sql.Column, sm: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+        (ss.cast("double") - sm.cast("double") * sm.cast("double") / n.cast("double")) /
+          (n - 1).cast("double")
+      val sp = sqrt(
+        ((($"n1" - 1).cast("double") * v($"ss1", $"s1", $"n1")) +
+         (($"n2" - 1).cast("double") * v($"ss2", $"s2", $"n2"))) /
+          ($"n1" + $"n2" - 2).cast("double"))
+      g.select($"seg_lo", $"seg_hi", $"n1", $"n2",
+        format_string("%.9f",
+          ($"s1".cast("double") / $"n1".cast("double") -
+           $"s2".cast("double") / $"n2".cast("double")) / sp).as("cohens_d"))
+    }),
+
     // MARKOV STEADY STATE — the stationary distribution of q91's
     // behavior transition matrix ("where does a user journey settle?"),
     // by four power-iteration rounds in EXACT integer arithmetic:
@@ -484,6 +579,76 @@ object RelationalQueries11 {
         |  printf('%.9f', CAST(k * sxy - sx * sy AS DOUBLE)
         |    / CAST(k * sxx - sx * sx AS DOUBLE)) AS qty_milli_per_point
         |FROM g""".stripMargin,
+
+    "q176_levene_test" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS g,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM customer),
+        |means AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g, CAST(SUM(x) AS BIGINT) AS s_g
+        |  FROM c GROUP BY g),
+        |z AS (
+        |  SELECT c.g, m.n_g, abs(m.n_g * c.x - m.s_g) AS z
+        |  FROM c JOIN means m USING (g)),
+        |gstats AS (
+        |  SELECT g, MAX(n_g) AS n_g,
+        |    SUM(CAST(z AS DECIMAL(38,0))) AS a_g,
+        |    SUM(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS b_g
+        |  FROM z GROUP BY g),
+        |folded AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(a_g AS DOUBLE) / CAST(n_g AS DOUBLE) ORDER BY g)),
+        |      (a, x) -> a + x) AS zsum,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(b_g AS DOUBLE) / CAST(n_g * n_g AS DOUBLE)
+        |        - (CAST(a_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |          * (CAST(a_g AS DOUBLE) / CAST(n_g AS DOUBLE)) / CAST(n_g AS DOUBLE)
+        |        ORDER BY g)),
+        |      (a, x) -> a + x) AS within
+        |  FROM gstats),
+        |wm AS (SELECT k, n, within, zsum / CAST(n AS DOUBLE) AS zbar FROM folded),
+        |bt AS (
+        |  SELECT w.k, w.n, w.within,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(s.n_g AS DOUBLE)
+        |        * (CAST(s.a_g AS DOUBLE) / CAST(s.n_g * s.n_g AS DOUBLE) - w.zbar)
+        |        * (CAST(s.a_g AS DOUBLE) / CAST(s.n_g * s.n_g AS DOUBLE) - w.zbar)
+        |        ORDER BY s.g)),
+        |      (a, x) -> a + x) AS between_ss
+        |  FROM gstats s CROSS JOIN wm w
+        |  GROUP BY w.k, w.n, w.within)
+        |SELECT n, k,
+        |  printf('%.9f', (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |    * between_ss / within) AS levene_w
+        |FROM bt""".stripMargin,
+
+    "q177_cohens_d" ->
+      """WITH seg AS (
+        |  SELECT c.c_mktsegment AS g,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |lohi AS (SELECT MIN(g) AS glo, MAX(g) AS ghi FROM seg),
+        |agg AS (
+        |  SELECT MAX(l.glo) AS seg_lo, MAX(l.ghi) AS seg_hi,
+        |    CAST(SUM(CASE WHEN s.g = l.glo THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN s.g = l.ghi THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    SUM(CASE WHEN s.g = l.glo THEN CAST(s.x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s1,
+        |    SUM(CASE WHEN s.g = l.ghi THEN CAST(s.x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2,
+        |    SUM(CASE WHEN s.g = l.glo THEN CAST(s.x AS DECIMAL(19,0)) * CAST(s.x AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss1,
+        |    SUM(CASE WHEN s.g = l.ghi THEN CAST(s.x AS DECIMAL(19,0)) * CAST(s.x AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss2
+        |  FROM seg s CROSS JOIN lohi l
+        |  WHERE s.g = l.glo OR s.g = l.ghi)
+        |SELECT seg_lo, seg_hi, n1, n2,
+        |  printf('%.9f',
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt((CAST(n1 - 1 AS DOUBLE)
+        |        * ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
+        |      + CAST(n2 - 1 AS DOUBLE)
+        |        * ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)))
+        |      / CAST(n1 + n2 - 2 AS DOUBLE))) AS cohens_d
+        |FROM agg""".stripMargin,
 
     "q175_markov_steady_state" -> {
       def iter(n: Int): String =
