@@ -254,6 +254,40 @@ object RelationalQueries11 {
           .as("qty_milli_per_point"))
     }),
 
+    // REVENUE GROWTH STREAKS — gaps-and-islands over the daily revenue
+    // series: maximal runs of strictly increasing consecutive observed
+    // days ("how long do rallies last?"). The windows run over the
+    // CALENDAR-bounded day table (the q121/q150 class — aggregate-
+    // sized by construction at any corpus scale); revenue compares are
+    // exact cents. Output: day count, number of up-streaks, and the
+    // longest streak with its start day (earliest on ties).
+    "q178_revenue_streaks" -> ((s, d) => {
+      import s.implicits._
+      val wDay = Window.orderBy($"day")
+      val daily = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("rev"))
+      val flagged = daily
+        .withColumn("rn", row_number().over(wDay))
+        .withColumn("up", when($"rev" > lag($"rev", 1).over(wDay), 1).otherwise(0))
+        .filter($"up" === 1)
+      val wUp = Window.orderBy($"rn")
+      val islands = flagged
+        .withColumn("grp", $"rn" - row_number().over(wUp))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("len"), min($"day").as("start_day"))
+      val withMax = islands
+        .withColumn("mx", max($"len").over(Window.partitionBy())) // island-count-sized
+      withMax.groupBy()
+        .agg(
+          count(lit(1)).as("n_up_streaks"),
+          max($"len").as("longest_streak"),
+          min(when($"len" === $"mx", date_format($"start_day", "yyyy-MM-dd")))
+            .as("longest_start"))
+        .crossJoin(broadcast(daily.groupBy().agg(count(lit(1)).as("n_days"))))
+        .select($"n_days", $"n_up_streaks", $"longest_streak", $"longest_start")
+    }),
+
     // LEVENE'S TEST (mean-based) for variance homogeneity of account
     // balances across market segments — the assumption gate in front
     // of q131's ANOVA (its F is only trustworthy when group variances
@@ -579,6 +613,28 @@ object RelationalQueries11 {
         |  printf('%.9f', CAST(k * sxy - sx * sy AS DOUBLE)
         |    / CAST(k * sxx - sx * sx AS DOUBLE)) AS qty_milli_per_point
         |FROM g""".stripMargin,
+
+    "q178_revenue_streaks" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |flagged AS (
+        |  SELECT day, rev,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    CASE WHEN rev > lag(rev) OVER (ORDER BY day) THEN 1 ELSE 0 END AS up
+        |  FROM daily),
+        |ups AS (SELECT * FROM flagged WHERE up = 1),
+        |isl AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS len, MIN(day) AS start_day
+        |  FROM (SELECT rn - row_number() OVER (ORDER BY rn) AS grp, day FROM ups)
+        |  GROUP BY grp),
+        |wm AS (SELECT *, MAX(len) OVER () AS mx FROM isl)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_up_streaks,
+        |  MAX(len) AS longest_streak,
+        |  MIN(CASE WHEN len = mx THEN strftime(start_day, '%Y-%m-%d') END) AS longest_start
+        |FROM wm""".stripMargin,
 
     "q176_levene_test" ->
       """WITH c AS (

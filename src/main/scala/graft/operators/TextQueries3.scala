@@ -102,6 +102,33 @@ object TextQueries3 {
         .withColumn("mean_chars", expr("total_chars DIV n_docs"))
     }),
 
+    // PER-SOURCE QUALITY DASHBOARD — the "which feeds are worth
+    // keeping?" table a curation run reads before cutting ingest
+    // contracts: per source, volume, within-source exact-duplicate
+    // rate, size profile, language spread, and token mass. Every
+    // number is an exact integer (md5 fingerprints, DIV ratios) off
+    // ONE corpus scan + one keyed aggregate — the per-source edition
+    // of pipe_dataset_card.
+    "pipe_source_quality" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"source", $"lang", $"n_chars",
+          md5($"text").as("fp"),
+          size(tokens($"text")).cast("long").as("n_toks"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"fp").as("n_unique"),
+          countDistinct($"lang").as("n_langs"),
+          sum($"n_chars").as("total_chars"),
+          sum($"n_toks").as("total_tokens"))
+        .select($"source", $"n_docs", $"n_langs",
+          expr("(n_docs - n_unique) * 10000 DIV n_docs").as("dup_bp"),
+          expr("total_chars DIV n_docs").as("mean_chars"),
+          expr("total_tokens DIV n_docs").as("mean_tokens"))
+        .orderBy($"source")
+    }),
+
     // LIX READABILITY per language — words/sentence + 100·longwords/
     // words, the syllable-free readability index (fully computable
     // from regex counts, unlike Flesch). Per-doc counts are exact
@@ -213,6 +240,24 @@ object TextQueries3 {
         |  (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_bp,
         |  SUM(n_chars) // count(*) AS mean_chars
         |FROM per""".stripMargin,
+
+    "pipe_source_quality" ->
+      """WITH per AS (
+        |  SELECT source, lang, n_chars, md5(text) AS fp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        |  FROM per GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  (n_docs - n_unique) * 10000 // n_docs AS dup_bp,
+        |  total_chars // n_docs AS mean_chars,
+        |  total_tokens // n_docs AS mean_tokens
+        |FROM g ORDER BY source""".stripMargin,
 
     "text_readability_lix" ->
       """WITH counts AS (
