@@ -102,6 +102,64 @@ object TextQueries3 {
         .withColumn("mean_chars", expr("total_chars DIV n_docs"))
     }),
 
+    // LANG-ID EVALUATION — precision/recall per class for the
+    // text_lang_id heuristic against the stored labels (text_lang_id
+    // emits the raw confusion matrix; this is the metrics layer an
+    // eval harness reads): per true language, support and recall; per
+    // predicted language, precision — joined into one table, all in
+    // exact integer basis points (DIV on non-negative counts). One
+    // corpus scan into a (lang, guess)-cell aggregate; every metric
+    // derives from the tiny cell table.
+    "text_langid_eval" -> ((s, d) => {
+      import s.implicits._
+      val guess = when($"text".contains(" the "), "en")
+        .when($"text".contains(" el "), "es")
+        .when($"text".contains(" der "), "de")
+        .when($"text".contains(" le "), "fr")
+        .when($"text".contains("的"), "zh")
+        .otherwise("unk")
+      val cells = documents(s, d).withColumn("guess", guess)
+        .groupBy($"lang", $"guess").agg(count(lit(1)).as("n"))
+      val wT = Window.partitionBy($"lang")
+      val wP = Window.partitionBy($"guess")
+      cells
+        .withColumn("support", sum($"n").over(wT))
+        .withColumn("predicted", sum($"n").over(wP))
+        .filter($"lang" === $"guess")
+        .select($"lang", $"support", $"predicted",
+          $"n".as("n_correct"),
+          expr("n * 10000 DIV support").as("recall_bp"),
+          expr("n * 10000 DIV predicted").as("precision_bp"))
+        .orderBy($"lang")
+    }),
+
+    // SFT FORMATTING PLAN — the prompt/completion packaging pass a
+    // supervised-fine-tune pipeline runs over a curated corpus: each
+    // doc splits at PROMPT_TOKS=64 whitespace tokens, the completion
+    // truncates at COMPLETION_TOKS=192, and the per-language plan
+    // reports example counts, truncation rate, and token mass on both
+    // sides — all exact integer arithmetic (least/greatest on token
+    // counts), one corpus scan, one keyed aggregate.
+    "pack_sft_format" -> ((s, d) => {
+      import s.implicits._
+      val n = size(tokens($"text")).cast("long")
+      documents(s, d)
+        .select($"lang",
+          least(n, lit(64L)).as("p_toks"),
+          least(greatest(n - 64L, lit(0L)), lit(192L)).as("c_toks"),
+          (n > 256L).cast("int").as("truncated"),
+          (n <= 64L).cast("int").as("empty_completion"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_examples"),
+          sum($"p_toks").as("prompt_tokens"),
+          sum($"c_toks").as("completion_tokens"),
+          sum($"truncated".cast("long")).as("n_truncated"),
+          sum($"empty_completion".cast("long")).as("n_empty_completion"))
+        .withColumn("truncated_bp", expr("n_truncated * 10000 DIV n_examples"))
+        .orderBy($"lang")
+    }),
+
     // PER-SOURCE QUALITY DASHBOARD — the "which feeds are worth
     // keeping?" table a curation run reads before cutting ingest
     // contracts: per source, volume, within-source exact-duplicate
@@ -240,6 +298,53 @@ object TextQueries3 {
         |  (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_bp,
         |  SUM(n_chars) // count(*) AS mean_chars
         |FROM per""".stripMargin,
+
+    "text_langid_eval" ->
+      """WITH cells AS (
+        |  SELECT lang,
+        |    CASE WHEN contains(text, ' the ') THEN 'en'
+        |         WHEN contains(text, ' el ') THEN 'es'
+        |         WHEN contains(text, ' der ') THEN 'de'
+        |         WHEN contains(text, ' le ') THEN 'fr'
+        |         WHEN contains(text, '的') THEN 'zh'
+        |         ELSE 'unk' END AS guess,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT lang, guess, n,
+        |    SUM(n) OVER (PARTITION BY lang) AS support,
+        |    SUM(n) OVER (PARTITION BY guess) AS predicted
+        |  FROM cells)
+        |SELECT lang, CAST(support AS BIGINT) AS support,
+        |  CAST(predicted AS BIGINT) AS predicted,
+        |  n AS n_correct,
+        |  n * 10000 // support AS recall_bp,
+        |  n * 10000 // predicted AS precision_bp
+        |FROM m WHERE lang = guess ORDER BY lang""".stripMargin,
+
+    "pack_sft_format" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |ex AS (
+        |  SELECT lang,
+        |    least(n, 64) AS p_toks,
+        |    least(greatest(n - 64, 0), 192) AS c_toks,
+        |    CASE WHEN n > 256 THEN 1 ELSE 0 END AS truncated,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 0 END AS empty_completion
+        |  FROM per),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS n_examples,
+        |    CAST(SUM(p_toks) AS BIGINT) AS prompt_tokens,
+        |    CAST(SUM(c_toks) AS BIGINT) AS completion_tokens,
+        |    CAST(SUM(truncated) AS BIGINT) AS n_truncated,
+        |    CAST(SUM(empty_completion) AS BIGINT) AS n_empty_completion
+        |  FROM ex GROUP BY lang)
+        |SELECT lang, n_examples, prompt_tokens, completion_tokens,
+        |  n_truncated, n_empty_completion,
+        |  n_truncated * 10000 // n_examples AS truncated_bp
+        |FROM g ORDER BY lang""".stripMargin,
 
     "pipe_source_quality" ->
       """WITH per AS (
