@@ -254,6 +254,25 @@ object RelationalQueries11 {
           .as("qty_milli_per_point"))
     }),
 
+    // MONTHLY SEASONAL INDEX — the calendar-month twin of q122's
+    // dow×hour heatmap: each month's revenue share as an exact
+    // basis-point index against the uniform 1/12 expectation
+    // (10000 = no seasonality). One (month) exchange; the index math
+    // runs over ≤12 rows via a window total.
+    "q179_monthly_index" -> ((s, d) => {
+      import s.implicits._
+      val m = orders(s, d)
+        .groupBy(month(to_date($"o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((dec($"o_totalprice") * 100).cast("long")).as("rev"))
+      m.withColumn("total", sum($"rev").over(Window.partitionBy()))
+        .select($"mon".cast("long").as("mon"), $"n_orders", $"rev",
+          // D38 factor: rev·120000 overflows int64 beyond ~sf1
+          expr("CAST(CAST(rev AS DECIMAL(38,0)) * 120000 DIV total AS BIGINT)")
+            .as("index_bp"))
+        .orderBy($"mon")
+    }),
+
     // REVENUE GROWTH STREAKS — gaps-and-islands over the daily revenue
     // series: maximal runs of strictly increasing consecutive observed
     // days ("how long do rallies last?"). The windows run over the
@@ -613,6 +632,17 @@ object RelationalQueries11 {
         |  printf('%.9f', CAST(k * sxy - sx * sy AS DOUBLE)
         |    / CAST(k * sxx - sx * sx AS DOUBLE)) AS qty_milli_per_point
         |FROM g""".stripMargin,
+
+    "q179_monthly_index" ->
+      """WITH m AS (
+        |  SELECT month(CAST(o_orderdate AS DATE)) AS mon,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT *, SUM(rev) OVER () AS total FROM m)
+        |SELECT CAST(mon AS BIGINT) AS mon, n_orders, rev,
+        |  CAST(CAST(rev AS HUGEINT) * 120000 // total AS BIGINT) AS index_bp
+        |FROM t ORDER BY mon""".stripMargin,
 
     "q178_revenue_streaks" ->
       """WITH daily AS (

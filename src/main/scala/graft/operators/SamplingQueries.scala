@@ -141,6 +141,30 @@ object SamplingQueries {
         .orderBy($"label")
     }),
 
+    // FROZEN EVAL SET — the "pin the benchmark" op: a deterministic
+    // ~2% holdout (md5 prefix < '05') plus an ORDER-INDEPENDENT set
+    // fingerprint (sum + xor-ish of per-doc xxhash64, both exact
+    // bigints), so any later pipeline run can prove bit-identical eval
+    // membership without comparing row lists. One scan, one aggregate;
+    // the fingerprint is the audit artifact a model eval publishes.
+    "samp_eval_freeze" -> ((s, d) => {
+      import s.implicits._
+      // 60-bit integer from the md5 prefix — parseable identically on
+      // both engines (conv/hex-cast), summed commutatively so the
+      // fingerprint needs no sort and no collected row list at any set size
+      val h = conv(substring(md5($"text".cast("binary")), 1, 15), 16, 10).cast("long")
+      documents(s, d)
+        .filter(hashBucket($"doc_id") < "05")
+        .select($"doc_id", $"n_chars", h.as("h"))
+        .agg(
+          count(lit(1)).as("n_eval_docs"),
+          sum($"n_chars").as("eval_chars"),
+          (sum($"h".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(1000000000000000000L)).cast("long").as("fingerprint_sum"),
+          min($"doc_id").as("min_doc"),
+          max($"doc_id").as("max_doc"))
+    }),
+
     // LEAKAGE-FREE cluster-aware split: near-duplicate documents must
     // never straddle train/test (a near-copy of a training doc in the
     // eval set inflates every metric), so the md5 split key is the
@@ -601,6 +625,16 @@ object SamplingQueries {
         |    (n_a - ex) * (n_a - ex) / ex + (n_b - ex) * (n_b - ex) / ex)
         |    AS srm_chi2
         |FROM e""".stripMargin,
+
+    "samp_eval_freeze" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS eval_chars,
+        |  CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT))
+        |    % 1000000000000000000 AS BIGINT) AS fingerprint_sum,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '05'""".stripMargin,
 
     "samp_group_split" ->
       s"""WITH RECURSIVE ${DedupQueries.pairsCte},
