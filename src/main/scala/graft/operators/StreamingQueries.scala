@@ -369,6 +369,24 @@ object StreamingQueries {
         .orderBy($"user_id")
     }),
 
+    // transformWithState QUANTILE SKETCH: a fixed 16-bucket exact
+    // integer histogram per event type — O(1) state per key on an
+    // unbounded stream, the metrics-pipeline shape for streaming
+    // p50/p95. Bucket counts and the percentile picks are pure
+    // integers, so the update-mode emission after the last batch
+    // equals the batch histogram bit-for-bit (the oracle recomputes
+    // exactly that).
+    "stream_tws_quantile" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val qs = Streams.quantileTws(typed)
+        .select($"event_type", $"n_seen", $"p50_bucket", $"p95_bucket")
+      toMemoryRocks(s, qs, "stream_tws_quantile_sink", "update")
+        .orderBy($"event_type")
+    }),
+
     // transformWithState BOUNDED TOP-K: a ≤5-entry ListState
     // leaderboard of the highest-value events per type — sketch-sized
     // state (O(k) per key) on an unbounded stream, and because top-k
@@ -470,6 +488,24 @@ object StreamingQueries {
     // engine's state-eviction rule: wm = min(max purchase ts − 10 min,
     // max click ts − 1 h); unmatched purchases at/after wm are still
     // in join state when the stream drains, so they are absent
+    "stream_tws_quantile" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    least(CAST(floor(value / 25.0) AS BIGINT), 15) AS bucket
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bucket, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_seen,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN bucket END) AS BIGINT) AS p50_bucket,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 95 * n THEN bucket END) AS BIGINT) AS p95_bucket
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "stream_tws_topk" ->
       """SELECT event_type, rank, event_id, value FROM (
         |  SELECT event_type, event_id, value,

@@ -245,6 +245,26 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Streaming QUANTILE SKETCH per key on transformWithState: a
+    * 16-bucket exact integer histogram per event type (O(1) state per
+    * key on an unbounded stream — the fixed-histogram quantile sketch
+    * every metrics pipeline runs), re-emitting running n/p50/p95
+    * bucket picks after each batch. Bucket counts are exact integers
+    * and the cumulative percentile picks are integer compares, so the
+    * final update-mode emission equals the batch histogram
+    * bit-for-bit — the oracle pins that equivalence. */
+  def quantileTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TwsQuantile] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .transformWithState(new QuantileProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Timer-driven idle-key eviction on transformWithState (the fourth
     * and last TWS primitive after Value/Map/List state): event-time
     * timers re-armed per batch; when the watermark passes a key's
@@ -448,6 +468,58 @@ class AnomalyProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
     }
     buf.put(ring.toArray)
     out.result().iterator
+  }
+}
+
+/** Output row of the transformWithState quantile-sketch op. */
+case class TwsQuantile(event_type: String, n_seen: Long,
+    p50_bucket: Long, p95_bucket: Long)
+
+/** StatefulProcessor for [[Streams.quantileTws]]: a fixed 16-bucket
+  * integer histogram in ListState (bucket = min(⌊value/25⌋, 15) — the
+  * floor of a double is engine-identical), merged per batch and
+  * re-emitted as running percentile bucket picks. The pick rule
+  * (smallest bucket with cum·100 ≥ p·n) is pure integer arithmetic,
+  * so any micro-batch split of a key's events converges to the same
+  * final answer the batch histogram computes. */
+class QuantileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsQuantile] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  private val NB = 16
+  @transient private var hist: ListState[Long] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    hist = getHandle.getListState[Long]("hist", Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsQuantile] = {
+    val h = {
+      val cur = hist.get().toArray
+      if (cur.length == NB) cur else Array.fill(NB)(0L)
+    }
+    var any = false
+    rows.foreach { e =>
+      val b = math.min(math.floor(e.value / 25.0).toLong, (NB - 1).toLong).toInt
+      h(math.max(b, 0)) += 1
+      any = true
+    }
+    if (!any) return Iterator.empty
+    hist.put(h)
+    val n = h.sum
+    def pick(p: Long): Long = {
+      var cum = 0L
+      var i = 0
+      while (i < NB) {
+        cum += h(i)
+        if (cum * 100 >= p * n) return i.toLong
+        i += 1
+      }
+      (NB - 1).toLong
+    }
+    Iterator.single(TwsQuantile(key, n, pick(50), pick(95)))
   }
 }
 

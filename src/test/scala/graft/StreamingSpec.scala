@@ -502,4 +502,42 @@ class StreamingSpec extends SparkSuite {
                    case None => spark.conf.unset(key) }
     }
   }
+
+  test("transformWithState quantile sketch is invariant under micro-batch splits") {
+    import graft.streaming.UserEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // values spread over buckets 0, 1, 2, 4 and one capped at 15
+      val vals = Seq(3.0, 24.9, 25.0, 49.9, 50.0, 70.0, 100.0, 110.0, 999.0)
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        UserEvent(i.toLong + 1, ts(f"2024-01-01 00:${i + 1}%02d:00"), 1L, "click", v)
+      }
+      def finalQ(batches: Seq[Seq[UserEvent]], id: Int): Seq[(String, Long, Long, Long)] = {
+        val in = MemoryStream[UserEvent](spark, id)
+        val q = Streams.quantileTws(in.toDS()).writeStream.format("memory")
+          .queryName(s"twsq_$id").outputMode("update").start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+        // update mode re-emits each generation; the LAST row per key is
+        // the final sketch state
+        spark.table(s"twsq_$id").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .takeRight(1).toSeq
+      }
+      val one = finalQ(Seq(rows), 41)
+      val three = finalQ(Seq(rows.take(3), rows.slice(3, 6), rows.drop(6)), 42)
+      // histogram: b0=2 (3.0, 24.9), b1=2 (25.0, 49.9), b2=2 (50.0, 70.0),
+      // b4=2 (100.0, 110.0), b15=1 (999.0); n=9 → p50: cum·100≥450 at b1
+      // (cum 4 → 400 < 450; b2 cum 6 → 600 ≥ 450) ⇒ bucket 2;
+      // p95: cum·100 ≥ 855 first at b15 (cum 8 → 800 < 855) ⇒ 15
+      assert(one === Seq(("click", 9L, 2L, 15L)))
+      assert(three === one, "split emission diverged from single-batch")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
