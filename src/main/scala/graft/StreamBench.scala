@@ -119,6 +119,9 @@ object StreamBench {
           .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
       },
       run("tws_anomaly", "append")(ds => Streams.anomalyTws(ds).toDF()),
+      // O(1)-state histogram sketch: the lightest TWS profile — its
+      // rate bounds the per-batch transformWithState overhead itself
+      run("tws_quantile", "update")(ds => Streams.quantileTws(ds).toDF()),
       run("stream_stream_join", "append") { ds =>
         val (purchases, clicks) = sides(ds)
         purchases.join(clicks, joinCond)
@@ -150,6 +153,7 @@ object StreamBench {
     // bench regression.
     val floors = Map(
       "tumbling_agg" -> 1900.0, "tws_anomaly" -> 3100.0,
+      "tws_quantile" -> 3000.0,
       "stream_stream_join" -> 1000.0, "left_outer_join" -> 1000.0,
       "chained_agg" -> 1600.0, "cdc_upsert" -> 2000.0)
     val below = results.collect {
