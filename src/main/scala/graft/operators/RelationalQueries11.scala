@@ -254,6 +254,51 @@ object RelationalQueries11 {
           .as("qty_milli_per_point"))
     }),
 
+    // COVARIANCE MATRIX + PARTIAL CORRELATION — the multivariate
+    // completion of the q43/q76 bivariate family: pairwise covariances
+    // and correlations of (quantity, price, discount) from ONE exact
+    // decimal aggregate pass, plus the partial correlation of
+    // quantity~price CONTROLLING for discount (r_qp·d = (r_qp −
+    // r_qd·r_pd)/√((1−r_qd²)(1−r_pd²)) — "is the qty-price link real
+    // or discount-driven?"). All nine sums are exact decimals; every
+    // double appears once in identical trees.
+    "q180_covariance_matrix" -> ((s, d) => {
+      import s.implicits._
+      val q = (dec($"l_quantity") * 100).cast("long")
+      val p = (dec($"l_extendedprice") * 100).cast("long")
+      val dc = (dec($"l_discount") * 100).cast("long")
+      val g = lineitem(s, d)
+        .select(q.as("q"), p.as("p"), dc.as("dsc"))
+        .groupBy().agg(
+          count(lit(1)).as("n"),
+          sum($"q".cast(D38)).as("sq"), sum($"p".cast(D38)).as("sp"),
+          sum($"dsc".cast(D38)).as("sd"),
+          sum(($"q".cast(D19) * $"q".cast(D19))).as("sqq"),
+          sum(($"p".cast(D19) * $"p".cast(D19))).as("spp"),
+          sum(($"dsc".cast(D19) * $"dsc".cast(D19))).as("sdd"),
+          sum(($"q".cast(D19) * $"p".cast(D19))).as("sqp"),
+          sum(($"q".cast(D19) * $"dsc".cast(D19))).as("sqd"),
+          sum(($"p".cast(D19) * $"dsc".cast(D19))).as("spd"))
+      val nD = $"n".cast("double")
+      def cv(sxy: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+             sy: org.apache.spark.sql.Column) =
+        (sxy.cast("double") - sx.cast("double") * sy.cast("double") / nD) / (nD - 1)
+      val vq = cv($"sqq", $"sq", $"sq"); val vp = cv($"spp", $"sp", $"sp")
+      val vd = cv($"sdd", $"sd", $"sd")
+      val cqp = cv($"sqp", $"sq", $"sp"); val cqd = cv($"sqd", $"sq", $"sd")
+      val cpd = cv($"spd", $"sp", $"sd")
+      val rqp = cqp / sqrt(vq * vp); val rqd = cqd / sqrt(vq * vd)
+      val rpd = cpd / sqrt(vp * vd)
+      g.select($"n",
+        format_string("%.9f", rqp).as("corr_qty_price"),
+        format_string("%.9f", rqd).as("corr_qty_disc"),
+        format_string("%.9f", rpd).as("corr_price_disc"),
+        format_string("%.9f",
+          (rqp - rqd * rpd) /
+            sqrt((lit(1.0) - rqd * rqd) * (lit(1.0) - rpd * rpd)))
+          .as("partial_corr_qp_given_d"))
+    }),
+
     // MONTHLY SEASONAL INDEX — the calendar-month twin of q122's
     // dow×hour heatmap: each month's revenue share as an exact
     // basis-point index against the uniform 1/12 expectation
@@ -632,6 +677,46 @@ object RelationalQueries11 {
         |  printf('%.9f', CAST(k * sxy - sx * sy AS DOUBLE)
         |    / CAST(k * sxx - sx * sx AS DOUBLE)) AS qty_milli_per_point
         |FROM g""".stripMargin,
+
+    "q180_covariance_matrix" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dsc
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(q AS DECIMAL(38,0))) AS sq, SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+        |    SUM(CAST(dsc AS DECIMAL(38,0))) AS sd,
+        |    SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS sqq,
+        |    SUM(CAST(p AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))) AS spp,
+        |    SUM(CAST(dsc AS DECIMAL(19,0)) * CAST(dsc AS DECIMAL(19,0))) AS sdd,
+        |    SUM(CAST(q AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))) AS sqp,
+        |    SUM(CAST(q AS DECIMAL(19,0)) * CAST(dsc AS DECIMAL(19,0))) AS sqd,
+        |    SUM(CAST(p AS DECIMAL(19,0)) * CAST(dsc AS DECIMAL(19,0))) AS spd
+        |  FROM b),
+        |c AS (
+        |  SELECT n,
+        |    (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vq,
+        |    (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vp,
+        |    (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vd,
+        |    (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cqp,
+        |    (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sd AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cqd,
+        |    (CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sd AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cpd
+        |  FROM g),
+        |r AS (
+        |  SELECT CAST(n AS BIGINT) AS n,
+        |    cqp / sqrt(vq * vp) AS rqp,
+        |    cqd / sqrt(vq * vd) AS rqd,
+        |    cpd / sqrt(vp * vd) AS rpd
+        |  FROM c)
+        |SELECT n,
+        |  printf('%.9f', rqp) AS corr_qty_price,
+        |  printf('%.9f', rqd) AS corr_qty_disc,
+        |  printf('%.9f', rpd) AS corr_price_disc,
+        |  printf('%.9f', (rqp - rqd * rpd)
+        |    / sqrt((1.0 - rqd * rqd) * (1.0 - rpd * rpd))) AS partial_corr_qp_given_d
+        |FROM r""".stripMargin,
 
     "q179_monthly_index" ->
       """WITH m AS (
