@@ -141,6 +141,38 @@ object SamplingQueries {
         .orderBy($"label")
     }),
 
+    // SPLIT-BALANCE AUDIT — is the train/val/test hash split
+    // language-balanced? The chi-square independence check over the
+    // split×lang contingency (q92's window-marginals idiom on the
+    // ≤15-cell table): a skewed splitter would concentrate a language
+    // in one split and distort both training mix and eval metrics.
+    // The counts ride one keyed aggregate; everything after is
+    // cell-table-sized.
+    "samp_split_balance" -> ((s, d) => {
+      import s.implicits._
+      val b = hashBucket($"doc_id")
+      val cells = documents(s, d)
+        .withColumn("split",
+          when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy($"split")
+      val wc = Window.partitionBy($"lang")
+      val wg = Window.partitionBy()
+      cells
+        .withColumn("rt", sum($"o").over(wr))
+        .withColumn("ct", sum($"o").over(wc))
+        .withColumn("gt", sum($"o").over(wg))
+        .withColumn("e", $"rt" * $"ct" * lit(1.0) / $"gt")
+        .agg(
+          max($"gt").as("n_docs"),
+          countDistinct($"split").as("n_splits"),
+          countDistinct($"lang").as("n_langs"),
+          ((countDistinct($"split") - 1) * (countDistinct($"lang") - 1)).as("dof"),
+          format_string("%.9f",
+            sum(($"o" - $"e") * ($"o" - $"e") / $"e")).as("chi2"))
+    }),
+
     // FROZEN EVAL SET — the "pin the benchmark" op: a deterministic
     // ~2% holdout (md5 prefix < '05') plus an ORDER-INDEPENDENT set
     // fingerprint (sum + xor-ish of per-doc xxhash64, both exact
@@ -624,6 +656,28 @@ object SamplingQueries {
         |  printf('%.6f',
         |    (n_a - ex) * (n_a - ex) / ex + (n_b - ex) * (n_b - ex) / ex)
         |    AS srm_chi2
+        |FROM e""".stripMargin,
+
+    "samp_split_balance" ->
+      """WITH cells AS (
+        |  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split,
+        |    lang, COUNT(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o,
+        |    SUM(o) OVER (PARTITION BY split) AS rt,
+        |    SUM(o) OVER (PARTITION BY lang) AS ct,
+        |    SUM(o) OVER () AS gt,
+        |    split, lang
+        |  FROM cells),
+        |e AS (SELECT *, rt * ct * 1.0 / gt AS exp FROM m)
+        |SELECT CAST(MAX(gt) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST((COUNT(DISTINCT split) - 1) * (COUNT(DISTINCT lang) - 1) AS BIGINT) AS dof,
+        |  printf('%.9f', SUM((o - exp) * (o - exp) / exp)) AS chi2
         |FROM e""".stripMargin,
 
     "samp_eval_freeze" ->
