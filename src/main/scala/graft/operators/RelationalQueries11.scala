@@ -254,6 +254,29 @@ object RelationalQueries11 {
           .as("qty_milli_per_point"))
     }),
 
+    // HHI CONCENTRATION TREND — "is the supplier market concentrating
+    // over time?": the per-year Herfindahl index over supplier revenue
+    // shares (q133's metric, trended). Shares are integer basis points
+    // (DIV against the broadcast year total), HHI is the exact integer
+    // Σshare², and every step is a keyed aggregate or broadcast join —
+    // NO per-year rank window, so a year's supplier population can
+    // grow without a single-partition stage.
+    "q181_hhi_trend" -> ((s, d) => {
+      import s.implicits._
+      val rev = lineitem(s, d)
+        .groupBy(year($"l_shipdate").as("yr"), $"l_suppkey")
+        .agg(sum((dec($"l_extendedprice") * 100).cast("long")).as("r"))
+      val ytot = rev.groupBy($"yr").agg(sum($"r").as("tot"),
+        count(lit(1)).as("n_suppliers"))
+      rev.join(broadcast(ytot), Seq("yr"))
+        .select($"yr", $"n_suppliers",
+          expr("CAST(CAST(r AS DECIMAL(38,0)) * 10000 DIV tot AS BIGINT)").as("share_bp"))
+        .groupBy($"yr", $"n_suppliers")
+        .agg(sum($"share_bp" * $"share_bp").as("hhi_e8"))
+        .select($"yr".cast("long").as("yr"), $"n_suppliers", $"hhi_e8")
+        .orderBy($"yr")
+    }),
+
     // COVARIANCE MATRIX + PARTIAL CORRELATION — the multivariate
     // completion of the q43/q76 bivariate family: pairwise covariances
     // and correlations of (quantity, price, discount) from ONE exact
@@ -677,6 +700,23 @@ object RelationalQueries11 {
         |  printf('%.9f', CAST(k * sxy - sx * sy AS DOUBLE)
         |    / CAST(k * sxx - sx * sx AS DOUBLE)) AS qty_milli_per_point
         |FROM g""".stripMargin,
+
+    "q181_hhi_trend" ->
+      """WITH rev AS (
+        |  SELECT year(CAST(l_shipdate AS DATE)) AS yr, l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |ytot AS (
+        |  SELECT yr, CAST(SUM(r) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |  FROM rev GROUP BY yr),
+        |sh AS (
+        |  SELECT rev.yr, ytot.n_suppliers,
+        |    CAST(CAST(rev.r AS HUGEINT) * 10000 // ytot.tot AS BIGINT) AS share_bp
+        |  FROM rev JOIN ytot USING (yr))
+        |SELECT CAST(yr AS BIGINT) AS yr, n_suppliers,
+        |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi_e8
+        |FROM sh GROUP BY yr, n_suppliers ORDER BY yr""".stripMargin,
 
     "q180_covariance_matrix" ->
       """WITH b AS (
