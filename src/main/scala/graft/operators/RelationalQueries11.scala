@@ -254,6 +254,38 @@ object RelationalQueries11 {
           .as("qty_milli_per_point"))
     }),
 
+    // EFFECTIVE CATALOG SIZE — how many parts cover 80% of each year's
+    // revenue (the assortment-planning "effective SKU count", q128
+    // ABC's trended cousin). Per-year revenue ranking WITHOUT a
+    // per-year window: ONE GlobalRank.withPrefixSum over the composite
+    // (yr asc, rev desc, partkey) order gives a global exact cumsum;
+    // each year's local cumsum is that minus the year's broadcast
+    // offset (exclusive prefix of year totals over the ≤7-row year
+    // table). The 80% cut is the exact integer compare
+    // (cum−r)·5 < tot·4 — count of parts strictly before the cut plus
+    // the crossing part itself.
+    "q182_effective_catalog" -> ((s, d) => {
+      import s.implicits._
+      val rev = lineitem(s, d)
+        .groupBy(year($"l_shipdate").as("yr"), $"l_partkey")
+        .agg(sum((dec($"l_extendedprice") * 100).cast("long")).as("r"))
+      val (cum, _) = GlobalRank.withPrefixSum(rev, "gcum", $"r",
+        Seq($"yr".asc, $"r".desc, $"l_partkey".asc))
+      val wOff = Window.orderBy($"yr").rowsBetween(Window.unboundedPreceding, -1)
+      val ytot = rev.groupBy($"yr").agg(sum($"r").as("tot"), count(lit(1)).as("n_parts"))
+        .withColumn("off", coalesce(sum($"tot").over(wOff), lit(0L)))
+      cum.join(broadcast(ytot), Seq("yr"))
+        .select($"yr", $"n_parts", $"tot",
+          // D38 factors: cents·5 overflows int64 at ~100 TB year totals
+          ((($"gcum" - $"off" - $"r").cast(D38) * 5) < ($"tot".cast(D38) * 4))
+            .cast("long").as("in_cut"))
+        .groupBy($"yr".cast("long").as("yr"))
+        .agg(max($"n_parts").as("n_parts"),
+          sum($"in_cut").as("effective_parts"),
+          expr("SUM(in_cut) * 10000 DIV MAX(n_parts)").as("effective_share_bp"))
+        .orderBy($"yr")
+    }),
+
     // HHI CONCENTRATION TREND — "is the supplier market concentrating
     // over time?": the per-year Herfindahl index over supplier revenue
     // shares (q133's metric, trended). Shares are integer basis points
@@ -700,6 +732,28 @@ object RelationalQueries11 {
         |  printf('%.9f', CAST(k * sxy - sx * sy AS DOUBLE)
         |    / CAST(k * sxx - sx * sx AS DOUBLE)) AS qty_milli_per_point
         |FROM g""".stripMargin,
+
+    "q182_effective_catalog" ->
+      """WITH rev AS (
+        |  SELECT year(CAST(l_shipdate AS DATE)) AS yr, l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT yr, l_partkey, r,
+        |    SUM(r) OVER (PARTITION BY yr ORDER BY r DESC, l_partkey) AS ycum
+        |  FROM rev),
+        |ytot AS (
+        |  SELECT yr, CAST(SUM(r) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |  FROM rev GROUP BY yr),
+        |cut AS (
+        |  SELECT c.yr, t.n_parts,
+        |    CASE WHEN CAST(c.ycum - c.r AS HUGEINT) * 5 < CAST(t.tot AS HUGEINT) * 4
+        |         THEN 1 ELSE 0 END AS in_cut
+        |  FROM cum c JOIN ytot t USING (yr))
+        |SELECT CAST(yr AS BIGINT) AS yr, MAX(n_parts) AS n_parts,
+        |  CAST(SUM(in_cut) AS BIGINT) AS effective_parts,
+        |  CAST(SUM(in_cut) * 10000 // MAX(n_parts) AS BIGINT) AS effective_share_bp
+        |FROM cut GROUP BY yr ORDER BY yr""".stripMargin,
 
     "q181_hhi_trend" ->
       """WITH rev AS (
