@@ -254,6 +254,37 @@ object RelationalQueries11 {
           .as("qty_milli_per_point"))
     }),
 
+    // CUSTOMER SPEND-DECILE MIGRATION — the year-over-year movement
+    // matrix ("do top-decile customers stay top-decile?"): each
+    // customer's 1996 and 1997 spend deciles, cross-tabulated. The
+    // per-year EXACT decile comes from q182's trick — one composite
+    // (yr, spend desc, custkey) GlobalRank minus broadcast year
+    // offsets, decile = (rank−1)·10 DIV n_year — never a per-year
+    // rank window, so a year's customer population can grow without a
+    // single-partition stage. Matrix cells are exact counts; the
+    // retention diagonal is read straight off the output.
+    "q183_customer_migration" -> ((s, d) => {
+      import s.implicits._
+      val spend = orders(s, d)
+        .filter(year(to_date($"o_orderdate")).isin(1996, 1997))
+        .groupBy(year(to_date($"o_orderdate")).as("yr"), $"o_custkey")
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("sp"))
+      val (ranked, _) = GlobalRank.withRank(spend, "grk",
+        Seq($"yr".asc, $"sp".desc, $"o_custkey".asc))
+      val wOff = Window.orderBy($"yr").rowsBetween(Window.unboundedPreceding, -1)
+      val ytot = spend.groupBy($"yr").agg(count(lit(1)).as("ny"))
+        .withColumn("off", coalesce(sum($"ny").over(wOff), lit(0L)))
+      val dec10 = ranked.join(broadcast(ytot), Seq("yr"))
+        .select($"yr", $"o_custkey",
+          expr("(grk - off - 1) * 10 DIV ny").as("decile"))
+      dec10.filter($"yr" === 1996).select($"o_custkey", $"decile".as("d96"))
+        .join(dec10.filter($"yr" === 1997).select($"o_custkey", $"decile".as("d97")),
+          Seq("o_custkey"))
+        .groupBy($"d96", $"d97")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"d96", $"d97")
+    }),
+
     // EFFECTIVE CATALOG SIZE — how many parts cover 80% of each year's
     // revenue (the assortment-planning "effective SKU count", q128
     // ABC's trended cousin). Per-year revenue ranking WITHOUT a
@@ -732,6 +763,24 @@ object RelationalQueries11 {
         |  printf('%.9f', CAST(k * sxy - sx * sy AS DOUBLE)
         |    / CAST(k * sxx - sx * sx AS DOUBLE)) AS qty_milli_per_point
         |FROM g""".stripMargin,
+
+    "q183_customer_migration" ->
+      """WITH spend AS (
+        |  SELECT year(CAST(o_orderdate AS DATE)) AS yr, o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sp
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT yr, o_custkey,
+        |    row_number() OVER (PARTITION BY yr ORDER BY sp DESC, o_custkey) AS r,
+        |    count(*) OVER (PARTITION BY yr) AS ny
+        |  FROM spend),
+        |dec10 AS (SELECT yr, o_custkey, (r - 1) * 10 // ny AS decile FROM rk)
+        |SELECT a.decile AS d96, b.decile AS d97,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM dec10 a JOIN dec10 b
+        |  ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+        |GROUP BY 1, 2 ORDER BY d96, d97""".stripMargin,
 
     "q182_effective_catalog" ->
       """WITH rev AS (
