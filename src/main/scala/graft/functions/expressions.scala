@@ -67,8 +67,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** 64-bit SimHash of an array<string> token bag: one xxhash64 per token,
-  * ±1 vote per bit, sign vector packed into a long. Frequency-weighted
+/** Shared 60-bit token hash: first 15 hex chars of md5, i.e. the
+  * big-endian value of the digest's first 8 bytes shifted right 4.
+  * md5 is the one hash both engines compute byte-identically, so every
+  * signature built on it is DuckDB-replayable as
+  * `('0x' || substring(md5(x), 1, 15))::BIGINT` — which is what lets
+  * the MinHash/SimHash pair lists carry FULL hash-gated oracles
+  * instead of rows-only checks. 60 bits (not 64) keeps the value
+  * non-negative on both sides and keeps the oracle's mod-2^64 affine
+  * remix inside HUGEINT range. ~3× slower per byte than xxh64 —
+  * irrelevant next to the candidate joins these signatures feed. */
+private[functions] object PortableHash {
+  def md5hash60(s: UTF8String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h >>> 4
+  }
+}
+
+/** 64-bit SimHash of an array<string> token bag: one md5-derived 60-bit
+  * hash per token ([[PortableHash.md5hash60]]), ±1 vote per bit, sign
+  * vector packed into a long (bits 60-63 always 0). Frequency-weighted
   * (each occurrence votes). */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -82,7 +103,7 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        val h = PortableHash.md5hash60(arr.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

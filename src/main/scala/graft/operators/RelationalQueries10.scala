@@ -506,7 +506,7 @@ object RelationalQueries10 {
         |      + log2(q / ((p + q) / 2.0)) * q) * 0.5 * 1e9) AS BIGINT) AS term_nano
         |  FROM pq)
         |SELECT bin, n_ref, n_cur, term_nano,
-        |  SUM(term_nano) OVER () AS js_total_nano
+        |  CAST(SUM(term_nano) OVER () AS BIGINT) AS js_total_nano
         |FROM t ORDER BY bin""".stripMargin,
 
     "q161_runs_test" ->
@@ -713,8 +713,8 @@ object RelationalQueries10 {
         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |  FROM f GROUP BY fold)
         |SELECT fold, n_docs, sum_chars, n_langs,
-        |  SUM(n_docs) OVER () AS total_docs,
-        |  n_docs * 10000 // SUM(n_docs) OVER () AS share_bp
+        |  CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
+        |  CAST(n_docs * 10000 // SUM(n_docs) OVER () AS BIGINT) AS share_bp
         |FROM t ORDER BY fold""".stripMargin,
 
     "text_charset_profile" ->

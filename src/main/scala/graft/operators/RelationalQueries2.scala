@@ -800,8 +800,8 @@ object RelationalQueries2 {
         |SELECT lang, n_before, rate_bp,
         | coalesce(n_kept, 0) AS n_kept,
         | coalesce(n_tokens_kept, 0) AS n_tokens_kept,
-        | coalesce(n_tokens_kept, 0) * 10000
-        |   // sum(coalesce(n_tokens_kept, 0)) OVER () AS share_bp
+        | CAST(coalesce(n_tokens_kept, 0) * 10000
+        |   // sum(coalesce(n_tokens_kept, 0)) OVER () AS BIGINT) AS share_bp
         |FROM rates LEFT JOIN kept USING (lang)
         |ORDER BY lang""".stripMargin
   )

@@ -488,10 +488,12 @@ object StreamingQueries {
     // engine's state-eviction rule: wm = min(max purchase ts − 10 min,
     // max click ts − 1 h); unmatched purchases at/after wm are still
     // in join state when the stream drains, so they are absent
+    // greatest(..., 0) mirrors QuantileProcessor's math.max(b, 0) lower
+    // clamp (Streams.scala) — divergence-proof if events.value ever < 0
     "stream_tws_quantile" ->
       """WITH b AS (
         |  SELECT event_type,
-        |    least(CAST(floor(value / 25.0) AS BIGINT), 15) AS bucket
+        |    greatest(least(CAST(floor(value / 25.0) AS BIGINT), 15), 0) AS bucket
         |  FROM events),
         |h AS (
         |  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c

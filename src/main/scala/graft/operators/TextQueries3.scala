@@ -295,8 +295,8 @@ object TextQueries3 {
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_texts,
         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
-        |  (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_bp,
-        |  SUM(n_chars) // count(*) AS mean_chars
+        |  CAST((count(*) - count(DISTINCT fp)) * 10000 // count(*) AS BIGINT) AS dup_bp,
+        |  CAST(SUM(n_chars) // count(*) AS BIGINT) AS mean_chars
         |FROM per""".stripMargin,
 
     "text_langid_eval" ->
@@ -312,14 +312,13 @@ object TextQueries3 {
         |  FROM documents GROUP BY 1, 2),
         |m AS (
         |  SELECT lang, guess, n,
-        |    SUM(n) OVER (PARTITION BY lang) AS support,
-        |    SUM(n) OVER (PARTITION BY guess) AS predicted
+        |    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS support,
+        |    CAST(SUM(n) OVER (PARTITION BY guess) AS BIGINT) AS predicted
         |  FROM cells)
-        |SELECT lang, CAST(support AS BIGINT) AS support,
-        |  CAST(predicted AS BIGINT) AS predicted,
+        |SELECT lang, support, predicted,
         |  n AS n_correct,
-        |  n * 10000 // support AS recall_bp,
-        |  n * 10000 // predicted AS precision_bp
+        |  CAST(n * 10000 // support AS BIGINT) AS recall_bp,
+        |  CAST(n * 10000 // predicted AS BIGINT) AS precision_bp
         |FROM m WHERE lang = guess ORDER BY lang""".stripMargin,
 
     "pack_sft_format" ->

@@ -27,6 +27,16 @@ def load_rows(rel):
     rows = [tuple(norm(x) for x in r) for r in df.itertuples(index=False, name=None)]
     return cols, rows
 
+# DuckDB types Spark can never emit — an oracle column with one of these means
+# a missing CAST (DuckDB widens SUM(BIGINT)→HUGEINT, etc.).  The driver's
+# hasher is dtype-sensitive (int128 ≠ int64), so these ship as red rows even
+# when values are identical; this local gate makes them fail pre-commit.
+FORBIDDEN_DUCK_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+
+def dtype_violations(rel):
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t) in FORBIDDEN_DUCK_TYPES]
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -46,9 +56,17 @@ def main():
             continue
         try:
             got_cols, got = load_rows(con.sql(f"SELECT * FROM '{pq}/*.parquet'"))
-            exp_cols, exp = load_rows(con.sql(sql))
+            exp_rel = con.sql(sql)
+            dtv = dtype_violations(exp_rel)
+            exp_cols, exp = load_rows(exp_rel)
         except Exception as e:
             print(f"ERROR    {name}: {e}")
+            n_fail += 1
+            continue
+        if dtv:
+            # driver's hasher is dtype-sensitive: an uncast HUGEINT oracle
+            # column hash-mismatches even when values are identical
+            print(f"DTYPE    {name}: oracle columns need CAST: {dtv}")
             n_fail += 1
             continue
         if got_cols != exp_cols:
