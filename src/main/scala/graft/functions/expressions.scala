@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -122,17 +122,18 @@ case class SimHash64(child: Expression)
 }
 
 /** MinHash signature (k values) of an array<string> shingle set.
-  * One xxhash64 per shingle; the k family members are affine remixes
-  * g_i(h) = A_i·h + B_i (A_i odd), the standard one-hash MinHash trick —
-  * O(n + k·n) cheap ops instead of k·n string hashes. Empty/null input
-  * → null (callers drop empty docs). */
-case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_signature"
-
-  // deterministic affine mixers derived from splitmix64
-  private lazy val (mulA, addB) = {
+  * One md5-derived 60-bit hash per shingle ([[PortableHash.md5hash60]]);
+  * the k family members are affine remixes g_i(h) = A_i·h + B_i (A_i
+  * odd, signed-wraparound arithmetic, signed min) — the standard
+  * one-hash MinHash trick, O(n + k·n) cheap ops instead of k·n string
+  * hashes. The A/B constants come from splitmix64 and are inlined into
+  * the DuckDB oracle (DedupQueries.minhashMixers), which replays the
+  * same remix in HUGEINT mod-2^64 arithmetic. Empty/null input → null
+  * (callers drop empty docs). */
+object MinHashSignature {
+  /** The k (A_i odd, B_i) splitmix64-derived affine mixers — the one
+    * definition both the expression and the DuckDB oracle inline. */
+  def mixers(k: Int): (Array[Long], Array[Long]) = {
     def splitmix(x0: Long): Long = {
       var x = x0 + 0x9E3779B97F4A7C15L
       x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -143,6 +144,16 @@ case class MinHashSignature(child: Expression, k: Int)
     val b = Array.tabulate(k)(i => splitmix(i.toLong * 2 + 2))
     (a, b)
   }
+}
+
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  // deterministic affine mixers derived from splitmix64 (shared with
+  // the DuckDB oracle via MinHashSignature.mixers — single source)
+  private lazy val (mulA, addB) = MinHashSignature.mixers(k)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -152,7 +163,7 @@ case class MinHashSignature(child: Expression, k: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        val h = PortableHash.md5hash60(arr.getUTF8String(i))
         var j = 0
         while (j < k) {
           val g = mulA(j) * h + addB(j)

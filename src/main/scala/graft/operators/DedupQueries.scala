@@ -379,15 +379,22 @@ object DedupQueries {
     // candidates from band-key equi-join, then exact-Jaccard verify.
     // Same verify threshold as dedup_ngram_jaccard, so at high recall
     // the outputs converge — the LSH path just avoids the shingle-join
-    // amplification at scale. Hash functions aren't SQL-portable → no
-    // oracle for the pair list itself (rows-only check); the paired
-    // dedup_minhash_lsh_check gates its recall against the exact pairs.
+    // amplification at scale. The signature hash is md5-derived
+    // (PortableHash.md5hash60) with splitmix64 affine remixes, both
+    // DuckDB-replayable, so the FULL pair list is hash-gated: the
+    // oracle recomputes signatures/bands in HUGEINT mod-2^64
+    // arithmetic and joins on band-slice equality (vs Spark's
+    // xxhash64 band key — equal up to a ~2^-64 key-collision, which
+    // the jaccard verify then filters identically). The paired
+    // dedup_minhash_lsh_check additionally gates recall vs exact pairs.
     "dedup_minhash_lsh" -> ((s, d) => minhashPairs(s, d).orderBy(col("d1"), col("d2"))),
 
     // SimHash near-dup: 64-bit signature; candidates share one of four
     // 16-bit bands (pigeonhole: any pair within Hamming distance 3 must
     // agree on ≥1 band); verify = Hamming ≤ 3 via bit_count(XOR).
-    // Signature not SQL-portable → rows-only; dedup_simhash_check pins
+    // md5-derived per-token hash → the oracle rebuilds the signature
+    // bit-by-bit (64 vote sums per doc) and replays banding + verify,
+    // hash-gating the full pair list; dedup_simhash_check still pins
     // the pigeonhole-exactness invariant.
     "dedup_simhash" -> ((s, d) => simhashPairs(s, d).orderBy(col("d1"), col("d2"))),
 
@@ -488,7 +495,7 @@ object DedupQueries {
     banded.as("a").join(banded.as("b"),
       $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        bit_count($"a.sim".bitwiseXOR($"b.sim")).as("hamming"))
+        bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("long").as("hamming"))
       .distinct()
       .filter($"hamming" <= 3)
   }
@@ -515,6 +522,17 @@ object DedupQueries {
       |    SELECT d1, d2, i * 1.0 / (s1.n + s2.n - i) AS jaccard
       |    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
       |  WHERE jaccard >= 0.5)""".stripMargin
+
+  /** The 64 (i, A_i, B_i) MinHash mixers as a SQL VALUES list, straight
+    * from the expression's own generator (unsigned rendering — the
+    * oracle works in mod-2^64 HUGEINT space and converts to signed at
+    * the end, matching JVM long wraparound). */
+  private lazy val minhashMixerValues: String = {
+    val (a, b) = graft.functions.MinHashSignature.mixers(64)
+    (0 until 64).map { i =>
+      s"($i, ${java.lang.Long.toUnsignedString(a(i))}, ${java.lang.Long.toUnsignedString(b(i))})"
+    }.mkString(", ")
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -580,9 +598,70 @@ object DedupQueries {
         |final AS (SELECT doc_id, MIN(lab) AS lab FROM reach GROUP BY doc_id)
         |SELECT lab AS rep_id, COUNT(*) AS n_members
         |FROM final GROUP BY lab ORDER BY rep_id""".stripMargin,
-    // dedup_minhash_lsh / dedup_simhash: hash functions not SQL-portable
-    // → rows-only checks on the pair lists; the *_check twins below pin
-    // their quality/exactness invariants against SQL-recomputable sides.
+    // MinHash+LSH full pair list, replayed end-to-end: md5-derived
+    // 60-bit shingle hash, the same 64 splitmix64 affine mixers as the
+    // Scala expression (inlined below from MinHashSignature.mixers —
+    // single source, no drift), signed mod-2^64 min per hash, band =
+    // 4-value signature slice, candidates from band-slice equality,
+    // exact-Jaccard ≥ 0.5 verify on the full shingle sets. HUGEINT
+    // intermediates keep a·h ≤ 2^124 exact; the final signed CAST
+    // mirrors JVM wraparound semantics bit-for-bit.
+    "dedup_minhash_lsh" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM tok),
+        |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
+        |hx AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h FROM ex),
+        |ab(i, am, bm) AS (VALUES $minhashMixerValues),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CAST(MIN(CASE WHEN gu >= 9223372036854775808 THEN gu - 18446744073709551616
+        |             ELSE gu END) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, i, (am::HUGEINT * h + bm) % 18446744073709551616 AS gu
+        |        FROM hx CROSS JOIN ab)
+        |  GROUP BY doc_id, i),
+        |bsig AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bkey
+        |  FROM g GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bsig a JOIN bsig b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT d1, d2, len(list_intersect(s1.s, s2.s)) AS i,
+        |    len(s1.s) AS n1, len(s2.s) AS n2
+        |  FROM cand JOIN shf s1 ON d1 = s1.doc_id JOIN shf s2 ON d2 = s2.doc_id)
+        |SELECT d1, d2, i * 1.0 / (n1 + n2 - i) AS jaccard
+        |FROM j WHERE i * 1.0 / (n1 + n2 - i) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    // SimHash full pair list: rebuild each doc's 64-bit signature from
+    // per-token md5 hashes (±1 vote per bit — 64 vote sums per doc),
+    // then replay the 4×16-bit banding and the Hamming ≤ 3 verify.
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |ht AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM tok),
+        |v AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM ht CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) GROUP BY doc_id, bit),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sim
+        |  FROM v GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, sim, b AS band, (sim >> (b * 16)) & 65535 AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b))
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
 
     // Integer PageRank unrolled to 5 chained CTEs (standard SQL forbids
     // aggregation inside a recursive term, so fixed iterations unroll).
