@@ -119,6 +119,21 @@ object StreamBench {
           .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
       },
       run("tws_anomaly", "append")(ds => Streams.anomalyTws(ds).toDF()),
+      // bounded-state exact dedup: per-batch state lookup+insert on the
+      // business key, eviction past the watermark horizon
+      run("dedup", "append")(ds => Streams.dedupedEvents(ds.toDF())),
+      // session windows merge/extend state per key as batches arrive —
+      // the heaviest window-state shape (variable-width, merging);
+      // append mode: sessions emit once finalized by the watermark
+      run("session_agg", "append")(ds => Streams.sessionizedEvents(ds.toDF())),
+      // MapState per (user, event_type) counts + per-batch argmax
+      run("tws_favorite", "update")(ds => Streams.userFavoriteTws(ds).toDF()),
+      // bounded ListState top-K re-ranked per batch
+      run("tws_topk", "update")(ds => Streams.topKTws(ds).toDF()),
+      // flatMapGroupsWithState: one double per key + event-time TTL
+      run("alerts", "append")(ds => Streams.valueAlerts(ds, step = 1000.0).toDF()),
+      // mapGroupsWithState running profile with eviction records
+      run("running_profile", "update")(ds => Streams.userRunningProfile(ds).toDF()),
       // O(1)-state histogram sketch: the lightest TWS profile — its
       // rate bounds the per-batch transformWithState overhead itself
       run("tws_quantile", "update")(ds => Streams.quantileTws(ds).toDF()),
@@ -146,14 +161,20 @@ object StreamBench {
       runCdc())
 
     // Regression floors: ~half the rate measured on an otherwise-idle
-    // host (r10: 5891/7305/1956/1911/3280/3652 rows/s at sf0.1) —
+    // host (r11, all 13 streams at sf0.1: tumbling 5038 / anomaly 6254
+    // / dedup 3253 / session 4523 / favorite 6578 / topk 5470 / alerts
+    // 5234 / running_profile 6025 / quantile 4488 (r10 quiet) / ss-join
+    // 1788 / left-outer 1944 / chained 4115 / cdc 4217 rows/s) —
     // tolerant of ambient load, but a genuine state-store or shuffle
     // regression (2×+) trips them. Trips are recorded in the JSON
     // ("below_floor") so the round diff surfaces them like a batch
     // bench regression.
     val floors = Map(
       "tumbling_agg" -> 1900.0, "tws_anomaly" -> 3100.0,
-      "tws_quantile" -> 3000.0,
+      "tws_quantile" -> 2200.0,
+      "dedup" -> 1600.0, "session_agg" -> 2200.0,
+      "tws_favorite" -> 3200.0, "tws_topk" -> 2700.0,
+      "alerts" -> 2600.0, "running_profile" -> 3000.0,
       "stream_stream_join" -> 1000.0, "left_outer_join" -> 1000.0,
       "chained_agg" -> 1600.0, "cdc_upsert" -> 2000.0)
     val below = results.collect {

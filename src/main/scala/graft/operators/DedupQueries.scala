@@ -398,6 +398,82 @@ object DedupQueries {
     // the pigeonhole-exactness invariant.
     "dedup_simhash" -> ((s, d) => simhashPairs(s, d).orderBy(col("d1"), col("d2"))),
 
+    // MinHash ESTIMATION ACCURACY: for every LSH candidate pair, the
+    // signature-agreement Jaccard estimate (agree/64 in basis points)
+    // against the exact shingle-set Jaccard — the calibration table
+    // that tells a curation run how tight its verify threshold must be
+    // before it can skip the exact-verify join (at 100 TB, skipping
+    // verify means candidates never re-read shingle sets; this query
+    // quantifies what that trade costs). All integer arithmetic; the
+    // portable md5 signature makes the whole table hash-gated.
+    "dedup_minhash_est" -> ((s, d) => {
+      import s.implicits._
+      val sh = docShingles(s, d).filter(size($"sh") > 0).localCheckpoint()
+      val sig = sh.select($"doc_id", minhashSignature($"sh", 64).as("sig")).localCheckpoint()
+      val bands = sig
+        .select($"doc_id", posexplode(lshBands($"sig", 16, 4)).as(Seq("band", "key")))
+      val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      cand
+        .join(sig.select($"doc_id".as("d1"), $"sig".as("sig1")), Seq("d1"))
+        .join(sig.select($"doc_id".as("d2"), $"sig".as("sig2")), Seq("d2"))
+        .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+        .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
+        .select($"d1", $"d2",
+          aggregate(zip_with($"sig1", $"sig2",
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).as("agree"),
+          size(array_intersect($"sh1", $"sh2")).cast("long").as("inter"),
+          size($"sh1").cast("long").as("n1"), size($"sh2").cast("long").as("n2"))
+        .selectExpr("d1", "d2",
+          "agree * 10000 DIV 64 AS est_bp",
+          "inter * 10000 DIV (n1 + n2 - inter) AS exact_bp",
+          "agree * 10000 DIV 64 - inter * 10000 DIV (n1 + n2 - inter) AS err_bp")
+        .orderBy($"d1", $"d2")
+    }),
+
+    // LSH BAND TUNING: the (bands × rows-per-band) operating-point
+    // sweep every LSH deployment runs before fixing its config — one
+    // 64-value signature pass, three band layouts sliced from it
+    // ((32,2) recall-biased, (16,4) shipped, (8,8) precision-biased),
+    // and per config: candidate count, verified count (exact Jaccard
+    // ≥ 0.5), precision, and coverage of the union of all configs'
+    // verified sets. Candidates stay banded per config — the sweep
+    // costs three keyed self-joins, never all-pairs, so the tuning
+    // itself runs at corpus scale.
+    "dedup_lsh_tuning" -> ((s, d) => {
+      import s.implicits._
+      val sh = docShingles(s, d).filter(size($"sh") > 0).localCheckpoint()
+      val sig = sh.select($"doc_id", minhashSignature($"sh", 64).as("sig")).localCheckpoint()
+      val cfgs = Seq((32, 2), (16, 4), (8, 8))
+      val verifiedPerCfg = cfgs.map { case (b, r) =>
+        val bands = sig.select($"doc_id",
+          posexplode(lshBands($"sig", b, r)).as(Seq("band", "key")))
+        val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .distinct()
+        cand
+          .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+          .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
+          .select(lit(b).as("cfg_bands"), lit(r).as("cfg_rows"), $"d1", $"d2",
+            (jaccard($"sh1", $"sh2") >= 0.5).as("ok"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val union = verifiedPerCfg.filter($"ok").select($"d1", $"d2").distinct()
+        .agg(count(lit(1)).as("n_union"))
+      verifiedPerCfg
+        .groupBy($"cfg_bands", $"cfg_rows")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when($"ok", 1L).otherwise(0L)).as("n_verified"))
+        .crossJoin(union) // 1-row side
+        .selectExpr("cfg_bands", "cfg_rows", "n_candidates", "n_verified",
+          "n_verified * 10000 DIV greatest(n_candidates, 1) AS precision_bp",
+          "n_verified * 10000 DIV greatest(n_union, 1) AS coverage_bp")
+        .orderBy($"cfg_bands")
+    }),
+
     // Quality gate for the MinHash+LSH path: recall of the banded
     // candidate→verify pipeline against the exact jaccard-join pair set
     // (dedup_ngram_jaccard — SQL-recomputable). Measured recall is 1.0
@@ -638,6 +714,99 @@ object DedupQueries {
         |SELECT d1, d2, i * 1.0 / (n1 + n2 - i) AS jaccard
         |FROM j WHERE i * 1.0 / (n1 + n2 - i) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+
+    // Estimation-accuracy table: same signature/band replay as
+    // dedup_minhash_lsh, agreement counted by joining the per-(doc,i)
+    // signature table with itself over the candidate pairs.
+    "dedup_minhash_est" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM tok),
+        |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
+        |hx AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h FROM ex),
+        |ab(i, am, bm) AS (VALUES $minhashMixerValues),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CAST(MIN(CASE WHEN gu >= 9223372036854775808 THEN gu - 18446744073709551616
+        |             ELSE gu END) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, i, (am::HUGEINT * h + bm) % 18446744073709551616 AS gu
+        |        FROM hx CROSS JOIN ab)
+        |  GROUP BY doc_id, i),
+        |bsig AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bkey
+        |  FROM g GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bsig a JOIN bsig b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |agr AS (
+        |  SELECT c.d1, c.d2,
+        |    CAST(SUM(CASE WHEN ga.sig = gb.sig THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.d1
+        |  JOIN g gb ON gb.doc_id = c.d2 AND gb.i = ga.i
+        |  GROUP BY c.d1, c.d2),
+        |ja AS (
+        |  SELECT a.d1, a.d2, a.agree,
+        |    CAST(len(list_intersect(s1.s, s2.s)) AS BIGINT) AS i,
+        |    CAST(len(s1.s) AS BIGINT) AS n1, CAST(len(s2.s) AS BIGINT) AS n2
+        |  FROM agr a JOIN shf s1 ON a.d1 = s1.doc_id JOIN shf s2 ON a.d2 = s2.doc_id)
+        |SELECT d1, d2,
+        |  CAST(agree * 10000 // 64 AS BIGINT) AS est_bp,
+        |  CAST(i * 10000 // (n1 + n2 - i) AS BIGINT) AS exact_bp,
+        |  CAST(agree * 10000 // 64 - i * 10000 // (n1 + n2 - i) AS BIGINT) AS err_bp
+        |FROM ja ORDER BY d1, d2""".stripMargin,
+
+    // Band-tuning sweep: the same g signature table sliced three ways
+    // (i // rows_per_band); per-config candidates from band-slice
+    // equality, verified by exact Jaccard, coverage vs the union.
+    "dedup_lsh_tuning" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM tok),
+        |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
+        |hx AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h FROM ex),
+        |ab(i, am, bm) AS (VALUES $minhashMixerValues),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CAST(MIN(CASE WHEN gu >= 9223372036854775808 THEN gu - 18446744073709551616
+        |             ELSE gu END) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, i, (am::HUGEINT * h + bm) % 18446744073709551616 AS gu
+        |        FROM hx CROSS JOIN ab)
+        |  GROUP BY doc_id, i),
+        |cfg(cfg_bands, cfg_rows) AS (VALUES (32, 2), (16, 4), (8, 8)),
+        |bsig AS (
+        |  SELECT cfg_bands, cfg_rows, doc_id, i // cfg_rows AS band,
+        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bkey
+        |  FROM g CROSS JOIN cfg GROUP BY cfg_bands, cfg_rows, doc_id, i // cfg_rows),
+        |cand AS (
+        |  SELECT DISTINCT a.cfg_bands, a.cfg_rows, a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bsig a JOIN bsig b
+        |    ON a.cfg_bands = b.cfg_bands AND a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.cfg_bands, c.cfg_rows, c.d1, c.d2,
+        |    (len(list_intersect(s1.s, s2.s)) * 1.0 /
+        |     (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)))) >= 0.5 AS ok
+        |  FROM cand c JOIN shf s1 ON c.d1 = s1.doc_id JOIN shf s2 ON c.d2 = s2.doc_id),
+        |un AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_union
+        |  FROM (SELECT DISTINCT d1, d2 FROM ver WHERE ok)),
+        |agg AS (
+        |  SELECT cfg_bands, cfg_rows, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+        |  FROM ver GROUP BY cfg_bands, cfg_rows)
+        |SELECT cfg_bands, cfg_rows, n_candidates, n_verified,
+        |  CAST(n_verified * 10000 // greatest(n_candidates, 1) AS BIGINT) AS precision_bp,
+        |  CAST(n_verified * 10000 // greatest(n_union, 1) AS BIGINT) AS coverage_bp
+        |FROM agg CROSS JOIN un ORDER BY cfg_bands""".stripMargin,
 
     // SimHash full pair list: rebuild each doc's 64-bit signature from
     // per-token md5 hashes (±1 vote per bit — 64 vote sums per doc),

@@ -30,6 +30,158 @@ object RelationalQueries11 {
   private val D19 = DecimalType(19, 0)
 
   val queries: Map[String, Q] = Map(
+    // KRUSKAL–WALLIS H — q185's k-sample generalization: do the FIVE
+    // market segments draw order prices from the same distribution?
+    // Same exact ×2-scaled midrank machinery over the distinct-value
+    // GlobalRank prefix; per-segment rank sums are exact integers, the
+    // per-segment R²/n terms are floor-quantized to integers BEFORE
+    // the 5-row sum (float summation order never matters), and the
+    // tie-corrected H is one operand-identical double tree over scalar
+    // exact integers, floored to milli units (χ²₄ 0.05 cut = 9.488).
+    "q187_kruskal_wallis" -> ((s, d) => {
+      import s.implicits._
+      val cents = orders(s, d)
+        .join(customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+          Seq("o_custkey"))
+        .select((dec($"o_totalprice") * 100).cast("long").as("v"), $"c_mktsegment")
+      val perSeg = cents.groupBy($"v", $"c_mktsegment").agg(count(lit(1)).as("c"))
+      val perVal = perSeg.groupBy($"v").agg(sum($"c").as("cnt"))
+      val (cum, _) = GlobalRank.withPrefixSum(perVal, "cum", $"cnt", Seq($"v".asc))
+      val segStats = perSeg.join(cum, Seq("v"))
+        .groupBy($"c_mktsegment")
+        .agg(sum($"c").as("n_j"),
+          sum($"c" * (lit(2) * ($"cum" - $"cnt") + $"cnt" + 1)).as("r2x"))
+        .selectExpr("n_j",
+          "CAST(FLOOR(CAST(r2x AS DOUBLE) * CAST(r2x AS DOUBLE) / CAST(n_j AS DOUBLE)) AS BIGINT) AS term")
+      val ties = cum.agg(sum($"cnt").as("n_total"),
+        sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie_sum"))
+      segStats.agg(count(lit(1)).as("k"), sum($"n_j").as("n_check"),
+          sum($"term").as("sum_term"))
+        .crossJoin(ties) // 1-row side
+        .selectExpr("k", "n_total", "tie_sum", "sum_term",
+          // H = [3·Σterm/(N(N+1)) − 3(N+1)] / (1 − T/(N³−N))
+          """CASE WHEN CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+            |       * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)
+            |       - CAST(tie_sum AS DOUBLE) = 0.0 THEN NULL ELSE
+            |CAST(FLOOR((3.0 * CAST(sum_term AS DOUBLE)
+            |    / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+            |  - 3.0 * CAST(n_total + 1 AS DOUBLE))
+            |  / (1.0 - CAST(tie_sum AS DOUBLE)
+            |     / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+            |        * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
+            |  * 1000.0) AS BIGINT) END AS h_milli""".stripMargin)
+        .withColumn("significant", $"h_milli" >= 9488L)
+    }),
+
+    // COHORT LTV CURVE — cumulative revenue per acquired customer by
+    // months-since-first-order, one row per (acquisition-year, age
+    // 0..11): the "how fast does a cohort pay back" curve that q82's
+    // retention matrix and q139's growth accounting feed into. Exact
+    // integer cents end-to-end; the only window is the running sum
+    // over the ≤ years×12-row (cohort, age) aggregate — corpus-sized
+    // stages are two keyed aggregates and one broadcast join of the
+    // per-customer first-month table... which is customer-sized, so it
+    // stays a keyed equi-join (no broadcast hint; AQE decides).
+    "q186_cohort_ltv" -> ((s, d) => {
+      import s.implicits._
+      val om = orders(s, d).select($"o_custkey", $"o_totalprice",
+        (year(to_date($"o_orderdate")) * 12 + month(to_date($"o_orderdate")) - 1).as("m"))
+      val first = om.groupBy($"o_custkey").agg(min($"m").as("m0"))
+      val sizes = first.groupBy(expr("m0 DIV 12").as("cohort_year"))
+        .agg(count(lit(1)).as("n_customers"))
+      val rev = om.join(first, Seq("o_custkey"))
+        .filter($"m" - $"m0" <= 11)
+        .groupBy(expr("m0 DIV 12").as("cohort_year"), ($"m" - $"m0").as("age_months"))
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("rev_cents"))
+      val w = Window.partitionBy($"cohort_year").orderBy($"age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_rev_cents", sum($"rev_cents").over(w))
+        .join(sizes, Seq("cohort_year"))
+        .selectExpr("cohort_year", "age_months", "n_customers", "rev_cents",
+          "cum_rev_cents", "cum_rev_cents DIV n_customers AS ltv_cents")
+        .orderBy($"cohort_year", $"age_months")
+    }),
+
+    // MANN–WHITNEY U — the nonparametric two-sample test (no normality
+    // assumption, unlike q140's Welch t): do urgent orders
+    // ('1-URGENT'/'2-HIGH') have a different price DISTRIBUTION than
+    // the rest? Exact tie handling: ranks live at ×2 scale so tied
+    // midranks (.5s) stay integers — per distinct price, 2·avgrank =
+    // 2·cum_before + cnt + 1, accumulated from ONE value-keyed
+    // aggregate plus a GlobalRank prefix sum over the distinct-value
+    // table (never a row-level rank — ties collapse first, so the
+    // ranked table is |distinct prices|-sized). The normal
+    // approximation z² carries the tie correction Σ(t³−t) and is one
+    // operand-identical double tree, floored to milli units.
+    "q185_mann_whitney" -> ((s, d) => {
+      import s.implicits._
+      val cents = orders(s, d).select(
+        (dec($"o_totalprice") * 100).cast("long").as("v"),
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH").cast("long").as("g1"))
+      val tbl = cents.groupBy($"v")
+        .agg(count(lit(1)).as("cnt"), sum($"g1").as("cnt1"))
+      val (cum, _) = GlobalRank.withPrefixSum(tbl, "cum", $"cnt", Seq($"v".asc))
+      cum
+        .agg(sum($"cnt1").as("n1"), sum($"cnt" - $"cnt1").as("n2"),
+          sum($"cnt1" * (lit(2) * ($"cum" - $"cnt") + $"cnt" + 1)).as("r1_2x"),
+          sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie_sum"))
+        .selectExpr("n1", "n2", "r1_2x",
+          "r1_2x - n1 * (n1 + 1) AS u1_x2",
+          "tie_sum",
+          // z² = 3·d²·N(N−1) / (n1·n2·((N³−N)−T)), d = 2U1−n1·n2 =
+          // u1_x2 − n1·n2; every factor individually cast to double,
+          // left-associated identically in the oracle
+          """CASE WHEN n1 = 0 OR n2 = 0
+            |  OR CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+            |     * CAST(n1 + n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)
+            |     - CAST(tie_sum AS DOUBLE) = 0.0 THEN NULL ELSE
+            |CAST(FLOOR(3.0
+            |  * CAST(u1_x2 - n1 * n2 AS DOUBLE)
+            |  * CAST(u1_x2 - n1 * n2 AS DOUBLE)
+            |  * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)
+            |  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+            |     * (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+            |        * CAST(n1 + n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)
+            |        - CAST(tie_sum AS DOUBLE)))
+            |  * 1000.0) AS BIGINT) END AS z2_milli""".stripMargin)
+        .withColumn("significant", $"z2_milli" >= 3841L)
+    }),
+
+    // TWO-PROPORTION Z-TEST — the A/B-readout primitive: is segment A's
+    // repeat-order conversion (≥2 orders in 1996, given ≥1) different
+    // from segment B's? All C(5,2) segment pairs from ONE 5-row stats
+    // aggregate self-joined (the theta join is dimension-sized — 25
+    // pairs at any corpus size). Counts are exact integers off one
+    // keyed aggregate; z² is a single operand-identical double tree
+    // over those integers (every factor cast to double individually,
+    // left-associated the same way in the oracle), floored to milli
+    // units — IEEE determinism makes it hash-exact.
+    "q184_two_proportion_ztest" -> ((s, d) => {
+      import s.implicits._
+      val st = orders(s, d)
+        .filter(year(to_date($"o_orderdate")) === 1996)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        .join(customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+          Seq("o_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"n_orders" >= 2, 1L).otherwise(0L)).as("x"))
+      val a = st.select($"c_mktsegment".as("seg1"), $"n".as("n1"), $"x".as("x1"))
+      val b = st.select($"c_mktsegment".as("seg2"), $"n".as("n2"), $"x".as("x2"))
+      a.join(b, $"seg1" < $"seg2")
+        .selectExpr("seg1", "seg2", "n1", "x1", "n2", "x2",
+          "x1 * 10000 DIV n1 - x2 * 10000 DIV n2 AS diff_bp",
+          """CASE WHEN x1 + x2 = 0 OR n1 + n2 - x1 - x2 = 0 THEN NULL ELSE
+            |CAST(FLOOR(CAST(x1 * n2 - x2 * n1 AS DOUBLE)
+            |  * CAST(x1 * n2 - x2 * n1 AS DOUBLE)
+            |  * CAST(n1 + n2 AS DOUBLE)
+            |  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+            |     * CAST(x1 + x2 AS DOUBLE)
+            |     * CAST(n1 + n2 - x1 - x2 AS DOUBLE))
+            |  * 1000.0) AS BIGINT) END AS z2_milli""".stripMargin)
+        .withColumn("significant", $"z2_milli" >= 3841L)
+        .orderBy($"seg1", $"seg2")
+    }),
     // JARQUE–BERA normality test per return flag — the higher-moment
     // member of the q43 family: skewness and excess kurtosis from raw
     // power sums, JB = n/6·(S² + K²/4). l_quantity in integer cents
@@ -602,6 +754,165 @@ object RelationalQueries11 {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q187_kruskal_wallis" ->
+      """WITH cents AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per_seg AS (
+        |  SELECT v, c_mktsegment, CAST(count(*) AS BIGINT) AS c
+        |  FROM cents GROUP BY 1, 2),
+        |per_val AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cnt FROM per_seg GROUP BY v),
+        |cu AS (
+        |  SELECT v, cnt, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM per_val),
+        |seg AS (
+        |  SELECT p.c_mktsegment, CAST(SUM(p.c) AS BIGINT) AS n_j,
+        |    CAST(SUM(p.c * (2 * (cu.cum - cu.cnt) + cu.cnt + 1)) AS BIGINT) AS r2x
+        |  FROM per_seg p JOIN cu ON p.v = cu.v
+        |  GROUP BY p.c_mktsegment),
+        |terms AS (
+        |  SELECT n_j,
+        |    CAST(FLOOR(CAST(r2x AS DOUBLE) * CAST(r2x AS DOUBLE)
+        |      / CAST(n_j AS DOUBLE)) AS BIGINT) AS term
+        |  FROM seg),
+        |ties AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+        |  FROM per_val),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n_j) AS BIGINT) AS n_check,
+        |    CAST(SUM(term) AS BIGINT) AS sum_term
+        |  FROM terms)
+        |SELECT k, n_total, tie_sum, sum_term,
+        |  CASE WHEN CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |         * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |         - CAST(tie_sum AS DOUBLE) = 0.0 THEN NULL ELSE
+        |  CAST(FLOOR((3.0 * CAST(sum_term AS DOUBLE)
+        |      / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+        |    - 3.0 * CAST(n_total + 1 AS DOUBLE))
+        |    / (1.0 - CAST(tie_sum AS DOUBLE)
+        |       / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |          * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
+        |    * 1000.0) AS BIGINT) END AS h_milli,
+        |  CASE WHEN CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |         * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |         - CAST(tie_sum AS DOUBLE) = 0.0 THEN NULL ELSE
+        |  CAST(FLOOR((3.0 * CAST(sum_term AS DOUBLE)
+        |      / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+        |    - 3.0 * CAST(n_total + 1 AS DOUBLE))
+        |    / (1.0 - CAST(tie_sum AS DOUBLE)
+        |       / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |          * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
+        |    * 1000.0) AS BIGINT) >= 9488 END AS significant
+        |FROM agg CROSS JOIN ties""".stripMargin,
+
+    "q186_cohort_ltv" ->
+      """WITH om AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+        |  FROM orders),
+        |fo AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY 1),
+        |sizes AS (
+        |  SELECT m0 // 12 AS cohort_year, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM fo GROUP BY 1),
+        |rev AS (
+        |  SELECT f.m0 // 12 AS cohort_year, o.m - f.m0 AS age_months,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM om o JOIN fo f USING (o_custkey)
+        |  WHERE o.m - f.m0 <= 11
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_year, age_months, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_year ORDER BY age_months
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |  FROM rev)
+        |SELECT cohort_year, age_months, n_customers, rev_cents, cum_rev_cents,
+        |  CAST(cum_rev_cents // n_customers AS BIGINT) AS ltv_cents
+        |FROM c JOIN sizes USING (cohort_year)
+        |ORDER BY cohort_year, age_months""".stripMargin,
+
+    "q185_mann_whitney" ->
+      """WITH cents AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS g1
+        |  FROM orders),
+        |tbl AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(g1) AS BIGINT) AS cnt1
+        |  FROM cents GROUP BY v),
+        |c AS (
+        |  SELECT v, cnt, cnt1,
+        |    SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tbl),
+        |a AS (
+        |  SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+        |    CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+        |    CAST(SUM(cnt1 * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS r1_2x,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+        |  FROM c)
+        |SELECT n1, n2, r1_2x,
+        |  r1_2x - n1 * (n1 + 1) AS u1_x2,
+        |  tie_sum,
+        |  CASE WHEN n1 = 0 OR n2 = 0
+        |    OR CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |       * CAST(n1 + n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)
+        |       - CAST(tie_sum AS DOUBLE) = 0.0 THEN NULL ELSE
+        |  CAST(FLOOR(3.0
+        |    * CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+        |    * CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+        |    * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |       * (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |          * CAST(n1 + n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)
+        |          - CAST(tie_sum AS DOUBLE)))
+        |    * 1000.0) AS BIGINT) END AS z2_milli,
+        |  CASE WHEN n1 = 0 OR n2 = 0
+        |    OR CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |       * CAST(n1 + n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)
+        |       - CAST(tie_sum AS DOUBLE) = 0.0 THEN NULL ELSE
+        |  CAST(FLOOR(3.0
+        |    * CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+        |    * CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+        |    * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |       * (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |          * CAST(n1 + n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)
+        |          - CAST(tie_sum AS DOUBLE)))
+        |    * 1000.0) AS BIGINT) >= 3841 END AS significant
+        |FROM a""".stripMargin,
+
+    "q184_two_proportion_ztest" ->
+      """WITH o AS (
+        |  SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders WHERE year(o_orderdate) = 1996
+        |  GROUP BY o_custkey),
+        |st AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM o JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT a.c_mktsegment AS seg1, b.c_mktsegment AS seg2,
+        |  a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2,
+        |  CAST(a.x * 10000 // a.n - b.x * 10000 // b.n AS BIGINT) AS diff_bp,
+        |  CASE WHEN a.x + b.x = 0 OR a.n + b.n - a.x - b.x = 0 THEN NULL ELSE
+        |    CAST(FLOOR(CAST(a.x * b.n - b.x * a.n AS DOUBLE)
+        |      * CAST(a.x * b.n - b.x * a.n AS DOUBLE)
+        |      * CAST(a.n + b.n AS DOUBLE)
+        |      / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)
+        |         * CAST(a.x + b.x AS DOUBLE)
+        |         * CAST(a.n + b.n - a.x - b.x AS DOUBLE))
+        |      * 1000.0) AS BIGINT) END AS z2_milli,
+        |  CASE WHEN a.x + b.x = 0 OR a.n + b.n - a.x - b.x = 0 THEN NULL ELSE
+        |    CAST(FLOOR(CAST(a.x * b.n - b.x * a.n AS DOUBLE)
+        |      * CAST(a.x * b.n - b.x * a.n AS DOUBLE)
+        |      * CAST(a.n + b.n AS DOUBLE)
+        |      / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)
+        |         * CAST(a.x + b.x AS DOUBLE)
+        |         * CAST(a.n + b.n - a.x - b.x AS DOUBLE))
+        |      * 1000.0) AS BIGINT) >= 3841 END AS significant
+        |FROM st a JOIN st b ON a.c_mktsegment < b.c_mktsegment
+        |ORDER BY seg1, seg2""".stripMargin,
     "q168_jarque_bera" ->
       """WITH rows_c AS (
         |  SELECT l_returnflag,

@@ -71,6 +71,31 @@ object SamplingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // PPS SYSTEMATIC SAMPLING — probability-proportional-to-size with a
+    // systematic (fixed-interval) pick: a doc is selected when a grid
+    // point start + k·step lands inside its [cum_before, cum) weight
+    // interval, step = total DIV 20, start = md5-derived constant in
+    // [0, step). The survey-sampling standard for size-weighted corpus
+    // audits: big docs are proportionally likelier, picks spread evenly
+    // across the corpus, and — unlike RNG sampling — the same corpus
+    // always yields the same picks. Both grid-crossing operands are
+    // shifted +step so the DIV arguments stay non-negative (Spark DIV
+    // truncates, DuckDB // floors; they only agree ≥ 0). Prefix sums
+    // ride the shared two-pass GlobalRank machinery — no global window.
+    "samp_pps_systematic" -> ((s, d) => {
+      import s.implicits._
+      val w = documents(s, d).select($"doc_id", $"n_chars".cast("long").as("w"))
+      val (cum, total) = GlobalRank.withPrefixSum(w, "cum", $"w", Seq($"doc_id".asc))
+      val step = math.max(total / 20L, 1L)
+      cum
+        .withColumn("step", lit(step))
+        .withColumn("start",
+          expr("CAST(CONV(SUBSTRING(MD5('graft-pps'), 1, 12), 16, 10) AS BIGINT)") % step)
+        .filter(expr("(cum + step - start - 1) DIV step > (cum - w + step - start - 1) DIV step"))
+        .selectExpr("doc_id", "w", "cum - w AS cum_before",
+          "(cum + step - start - 1) DIV step - 1 AS pick_k")
+        .orderBy($"doc_id")
+    }),
     // ~10% deterministic sample (26/256 of the md5 space).
     "samp_hash_sample" -> ((s, d) => {
       import s.implicits._
@@ -614,6 +639,22 @@ object SamplingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "samp_pps_systematic" ->
+      """WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM w),
+        |p AS (SELECT greatest(CAST(SUM(w) AS BIGINT) // 20, 1) AS step FROM w),
+        |st AS (
+        |  SELECT step,
+        |    ('0x' || substring(md5('graft-pps'), 1, 12))::BIGINT % step AS start
+        |  FROM p)
+        |SELECT doc_id, w, CAST(cum - w AS BIGINT) AS cum_before,
+        |  CAST((cum + step - start - 1) // step - 1 AS BIGINT) AS pick_k
+        |FROM c CROSS JOIN st
+        |WHERE (cum + step - start - 1) // step > (cum - w + step - start - 1) // step
+        |ORDER BY doc_id""".stripMargin,
     "samp_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

@@ -36,6 +36,86 @@ object TextQueries3 {
   private val RRF_K = 60
 
   val queries: Map[String, Q] = Map(
+    // NAIVE BAYES LANG-ID — the trained upgrade of text_langid_eval's
+    // contains() heuristic: multinomial NB with add-one smoothing,
+    // trained on the doc_id%5≠4 split, evaluated on the %5=4 holdout,
+    // reported as the full confusion matrix. Determinism contract:
+    // each per-token log-likelihood floor(ln((c+1)/(T+V))·1e6) is an
+    // INTEGER before any aggregation (ln over an identical exact-int
+    // division is bit-identical cross-engine — the text_perplexity
+    // idiom), so per-(doc,lang) scores are exact integer sums at any
+    // parallelism, and the argmax (score desc, lang asc) is a total
+    // order. Scale: the scorer is test-tokens × 5 langs — a keyed
+    // left join against the (lang, token) count table, linear in the
+    // holdout; the model tables are vocabulary-sized.
+    "text_nb_langid" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"lang", tokens($"text").as("toks"))
+      val train = docs.filter($"doc_id" % 5 =!= 4)
+      val trainToks = train.select($"lang", explode($"toks").as("tok"))
+      val counts = trainToks.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      val totals = trainToks.groupBy($"lang").agg(count(lit(1)).as("t"))
+      val vocab = trainToks.select($"tok").distinct().agg(count(lit(1)).as("v"))
+      val priors = train.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(train.agg(count(lit(1)).as("n_all"))) // 1-row side
+        .selectExpr("lang",
+          "CAST(FLOOR(LN(CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micro")
+      val testToks = docs.filter($"doc_id" % 5 === 4)
+        .select($"doc_id", $"lang".as("true_lang"), explode($"toks").as("tok"))
+      val scored = testToks
+        .crossJoin(broadcast(totals.select($"lang".as("cand"), $"t"))) // 5-row side
+        .crossJoin(vocab) // 1-row side
+        .join(counts.select($"lang".as("cand"), $"tok", $"c"), Seq("cand", "tok"), "left")
+        .selectExpr("doc_id", "true_lang", "cand",
+          "CAST(FLOOR(LN(CAST(coalesce(c, 0) + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)) * 1e6) AS BIGINT) AS term")
+        .groupBy($"doc_id", $"true_lang", $"cand")
+        .agg(sum($"term").as("ll"))
+        .join(broadcast(priors.select($"lang".as("cand"), $"prior_micro")), Seq("cand"))
+        .select($"doc_id", $"true_lang", $"cand", ($"ll" + $"prior_micro").as("score"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"true_lang".as("lang"), $"cand".as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    }),
+
+    // SOURCE DRIFT — "which sources skew which vocabulary": per-source
+    // token rate vs the rest-of-corpus rate over the top-50 global
+    // vocabulary, top-3 positive-drift terms per source. The curation
+    // read on domain shift before mixing sources into a training set.
+    // One exploded-token scan feeds everything; the vocabulary is a
+    // top-50 broadcast (bounded at any corpus size, the text_pmi
+    // idiom), rates are exact integer basis points, and the final
+    // ranking window partitions by source over ≤50 rows each.
+    "text_source_drift" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"source", explode(tokens($"text")).as("tok"))
+      val global = toks.groupBy($"tok").agg(count(lit(1)).as("n_tot"))
+      val vocab = global.orderBy($"n_tot".desc, $"tok".asc).limit(50)
+      val perSrc = toks.join(broadcast(vocab.select($"tok")), Seq("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("n_src"))
+      val srcTot = toks.groupBy($"source").agg(count(lit(1)).as("t_src"))
+      val grand = toks.agg(count(lit(1)).as("t_all"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"delta_bp".desc, $"tok".asc)
+      perSrc
+        .join(broadcast(vocab), Seq("tok"))
+        .join(broadcast(srcTot), Seq("source"))
+        .crossJoin(grand) // 1-row side
+        .selectExpr("source", "tok", "n_src", "n_tot",
+          "n_src * 10000 DIV t_src AS rate_src_bp",
+          "(n_tot - n_src) * 10000 DIV (t_all - t_src) AS rate_rest_bp",
+          "n_src * 10000 DIV t_src - (n_tot - n_src) * 10000 DIV (t_all - t_src) AS delta_bp")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"source", $"rank", $"tok", $"n_src", $"rate_src_bp",
+          $"rate_rest_bp", $"delta_bp")
+        .orderBy($"source", $"rank")
+    }),
     "text_rrf_fusion" -> ((s, d) => {
       import s.implicits._
       // --- lexical ranking: token-set Jaccard in exact basis points ---
@@ -225,6 +305,67 @@ object TextQueries3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_nb_langid" ->
+      """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 4),
+        |tt AS (SELECT lang, unnest(toks) AS tok FROM train),
+        |counts AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2),
+        |totals AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM tt GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tt),
+        |priors AS (
+        |  SELECT lang,
+        |    CAST(FLOOR(LN(CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS prior_micro
+        |  FROM (SELECT lang, count(*) AS n_docs FROM train GROUP BY 1)
+        |  CROSS JOIN (SELECT count(*) AS n_all FROM train)),
+        |test_toks AS (
+        |  SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
+        |  FROM docs WHERE doc_id % 5 = 4),
+        |scored AS (
+        |  SELECT s.doc_id, s.true_lang, tl.lang AS cand,
+        |    CAST(SUM(CAST(FLOOR(LN(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+        |      / CAST(tl.t + vv.v AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS ll
+        |  FROM test_toks s
+        |  CROSS JOIN totals tl CROSS JOIN vocab vv
+        |  LEFT JOIN counts c ON c.lang = tl.lang AND c.tok = s.tok
+        |  GROUP BY s.doc_id, s.true_lang, tl.lang),
+        |fin AS (
+        |  SELECT doc_id, true_lang, cand, ll + prior_micro AS score
+        |  FROM scored JOIN priors p ON p.lang = cand),
+        |pick AS (
+        |  SELECT doc_id, true_lang, cand,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |  FROM fin)
+        |SELECT true_lang AS lang, cand AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pick WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |global AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tot FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok, n_tot FROM global ORDER BY n_tot DESC, tok LIMIT 50),
+        |per_src AS (
+        |  SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM toks t JOIN vocab v ON t.tok = v.tok
+        |  GROUP BY t.source, t.tok),
+        |src_tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t_src FROM toks GROUP BY source),
+        |grand AS (SELECT CAST(count(*) AS BIGINT) AS t_all FROM toks),
+        |scored AS (
+        |  SELECT p.source, p.tok, p.n_src,
+        |    CAST(p.n_src * 10000 // s.t_src AS BIGINT) AS rate_src_bp,
+        |    CAST((v.n_tot - p.n_src) * 10000 // (g.t_all - s.t_src) AS BIGINT) AS rate_rest_bp,
+        |    CAST(p.n_src * 10000 // s.t_src
+        |      - (v.n_tot - p.n_src) * 10000 // (g.t_all - s.t_src) AS BIGINT) AS delta_bp
+        |  FROM per_src p JOIN vocab v ON p.tok = v.tok
+        |  JOIN src_tot s ON p.source = s.source CROSS JOIN grand g),
+        |ranked AS (
+        |  SELECT source, tok, n_src, rate_src_bp, rate_rest_bp, delta_bp,
+        |    row_number() OVER (PARTITION BY source ORDER BY delta_bp DESC, tok) AS rank
+        |  FROM scored)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, tok, n_src,
+        |  rate_src_bp, rate_rest_bp, delta_bp
+        |FROM ranked WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "text_rrf_fusion" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

@@ -37,6 +37,17 @@ class TextFunctionsSpec extends SparkSuite {
     assert(df(0).getSeq[Long](0) === df(1).getSeq[Long](0))
   }
 
+  test("portable hash is pinned to md5's first 15 hex chars (oracle contract)") {
+    // The DuckDB oracles replay signatures via
+    // ('0x' || substring(md5(x), 1, 15))::BIGINT — this test freezes
+    // the Scala side to that exact value so an accidental hash change
+    // breaks here before it breaks 4 oracle-gated queries.
+    import graft.functions.PortableHashTestAccess
+    assert(PortableHashTestAccess.md5hash60("hello") === 419982666956583591L)
+    assert(PortableHashTestAccess.md5hash60("the cat sat") === 1104092474046240884L)
+    assert(PortableHashTestAccess.md5hash60("") === 955282973525019424L)
+  }
+
   test("simhash of identical token bags is identical; hamming(x,x)=0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "a b c e"))
       .toDF("t1", "t2")
