@@ -30,6 +30,50 @@ object RelationalQueries11 {
   private val D19 = DecimalType(19, 0)
 
   val queries: Map[String, Q] = Map(
+    // ONE-WAY ANOVA F — the parametric counterpart of q187's
+    // Kruskal–Wallis on the same five segments: between/within variance
+    // ratio from the three exact sufficient statistics per segment
+    // (n_j, Σx, Σx² in integer cents). S_j²/n_j terms are
+    // floor-quantized to integers before the 5-row sum (the KW idiom —
+    // float summation order can never matter), Σx² rides DECIMAL(38,0)
+    // so cents² survives any corpus size, and F is one
+    // operand-identical double tree floored to milli units
+    // (F₄,∞ 0.05 cut ≈ 2.372).
+    "q188_anova_oneway" -> ((s, d) => {
+      import s.implicits._
+      val cents = orders(s, d)
+        .join(customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+          Seq("o_custkey"))
+        .select((dec($"o_totalprice") * 100).cast("long").as("v"), $"c_mktsegment")
+      val seg = cents.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_j"), sum($"v").as("s_j"),
+          sum($"v".cast(D19) * $"v".cast(D19)).as("q_j"))
+        // terms are ~s²/n ≈ 2e18 cents² PER SEGMENT at sf0.01 — and
+        // Spark's FLOOR(double) returns LONG (clamping at Long.Max),
+        // so the quantization unit is KILO-cents² to keep every term
+        // and their sum comfortably inside BIGINT on both engines; the
+        // F tree multiplies the sum back by 1000.0. ±0.5 kilo-cents²
+        // per segment is noise against ~1e17 sums, and determinism is
+        // untouched (identical double trees floor identically).
+        .selectExpr("n_j", "s_j", "q_j",
+          "CAST(FLOOR(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n_j AS DOUBLE) / 1000.0) AS BIGINT) AS term_k")
+      seg.agg(count(lit(1)).as("k"), sum($"n_j").as("n_total"),
+          sum($"s_j").as("s_all"), sum($"q_j").cast(D38).as("q_all"),
+          sum($"term_k").as("sum_term_k"))
+        .selectExpr("k", "n_total", "sum_term_k",
+          // SSB = Σterm − S²/N, SSW = Q − Σterm;
+          // F = (SSB/(k−1)) / (SSW/(N−k))
+          """CASE WHEN CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0 = 0.0
+            |  OR n_total <= k THEN NULL ELSE
+            |CAST(FLOOR((CAST(sum_term_k AS DOUBLE) * 1000.0
+            |    - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE))
+            |  / CAST(k - 1 AS DOUBLE)
+            |  / ((CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0)
+            |     / CAST(n_total - k AS DOUBLE))
+            |  * 1000.0) AS BIGINT) END AS f_milli""".stripMargin)
+        .withColumn("significant", $"f_milli" >= 2372L)
+    }),
+
     // KRUSKAL–WALLIS H — q185's k-sample generalization: do the FIVE
     // market segments draw order prices from the same distribution?
     // Same exact ×2-scaled midrank machinery over the distinct-value
@@ -754,6 +798,45 @@ object RelationalQueries11 {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q188_anova_oneway" ->
+      """WITH cents AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |seg AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(SUM(v) AS BIGINT) AS s_j,
+        |    SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS q_j
+        |  FROM cents GROUP BY 1),
+        |t AS (
+        |  SELECT n_j, s_j, q_j,
+        |    CAST(FLOOR(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)
+        |      / CAST(n_j AS DOUBLE) / 1000.0) AS BIGINT) AS term_k
+        |  FROM seg),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n_j) AS BIGINT) AS n_total,
+        |    CAST(SUM(s_j) AS BIGINT) AS s_all, SUM(q_j) AS q_all,
+        |    CAST(SUM(term_k) AS BIGINT) AS sum_term_k
+        |  FROM t)
+        |SELECT k, n_total, sum_term_k,
+        |  CASE WHEN CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0 = 0.0
+        |    OR n_total <= k THEN NULL ELSE
+        |  CAST(FLOOR((CAST(sum_term_k AS DOUBLE) * 1000.0
+        |      - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |    / CAST(k - 1 AS DOUBLE)
+        |    / ((CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0)
+        |       / CAST(n_total - k AS DOUBLE))
+        |    * 1000.0) AS BIGINT) END AS f_milli,
+        |  CASE WHEN CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0 = 0.0
+        |    OR n_total <= k THEN NULL ELSE
+        |  CAST(FLOOR((CAST(sum_term_k AS DOUBLE) * 1000.0
+        |      - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |    / CAST(k - 1 AS DOUBLE)
+        |    / ((CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0)
+        |       / CAST(n_total - k AS DOUBLE))
+        |    * 1000.0) AS BIGINT) >= 2372 END AS significant
+        |FROM agg""".stripMargin,
+
     "q187_kruskal_wallis" ->
       """WITH cents AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,

@@ -36,6 +36,39 @@ object TextQueries3 {
   private val RRF_K = 60
 
   val queries: Map[String, Q] = Map(
+    // KNESER–NEY BIGRAM LM — the smoothing the production n-gram LM
+    // family actually ships (vs text_bigram_lm's raw MLE and
+    // text_perplexity's add-one): interpolated KN with discount
+    // D = 3/4, which makes every probability a RATIO OF EXACT
+    // INTEGERS after scaling by 4·c(w1)·N_bb —
+    //   P_KN = [max(4c−3,0)·N_bb + 3·N1+(w1,·)·N1+(·,w2)]
+    //        / [4·c(w1)·N_bb]
+    // (continuation probability N1+(·,w2)/N_bb, absolute discounting,
+    // one interpolation weight — the standard formulation). Emitted in
+    // exact micro units via DIV; MLE rides along for the smoothing
+    // delta. Every stage is a keyed aggregate over the bigram-TYPE
+    // table; top-30 by count through TakeOrdered.
+    "text_kneser_ney" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.GraftExpressions.ngrams
+      val bg = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(ngrams(tokens($"text"), 2)).as("bigram"))
+        .select(split($"bigram", " ")(0).as("w1"), split($"bigram", " ")(1).as("w2"))
+      val c = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c")).localCheckpoint()
+      val cw1 = c.groupBy($"w1").agg(sum($"c").as("c_w1"), count(lit(1)).as("n1_left"))
+      val n1r = c.groupBy($"w2").agg(count(lit(1)).as("n1_right"))
+      val nbb = c.agg(count(lit(1)).as("n_bb"))
+      c.join(cw1, Seq("w1")).join(n1r, Seq("w2"))
+        .crossJoin(nbb) // 1-row side
+        .selectExpr("w1", "w2", "c", "c_w1", "n1_left", "n1_right",
+          "(greatest(4 * c - 3, 0) * n_bb + 3 * n1_left * n1_right) * 1000000" +
+            " DIV (4 * c_w1 * n_bb) AS p_kn_micro",
+          "c * 1000000 DIV c_w1 AS p_mle_micro")
+        .orderBy($"c".desc, $"w1".asc, $"w2".asc)
+        .limit(30)
+    }),
+
     // NAIVE BAYES LANG-ID — the trained upgrade of text_langid_eval's
     // contains() heuristic: multinomial NB with add-one smoothing,
     // trained on the doc_id%5≠4 split, evaluated on the %5=4 holdout,
@@ -305,6 +338,26 @@ object TextQueries3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_kneser_ney" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+        |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g FROM tok)),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+        |cw1 AS (
+        |  SELECT w1, CAST(SUM(c) AS BIGINT) AS c_w1,
+        |    CAST(count(*) AS BIGINT) AS n1_left
+        |  FROM bc GROUP BY 1),
+        |n1r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_right FROM bc GROUP BY 1),
+        |nbb AS (SELECT CAST(count(*) AS BIGINT) AS n_bb FROM bc)
+        |SELECT w1, w2, c, c_w1, n1_left, n1_right,
+        |  CAST((greatest(4 * c - 3, 0) * n_bb + 3 * n1_left * n1_right) * 1000000
+        |    // (4 * c_w1 * n_bb) AS BIGINT) AS p_kn_micro,
+        |  CAST(c * 1000000 // c_w1 AS BIGINT) AS p_mle_micro
+        |FROM bc JOIN cw1 USING (w1) JOIN n1r USING (w2) CROSS JOIN nbb
+        |ORDER BY c DESC, w1, w2 LIMIT 30""".stripMargin,
+
     "text_nb_langid" ->
       """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 4),
