@@ -398,6 +398,45 @@ object DedupQueries {
     // the pigeonhole-exactness invariant.
     "dedup_simhash" -> ((s, d) => simhashPairs(s, d).orderBy(col("d1"), col("d2"))),
 
+    // INCREMENTAL NEAR-DUP — dedup_incremental's MinHash twin, the
+    // daily-crawl production shape: the new batch (doc_id ≡ 4 mod 5)
+    // is checked against the EXISTING corpus's LSH band index with one
+    // keyed band equi-join — batch-sized band rows probe the persisted
+    // index, no batch×batch or corpus×corpus work ever happens — then
+    // exact-Jaccard verify against only the colliding corpus docs.
+    // Output is the per-batch-doc admission verdict (near-dup of the
+    // corpus → drop, plus match count and the first matching corpus
+    // doc). At 100 TB the corpus band index is a bucketed table the
+    // batch join reads without shuffling the corpus. Portable md5
+    // signatures → the whole verdict table is hash-gated.
+    "dedup_incremental_lsh" -> ((s, d) => {
+      import s.implicits._
+      val sh = docShingles(s, d).filter(size($"sh") > 0).localCheckpoint()
+      val sig = sh.select($"doc_id", minhashSignature($"sh", 64).as("sig")).localCheckpoint()
+      val bands = sig
+        .select($"doc_id", posexplode(lshBands($"sig", 16, 4)).as(Seq("band", "key")))
+      val cand = bands.filter($"doc_id" % 5 === 4).as("b")
+        .join(bands.filter($"doc_id" % 5 =!= 4).as("c"),
+          $"b.band" === $"c.band" && $"b.key" === $"c.key")
+        .select($"b.doc_id".as("batch_id"), $"c.doc_id".as("corpus_id"))
+        .distinct()
+      val verified = cand
+        .join(sh.select($"doc_id".as("batch_id"), $"sh".as("sh1")), Seq("batch_id"))
+        .join(sh.select($"doc_id".as("corpus_id"), $"sh".as("sh2")), Seq("corpus_id"))
+        .select($"batch_id", $"corpus_id",
+          jaccard($"sh1", $"sh2").as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+      sig.filter($"doc_id" % 5 === 4).select($"doc_id".as("batch_id"))
+        .join(verified.groupBy($"batch_id")
+            .agg(count(lit(1)).as("n_matches"), min($"corpus_id").as("first_match")),
+          Seq("batch_id"), "left")
+        .selectExpr("batch_id",
+          "coalesce(n_matches, 0) AS n_matches",
+          "first_match",
+          "n_matches IS NOT NULL AS is_dup")
+        .orderBy($"batch_id")
+    }),
+
     // MinHash ESTIMATION ACCURACY: for every LSH candidate pair, the
     // signature-agreement Jaccard estimate (agree/64 in basis points)
     // against the exact shingle-set Jaccard — the calibration table
@@ -714,6 +753,53 @@ object DedupQueries {
         |SELECT d1, d2, i * 1.0 / (n1 + n2 - i) AS jaccard
         |FROM j WHERE i * 1.0 / (n1 + n2 - i) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+
+    // Incremental near-dup verdicts: the same signature/band replay,
+    // candidates restricted to batch (doc_id%5=4) × corpus (rest).
+    "dedup_incremental_lsh" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM tok),
+        |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
+        |hx AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h FROM ex),
+        |ab(i, am, bm) AS (VALUES $minhashMixerValues),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CAST(MIN(CASE WHEN gu >= 9223372036854775808 THEN gu - 18446744073709551616
+        |             ELSE gu END) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, i, (am::HUGEINT * h + bm) % 18446744073709551616 AS gu
+        |        FROM hx CROSS JOIN ab)
+        |  GROUP BY doc_id, i),
+        |bsig AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bkey
+        |  FROM g GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |  FROM bsig b JOIN bsig c
+        |    ON b.band = c.band AND b.bkey = c.bkey
+        |    AND b.doc_id % 5 = 4 AND c.doc_id % 5 <> 4),
+        |ver AS (
+        |  SELECT cd.batch_id, cd.corpus_id
+        |  FROM cand cd
+        |  JOIN shf s1 ON cd.batch_id = s1.doc_id
+        |  JOIN shf s2 ON cd.corpus_id = s2.doc_id
+        |  WHERE len(list_intersect(s1.s, s2.s)) * 1.0 /
+        |    (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.5),
+        |agg AS (
+        |  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |    MIN(corpus_id) AS first_match
+        |  FROM ver GROUP BY batch_id)
+        |SELECT b.doc_id AS batch_id,
+        |  coalesce(a.n_matches, 0) AS n_matches,
+        |  a.first_match,
+        |  a.n_matches IS NOT NULL AS is_dup
+        |FROM (SELECT DISTINCT doc_id FROM shf WHERE doc_id % 5 = 4) b
+        |LEFT JOIN agg a ON b.doc_id = a.batch_id
+        |ORDER BY batch_id""".stripMargin,
 
     // Estimation-accuracy table: same signature/band replay as
     // dedup_minhash_lsh, agreement counted by joining the per-(doc,i)
