@@ -217,6 +217,39 @@ object DedupQueries {
         .select($"n_edges", $"n_wedges", $"n_triangles")
     }),
 
+    // LOCAL CLUSTERING COEFFICIENT profile — how tightly does each
+    // node's neighborhood close into triangles, summarized per degree:
+    // the community-tightness read that separates "chain" duplicate
+    // families (low cc — transformed copies of copies) from "clique"
+    // families (high cc — one source, many copies). Per-node triangle
+    // counts come from the SAME oriented wedge-close join as the
+    // census (inner instead of semi, corners exploded); cc is exact
+    // basis points 2T/(deg(deg−1)); output is the degree-bucketed
+    // summary, never a corpus-sized dump.
+    "graph_clustering_coeff" -> ((s, d) => {
+      import s.implicits._
+      val e = jaccardPairs(s, d).select($"d1", $"d2").localCheckpoint()
+      val corners = e.as("e1")
+        .join(e.as("e2"), col("e1.d2") === col("e2.d1"))
+        .join(e.as("e3"),
+          col("e1.d1") === col("e3.d1") && col("e2.d2") === col("e3.d2"))
+        .select(explode(array(col("e1.d1"), col("e1.d2"), col("e2.d2"))).as("doc_id"))
+      val triPerNode = corners.groupBy($"doc_id").agg(count(lit(1)).as("tri"))
+      val deg = e.select(explode(array($"d1", $"d2")).as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("dg"))
+      deg.join(triPerNode, Seq("doc_id"), "left")
+        .selectExpr("dg", "coalesce(tri, 0) AS tri",
+          """CASE WHEN dg >= 2
+            | THEN coalesce(tri, 0) * 10000 DIV (dg * (dg - 1) DIV 2)
+            | ELSE NULL END AS cc_bp""".stripMargin)
+        .groupBy($"dg")
+        .agg(count(lit(1)).as("n_nodes"), sum($"tri").as("sum_tri"),
+          sum($"cc_bp").as("sum_cc_bp"))
+        .selectExpr("dg AS degree", "n_nodes", "sum_tri",
+          "sum_cc_bp DIV n_nodes AS mean_cc_bp")
+        .orderBy($"degree")
+    }),
+
     // PageRank over the similarity graph — the centrality diagnostic
     // that surfaces the "hub" documents whose boilerplate stitches
     // near-dup families together. All arithmetic is INTEGER: ranks are
@@ -969,6 +1002,30 @@ object DedupQueries {
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
         |       (SELECT CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
         |       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      s"""WITH $pairsCte,
+        |e AS (SELECT d1, d2 FROM pairs),
+        |corners AS (
+        |  SELECT unnest([e1.d1, e1.d2, e2.d2]) AS doc_id
+        |  FROM e e1
+        |  JOIN e e2 ON e1.d2 = e2.d1
+        |  JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+        |tpn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tri FROM corners GROUP BY 1),
+        |deg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dg
+        |  FROM (SELECT d1 AS doc_id FROM e UNION ALL SELECT d2 FROM e)
+        |  GROUP BY doc_id),
+        |pn AS (
+        |  SELECT dg, coalesce(tri, 0) AS tri,
+        |    CASE WHEN dg >= 2
+        |     THEN coalesce(tri, 0) * 10000 // ((dg * (dg - 1)) // 2)
+        |     ELSE NULL END AS cc_bp
+        |  FROM deg LEFT JOIN tpn USING (doc_id))
+        |SELECT dg AS degree, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(tri) AS BIGINT) AS sum_tri,
+        |  CAST(SUM(cc_bp) // count(*) AS BIGINT) AS mean_cc_bp
+        |FROM pn GROUP BY dg ORDER BY degree""".stripMargin,
 
     "dedup_graph_degrees" ->
       s"""WITH $pairsCte,

@@ -91,6 +91,19 @@ object GlobalRank {
       val byBytes = (bytes / (64L << 20)).toLong + 1
       math.min(65536L, math.max(s.sparkContext.defaultParallelism.toLong, byBytes)).toInt
     }
+    withPrefixSum(df, cumCol, weight, sortExprs, nParts)
+  }
+
+  /** Explicit-partition-count overload — REQUIRED when `df` descends
+    * from a join: Catalyst multiplies child size estimates, the
+    * byte-based sizing above saturates at 65536 range partitions, and
+    * the two-pass prefix drowns in empty-task overhead (the
+    * q169_theil_sen lesson, re-measured on q189 at 10×: 134 s → 3 s
+    * with an explicit count). Pass the parallelism-scaled count the
+    * aggregated input actually needs. */
+  def withPrefixSum(df: DataFrame, cumCol: String, weight: Column,
+      sortExprs: Seq[Column], nParts: Int): (DataFrame, Long) = {
+    val s = df.sparkSession
     val keyed = df
       .repartitionByRange(nParts, sortExprs: _*)
       .withColumn("_gr_pid", spark_partition_id())

@@ -30,6 +30,61 @@ object RelationalQueries11 {
   private val D19 = DecimalType(19, 0)
 
   val queries: Map[String, Q] = Map(
+    // LEVENE / BROWN–FORSYTHE — the variance-homogeneity check that
+    // gates q188's ANOVA: are the five segments' price SPREADS equal?
+    // Robust (median-centered) variant: per-segment exact lower
+    // medians ((n+1) DIV 2-th order statistic) from ONE composite
+    // (segment, value) GlobalRank prefix sum minus broadcast segment
+    // offsets — the q182/q183 trick, no per-segment window — then the
+    // one-way F machinery (q188's kilo-quantized idiom) applied to
+    // the absolute deviations |x − med_j|. Output: one row per
+    // segment (n, median, exact deviation sum) with the shared
+    // statistic alongside (samp_kfold's repeated-scalar pattern).
+    "q189_levene_test" -> ((s, d) => {
+      import s.implicits._
+      val cents = orders(s, d)
+        .join(customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+          Seq("o_custkey"))
+        .select($"c_mktsegment", (dec($"o_totalprice") * 100).cast("long").as("v"))
+      val tbl = cents.groupBy($"c_mktsegment", $"v").agg(count(lit(1)).as("c"))
+      // explicit nParts: tbl descends from the orders×customer join, so
+      // Catalyst's size estimate is join-inflated (see GlobalRank doc)
+      val (cum, _) = GlobalRank.withPrefixSum(tbl, "cum", $"c",
+        Seq($"c_mktsegment".asc, $"v".asc), s.sparkContext.defaultParallelism)
+      val wOff = Window.orderBy($"c_mktsegment")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val segTot = tbl.groupBy($"c_mktsegment").agg(sum($"c").as("n_j"))
+        .withColumn("off", coalesce(sum($"n_j").over(wOff), lit(0L)))
+      val medians = cum.join(broadcast(segTot), Seq("c_mktsegment"))
+        .filter(expr("cum - off >= (n_j + 1) DIV 2"))
+        .groupBy($"c_mktsegment").agg(min($"v").as("median_cents"))
+      val dev = cents.join(broadcast(medians), Seq("c_mktsegment"))
+        .select($"c_mktsegment", abs($"v" - $"median_cents").as("dv"))
+      val seg = dev.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_j"), sum($"dv").as("s_j"),
+          sum($"dv".cast(D19) * $"dv".cast(D19)).as("q_j"))
+        .selectExpr("c_mktsegment", "n_j", "s_j", "q_j",
+          "CAST(FLOOR(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n_j AS DOUBLE) / 1000.0) AS BIGINT) AS term_k")
+      val f = seg.agg(count(lit(1)).as("k"), sum($"n_j").as("n_total"),
+          sum($"s_j").as("s_all"), sum($"q_j").cast(D38).as("q_all"),
+          sum($"term_k").as("sum_term_k"))
+        .selectExpr("k", "n_total",
+          """CASE WHEN CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0 = 0.0
+            |  OR n_total <= k THEN NULL ELSE
+            |CAST(FLOOR((CAST(sum_term_k AS DOUBLE) * 1000.0
+            |    - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE))
+            |  / CAST(k - 1 AS DOUBLE)
+            |  / ((CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0)
+            |     / CAST(n_total - k AS DOUBLE))
+            |  * 1000.0) AS BIGINT) END AS f_milli""".stripMargin)
+      seg.select($"c_mktsegment", $"n_j", $"s_j".as("sum_absdev"))
+        .join(medians, Seq("c_mktsegment"))
+        .crossJoin(f) // 1-row side
+        .select($"c_mktsegment", $"n_j", $"median_cents", $"sum_absdev",
+          $"f_milli", ($"f_milli" >= 2372L).as("significant"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // ONE-WAY ANOVA F — the parametric counterpart of q187's
     // Kruskal–Wallis on the same five segments: between/within variance
     // ratio from the three exact sufficient statistics per segment
@@ -90,7 +145,10 @@ object RelationalQueries11 {
         .select((dec($"o_totalprice") * 100).cast("long").as("v"), $"c_mktsegment")
       val perSeg = cents.groupBy($"v", $"c_mktsegment").agg(count(lit(1)).as("c"))
       val perVal = perSeg.groupBy($"v").agg(sum($"c").as("cnt"))
-      val (cum, _) = GlobalRank.withPrefixSum(perVal, "cum", $"cnt", Seq($"v".asc))
+      // explicit nParts: perVal descends from the orders×customer join
+      // (join-inflated Catalyst size estimate — see GlobalRank doc)
+      val (cum, _) = GlobalRank.withPrefixSum(perVal, "cum", $"cnt", Seq($"v".asc),
+        s.sparkContext.defaultParallelism)
       val segStats = perSeg.join(cum, Seq("v"))
         .groupBy($"c_mktsegment")
         .agg(sum($"c").as("n_j"),
@@ -798,6 +856,60 @@ object RelationalQueries11 {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q189_levene_test" ->
+      """WITH cents AS (
+        |  SELECT c_mktsegment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |tbl AS (
+        |  SELECT c_mktsegment, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM cents GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT c_mktsegment, v, c,
+        |    SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS lcum
+        |  FROM tbl),
+        |segtot AS (SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_j FROM tbl GROUP BY 1),
+        |med AS (
+        |  SELECT cu.c_mktsegment, MIN(v) AS median_cents
+        |  FROM cu JOIN segtot st ON cu.c_mktsegment = st.c_mktsegment
+        |  WHERE lcum >= (n_j + 1) // 2
+        |  GROUP BY cu.c_mktsegment),
+        |dev AS (
+        |  SELECT c.c_mktsegment, abs(c.v - m.median_cents) AS dv
+        |  FROM cents c JOIN med m ON c.c_mktsegment = m.c_mktsegment),
+        |seg AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(SUM(dv) AS BIGINT) AS s_j,
+        |    SUM(CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))) AS q_j
+        |  FROM dev GROUP BY 1),
+        |t AS (
+        |  SELECT c_mktsegment, n_j, s_j, q_j,
+        |    CAST(FLOOR(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)
+        |      / CAST(n_j AS DOUBLE) / 1000.0) AS BIGINT) AS term_k
+        |  FROM seg),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n_j) AS BIGINT) AS n_total,
+        |    CAST(SUM(s_j) AS BIGINT) AS s_all, SUM(q_j) AS q_all,
+        |    CAST(SUM(term_k) AS BIGINT) AS sum_term_k
+        |  FROM t),
+        |f AS (
+        |  SELECT
+        |    CASE WHEN CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0 = 0.0
+        |      OR n_total <= k THEN NULL ELSE
+        |    CAST(FLOOR((CAST(sum_term_k AS DOUBLE) * 1000.0
+        |        - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      / CAST(k - 1 AS DOUBLE)
+        |      / ((CAST(q_all AS DOUBLE) - CAST(sum_term_k AS DOUBLE) * 1000.0)
+        |         / CAST(n_total - k AS DOUBLE))
+        |      * 1000.0) AS BIGINT) END AS f_milli
+        |  FROM agg)
+        |SELECT t.c_mktsegment, t.n_j, m.median_cents, t.s_j AS sum_absdev,
+        |  f.f_milli, f.f_milli >= 2372 AS significant
+        |FROM t JOIN med m ON t.c_mktsegment = m.c_mktsegment
+        |CROSS JOIN f
+        |ORDER BY t.c_mktsegment""".stripMargin,
+
     "q188_anova_oneway" ->
       """WITH cents AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
