@@ -30,6 +30,60 @@ object RelationalQueries11 {
   private val D19 = DecimalType(19, 0)
 
   val queries: Map[String, Q] = Map(
+    // K-ANONYMITY AUDIT — the dataset-release gate: for three nested
+    // quasi-identifier sets over customer (nation; +segment; +account-
+    // balance sign), how small do the equivalence classes get, and how
+    // many rows sit in classes below k=5? ONE scan via GROUPING SETS
+    // (the grouping_id distinguishes the QI sets in the same
+    // aggregate), then a tiny per-set rollup — the shape that audits a
+    // 100 TB release without one pass per QI set.
+    "pipe_k_anonymity" -> ((s, d) => {
+      import s.implicits._
+      val qi = customer(s, d).select($"c_nationkey".as("nat"),
+        $"c_mktsegment".as("seg"),
+        when($"c_acctbal" < 0, "neg").otherwise("pos").as("band"))
+      qi.groupingSets(Seq(Seq($"nat"), Seq($"nat", $"seg"),
+          Seq($"nat", $"seg", $"band")), $"nat", $"seg", $"band")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .groupBy($"gid")
+        .agg(count(lit(1)).as("n_groups"), min($"n").as("min_group_size"),
+          sum(when($"n" < 5, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when($"n" < 5, $"n").otherwise(0L)).as("rows_at_risk"))
+        .selectExpr("gid", "n_groups", "min_group_size", "n_small_groups",
+          "rows_at_risk", "min_group_size >= 5 AS k5_ok")
+        .orderBy($"gid")
+    }),
+
+    // PROFILE DRIFT — the split-half drift monitor a training-data
+    // pipeline runs before accepting a new batch: per event type,
+    // compare the deterministic halves (event_id parity stands in for
+    // old/new batch) on volume, value mass (milli-quantized per row
+    // BEFORE summing — float order never matters), null rate and
+    // distinct-user coverage; drift reported in exact basis points.
+    "pipe_profile_drift" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"event_type", ($"event_id" % 2).as("half"),
+        // FLOOR (not cast) — Spark's double→long cast truncates where
+        // DuckDB's rounds; floor is floor on both
+        expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("v_milli"),
+        $"props".isNull.cast("long").as("null_props"), $"user_id")
+      val h = ev.groupBy($"event_type", $"half")
+        .agg(count(lit(1)).as("n"), sum($"v_milli").as("v"),
+          sum($"null_props").as("nn"),
+          countDistinct($"user_id").as("nu"))
+      val a = h.filter($"half" === 0).select($"event_type",
+        $"n".as("n_a"), $"v".as("v_a"), $"nn".as("nn_a"), $"nu".as("nu_a"))
+      val b = h.filter($"half" === 1).select($"event_type",
+        $"n".as("n_b"), $"v".as("v_b"), $"nn".as("nn_b"), $"nu".as("nu_b"))
+      a.join(b, Seq("event_type"))
+        .selectExpr("event_type", "n_a", "n_b",
+          "abs(n_a - n_b) * 10000 DIV greatest(n_a, 1) AS volume_drift_bp",
+          "abs(v_a DIV greatest(n_a, 1) - v_b DIV greatest(n_b, 1)) AS mean_value_drift_milli",
+          "abs(nn_a * 10000 DIV greatest(n_a, 1) - nn_b * 10000 DIV greatest(n_b, 1)) AS null_rate_drift_bp",
+          "abs(nu_a - nu_b) * 10000 DIV greatest(nu_a, 1) AS user_coverage_drift_bp")
+        .orderBy($"event_type")
+    }),
+
     // LEVENE / BROWN–FORSYTHE — the variance-homogeneity check that
     // gates q188's ANOVA: are the five segments' price SPREADS equal?
     // Robust (median-centered) variant: per-segment exact lower
@@ -856,6 +910,44 @@ object RelationalQueries11 {
     }))
 
   val oracles: Map[String, String] = Map(
+    "pipe_k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS band
+        |  FROM customer),
+        |g AS (
+        |  SELECT GROUPING(nat, seg, band) AS gid, CAST(count(*) AS BIGINT) AS n
+        |  FROM qi GROUP BY GROUPING SETS ((nat), (nat, seg), (nat, seg, band)))
+        |SELECT CAST(gid AS BIGINT) AS gid, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(MIN(n) AS BIGINT) AS min_group_size,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  MIN(n) >= 5 AS k5_ok
+        |FROM g GROUP BY gid ORDER BY gid""".stripMargin,
+
+    "pipe_profile_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id % 2 AS half,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli,
+        |    CASE WHEN props IS NULL THEN 1 ELSE 0 END AS null_props, user_id
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, half, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(v_milli) AS BIGINT) AS v, CAST(SUM(null_props) AS BIGINT) AS nn,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |  CAST(abs(a.n - b.n) * 10000 // greatest(a.n, 1) AS BIGINT) AS volume_drift_bp,
+        |  CAST(abs(a.v // greatest(a.n, 1) - b.v // greatest(b.n, 1)) AS BIGINT)
+        |    AS mean_value_drift_milli,
+        |  CAST(abs(a.nn * 10000 // greatest(a.n, 1) - b.nn * 10000 // greatest(b.n, 1))
+        |    AS BIGINT) AS null_rate_drift_bp,
+        |  CAST(abs(a.nu - b.nu) * 10000 // greatest(a.nu, 1) AS BIGINT)
+        |    AS user_coverage_drift_bp
+        |FROM (SELECT * FROM h WHERE half = 0) a
+        |JOIN (SELECT * FROM h WHERE half = 1) b USING (event_type)
+        |ORDER BY a.event_type""".stripMargin,
+
     "q189_levene_test" ->
       """WITH cents AS (
         |  SELECT c_mktsegment,
