@@ -43,7 +43,9 @@ object SparkEntry {
       GraphQueries2.queries ++
       MlQueries.queries ++
       TextQueries3.queries ++
-      RelationalQueries11.queries
+      RelationalQueries11.queries ++
+      MlQueries2.queries ++
+      RelationalQueries12.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -72,5 +74,7 @@ object SparkEntry {
       GraphQueries2.oracles ++
       MlQueries.oracles ++
       TextQueries3.oracles ++
-      RelationalQueries11.oracles
+      RelationalQueries11.oracles ++
+      MlQueries2.oracles ++
+      RelationalQueries12.oracles
 }

@@ -30,6 +30,7 @@ object GraphQueries2 {
 
   private val K_CORE = 3
   private val ROUNDS = 4
+  private val HITS_ROUNDS = 3
 
   /** Undirected edge list (both orientations), pinned per query. */
   private def simEdges(s: SparkSession, d: String): DataFrame = {
@@ -178,6 +179,45 @@ object GraphQueries2 {
     // degree-capped substrate — linear under densification by the
     // same cap argument; everything after the wedge join is
     // candidate-sized.
+    // HITS (hubs & authorities), 3 rounds on the customer→part
+    // purchase bipartite graph: authority(p) = Σ hub(c) over buyers,
+    // hub(c) = Σ authority(p) over bought parts — "which parts do the
+    // broadest buyers concentrate on?", the bipartite ranking PageRank
+    // can't express. Integer determinism: after every half-step the
+    // scores are L1-renormalized to 1e6 by exact integer DIV (no
+    // float norm), so three unrolled rounds replay bit-exactly as an
+    // oracle CTE chain. Scale: each half-step is ONE keyed edge join +
+    // aggregate (edge-sized); the normalizer is a single-row broadcast
+    // (the legitimate scalar-collect path); round state is
+    // localCheckpoint-pinned like the rest of the graph family.
+    "graph_hits" -> ((s, d) => {
+      import s.implicits._
+      val e = orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(lineitem(s, d).select($"l_orderkey".as("o_orderkey"), $"l_partkey"),
+          Seq("o_orderkey"))
+        .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+        .localCheckpoint()
+      val SCALE = 1000000L
+      var h = e.select($"c").distinct().withColumn("h", lit(1L))
+      var a: DataFrame = null
+      for (r <- 1 to HITS_ROUNDS) {
+        val ar = e.join(h, Seq("c")).groupBy($"p").agg(sum($"h").as("ar"))
+        val at = ar.agg(sum($"ar").as("t"))
+        a = ar.crossJoin(broadcast(at)) // single-row side
+          .select($"p", expr(s"ar * $SCALE DIV t").as("a")).localCheckpoint()
+        if (r < HITS_ROUNDS) {
+          val hr = e.join(a, Seq("p")).groupBy($"c").agg(sum($"a").as("hr"))
+          val ht = hr.agg(sum($"hr").as("t"))
+          h = hr.crossJoin(broadcast(ht))
+            .select($"c", expr(s"hr * $SCALE DIV t").as("h")).localCheckpoint()
+        }
+      }
+      val deg = e.groupBy($"p").agg(count(lit(1)).as("n_customers"))
+      a.join(deg, Seq("p"))
+        .orderBy($"a".desc, $"p".asc).limit(20)
+        .select($"p".as("p_partkey"), $"a".as("auth_score"), $"n_customers")
+    }),
+
     "graph_jaccard_links" -> ((s, d) => {
       import s.implicits._
       val (sym, capped) = coPurchase(s, d)
@@ -283,6 +323,37 @@ object GraphQueries2 {
          |      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
          |    AS assortativity_r
          |FROM g""".stripMargin,
+
+    "graph_hits" -> {
+      // one HITS round: authority half-step from h(n-1), then (except
+      // after the last round) the hub half-step from the fresh a(n)
+      def round(n: Int, last: Boolean): String = {
+        val prevH = s"h${n - 1}"
+        val hubHalf =
+          s""",
+             |h${n}r AS (
+             |  SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS hr
+             |  FROM e JOIN a$n a ON a.p = e.p GROUP BY e.c),
+             |h${n}t AS (SELECT CAST(SUM(hr) AS BIGINT) AS t FROM h${n}r),
+             |h$n AS (SELECT c, hr * 1000000 // t AS h FROM h${n}r, h${n}t)""".stripMargin
+        s"""a${n}r AS (
+           |  SELECT e.p, CAST(SUM(h.h) AS BIGINT) AS ar
+           |  FROM e JOIN $prevH h ON h.c = e.c GROUP BY e.p),
+           |a${n}t AS (SELECT CAST(SUM(ar) AS BIGINT) AS t FROM a${n}r),
+           |a$n AS (SELECT p, ar * 1000000 // t AS a FROM a${n}r, a${n}t)""".stripMargin +
+          (if (last) "" else hubHalf)
+      }
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |h0 AS (SELECT DISTINCT c, CAST(1 AS BIGINT) AS h FROM e),
+         |${(1 to HITS_ROUNDS).map(n => round(n, n == HITS_ROUNDS)).mkString(",\n")},
+         |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS n_customers
+         |        FROM e GROUP BY p)
+         |SELECT a.p AS p_partkey, a.a AS auth_score, deg.n_customers
+         |FROM a$HITS_ROUNDS a JOIN deg ON deg.p = a.p
+         |ORDER BY auth_score DESC, p_partkey ASC LIMIT 20""".stripMargin
+    },
 
     "graph_jaccard_links" ->
       s"""WITH li AS (

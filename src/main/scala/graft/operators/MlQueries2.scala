@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-11 model-evaluation additions: the three audits a training
+  * pipeline runs between "data is clean" and "model is trusted" —
+  *
+  *  - `ml_decision_stump`      — exhaustive best-split search (the
+  *    1-node CART that baselines every feature-importance report);
+  *  - `ml_calibration_ece`     — reliability table + expected
+  *    calibration error over a score/outcome stream;
+  *  - `ml_conformal_interval`  — split-conformal prediction interval
+  *    (calibration-half residual quantile) with held-out coverage.
+  *
+  * Exactness contract (the q152+/q184+ idiom): every shuffled
+  * aggregate is an integer count/sum; ratios are either integer
+  * DIV-quantized (bp/milli) or a single operand-identical double tree
+  * over exact integers rendered with format_string — IEEE determinism
+  * makes them hash-exact against DuckDB at any partitioning.
+  */
+object MlQueries2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Weighted-Gini tree shared verbatim by the Spark selectExpr and
+    * the DuckDB oracle: each factor cast to double individually,
+    * squares as explicit products (no pow — libm-free), identical
+    * association on both engines. */
+  private val giniExpr =
+    """CASE WHEN nl = 0 OR nr = 0 THEN NULL ELSE
+      |  CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)
+      |  * (1.0 - (CAST(al AS DOUBLE)/CAST(nl AS DOUBLE))*(CAST(al AS DOUBLE)/CAST(nl AS DOUBLE))
+      |         - (CAST(nl - al AS DOUBLE)/CAST(nl AS DOUBLE))*(CAST(nl - al AS DOUBLE)/CAST(nl AS DOUBLE)))
+      |  + CAST(nr AS DOUBLE) / CAST(n AS DOUBLE)
+      |  * (1.0 - (CAST(ar AS DOUBLE)/CAST(nr AS DOUBLE))*(CAST(ar AS DOUBLE)/CAST(nr AS DOUBLE))
+      |         - (CAST(nr - ar AS DOUBLE)/CAST(nr AS DOUBLE))*(CAST(nr - ar AS DOUBLE)/CAST(nr AS DOUBLE)))
+      |END""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // DECISION STUMP — exhaustive best Gini split of l_returnflag='R'
+    // on the discount axis. ONE keyed aggregate compresses the corpus
+    // to its ≤11 distinct discount levels (the candidate thresholds);
+    // everything after is dimension-sized, so the cumulative window
+    // and the argmin rank run over a handful of rows at any corpus
+    // size (the same contract as q189's 5-segment offsets window).
+    // Discounts are value-quantized to milli with round-half-up
+    // (FLOOR(x*1000+0.5)) — 0.03 stores as 0.029999…, plain floor
+    // would split the level.
+    "ml_decision_stump" -> ((s, d) => {
+      import s.implicits._
+      val rows = lineitem(s, d).select(
+        expr("CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT)").as("v_milli"),
+        ($"l_returnflag" === "R").cast("long").as("y"))
+      val perv = rows.groupBy($"v_milli")
+        .agg(count(lit(1)).as("nv"), sum($"y").as("av"))
+      // ≤11 rows from here on: dimension-sized windows are safe
+      val wCum = Window.orderBy($"v_milli")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy($"v_milli")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val splits = perv
+        .withColumn("nl", sum($"nv").over(wCum))
+        .withColumn("al", sum($"av").over(wCum))
+        .withColumn("n", sum($"nv").over(wAll))
+        .withColumn("a", sum($"av").over(wAll))
+        .withColumn("nr", $"n" - $"nl")
+        .withColumn("ar", $"a" - $"al")
+        .filter($"nr" > 0) // the last level splits nothing off
+        .withColumn("gini_w", expr(giniExpr))
+      splits
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"gini_w".asc, $"v_milli".asc)))
+        .select($"v_milli".as("threshold_milli"),
+          $"nl".as("n_left"), $"al".as("pos_left"),
+          $"nr".as("n_right"), $"ar".as("pos_right"),
+          format_string("%.9f", $"gini_w").as("gini"),
+          ($"rk" === 1).as("is_best"))
+        .orderBy($"threshold_milli")
+    }),
+
+    // CALIBRATION / ECE — the reliability table a ranking or filter
+    // model is audited with: treat events.value as a 0–100 score,
+    // p_hat = clamp(value,0,100)/100 (milli-quantized per row BEFORE
+    // any sum), outcome = purchase. Ten fixed bins → per-bin mean
+    // confidence vs observed rate, plus the n-weighted expected
+    // calibration error as a repeated scalar (samp_kfold's pattern).
+    // ONE pass + one 10-row rollup; exact integers throughout.
+    "ml_calibration_ece" -> ((s, d) => {
+      import s.implicits._
+      val scored = events(s, d).select(
+        expr("CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0.0), 9.0) AS BIGINT)").as("bin"),
+        expr("CAST(FLOOR(LEAST(GREATEST(value, 0.0), 100.0) * 10.0 + 0.5) AS BIGINT)").as("p_milli"),
+        ($"event_type" === "purchase").cast("long").as("y"))
+      val bins = scored.groupBy($"bin")
+        .agg(count(lit(1)).as("n_b"), sum($"p_milli").as("pm"), sum($"y").as("pos"))
+        .selectExpr("bin", "n_b", "pos",
+          "pm DIV n_b AS conf_milli",
+          "pos * 1000 DIV n_b AS acc_milli")
+        .withColumn("gap_milli", abs($"conf_milli" - $"acc_milli"))
+      val wAll = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bins // 10 rows: dimension-sized window
+        .withColumn("ece_milli",
+          sum($"n_b" * $"gap_milli").over(wAll) / sum($"n_b").over(wAll))
+        .withColumn("ece_milli", $"ece_milli".cast("long"))
+        .select($"bin", $"n_b", $"pos", $"conf_milli", $"acc_milli",
+          $"gap_milli", $"ece_milli")
+        .orderBy($"bin")
+    }),
+
+    // SPLIT-CONFORMAL INTERVAL — distribution-free 90% prediction
+    // band: the per-segment mean fit on the even-key calibration half
+    // is the "model"; q̂ is the ⌈(n+1)·0.9⌉-th order statistic of its
+    // absolute residuals (EXACT, via the GlobalRank two-pass over the
+    // residual-value histogram — never a single-partition window);
+    // coverage is then measured on the held-out odd half. Output: one
+    // row per segment with q̂/n_cal as repeated scalars. Every join
+    // against the 5-row model/quantile tables is a broadcast.
+    "ml_conformal_interval" -> ((s, d) => {
+      import s.implicits._
+      val seg = orders(s, d)
+        .join(customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+          Seq("o_custkey"))
+        .select($"c_mktsegment",
+          (dec($"o_totalprice") * 100).cast("long").as("cents"),
+          ($"o_orderkey" % 2).as("half"))
+      val means = seg.filter($"half" === 0).groupBy($"c_mktsegment")
+        .agg(expr("sum(cents) DIV count(1)").as("mean_cents"))
+      val resid = seg.filter($"half" === 0)
+        .join(broadcast(means), Seq("c_mktsegment"))
+        .select(abs($"cents" - $"mean_cents").as("r"))
+      val tbl = resid.groupBy($"r").agg(count(lit(1)).as("c"))
+      // explicit nParts: tbl descends from the orders×customer join,
+      // so Catalyst's size estimate is join-inflated (GlobalRank doc)
+      val (cum, nCal) = GlobalRank.withPrefixSum(tbl, "cum", $"c",
+        Seq($"r".asc), s.sparkContext.defaultParallelism)
+      val k = ((nCal + 1) * 9 + 9) / 10 // ⌈(n+1)·0.9⌉ in exact integers
+      val qHat = cum.filter($"cum" >= k).agg(min($"r").as("q_hat_cents"))
+      seg.filter($"half" === 1)
+        .join(broadcast(means), Seq("c_mktsegment"))
+        .crossJoin(broadcast(qHat)) // single-row side
+        .select($"c_mktsegment",
+          (abs($"cents" - $"mean_cents") <= $"q_hat_cents").cast("long").as("cov"),
+          $"q_hat_cents")
+        .groupBy($"c_mktsegment", $"q_hat_cents")
+        .agg(count(lit(1)).as("n_test"), sum($"cov").as("n_covered"))
+        .selectExpr("c_mktsegment", "n_test", "n_covered",
+          "n_covered * 10000 DIV n_test AS coverage_bp",
+          "q_hat_cents", s"CAST($nCal AS BIGINT) AS n_cal")
+        .orderBy($"c_mktsegment")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_decision_stump" ->
+      s"""WITH rows0 AS (
+         |  SELECT CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS v_milli,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |perv AS (
+         |  SELECT v_milli, CAST(count(*) AS BIGINT) AS nv,
+         |    CAST(SUM(y) AS BIGINT) AS av
+         |  FROM rows0 GROUP BY v_milli),
+         |splits AS (
+         |  SELECT v_milli,
+         |    CAST(SUM(nv) OVER (ORDER BY v_milli ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         |    CAST(SUM(av) OVER (ORDER BY v_milli ROWS UNBOUNDED PRECEDING) AS BIGINT) AS al,
+         |    CAST(SUM(nv) OVER () AS BIGINT) AS n,
+         |    CAST(SUM(av) OVER () AS BIGINT) AS a
+         |  FROM perv),
+         |sides AS (
+         |  SELECT v_milli, nl, al, n, n - nl AS nr, a - al AS ar
+         |  FROM splits WHERE n - nl > 0),
+         |scored AS (
+         |  SELECT v_milli, nl, al, nr, ar,
+         |    $giniExpr AS gini_w
+         |  FROM sides),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY gini_w ASC, v_milli ASC) AS rk
+         |  FROM scored)
+         |SELECT v_milli AS threshold_milli, nl AS n_left, al AS pos_left,
+         |  nr AS n_right, ar AS pos_right,
+         |  printf('%.9f', gini_w) AS gini, rk = 1 AS is_best
+         |FROM ranked ORDER BY threshold_milli""".stripMargin,
+
+    "ml_calibration_ece" ->
+      """WITH scored AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0.0), 9.0) AS BIGINT) AS bin,
+        |    CAST(FLOOR(LEAST(GREATEST(value, 0.0), 100.0) * 10.0 + 0.5) AS BIGINT) AS p_milli,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(y) AS BIGINT) AS pos,
+        |    CAST(SUM(p_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS conf_milli,
+        |    CAST(SUM(y) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS acc_milli
+        |  FROM scored GROUP BY bin),
+        |g AS (
+        |  SELECT bin, n_b, pos, conf_milli, acc_milli,
+        |    abs(conf_milli - acc_milli) AS gap_milli,
+        |    CAST(SUM(n_b * abs(conf_milli - acc_milli)) OVER () AS BIGINT)
+        |      // CAST(SUM(n_b) OVER () AS BIGINT) AS ece_milli
+        |  FROM bins)
+        |SELECT bin, n_b, pos, conf_milli, acc_milli, gap_milli, ece_milli
+        |FROM g ORDER BY bin""".stripMargin,
+
+    "ml_conformal_interval" ->
+      """WITH seg AS (
+        |  SELECT c.c_mktsegment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderkey % 2 AS half
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |means AS (
+        |  SELECT c_mktsegment,
+        |    CAST(SUM(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cents
+        |  FROM seg WHERE half = 0 GROUP BY c_mktsegment),
+        |resid AS (
+        |  SELECT abs(s.cents - m.mean_cents) AS r
+        |  FROM seg s JOIN means m USING (c_mktsegment) WHERE s.half = 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM resid),
+        |tbl AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM resid GROUP BY r),
+        |cum AS (
+        |  SELECT r, SUM(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tbl),
+        |qh AS (
+        |  SELECT CAST(MIN(r) AS BIGINT) AS q_hat_cents FROM cum, tot
+        |  WHERE cum >= ((n_cal + 1) * 9 + 9) // 10),
+        |test AS (
+        |  SELECT s.c_mktsegment, q.q_hat_cents,
+        |    CASE WHEN abs(s.cents - m.mean_cents) <= q.q_hat_cents
+        |      THEN 1 ELSE 0 END AS cov
+        |  FROM seg s JOIN means m USING (c_mktsegment) CROSS JOIN qh q
+        |  WHERE s.half = 1)
+        |SELECT t.c_mktsegment, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(cov) AS BIGINT) AS n_covered,
+        |  CAST(SUM(cov) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS coverage_bp,
+        |  t.q_hat_cents, o.n_cal
+        |FROM test t CROSS JOIN tot o
+        |GROUP BY t.c_mktsegment, t.q_hat_cents, o.n_cal
+        |ORDER BY t.c_mktsegment""".stripMargin
+  )
+}

@@ -557,6 +557,48 @@ object SamplingQueries {
         .orderBy($"bucket_cap")
     }),
 
+    // SHELF BIN-PACKING — pack_length_buckets' padding census turned
+    // into an actual packing plan: docs land on power-of-2 shelves,
+    // each 256-token bin takes exactly cap DIV shelf docs of that
+    // shelf (oversize shelves spill ⌈n_toks/cap⌉ bins per doc), and
+    // the plan is judged against the fractional lower bound
+    // ⌈Σtokens/cap⌉. This is how packing IS distributed at 100 TB —
+    // per-class arithmetic off ONE keyed aggregate, no sequential
+    // first-fit scan; the class rollup is shelf-count-sized (≤64 rows
+    // for any real token range), so the summary window is free.
+    "pack_shelf_bins" -> ((s, d) => {
+      import s.implicits._
+      val cap = 256L
+      val toks = size(split($"text", " ")).cast("long")
+      val cls = documents(s, d)
+        .select($"doc_id", toks.as("n_toks"))
+        .withColumn("shelf",
+          expr("CAST(power(2, CAST(ceil(log2(n_toks) - 1e-9) AS INT)) AS BIGINT)"))
+        .withColumn("doc_bins", expr(s"(n_toks + $cap - 1) DIV $cap"))
+        .groupBy($"shelf")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("total_tokens"),
+          sum($"doc_bins").as("oversize_bins"))
+        .withColumn("per_bin",
+          expr(s"CASE WHEN shelf <= $cap THEN $cap DIV shelf ELSE 0 END"))
+        .withColumn("n_bins", expr(
+          s"""CASE WHEN shelf <= $cap
+             | THEN (n_docs + per_bin - 1) DIV per_bin
+             | ELSE oversize_bins END""".stripMargin))
+        .withColumn("util_bp",
+          expr(s"total_tokens * 10000 DIV (n_bins * $cap)"))
+      val wAll = Window.orderBy($"shelf")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cls // shelf-count-sized window (≤64 rows)
+        .withColumn("total_bins", sum($"n_bins").over(wAll))
+        .withColumn("grand_tokens", sum($"total_tokens").over(wAll))
+        .withColumn("lb_bins", expr(s"(grand_tokens + $cap - 1) DIV $cap"))
+        .withColumn("overhead_bp",
+          expr("(total_bins - lb_bins) * 10000 DIV lb_bins"))
+        .select($"shelf", $"n_docs", $"total_tokens", $"per_bin", $"n_bins",
+          $"util_bp", $"total_bins", $"lb_bins", $"overhead_bp")
+        .orderBy($"shelf")
+    }),
+
     // IMPORTANCE REWEIGHTING toward a uniform language target — the
     // "rebalance without resampling" knob a training loop applies as
     // per-example loss weights: w_l = target_share / corpus_share in
@@ -941,6 +983,39 @@ object SamplingQueries {
         |  (n_docs * bucket_cap - total_tokens) * 10000
         |    // (n_docs * bucket_cap) AS waste_bp
         |FROM agg ORDER BY bucket_cap""".stripMargin,
+
+    "pack_shelf_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(power(2, CAST(ceil(log2(n_toks) - 1e-9) AS INTEGER)) AS BIGINT)
+        |      AS shelf,
+        |    (n_toks + 255) // 256 AS doc_bins
+        |  FROM t),
+        |agg AS (
+        |  SELECT shelf, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(doc_bins) AS BIGINT) AS oversize_bins
+        |  FROM b GROUP BY shelf),
+        |plan AS (
+        |  SELECT shelf, n_docs, total_tokens,
+        |    CASE WHEN shelf <= 256 THEN 256 // shelf ELSE 0 END AS per_bin,
+        |    CASE WHEN shelf <= 256
+        |      THEN (n_docs + (256 // shelf) - 1) // (256 // shelf)
+        |      ELSE oversize_bins END AS n_bins
+        |  FROM agg),
+        |g AS (
+        |  SELECT shelf, n_docs, total_tokens, per_bin, n_bins,
+        |    total_tokens * 10000 // (n_bins * 256) AS util_bp,
+        |    CAST(SUM(n_bins) OVER () AS BIGINT) AS total_bins,
+        |    (CAST(SUM(total_tokens) OVER () AS BIGINT) + 255) // 256 AS lb_bins
+        |  FROM plan)
+        |SELECT shelf, n_docs, total_tokens, per_bin, n_bins, util_bp,
+        |  total_bins, lb_bins,
+        |  (total_bins - lb_bins) * 10000 // lb_bins AS overhead_bp
+        |FROM g ORDER BY shelf""".stripMargin,
 
     "samp_importance_weights" ->
       """WITH g AS (

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{MlQueries2, RelationalQueries12, GraphQueries2, SamplingQueries}
+
+/** Semantic invariants for the round-11 model-evaluation batch —
+  * properties the DuckDB hash gate can't see (it proves parity, not
+  * meaning): split optimality, calibration bounds, conformal coverage,
+  * HITS normalization, packing feasibility. */
+class MlQueries2Spec extends SparkSuite {
+
+  test("ml_decision_stump: exactly one best split, and it minimizes the reported gini") {
+    val rows = MlQueries2.queries("ml_decision_stump")(spark, sf).collect()
+    assert(rows.length > 1)
+    val best = rows.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length === 1, "is_best must pick exactly one threshold")
+    val ginis = rows.map(r => r.getAs[String]("gini").toDouble)
+    assert(best.head.getAs[String]("gini").toDouble === ginis.min)
+    // split sides always partition the corpus: nl + nr constant
+    val ns = rows.map(r => r.getAs[Long]("n_left") + r.getAs[Long]("n_right")).distinct
+    assert(ns.length === 1)
+  }
+
+  test("ml_calibration_ece: ECE is the n-weighted mean gap and sits inside [min gap, max gap]") {
+    val rows = MlQueries2.queries("ml_calibration_ece")(spark, sf).collect()
+    val gaps = rows.map(_.getAs[Long]("gap_milli"))
+    val ece = rows.map(_.getAs[Long]("ece_milli")).distinct
+    assert(ece.length === 1, "ECE is a single scalar repeated per bin")
+    assert(ece.head >= 0 && ece.head <= gaps.max)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conf_milli") >= 0 && r.getAs[Long]("conf_milli") <= 1000)
+      assert(r.getAs[Long]("acc_milli") >= 0 && r.getAs[Long]("acc_milli") <= 1000)
+    }
+  }
+
+  test("ml_conformal_interval: held-out coverage is near the 90% target") {
+    val rows = MlQueries2.queries("ml_conformal_interval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTest = rows.map(_.getAs[Long]("n_test")).sum
+    val nCov = rows.map(_.getAs[Long]("n_covered")).sum
+    val pooled = nCov * 10000 / nTest
+    // split-conformal guarantee is marginal over the pooled test set;
+    // per-segment rates can wobble on a small SF, the pooled rate can't
+    assert(pooled >= 8500 && pooled <= 9700,
+      s"pooled coverage $pooled bp should be near the 9000 bp target")
+    assert(rows.map(_.getAs[Long]("q_hat_cents")).distinct.length === 1)
+  }
+
+  test("graph_hits: authority scores are positive, L1-bounded by the 1e6 normalizer, and sorted") {
+    val rows = GraphQueries2.queries("graph_hits")(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("auth_score"))
+    assert(scores.forall(x => x > 0 && x <= 1000000L))
+    assert(scores.sameElements(scores.sortBy(-_)), "top-20 must be score-descending")
+  }
+
+  test("pack_shelf_bins: every plan row is feasible and the plan never beats the lower bound") {
+    val rows = SamplingQueries.queries("pack_shelf_bins")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val shelf = r.getAs[Long]("shelf")
+      val perBin = r.getAs[Long]("per_bin")
+      if (shelf <= 256) assert(perBin * shelf <= 256, "a bin must hold per_bin docs of shelf size")
+      assert(r.getAs[Long]("util_bp") <= 10000)
+      assert(r.getAs[Long]("n_bins") > 0)
+    }
+    val totalBins = rows.map(_.getAs[Long]("total_bins")).distinct
+    val lb = rows.map(_.getAs[Long]("lb_bins")).distinct
+    assert(totalBins.length === 1 && lb.length === 1)
+    assert(totalBins.head >= lb.head, "no packing beats the fractional lower bound")
+  }
+
+  test("q190_crosscorr_leadlag: 15 lags, one peak, r in [-1, 1]") {
+    val rows = RelationalQueries12.queries("q190_crosscorr_leadlag")(spark, sf).collect()
+    assert(rows.length === 15)
+    assert(rows.count(_.getAs[Boolean]("is_peak")) === 1)
+    rows.foreach { r =>
+      val rv = r.getAs[String]("r").toDouble
+      assert(rv >= -1.0 && rv <= 1.0)
+    }
+  }
+}
