@@ -45,7 +45,8 @@ object SparkEntry {
       TextQueries3.queries ++
       RelationalQueries11.queries ++
       MlQueries2.queries ++
-      RelationalQueries12.queries
+      RelationalQueries12.queries ++
+      TextQueries4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -76,5 +77,6 @@ object SparkEntry {
       TextQueries3.oracles ++
       RelationalQueries11.oracles ++
       MlQueries2.oracles ++
-      RelationalQueries12.oracles
+      RelationalQueries12.oracles ++
+      TextQueries4.oracles
 }
