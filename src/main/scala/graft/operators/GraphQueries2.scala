@@ -179,6 +179,55 @@ object GraphQueries2 {
     // degree-capped substrate — linear under densification by the
     // same cap argument; everything after the wedge join is
     // candidate-sized.
+    // MODULARITY of the label-propagation partition — the "are these
+    // communities real?" number: Q = Σ_c [e_c/2m − (deg_c/2m)²] over
+    // the similarity graph, evaluated on the SAME 4-round LPA labels
+    // graph_label_prop ships (same loop, same tiebreak). Per-community
+    // contributions are floor-quantized to integer micro BEFORE the
+    // global sum, so Q is exact at any summation order; 2m rides a
+    // single-row broadcast, never a driver count. Top-10 communities
+    // by size with the partition-wide Q as a repeated scalar.
+    "graph_modularity" -> ((s, d) => {
+      import s.implicits._
+      val edges = simEdges(s, d)
+      val loopParts = 4
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("label"))
+        .repartition(loopParts, $"doc_id").localCheckpoint()
+      for (_ <- 1 to 4) {
+        val wv = Window.partitionBy($"dst").orderBy($"c".desc, $"label")
+        labels = edges
+          .join(labels.select($"doc_id".as("src"), $"label"), Seq("src"))
+          .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(wv)).filter($"rn" === 1)
+          .select($"dst".as("doc_id"), $"label")
+          .repartition(loopParts, $"doc_id").localCheckpoint()
+      }
+      val m2 = edges.agg(count(lit(1)).as("m2"))
+      val deg = edges.groupBy($"src".as("doc_id")).agg(count(lit(1)).as("deg"))
+      val intra = edges
+        .join(labels.select($"doc_id".as("src"), $"label".as("ls")), Seq("src"))
+        .join(labels.select($"doc_id".as("dst"), $"label".as("ld")), Seq("dst"))
+        .filter($"ls" === $"ld")
+        .groupBy($"ls".as("community")).agg(count(lit(1)).as("e_intra"))
+      val degc = deg.join(labels, Seq("doc_id"))
+        .groupBy($"label".as("community"))
+        .agg(sum($"deg").as("deg_c"), count(lit(1)).as("n_members"))
+      val comm = degc.join(intra, Seq("community"), "left")
+        .withColumn("e_intra", coalesce($"e_intra", lit(0L)))
+        .crossJoin(broadcast(m2)) // single-row side
+        .withColumn("contrib_micro", expr(
+          """CAST(FLOOR((CAST(e_intra AS DOUBLE) / CAST(m2 AS DOUBLE)
+            | - (CAST(deg_c AS DOUBLE) / CAST(m2 AS DOUBLE))
+            |   * (CAST(deg_c AS DOUBLE) / CAST(m2 AS DOUBLE)))
+            | * 1000000.0) AS BIGINT)""".stripMargin))
+      val tot = comm.agg(sum($"contrib_micro").as("modularity_micro"))
+      comm.crossJoin(broadcast(tot)) // single-row side
+        .orderBy($"n_members".desc, $"community".asc).limit(10)
+        .select($"community", $"n_members", $"deg_c", $"e_intra",
+          $"contrib_micro", $"modularity_micro")
+    }),
+
     // HITS (hubs & authorities), 3 rounds on the customer→part
     // purchase bipartite graph: authority(p) = Σ hub(c) over buyers,
     // hub(c) = Σ authority(p) over bought parts — "which parts do the
@@ -323,6 +372,54 @@ object GraphQueries2 {
          |      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
          |    AS assortativity_r
          |FROM g""".stripMargin,
+
+    "graph_modularity" -> {
+      // identical LPA round CTE as graph_label_prop's oracle
+      def lpRound(n: Int): String = {
+        val prev = s"l${n - 1}"
+        s"""l$n AS (
+           |  SELECT doc_id, label FROM (
+           |    SELECT e.dst AS doc_id, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM edges e JOIN $prev l ON e.src = l.doc_id
+           |    GROUP BY e.dst, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH ${DedupQueries.pairsCte},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+         |${(1 to 4).map(lpRound).mkString(",\n")},
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+         |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |intra AS (
+         |  SELECT ls.label AS community, CAST(count(*) AS BIGINT) AS e_intra
+         |  FROM edges e
+         |  JOIN l4 ls ON ls.doc_id = e.src
+         |  JOIN l4 ld ON ld.doc_id = e.dst
+         |  WHERE ls.label = ld.label GROUP BY ls.label),
+         |degc AS (
+         |  SELECT l.label AS community, CAST(SUM(d.deg) AS BIGINT) AS deg_c,
+         |    CAST(count(*) AS BIGINT) AS n_members
+         |  FROM deg d JOIN l4 l USING (doc_id) GROUP BY l.label),
+         |comm AS (
+         |  SELECT c.community, c.n_members, c.deg_c,
+         |    COALESCE(i.e_intra, 0) AS e_intra,
+         |    CAST(FLOOR((CAST(COALESCE(i.e_intra, 0) AS DOUBLE) / CAST(m.m2 AS DOUBLE)
+         |     - (CAST(c.deg_c AS DOUBLE) / CAST(m.m2 AS DOUBLE))
+         |       * (CAST(c.deg_c AS DOUBLE) / CAST(m.m2 AS DOUBLE)))
+         |     * 1000000.0) AS BIGINT) AS contrib_micro
+         |  FROM degc c LEFT JOIN intra i ON i.community = c.community
+         |  CROSS JOIN m2 m),
+         |tot AS (SELECT CAST(SUM(contrib_micro) AS BIGINT) AS modularity_micro
+         |        FROM comm)
+         |SELECT c.community, c.n_members, c.deg_c, c.e_intra, c.contrib_micro,
+         |  t.modularity_micro
+         |FROM comm c CROSS JOIN tot t
+         |ORDER BY c.n_members DESC, c.community ASC LIMIT 10""".stripMargin
+    },
 
     "graph_hits" -> {
       // one HITS round: authority half-step from h(n-1), then (except

@@ -25,6 +25,22 @@ import graft.OracleParity._
 object MlQueries2 {
   type Q = (SparkSession, String) => DataFrame
 
+  /** 16 deterministic md5-derived tree constants for the isolation
+    * stumps — computed once at class load and inlined as LITERALS in
+    * both the Spark expressions and the DuckDB oracle, so neither
+    * engine hashes at runtime. */
+  private val T = 16
+  private val hConst: IndexedSeq[Long] = (0 until T).map { t =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"tree$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+  /** tree t splits on value (even t) or hour-of-day (odd t) */
+  private def isoFeature(t: Int) = if (t % 2 == 0) "v_milli" else "hr"
+  private def isoThr(t: Int) =
+    if (t % 2 == 0) s"(vmin + ${hConst(t)} % (vmax - vmin + 1))"
+    else s"(hmin + ${hConst(t)} % (hmax - hmin + 1))"
+
   /** Weighted-Gini tree shared verbatim by the Spark selectExpr and
     * the DuckDB oracle: each factor cast to double individually,
     * squares as explicit products (no pow — libm-free), identical
@@ -151,6 +167,43 @@ object MlQueries2 {
           "n_covered * 10000 DIV n_test AS coverage_bp",
           "q_hat_cents", s"CAST($nCal AS BIGINT) AS n_cal")
         .orderBy($"c_mktsegment")
+    }),
+
+    // ISOLATION STUMPS — deterministic isolation-forest-lite anomaly
+    // ranking: 16 md5-seeded depth-1 trees split on value/hour; a
+    // point's isolation mass is Σ over trees of the size of the side
+    // it lands on (small mass ⟺ it keeps landing on thin sides ⟺
+    // anomalous). NO per-point tree join: thresholds and side sizes
+    // are two single-row broadcast aggregates, the score is 16 inline
+    // CASE terms over broadcast scalars — two corpus passes + one
+    // TakeOrdered at any scale. All integer arithmetic; the tree
+    // constants are compile-time literals shared with the oracle.
+    "ml_isolation_stumps" -> ((s, d) => {
+      import s.implicits._
+      val rows = events(s, d).select($"event_id",
+        expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("v_milli"),
+        hour($"ts").cast("long").as("hr"))
+      val stats = rows.agg(
+        min($"v_milli").as("vmin"), max($"v_milli").as("vmax"),
+        min($"hr").as("hmin"), max($"hr").as("hmax"),
+        count(lit(1)).as("n_total"))
+      val thr = rows.crossJoin(broadcast(stats)) // single-row side
+        .selectExpr(Seq("v_milli", "hr", "n_total") ++
+          (0 until T).map(t => s"${isoThr(t)} AS thr_$t"): _*)
+      val sides = thr.groupBy($"n_total" +: (0 until T).map(t => col(s"thr_$t")): _*)
+        .agg(count(lit(1)).as("n_chk"),
+          (0 until T).map(t =>
+            sum(expr(s"CASE WHEN ${isoFeature(t)} <= thr_$t THEN 1 ELSE 0 END"))
+              .as(s"nle_$t")): _*)
+        .drop("n_chk")
+      val scoreExpr = (0 until T).map(t =>
+        s"CASE WHEN ${isoFeature(t)} <= thr_$t THEN nle_$t ELSE n_total - nle_$t END")
+        .mkString(" + ")
+      rows.crossJoin(broadcast(sides)) // single-row side
+        .selectExpr("event_id", "v_milli", "hr",
+          s"($scoreExpr) AS isolation_mass")
+        .orderBy($"isolation_mass".asc, $"event_id".asc)
+        .limit(20)
     })
   )
 
@@ -206,6 +259,38 @@ object MlQueries2 {
         |  FROM bins)
         |SELECT bin, n_b, pos, conf_milli, acc_milli, gap_milli, ece_milli
         |FROM g ORDER BY bin""".stripMargin,
+
+    "ml_isolation_stumps" -> {
+      val thrList = (0 until T).map(t => s"${isoThr(t)} AS thr_$t").mkString(",\n         |    ")
+      val thrCols = (0 until T).map(t => s"t.thr_$t").mkString(", ")
+      val nleList = (0 until T).map(t =>
+        s"CAST(SUM(CASE WHEN r.${isoFeature(t)} <= t.thr_$t THEN 1 ELSE 0 END) AS BIGINT) AS nle_$t")
+        .mkString(",\n         |    ")
+      val score = (0 until T).map(t =>
+        s"CASE WHEN r.${isoFeature(t)} <= s.thr_$t THEN s.nle_$t ELSE s.n_total - s.nle_$t END")
+        .mkString(" + ")
+      s"""WITH rows0 AS (
+         |  SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli,
+         |    CAST(hour(ts) AS BIGINT) AS hr
+         |  FROM events),
+         |stats AS (
+         |  SELECT CAST(MIN(v_milli) AS BIGINT) AS vmin,
+         |    CAST(MAX(v_milli) AS BIGINT) AS vmax,
+         |    CAST(MIN(hr) AS BIGINT) AS hmin, CAST(MAX(hr) AS BIGINT) AS hmax,
+         |    CAST(count(*) AS BIGINT) AS n_total
+         |  FROM rows0),
+         |thr AS (SELECT n_total,
+         |    $thrList
+         |  FROM stats),
+         |sides AS (
+         |  SELECT t.n_total, $thrCols,
+         |    $nleList
+         |  FROM rows0 r CROSS JOIN thr t
+         |  GROUP BY t.n_total, $thrCols)
+         |SELECT r.event_id, r.v_milli, r.hr, ($score) AS isolation_mass
+         |FROM rows0 r CROSS JOIN sides s
+         |ORDER BY isolation_mass ASC, event_id ASC LIMIT 20""".stripMargin
+    },
 
     "ml_conformal_interval" ->
       """WITH seg AS (

@@ -69,6 +69,28 @@ class MlQueries2Spec extends SparkSuite {
     assert(totalBins.head >= lb.head, "no packing beats the fractional lower bound")
   }
 
+  test("ml_isolation_stumps: masses ascend, stay within [16, 16n], ids unique") {
+    val rows = MlQueries2.queries("ml_isolation_stumps")(spark, sf).collect()
+    assert(rows.length === 20)
+    val masses = rows.map(_.getAs[Long]("isolation_mass"))
+    assert(masses.sameElements(masses.sorted), "top-20 must be mass-ascending")
+    // each of the 16 stumps contributes a side of size in [1, n]
+    masses.foreach(m => assert(m >= 16))
+    assert(rows.map(_.getAs[Long]("event_id")).distinct.length === 20)
+  }
+
+  test("graph_modularity: Q is the repeated scalar in [-1, 1] micro; intra mass bounded by degree mass") {
+    val rows = GraphQueries2.queries("graph_modularity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val q = rows.map(_.getAs[Long]("modularity_micro")).distinct
+    assert(q.length === 1)
+    assert(q.head >= -1000000L && q.head <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("e_intra") <= r.getAs[Long]("deg_c"),
+        "intra-community directed edges can't exceed the community's degree mass")
+    }
+  }
+
   test("q190_crosscorr_leadlag: 15 lags, one peak, r in [-1, 1]") {
     val rows = RelationalQueries12.queries("q190_crosscorr_leadlag")(spark, sf).collect()
     assert(rows.length === 15)
