@@ -41,6 +41,21 @@ object MlQueries2 {
     if (t % 2 == 0) s"(vmin + ${hConst(t)} % (vmax - vmin + 1))"
     else s"(hmin + ${hConst(t)} % (hmax - hmin + 1))"
 
+  /** nDCG@10 machinery: micro-quantized gain weights 1/log2(rank+1),
+    * computed ONCE here and inlined as literals in both engines (libm
+    * log2 never runs inside either query). */
+  private val NDCG_K = 10
+  private val NDCG_NQ = 10
+  private val ndcgW: IndexedSeq[Long] = (1 to NDCG_K).map { i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong
+  }
+  private val EMB_DIMS = 64
+  /** exact integer dot of two milli-quantized float lists (DuckDB) */
+  private val qdotSql =
+    s"CAST(list_sum(list_transform(range(1, ${EMB_DIMS + 1}), i -> " +
+      "CAST(floor(CAST(%s[i] AS DOUBLE) * 1000) AS BIGINT) * " +
+      "CAST(floor(CAST(%s[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)"
+
   /** Weighted-Gini tree shared verbatim by the Spark selectExpr and
     * the DuckDB oracle: each factor cast to double individually,
     * squares as explicit products (no pow — libm-free), identical
@@ -204,6 +219,50 @@ object MlQueries2 {
           s"($scoreExpr) AS isolation_mass")
         .orderBy($"isolation_mass".asc, $"event_id".asc)
         .limit(20)
+    }),
+
+    // nDCG@10 RETRIEVAL EVAL — the "is this embedding space retrieving
+    // the right things?" metric: each query's exact-integer-dot top-10
+    // is graded against same-label relevance with micro-quantized
+    // 1/log2(rank+1) gains (compile-time literals — libm never runs in
+    // the query), and IDCG truncates at the query label's corpus-wide
+    // relevant count. Scale: ONE broadcast-query corpus pass scores
+    // candidates (the sim_mips bound); label counts ride a broadcast
+    // dimension aggregate; everything after is (queries×10)-sized.
+    "sim_ndcg_eval" -> ((s, d) => {
+      import s.implicits._
+      val qv = transform($"embedding", x => floor(x.cast("double") * 1000).cast("long"))
+      val emb = embeddings(s, d).select($"vec_id", $"label", qv.as("q"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val queriesDf = embeddings(s, d).filter($"vec_id" < NDCG_NQ)
+        .select($"vec_id".as("q_id"), $"label".as("q_label"), qv.as("qq"))
+      val scored = emb.join(broadcast(queriesDf), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"q_label", $"vec_id", $"label",
+          aggregate(zip_with($"q", $"qq", (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("dot_q"))
+      val w = Window.partitionBy($"q_id").orderBy($"dot_q".desc, $"vec_id".asc)
+      val top = scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= NDCG_K)
+        .withColumn("rel", ($"label" === $"q_label").cast("long"))
+      val gainCase = (1 to NDCG_K).map(i =>
+        s"WHEN rank = $i THEN ${ndcgW(i - 1)}").mkString("CASE ", " ", " ELSE 0 END")
+      val idcgCase = (1 to NDCG_K).map(i =>
+        s"WHEN n_rel >= $i THEN ${ndcgW.take(i).sum}")
+        .reverse.mkString("CASE ", " ", " ELSE 0 END")
+      val labelCnt = embeddings(s, d).groupBy($"label").agg(count(lit(1)).as("n_lab"))
+      top
+        .groupBy($"q_id", $"q_label")
+        .agg(sum(expr(s"rel * ($gainCase)")).as("dcg_micro"),
+          sum($"rel").as("rel_in_topk"))
+        .join(broadcast(labelCnt.select($"label".as("q_label"), $"n_lab")),
+          Seq("q_label"))
+        .withColumn("n_rel", least($"n_lab" - 1, lit(NDCG_K.toLong)))
+        .withColumn("idcg_micro", expr(idcgCase).cast("long"))
+        .withColumn("ndcg_bp",
+          expr("CASE WHEN idcg_micro = 0 THEN 0 ELSE dcg_micro * 10000 DIV idcg_micro END"))
+        .select($"q_id", $"q_label", $"rel_in_topk", $"n_rel",
+          $"dcg_micro", $"idcg_micro", $"ndcg_bp")
+        .orderBy($"q_id")
     })
   )
 
@@ -290,6 +349,42 @@ object MlQueries2 {
          |SELECT r.event_id, r.v_milli, r.hr, ($score) AS isolation_mass
          |FROM rows0 r CROSS JOIN sides s
          |ORDER BY isolation_mass ASC, event_id ASC LIMIT 20""".stripMargin
+    },
+
+    "sim_ndcg_eval" -> {
+      val gainCase = (1 to NDCG_K).map(i =>
+        s"WHEN rank = $i THEN ${ndcgW(i - 1)}").mkString("CASE ", " ", " ELSE 0 END")
+      val idcgCase = (1 to NDCG_K).map(i =>
+        s"WHEN n_rel >= $i THEN ${ndcgW.take(i).sum}")
+        .reverse.mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+         |  FROM embeddings WHERE vec_id < $NDCG_NQ),
+         |scored AS (
+         |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         |    ${qdotSql.format("q.qe", "e.embedding")} AS dot_q
+         |  FROM q JOIN embeddings e ON e.vec_id != q.q_id),
+         |top AS (
+         |  SELECT *, CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY dot_q DESC, vec_id ASC) AS rank
+         |    FROM scored) WHERE rank <= $NDCG_K),
+         |lab AS (SELECT label, CAST(count(*) AS BIGINT) AS n_lab
+         |        FROM embeddings GROUP BY label),
+         |agg AS (
+         |  SELECT q_id, q_label,
+         |    CAST(SUM(rel * ($gainCase)) AS BIGINT) AS dcg_micro,
+         |    CAST(SUM(rel) AS BIGINT) AS rel_in_topk
+         |  FROM top GROUP BY q_id, q_label),
+         |j AS (
+         |  SELECT a.q_id, a.q_label, a.rel_in_topk, a.dcg_micro,
+         |    CAST(LEAST(l.n_lab - 1, $NDCG_K) AS BIGINT) AS n_rel
+         |  FROM agg a JOIN lab l ON l.label = a.q_label),
+         |f AS (SELECT *, CAST(($idcgCase) AS BIGINT) AS idcg_micro FROM j)
+         |SELECT q_id, q_label, rel_in_topk, n_rel, dcg_micro, idcg_micro,
+         |  CASE WHEN idcg_micro = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE dcg_micro * 10000 // idcg_micro END AS ndcg_bp
+         |FROM f ORDER BY q_id""".stripMargin
     },
 
     "ml_conformal_interval" ->

@@ -91,6 +91,18 @@ class MlQueries2Spec extends SparkSuite {
     }
   }
 
+  test("sim_ndcg_eval: nDCG in [0, 10000] bp, DCG never beats IDCG, topk hits bounded by n_rel... ") {
+    val rows = MlQueries2.queries("sim_ndcg_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("ndcg_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(r.getAs[Long]("dcg_micro") <= r.getAs[Long]("idcg_micro"),
+        "realized DCG can't exceed the ideal")
+      assert(r.getAs[Long]("rel_in_topk") <= 10)
+    }
+  }
+
   test("q190_crosscorr_leadlag: 15 lags, one peak, r in [-1, 1]") {
     val rows = RelationalQueries12.queries("q190_crosscorr_leadlag")(spark, sf).collect()
     assert(rows.length === 15)
