@@ -41,6 +41,14 @@ object MlQueries2 {
     if (t % 2 == 0) s"(vmin + ${hConst(t)} % (vmax - vmin + 1))"
     else s"(hmin + ${hConst(t)} % (hmax - hmin + 1))"
 
+  /** sign-split integer floor division — Spark DIV truncates toward
+    * zero and DuckDB // floors, so they agree only on non-negative
+    * operands; this spells out the non-negative form on both. */
+  private def sdivS(x: String, d: String) =
+    s"(CASE WHEN ($x) < 0 THEN -((-($x)) DIV ($d)) ELSE ($x) DIV ($d) END)"
+  private def sdivD(x: String, d: String) =
+    s"(CASE WHEN ($x) < 0 THEN -((-($x)) // ($d)) ELSE ($x) // ($d) END)"
+
   /** nDCG@10 machinery: micro-quantized gain weights 1/log2(rank+1),
     * computed ONCE here and inlined as literals in both engines (libm
     * log2 never runs inside either query). */
@@ -263,6 +271,55 @@ object MlQueries2 {
         .select($"q_id", $"q_label", $"rel_in_topk", $"n_rel",
           $"dcg_micro", $"idcg_micro", $"ndcg_bp")
         .orderBy($"q_id")
+    }),
+
+    // LINEAR SVM BY UNROLLED SUBGRADIENT — two full-batch Pegasos-ish
+    // steps on (discount%, quantity), entirely in basis-point integer
+    // weights: step k sums y·x over margin violators (one scan against
+    // single-row broadcast weights), updates w ← w − w/64 + ⌊2500·Σ/n⌋
+    // with sign-split DIV so Spark's truncation equals DuckDB's floor
+    // on negatives. Per-row products stay ≤1.25e5, so Σ fits BIGINT to
+    // ~10^12 rows. The synthetic tables carry NO cross-column signal
+    // (all columns independent), so the target is the separable
+    // quantity≥25 concept — the learned boundary recovering that
+    // threshold (acc ≫ majority_bp) is what proves the two steps
+    // work. One-row output, hash-gated against the oracle's CTE
+    // replay of both steps.
+    "ml_svm_gd" -> ((s, d) => {
+      import s.implicits._
+      val t = lineitem(s, d).select(
+        expr("CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5").as("x1"),
+        ($"l_quantity".cast("long") - 25L).as("x2"),
+        when($"l_quantity" >= 25, 1L).otherwise(-1L).as("y"))
+      // step 1: w = 0 ⇒ every row violates ⇒ sums are unconditional
+      val s1 = t.agg(sum($"y" * $"x1").as("sx1"), sum($"y" * $"x2").as("sx2"),
+        sum($"y").as("sy"), count(lit(1)).as("n"))
+      val w1 = s1.selectExpr(
+        s"${sdivS("sx1 * 2500", "n")} AS w1",
+        s"${sdivS("sx2 * 2500", "n")} AS w2",
+        s"${sdivS("sy * 2500", "n")} AS b", "n")
+      val marg = "y * (w1 * x1 + w2 * x2 + b)"
+      val s2 = t.crossJoin(broadcast(w1)) // single-row side
+        .groupBy($"w1", $"w2", $"b", $"n")
+        .agg(
+          sum(expr(s"CASE WHEN $marg < 10000 THEN y * x1 ELSE 0 END")).as("sx1"),
+          sum(expr(s"CASE WHEN $marg < 10000 THEN y * x2 ELSE 0 END")).as("sx2"),
+          sum(expr(s"CASE WHEN $marg < 10000 THEN y ELSE 0 END")).as("sy"))
+      val w2 = s2.selectExpr(
+        s"w1 - ${sdivS("w1", "64")} + ${sdivS("sx1 * 2500", "n")} AS w1",
+        s"w2 - ${sdivS("w2", "64")} + ${sdivS("sx2 * 2500", "n")} AS w2",
+        s"b + ${sdivS("sy * 2500", "n")} AS b", "n")
+      t.crossJoin(broadcast(w2)) // single-row side
+        .groupBy($"w1", $"w2", $"b", $"n")
+        .agg(
+          sum(expr(s"CASE WHEN $marg > 0 THEN 1 ELSE 0 END")).as("n_correct"),
+          sum(expr(s"CASE WHEN $marg < 10000 THEN 10000 - ($marg) ELSE 0 END"))
+            .as("hinge_sum"),
+          sum(when($"y" === 1L, 1L).otherwise(0L)).as("n_pos"))
+        .selectExpr("w1 AS w1_bp", "w2 AS w2_bp", "b AS b_bp", "n",
+          "n_correct", "n_correct * 10000 DIV n AS acc_bp",
+          "GREATEST(n_pos, n - n_pos) * 10000 DIV n AS majority_bp",
+          "hinge_sum DIV n AS hinge_mean_bp")
     })
   )
 
@@ -349,6 +406,49 @@ object MlQueries2 {
          |SELECT r.event_id, r.v_milli, r.hr, ($score) AS isolation_mass
          |FROM rows0 r CROSS JOIN sides s
          |ORDER BY isolation_mass ASC, event_id ASC LIMIT 20""".stripMargin
+    },
+
+    "ml_svm_gd" -> {
+      val marg = "y * (w.w1 * x1 + w.w2 * x2 + w.b)"
+      s"""WITH t AS (
+         |  SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1,
+         |    CAST(l_quantity AS BIGINT) - 25 AS x2,
+         |    CASE WHEN l_quantity >= 25 THEN 1 ELSE -1 END AS y
+         |  FROM lineitem),
+         |s1 AS (
+         |  SELECT CAST(SUM(y * x1) AS BIGINT) AS sx1,
+         |    CAST(SUM(y * x2) AS BIGINT) AS sx2,
+         |    CAST(SUM(y) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS n
+         |  FROM t),
+         |w1s AS (
+         |  SELECT ${sdivD("sx1 * 2500", "n")} AS w1,
+         |    ${sdivD("sx2 * 2500", "n")} AS w2,
+         |    ${sdivD("sy * 2500", "n")} AS b, n
+         |  FROM s1),
+         |s2 AS (
+         |  SELECT w.w1, w.w2, w.b, w.n,
+         |    CAST(SUM(CASE WHEN $marg < 10000 THEN y * x1 ELSE 0 END) AS BIGINT) AS sx1,
+         |    CAST(SUM(CASE WHEN $marg < 10000 THEN y * x2 ELSE 0 END) AS BIGINT) AS sx2,
+         |    CAST(SUM(CASE WHEN $marg < 10000 THEN y ELSE 0 END) AS BIGINT) AS sy
+         |  FROM t CROSS JOIN w1s w
+         |  GROUP BY w.w1, w.w2, w.b, w.n),
+         |w2s AS (
+         |  SELECT w1 - ${sdivD("w1", "64")} + ${sdivD("sx1 * 2500", "n")} AS w1,
+         |    w2 - ${sdivD("w2", "64")} + ${sdivD("sx2 * 2500", "n")} AS w2,
+         |    b + ${sdivD("sy * 2500", "n")} AS b, n
+         |  FROM s2),
+         |f AS (
+         |  SELECT w.w1, w.w2, w.b, w.n,
+         |    CAST(SUM(CASE WHEN $marg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |    CAST(SUM(CASE WHEN $marg < 10000 THEN 10000 - ($marg) ELSE 0 END) AS BIGINT) AS hinge_sum,
+         |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM t CROSS JOIN w2s w
+         |  GROUP BY w.w1, w.w2, w.b, w.n)
+         |SELECT w1 AS w1_bp, w2 AS w2_bp, b AS b_bp, n, n_correct,
+         |  n_correct * 10000 // n AS acc_bp,
+         |  GREATEST(n_pos, n - n_pos) * 10000 // n AS majority_bp,
+         |  hinge_sum // n AS hinge_mean_bp
+         |FROM f""".stripMargin
     },
 
     "sim_ndcg_eval" -> {

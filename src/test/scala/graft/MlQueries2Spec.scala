@@ -103,6 +103,15 @@ class MlQueries2Spec extends SparkSuite {
     }
   }
 
+  test("ml_svm_gd: two subgradient steps beat the majority baseline and find the quantity axis") {
+    val r = MlQueries2.queries("ml_svm_gd")(spark, sf).collect().head
+    assert(r.getAs[Long]("acc_bp") > r.getAs[Long]("majority_bp") + 2000,
+      "the separable concept must be learned, not memorized by the prior")
+    assert(math.abs(r.getAs[Long]("w2_bp")) > math.abs(r.getAs[Long]("w1_bp")),
+      "the informative feature (quantity) must dominate the noise feature")
+    assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n"))
+  }
+
   test("q190_crosscorr_leadlag: 15 lags, one peak, r in [-1, 1]") {
     val rows = RelationalQueries12.queries("q190_crosscorr_leadlag")(spark, sf).collect()
     assert(rows.length === 15)
