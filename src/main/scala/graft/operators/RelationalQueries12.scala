@@ -62,10 +62,179 @@ object RelationalQueries12 {
           format_string("%.9f", $"r_d").as("r"),
           ($"rk" === 1).as("is_peak"))
         .orderBy($"lag")
+    }),
+
+    // CAPTURE–RECAPTURE population estimate (Chapman estimator) — the
+    // "how many active customers exist that we never see?" audit: the
+    // 1995 orderers are the first capture, the 1996 orderers the
+    // second, the overlap the recapture. N̂ = (n1+1)(n2+1)/(m+1) − 1,
+    // graded against the directly-counted 1995–96 orderer universe.
+    // ONE per-customer flag aggregate (keyed) + a one-row rollup; the
+    // standard error is a single operand-identical double tree.
+    "q191_capture_recapture" -> ((s, d) => {
+      import s.implicits._
+      val flags = orders(s, d)
+        .select($"o_custkey", year($"o_orderdate").as("yr"))
+        .filter($"yr".isin(1995, 1996))
+        .groupBy($"o_custkey")
+        .agg(max(($"yr" === 1995).cast("long")).as("y95"),
+          max(($"yr" === 1996).cast("long")).as("y96"))
+      flags.agg(
+          sum($"y95").as("n1"), sum($"y96").as("n2"),
+          sum($"y95" * $"y96").as("m"), count(lit(1)).as("true_n"))
+        .selectExpr("n1", "n2", "m", "true_n",
+          "(n1 + 1) * (n2 + 1) DIV (m + 1) - 1 AS n_hat",
+          """CASE WHEN m < 1 THEN NULL ELSE format_string('%.3f', sqrt(
+            |  CAST((n1 + 1) AS DOUBLE) * CAST((n2 + 1) AS DOUBLE)
+            |  * CAST((n1 - m) AS DOUBLE) * CAST((n2 - m) AS DOUBLE)
+            |  / (CAST((m + 1) AS DOUBLE) * CAST((m + 1) AS DOUBLE)
+            |     * CAST((m + 2) AS DOUBLE)))) END AS se_hat""".stripMargin,
+          """abs((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 - true_n) * 10000
+            | DIV true_n AS err_bp""".stripMargin)
+    }),
+
+    // TWO-WAY ANOVA (segment × region, with interaction) — q188's
+    // factorial extension: one (seg,region) cell aggregate over the
+    // orders⋈customer⋈nation join carries ALL sufficient statistics;
+    // margin and cell S²/n terms are kilo-cents²-floored before their
+    // ≤25-row sums (the q188 idiom), and the three F statistics are
+    // operand-identical double trees over those exact scalars. The
+    // only corpus-sized work is the first keyed aggregate.
+    "q192_twoway_anova" -> ((s, d) => {
+      import s.implicits._
+      val base = orders(s, d)
+        .join(customer(s, d).select($"c_custkey".as("o_custkey"),
+          $"c_mktsegment".as("seg"), $"c_nationkey"), Seq("o_custkey"))
+        .join(broadcast(nation(s, d)
+          .select($"n_nationkey".as("c_nationkey"), $"n_regionkey".as("reg"))),
+          Seq("c_nationkey"))
+        .select($"seg", $"reg", (dec($"o_totalprice") * 100).cast("long").as("v"))
+      val cells = base.groupBy($"seg", $"reg")
+        .agg(count(lit(1)).as("n_c"), sum($"v").as("s_c"),
+          sum($"v".cast(D19) * $"v".cast(D19)).as("q_c"))
+        .localCheckpoint() // 25 rows; feeds four rollups
+      val termExpr = (s: String, n: String) =>
+        s"CAST(FLOOR(CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / CAST($n AS DOUBLE) / 1000.0) AS BIGINT)"
+      val segT = cells.groupBy($"seg")
+        .agg(sum($"n_c").as("n_a"), sum($"s_c").as("s_a"))
+        .selectExpr(s"${termExpr("s_a", "n_a")} AS t_a")
+        .agg(count(lit(1)).as("k_a"), sum($"t_a").as("sum_t_a"))
+      val regT = cells.groupBy($"reg")
+        .agg(sum($"n_c").as("n_b"), sum($"s_c").as("s_b"))
+        .selectExpr(s"${termExpr("s_b", "n_b")} AS t_b")
+        .agg(count(lit(1)).as("k_b"), sum($"t_b").as("sum_t_b"))
+      val cellT = cells
+        .selectExpr("n_c", "s_c", "q_c", s"${termExpr("s_c", "n_c")} AS t_c")
+        .agg(count(lit(1)).as("k_cells"), sum($"n_c").as("n_total"),
+          sum($"s_c").as("s_all"),
+          sum($"q_c").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("q_all"),
+          sum($"t_c").as("sum_t_c"))
+      val fTree = (ssNum: String, dfNum: String) =>
+        s"""CASE WHEN CAST(q_all AS DOUBLE) - CAST(sum_t_c AS DOUBLE) * 1000.0 <= 0.0
+           |  OR n_total <= k_cells THEN NULL ELSE
+           |CAST(FLOOR(($ssNum) / ($dfNum)
+           |  / ((CAST(q_all AS DOUBLE) - CAST(sum_t_c AS DOUBLE) * 1000.0)
+           |     / CAST(n_total - k_cells AS DOUBLE))
+           |  * 1000.0) AS BIGINT) END""".stripMargin
+      val grand = "CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE)"
+      val ssa = s"(CAST(sum_t_a AS DOUBLE) * 1000.0 - $grand)"
+      val ssb = s"(CAST(sum_t_b AS DOUBLE) * 1000.0 - $grand)"
+      val ssc = s"(CAST(sum_t_c AS DOUBLE) * 1000.0 - $grand)"
+      cellT.crossJoin(broadcast(segT)).crossJoin(broadcast(regT)) // 1-row sides
+        .selectExpr("k_a", "k_b", "k_cells", "n_total",
+          s"${fTree(ssa, "CAST(k_a - 1 AS DOUBLE)")} AS f_seg_milli",
+          s"${fTree(ssb, "CAST(k_b - 1 AS DOUBLE)")} AS f_reg_milli",
+          s"${fTree(s"($ssc - $ssa - $ssb)",
+            "CAST((k_a - 1) * (k_b - 1) AS DOUBLE)")} AS f_inter_milli")
+        .withColumn("seg_sig", $"f_seg_milli" >= 2372L)
+        .withColumn("reg_sig", $"f_reg_milli" >= 2372L)
+        .withColumn("inter_sig", $"f_inter_milli" >= 1644L)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_capture_recapture" ->
+      """WITH flags AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS y95,
+        |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y96
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY o_custkey),
+        |g AS (
+        |  SELECT CAST(SUM(y95) AS BIGINT) AS n1, CAST(SUM(y96) AS BIGINT) AS n2,
+        |    CAST(SUM(y95 * y96) AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS true_n
+        |  FROM flags)
+        |SELECT n1, n2, m, true_n,
+        |  (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS n_hat,
+        |  CASE WHEN m < 1 THEN NULL ELSE printf('%.3f', sqrt(
+        |    CAST((n1 + 1) AS DOUBLE) * CAST((n2 + 1) AS DOUBLE)
+        |    * CAST((n1 - m) AS DOUBLE) * CAST((n2 - m) AS DOUBLE)
+        |    / (CAST((m + 1) AS DOUBLE) * CAST((m + 1) AS DOUBLE)
+        |       * CAST((m + 2) AS DOUBLE)))) END AS se_hat,
+        |  abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - true_n) * 10000
+        |   // true_n AS err_bp
+        |FROM g""".stripMargin,
+
+    "q192_twoway_anova" -> {
+      def term(s: String, n: String) =
+        s"CAST(FLOOR(CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / CAST($n AS DOUBLE) / 1000.0) AS BIGINT)"
+      def fTree(ssNum: String, dfNum: String) =
+        s"""CASE WHEN CAST(q_all AS DOUBLE) - CAST(sum_t_c AS DOUBLE) * 1000.0 <= 0.0
+           |  OR n_total <= k_cells THEN NULL ELSE
+           |CAST(FLOOR(($ssNum) / ($dfNum)
+           |  / ((CAST(q_all AS DOUBLE) - CAST(sum_t_c AS DOUBLE) * 1000.0)
+           |     / CAST(n_total - k_cells AS DOUBLE))
+           |  * 1000.0) AS BIGINT) END""".stripMargin
+      val grand = "CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE)"
+      val ssa = s"(CAST(sum_t_a AS DOUBLE) * 1000.0 - $grand)"
+      val ssb = s"(CAST(sum_t_b AS DOUBLE) * 1000.0 - $grand)"
+      val ssc = s"(CAST(sum_t_c AS DOUBLE) * 1000.0 - $grand)"
+      s"""WITH base AS (
+         |  SELECT c.c_mktsegment AS seg, na.n_regionkey AS reg,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders o
+         |  JOIN customer c ON c.c_custkey = o.o_custkey
+         |  JOIN nation na ON na.n_nationkey = c.c_nationkey),
+         |cells AS (
+         |  SELECT seg, reg, CAST(count(*) AS BIGINT) AS n_c,
+         |    CAST(SUM(v) AS BIGINT) AS s_c,
+         |    SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS q_c
+         |  FROM base GROUP BY seg, reg),
+         |segt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_a,
+         |    CAST(SUM(t_a) AS BIGINT) AS sum_t_a FROM (
+         |    SELECT ${term("s_a", "n_a")} AS t_a FROM (
+         |      SELECT CAST(SUM(n_c) AS BIGINT) AS n_a,
+         |        CAST(SUM(s_c) AS BIGINT) AS s_a
+         |      FROM cells GROUP BY seg))),
+         |regt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_b,
+         |    CAST(SUM(t_b) AS BIGINT) AS sum_t_b FROM (
+         |    SELECT ${term("s_b", "n_b")} AS t_b FROM (
+         |      SELECT CAST(SUM(n_c) AS BIGINT) AS n_b,
+         |        CAST(SUM(s_c) AS BIGINT) AS s_b
+         |      FROM cells GROUP BY reg))),
+         |cellt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_cells,
+         |    CAST(SUM(n_c) AS BIGINT) AS n_total,
+         |    CAST(SUM(s_c) AS BIGINT) AS s_all,
+         |    CAST(SUM(q_c) AS DECIMAL(38,0)) AS q_all,
+         |    CAST(SUM(${term("s_c", "n_c")}) AS BIGINT) AS sum_t_c
+         |  FROM cells),
+         |f AS (SELECT * FROM cellt CROSS JOIN segt CROSS JOIN regt)
+         |SELECT k_a, k_b, k_cells, n_total,
+         |  ${fTree(ssa, "CAST(k_a - 1 AS DOUBLE)")} AS f_seg_milli,
+         |  ${fTree(ssb, "CAST(k_b - 1 AS DOUBLE)")} AS f_reg_milli,
+         |  ${fTree(s"($ssc - $ssa - $ssb)",
+             "CAST((k_a - 1) * (k_b - 1) AS DOUBLE)")} AS f_inter_milli,
+         |  ${fTree(ssa, "CAST(k_a - 1 AS DOUBLE)")} >= 2372 AS seg_sig,
+         |  ${fTree(ssb, "CAST(k_b - 1 AS DOUBLE)")} >= 2372 AS reg_sig,
+         |  ${fTree(s"($ssc - $ssa - $ssb)",
+             "CAST((k_a - 1) * (k_b - 1) AS DOUBLE)")} >= 1644 AS inter_sig
+         |FROM f""".stripMargin
+    },
+
     "q190_crosscorr_leadlag" ->
       s"""WITH x AS (
          |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x

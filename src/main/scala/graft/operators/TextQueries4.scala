@@ -109,6 +109,40 @@ object TextQueries4 {
         .orderBy($"source")
     }),
 
+    // χ²-KEYNESS FEATURE SELECTION — which tokens are most
+    // language-discriminative? Per-token χ² against the language
+    // margins via the zero-cell-free identity χ²_t = N·Σ_obs O²/(n_t·n_l)
+    // − n_t (absent cells contribute through the margins, so only
+    // OBSERVED (token,lang) cells are ever materialized). Per-cell
+    // terms are milli-floored doubles over exact integers (multiply/
+    // divide only — libm never runs), so the per-token sum is
+    // order-exact. One exploded keyed aggregate + broadcast margins;
+    // top-20 via TakeOrdered.
+    "text_chi2_keywords" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select($"lang", explode(split($"text", " ")).as("tok"))
+      val cells = toks.groupBy($"tok", $"lang").agg(count(lit(1)).as("o"))
+      val nt = cells.groupBy($"tok").agg(sum($"o").as("n_t"))
+      val nl = cells.groupBy($"lang").agg(sum($"o").as("n_l"))
+      val tot = cells.agg(sum($"o").as("n_all"))
+      cells
+        .join(nt, Seq("tok"))
+        .join(broadcast(nl), Seq("lang"))
+        .crossJoin(broadcast(tot)) // single-row side
+        .selectExpr("tok", "n_t",
+          """CAST(FLOOR(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+            | * CAST(n_all AS DOUBLE) * 1000.0
+            | / (CAST(n_t AS DOUBLE) * CAST(n_l AS DOUBLE))) AS BIGINT)
+            | AS q_cell""".stripMargin)
+        .groupBy($"tok", $"n_t")
+        .agg(sum($"q_cell").as("sum_q"), count(lit(1)).as("n_langs_seen"))
+        .selectExpr("tok", "n_t", "n_langs_seen",
+          "sum_q - n_t * 1000 AS chi2_milli")
+        .orderBy($"chi2_milli".desc, $"tok".asc)
+        .limit(20)
+    }),
+
     // L-DIVERSITY AUDIT — pipe_k_anonymity says how SMALL the
     // (nation × segment) equivalence classes get; this says how
     // HOMOGENEOUS their sensitive attribute (account-balance band)
@@ -218,6 +252,32 @@ object TextQueries4 {
          |  pass_alpha, pass_stopwords, pass_repetition, pass_all,
          |  pass_all * 10000 // n_docs AS pass_all_bp
          |FROM agg ORDER BY source""".stripMargin,
+
+    "text_chi2_keywords" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cells AS (
+        |  SELECT tok, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM toks GROUP BY tok, lang),
+        |nt AS (SELECT tok, CAST(SUM(o) AS BIGINT) AS n_t FROM cells GROUP BY tok),
+        |nl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_l FROM cells GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_all FROM cells),
+        |q AS (
+        |  SELECT c.tok, t.n_t,
+        |    CAST(FLOOR(CAST(c.o AS DOUBLE) * CAST(c.o AS DOUBLE)
+        |     * CAST(a.n_all AS DOUBLE) * 1000.0
+        |     / (CAST(t.n_t AS DOUBLE) * CAST(l.n_l AS DOUBLE))) AS BIGINT)
+        |     AS q_cell
+        |  FROM cells c
+        |  JOIN nt t ON t.tok = c.tok
+        |  JOIN nl l ON l.lang = c.lang
+        |  CROSS JOIN tot a),
+        |agg AS (
+        |  SELECT tok, n_t, CAST(SUM(q_cell) AS BIGINT) AS sum_q,
+        |    CAST(count(*) AS BIGINT) AS n_langs_seen
+        |  FROM q GROUP BY tok, n_t)
+        |SELECT tok, n_t, n_langs_seen, sum_q - n_t * 1000 AS chi2_milli
+        |FROM agg ORDER BY chi2_milli DESC, tok ASC LIMIT 20""".stripMargin,
 
     "pipe_l_diversity" ->
       """WITH cls AS (

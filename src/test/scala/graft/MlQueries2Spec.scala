@@ -112,6 +112,26 @@ class MlQueries2Spec extends SparkSuite {
     assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n"))
   }
 
+  test("q191_capture_recapture: Chapman estimate bounded by the marginal captures") {
+    val r = RelationalQueries12.queries("q191_capture_recapture")(spark, sf).collect().head
+    val (n1, n2, m) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("m"))
+    assert(m <= math.min(n1, n2), "recaptures can't exceed either capture")
+    val nHat = r.getAs[Long]("n_hat")
+    assert(nHat >= math.max(n1, n2), "estimate at least as large as either sample")
+    assert(r.getAs[Long]("true_n") >= math.max(n1, n2))
+  }
+
+  test("q192_twoway_anova: cell structure is the 5x5 factorial and Fs are non-negative") {
+    val r = RelationalQueries12.queries("q192_twoway_anova")(spark, sf).collect().head
+    assert(r.getAs[Long]("k_a") === 5 && r.getAs[Long]("k_b") === 5)
+    assert(r.getAs[Long]("k_cells") === 25)
+    Seq("f_seg_milli", "f_reg_milli", "f_inter_milli").foreach { c =>
+      val v = r.getAs[Long](c)
+      // SS terms floor-quantize at kilo-cents², so tiny negatives are possible noise
+      assert(v >= -100, s"$c = $v")
+    }
+  }
+
   test("q190_crosscorr_leadlag: 15 lags, one peak, r in [-1, 1]") {
     val rows = RelationalQueries12.queries("q190_crosscorr_leadlag")(spark, sf).collect()
     assert(rows.length === 15)

@@ -33,6 +33,19 @@ class TextQueries4Spec extends SparkSuite {
     }
   }
 
+  test("text_chi2_keywords: scores non-negative-ish, descending, margins sane") {
+    val rows = TextQueries4.queries("text_chi2_keywords")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("chi2_milli"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    rows.foreach { r =>
+      // χ² ≥ 0 up to the per-cell milli flooring (≤1 milli per lang cell)
+      assert(r.getAs[Long]("chi2_milli") >= -5)
+      assert(r.getAs[Long]("n_langs_seen") >= 1 && r.getAs[Long]("n_langs_seen") <= 5)
+      assert(r.getAs[Long]("n_t") > 0)
+    }
+  }
+
   test("pipe_l_diversity: class and row totals are conserved across the l histogram") {
     val rows = TextQueries4.queries("pipe_l_diversity")(spark, sf).collect()
     assert(rows.nonEmpty)
