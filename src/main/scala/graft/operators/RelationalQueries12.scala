@@ -149,6 +149,87 @@ object RelationalQueries12 {
         .withColumn("seg_sig", $"f_seg_milli" >= 2372L)
         .withColumn("reg_sig", $"f_reg_milli" >= 2372L)
         .withColumn("inter_sig", $"f_inter_milli" >= 1644L)
+    }),
+
+    // PAIRED t-TEST — did per-part unit prices MOVE between 1995 and
+    // 1996? Pairs are each part's integer-floor mean shipped price in
+    // the two years (parts present in both); the t statistic runs on
+    // exact Σd / Σd² sums through one operand-identical double tree
+    // (q140's idiom, paired edition). Corpus-sized work = one keyed
+    // (part, year) aggregate; the pair join is catalog-sized.
+    "q193_paired_ttest" -> ((s, d) => {
+      import s.implicits._
+      val py = lineitem(s, d)
+        .select($"l_partkey", year($"l_shipdate").as("yr"),
+          (dec($"l_extendedprice") * 100).cast("long").as("c"))
+        .filter($"yr".isin(1995, 1996))
+        .groupBy($"l_partkey", $"yr")
+        .agg(expr("sum(c) DIV count(1)").as("m"))
+      val pairs = py.filter($"yr" === 1995).select($"l_partkey", $"m".as("m95"))
+        .join(py.filter($"yr" === 1996).select($"l_partkey", $"m".as("m96")),
+          Seq("l_partkey"))
+        .select(($"m95" - $"m96").as("dv"))
+      val sums = pairs.agg(count(lit(1)).as("n"), sum($"dv").as("sd"),
+        sum($"dv".cast(D19) * $"dv".cast(D19)).as("sdd"))
+      sums.selectExpr("n", "sd",
+        "(CASE WHEN sd < 0 THEN -((-sd) DIV n) ELSE sd DIV n END) AS mean_d_cents",
+        """CASE WHEN n < 2 OR CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+          |  - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) <= 0.0 THEN NULL ELSE
+          |CAST(FLOOR(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+          |  * CAST(n - 1 AS DOUBLE)
+          |  / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+          |     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+          |  * 1000.0) AS BIGINT) END AS t2_milli""".stripMargin)
+        .withColumn("significant", $"t2_milli" >= 3841L)
+    }),
+
+    // McNEMAR'S TEST — did individual customers SWITCH activity
+    // between 1995 and 1996? Only the discordant cells matter:
+    // b = active-then-quiet, c = quiet-then-active; continuity-
+    // corrected χ² = (|b−c|−1)²/(b+c) in exact integer milli. Same
+    // per-customer flag substrate as q191 — one keyed aggregate, one
+    // rollup row.
+    "q194_mcnemar" -> ((s, d) => {
+      import s.implicits._
+      val flags = orders(s, d)
+        .select($"o_custkey", year($"o_orderdate").as("yr"))
+        .filter($"yr".isin(1995, 1996))
+        .groupBy($"o_custkey")
+        .agg(max(($"yr" === 1995).cast("long")).as("y95"),
+          max(($"yr" === 1996).cast("long")).as("y96"))
+      flags.agg(
+          sum(when($"y95" === 1 && $"y96" === 1, 1L).otherwise(0L)).as("n_both"),
+          sum(when($"y95" === 1 && $"y96" === 0, 1L).otherwise(0L)).as("b"),
+          sum(when($"y95" === 0 && $"y96" === 1, 1L).otherwise(0L)).as("c"))
+        .selectExpr("n_both", "b", "c",
+          """CASE WHEN b + c = 0 THEN NULL ELSE
+            |(abs(b - c) - 1) * (abs(b - c) - 1) * 1000 DIV (b + c)
+            |END AS chi2_milli""".stripMargin)
+        .withColumn("significant", $"chi2_milli" >= 3841L)
+    }),
+
+    // GINI–SIMPSON DIVERSITY of the corpus mix — the "is this dataset
+    // dangerously concentrated?" dial for both the language and the
+    // source axes: 1 − Σp² in exact bp plus the effective number of
+    // categories 1/Σp² (what "20 sources" really means when two
+    // dominate). Two dimension-sized rollups over one documents scan
+    // each; Σn² rides D19 products, ratios are multiply/divide-only
+    // double trees floored to integers.
+    "pipe_simpson_diversity" -> ((s, d) => {
+      import s.implicits._
+      def axis(dim: String): DataFrame = {
+        val counts = documents(s, d).groupBy(col(dim).as("category"))
+          .agg(count(lit(1)).as("n_i"))
+        counts.agg(count(lit(1)).as("k"), sum($"n_i").as("n_docs"),
+            sum($"n_i".cast(D19) * $"n_i".cast(D19)).as("snn"))
+          .selectExpr(s"'$dim' AS dim", "k", "n_docs",
+            """CAST(FLOOR((1.0 - CAST(snn AS DOUBLE)
+              | / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+              | * 10000.0) AS BIGINT) AS gini_simpson_bp""".stripMargin,
+            """CAST(FLOOR(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+              | / CAST(snn AS DOUBLE) * 1000.0) AS BIGINT) AS effective_k_milli""".stripMargin)
+      }
+      axis("lang").unionByName(axis("source")).orderBy($"dim")
     })
   )
 
@@ -233,6 +314,79 @@ object RelationalQueries12 {
          |  ${fTree(s"($ssc - $ssa - $ssb)",
              "CAST((k_a - 1) * (k_b - 1) AS DOUBLE)")} >= 1644 AS inter_sig
          |FROM f""".stripMargin
+    },
+
+    "q193_paired_ttest" ->
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate) AS yr,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS m
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY l_partkey, year(l_shipdate)),
+        |pairs AS (
+        |  SELECT a.m - b.m AS dv
+        |  FROM py a JOIN py b ON a.l_partkey = b.l_partkey
+        |  WHERE a.yr = 1995 AND b.yr = 1996),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dv) AS BIGINT) AS sd,
+        |    SUM(CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))) AS sdd
+        |  FROM pairs)
+        |SELECT n, sd,
+        |  (CASE WHEN sd < 0 THEN -((-sd) // n) ELSE sd // n END) AS mean_d_cents,
+        |  CASE WHEN n < 2 OR CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |    - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) <= 0.0 THEN NULL ELSE
+        |  CAST(FLOOR(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+        |    * CAST(n - 1 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |       - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+        |    * 1000.0) AS BIGINT) END AS t2_milli,
+        |  CASE WHEN n < 2 OR CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |    - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) <= 0.0 THEN NULL ELSE
+        |  CAST(FLOOR(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+        |    * CAST(n - 1 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |       - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+        |    * 1000.0) AS BIGINT) END >= 3841 AS significant
+        |FROM g""".stripMargin,
+
+    "q194_mcnemar" ->
+      """WITH flags AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS y95,
+        |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y96
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY o_custkey),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN y95 = 1 AND y96 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(SUM(CASE WHEN y95 = 1 AND y96 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN y95 = 0 AND y96 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM flags)
+        |SELECT n_both, b, c,
+        |  CASE WHEN b + c = 0 THEN NULL ELSE
+        |  (abs(b - c) - 1) * (abs(b - c) - 1) * 1000 // (b + c)
+        |  END AS chi2_milli,
+        |  CASE WHEN b + c = 0 THEN NULL ELSE
+        |  (abs(b - c) - 1) * (abs(b - c) - 1) * 1000 // (b + c)
+        |  END >= 3841 AS significant
+        |FROM g""".stripMargin,
+
+    "pipe_simpson_diversity" -> {
+      def axis(dim: String) =
+        s"""SELECT '$dim' AS dim, CAST(count(*) AS BIGINT) AS k,
+           |  CAST(SUM(n_i) AS BIGINT) AS n_docs,
+           |  CAST(FLOOR((1.0 - CAST(SUM(CAST(n_i AS DECIMAL(19,0)) * CAST(n_i AS DECIMAL(19,0))) AS DOUBLE)
+           |   / (CAST(SUM(n_i) AS DOUBLE) * CAST(SUM(n_i) AS DOUBLE)))
+           |   * 10000.0) AS BIGINT) AS gini_simpson_bp,
+           |  CAST(FLOOR(CAST(SUM(n_i) AS DOUBLE) * CAST(SUM(n_i) AS DOUBLE)
+           |   / CAST(SUM(CAST(n_i AS DECIMAL(19,0)) * CAST(n_i AS DECIMAL(19,0))) AS DOUBLE) * 1000.0) AS BIGINT)
+           |   AS effective_k_milli
+           |FROM (SELECT $dim AS category, CAST(count(*) AS BIGINT) AS n_i
+           |      FROM documents GROUP BY $dim)""".stripMargin
+      s"""${axis("lang")}
+         |UNION ALL
+         |${axis("source")}
+         |ORDER BY dim""".stripMargin
     },
 
     "q190_crosscorr_leadlag" ->

@@ -132,6 +132,26 @@ class MlQueries2Spec extends SparkSuite {
     }
   }
 
+  test("q193_paired_ttest / q194_mcnemar / pipe_simpson_diversity invariants") {
+    val sf001 = sf
+    val t = RelationalQueries12.queries("q193_paired_ttest")(spark, sf001).collect().head
+    assert(t.getAs[Long]("n") > 0)
+    if (!t.isNullAt(t.fieldIndex("t2_milli"))) assert(t.getAs[Long]("t2_milli") >= 0)
+
+    val m = RelationalQueries12.queries("q194_mcnemar")(spark, sf001).collect().head
+    assert(m.getAs[Long]("b") >= 0 && m.getAs[Long]("c") >= 0)
+    if (!m.isNullAt(m.fieldIndex("chi2_milli"))) assert(m.getAs[Long]("chi2_milli") >= 0)
+
+    val dv = RelationalQueries12.queries("pipe_simpson_diversity")(spark, sf001).collect()
+    assert(dv.map(_.getAs[String]("dim")).sorted.sameElements(Array("lang", "source")))
+    dv.foreach { r =>
+      val gs = r.getAs[Long]("gini_simpson_bp")
+      assert(gs >= 0 && gs < 10000)
+      // effective k can never exceed the observed category count
+      assert(r.getAs[Long]("effective_k_milli") <= r.getAs[Long]("k") * 1000)
+    }
+  }
+
   test("q190_crosscorr_leadlag: 15 lags, one peak, r in [-1, 1]") {
     val rows = RelationalQueries12.queries("q190_crosscorr_leadlag")(spark, sf).collect()
     assert(rows.length === 15)
