@@ -208,6 +208,64 @@ object RelationalQueries12 {
         .withColumn("significant", $"chi2_milli" >= 3841L)
     }),
 
+    // ATTRIBUTE p-CHART — the SPC companion to q151's XmR chart for
+    // RATES: daily return-flag share against p̄ ± 3√(p̄(1−p̄)/n_day)
+    // limits, rolled to per-year out-of-control counts. The day table
+    // is calendar-sized; the global p̄ rides a single-row broadcast;
+    // limit compares are identical double trees (sqrt is correctly
+    // rounded on both engines).
+    "q195_p_chart" -> ((s, d) => {
+      import s.implicits._
+      val day = lineitem(s, d)
+        .groupBy(to_date($"l_shipdate").as("day"))
+        .agg(count(lit(1)).as("n_day"),
+          sum(($"l_returnflag" === "R").cast("long")).as("x_day"))
+      val tot = day.agg(sum($"n_day").as("n_all"), sum($"x_day").as("x_all"))
+      val pbar = "CAST(x_all AS DOUBLE) / CAST(n_all AS DOUBLE)"
+      val lim = s"3.0 * sqrt(($pbar) * (1.0 - ($pbar)) / CAST(n_day AS DOUBLE))"
+      val pday = "CAST(x_day AS DOUBLE) / CAST(n_day AS DOUBLE)"
+      day.crossJoin(broadcast(tot)) // single-row side
+        .selectExpr("CAST(year(day) AS BIGINT) AS yr", "n_day", "x_day",
+          s"CASE WHEN $pday > ($pbar) + ($lim) THEN 1 ELSE 0 END AS hi",
+          s"CASE WHEN $pday < ($pbar) - ($lim) THEN 1 ELSE 0 END AS lo",
+          "x_all * 10000 DIV n_all AS pbar_bp")
+        .groupBy($"yr", $"pbar_bp")
+        .agg(count(lit(1)).as("n_days"), sum($"hi").as("n_ooc_hi"),
+          sum($"lo").as("n_ooc_lo"))
+        .select($"yr", $"n_days", $"n_ooc_hi", $"n_ooc_lo", $"pbar_bp")
+        .orderBy($"yr")
+    }),
+
+    // COCHRAN'S Q — McNemar's k-sample generalization: did customer
+    // activity shift across 1995/1996/1997 as matched binary
+    // treatments? Q = (k−1)[kΣC_j² − T²] / [kT − ΣR_i²] entirely from
+    // exact integers off ONE per-customer flag aggregate; the ratio
+    // evaluates once through an identical double tree (χ²₂ cut 5.991).
+    "q196_cochran_q" -> ((s, d) => {
+      import s.implicits._
+      val flags = orders(s, d)
+        .select($"o_custkey", year($"o_orderdate").as("yr"))
+        .filter($"yr".isin(1995, 1996, 1997))
+        .groupBy($"o_custkey")
+        .agg(max(($"yr" === 1995).cast("long")).as("y95"),
+          max(($"yr" === 1996).cast("long")).as("y96"),
+          max(($"yr" === 1997).cast("long")).as("y97"))
+      flags.agg(count(lit(1)).as("n"),
+          sum($"y95").as("c95"), sum($"y96").as("c96"), sum($"y97").as("c97"),
+          sum(($"y95" + $"y96" + $"y97") * ($"y95" + $"y96" + $"y97")).as("sum_r2"))
+        .selectExpr("n", "c95", "c96", "c97",
+          "c95 + c96 + c97 AS t", "sum_r2",
+          """CASE WHEN 3 * (c95 + c96 + c97) - sum_r2 = 0 THEN NULL ELSE
+            |CAST(FLOOR(2.0
+            |  * (3.0 * (CAST(c95 AS DOUBLE) * CAST(c95 AS DOUBLE)
+            |     + CAST(c96 AS DOUBLE) * CAST(c96 AS DOUBLE)
+            |     + CAST(c97 AS DOUBLE) * CAST(c97 AS DOUBLE))
+            |     - CAST(c95 + c96 + c97 AS DOUBLE) * CAST(c95 + c96 + c97 AS DOUBLE))
+            |  / (3.0 * CAST(c95 + c96 + c97 AS DOUBLE) - CAST(sum_r2 AS DOUBLE))
+            |  * 1000.0) AS BIGINT) END AS q_milli""".stripMargin)
+        .withColumn("significant", $"q_milli" >= 5991L)
+    }),
+
     // GINI–SIMPSON DIVERSITY of the corpus mix — the "is this dataset
     // dangerously concentrated?" dial for both the language and the
     // source axes: 1 − Σp² in exact bp plus the effective number of
@@ -370,6 +428,61 @@ object RelationalQueries12 {
         |  (abs(b - c) - 1) * (abs(b - c) - 1) * 1000 // (b + c)
         |  END >= 3841 AS significant
         |FROM g""".stripMargin,
+
+    "q195_p_chart" ->
+      """WITH day AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_day,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x_day
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_day) AS BIGINT) AS n_all,
+        |               CAST(SUM(x_day) AS BIGINT) AS x_all FROM day),
+        |j AS (
+        |  SELECT year(day) AS yr, n_day, x_day,
+        |    CASE WHEN CAST(x_day AS DOUBLE) / CAST(n_day AS DOUBLE)
+        |      > CAST(x_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+        |        + 3.0 * sqrt((CAST(x_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |          * (1.0 - (CAST(x_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+        |          / CAST(n_day AS DOUBLE)) THEN 1 ELSE 0 END AS hi,
+        |    CASE WHEN CAST(x_day AS DOUBLE) / CAST(n_day AS DOUBLE)
+        |      < CAST(x_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+        |        - 3.0 * sqrt((CAST(x_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |          * (1.0 - (CAST(x_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+        |          / CAST(n_day AS DOUBLE)) THEN 1 ELSE 0 END AS lo,
+        |    x_all * 10000 // n_all AS pbar_bp
+        |  FROM day CROSS JOIN tot)
+        |SELECT CAST(yr AS BIGINT) AS yr, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(hi) AS BIGINT) AS n_ooc_hi, CAST(SUM(lo) AS BIGINT) AS n_ooc_lo,
+        |  pbar_bp
+        |FROM j GROUP BY yr, pbar_bp ORDER BY yr""".stripMargin,
+
+    "q196_cochran_q" ->
+      """WITH flags AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS y95,
+        |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y96,
+        |    MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS y97
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+        |  GROUP BY o_custkey),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(y95) AS BIGINT) AS c95, CAST(SUM(y96) AS BIGINT) AS c96,
+        |    CAST(SUM(y97) AS BIGINT) AS c97,
+        |    CAST(SUM((y95 + y96 + y97) * (y95 + y96 + y97)) AS BIGINT) AS sum_r2
+        |  FROM flags),
+        |f AS (
+        |  SELECT n, c95, c96, c97, c95 + c96 + c97 AS t, sum_r2,
+        |    CASE WHEN 3 * (c95 + c96 + c97) - sum_r2 = 0 THEN NULL ELSE
+        |    CAST(FLOOR(2.0
+        |      * (3.0 * (CAST(c95 AS DOUBLE) * CAST(c95 AS DOUBLE)
+        |         + CAST(c96 AS DOUBLE) * CAST(c96 AS DOUBLE)
+        |         + CAST(c97 AS DOUBLE) * CAST(c97 AS DOUBLE))
+        |         - CAST(c95 + c96 + c97 AS DOUBLE) * CAST(c95 + c96 + c97 AS DOUBLE))
+        |      / (3.0 * CAST(c95 + c96 + c97 AS DOUBLE) - CAST(sum_r2 AS DOUBLE))
+        |      * 1000.0) AS BIGINT) END AS q_milli
+        |  FROM g)
+        |SELECT n, c95, c96, c97, t, sum_r2, q_milli,
+        |  q_milli >= 5991 AS significant
+        |FROM f""".stripMargin,
 
     "pipe_simpson_diversity" -> {
       def axis(dim: String) =

@@ -96,6 +96,36 @@ object SamplingQueries {
           "(cum + step - start - 1) DIV step - 1 AS pick_k")
         .orderBy($"doc_id")
     }),
+    // HORVITZ–THOMPSON ESTIMATION off the PPS sample — the estimator
+    // that JUSTIFIES samp_pps_systematic: the ~20 size-picked docs
+    // estimate the corpus-wide TOKEN total with 1/π weights
+    // (systematic PPS: π_i = w_i/step exactly for w_i < step), graded
+    // in bp against the directly-counted truth. Same two-pass prefix
+    // machinery; the HT sum is sample-sized with milli-floored
+    // integer terms.
+    "samp_horvitz_thompson" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).select($"doc_id", $"n_chars".cast("long").as("w"),
+        size(split($"text", " ")).cast("long").as("toks"))
+      val (cum, total) = GlobalRank.withPrefixSum(
+        base.select($"doc_id", $"w"), "cum", $"w", Seq($"doc_id".asc))
+      val step = math.max(total / 20L, 1L)
+      val sample = cum
+        .withColumn("start",
+          expr("CAST(CONV(SUBSTRING(MD5('graft-pps'), 1, 12), 16, 10) AS BIGINT)") % step)
+        .filter(expr(s"(cum + $step - start - 1) DIV $step > (cum - w + $step - start - 1) DIV $step"))
+        .join(base.select($"doc_id", $"toks"), Seq("doc_id"))
+        .selectExpr("doc_id", "toks", "w",
+          s"CAST(FLOOR(CAST(toks AS DOUBLE) * CAST($step AS DOUBLE) * 1000.0 / CAST(w AS DOUBLE)) AS BIGINT) AS ht_milli")
+      val truth = base.agg(sum($"toks").as("true_total_tokens"))
+      sample.agg(count(lit(1)).as("n_sample"), sum($"ht_milli").as("ht_sum_milli"))
+        .crossJoin(broadcast(truth)) // single-row side
+        .selectExpr("n_sample", s"CAST($step AS BIGINT) AS step",
+          "true_total_tokens",
+          "ht_sum_milli DIV 1000 AS ht_total_tokens",
+          "abs(ht_sum_milli DIV 1000 - true_total_tokens) * 10000 DIV true_total_tokens AS err_bp")
+    }),
+
     // ~10% deterministic sample (26/256 of the md5 space).
     "samp_hash_sample" -> ((s, d) => {
       import s.implicits._
@@ -697,6 +727,38 @@ object SamplingQueries {
         |FROM c CROSS JOIN st
         |WHERE (cum + step - start - 1) // step > (cum - w + step - start - 1) // step
         |ORDER BY doc_id""".stripMargin,
+    "samp_horvitz_thompson" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, toks,
+        |    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM base),
+        |p AS (SELECT greatest(CAST(SUM(w) AS BIGINT) // 20, 1) AS step FROM base),
+        |st AS (
+        |  SELECT step,
+        |    ('0x' || substring(md5('graft-pps'), 1, 12))::BIGINT % step AS start
+        |  FROM p),
+        |sample AS (
+        |  SELECT doc_id, toks, w, step,
+        |    CAST(FLOOR(CAST(toks AS DOUBLE) * CAST(step AS DOUBLE) * 1000.0
+        |      / CAST(w AS DOUBLE)) AS BIGINT) AS ht_milli
+        |  FROM c CROSS JOIN st
+        |  WHERE (cum + step - start - 1) // step > (cum - w + step - start - 1) // step),
+        |truth AS (SELECT CAST(SUM(toks) AS BIGINT) AS true_total_tokens FROM base),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sample,
+        |    CAST(MIN(step) AS BIGINT) AS step,
+        |    CAST(SUM(ht_milli) AS BIGINT) AS ht_sum_milli
+        |  FROM sample)
+        |SELECT a.n_sample, a.step, t.true_total_tokens,
+        |  a.ht_sum_milli // 1000 AS ht_total_tokens,
+        |  abs(a.ht_sum_milli // 1000 - t.true_total_tokens) * 10000
+        |    // t.true_total_tokens AS err_bp
+        |FROM agg a CROSS JOIN truth t""".stripMargin,
+
     "samp_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

@@ -152,6 +152,26 @@ class MlQueries2Spec extends SparkSuite {
     }
   }
 
+  test("q195_p_chart / q196_cochran_q / samp_horvitz_thompson invariants") {
+    val pc = RelationalQueries12.queries("q195_p_chart")(spark, sf).collect()
+    assert(pc.nonEmpty)
+    pc.foreach { r =>
+      assert(r.getAs[Long]("n_ooc_hi") + r.getAs[Long]("n_ooc_lo") <= r.getAs[Long]("n_days"))
+      val p = r.getAs[Long]("pbar_bp"); assert(p > 0 && p < 10000)
+    }
+
+    val cq = RelationalQueries12.queries("q196_cochran_q")(spark, sf).collect().head
+    assert(cq.getAs[Long]("t") === cq.getAs[Long]("c95") + cq.getAs[Long]("c96") + cq.getAs[Long]("c97"))
+    assert(cq.getAs[Long]("sum_r2") >= cq.getAs[Long]("t"), "Σr² ≥ Σr for 0/1 rows")
+    if (!cq.isNullAt(cq.fieldIndex("q_milli"))) assert(cq.getAs[Long]("q_milli") >= 0)
+
+    val ht = SamplingQueries.queries("samp_horvitz_thompson")(spark, sf).collect().head
+    assert(ht.getAs[Long]("n_sample") > 0)
+    // PPS + HT on a size-correlated target must land within 25% of truth
+    assert(ht.getAs[Long]("err_bp") < 2500,
+      s"HT estimate off by ${ht.getAs[Long]("err_bp")} bp")
+  }
+
   test("q190_crosscorr_leadlag: 15 lags, one peak, r in [-1, 1]") {
     val rows = RelationalQueries12.queries("q190_crosscorr_leadlag")(spark, sf).collect()
     assert(rows.length === 15)
