@@ -137,6 +137,8 @@ object StreamBench {
       // O(1)-state histogram sketch: the lightest TWS profile — its
       // rate bounds the per-batch transformWithState overhead itself
       run("tws_quantile", "update")(ds => Streams.quantileTws(ds).toDF()),
+      // CEP sequence matcher: one fixed-size ValueState struct per user
+      run("tws_funnel", "update")(ds => Streams.funnelTws(ds).toDF()),
       run("stream_stream_join", "append") { ds =>
         val (purchases, clicks) = sides(ds)
         purchases.join(clicks, joinCond)
@@ -174,6 +176,7 @@ object StreamBench {
       "tws_quantile" -> 2200.0,
       "dedup" -> 1600.0, "session_agg" -> 2200.0,
       "tws_favorite" -> 3200.0, "tws_topk" -> 2700.0,
+      "tws_funnel" -> 1500.0,
       "alerts" -> 2600.0, "running_profile" -> 3000.0,
       "stream_stream_join" -> 1000.0, "left_outer_join" -> 1000.0,
       "chained_agg" -> 1600.0, "cdc_upsert" -> 2000.0)

@@ -404,6 +404,25 @@ object StreamingQueries {
         .orderBy($"event_type", $"rank")
     }),
 
+    // transformWithState FUNNEL / CEP — the A-then-B sequence matcher
+    // (view → purchase within 1 h per user) that neither session
+    // windows nor joins express: composite ValueState struct carries
+    // the last-view watermark + counters across batches, in-batch
+    // rows fold in (event-time, id) order, so the update-mode
+    // emission equals the batch per-user strictly-preceding-view
+    // window bit-for-bit. Emits only converting users.
+    "stream_tws_funnel" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val f = Streams.funnelTws(typed)
+        .select($"user_id", $"n_views", $"n_purchases", $"n_conversions",
+          $"min_lag_us")
+      toMemoryRocks(s, f, "stream_tws_funnel_sink", "update")
+        .orderBy($"user_id")
+    }),
+
     // Custom keyed state via mapGroupsWithState: per-user running
     // profile. AvailableNow over a single input file = one micro-batch,
     // so the update-mode memory sink holds exactly one row per user.
@@ -601,6 +620,28 @@ object StreamingQueries {
         |SELECT user_id, event_type AS favorite_type, CAST(n AS BIGINT) AS fav_n,
         |  CAST(n_types AS BIGINT) AS n_types
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "stream_tws_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' AND last_view IS NOT NULL
+        |      AND ts_us - last_view <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+        |    CAST(MIN(CASE WHEN event_type = 'purchase' AND last_view IS NOT NULL
+        |      AND ts_us - last_view <= 3600000000 THEN ts_us - last_view END) AS BIGINT) AS min_lag_us
+        |  FROM w GROUP BY user_id)
+        |SELECT user_id, n_views, n_purchases, n_conversions, min_lag_us
+        |FROM g WHERE n_conversions > 0 ORDER BY user_id""".stripMargin,
 
     "stream_tws_profile" ->
       """SELECT user_id, COUNT(*) AS n_events,

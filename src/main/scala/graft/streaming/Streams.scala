@@ -206,6 +206,27 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Streaming FUNNEL / CEP pattern detection on transformWithState
+    * with composite VALUE state: per user, match each purchase to the
+    * most recent preceding view within the 1-hour window — the
+    * A-then-B sequence primitive (MATCH_RECOGNIZE-lite) that session
+    * windows can't express. State is one fixed-size struct per user
+    * (last view micros + four counters): O(1) per key on an unbounded
+    * stream; rows fold in (event-time micros, event_id) order within
+    * each micro-batch so a shuffled batch scores like the batch
+    * window. Emits only users with ≥1 conversion (update mode). */
+  def funnelTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TwsFunnel] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Streaming rolling-z-score anomaly detection on transformWithState
     * with LIST state: a ≤20-value ring buffer per event type scores
     * each reading against its recent history — the streaming twin of
@@ -401,6 +422,64 @@ class FavoriteProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
     // favorite = max count, tie -> lexicographically smallest type
     val (favType, favN) = all.minBy { case (t, n) => (-n, t) }
     Iterator.single(TwsFavorite(key, favType, favN, all.size.toLong))
+  }
+}
+
+/** Output row of the transformWithState funnel/CEP op. */
+case class TwsFunnel(user_id: Long, n_views: Long, n_purchases: Long,
+    n_conversions: Long, min_lag_us: Long)
+
+/** Carried funnel state: last-seen view micros (−1 = none yet) plus
+  * the running counters — one fixed-size struct per user. */
+case class FunnelState(last_view_us: Long, n_views: Long, n_purchases: Long,
+    n_conversions: Long, min_lag_us: Long)
+
+/** StatefulProcessor for [[Streams.funnelTws]]: the view→purchase
+  * sequence matcher. Each purchase is scored against the most recent
+  * preceding view (any distance for the counter's "last view", ≤1 h
+  * for a conversion) — the same semantics as the batch oracle's
+  * per-user `MAX(view ts) OVER (… 1 PRECEDING)` window, which is why
+  * the emission hash-matches it. In-batch rows are sorted by
+  * (event-time micros, event_id) before folding; the cross-batch
+  * carry is the FunnelState struct. */
+class FunnelProcessor(windowUs: Long = 3600000000L,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TwsFunnel] {
+  import org.apache.spark.sql.streaming.{TimerValues, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState]("funnel",
+      Encoders.product[FunnelState], ttl)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsFunnel] = {
+    val evs = rows.toSeq.sortBy(e => (Streams.microsOf(e.ts), e.event_id))
+    if (evs.isEmpty) return Iterator.empty
+    var s = if (st.exists()) st.get()
+      else FunnelState(-1L, 0L, 0L, 0L, Long.MaxValue)
+    evs.foreach { e =>
+      val us = Streams.microsOf(e.ts)
+      e.event_type match {
+        case "view" =>
+          s = s.copy(last_view_us = us, n_views = s.n_views + 1L)
+        case "purchase" =>
+          val lag = if (s.last_view_us >= 0L) us - s.last_view_us else -1L
+          val conv = lag >= 0L && lag <= windowUs
+          s = s.copy(n_purchases = s.n_purchases + 1L,
+            n_conversions = s.n_conversions + (if (conv) 1L else 0L),
+            min_lag_us = if (conv) math.min(s.min_lag_us, lag) else s.min_lag_us)
+        case _ => ()
+      }
+    }
+    st.update(s)
+    if (s.n_conversions > 0L)
+      Iterator.single(TwsFunnel(key, s.n_views, s.n_purchases,
+        s.n_conversions, s.min_lag_us))
+    else Iterator.empty
   }
 }
 

@@ -503,6 +503,44 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState funnel converts across a micro-batch boundary and under splits") {
+    import graft.streaming.UserEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    // user 1: view → (batch boundary) → purchase 30 min later = converts;
+    // user 2: purchase 2 h after the view = outside the window, no row;
+    // user 3: purchase with no prior view = no row
+    val rows = Seq(
+      UserEvent(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      UserEvent(2L, ts("2024-01-01 00:05:00"), 2L, "view", 1.0),
+      UserEvent(3L, ts("2024-01-01 00:10:00"), 3L, "purchase", 1.0),
+      UserEvent(4L, ts("2024-01-01 00:30:00"), 1L, "purchase", 1.0),
+      UserEvent(5L, ts("2024-01-01 02:10:00"), 2L, "purchase", 1.0))
+    def lastRows(batches: Seq[Seq[UserEvent]], id: Int): Map[Long, (Long, Long, Long, Long)] = {
+      val in = MemoryStream[UserEvent](spark, id)
+      val q = Streams.funnelTws(in.toDS()).writeStream.format("memory")
+        .queryName(s"funnel_$id").outputMode("update").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(s"funnel_$id").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap // update mode: later generations overwrite in the map
+    }
+    val one = lastRows(Seq(rows), 41)
+    val split = lastRows(Seq(rows.take(3), rows.drop(3)), 42)
+    assert(one.keySet === Set(1L), "only user 1 converts")
+    assert(one(1L) === ((1L, 1L, 1L, 1800L * 1000000L)),
+      s"conversion lag must be the exact 30-min gap: ${one(1L)}")
+    assert(split === one, "cross-batch state carry diverged from single-batch")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("transformWithState quantile sketch is invariant under micro-batch splits") {
     import graft.streaming.UserEvent
     val key = "spark.sql.streaming.stateStore.providerClass"
