@@ -46,7 +46,8 @@ object SparkEntry {
       RelationalQueries11.queries ++
       MlQueries2.queries ++
       RelationalQueries12.queries ++
-      TextQueries4.queries
+      TextQueries4.queries ++
+      RelationalQueries13.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -78,5 +79,6 @@ object SparkEntry {
       RelationalQueries11.oracles ++
       MlQueries2.oracles ++
       RelationalQueries12.oracles ++
-      TextQueries4.oracles
+      TextQueries4.oracles ++
+      RelationalQueries13.oracles
 }
