@@ -47,7 +47,8 @@ object SparkEntry {
       MlQueries2.queries ++
       RelationalQueries12.queries ++
       TextQueries4.queries ++
-      RelationalQueries13.queries
+      RelationalQueries13.queries ++
+      TextQueries5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -80,5 +81,6 @@ object SparkEntry {
       MlQueries2.oracles ++
       RelationalQueries12.oracles ++
       TextQueries4.oracles ++
-      RelationalQueries13.oracles
+      RelationalQueries13.oracles ++
+      TextQueries5.oracles
 }

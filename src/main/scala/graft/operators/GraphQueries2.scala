@@ -286,6 +286,45 @@ object GraphQueries2 {
         .orderBy($"jaccard_bp".desc, $"a".asc, $"b".asc)
         .limit(20)
         .select($"a", $"b", $"common_neighbors", $"deg_a", $"deg_b", $"jaccard_bp")
+    }),
+
+    // SAMPLED CLOSENESS CENTRALITY: per-seed BFS (seeds = every 50th
+    // part id present in the capped graph) to 4 hops over the
+    // degree-capped co-purchase graph, then classic and harmonic
+    // closeness from the per-seed distance census. The frontier state
+    // is (seed, node)-keyed, so each hop is two keyed joins over
+    // frontier-sized input — the textbook multi-source distributed
+    // BFS; seed count scales as catalog/50, never corpus. Exact
+    // integers throughout (harmonic terms as 12000 DIV d — 12 is
+    // lcm(1..4), so every term is integral).
+    "graph_closeness_sample" -> ((s, d) => {
+      import s.implicits._
+      val capped = coPurchase(s, d)._2
+      val loopParts = 4
+      var visited = capped.select($"src").distinct()
+        .filter($"src" % 50 === 0)
+        .select($"src".as("seed"), $"src".as("node"), lit(0L).as("dist"))
+        .repartition(loopParts, $"node").localCheckpoint()
+      var frontier = visited.select($"seed", $"node")
+      for (h <- 1 to 4) {
+        val next = capped
+          .join(frontier.select($"seed", $"node".as("src")), Seq("src"))
+          .select($"seed", $"dst".as("node")).distinct()
+          .join(visited.select($"seed", $"node"), Seq("seed", "node"), "left_anti")
+          .withColumn("dist", lit(h.toLong))
+          .repartition(loopParts, $"node").localCheckpoint()
+        visited = visited.union(next)
+          .repartition(loopParts, $"node").localCheckpoint()
+        frontier = next.select($"seed", $"node")
+      }
+      visited.filter($"dist" > 0)
+        .groupBy($"seed")
+        .agg(count(lit(1)).as("n_reached"), sum($"dist").as("sum_dist"),
+          sum(expr("12000 DIV dist")).as("harmonic_12k"))
+        .selectExpr("seed", "n_reached", "sum_dist",
+          "n_reached * 1000 DIV sum_dist AS closeness_milli",
+          "harmonic_12k")
+        .orderBy($"seed")
     })
   )
 
@@ -486,6 +525,39 @@ object GraphQueries2 {
          |    SELECT 1 FROM sym e WHERE e.src = s.a AND e.dst = s.b))
          |SELECT a, b, common_neighbors, deg_a, deg_b, jaccard_bp
          |FROM nonadj
-         |ORDER BY jaccard_bp DESC, a, b LIMIT 20""".stripMargin
+         |ORDER BY jaccard_bp DESC, a, b LIMIT 20""".stripMargin,
+
+    "graph_closeness_sample" -> {
+      def hop(n: Int): String =
+        s"""n$n AS (
+           |  SELECT DISTINCT f.seed, e.dst AS node, CAST($n AS BIGINT) AS dist
+           |  FROM capped e JOIN v${n - 1} f ON e.src = f.node AND f.dist = ${n - 1}
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${n - 1} x
+           |                    WHERE x.seed = f.seed AND x.node = e.dst)),
+           |v$n AS (SELECT seed, node, dist FROM v${n - 1}
+           |        UNION ALL SELECT seed, node, dist FROM n$n)""".stripMargin
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |cooc AS (
+         |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+         |sym AS (SELECT p1 AS src, p2 AS dst, c FROM cooc
+         |        UNION ALL SELECT p2, p1, c FROM cooc),
+         |capped AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY c DESC, dst) AS rn FROM sym)
+         |  WHERE rn <= 8),
+         |v0 AS (
+         |  SELECT DISTINCT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM capped WHERE src % 50 = 0),
+         |${(1 to 4).map(hop).mkString(",\n")}
+         |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         |  CAST(count(*) AS BIGINT) * 1000 // CAST(SUM(dist) AS BIGINT) AS closeness_milli,
+         |  CAST(SUM(12000 // dist) AS BIGINT) AS harmonic_12k
+         |FROM v4 WHERE dist > 0 GROUP BY seed ORDER BY seed""".stripMargin
+    }
   )
 }

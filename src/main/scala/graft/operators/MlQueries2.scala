@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.OracleParity._
 
@@ -24,6 +25,8 @@ import graft.OracleParity._
   */
 object MlQueries2 {
   type Q = (SparkSession, String) => DataFrame
+
+  private val D19 = DecimalType(19, 0)
 
   /** 16 deterministic md5-derived tree constants for the isolation
     * stumps — computed once at class load and inlined as LITERALS in
@@ -320,10 +323,75 @@ object MlQueries2 {
           "n_correct", "n_correct * 10000 DIV n AS acc_bp",
           "GREATEST(n_pos, n - n_pos) * 10000 DIV n AS majority_bp",
           "hinge_sum DIV n AS hinge_mean_bp")
+    }),
+
+    // CLOSED-FORM RIDGE REGRESSION (2 predictors): price ~ quantity +
+    // discount with a 1% Tikhonov diagonal inflation, solved exactly
+    // from the centered sufficient statistics — the regularization
+    // companion to q113's OLS. ONE corpus aggregate carries all seven
+    // sums (decimal products, exact at any scale); the 2×2 solve and
+    // the OLS/ridge comparison are pure-arithmetic double trees
+    // (no libm), so both engines agree bit-for-bit.
+    "ml_ridge_closed" -> ((s, d) => {
+      import s.implicits._
+      val t = lineitem(s, d).select(
+        $"l_quantity".cast("long").as("x1"),
+        (dec($"l_discount") * 100).cast("long").as("x2"),
+        (dec($"l_extendedprice") * 100).cast("long").as("y"))
+      val g = t.agg(count(lit(1)).as("n"),
+        sum($"x1").as("s1"), sum($"x2").as("s2"), sum($"y").as("sy"),
+        sum($"x1".cast(D19) * $"x1".cast(D19)).as("s11"),
+        sum($"x2".cast(D19) * $"x2".cast(D19)).as("s22"),
+        sum($"x1".cast(D19) * $"x2".cast(D19)).as("s12"),
+        sum($"x1".cast(D19) * $"y".cast(D19)).as("s1y"),
+        sum($"x2".cast(D19) * $"y".cast(D19)).as("s2y"))
+      g.selectExpr(Seq("n") ++ ridgeCols: _*)
     })
   )
 
+  /** Centered-moment double trees shared verbatim with the DuckDB
+    * oracle (pure IEEE arithmetic — no libm — so bit-identical). */
+  private def cm(a: String, b: String, sab: String) =
+    s"(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE) - CAST($a AS DOUBLE) * CAST($b AS DOUBLE))"
+  private val ridgeCols: Seq[String] = {
+    val c11 = cm("s1", "s1", "s11"); val c22 = cm("s2", "s2", "s22")
+    val c12 = cm("s1", "s2", "s12")
+    val c1y = cm("s1", "sy", "s1y"); val c2y = cm("s2", "sy", "s2y")
+    def solve(d11: String, d22: String) = (
+      s"(($c1y * $d22 - $c2y * $c12) / ($d11 * $d22 - $c12 * $c12))",
+      s"(($c2y * $d11 - $c1y * $c12) / ($d11 * $d22 - $c12 * $c12))")
+    val (b1o, b2o) = solve(c11, c22)
+    val (b1r, b2r) = solve(s"($c11 * 1.01)", s"($c22 * 1.01)")
+    Seq(
+      s"CAST(FLOOR($b1o * 1000.0) AS BIGINT) AS b1_ols_milli",
+      s"CAST(FLOOR($b2o * 1000.0) AS BIGINT) AS b2_ols_milli",
+      s"CAST(FLOOR($b1r * 1000.0) AS BIGINT) AS b1_ridge_milli",
+      s"CAST(FLOOR($b2r * 1000.0) AS BIGINT) AS b2_ridge_milli",
+      s"CAST(FLOOR(($b1o - $b1r) / $b1o * 10000.0) AS BIGINT) AS shrink1_bp",
+      s"""CAST(FLOOR((CAST(sy AS DOUBLE) - $b1o * CAST(s1 AS DOUBLE)
+         | - $b2o * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
+         | AS icept_ols_cents""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "ml_ridge_closed" ->
+      s"""WITH t AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0))) AS s11,
+         |    SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s22,
+         |    SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s12,
+         |    SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s1y,
+         |    SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s2y
+         |  FROM t)
+         |SELECT n, ${ridgeCols.mkString(",\n  ")}
+         |FROM g""".stripMargin,
     "ml_decision_stump" ->
       s"""WITH rows0 AS (
          |  SELECT CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS v_milli,
