@@ -382,6 +382,130 @@ object RelationalQueries13 {
         .select($"n_name", $"ni", format_string("%.6f", $"z_d").as("z"),
           $"p_nano", $"rk", ($"rk" <= $"k_bh").as("rejected"))
         .orderBy($"rk")
+    }),
+
+    // COCHRAN–MANTEL–HAENSZEL pooled odds ratio: the discount→return
+    // association of q198, now stratified by quantity band so volume
+    // confounding can't fake it. One corpus scan → 3 strata × 2×2
+    // exact cells; each stratum's ad/n, bc/n, E and V terms are
+    // micro-quantized to integers BEFORE the Σ over strata (a 3-row
+    // double sum would be engine-order-dependent; integer Σ is not).
+    "q215_cmh_pooled_or" -> ((s, d) => {
+      import s.implicits._
+      val cells = lineitem(s, d)
+        .select(
+          when($"l_quantity" <= 10, "small")
+            .when($"l_quantity" <= 30, "mid").otherwise("large").as("stratum"),
+          ((dec($"l_discount") * 100).cast("long") >= 5).as("exp"),
+          ($"l_returnflag" === "R").as("out"))
+        .groupBy($"stratum")
+        .agg(
+          sum(when($"exp" && $"out", 1L).otherwise(0L)).as("a"),
+          sum(when($"exp" && !$"out", 1L).otherwise(0L)).as("b"),
+          sum(when(!$"exp" && $"out", 1L).otherwise(0L)).as("c"),
+          sum(when(!$"exp" && !$"out", 1L).otherwise(0L)).as("dd"))
+        .selectExpr("stratum", "a", "b", "c", "dd",
+          "a + b + c + dd AS n")
+        .selectExpr(Seq("a") ++ cmhTerms: _*)
+        .agg(count(lit(1)).as("k_strata"), sum($"a").as("sum_a"),
+          sum($"ad_micro").as("s_ad"), sum($"bc_micro").as("s_bc"),
+          sum($"e_micro").as("s_e"), sum($"v_micro").as("s_v"))
+      cells.selectExpr("k_strata", "sum_a",
+        "s_ad * 1000 DIV s_bc AS or_cmh_milli",
+        """CAST(FLOOR((CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE) / 1000000.0)
+          | * (CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE) / 1000000.0)
+          | / (CAST(s_v AS DOUBLE) / 1000000.0) * 1000.0) AS BIGINT)
+          | AS chi2_milli""".stripMargin,
+        """CAST(FLOOR((CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE) / 1000000.0)
+          | * (CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE) / 1000000.0)
+          | / (CAST(s_v AS DOUBLE) / 1000000.0) * 1000.0) AS BIGINT) >= 3841
+          | AS significant""".stripMargin)
+    }),
+
+    // GRANGER-LITE: does yesterday's ORDER INTAKE improve today's
+    // SHIPPED-REVENUE forecast beyond revenue's own lag? Restricted
+    // (y~y₋₁) vs full (y~y₋₁+x₋₁) OLS on the calendar-day table; the
+    // centered normal equations ride decimal-exact sums, the 2×2
+    // solve and the F statistic are pure-arithmetic double trees (no
+    // libm). Corpus-sized work = the two day aggregates; everything
+    // else is calendar-sized.
+    "q212_granger_lite" -> ((s, d) => {
+      import s.implicits._
+      val rev = lineitem(s, d).groupBy(to_date($"l_shipdate").as("day"))
+        .agg(sum((dec($"l_extendedprice") * 100).cast("long")).as("y"))
+      val ord = orders(s, d).groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wl = Window.orderBy($"day") // calendar-sized
+      val td = rev.join(ord, Seq("day"), "inner")
+        .withColumn("y1", lag($"y", 1).over(wl))
+        .withColumn("x1", lag($"x", 1).over(wl))
+        .filter($"y1".isNotNull && $"x1".isNotNull)
+        .select($"y", $"y1".as("u"), $"x1".as("v"))
+      val g = td.agg(count(lit(1)).as("n"),
+        sum($"u").as("s1"), sum($"v").as("s2"), sum($"y").as("sy"),
+        sum($"u".cast(D19) * $"u".cast(D19)).as("s11"),
+        sum($"v".cast(D19) * $"v".cast(D19)).as("s22"),
+        sum($"u".cast(D19) * $"v".cast(D19)).as("s12"),
+        sum($"u".cast(D19) * $"y".cast(D19)).as("s1y"),
+        sum($"v".cast(D19) * $"y".cast(D19)).as("s2y"),
+        sum($"y".cast(D19) * $"y".cast(D19)).as("syy"))
+      g.selectExpr(Seq("n") ++ grangerCols: _*)
+    }),
+
+    // HURST EXPONENT via rescaled-range analysis of daily revenue:
+    // R/S per block at window sizes 8/16/32/64 days, H = slope of
+    // log(mean R/S) on log(w). Block-internal cumulative deviations
+    // ride the EXACT integer identity D_j = w·cum_j − j·Σy (no mean
+    // division), S² = w·Σy² − (Σy)² likewise, so each block's
+    // R/S = (maxD−minD)/√S² takes one correctly-rounded sqrt over
+    // exact operands and is micro-quantized BEFORE the per-w mean.
+    // All windows are (w, block)-keyed — bounded frames, never global.
+    "q208_hurst_rs" -> ((s, d) => {
+      import s.implicits._
+      val day = lineitem(s, d).groupBy(to_date($"l_shipdate").as("day"))
+        .agg(sum((dec($"l_extendedprice") * 100).cast("long")).as("y"))
+      val t0 = day.agg(min($"day").as("day0"))
+      val td = day.crossJoin(broadcast(t0))
+        .select(datediff($"day", $"day0").cast("long").as("t"), $"y")
+      val ws = s.range(3, 7).select(pow(lit(2), $"id").cast("long").as("w")) // 8,16,32,64
+      val blk = td.crossJoin(broadcast(ws))
+        .withColumn("block", expr("t DIV w"))
+      val wOrd = Window.partitionBy($"w", $"block").orderBy($"t")
+      val wAll = Window.partitionBy($"w", $"block")
+      val scored = blk
+        .withColumn("j", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum($"y").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .withColumn("sy", sum($"y").over(wAll))
+        .withColumn("syy", sum($"y".cast(D19) * $"y".cast(D19)).over(wAll))
+        .filter($"cnt" === $"w") // full blocks only
+        .withColumn("dj", $"w".cast(D19) * $"cum".cast(D19)
+          - $"j".cast(D19) * $"sy".cast(D19))
+      val rs = scored.groupBy($"w", $"block")
+        .agg(max($"dj").as("maxd"), min($"dj").as("mind"),
+          max($"sy").as("sy_b"), max($"syy").as("syy_b"))
+        .selectExpr("w", "maxd", "mind",
+          """(CAST(w AS DOUBLE) * CAST(syy_b AS DOUBLE)
+            | - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE)) AS s2_d""".stripMargin)
+        .filter($"s2_d" > 0)
+        .selectExpr("w",
+          """CAST(FLOOR((CAST(maxd AS DOUBLE) - CAST(mind AS DOUBLE))
+            | / sqrt(s2_d) * 1000000.0) AS BIGINT)
+            | AS rs_micro""".stripMargin)
+      val perw = rs.groupBy($"w")
+        .agg(count(lit(1)).as("n_blocks"), sum($"rs_micro").as("s_rs"))
+        .selectExpr("w", "n_blocks", "s_rs DIV n_blocks AS mean_rs_micro")
+      val pts = perw.selectExpr(
+        "CAST(FLOOR(ln(CAST(w AS DOUBLE)) * 1e9) AS BIGINT) AS x_nano",
+        "CAST(FLOOR(ln(CAST(mean_rs_micro AS DOUBLE) / 1000000.0) * 1e9) AS BIGINT) AS y_nano")
+      val g = pts.agg(count(lit(1)).as("m"),
+        sum($"x_nano").as("sx"), sum($"y_nano").as("sy"),
+        sum($"x_nano".cast(D19) * $"x_nano".cast(D19)).as("sxx"),
+        sum($"x_nano".cast(D19) * $"y_nano".cast(D19)).as("sxy"))
+      g.selectExpr("m",
+        s"CAST(FLOOR(($slopeD) * 1000.0) AS BIGINT) AS hurst_milli",
+        s"CAST(FLOOR(($slopeD) * 1000.0) AS BIGINT) > 500 AS persistent")
     })
   )
 
@@ -403,6 +527,43 @@ object RelationalQueries13 {
   }
 
   private val BhM = 25
+
+  /** Per-stratum CMH terms, micro-quantized through identical double
+    * trees (the q192 FLOOR idiom — width-safe at any corpus size,
+    * engine-identical because only IEEE arithmetic touches them). */
+  private val cmhTerms: Seq[String] = Seq(
+    """CAST(FLOOR(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+      | / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS ad_micro""".stripMargin,
+    """CAST(FLOOR(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+      | / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS bc_micro""".stripMargin,
+    """CAST(FLOOR(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      | / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS e_micro""".stripMargin,
+    """CAST(FLOOR(CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)
+      | * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE)
+      | / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      | * 1000000.0) AS BIGINT) AS v_micro""".stripMargin)
+
+  /** Centered-moment double tree (pure IEEE arithmetic, shared text). */
+  private def cmD(a: String, b: String, sab: String) =
+    s"(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE) - CAST($a AS DOUBLE) * CAST($b AS DOUBLE))"
+
+  /** Granger-lite output columns over the 10 exact sufficient
+    * statistics (n, s1, s2, sy, s11, s22, s12, s1y, s2y, syy) —
+    * restricted (y~u) vs full (y~u+v) centered OLS, F(1, n−3). */
+  private val grangerCols: Seq[String] = {
+    val c11 = cmD("s1", "s1", "s11"); val c22 = cmD("s2", "s2", "s22")
+    val c12 = cmD("s1", "s2", "s12"); val cyy = cmD("sy", "sy", "syy")
+    val c1y = cmD("s1", "sy", "s1y"); val c2y = cmD("s2", "sy", "s2y")
+    val b1 = s"(($c1y * $c22 - $c2y * $c12) / ($c11 * $c22 - $c12 * $c12))"
+    val b2 = s"(($c2y * $c11 - $c1y * $c12) / ($c11 * $c22 - $c12 * $c12))"
+    val crr = s"($cyy - $c1y * $c1y / $c11)"
+    val crf = s"($cyy - $b1 * $c1y - $b2 * $c2y)"
+    Seq(
+      s"CAST(FLOOR(($crr - $crf) * CAST(n - 3 AS DOUBLE) / $crf * 1000.0) AS BIGINT) AS f_milli",
+      s"CAST(FLOOR((1.0 - $crf / $cyy) * 10000.0) AS BIGINT) AS r2_full_bp",
+      s"CAST(FLOOR((1.0 - $crr / $cyy) * 10000.0) AS BIGINT) AS r2_restricted_bp",
+      s"CAST(FLOOR(($crr - $crf) * CAST(n - 3 AS DOUBLE) / $crf * 1000.0) AS BIGINT) >= 3841 AS x_causes_y")
+  }
 
   val oracles: Map[String, String] = Map(
     "q197_wilcoxon_signed_rank" ->
@@ -733,6 +894,123 @@ object RelationalQueries13 {
          |  FROM flagged)
          |SELECT n_name, ni, printf('%.6f', z_d) AS z, p_nano, rk,
          |  rk <= k_bh AS rejected
-         |FROM flagged CROSS JOIN kmax ORDER BY rk""".stripMargin
+         |FROM flagged CROSS JOIN kmax ORDER BY rk""".stripMargin,
+
+    "q215_cmh_pooled_or" ->
+      s"""WITH cells AS (
+         |  SELECT CASE WHEN l_quantity <= 10 THEN 'small'
+         |              WHEN l_quantity <= 30 THEN 'mid' ELSE 'large' END AS stratum,
+         |    CAST(SUM(CASE WHEN CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5
+         |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5
+         |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) < 5
+         |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) < 5
+         |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS dd
+         |  FROM lineitem GROUP BY 1),
+         |terms AS (
+         |  SELECT a, ${cmhTerms.mkString(",\n  ")}
+         |  FROM (SELECT a, b, c, dd, a + b + c + dd AS n FROM cells)),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_strata, CAST(SUM(a) AS BIGINT) AS sum_a,
+         |    CAST(SUM(ad_micro) AS BIGINT) AS s_ad, CAST(SUM(bc_micro) AS BIGINT) AS s_bc,
+         |    CAST(SUM(e_micro) AS BIGINT) AS s_e, CAST(SUM(v_micro) AS BIGINT) AS s_v
+         |  FROM terms)
+         |SELECT k_strata, sum_a,
+         |  s_ad * 1000 // s_bc AS or_cmh_milli,
+         |  CAST(FLOOR((CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE) / 1000000.0)
+         |   * (CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE) / 1000000.0)
+         |   / (CAST(s_v AS DOUBLE) / 1000000.0) * 1000.0) AS BIGINT) AS chi2_milli,
+         |  CAST(FLOOR((CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE) / 1000000.0)
+         |   * (CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE) / 1000000.0)
+         |   / (CAST(s_v AS DOUBLE) / 1000000.0) * 1000.0) AS BIGINT) >= 3841
+         |   AS significant
+         |FROM g""".stripMargin,
+
+    "q212_granger_lite" ->
+      s"""WITH rev AS (
+         |  SELECT CAST(l_shipdate AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+         |  FROM lineitem GROUP BY 1),
+         |ordd AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |td AS (
+         |  SELECT y, u, v FROM (
+         |    SELECT r.y,
+         |      lag(r.y, 1) OVER (ORDER BY r.day) AS u,
+         |      lag(o.x, 1) OVER (ORDER BY r.day) AS v
+         |    FROM rev r JOIN ordd o ON o.day = r.day)
+         |  WHERE u IS NOT NULL AND v IS NOT NULL),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(u) AS BIGINT) AS s1, CAST(SUM(v) AS BIGINT) AS s2,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0))) AS s11,
+         |    SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS s22,
+         |    SUM(CAST(u AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS s12,
+         |    SUM(CAST(u AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s1y,
+         |    SUM(CAST(v AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s2y,
+         |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+         |  FROM td)
+         |SELECT n, ${grangerCols.mkString(",\n  ")}
+         |FROM g""".stripMargin,
+
+    "q208_hurst_rs" ->
+      s"""WITH day AS (
+         |  SELECT CAST(l_shipdate AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+         |  FROM lineitem GROUP BY 1),
+         |td AS (
+         |  SELECT CAST(datediff('day', (SELECT MIN(day) FROM day), day) AS BIGINT) AS t, y
+         |  FROM day),
+         |ws AS (SELECT CAST(power(2, range) AS BIGINT) AS w FROM range(3, 7)),
+         |blk AS (
+         |  SELECT w, t // w AS block, t, y FROM td CROSS JOIN ws),
+         |scored AS (
+         |  SELECT w, block,
+         |    CAST(row_number() OVER (PARTITION BY w, block ORDER BY t) AS BIGINT) AS j,
+         |    CAST(SUM(y) OVER (PARTITION BY w, block ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(count(*) OVER (PARTITION BY w, block) AS BIGINT) AS cnt,
+         |    CAST(SUM(y) OVER (PARTITION BY w, block) AS BIGINT) AS sy,
+         |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+         |      OVER (PARTITION BY w, block) AS syy
+         |  FROM blk),
+         |devs AS (
+         |  SELECT w, block, sy, syy,
+         |    CAST(w AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))
+         |      - CAST(j AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dj
+         |  FROM scored WHERE cnt = w),
+         |blkagg AS (
+         |  SELECT w, block, MAX(dj) AS maxd, MIN(dj) AS mind,
+         |    (CAST(w AS DOUBLE) * CAST(MAX(syy) AS DOUBLE)
+         |     - CAST(MAX(sy) AS DOUBLE) * CAST(MAX(sy) AS DOUBLE)) AS s2_d
+         |  FROM devs GROUP BY w, block),
+         |rs AS (
+         |  SELECT w,
+         |    CAST(FLOOR((CAST(maxd AS DOUBLE) - CAST(mind AS DOUBLE))
+         |     / sqrt(s2_d) * 1000000.0) AS BIGINT) AS rs_micro
+         |  FROM blkagg WHERE s2_d > 0),
+         |perw AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+         |    CAST(SUM(rs_micro) AS BIGINT) AS s_rs
+         |  FROM rs GROUP BY w),
+         |pts AS (
+         |  SELECT
+         |    CAST(FLOOR(ln(CAST(w AS DOUBLE)) * 1e9) AS BIGINT) AS x_nano,
+         |    CAST(FLOOR(ln(CAST(s_rs // n_blocks AS DOUBLE) / 1000000.0) * 1e9) AS BIGINT) AS y_nano
+         |  FROM perw),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(SUM(x_nano) AS BIGINT) AS sx, CAST(SUM(y_nano) AS BIGINT) AS sy,
+         |    SUM(CAST(x_nano AS DECIMAL(19,0)) * CAST(x_nano AS DECIMAL(19,0))) AS sxx,
+         |    SUM(CAST(x_nano AS DECIMAL(19,0)) * CAST(y_nano AS DECIMAL(19,0))) AS sxy
+         |  FROM pts)
+         |SELECT m,
+         |  CAST(FLOOR(($slopeD) * 1000.0) AS BIGINT) AS hurst_milli,
+         |  CAST(FLOOR(($slopeD) * 1000.0) AS BIGINT) > 500 AS persistent
+         |FROM g""".stripMargin
   )
 }
