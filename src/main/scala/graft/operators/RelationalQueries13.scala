@@ -506,6 +506,46 @@ object RelationalQueries13 {
       g.selectExpr("m",
         s"CAST(FLOOR(($slopeD) * 1000.0) AS BIGINT) AS hurst_milli",
         s"CAST(FLOOR(($slopeD) * 1000.0) AS BIGINT) > 500 AS persistent")
+    }),
+
+    // VARIANCE INFLATION FACTORS for the quantity/discount/tax
+    // predictor set: VIF_j = (R⁻¹)_jj of the 3×3 correlation matrix,
+    // inverted in closed form — the multicollinearity audit behind
+    // every regression report (q113/ml_ridge). ONE corpus aggregate
+    // carries the nine decimal sufficient statistics; correlations
+    // and the adjugate-over-determinant diagonal are one shared
+    // double tree (sqrt only — correctly rounded on both engines).
+    "q216_vif" -> ((s, d) => {
+      import s.implicits._
+      val t = lineitem(s, d).select(
+        $"l_quantity".cast("long").as("x1"),
+        (dec($"l_discount") * 100).cast("long").as("x2"),
+        (dec($"l_tax") * 100).cast("long").as("x3"))
+      val g = t.agg(count(lit(1)).as("n"),
+        sum($"x1").as("s1"), sum($"x2").as("s2"), sum($"x3").as("s3"),
+        sum($"x1".cast(D19) * $"x1".cast(D19)).as("s11"),
+        sum($"x2".cast(D19) * $"x2".cast(D19)).as("s22"),
+        sum($"x3".cast(D19) * $"x3".cast(D19)).as("s33"),
+        sum($"x1".cast(D19) * $"x2".cast(D19)).as("s12"),
+        sum($"x1".cast(D19) * $"x3".cast(D19)).as("s13"),
+        sum($"x2".cast(D19) * $"x3".cast(D19)).as("s23"))
+      g.selectExpr(Seq("n") ++ vifCols: _*)
+    }),
+
+    // PROCESS CAPABILITY Cp/Cpk of order quantities against the
+    // catalog's [1, 50] spec band, per return-status lane — the SPC
+    // index pair that complements the p-chart (q195) and XmR (q151)
+    // monitors. One keyed aggregate; σ and the capability ratios are
+    // a shared double tree over exact sums.
+    "q217_process_capability" -> ((s, d) => {
+      import s.implicits._
+      val g = lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"q").as("sq"),
+          sum($"q".cast(D19) * $"q".cast(D19)).as("sqq"))
+      g.selectExpr(Seq("l_returnflag", "n") ++ cpkCols: _*)
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -542,6 +582,36 @@ object RelationalQueries13 {
       | * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE)
       | / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)
       | * 1000000.0) AS BIGINT) AS v_micro""".stripMargin)
+
+  /** VIF output columns: correlations from centered moments, then the
+    * closed-form 3×3 correlation-matrix inverse diagonal. */
+  private val vifCols: Seq[String] = {
+    def c(i: String, j: String, sij: String) =
+      s"(CAST(n AS DOUBLE) * CAST($sij AS DOUBLE) - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE))"
+    val r12 = s"(${c("1", "2", "s12")} / sqrt(${c("1", "1", "s11")} * ${c("2", "2", "s22")}))"
+    val r13 = s"(${c("1", "3", "s13")} / sqrt(${c("1", "1", "s11")} * ${c("3", "3", "s33")}))"
+    val r23 = s"(${c("2", "3", "s23")} / sqrt(${c("2", "2", "s22")} * ${c("3", "3", "s33")}))"
+    val det = s"(1.0 + 2.0 * $r12 * $r13 * $r23 - $r12 * $r12 - $r13 * $r13 - $r23 * $r23)"
+    Seq(
+      s"CAST(FLOOR((1.0 - $r23 * $r23) / $det * 1000.0) AS BIGINT) AS vif_quantity_milli",
+      s"CAST(FLOOR((1.0 - $r13 * $r13) / $det * 1000.0) AS BIGINT) AS vif_discount_milli",
+      s"CAST(FLOOR((1.0 - $r12 * $r12) / $det * 1000.0) AS BIGINT) AS vif_tax_milli",
+      s"CAST(FLOOR($det * 1000000.0) AS BIGINT) AS det_micro")
+  }
+
+  /** Cp/Cpk columns over (n, sq, sqq) with spec band [1, 50]. */
+  private val cpkCols: Seq[String] = {
+    val mu = "(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))"
+    val sd = """sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+               | - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+               | / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))""".stripMargin
+    Seq(
+      s"CAST(FLOOR((50.0 - 1.0) / (6.0 * $sd) * 1000.0) AS BIGINT) AS cp_milli",
+      s"""CAST(FLOOR(LEAST(50.0 - $mu, $mu - 1.0) / (3.0 * $sd) * 1000.0)
+         | AS BIGINT) AS cpk_milli""".stripMargin,
+      s"CAST(FLOOR($mu * 1000.0) AS BIGINT) AS mu_milli",
+      s"CAST(FLOOR($sd * 1000.0) AS BIGINT) AS sigma_milli")
+  }
 
   /** Centered-moment double tree (pure IEEE arithmetic, shared text). */
   private def cmD(a: String, b: String, sab: String) =
@@ -1011,6 +1081,36 @@ object RelationalQueries13 {
          |SELECT m,
          |  CAST(FLOOR(($slopeD) * 1000.0) AS BIGINT) AS hurst_milli,
          |  CAST(FLOOR(($slopeD) * 1000.0) AS BIGINT) > 500 AS persistent
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    "q216_vif" ->
+      s"""WITH t AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+         |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS x3
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |    CAST(SUM(x3) AS BIGINT) AS s3,
+         |    SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0))) AS s11,
+         |    SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s22,
+         |    SUM(CAST(x3 AS DECIMAL(19,0)) * CAST(x3 AS DECIMAL(19,0))) AS s33,
+         |    SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s12,
+         |    SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x3 AS DECIMAL(19,0))) AS s13,
+         |    SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(x3 AS DECIMAL(19,0))) AS s23
+         |  FROM t)
+         |SELECT n, ${vifCols.mkString(",\n  ")}
+         |FROM g""".stripMargin,
+
+    "q217_process_capability" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))
+         |        * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))) AS sqq
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n, ${cpkCols.mkString(",\n  ")}
+         |FROM g ORDER BY l_returnflag""".stripMargin
   )
 }

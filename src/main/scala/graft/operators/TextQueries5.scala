@@ -146,6 +146,63 @@ object TextQueries5 {
           "k11 * n_rest > k12 * n_en AS en_enriched")
         .orderBy($"llr_milli".desc, $"tok".asc).limit(20)
         .orderBy($"llr_milli".desc, $"tok".asc)
+    }),
+
+    // QUALITY-GATE RETENTION SWEEP: the doc/token survival curve over
+    // ten minimum-length gates (the "what does each threshold cost
+    // us?" table a curation team reads before fixing a filter). One
+    // corpus scan fans out ×10 against a broadcast threshold grid —
+    // doc-count-sized, never token-sized — and every share is an
+    // exact integer basis-point.
+    "pipe_quality_gate_sweep" -> ((s, d) => {
+      import s.implicits._
+      val td = documents(s, d)
+        .select($"n_chars".cast("long").as("nc"),
+          size(split($"text", " ")).cast("long").as("ntok"))
+      val tot = td.agg(count(lit(1)).as("n_all"), sum($"ntok").as("tok_all"))
+      val thr = s.range(1, 11).select(($"id" * 100).as("thr"))
+      td.crossJoin(broadcast(thr))
+        .filter($"nc" >= $"thr")
+        .groupBy($"thr")
+        .agg(count(lit(1)).as("n_docs_kept"), sum($"ntok").as("n_tokens_kept"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("thr", "n_docs_kept",
+          "n_docs_kept * 10000 DIV n_all AS doc_share_bp",
+          "n_tokens_kept",
+          "n_tokens_kept * 10000 DIV tok_all AS token_share_bp")
+        .orderBy($"thr")
+    }),
+
+    // TOKEN-BUDGET WATERFILL: allocate a 50%-of-corpus token budget
+    // across sources — equal shares, capped at each source's
+    // availability, with one redistribution round of the capped
+    // surplus to the uncapped sources (the two-round unrolled
+    // waterfill every mixture planner runs). Per-source aggregate is
+    // the only corpus-sized work; the allocation arithmetic is exact
+    // integer DIV on dimension-sized rows.
+    "pipe_token_budget" -> ((s, d) => {
+      import s.implicits._
+      val per = documents(s, d)
+        .select($"source", size(split($"text", " ")).cast("long").as("ntok"))
+        .groupBy($"source").agg(sum($"ntok").as("avail"))
+      val tot = per.agg(sum($"avail").as("total"), count(lit(1)).as("k"))
+      val p1 = per.crossJoin(broadcast(tot))
+        .selectExpr("source", "avail", "total DIV 2 AS b", "k")
+        .selectExpr("source", "avail", "b", "b DIV k AS base")
+        .selectExpr("source", "avail", "b",
+          "LEAST(base, avail) AS a1", "avail > base AS uncapped")
+      val l1 = p1.agg(max($"b").as("b"), sum($"a1").as("s_a1"),
+          sum(when($"uncapped", 1L).otherwise(0L)).as("m"))
+        .selectExpr("b - s_a1 AS leftover", "m")
+      p1.crossJoin(broadcast(l1))
+        .selectExpr("source", "avail",
+          """CASE WHEN uncapped AND m > 0
+            | THEN LEAST(a1 + leftover DIV m, avail) ELSE a1 END
+            | AS alloc""".stripMargin,
+          "uncapped = FALSE AS capped_round1")
+        .selectExpr("source", "avail", "alloc",
+          "alloc * 10000 DIV avail AS fill_bp", "capped_round1")
+        .orderBy($"source")
     })
   )
 
@@ -243,6 +300,52 @@ object TextQueries5 {
          |  k11 * n_rest > k12 * n_en AS en_enriched
          |FROM cells CROSS JOIN marg
          |ORDER BY llr_milli DESC, tok ASC LIMIT 20""".stripMargin
-    }
+    },
+
+    "pipe_quality_gate_sweep" ->
+      """WITH td AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS nc,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(ntok) AS BIGINT) AS tok_all FROM td),
+        |thr AS (SELECT CAST(range AS BIGINT) * 100 AS thr FROM range(1, 11)),
+        |kept AS (
+        |  SELECT thr, CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |    CAST(SUM(ntok) AS BIGINT) AS n_tokens_kept
+        |  FROM td CROSS JOIN thr WHERE nc >= thr GROUP BY thr)
+        |SELECT thr, n_docs_kept,
+        |  n_docs_kept * 10000 // n_all AS doc_share_bp,
+        |  n_tokens_kept,
+        |  n_tokens_kept * 10000 // tok_all AS token_share_bp
+        |FROM kept CROSS JOIN tot ORDER BY thr""".stripMargin,
+
+    "pipe_token_budget" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(avail) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS k FROM per),
+        |p1 AS (
+        |  SELECT source, avail, b, LEAST(b // k, avail) AS a1,
+        |    avail > b // k AS uncapped
+        |  FROM (SELECT source, avail, total // 2 AS b, k
+        |        FROM per CROSS JOIN tot)),
+        |l1 AS (
+        |  SELECT CAST(MAX(b) AS BIGINT) - CAST(SUM(a1) AS BIGINT) AS leftover,
+        |    CAST(SUM(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT) AS m
+        |  FROM p1),
+        |fin AS (
+        |  SELECT source, avail,
+        |    CASE WHEN uncapped AND m > 0
+        |      THEN LEAST(a1 + leftover // m, avail) ELSE a1 END AS alloc,
+        |    uncapped = FALSE AS capped_round1
+        |  FROM p1 CROSS JOIN l1)
+        |SELECT source, avail, alloc,
+        |  alloc * 10000 // avail AS fill_bp, capped_round1
+        |FROM fin ORDER BY source""".stripMargin
   )
 }
