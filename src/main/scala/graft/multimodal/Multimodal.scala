@@ -153,6 +153,61 @@ object Multimodal {
     StructField("max_patch_sum", LongType),
     StructField("min_patch_sum", LongType)))
 
+  val lumaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("b0", LongType),
+    StructField("b1", LongType),
+    StructField("b2", LongType),
+    StructField("b3", LongType)))
+
+  /** 4-bin LUMINANCE HISTOGRAM of one decoded image: per-pixel exact
+    * integer r+g+b sum (0..765) bucketed at 192/384/576 — the color
+    * profiling pass behind dark-image / blank-asset quality gates.
+    * Integer arithmetic only, so bin counts are bit-deterministic.
+    * None for dead payloads (DLQ pattern). */
+  private[graft] def lumaHistOne(payload: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long, Long)] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bins = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val sum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        bins(math.min(3, sum / 192)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, bins(0), bins(1), bins(2), bins(3)))
+  }
+
+  /** Batched histogram pass over (doc_id, payload) — the same
+    * zero-shuffle mapPartitions seam as decodeFeatures. */
+  def lumaHistFeatures(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(lumaSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          lumaHistOne(payload) match {
+            case Some((w, h, b0, b1, b2, b3)) => Row(id, w, h, b0, b1, b2, b3)
+            case None => Row(id, null, null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** ViT-style PATCHIFICATION of one decoded image: tile into ps×ps
     * pixel patches (floor grid — ragged edges dropped, the standard
     * resize-then-crop contract), per-patch exact integer r+g+b sums,

@@ -137,6 +137,53 @@ object GraphQueries {
         .filter($"rank" <= 3)
         .select($"item", $"rank", $"nbr", $"cooc", $"cos2_e8")
         .orderBy($"item", $"rank")
+    }),
+
+    // USER-LEVEL RECOMMENDATIONS on top of the item-item model: each
+    // sampled user's purchased items pull in their top-3 cosine²
+    // neighbors, owned items are anti-joined out, candidate scores
+    // sum the exact integer cos²·1e8 contributions, top-3 per user
+    // under a (score desc, item) total order. Every stage is a keyed
+    // join/aggregate; the candidate fan-out is bounded at 3 neighbors
+    // per owned item, so work grows linearly with user-item pairs —
+    // the serving-batch shape of an item-CF recommender.
+    "cf_user_recs" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val freq = li.groupBy($"pk").agg(count(lit(1)).as("f"))
+      val cooc = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .groupBy($"a.pk".as("p1"), $"b.pk".as("p2"))
+        .agg(count(lit(1)).as("cooc"))
+      val sym = cooc.select(explode(array(
+          struct($"p1".as("item"), $"p2".as("nbr"), $"cooc"),
+          struct($"p2".as("item"), $"p1".as("nbr"), $"cooc"))).as("e"))
+        .select($"e.item".as("item"), $"e.nbr".as("nbr"), $"e.cooc".as("cooc"))
+      val wn = Window.partitionBy($"item").orderBy($"cos2_e8".desc, $"nbr")
+      val nbrs = sym
+        .join(freq.select($"pk".as("item"), $"f".as("f_item")), Seq("item"))
+        .join(freq.select($"pk".as("nbr"), $"f".as("f_nbr")), Seq("nbr"))
+        .withColumn("cos2_e8",
+          expr("cooc * cooc * 100000000 DIV (f_item * f_nbr)"))
+        .withColumn("rank", row_number().over(wn))
+        .filter($"rank" <= 3)
+        .select($"item", $"nbr", $"cos2_e8")
+      val userItems = orders(s, d)
+        .filter($"o_custkey" % 100 === 0)
+        .select($"o_orderkey".as("ok"), $"o_custkey".as("cust"))
+        .join(li, Seq("ok"))
+        .select($"cust", $"pk").distinct()
+      val wr = Window.partitionBy($"cust").orderBy($"score_e8".desc, $"rec_item")
+      userItems.join(nbrs.select($"item".as("pk"), $"nbr", $"cos2_e8"), Seq("pk"))
+        .join(userItems.select($"cust", $"pk".as("nbr")),
+          Seq("cust", "nbr"), "left_anti")
+        .groupBy($"cust", $"nbr".as("rec_item"))
+        .agg(sum($"cos2_e8").as("score_e8"), count(lit(1)).as("n_via"))
+        .withColumn("rec_rank", row_number().over(wr))
+        .filter($"rec_rank" <= 3)
+        .select($"cust", $"rec_rank", $"rec_item", $"n_via", $"score_e8")
+        .orderBy($"cust", $"rec_rank")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -205,5 +252,50 @@ object GraphQueries {
         |  FROM scored)
         |SELECT item, CAST(rank AS INTEGER) AS rank, nbr, cooc, cos2_e8
         |FROM ranked WHERE rank <= 3
-        |ORDER BY item, rank""".stripMargin)
+        |ORDER BY item, rank""".stripMargin,
+
+    "cf_user_recs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |freq AS (SELECT pk, CAST(count(*) AS BIGINT) AS f FROM li GROUP BY pk),
+        |cooc AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS cooc
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk),
+        |sym AS (
+        |  SELECT p1 AS item, p2 AS nbr, cooc FROM cooc
+        |  UNION ALL SELECT p2, p1, cooc FROM cooc),
+        |scored AS (
+        |  SELECT s.item, s.nbr,
+        |    CAST(s.cooc * s.cooc * 100000000 // (fi.f * fn.f) AS BIGINT) AS cos2_e8
+        |  FROM sym s
+        |  JOIN freq fi ON s.item = fi.pk
+        |  JOIN freq fn ON s.nbr = fn.pk),
+        |nbrs AS (
+        |  SELECT item, nbr, cos2_e8 FROM (
+        |    SELECT item, nbr, cos2_e8,
+        |      row_number() OVER (PARTITION BY item
+        |        ORDER BY cos2_e8 DESC, nbr) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 3),
+        |ui AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.pk
+        |  FROM orders o JOIN li l ON l.ok = o.o_orderkey
+        |  WHERE o.o_custkey % 100 = 0),
+        |cand AS (
+        |  SELECT u.cust, n.nbr AS rec_item,
+        |    CAST(SUM(n.cos2_e8) AS BIGINT) AS score_e8,
+        |    CAST(count(*) AS BIGINT) AS n_via
+        |  FROM ui u JOIN nbrs n ON n.item = u.pk
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM ui x WHERE x.cust = u.cust AND x.pk = n.nbr)
+        |  GROUP BY u.cust, n.nbr),
+        |rr AS (
+        |  SELECT cust, rec_item, score_e8, n_via,
+        |    row_number() OVER (PARTITION BY cust
+        |      ORDER BY score_e8 DESC, rec_item) AS rec_rank
+        |  FROM cand)
+        |SELECT cust, CAST(rec_rank AS INTEGER) AS rec_rank, rec_item, n_via, score_e8
+        |FROM rr WHERE rec_rank <= 3
+        |ORDER BY cust, rec_rank""".stripMargin)
 }

@@ -275,6 +275,28 @@ object MultimodalQueries {
             $"n_segments" === expr("CAST((n_segs + 1) DIV 2 AS BIGINT)"))
         .select($"doc_id", $"n_frames", $"n_active", $"n_segments", $"vad_match")
         .orderBy($"doc_id")
+    }),
+
+    // 4-BIN LUMINANCE HISTOGRAM through the real PNG codec — the
+    // dark-image / blank-asset color-profiling gate. Pattern fixtures
+    // put every pixel at exactly 64 or 192 grey (sums 192/576 → bins
+    // 1 and 3), so the histogram has a bit_count closed form the
+    // oracle hash-pins — certifying the decode→bucket path end to
+    // end. 25% deterministic sample (codec CPU, embarrassingly
+    // parallel); zero-shuffle batched mapPartitions as all decodes.
+    "mm_luma_histogram" -> ((s, d) => {
+      import s.implicits._
+      val meta = documents(s, d).filter($"doc_id" % 4 === 1)
+        .select($"doc_id",
+          ($"doc_id" % 3 + 1).cast("int").as("px"),
+          substring(md5(($"doc_id" % 40).cast("string").cast("binary")), 1, 16)
+            .as("bits_hex"))
+      val payloads = graft.multimodal.Multimodal.encodePatternPayloads(
+        meta.select($"doc_id", ($"px" * 8).cast("int").as("scale"), $"bits_hex"))
+      val hist = graft.multimodal.Multimodal.lumaHistFeatures(payloads)
+      hist.selectExpr("doc_id", "width", "height", "b0", "b1", "b2", "b3",
+          "b3 * 10000 DIV (b0 + b1 + b2 + b3) AS light_share_bp")
+        .orderBy($"doc_id")
     })
   )
 
@@ -380,6 +402,30 @@ object MultimodalQueries {
         |   AS n_active,
         | CAST((n_chars % 6 + 2 + 1) // 2 AS BIGINT) AS n_segments,
         | TRUE AS vad_match
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_luma_histogram" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 3 + 1 AS BIGINT) AS px,
+        |    substring(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 16) AS bits_hex
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |pop AS (
+        |  SELECT m.doc_id,
+        |    CAST(SUM(bit_count(CAST(strpos('0123456789abcdef',
+        |      substring(m.bits_hex, g.i, 1)) - 1 AS INTEGER))) AS BIGINT) AS n_light
+        |  FROM m, generate_series(1, 16) AS g(i)
+        |  GROUP BY m.doc_id)
+        |SELECT m.doc_id,
+        |  CAST(m.px * 64 AS INTEGER) AS width,
+        |  CAST(m.px * 64 AS INTEGER) AS height,
+        |  CAST(0 AS BIGINT) AS b0,
+        |  CAST((64 - p.n_light) * 64 * m.px * m.px AS BIGINT) AS b1,
+        |  CAST(0 AS BIGINT) AS b2,
+        |  CAST(p.n_light * 64 * m.px * m.px AS BIGINT) AS b3,
+        |  CAST(p.n_light * 64 * m.px * m.px AS BIGINT) * 10000
+        |    // CAST(4096 * m.px * m.px AS BIGINT) AS light_share_bp
+        |FROM m JOIN pop p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

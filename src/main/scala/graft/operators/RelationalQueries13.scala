@@ -91,20 +91,23 @@ object RelationalQueries13 {
           sum(when(!$"exp" && $"out", 1L).otherwise(0L)).as("c"),
           sum(when(!$"exp" && !$"out", 1L).otherwise(0L)).as("dd"))
       cells.selectExpr("a", "b", "c", "dd AS d",
-        "CASE WHEN b * c = 0 THEN NULL ELSE a * dd * 1000 DIV (b * c) END AS or_milli",
-        """CASE WHEN a * b * c * dd = 0 THEN NULL ELSE format_string('%.6f',
+        """CASE WHEN b = 0 OR c = 0 THEN NULL ELSE
+          |  CAST(FLOOR(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+          |   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * 1000.0) AS BIGINT)
+          | END AS or_milli""".stripMargin,
+        """CASE WHEN a = 0 OR b = 0 OR c = 0 OR dd = 0 THEN NULL ELSE format_string('%.6f',
           |  exp(ln(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
           |         / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
           |      - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
           |                    + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(dd AS DOUBLE))))
           | END AS ci_lo""".stripMargin,
-        """CASE WHEN a * b * c * dd = 0 THEN NULL ELSE format_string('%.6f',
+        """CASE WHEN a = 0 OR b = 0 OR c = 0 OR dd = 0 THEN NULL ELSE format_string('%.6f',
           |  exp(ln(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
           |         / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
           |      + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
           |                    + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(dd AS DOUBLE))))
           | END AS ci_hi""".stripMargin,
-        """CASE WHEN a * b * c * dd = 0 THEN NULL ELSE
+        """CASE WHEN a = 0 OR b = 0 OR c = 0 OR dd = 0 THEN NULL ELSE
           |  ln(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
           |     / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
           |  - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
@@ -690,20 +693,23 @@ object RelationalQueries13 {
         |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS dd
         |  FROM lineitem)
         |SELECT a, b, c, dd AS d,
-        |  CASE WHEN b * c = 0 THEN NULL ELSE a * dd * 1000 // (b * c) END AS or_milli,
-        |  CASE WHEN a * b * c * dd = 0 THEN NULL ELSE printf('%.6f',
+        |  CASE WHEN b = 0 OR c = 0 THEN NULL ELSE
+        |  CAST(FLOOR(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+        |   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * 1000.0) AS BIGINT)
+        |  END AS or_milli,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR dd = 0 THEN NULL ELSE printf('%.6f',
         |    exp(ln(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
         |           / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
         |        - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
         |                      + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(dd AS DOUBLE))))
         |   END AS ci_lo,
-        |  CASE WHEN a * b * c * dd = 0 THEN NULL ELSE printf('%.6f',
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR dd = 0 THEN NULL ELSE printf('%.6f',
         |    exp(ln(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
         |           / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
         |        + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
         |                      + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(dd AS DOUBLE))))
         |   END AS ci_hi,
-        |  CASE WHEN a * b * c * dd = 0 THEN NULL ELSE
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR dd = 0 THEN NULL ELSE
         |    ln(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
         |       / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
         |    - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)

@@ -292,6 +292,27 @@ object SimilarityQueries {
       bruteTopK(s, d).orderBy($"q_id", $"rank")
     }),
 
+    // RANGE (radius) SEARCH — the threshold twin of top-k retrieval:
+    // every corpus vector within cosine ≥ 0.3 of each query, however
+    // many or few there are (the dedup-candidate / recall-audit
+    // shape; top-k can't express "give me ALL matches"). Queries ride
+    // a broadcast (every-100th id, so the query set scales as
+    // corpus/100 and the scan stays one embarrassingly-parallel
+    // pass); the exact fold cosine is the same HOF kernel the brute
+    // baseline uses — bucket pruning (IVF/LSH) layers on identically
+    // when recall tolerance allows.
+    "sim_range_search" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+      val queriesDf = embeddings(s, d).filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      emb.join(broadcast(queriesDf), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+        .filter($"cosine" >= 0.3)
+        .orderBy($"q_id", $"vec_id")
+    }),
+
     // Per-label centroid separation — the embedding-space health probe
     // a curation pass reads before trusting label buckets as IVF
     // cells: collapsing inter-centroid distances mean the clusters
@@ -517,6 +538,14 @@ object SimilarityQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} > 0.35
          |ORDER BY v1, v2""".stripMargin,
+
+    "sim_range_search" ->
+      s"""SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         | ${cos("q.embedding", "e.embedding")} AS cosine
+         |FROM embeddings q JOIN embeddings e
+         |  ON q.vec_id % 100 = 0 AND e.vec_id != q.vec_id
+         |WHERE ${cos("q.embedding", "e.embedding")} >= 0.3
+         |ORDER BY q_id, vec_id""".stripMargin,
 
     "sim_threshold_sweep" ->
       s"""WITH scored AS (
