@@ -549,8 +549,61 @@ object RelationalQueries13 {
           sum($"q".cast(D19) * $"q".cast(D19)).as("sqq"))
       g.selectExpr(Seq("l_returnflag", "n") ++ cpkCols: _*)
         .orderBy($"l_returnflag")
+    }),
+
+    // ACF + PACF (Durbin–Levinson to lag 3) of the daily order-intake
+    // series — the Box–Jenkins identification table behind every
+    // ARIMA order choice. Lagged pairs come from a keyed self-join of
+    // the calendar-day aggregate (shifted-index equi-join, ×3
+    // fan-out — calendar-sized, never corpus-sized); each r_k is an
+    // exact-sum Pearson nano-quantized BEFORE the Durbin–Levinson
+    // recursion, whose unrolled φ₂₂/φ₃₃ trees are pure arithmetic.
+    "q218_acf_pacf" -> ((s, d) => {
+      import s.implicits._
+      val day = orders(s, d).groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val t0 = day.agg(min($"day").as("day0"))
+      val td = day.crossJoin(broadcast(t0))
+        .select(datediff($"day", $"day0").cast("long").as("t"), $"y")
+      val ks = s.range(1, 4).select($"id".as("k"))
+      val pairs = td.crossJoin(broadcast(ks))
+        .select($"k", ($"t" - $"k").as("tz"), $"y".as("x"))
+        .join(td.select($"t".as("tz"), $"y".as("z")), Seq("tz"))
+      val g = pairs.groupBy($"k").agg(count(lit(1)).as("m"),
+        sum($"x").as("sx"), sum($"z").as("sz"),
+        sum($"x".cast(D19) * $"x".cast(D19)).as("sxx"),
+        sum($"z".cast(D19) * $"z".cast(D19)).as("szz"),
+        sum($"x".cast(D19) * $"z".cast(D19)).as("sxz"))
+      val r = g.selectExpr("k",
+        s"CAST(FLOOR($pearsonXZ * 1e9) AS BIGINT) AS r_nano")
+      r.groupBy().agg(
+          max(when($"k" === 1, $"r_nano")).as("r1_nano"),
+          max(when($"k" === 2, $"r_nano")).as("r2_nano"),
+          max(when($"k" === 3, $"r_nano")).as("r3_nano"))
+        .selectExpr(Seq("r1_nano", "r2_nano", "r3_nano") ++ pacfCols: _*)
     })
   )
+
+  /** Pearson r over the lag-pair sufficient statistics (shared text). */
+  private val pearsonXZ =
+    """((CAST(m AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+      | / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * sqrt(CAST(m AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))))""".stripMargin
+
+  /** Durbin–Levinson unrolled to order 3 over the nano-quantized
+    * autocorrelations (pure arithmetic, shared text). */
+  private val pacfCols: Seq[String] = {
+    val r1 = "(CAST(r1_nano AS DOUBLE) / 1e9)"
+    val r2 = "(CAST(r2_nano AS DOUBLE) / 1e9)"
+    val r3 = "(CAST(r3_nano AS DOUBLE) / 1e9)"
+    val p22 = s"(($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))"
+    val p21 = s"($r1 * (1.0 - $p22))"
+    val p33 = s"(($r3 - $p21 * $r2 - $p22 * $r1) / (1.0 - $p21 * $r1 - $p22 * $r2))"
+    Seq(
+      s"CAST(FLOOR($r1 * 1000000.0) AS BIGINT) AS pacf1_micro",
+      s"CAST(FLOOR($p22 * 1000000.0) AS BIGINT) AS pacf2_micro",
+      s"CAST(FLOOR($p33 * 1000000.0) AS BIGINT) AS pacf3_micro")
+  }
 
   /** OLS slope over the nano-quantized (x,y) sums — shared text so the
     * Spark and DuckDB trees are operand-identical. */
@@ -1117,6 +1170,36 @@ object RelationalQueries13 {
          |        * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))) AS sqq
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag, n, ${cpkCols.mkString(",\n  ")}
-         |FROM g ORDER BY l_returnflag""".stripMargin
+         |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "q218_acf_pacf" ->
+      s"""WITH day AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |td AS (
+         |  SELECT CAST(datediff('day', (SELECT MIN(day) FROM day), day) AS BIGINT) AS t, y
+         |  FROM day),
+         |ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 4)),
+         |pairs AS (
+         |  SELECT a.k, a.x, b.y AS z FROM (
+         |    SELECT k, t - k AS tz, y AS x FROM td CROSS JOIN ks) a
+         |  JOIN td b ON b.t = a.tz),
+         |g AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS m,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(z) AS BIGINT) AS sz,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         |    SUM(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS szz,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS sxz
+         |  FROM pairs GROUP BY k),
+         |r AS (
+         |  SELECT k, CAST(FLOOR($pearsonXZ * 1e9) AS BIGINT) AS r_nano FROM g),
+         |one AS (
+         |  SELECT
+         |    CAST(MAX(CASE WHEN k = 1 THEN r_nano END) AS BIGINT) AS r1_nano,
+         |    CAST(MAX(CASE WHEN k = 2 THEN r_nano END) AS BIGINT) AS r2_nano,
+         |    CAST(MAX(CASE WHEN k = 3 THEN r_nano END) AS BIGINT) AS r3_nano
+         |  FROM r)
+         |SELECT r1_nano, r2_nano, r3_nano, ${pacfCols.mkString(",\n  ")}
+         |FROM one""".stripMargin
   )
 }

@@ -707,6 +707,33 @@ object SamplingQueries {
             .otherwise(0L))
         .select($"source", $"n_docs", $"weight", ($"base" + $"extra").as("quota"))
         .orderBy($"source")
+    }),
+
+    // DEDUP-AWARE EFFECTIVE SAMPLE SIZE: each near-dup family counts
+    // once — a doc's weight is 1/|its similarity cluster| (micro-
+    // quantized integer, exact at any summation order), so per-source
+    // "effective docs" and the duplication-inflation bp tell the
+    // sampler how much of each source is really new content. Reuses
+    // the shared jaccardPairs substrate + pointer-doubling CC labels
+    // (cluster sizes are similarity-graph-sized); the corpus is
+    // touched once for the label join.
+    "samp_dedup_aware" -> ((s, d) => {
+      import s.implicits._
+      val labels = ConnectedComponents.labels(s,
+        DedupQueries.jaccardPairs(s, d).select($"d1", $"d2"), "samp_dedup_aware")
+      val labd = documents(s, d).select($"doc_id", $"source")
+        .join(labels.select($"id".as("doc_id"), $"lab"), Seq("doc_id"), "left")
+        .select($"doc_id", $"source", coalesce($"lab", $"doc_id").as("rep"))
+      val csize = labd.groupBy($"rep").agg(count(lit(1)).as("k"))
+      labd.join(csize, Seq("rep"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"k" > 1, 1L).otherwise(0L)).as("n_clustered"),
+          sum(expr("1000000 DIV k")).as("eff_micro"))
+        .selectExpr("source", "n_docs", "n_clustered", "eff_micro",
+          """(n_docs * 1000000 - eff_micro) * 10000
+            | DIV (n_docs * 1000000) AS dup_inflation_bp""".stripMargin)
+        .orderBy($"source")
     })
   )
 
@@ -1135,6 +1162,29 @@ object SamplingQueries {
         |  FROM b)
         |SELECT source, n_docs, CAST(weight AS BIGINT) AS weight,
         |  CAST(base + CASE WHEN rk <= 100 - base_tot THEN 1 ELSE 0 END AS BIGINT) AS quota
-        |FROM c ORDER BY source""".stripMargin
+        |FROM c ORDER BY source""".stripMargin,
+
+    "samp_dedup_aware" ->
+      s"""WITH RECURSIVE ${DedupQueries.pairsCte},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(doc_id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |final AS (SELECT doc_id, MIN(lab) AS lab FROM reach GROUP BY doc_id),
+         |labd AS (
+         |  SELECT d.doc_id, d.source, f.lab AS rep
+         |  FROM documents d JOIN final f USING (doc_id)),
+         |csize AS (SELECT rep, CAST(count(*) AS BIGINT) AS k FROM labd GROUP BY rep),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |    CAST(SUM(1000000 // k) AS BIGINT) AS eff_micro
+         |  FROM labd JOIN csize USING (rep) GROUP BY source)
+         |SELECT source, n_docs, n_clustered, eff_micro,
+         |  (n_docs * 1000000 - eff_micro) * 10000
+         |   // (n_docs * 1000000) AS dup_inflation_bp
+         |FROM per ORDER BY source""".stripMargin
   )
 }
