@@ -450,4 +450,42 @@ class PlanSpec extends SparkSuite {
     assert(plan("q171_price_volume_mix").contains("BroadcastHashJoin"),
       "part dimension must broadcast against lineitem")
   }
+
+  test("sim_range_search: queries broadcast against one corpus pass, no cartesian") {
+    val p = plan("sim_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast (corpus scanned once)")
+    assert(!p.contains("CartesianProduct"),
+      "range search must never plan a partitioned cartesian")
+  }
+
+  test("cf_user_recs: candidate fan-out is keyed — no nested-loop join, anti-join plans as LeftAnti") {
+    val p = plan("cf_user_recs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "all CF joins must be equi-joins")
+    assert(p.contains("LeftAnti"), "owned-item exclusion must plan as an anti-join")
+  }
+
+  test("q204: the order→ship delay join is an equi-join on orderkey; ranks stay distinct-value-sized") {
+    val p = plan("q204_weibull_fit")
+    // the only nested-loop allowed is the single-row broadcast total
+    // (crossJoin(broadcast(count))) — a partitioned cartesian never is
+    assert(!p.contains("CartesianProduct"),
+      "fact-fact delay join must shuffle both sides on the same key")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "the orderkey join must be an equi-join")
+  }
+
+  test("q200: AUC rank window rides the distinct-score table (partial+final census agg)") {
+    val p = plan("q200_auc_roc")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the per-score census must map-side combine")
+  }
+
+  test("q210: per-nation aggregate is partial+final; nation name join broadcasts") {
+    val p = plan("q210_benjamini_hochberg")
+    assert(p.contains("BroadcastHashJoin"), "25-row nation dim must broadcast")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "the per-nation moment aggregate must map-side combine")
+  }
 }
