@@ -48,7 +48,8 @@ object SparkEntry {
       RelationalQueries12.queries ++
       TextQueries4.queries ++
       RelationalQueries13.queries ++
-      TextQueries5.queries
+      TextQueries5.queries ++
+      RelationalQueries14.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -82,5 +83,6 @@ object SparkEntry {
       RelationalQueries12.oracles ++
       TextQueries4.oracles ++
       RelationalQueries13.oracles ++
-      TextQueries5.oracles
+      TextQueries5.oracles ++
+      RelationalQueries14.oracles
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-11 continuation: experimentation + extreme-value statistics.
+  *
+  *  - `q219_power_mde` — minimum detectable effect and required
+  *    sample size for the order-value A/B test at 80% power;
+  *  - `q220_bartlett` — Bartlett's homogeneity-of-variances test
+  *    across market segments (the parametric twin of q176 Levene);
+  *  - `q221_gumbel_extremes` — Gumbel fit to monthly revenue maxima
+  *    with the 100-block return level (the capacity-planning tail).
+  *
+  * Exactness: every per-group libm term (ln of a variance) is
+  * floor-quantized to an integer unit BEFORE any cross-group Σ, so
+  * group-order never leaks into results; single-row trees are shared
+  * verbatim with the DuckDB oracles.
+  */
+object RelationalQueries14 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val D19 = DecimalType(19, 0)
+
+  // z_{0.975} + z_{0.80} for the classic two-sided 5% / 80%-power pair
+  private val ZSUM = "(1.959963984540054 + 0.8416212335729143)"
+
+  val queries: Map[String, Q] = Map(
+    // POWER / MDE: with the traffic we have, what lift on mean order
+    // value could the A/B framework (q100) even detect? One corpus
+    // aggregate → per-arm n, σ² from exact sums → MDE at 80% power
+    // and the per-arm n required for a 1% lift, as one shared tree.
+    "q219_power_mde" -> ((s, d) => {
+      import s.implicits._
+      val g = orders(s, d)
+        .select((dec($"o_totalprice") * 100).cast("long").as("v"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          sum($"v".cast(D19) * $"v".cast(D19)).as("svv"))
+      g.selectExpr("n",
+        s"CAST(FLOOR($meanD) AS BIGINT) AS mean_cents",
+        s"CAST(FLOOR($sdD) AS BIGINT) AS sigma_cents",
+        // MDE = (z_{α/2}+z_β)·√(2σ²/n_arm), n_arm = n/2
+        s"""CAST(FLOOR($ZSUM * sqrt(2.0 * $sdD * $sdD
+           | / (CAST(n AS DOUBLE) / 2.0))) AS BIGINT) AS mde_cents""".stripMargin,
+        s"""CAST(FLOOR($ZSUM * sqrt(2.0 * $sdD * $sdD
+           | / (CAST(n AS DOUBLE) / 2.0)) / ($meanD) * 10000.0) AS BIGINT)
+           | AS mde_bp""".stripMargin,
+        // per-arm n needed to detect a 1% lift of the mean
+        s"""CAST(FLOOR(2.0 * $ZSUM * $ZSUM * $sdD * $sdD
+           | / (0.01 * $meanD * 0.01 * $meanD)) AS BIGINT)
+           | AS n_arm_for_1pct""".stripMargin)
+    }),
+
+    // BARTLETT'S TEST for variance homogeneity across the five market
+    // segments: B = ((N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²) / C. Each
+    // group's ln-variance term is micro-quantized BEFORE the 5-row
+    // Σ (cross-group double sums are engine-order-dependent; integer
+    // Σ is not), as is each 1/(nᵢ−1) term of the C correction. One
+    // corpus-sized keyed aggregate; everything after is 5 rows.
+    "q220_bartlett" -> ((s, d) => {
+      import s.implicits._
+      val per = orders(s, d)
+        .join(customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+          Seq("o_custkey"))
+        .select($"c_mktsegment", (dec($"o_totalprice") * 100).cast("long").as("v"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("ni"), sum($"v").as("si"),
+          sum($"v".cast(D19) * $"v".cast(D19)).as("sii"))
+        .selectExpr("ni",
+          // (nᵢ−1)·ln sᵢ² in micro units, exact per group
+          s"CAST(FLOOR(CAST(ni - 1 AS DOUBLE) * ln($varI) * 1000000.0) AS BIGINT) AS lnterm_micro",
+          "CAST(FLOOR(1000000000.0 / CAST(ni - 1 AS DOUBLE)) AS BIGINT) AS invdf_nano",
+          // pooled-variance numerator (nᵢ−1)·sᵢ², kilo-cents²-floored
+          s"CAST(FLOOR(CAST(ni - 1 AS DOUBLE) * ($varI) / 1000.0) AS BIGINT) AS ssq_kilo")
+      val g = per.agg(count(lit(1)).as("k"), sum($"ni").as("nn"),
+        sum($"lnterm_micro").as("s_ln"), sum($"invdf_nano").as("s_inv"),
+        sum($"ssq_kilo").as("s_ssq"))
+      g.selectExpr("k", "nn",
+        s"CAST(FLOOR($bartlettB * 1000.0) AS BIGINT) AS b_milli",
+        s"CAST(FLOOR($bartlettB * 1000.0) AS BIGINT) >= 9488 AS significant")
+    }),
+
+    // GUMBEL EXTREME-VALUE FIT on monthly revenue maxima: method-of-
+    // moments (β = σ√6/π, μ = x̄ − γβ) over the 80-ish block maxima,
+    // plus the 100-block return level μ − β·ln(−ln(1−1/100)) — the
+    // "what daily peak do we see once per ~8 years?" capacity number.
+    // Two keyed aggregates (day, then month-max); maxima are exact
+    // integers so the MoM sums are exact; the fit is one shared tree.
+    "q221_gumbel_extremes" -> ((s, d) => {
+      import s.implicits._
+      val day = lineitem(s, d).groupBy(to_date($"l_shipdate").as("day"))
+        .agg(sum((dec($"l_extendedprice") * 100).cast("long")).as("y"))
+      val blocks = day.groupBy(date_trunc("month", $"day").as("mon"))
+        .agg(max($"y").as("mx"))
+      val g = blocks.agg(count(lit(1)).as("n"), sum($"mx").as("sm"),
+        sum($"mx".cast(D19) * $"mx".cast(D19)).as("smm"))
+      g.selectExpr("n",
+        s"CAST(FLOOR($gumbelMu) AS BIGINT) AS mu_cents",
+        s"CAST(FLOOR($gumbelBeta) AS BIGINT) AS beta_cents",
+        s"""CAST(FLOOR($gumbelMu - $gumbelBeta
+           | * ln(-ln(1.0 - 1.0 / 100.0))) AS BIGINT) AS rl100_cents""".stripMargin)
+    })
+  )
+
+  private val meanD = "(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val sdD =
+    """sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+      | - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+      | / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))""".stripMargin
+
+  /** Per-group sample variance from (ni, si, sii) — shared text. */
+  private val varI =
+    """((CAST(ni AS DOUBLE) * CAST(sii AS DOUBLE)
+      | - CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+      | / (CAST(ni AS DOUBLE) * CAST(ni - 1 AS DOUBLE)))""".stripMargin
+
+  /** Bartlett B over the quantized group sums (k, nn, s_ln, s_inv,
+    * s_ssq) — pooled ln-variance recovered from the kilo-floored SSQ. */
+  private val bartlettB =
+    """(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+      |   * ln(CAST(s_ssq AS DOUBLE) * 1000.0
+      |        / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+      |   - CAST(s_ln AS DOUBLE) / 1000000.0)
+      | / (1.0 + (CAST(s_inv AS DOUBLE) / 1000000000.0
+      |           - 1.0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+      |          / (3.0 * (CAST(k AS DOUBLE) - 1.0))))""".stripMargin
+
+  private val gumbelMean = "(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val gumbelSd =
+    """sqrt((CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+      | - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+      | / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))""".stripMargin
+  private val gumbelBeta =
+    s"($gumbelSd * 0.7796968012336093)" // √6/π
+  private val gumbelMu =
+    s"($gumbelMean - 0.5772156649015329 * $gumbelBeta)"
+
+  val oracles: Map[String, String] = Map(
+    "q219_power_mde" ->
+      s"""WITH g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sv,
+         |    SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(19,0))
+         |        * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(19,0))) AS svv
+         |  FROM orders)
+         |SELECT n,
+         |  CAST(FLOOR($meanD) AS BIGINT) AS mean_cents,
+         |  CAST(FLOOR($sdD) AS BIGINT) AS sigma_cents,
+         |  CAST(FLOOR($ZSUM * sqrt(2.0 * $sdD * $sdD
+         |   / (CAST(n AS DOUBLE) / 2.0))) AS BIGINT) AS mde_cents,
+         |  CAST(FLOOR($ZSUM * sqrt(2.0 * $sdD * $sdD
+         |   / (CAST(n AS DOUBLE) / 2.0)) / ($meanD) * 10000.0) AS BIGINT)
+         |   AS mde_bp,
+         |  CAST(FLOOR(2.0 * $ZSUM * $ZSUM * $sdD * $sdD
+         |   / (0.01 * $meanD * 0.01 * $meanD)) AS BIGINT)
+         |   AS n_arm_for_1pct
+         |FROM g""".stripMargin,
+
+    "q220_bartlett" ->
+      s"""WITH base AS (
+         |  SELECT c.c_mktsegment,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+         |perg AS (
+         |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS ni,
+         |    CAST(SUM(v) AS BIGINT) AS si,
+         |    SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS sii
+         |  FROM base GROUP BY c_mktsegment),
+         |per AS (
+         |  SELECT ni,
+         |    CAST(FLOOR(CAST(ni - 1 AS DOUBLE) * ln($varI) * 1000000.0) AS BIGINT) AS lnterm_micro,
+         |    CAST(FLOOR(1000000000.0 / CAST(ni - 1 AS DOUBLE)) AS BIGINT) AS invdf_nano,
+         |    CAST(FLOOR(CAST(ni - 1 AS DOUBLE) * ($varI) / 1000.0) AS BIGINT) AS ssq_kilo
+         |  FROM perg),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS nn,
+         |    CAST(SUM(lnterm_micro) AS BIGINT) AS s_ln,
+         |    CAST(SUM(invdf_nano) AS BIGINT) AS s_inv,
+         |    CAST(SUM(ssq_kilo) AS BIGINT) AS s_ssq
+         |  FROM per)
+         |SELECT k, nn,
+         |  CAST(FLOOR($bartlettB * 1000.0) AS BIGINT) AS b_milli,
+         |  CAST(FLOOR($bartlettB * 1000.0) AS BIGINT) >= 9488 AS significant
+         |FROM g""".stripMargin,
+
+    "q221_gumbel_extremes" ->
+      s"""WITH day AS (
+         |  SELECT CAST(l_shipdate AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+         |  FROM lineitem GROUP BY 1),
+         |blocks AS (
+         |  SELECT date_trunc('month', day) AS mon, CAST(MAX(y) AS BIGINT) AS mx
+         |  FROM day GROUP BY 1),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(mx) AS BIGINT) AS sm,
+         |    SUM(CAST(mx AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0))) AS smm
+         |  FROM blocks)
+         |SELECT n,
+         |  CAST(FLOOR($gumbelMu) AS BIGINT) AS mu_cents,
+         |  CAST(FLOOR($gumbelBeta) AS BIGINT) AS beta_cents,
+         |  CAST(FLOOR($gumbelMu - $gumbelBeta
+         |   * ln(-ln(1.0 - 1.0 / 100.0))) AS BIGINT) AS rl100_cents
+         |FROM g""".stripMargin
+  )
+}

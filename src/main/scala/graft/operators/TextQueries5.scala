@@ -203,6 +203,28 @@ object TextQueries5 {
         .selectExpr("source", "avail", "alloc",
           "alloc * 10000 DIV avail AS fill_bp", "capped_round1")
         .orderBy($"source")
+    }),
+
+    // POSITIONAL BIAS: do the corpus's heaviest terms front-load
+    // (lead-paragraph bias) or spread evenly? Each occurrence gets an
+    // exact basis-point relative position i·10⁴ DIV (len−1); per-term
+    // means are integer DIVs of exact sums, so the census is
+    // order-free. One posexplode scan → token-keyed aggregate; top-20
+    // by tf under a (tf desc, tok) total order.
+    "text_position_bias" -> ((s, d) => {
+      import s.implicits._
+      val pt = documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("i", "tok")))
+        .withColumn("len", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+        .filter($"len" >= 2)
+        .selectExpr("tok", "CAST(i AS BIGINT) * 10000 DIV (len - 1) AS rel_bp")
+      pt.groupBy($"tok")
+        .agg(count(lit(1)).as("tf"), sum($"rel_bp").as("s_rel"))
+        .selectExpr("tok", "tf", "s_rel DIV tf AS mean_pos_bp",
+          "s_rel DIV tf < 4500 AS front_biased")
+        .orderBy($"tf".desc, $"tok".asc).limit(20)
+        .orderBy($"tf".desc, $"tok".asc)
     })
   )
 
@@ -346,6 +368,23 @@ object TextQueries5 {
         |  FROM p1 CROSS JOIN l1)
         |SELECT source, avail, alloc,
         |  alloc * 10000 // avail AS fill_bp, capped_round1
-        |FROM fin ORDER BY source""".stripMargin
+        |FROM fin ORDER BY source""".stripMargin,
+
+    "text_position_bias" ->
+      """WITH pt AS (
+        |  SELECT tok, CAST(i - 1 AS BIGINT) * 10000 // (len - 1) AS rel_bp
+        |  FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok,
+        |      generate_subscripts(string_split(text, ' '), 1) AS i,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |    FROM documents)
+        |  WHERE len >= 2),
+        |census AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(SUM(rel_bp) AS BIGINT) AS s_rel
+        |  FROM pt GROUP BY tok)
+        |SELECT tok, tf, s_rel // tf AS mean_pos_bp,
+        |  s_rel // tf < 4500 AS front_biased
+        |FROM census ORDER BY tf DESC, tok ASC LIMIT 20""".stripMargin
   )
 }
