@@ -49,7 +49,8 @@ object SparkEntry {
       TextQueries4.queries ++
       RelationalQueries13.queries ++
       TextQueries5.queries ++
-      RelationalQueries14.queries
+      RelationalQueries14.queries ++
+      DedupQueries2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -84,5 +85,6 @@ object SparkEntry {
       TextQueries4.oracles ++
       RelationalQueries13.oracles ++
       TextQueries5.oracles ++
-      RelationalQueries14.oracles
+      RelationalQueries14.oracles ++
+      DedupQueries2.oracles
 }

@@ -22,7 +22,7 @@ object DedupQueries {
     * spread it across the cores before computing — at 100 TB the same
     * principle holds: size partitions for the compute stage, not the
     * scan. */
-  private def docShingles(s: SparkSession, d: String): DataFrame = {
+  private[operators] def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)

@@ -102,6 +102,32 @@ object RelationalQueries14 {
         s"CAST(FLOOR($gumbelBeta) AS BIGINT) AS beta_cents",
         s"""CAST(FLOOR($gumbelMu - $gumbelBeta
            | * ln(-ln(1.0 - 1.0 / 100.0))) AS BIGINT) AS rl100_cents""".stripMargin)
+    }),
+
+    // DAY-N RETENTION by signup cohort — the D1/D3 product-analytics
+    // table (events span ~a week, so D1/D3 are the meaningful
+    // offsets). Two keyed aggregates over the distinct (user, day)
+    // stream: first-day per user, then one user-keyed join computing
+    // both return flags in a single MAX-CASE pass. Exact integer
+    // basis-points; cohort days render as strings for engine parity.
+    "q222_dn_retention" -> ((s, d) => {
+      import s.implicits._
+      val ud = events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val firsts = ud.groupBy($"user_id").agg(min($"day").as("d0"))
+      val flags = firsts.join(ud, Seq("user_id"))
+        .groupBy($"user_id", $"d0")
+        .agg(max(when($"day" === date_add($"d0", 1), 1L).otherwise(0L)).as("r1"),
+          max(when($"day" === date_add($"d0", 3), 1L).otherwise(0L)).as("r3"))
+      flags.groupBy($"d0")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"r1").as("retained_d1"), sum($"r3").as("retained_d3"))
+        .select(date_format($"d0", "yyyy-MM-dd").as("cohort_day"),
+          $"n_users", $"retained_d1",
+          expr("retained_d1 * 10000 DIV n_users").as("d1_bp"),
+          $"retained_d3",
+          expr("retained_d3 * 10000 DIV n_users").as("d3_bp"))
+        .orderBy($"cohort_day")
     })
   )
 
@@ -203,6 +229,24 @@ object RelationalQueries14 {
          |  CAST(FLOOR($gumbelBeta) AS BIGINT) AS beta_cents,
          |  CAST(FLOOR($gumbelMu - $gumbelBeta
          |   * ln(-ln(1.0 - 1.0 / 100.0))) AS BIGINT) AS rl100_cents
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    "q222_dn_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firsts AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id),
+        |flags AS (
+        |  SELECT f.user_id, f.d0,
+        |    MAX(CASE WHEN u.day = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+        |    MAX(CASE WHEN u.day = f.d0 + 3 THEN 1 ELSE 0 END) AS r3
+        |  FROM firsts f JOIN ud u USING (user_id)
+        |  GROUP BY f.user_id, f.d0)
+        |SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(r1) AS BIGINT) AS retained_d1,
+        |  CAST(SUM(r1) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS d1_bp,
+        |  CAST(SUM(r3) AS BIGINT) AS retained_d3,
+        |  CAST(SUM(r3) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS d3_bp
+        |FROM flags GROUP BY d0 ORDER BY cohort_day""".stripMargin
   )
 }

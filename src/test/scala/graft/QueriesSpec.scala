@@ -43,7 +43,8 @@ class QueriesSpec extends SparkSuite {
       "TextQueries4" -> TextQueries4.queries.keySet,
       "RelationalQueries13" -> RelationalQueries13.queries.keySet,
       "TextQueries5" -> TextQueries5.queries.keySet,
-      "RelationalQueries14" -> RelationalQueries14.queries.keySet)
+      "RelationalQueries14" -> RelationalQueries14.queries.keySet,
+      "DedupQueries2" -> DedupQueries2.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${
