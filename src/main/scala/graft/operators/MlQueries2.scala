@@ -325,6 +325,97 @@ object MlQueries2 {
           "hinge_sum DIV n AS hinge_mean_bp")
     }),
 
+    // ROC CURVE TABLE at 9 evenly-spaced price thresholds: the
+    // operating-point menu behind q200's single AUC number ("at which
+    // cutoff does TPR/FPR balance?"). One distinct-score census (the
+    // q200/q105 substrate), a broadcast threshold grid fan-out, and
+    // exact integer TPR/FPR/Youden basis points. Thresholds are
+    // min + k/10·(max − min) — distribution-free, scale-invariant.
+    "ml_roc_curve" -> ((s, d) => {
+      import s.implicits._
+      val perv = lineitem(s, d)
+        .select((dec($"l_extendedprice") * 100).cast("long").as("score"),
+          ($"l_returnflag" === "R").as("pos"))
+        .groupBy($"score")
+        .agg(count(lit(1)).as("nv"),
+          sum(when($"pos", 1L).otherwise(0L)).as("nv1"))
+        .localCheckpoint() // distinct-price-sized; feeds grid + totals
+      val tot = perv.agg(sum($"nv1").as("p_all"),
+        sum($"nv" - $"nv1").as("n_all"),
+        min($"score").as("lo"), max($"score").as("hi"))
+      val ks = s.range(1, 10).select($"id".as("k"))
+      perv.crossJoin(broadcast(ks)).crossJoin(broadcast(tot))
+        .selectExpr("k", "score", "nv", "nv1", "p_all", "n_all",
+          "lo + k * (hi - lo) DIV 10 AS thr")
+        .selectExpr("k", "p_all", "n_all", "thr",
+          "CASE WHEN score >= thr THEN nv1 ELSE 0 END AS tp_c",
+          "CASE WHEN score >= thr THEN nv - nv1 ELSE 0 END AS fp_c")
+        .groupBy($"k", $"thr", $"p_all", $"n_all")
+        .agg(sum($"tp_c").as("tp"), sum($"fp_c").as("fp"))
+        .selectExpr("k", "thr AS threshold_cents", "tp", "fp",
+          "tp * 10000 DIV p_all AS tpr_bp",
+          "fp * 10000 DIV n_all AS fpr_bp",
+          "tp * 10000 DIV p_all - fp * 10000 DIV n_all AS youden_bp")
+        .orderBy($"k")
+    }),
+
+    // STUMP LEARNING CURVE: the ml_decision_stump trained on 25%, 50%
+    // and 100% hash samples (deterministic md5 buckets — the
+    // reproducible-split contract of the samp_ family), each graded
+    // on the FULL corpus — the "is more data still buying accuracy?"
+    // curve. Training censuses are (frac × ≤11)-row tables; split
+    // selection and full-corpus grading are dimension-sized joins.
+    "ml_learning_curve" -> ((s, d) => {
+      import s.implicits._
+      val rows = lineitem(s, d).select(
+        expr("CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT)").as("v_milli"),
+        ($"l_returnflag" === "R").cast("long").as("y"),
+        substring(md5(($"l_orderkey" * 16 + $"l_linenumber").cast("string")
+          .cast("binary")), 1, 2).as("hb"))
+      val fr = Seq((25L, "40"), (50L, "80"), (100L, "gg"))
+      val fracs = fr.map { case (p, lim) =>
+          s.range(1).selectExpr(s"CAST($p AS BIGINT) AS frac_pct", s"'$lim' AS lim")
+        }.reduce(_ unionByName _)
+      val trainCensus = rows.crossJoin(broadcast(fracs))
+        .filter($"hb" < $"lim")
+        .groupBy($"frac_pct", $"v_milli")
+        .agg(count(lit(1)).as("nv"), sum($"y").as("av"))
+      val wCum = Window.partitionBy($"frac_pct").orderBy($"v_milli")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"frac_pct")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val best = trainCensus
+        .withColumn("nl", sum($"nv").over(wCum))
+        .withColumn("al", sum($"av").over(wCum))
+        .withColumn("n", sum($"nv").over(
+          wAll.orderBy($"v_milli")))
+        .withColumn("a", sum($"av").over(
+          wAll.orderBy($"v_milli")))
+        .withColumn("nr", $"n" - $"nl")
+        .withColumn("ar", $"a" - $"al")
+        .filter($"nr" > 0)
+        .withColumn("gini_w", expr(giniExpr))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"frac_pct").orderBy($"gini_w".asc, $"v_milli".asc)))
+        .filter($"rk" === 1)
+        .selectExpr("frac_pct", "n AS n_train", "v_milli AS thr",
+          "CAST(al * 2 > nl AS BOOLEAN) AS pred_left",
+          "CAST(ar * 2 > nr AS BOOLEAN) AS pred_right")
+      val fullCensus = rows.groupBy($"v_milli")
+        .agg(count(lit(1)).as("fnv"), sum($"y").as("fav"))
+      best.crossJoin(fullCensus) // 3 × ≤11 rows
+        .selectExpr("frac_pct", "n_train", "thr",
+          """CASE WHEN v_milli <= thr
+            | THEN CASE WHEN pred_left THEN fav ELSE fnv - fav END
+            | ELSE CASE WHEN pred_right THEN fav ELSE fnv - fav END
+            | END AS correct""".stripMargin, "fnv")
+        .groupBy($"frac_pct", $"n_train", $"thr")
+        .agg(sum($"correct").as("n_correct"), sum($"fnv").as("n_eval"))
+        .selectExpr("frac_pct", "n_train", "thr AS threshold_milli",
+          "n_correct * 10000 DIV n_eval AS acc_bp")
+        .orderBy($"frac_pct")
+    }),
+
     // CLOSED-FORM RIDGE REGRESSION (2 predictors): price ~ quantity +
     // discount with a 1% Tikhonov diagonal inflation, solved exactly
     // from the centered sufficient statistics — the regularization
@@ -392,6 +483,86 @@ object MlQueries2 {
          |  FROM t)
          |SELECT n, ${ridgeCols.mkString(",\n  ")}
          |FROM g""".stripMargin,
+
+    "ml_roc_curve" ->
+      """WITH perv AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nv1
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(nv1) AS BIGINT) AS p_all,
+        |    CAST(SUM(nv - nv1) AS BIGINT) AS n_all,
+        |    CAST(MIN(score) AS BIGINT) AS lo, CAST(MAX(score) AS BIGINT) AS hi
+        |  FROM perv),
+        |ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 10)),
+        |grid AS (
+        |  SELECT k, score, nv, nv1, p_all, n_all,
+        |    lo + k * (hi - lo) // 10 AS thr
+        |  FROM perv CROSS JOIN ks CROSS JOIN tot),
+        |agg AS (
+        |  SELECT k, thr, p_all, n_all,
+        |    CAST(SUM(CASE WHEN score >= thr THEN nv1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score >= thr THEN nv - nv1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM grid GROUP BY k, thr, p_all, n_all)
+        |SELECT k, thr AS threshold_cents, tp, fp,
+        |  tp * 10000 // p_all AS tpr_bp,
+        |  fp * 10000 // n_all AS fpr_bp,
+        |  tp * 10000 // p_all - fp * 10000 // n_all AS youden_bp
+        |FROM agg ORDER BY k""".stripMargin,
+
+    "ml_learning_curve" -> {
+      val gini = giniExpr.replace("\n", "\n        |  ")
+      s"""WITH rows_t AS (
+         |  SELECT CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS v_milli,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |    substring(md5(CAST(l_orderkey * 16 + l_linenumber AS VARCHAR)), 1, 2) AS hb
+         |  FROM lineitem),
+         |fracs(frac_pct, lim) AS (VALUES (25, '40'), (50, '80'), (100, 'gg')),
+         |train AS (
+         |  SELECT frac_pct, v_milli, CAST(count(*) AS BIGINT) AS nv,
+         |    CAST(SUM(y) AS BIGINT) AS av
+         |  FROM rows_t CROSS JOIN fracs WHERE hb < lim
+         |  GROUP BY frac_pct, v_milli),
+         |splits AS (
+         |  SELECT frac_pct, v_milli,
+         |    CAST(SUM(nv) OVER (PARTITION BY frac_pct ORDER BY v_milli
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         |    CAST(SUM(av) OVER (PARTITION BY frac_pct ORDER BY v_milli
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS al,
+         |    CAST(SUM(nv) OVER (PARTITION BY frac_pct) AS BIGINT) AS n,
+         |    CAST(SUM(av) OVER (PARTITION BY frac_pct) AS BIGINT) AS a
+         |  FROM train),
+         |scored AS (
+         |  SELECT frac_pct, v_milli, nl, al, n, a, nr, ar,
+         |    $gini AS gini_w
+         |  FROM (SELECT *, n - nl AS nr, a - al AS ar FROM splits) q
+         |  WHERE nr > 0),
+         |best AS (
+         |  SELECT frac_pct, n AS n_train, v_milli AS thr,
+         |    al * 2 > nl AS pred_left, ar * 2 > nr AS pred_right
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY frac_pct
+         |          ORDER BY gini_w ASC, v_milli ASC) AS rk
+         |        FROM scored) q
+         |  WHERE rk = 1),
+         |fullc AS (
+         |  SELECT v_milli, CAST(count(*) AS BIGINT) AS fnv,
+         |    CAST(SUM(y) AS BIGINT) AS fav
+         |  FROM rows_t GROUP BY v_milli),
+         |graded AS (
+         |  SELECT frac_pct, n_train, thr,
+         |    CASE WHEN v_milli <= thr
+         |      THEN CASE WHEN pred_left THEN fav ELSE fnv - fav END
+         |      ELSE CASE WHEN pred_right THEN fav ELSE fnv - fav END
+         |    END AS correct, fnv
+         |  FROM best CROSS JOIN fullc)
+         |SELECT CAST(frac_pct AS BIGINT) AS frac_pct, n_train,
+         |  thr AS threshold_milli,
+         |  CAST(SUM(correct) AS BIGINT) * 10000
+         |    // CAST(SUM(fnv) AS BIGINT) AS acc_bp
+         |FROM graded GROUP BY frac_pct, n_train, thr
+         |ORDER BY frac_pct""".stripMargin
+    },
     "ml_decision_stump" ->
       s"""WITH rows0 AS (
          |  SELECT CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS v_milli,

@@ -734,8 +734,46 @@ object SamplingQueries {
           """(n_docs * 1000000 - eff_micro) * 10000
             | DIV (n_docs * 1000000) AS dup_inflation_bp""".stripMargin)
         .orderBy($"source")
+    }),
+
+    // TWO-STAGE CLUSTER-SAMPLE ESTIMATOR: hash-sample 1/16 of orders
+    // (PSUs), take ALL their line items, expand Σy by N/m — the
+    // survey-sampling design every "estimate the total without
+    // scanning everything" job uses, with its exact design-based
+    // standard error and the realized error in basis points. One
+    // keyed per-order aggregate; the estimator is a single-row tree
+    // over exact sums.
+    "samp_cluster_estimate" -> ((s, d) => {
+      import s.implicits._
+      val clus = lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("yv"))
+      val tot = clus.agg(count(lit(1)).as("nn"), sum($"yv").as("t_true"))
+      val g = clus
+        .filter(substring(md5($"l_orderkey".cast("string").cast("binary")), 1, 1) === "0")
+        .agg(count(lit(1)).as("m"), sum($"yv").as("sy"),
+          expr("SUM(CAST(yv AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0)))").as("syy"))
+      g.crossJoin(broadcast(tot)).selectExpr("nn", "m", "t_true",
+        s"CAST(FLOOR($clusterTHat) AS BIGINT) AS t_hat_cents",
+        s"""abs(CAST(FLOOR($clusterTHat) AS BIGINT) - t_true) * 10000
+           | DIV t_true AS err_bp""".stripMargin,
+        s"CAST(FLOOR($clusterSe) AS BIGINT) AS se_cents",
+        s"""abs(CAST(FLOOR($clusterTHat) AS BIGINT) - t_true)
+           | <= CAST(FLOOR(2.0 * $clusterSe) AS BIGINT) AS within_2se""".stripMargin)
     })
   )
+
+  /** Expansion estimator N/m·Σy and its design-based SE (shared text;
+    * pure arithmetic + one sqrt over exact sums). */
+  private val clusterTHat =
+    "(CAST(nn AS DOUBLE) / CAST(m AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private val clusterSe =
+    """(CAST(nn AS DOUBLE) * sqrt((1.0 - CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+      | * ((CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE)))
+      | / CAST(m AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "samp_pps_systematic" ->
@@ -1185,6 +1223,27 @@ object SamplingQueries {
          |SELECT source, n_docs, n_clustered, eff_micro,
          |  (n_docs * 1000000 - eff_micro) * 10000
          |   // (n_docs * 1000000) AS dup_inflation_bp
-         |FROM per ORDER BY source""".stripMargin
+         |FROM per ORDER BY source""".stripMargin,
+
+    "samp_cluster_estimate" ->
+      s"""WITH clus AS (
+         |  SELECT l_orderkey,
+         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS yv
+         |  FROM lineitem GROUP BY l_orderkey),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(SUM(yv) AS BIGINT) AS t_true
+         |  FROM clus),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m, CAST(SUM(yv) AS BIGINT) AS sy,
+         |    SUM(CAST(yv AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0))) AS syy
+         |  FROM clus WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) = '0')
+         |SELECT nn, m, t_true,
+         |  CAST(FLOOR($clusterTHat) AS BIGINT) AS t_hat_cents,
+         |  abs(CAST(FLOOR($clusterTHat) AS BIGINT) - t_true) * 10000
+         |   // t_true AS err_bp,
+         |  CAST(FLOOR($clusterSe) AS BIGINT) AS se_cents,
+         |  abs(CAST(FLOOR($clusterTHat) AS BIGINT) - t_true)
+         |   <= CAST(FLOOR(2.0 * $clusterSe) AS BIGINT) AS within_2se
+         |FROM g CROSS JOIN tot""".stripMargin
   )
 }
