@@ -137,6 +137,8 @@ object StreamBench {
       // O(1)-state histogram sketch: the lightest TWS profile — its
       // rate bounds the per-batch transformWithState overhead itself
       run("tws_quantile", "update")(ds => Streams.quantileTws(ds).toDF()),
+      // one (n, ema) ValueState per key — the minimal TWS smoother
+      run("tws_ema", "update")(ds => Streams.emaTws(ds).toDF()),
       // CEP sequence matcher: one fixed-size ValueState struct per user
       run("tws_funnel", "update")(ds => Streams.funnelTws(ds).toDF()),
       run("stream_stream_join", "append") { ds =>
@@ -173,7 +175,7 @@ object StreamBench {
     // bench regression.
     val floors = Map(
       "tumbling_agg" -> 1900.0, "tws_anomaly" -> 3100.0,
-      "tws_quantile" -> 2200.0,
+      "tws_quantile" -> 2200.0, "tws_ema" -> 2200.0,
       "dedup" -> 1600.0, "session_agg" -> 2200.0,
       "tws_favorite" -> 3200.0, "tws_topk" -> 2700.0,
       "tws_funnel" -> 1500.0,

@@ -423,6 +423,23 @@ object StreamingQueries {
         .orderBy($"user_id")
     }),
 
+    // transformWithState EMA — the O(1)-state streaming smoother
+    // (q103's streaming twin): one (n, ema) ValueState per event
+    // type, folded in strict (event-time, id) order, so the
+    // update-mode emission equals the batch list_reduce fold
+    // bit-for-bit and the oracle hash-pins it.
+    "stream_tws_ema" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val e = Streams.emaTws(typed)
+        .select($"event_type", $"n_seen",
+          format_string("%.9f", $"ema").as("ema"))
+      toMemoryRocks(s, e, "stream_tws_ema_sink", "update")
+        .orderBy($"event_type")
+    }),
+
     // Custom keyed state via mapGroupsWithState: per-user running
     // profile. AvailableNow over a single input file = one micro-batch,
     // so the update-mode memory sink holds exactly one row per user.
@@ -642,6 +659,15 @@ object StreamingQueries {
         |  FROM w GROUP BY user_id)
         |SELECT user_id, n_views, n_purchases, n_conversions, min_lag_us
         |FROM g WHERE n_conversions > 0 ORDER BY user_id""".stripMargin,
+
+    "stream_tws_ema" ->
+      """WITH v AS (
+        |  SELECT event_type, list(value ORDER BY ts, event_id) AS vals
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, CAST(len(vals) AS BIGINT) AS n_seen,
+        |  printf('%.9f', list_reduce(vals,
+        |    (a, x) -> a * CAST(0.9 AS DOUBLE) + x * CAST(0.1 AS DOUBLE))) AS ema
+        |FROM v ORDER BY event_type""".stripMargin,
 
     "stream_tws_profile" ->
       """SELECT user_id, COUNT(*) AS n_events,

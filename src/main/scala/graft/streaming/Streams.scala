@@ -286,6 +286,21 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Streaming EMA per key on transformWithState: the O(1)-state
+    * smoother (one (n, ema) ValueState per key) whose emission equals
+    * the batch ordered fold bit-for-bit — see [[EmaProcessor]]. */
+  def emaTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TwsEma] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .transformWithState(new EmaProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Timer-driven idle-key eviction on transformWithState (the fourth
     * and last TWS primitive after Value/Map/List state): event-time
     * timers re-armed per batch; when the watermark passes a key's
@@ -480,6 +495,49 @@ class FunnelProcessor(windowUs: Long = 3600000000L,
       Iterator.single(TwsFunnel(key, s.n_views, s.n_purchases,
         s.n_conversions, s.min_lag_us))
     else Iterator.empty
+  }
+}
+
+/** Output row of the transformWithState EMA op. */
+case class TwsEma(event_type: String, n_seen: Long, ema: Double)
+
+/** Cross-batch carry of [[EmaProcessor]]. */
+case class TwsEmaState(n: Long, ema: Double)
+
+/** StatefulProcessor for [[Streams.emaTws]]: the O(1)-state streaming
+  * smoother — ema ← 0.9·ema + 0.1·x seeded with the first reading,
+  * folded in strict (event-time micros, event_id) order within each
+  * batch. The recursion is a left fold with the first element as
+  * seed, which is exactly DuckDB's `list_reduce(vals, ...)`
+  * semantics over the same ordered list — so the update-mode
+  * emission equals the batch fold bit-for-bit (identical IEEE
+  * multiply/add sequence; parity scope as AnomalyProcessor: in-order
+  * arrival per key, e.g. the gate's single AvailableNow batch). */
+class EmaProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsEma] {
+  import org.apache.spark.sql.streaming.{TimerValues, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var st: ValueState[TwsEmaState] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[TwsEmaState]("ema",
+      Encoders.product[TwsEmaState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsEma] = {
+    val evs = rows.toSeq.sortBy(e => (Streams.microsOf(e.ts), e.event_id))
+    if (evs.isEmpty) return Iterator.empty
+    var s = if (st.exists()) st.get() else TwsEmaState(0L, 0.0)
+    evs.foreach { e =>
+      // literal 0.9/0.1 so the multiply/add sequence is textually the
+      // oracle's lambda — no derived constants to drift by an ulp
+      s = if (s.n == 0L) TwsEmaState(1L, e.value)
+      else TwsEmaState(s.n + 1L, s.ema * 0.9 + e.value * 0.1)
+    }
+    st.update(s)
+    Iterator.single(TwsEma(key, s.n, s.ema))
   }
 }
 
