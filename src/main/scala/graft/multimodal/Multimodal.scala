@@ -190,6 +190,57 @@ object Multimodal {
     Some((w, h, bins(0), bins(1), bins(2), bins(3)))
   }
 
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("h_energy", LongType),
+    StructField("v_energy", LongType)))
+
+  /** GRADIENT / EDGE ENERGY of one decoded image: Σ|∇x| + Σ|∇y| over
+    * the red channel (the blur/blank-image detector behind visual
+    * quality gates — a sharp image has border energy, a blank one
+    * none). Exact integer arithmetic; None for dead payloads. */
+  private[graft] def edgeEnergyOne(payload: Array[Byte])
+      : Option[(Int, Int, Long, Long)] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (he, ve) = (0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (img.getRGB(x, y) >> 16) & 0xff
+        if (x + 1 < w) he += math.abs(((img.getRGB(x + 1, y) >> 16) & 0xff) - p)
+        if (y + 1 < h) ve += math.abs(((img.getRGB(x, y + 1) >> 16) & 0xff) - p)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, he, ve))
+  }
+
+  /** Batched edge-energy pass — the same zero-shuffle seam. */
+  def edgeEnergyFeatures(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(edgeSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          edgeEnergyOne(payload) match {
+            case Some((w, h, he, ve)) => Row(id, w, h, he, ve)
+            case None => Row(id, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Batched histogram pass over (doc_id, payload) — the same
     * zero-shuffle mapPartitions seam as decodeFeatures. */
   def lumaHistFeatures(df: DataFrame): DataFrame = {

@@ -297,6 +297,29 @@ object MultimodalQueries {
       hist.selectExpr("doc_id", "width", "height", "b0", "b1", "b2", "b3",
           "b3 * 10000 DIV (b0 + b1 + b2 + b3) AS light_share_bp")
         .orderBy($"doc_id")
+    }),
+
+    // EDGE / GRADIENT ENERGY through the real PNG codec — the
+    // blur/blank-asset detector. Pattern fixtures are flat inside
+    // each 8×8 cell, so ALL energy sits on cell boundaries:
+    // energy = 128·scale·(# adjacent differing cell pairs), a pure
+    // bit-adjacency closed form the oracle computes from the md5
+    // pattern — certifying the decode→gradient path end to end.
+    // Same 25% deterministic sample + zero-shuffle batched seam.
+    "mm_edge_energy" -> ((s, d) => {
+      import s.implicits._
+      val meta = documents(s, d).filter($"doc_id" % 4 === 2)
+        .select($"doc_id",
+          ($"doc_id" % 3 + 1).cast("int").as("px"),
+          substring(md5(($"doc_id" % 40).cast("string").cast("binary")), 1, 16)
+            .as("bits_hex"))
+      val payloads = graft.multimodal.Multimodal.encodePatternPayloads(
+        meta.select($"doc_id", ($"px" * 8).cast("int").as("scale"), $"bits_hex"))
+      val edges = graft.multimodal.Multimodal.edgeEnergyFeatures(payloads)
+      edges.selectExpr("doc_id", "width", "h_energy", "v_energy",
+          "h_energy + v_energy AS total_energy",
+          "h_energy + v_energy = 0 AS is_flat")
+        .orderBy($"doc_id")
     })
   )
 
@@ -426,6 +449,41 @@ object MultimodalQueries {
         |  CAST(p.n_light * 64 * m.px * m.px AS BIGINT) * 10000
         |    // CAST(4096 * m.px * m.px AS BIGINT) AS light_share_bp
         |FROM m JOIN pop p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_edge_energy" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 3 + 1 AS BIGINT) AS px,
+        |    substring(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 16) AS bits_hex
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |pos AS (
+        |  SELECT m.doc_id, m.px,
+        |    g.p // 8 AS by, g.p % 8 AS bx,
+        |    (CAST(strpos('0123456789abcdef',
+        |       substring(m.bits_hex, g.p // 4 + 1, 1)) - 1 AS INTEGER)
+        |     // CAST(power(2, 3 - g.p % 4) AS INTEGER)) % 2 AS val
+        |  FROM m, (SELECT range AS p FROM range(0, 64)) g),
+        |hp AS (
+        |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS h_pairs
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+        |     AND a.val <> b.val
+        |  GROUP BY a.doc_id),
+        |vp AS (
+        |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS v_pairs
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND a.bx = b.bx AND b.by = a.by + 1
+        |     AND a.val <> b.val
+        |  GROUP BY a.doc_id)
+        |SELECT m.doc_id,
+        |  CAST(m.px * 64 AS INTEGER) AS width,
+        |  CAST(128 * m.px * 8 * COALESCE(hp.h_pairs, 0) AS BIGINT) AS h_energy,
+        |  CAST(128 * m.px * 8 * COALESCE(vp.v_pairs, 0) AS BIGINT) AS v_energy,
+        |  CAST(128 * m.px * 8 * (COALESCE(hp.h_pairs, 0) + COALESCE(vp.v_pairs, 0)) AS BIGINT)
+        |    AS total_energy,
+        |  128 * m.px * 8 * (COALESCE(hp.h_pairs, 0) + COALESCE(vp.v_pairs, 0)) = 0 AS is_flat
+        |FROM m LEFT JOIN hp USING (doc_id) LEFT JOIN vp USING (doc_id)
         |ORDER BY doc_id""".stripMargin
   )
 }

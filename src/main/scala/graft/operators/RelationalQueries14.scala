@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -128,6 +129,57 @@ object RelationalQueries14 {
           $"retained_d3",
           expr("retained_d3 * 10000 DIV n_users").as("d3_bp"))
         .orderBy($"cohort_day")
+    }),
+
+    // PRICE-ENDING AUDIT: the cents-ending census with a χ² against
+    // the uniform 100-ending null — the forensic screen for
+    // artificial/generated pricing (the Benford companion, q102, on
+    // the other end of the number). One keyed ending census; missing
+    // endings enter the χ² as pure-expectation terms via the closed
+    // form; χ² numerators are exact decimal integers.
+    "q223_price_endings" -> ((s, d) => {
+      import s.implicits._
+      val census = lineitem(s, d)
+        .selectExpr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 100 AS ending")
+        .groupBy($"ending").agg(count(lit(1)).as("o"))
+      val tot = census.agg(count(lit(1)).as("k"), sum($"o").as("n"))
+      val chi2 = census.crossJoin(broadcast(tot))
+        .agg(max($"k").as("k"), max($"n").as("n"),
+          sum(($"o" * 100 - $"n").cast(D19) * ($"o" * 100 - $"n").cast(D19))
+            .as("ssq"))
+        .selectExpr("k", "n",
+          """CAST(FLOOR((CAST(ssq AS DOUBLE) / (100.0 * CAST(n AS DOUBLE))
+            | + CAST(100 - k AS DOUBLE) * CAST(n AS DOUBLE) / 100.0)
+            | * 1000.0) AS BIGINT) AS chi2_milli""".stripMargin)
+      census.crossJoin(broadcast(tot.select($"n".as("n_all"))))
+        .crossJoin(broadcast(chi2.select($"chi2_milli")))
+        .selectExpr("ending", "o AS n_items",
+          "o * 10000 DIV n_all AS share_bp", "chi2_milli")
+        .orderBy($"n_items".desc, $"ending".asc).limit(10)
+        .orderBy($"n_items".desc, $"ending".asc)
+    }),
+
+    // NEWSVENDOR ORDER-UP-TO LEVEL: the smallest stock level covering
+    // ≥80% of daily demand days (critical ratio 0.8 = Cu 2 : Co 0.5)
+    // — the inventory-planning quantile read straight off the daily
+    // demand distribution. Calendar-day aggregate → distinct-demand
+    // census → cumulative pick; everything after the first aggregate
+    // is calendar-sized. Exact integer compares (cum·10 ≥ n·8).
+    "q224_newsvendor" -> ((s, d) => {
+      import s.implicits._
+      val day = lineitem(s, d).groupBy(to_date($"l_shipdate").as("day"))
+        .agg(sum($"l_quantity".cast("long")).as("demand"))
+      val census = day.groupBy($"demand").agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy($"demand").rowsBetween(Window.unboundedPreceding, 0)
+      val tot = day.agg(count(lit(1)).as("n"))
+      census.withColumn("cum", sum($"nv").over(w))
+        .crossJoin(broadcast(tot))
+        .filter($"cum" * 10 >= $"n" * 8)
+        .orderBy($"demand").limit(1)
+        .selectExpr("n AS n_days", "demand AS q_star",
+          "cum * 10000 DIV n AS coverage_bp",
+          "n - cum AS stockout_days",
+          "CAST(8000 AS BIGINT) AS critical_ratio_bp")
     })
   )
 
@@ -247,6 +299,46 @@ object RelationalQueries14 {
         |  CAST(SUM(r1) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS d1_bp,
         |  CAST(SUM(r3) AS BIGINT) AS retained_d3,
         |  CAST(SUM(r3) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS d3_bp
-        |FROM flags GROUP BY d0 ORDER BY cohort_day""".stripMargin
+        |FROM flags GROUP BY d0 ORDER BY cohort_day""".stripMargin,
+
+    "q223_price_endings" ->
+      """WITH census AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 100 AS ending,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(o) AS BIGINT) AS n
+        |  FROM census),
+        |chi AS (
+        |  SELECT CAST(FLOOR((CAST(SUM(CAST(o * 100 - n AS DECIMAL(19,0))
+        |      * CAST(o * 100 - n AS DECIMAL(19,0))) AS DOUBLE)
+        |    / (100.0 * CAST(MAX(n) AS DOUBLE))
+        |    + CAST(100 - MAX(k) AS DOUBLE) * CAST(MAX(n) AS DOUBLE) / 100.0)
+        |    * 1000.0) AS BIGINT) AS chi2_milli
+        |  FROM census CROSS JOIN tot)
+        |SELECT ending, o AS n_items, o * 10000 // n AS share_bp, chi2_milli
+        |FROM census CROSS JOIN tot CROSS JOIN chi
+        |ORDER BY n_items DESC, ending ASC LIMIT 10""".stripMargin,
+
+    "q224_newsvendor" ->
+      """WITH day AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+        |  FROM lineitem GROUP BY 1),
+        |census AS (
+        |  SELECT demand, CAST(count(*) AS BIGINT) AS nv FROM day GROUP BY demand),
+        |cum AS (
+        |  SELECT demand,
+        |    CAST(SUM(nv) OVER (ORDER BY demand
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM census),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day)
+        |SELECT n AS n_days, demand AS q_star,
+        |  cum * 10000 // n AS coverage_bp,
+        |  n - cum AS stockout_days,
+        |  CAST(8000 AS BIGINT) AS critical_ratio_bp
+        |FROM cum CROSS JOIN tot
+        |WHERE cum * 10 >= n * 8
+        |ORDER BY demand LIMIT 1""".stripMargin
   )
 }
