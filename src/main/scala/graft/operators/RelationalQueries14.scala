@@ -180,6 +180,90 @@ object RelationalQueries14 {
           "cum * 10000 DIV n AS coverage_bp",
           "n - cum AS stockout_days",
           "CAST(8000 AS BIGINT) AS critical_ratio_bp")
+    }),
+
+    // TUKEY-KRAMER HSD post-hoc pairs — the step AFTER q131's ANOVA
+    // says "some segment differs": which of the 10 segment pairs
+    // actually do, at the studentized-range q(5,∞)=3.86 threshold?
+    // One corpus-sized keyed aggregate; MSE pools the kilo-floored
+    // per-group SSQs (the q188/bartlett idiom — integer Σ, never a
+    // cross-group double sum); the 10-pair table is a 5×5 self-join.
+    "q225_tukey_hsd" -> ((s, d) => {
+      import s.implicits._
+      val per = orders(s, d)
+        .join(customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+          Seq("o_custkey"))
+        .select($"c_mktsegment".as("seg"), (dec($"o_totalprice") * 100).cast("long").as("v"))
+        .groupBy($"seg")
+        .agg(count(lit(1)).as("ni"), sum($"v").as("si"),
+          sum($"v".cast(D19) * $"v".cast(D19)).as("sii"))
+        .selectExpr("seg", "ni", "si",
+          s"CAST(FLOOR(CAST(ni - 1 AS DOUBLE) * ($varI) / 1000.0) AS BIGINT) AS ssq_kilo")
+        .localCheckpoint() // 5 rows
+      val mse = per.agg(sum($"ni").as("nn"), count(lit(1)).as("k"),
+          sum($"ssq_kilo").as("s_ssq"))
+        .selectExpr(
+          """(CAST(s_ssq AS DOUBLE) * 1000.0
+            | / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) AS mse_d""".stripMargin)
+      per.as("a").join(per.as("b"), $"a.seg" < $"b.seg")
+        .crossJoin(broadcast(mse))
+        .selectExpr("a.seg AS seg_a", "b.seg AS seg_b",
+          "a.si DIV a.ni AS mean_a_cents", "b.si DIV b.ni AS mean_b_cents",
+          "abs(a.si DIV a.ni - b.si DIV b.ni) AS diff_cents",
+          """CAST(FLOOR(3.86 * sqrt(mse_d / 2.0
+            | * (1.0 / CAST(a.ni AS DOUBLE) + 1.0 / CAST(b.ni AS DOUBLE))))
+            | AS BIGINT) AS hsd_cents""".stripMargin)
+        .selectExpr("seg_a", "seg_b", "mean_a_cents", "mean_b_cents",
+          "diff_cents", "hsd_cents", "diff_cents > hsd_cents AS significant")
+        .orderBy($"seg_a", $"seg_b")
+    }),
+
+    // WEEKDAY-UNIFORMITY χ²: is order intake flat across the week?
+    // Seven exact cells; the χ² numerator Σ(7o−n)² rides one decimal
+    // aggregate (never a 7-row double sum), the closed form divides
+    // by 7n once. Day shares in exact basis points.
+    "q226_weekday_chi2" -> ((s, d) => {
+      import s.implicits._
+      val census = orders(s, d)
+        .groupBy(dayofweek(to_date($"o_orderdate")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val tot = census.agg(sum($"o").as("n"))
+      val chi = census.crossJoin(broadcast(tot))
+        .agg(max($"n").as("n"),
+          sum(($"o" * 7 - $"n").cast(D19) * ($"o" * 7 - $"n").cast(D19)).as("ssq"))
+        .selectExpr(
+          """CAST(FLOOR(CAST(ssq AS DOUBLE) / (7.0 * CAST(n AS DOUBLE))
+            | * 1000.0) AS BIGINT) AS chi2_milli""".stripMargin)
+      census.crossJoin(broadcast(tot)).crossJoin(broadcast(chi))
+        .selectExpr("dow", "o AS n_orders", "o * 10000 DIV n AS share_bp",
+          "chi2_milli", "chi2_milli >= 12592 AS significant")
+        .orderBy($"dow")
+    }),
+
+    // TURNING-POINTS RANDOMNESS TEST on the daily revenue series: a
+    // random sequence has 2(n−2)/3 local extrema; trends and cycles
+    // have fewer. Calendar-sized lag/lead window over the day
+    // aggregate; T is an exact integer, z one shared tree.
+    "q227_turning_points" -> ((s, d) => {
+      import s.implicits._
+      val day = lineitem(s, d).groupBy(to_date($"l_shipdate").as("day"))
+        .agg(sum((dec($"l_extendedprice") * 100).cast("long")).as("y"))
+      val w = Window.orderBy($"day") // calendar-sized
+      val t = day
+        .withColumn("yp", lag($"y", 1).over(w))
+        .withColumn("yn", lead($"y", 1).over(w))
+        .filter($"yp".isNotNull && $"yn".isNotNull)
+        .agg(count(lit(1)).as("m"),
+          sum(when(($"y" > $"yp" && $"y" > $"yn") ||
+            ($"y" < $"yp" && $"y" < $"yn"), 1L).otherwise(0L)).as("t"))
+      // n interior points = m; expected T = 2m/3 for the de-trended null
+      t.selectExpr("m AS n_interior", "t AS turning_points",
+        """format_string('%.6f',
+          |  (CAST(t AS DOUBLE) - 2.0 * CAST(m AS DOUBLE) / 3.0)
+          |  / sqrt((16.0 * CAST(m AS DOUBLE) + 3.0) / 90.0)) AS z""".stripMargin,
+        """abs((CAST(t AS DOUBLE) - 2.0 * CAST(m AS DOUBLE) / 3.0)
+          |  / sqrt((16.0 * CAST(m AS DOUBLE) + 3.0) / 90.0)) >= 1.96
+          | AS nonrandom""".stripMargin)
     })
   )
 
@@ -339,6 +423,76 @@ object RelationalQueries14 {
         |  CAST(8000 AS BIGINT) AS critical_ratio_bp
         |FROM cum CROSS JOIN tot
         |WHERE cum * 10 >= n * 8
-        |ORDER BY demand LIMIT 1""".stripMargin
+        |ORDER BY demand LIMIT 1""".stripMargin,
+
+    "q225_tukey_hsd" ->
+      s"""WITH base AS (
+         |  SELECT c.c_mktsegment AS seg,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+         |perg AS (
+         |  SELECT seg, CAST(count(*) AS BIGINT) AS ni,
+         |    CAST(SUM(v) AS BIGINT) AS si,
+         |    SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS sii
+         |  FROM base GROUP BY seg),
+         |per AS (
+         |  SELECT seg, ni, si,
+         |    CAST(FLOOR(CAST(ni - 1 AS DOUBLE) * ($varI) / 1000.0) AS BIGINT) AS ssq_kilo
+         |  FROM perg),
+         |mse AS (
+         |  SELECT (CAST(SUM(ssq_kilo) AS DOUBLE) * 1000.0
+         |    / (CAST(SUM(ni) AS DOUBLE) - CAST(count(*) AS DOUBLE))) AS mse_d
+         |  FROM per)
+         |SELECT a.seg AS seg_a, b.seg AS seg_b,
+         |  a.si // a.ni AS mean_a_cents, b.si // b.ni AS mean_b_cents,
+         |  abs(a.si // a.ni - b.si // b.ni) AS diff_cents,
+         |  CAST(FLOOR(3.86 * sqrt(mse_d / 2.0
+         |   * (1.0 / CAST(a.ni AS DOUBLE) + 1.0 / CAST(b.ni AS DOUBLE))))
+         |   AS BIGINT) AS hsd_cents,
+         |  abs(a.si // a.ni - b.si // b.ni) >
+         |  CAST(FLOOR(3.86 * sqrt(mse_d / 2.0
+         |   * (1.0 / CAST(a.ni AS DOUBLE) + 1.0 / CAST(b.ni AS DOUBLE))))
+         |   AS BIGINT) AS significant
+         |FROM per a JOIN per b ON a.seg < b.seg CROSS JOIN mse
+         |ORDER BY seg_a, seg_b""".stripMargin,
+
+    "q226_weekday_chi2" ->
+      """WITH census AS (
+        |  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM census),
+        |chi AS (
+        |  SELECT CAST(FLOOR(CAST(SUM(CAST(o * 7 - n AS DECIMAL(19,0))
+        |      * CAST(o * 7 - n AS DECIMAL(19,0))) AS DOUBLE)
+        |    / (7.0 * CAST(MAX(n) AS DOUBLE)) * 1000.0) AS BIGINT) AS chi2_milli
+        |  FROM census CROSS JOIN tot)
+        |SELECT dow, o AS n_orders, o * 10000 // n AS share_bp,
+        |  chi2_milli, chi2_milli >= 12592 AS significant
+        |FROM census CROSS JOIN tot CROSS JOIN chi
+        |ORDER BY dow""".stripMargin,
+
+    "q227_turning_points" ->
+      """WITH day AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |lagged AS (
+        |  SELECT y, lag(y, 1) OVER (ORDER BY day) AS yp,
+        |    lead(y, 1) OVER (ORDER BY day) AS yn
+        |  FROM day),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(SUM(CASE WHEN (y > yp AND y > yn) OR (y < yp AND y < yn)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |  FROM lagged WHERE yp IS NOT NULL AND yn IS NOT NULL)
+        |SELECT m AS n_interior, t AS turning_points,
+        |  printf('%.6f',
+        |    (CAST(t AS DOUBLE) - 2.0 * CAST(m AS DOUBLE) / 3.0)
+        |    / sqrt((16.0 * CAST(m AS DOUBLE) + 3.0) / 90.0)) AS z,
+        |  abs((CAST(t AS DOUBLE) - 2.0 * CAST(m AS DOUBLE) / 3.0)
+        |    / sqrt((16.0 * CAST(m AS DOUBLE) + 3.0) / 90.0)) >= 1.96
+        |   AS nonrandom
+        |FROM g""".stripMargin
   )
 }
