@@ -264,8 +264,80 @@ object RelationalQueries14 {
         """abs((CAST(t AS DOUBLE) - 2.0 * CAST(m AS DOUBLE) / 3.0)
           |  / sqrt((16.0 * CAST(m AS DOUBLE) + 3.0) / 90.0)) >= 1.96
           | AS nonrandom""".stripMargin)
+    }),
+
+    // CRAMÉR–VON MISES two-sample statistic between the returned and
+    // kept discount distributions — the integral-squared companion to
+    // KS (q114, max) and EMD (q205, L1). Σ cᵥ·(cum₁n₂ − cum₂n₁)²
+    // rides exact decimal integers over the ≤11-value grid; the
+    // T = n₁n₂/(n₁+n₂)²-normalized statistic divides once in a
+    // shared tree. One corpus scan.
+    "q228_cramer_von_mises" -> ((s, d) => {
+      import s.implicits._
+      val perv = lineitem(s, d)
+        .groupBy((dec($"l_discount") * 100).cast("long").as("disc"))
+        .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("c1"),
+          sum(when($"l_returnflag" =!= "R", 1L).otherwise(0L)).as("c2"))
+      val wc = Window.orderBy($"disc").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = perv
+        .withColumn("cum1", sum($"c1").over(wc))
+        .withColumn("cum2", sum($"c2").over(wc))
+      val tot = cum.agg(max($"cum1").as("n1"), max($"cum2").as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+          sum(($"c1" + $"c2").cast(D19)
+            * ($"cum1".cast(D19) * $"n2".cast(D19)
+               - $"cum2".cast(D19) * $"n1".cast(D19))
+            * ($"cum1".cast(D19) * $"n2".cast(D19)
+               - $"cum2".cast(D19) * $"n1".cast(D19))).as("ssq"))
+        .selectExpr("n1", "n2",
+          s"CAST(FLOOR($cvmT * 1000000.0) AS BIGINT) AS t_micro",
+          s"CAST(FLOOR($cvmT * 1000000.0) AS BIGINT) >= 461000 AS significant")
+    }),
+
+    // MARKOV TRANSITION ENTROPY RATE of the per-user event stream:
+    // H(next | current) over the q91 transition counts — how
+    // predictable is the next action? Transitions come from one
+    // user-keyed lag window; every −p·log₂ term is nano-quantized
+    // from exact counts BEFORE the Σ over the 25-cell matrix, and
+    // efficiency compares against log₂(k) in one tree.
+    "q229_transition_entropy" -> ((s, d) => {
+      import s.implicits._
+      val wl = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val trans = events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(wl))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type").agg(count(lit(1)).as("cij"))
+      val rows = trans
+        .withColumn("ci", sum($"cij").over(
+          Window.partitionBy($"prev")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val tot = rows.agg(sum($"cij").as("nn"),
+        countDistinct($"event_type").as("k"))
+      rows.crossJoin(broadcast(tot))
+        .selectExpr("nn", "k",
+          """CAST(FLOOR(CAST(cij AS DOUBLE) / CAST(nn AS DOUBLE)
+            | * ln(CAST(ci AS DOUBLE) / CAST(cij AS DOUBLE))
+            | / ln(2.0) * 1e9) AS BIGINT) AS term_nano""".stripMargin)
+        .groupBy($"nn", $"k")
+        .agg(sum($"term_nano").as("h_nano"), count(lit(1)).as("n_cells"))
+        .selectExpr("nn AS n_transitions", "k AS n_states", "n_cells",
+          "h_nano",
+          """CAST(FLOOR(CAST(h_nano AS DOUBLE) / 1e9
+            | / (ln(CAST(k AS DOUBLE)) / ln(2.0)) * 10000.0) AS BIGINT)
+            | AS efficiency_bp""".stripMargin)
     })
   )
+
+  /** Two-sample CvM T over (n1, n2, ssq) — shared text. */
+  private val cvmT =
+    """(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      | / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |    * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      | * (CAST(ssq AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |       * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))))""".stripMargin
 
   private val meanD = "(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))"
   private val sdD =
@@ -493,6 +565,67 @@ object RelationalQueries14 {
         |  abs((CAST(t AS DOUBLE) - 2.0 * CAST(m AS DOUBLE) / 3.0)
         |    / sqrt((16.0 * CAST(m AS DOUBLE) + 3.0) / 90.0)) >= 1.96
         |   AS nonrandom
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q228_cramer_von_mises" ->
+      s"""WITH perv AS (
+         |  SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM lineitem GROUP BY 1),
+         |cum AS (
+         |  SELECT disc, c1, c2,
+         |    CAST(SUM(c1) OVER (ORDER BY disc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+         |    CAST(SUM(c2) OVER (ORDER BY disc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+         |  FROM perv),
+         |tot AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1,
+         |               CAST(MAX(cum2) AS BIGINT) AS n2 FROM cum),
+         |g AS (
+         |  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         |    SUM(CAST(c1 + c2 AS DECIMAL(19,0))
+         |      * (CAST(cum1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))
+         |         - CAST(cum2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0)))
+         |      * (CAST(cum1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))
+         |         - CAST(cum2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0)))) AS ssq
+         |  FROM cum CROSS JOIN tot)
+         |SELECT n1, n2,
+         |  CAST(FLOOR($cvmT * 1000000.0) AS BIGINT) AS t_micro,
+         |  CAST(FLOOR($cvmT * 1000000.0) AS BIGINT) >= 461000 AS significant
+         |FROM g""".stripMargin,
+
+    "q229_transition_entropy" ->
+      """WITH trans AS (
+        |  SELECT prev, event_type, CAST(count(*) AS BIGINT) AS cij
+        |  FROM (
+        |    SELECT user_id, event_type,
+        |      lag(event_type, 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev
+        |    FROM events)
+        |  WHERE prev IS NOT NULL
+        |  GROUP BY prev, event_type),
+        |rows_t AS (
+        |  SELECT cij,
+        |    CAST(SUM(cij) OVER (PARTITION BY prev) AS BIGINT) AS ci,
+        |    event_type
+        |  FROM trans),
+        |tot AS (
+        |  SELECT CAST(SUM(cij) AS BIGINT) AS nn,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM rows_t),
+        |terms AS (
+        |  SELECT nn, k,
+        |    CAST(FLOOR(CAST(cij AS DOUBLE) / CAST(nn AS DOUBLE)
+        |     * ln(CAST(ci AS DOUBLE) / CAST(cij AS DOUBLE))
+        |     / ln(2.0) * 1e9) AS BIGINT) AS term_nano
+        |  FROM rows_t CROSS JOIN tot)
+        |SELECT nn AS n_transitions, k AS n_states,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(term_nano) AS BIGINT) AS h_nano,
+        |  CAST(FLOOR(CAST(SUM(term_nano) AS DOUBLE) / 1e9
+        |   / (ln(CAST(k AS DOUBLE)) / ln(2.0)) * 10000.0) AS BIGINT)
+        |   AS efficiency_bp
+        |FROM terms GROUP BY nn, k""".stripMargin
   )
 }
