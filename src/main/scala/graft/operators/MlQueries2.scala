@@ -403,7 +403,7 @@ object MlQueries2 {
           "CAST(ar * 2 > nr AS BOOLEAN) AS pred_right")
       val fullCensus = rows.groupBy($"v_milli")
         .agg(count(lit(1)).as("fnv"), sum($"y").as("fav"))
-      best.crossJoin(fullCensus) // 3 × ≤11 rows
+      best.crossJoin(broadcast(fullCensus)) // 3 × ≤11 rows
         .selectExpr("frac_pct", "n_train", "thr",
           """CASE WHEN v_milli <= thr
             | THEN CASE WHEN pred_left THEN fav ELSE fnv - fav END

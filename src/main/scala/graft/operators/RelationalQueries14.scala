@@ -205,7 +205,7 @@ object RelationalQueries14 {
         .selectExpr(
           """(CAST(s_ssq AS DOUBLE) * 1000.0
             | / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) AS mse_d""".stripMargin)
-      per.as("a").join(per.as("b"), $"a.seg" < $"b.seg")
+      per.as("a").join(broadcast(per.as("b")), $"a.seg" < $"b.seg")
         .crossJoin(broadcast(mse))
         .selectExpr("a.seg AS seg_a", "b.seg AS seg_b",
           "a.si DIV a.ni AS mean_a_cents", "b.si DIV b.ni AS mean_b_cents",
