@@ -325,6 +325,33 @@ object GraphQueries2 {
           "n_reached * 1000 DIV sum_dist AS closeness_milli",
           "harmonic_12k")
         .orderBy($"seed")
+    }),
+
+    // RICH-CLUB COEFFICIENT φ(k) of the co-purchase graph at degree
+    // thresholds 2/4/8: do high-degree parts preferentially co-occur
+    // with each other? φ(k) = E(R_k)/(|R_k|·(|R_k|−1)) over the
+    // directed symmetric edge list — exact integer basis points. Two
+    // keyed aggregates (degree census, rich-edge count per k); the ×3
+    // threshold fan-out rides vertex/edge-sized tables only.
+    "graph_rich_club" -> ((s, d) => {
+      import s.implicits._
+      val sym = coPurchase(s, d)._1.select($"src", $"dst")
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val ks = s.range(1, 4).select(pow(lit(2), $"id").cast("long").as("k")) // 2,4,8
+      val rich = deg.crossJoin(broadcast(ks)).filter($"deg" > $"k")
+        .select($"k", $"src")
+      val nRich = rich.groupBy($"k").agg(count(lit(1)).as("n_rich"))
+      val eRich = sym
+        .join(rich.select($"k", $"src"), Seq("src"))
+        .join(rich.select($"k", $"src".as("dst")), Seq("k", "dst"))
+        .groupBy($"k").agg(count(lit(1)).as("e_rich_dir"))
+      nRich.join(eRich, Seq("k"), "left")
+        .selectExpr("k", "n_rich",
+          "COALESCE(e_rich_dir, 0) AS e_rich_dir",
+          """CASE WHEN n_rich < 2 THEN NULL ELSE
+            | COALESCE(e_rich_dir, 0) * 10000 DIV (n_rich * (n_rich - 1))
+            | END AS phi_bp""".stripMargin)
+        .orderBy($"k")
     })
   )
 
@@ -558,6 +585,34 @@ object GraphQueries2 {
          |  CAST(count(*) AS BIGINT) * 1000 // CAST(SUM(dist) AS BIGINT) AS closeness_milli,
          |  CAST(SUM(12000 // dist) AS BIGINT) AS harmonic_12k
          |FROM v4 WHERE dist > 0 GROUP BY seed ORDER BY seed""".stripMargin
-    }
+    },
+
+    "graph_rich_club" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |cooc AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |sym AS (SELECT p1 AS src, p2 AS dst FROM cooc
+        |        UNION ALL SELECT p2, p1 FROM cooc),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+        |ks AS (SELECT CAST(power(2, range) AS BIGINT) AS k FROM range(1, 4)),
+        |rich AS (
+        |  SELECT k, src FROM deg CROSS JOIN ks WHERE deg > k),
+        |nr AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM rich GROUP BY k),
+        |er AS (
+        |  SELECT r1.k, CAST(count(*) AS BIGINT) AS e_rich_dir
+        |  FROM sym e
+        |  JOIN rich r1 ON r1.src = e.src
+        |  JOIN rich r2 ON r2.k = r1.k AND r2.src = e.dst
+        |  GROUP BY r1.k)
+        |SELECT nr.k, nr.n_rich,
+        |  COALESCE(er.e_rich_dir, 0) AS e_rich_dir,
+        |  CASE WHEN nr.n_rich < 2 THEN NULL ELSE
+        |   COALESCE(er.e_rich_dir, 0) * 10000 // (nr.n_rich * (nr.n_rich - 1))
+        |   END AS phi_bp
+        |FROM nr LEFT JOIN er ON er.k = nr.k
+        |ORDER BY nr.k""".stripMargin
   )
 }

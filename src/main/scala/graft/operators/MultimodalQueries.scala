@@ -320,6 +320,41 @@ object MultimodalQueries {
           "h_energy + v_energy AS total_energy",
           "h_energy + v_energy = 0 AS is_flat")
         .orderBy($"doc_id")
+    }),
+
+    // FORMAT SNIFFING on the binary column — the ingestion-edge audit
+    // that routes mixed media payloads by MAGIC BYTES, not by trusted
+    // extensions. A deterministic three-way corpus (real PNG via
+    // ImageIO / real WAV via javax.sound / raw text bytes, keyed by
+    // doc_id mod 3) is sniffed on its first four bytes; the census
+    // has a mod-3 closed form the oracle pins, so a codec emitting
+    // wrong magic would go red. One zero-shuffle encode pass + one
+    // keyed census.
+    "mm_format_sniff" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).filter($"doc_id" % 4 === 3)
+        .select($"doc_id", $"text")
+      val png = graft.multimodal.Multimodal.encodePatternPayloads(
+        base.filter($"doc_id" % 3 === 0)
+          .select($"doc_id", lit(8).as("scale"),
+            substring(md5(($"doc_id" % 40).cast("string").cast("binary")), 1, 16)
+              .as("bits_hex")))
+      val wav = graft.multimodal.Multimodal.encodeWavPayloads(
+        base.filter($"doc_id" % 3 === 1)
+          .select($"doc_id", lit(160).as("n_samples"),
+            lit(4).as("half_period"), lit(3000).as("amplitude")))
+      val raw = base.filter($"doc_id" % 3 === 2)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+      png.unionByName(wav).unionByName(raw)
+        .selectExpr("doc_id",
+          """CASE hex(substring(payload, 1, 4))
+            | WHEN '89504E47' THEN 'png'
+            | WHEN '52494646' THEN 'riff'
+            | ELSE 'other' END AS format""".stripMargin)
+        .groupBy($"format")
+        .agg(count(lit(1)).as("n_assets"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"format")
     })
   )
 
@@ -484,6 +519,17 @@ object MultimodalQueries {
         |    AS total_energy,
         |  128 * m.px * 8 * (COALESCE(hp.h_pairs, 0) + COALESCE(vp.v_pairs, 0)) = 0 AS is_flat
         |FROM m LEFT JOIN hp USING (doc_id) LEFT JOIN vp USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_format_sniff" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'riff'
+        |      ELSE 'other' END AS format
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM base GROUP BY format ORDER BY format""".stripMargin
   )
 }
