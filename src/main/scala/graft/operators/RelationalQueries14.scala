@@ -327,6 +327,35 @@ object RelationalQueries14 {
           """CAST(FLOOR(CAST(h_nano AS DOUBLE) / 1e9
             | / (ln(CAST(k AS DOUBLE)) / ln(2.0)) * 10000.0) AS BIGINT)
             | AS efficiency_bp""".stripMargin)
+    }),
+
+    // HOURLY LOAD PROFILE per event type: Fano factor (variance/mean
+    // of hourly counts — Poisson ⇒ 1) and peak-to-mean ratio, the two
+    // numbers capacity planning reads off every stream. One hourly
+    // census (keyed aggregate), one per-type rollup of exact integer
+    // sums; both ratios are shared double trees.
+    "q230_hourly_load_profile" -> ((s, d) => {
+      import s.implicits._
+      val hourly = events(s, d)
+        .groupBy($"event_type",
+          date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      hourly.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_hours"), sum($"c").as("sc"),
+          sum($"c".cast(D19) * $"c".cast(D19)).as("scc"),
+          max($"c").as("peak"))
+        .selectExpr("event_type", "n_hours", "peak",
+          "sc * 1000 DIV n_hours AS mean_milli",
+          """CAST(FLOOR(
+            | (CAST(n_hours AS DOUBLE) * CAST(scc AS DOUBLE)
+            |  - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+            | / (CAST(n_hours AS DOUBLE) * CAST(n_hours - 1 AS DOUBLE))
+            | / (CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
+            | * 1000.0) AS BIGINT) AS fano_milli""".stripMargin,
+          """CAST(FLOOR(CAST(peak AS DOUBLE)
+            | / (CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
+            | * 1000.0) AS BIGINT) AS par_milli""".stripMargin)
+        .orderBy($"event_type")
     })
   )
 
@@ -626,6 +655,30 @@ object RelationalQueries14 {
         |  CAST(FLOOR(CAST(SUM(term_nano) AS DOUBLE) / 1e9
         |   / (ln(CAST(k AS DOUBLE)) / ln(2.0)) * 10000.0) AS BIGINT)
         |   AS efficiency_bp
-        |FROM terms GROUP BY nn, k""".stripMargin
+        |FROM terms GROUP BY nn, k""".stripMargin,
+
+    "q230_hourly_load_profile" ->
+      """WITH hourly AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS scc,
+        |    CAST(MAX(c) AS BIGINT) AS peak
+        |  FROM hourly GROUP BY event_type)
+        |SELECT event_type, n_hours, peak,
+        |  sc * 1000 // n_hours AS mean_milli,
+        |  CAST(FLOOR(
+        |   (CAST(n_hours AS DOUBLE) * CAST(scc AS DOUBLE)
+        |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |   / (CAST(n_hours AS DOUBLE) * CAST(n_hours - 1 AS DOUBLE))
+        |   / (CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |   * 1000.0) AS BIGINT) AS fano_milli,
+        |  CAST(FLOOR(CAST(peak AS DOUBLE)
+        |   / (CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |   * 1000.0) AS BIGINT) AS par_milli
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }
