@@ -112,6 +112,49 @@ object StreamBench {
       "cdc_upsert" -> rate
     }
 
+    /** Sustained SOAK: replay the full corpus `passes` times (event
+      * time shifted forward each pass so the watermark keeps
+      * advancing) through an O(1)-state TWS processor and record the
+      * state store's row count at every pass boundary. The single-
+      * burst floors above can't see state GROWTH over time — the
+      * dimension that kills a long-running job — so the soak pins it:
+      * a fixed-size-ValueState-per-key processor must saturate at the
+      * distinct-key count after pass 1 and stay flat (≤2% drift)
+      * through every later pass. RocksDB SST bytes ride along as a
+      * diagnostic (compaction makes them non-monotone, so only row
+      * count is asserted). */
+    case class Soak(name: String, rate: Double, stateRowsPerPass: Seq[Long],
+      sstBytesPerPass: Seq[Long], flatOk: Boolean)
+    def runSoak(name: String, passes: Int)
+        (mk: org.apache.spark.sql.Dataset[UserEvent] => DataFrame): Soak = {
+      val spanMs = events.last.ts.getTime - events.head.ts.getTime + 3600L * 1000
+      val in = MemoryStream[UserEvent](spark, math.abs(name.hashCode % 1000) + 2100)
+      val q = mk(in.toDS()).writeStream.format("memory")
+        .queryName(s"sb_soak_$name").outputMode("update").start()
+      val rowsAtPassEnd = Seq.newBuilder[Long]
+      val sstAtPassEnd = Seq.newBuilder[Long]
+      val t0 = System.nanoTime()
+      for (p <- 0 until passes) {
+        batches.foreach { b =>
+          in.addData(b.map(e =>
+            e.copy(ts = new java.sql.Timestamp(e.ts.getTime + p * spanMs))))
+          q.processAllAvailable()
+        }
+        val so = q.lastProgress.stateOperators.headOption
+        rowsAtPassEnd += so.map(_.numRowsTotal).getOrElse(-1L)
+        sstAtPassEnd += so.flatMap(s =>
+          Option(s.customMetrics.get("rocksdbSstFileSize")).map(_.longValue))
+          .getOrElse(-1L)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rows = rowsAtPassEnd.result()
+      val flat = rows.tail.forall(r => r <= (rows.head * 1.02).toLong)
+      println(f"soak_$name%-17s ${secs}%7.2f s  ${passes * events.length / secs}%9.0f rows/s" +
+        s"  state_rows=${rows.mkString("/")} flat=$flat")
+      Soak(name, passes * events.length / secs, rows, sstAtPassEnd.result(), flat)
+    }
+
     val results = Seq(
       run("tumbling_agg", "update") { ds =>
         ds.toDF().withWatermark("ts", "10 minutes")
@@ -164,6 +207,17 @@ object StreamBench {
       },
       runCdc())
 
+    // Soak the two ends of the O(1)-state TWS spectrum: the CEP funnel
+    // (fixed-size ValueState struct per user, TimeMode.None — state
+    // must equal the distinct-user count and never grow again) and the
+    // EMA smoother (one (n, ema) ValueState per key — same bound).
+    val soaks = Seq(
+      runSoak("tws_funnel", passes = 3)(ds => Streams.funnelTws(ds).toDF()),
+      runSoak("tws_ema", passes = 3)(ds => Streams.emaTws(ds).toDF()))
+    val growthViolations = soaks.collect { case s if !s.flatOk => s.name }
+    growthViolations.foreach(k => System.err.println(
+      s"[stream-bench] WARNING: soak $k state store GREW after pass 1"))
+
     // Regression floors: ~half the rate measured on an otherwise-idle
     // host (r11, all 13 streams at sf0.1: tumbling 5038 / anomaly 6254
     // / dedup 3253 / session 4523 / favorite 6578 / topk 5470 / alerts
@@ -192,9 +246,16 @@ object StreamBench {
       .mkString(""","floors":{""", ",", "}")
     val belowJson =
       if (below.isEmpty) "" else below.map("\"" + _ + "\"").mkString(""","below_floor":[""", ",", "]")
+    val soakJson = soaks.map { s =>
+      "\"" + s.name + "\":{\"rate\":" + fmt(s.rate) +
+        s""","state_rows_per_pass":[${s.stateRowsPerPass.mkString(",")}]""" +
+        s""","sst_bytes_per_pass":[${s.sstBytesPerPass.mkString(",")}]""" +
+        s""","flat_growth_ok":${s.flatOk}}"""
+    }.mkString(s""","soak":{"passes":3,"rows_per_pass":${events.length},"streams":{""",
+      ",", "}}")
     val json = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString(s"""{"metric":"stream_rows_per_sec","rows":${events.length},"sf":"$sfDir",""",
-        ",", floorJson + belowJson + "}")
+        ",", floorJson + belowJson + soakJson + "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("STREAM_BENCH.json"), json + "\n")
     println(json)
     spark.stop()

@@ -29,10 +29,15 @@ object DedupQueries2 {
   val queries: Map[String, Q] = Map(
     "dedup_index_stats" -> ((s, d) => {
       import s.implicits._
+      // Census groups on the shingle STRING, exactly as the oracle
+      // does: the df histogram never feeds a join, so there is no
+      // bandwidth reason to hash, and grouping on xxhash64 would
+      // extend the substrate's collision-free assumption from the
+      // df-capped join universe to the full uncapped shingle universe
+      // (a 64-bit collision would silently shift the df buckets).
       val dfs = DedupQueries.docShingles(s, d)
         .select($"doc_id", explode($"sh").as("shingle"))
-        .select(xxhash64($"shingle").as("h"))
-        .groupBy($"h").agg(count(lit(1)).as("df"))
+        .groupBy($"shingle").agg(count(lit(1)).as("df"))
       dfs.selectExpr(
           """CASE WHEN df = 1 THEN 'unique'
             | WHEN df <= 10 THEN 'small' ELSE 'capped' END AS bucket""".stripMargin,

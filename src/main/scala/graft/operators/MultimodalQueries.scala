@@ -525,7 +525,12 @@ object MultimodalQueries {
       """WITH base AS (
         |  SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'riff'
-        |      ELSE 'other' END AS format
+        |      -- raw branch: apply the SAME magic-bytes rule the sniffer
+        |      -- uses, not a hard-coded 'other' — a fixture whose text
+        |      -- happens to start with ASCII 'RIFF' must land in 'riff'
+        |      -- on both sides (PNG magic 0x89 cannot occur in text)
+        |      ELSE (CASE WHEN text LIKE 'RIFF%' THEN 'riff' ELSE 'other' END)
+        |      END AS format
         |  FROM documents WHERE doc_id % 4 = 3)
         |SELECT format, CAST(count(*) AS BIGINT) AS n_assets,
         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,

@@ -350,12 +350,15 @@ object RelationalQueries13 {
             | AS emd_microcents""".stripMargin)
     }),
 
-    // BENJAMINI–HOCHBERG FDR over per-nation order-value z-tests: 25
-    // simultaneous "is this nation's mean order off the global mean?"
-    // tests, p-values from the Abramowitz–Stegun Φ tail (identical
-    // exp/Horner tree on both engines, nano-quantized), then the BH
-    // step-up at α=0.05 in exact integer arithmetic (p_nano·20·m ≤
-    // rk·10⁹). One corpus-sized keyed aggregate; BH runs on 25 rows.
+    // BENJAMINI–HOCHBERG FDR over per-nation order-value z-tests: one
+    // "is this nation's mean order off the global mean?" test per
+    // nation WITH orders (m = realized test count, derived as a window
+    // count — not a constant, so an empty nation shrinks the step-up
+    // denominator correctly), p-values from the Abramowitz–Stegun Φ
+    // tail (identical exp/Horner tree on both engines, nano-quantized),
+    // then the BH step-up at α=0.05 in exact integer arithmetic
+    // (p_nano·20·m ≤ rk·10⁹). One corpus-sized keyed aggregate; BH
+    // runs on the nation-sized ranked table.
     "q210_benjamini_hochberg" -> ((s, d) => {
       import s.implicits._
       val base = orders(s, d)
@@ -378,8 +381,14 @@ object RelationalQueries13 {
             |        / CAST(ni AS DOUBLE)) AS z_d""".stripMargin)
         .selectExpr("n_name", "ni", "z_d", s"${pNano("z_d")} AS p_nano")
       val wr = Window.orderBy($"p_nano".asc, $"n_name".asc) // 25 rows
+      // m = the REALIZED number of simultaneous tests (nations with
+      // orders), derived as a window count over the same ranked table
+      // — not a compile-time constant, so a nation with zero orders
+      // shrinks the BH step-up denominator correctly on both engines.
+      val wm = Window.partitionBy(lit(1))
       val ranked = z.withColumn("rk", row_number().over(wr).cast("long"))
-        .withColumn("pass_bh", $"p_nano" * 20 * BhM <= $"rk" * 1000000000L)
+        .withColumn("m_tests", count(lit(1)).over(wm).cast("long"))
+        .withColumn("pass_bh", $"p_nano" * 20 * $"m_tests" <= $"rk" * 1000000000L)
       val kmax = ranked.agg(max(when($"pass_bh", $"rk").otherwise(0L)).as("k_bh"))
       ranked.crossJoin(broadcast(kmax))
         .select($"n_name", $"ni", format_string("%.6f", $"z_d").as("z"),
@@ -622,7 +631,6 @@ object RelationalQueries13 {
        |   + $t * (-1.821255978 + $t * 1.330274429))))) * 1e9) AS BIGINT)""".stripMargin
   }
 
-  private val BhM = 25
 
   /** Per-stratum CMH terms, micro-quantized through identical double
     * trees (the q192 FLOOR idiom — width-safe at any corpus size,
@@ -1017,7 +1025,8 @@ object RelationalQueries13 {
          |  SELECT *, CAST(row_number() OVER (ORDER BY p_nano ASC, n_name ASC) AS BIGINT) AS rk
          |  FROM pv),
          |flagged AS (
-         |  SELECT *, p_nano * 20 * $BhM <= rk * 1000000000 AS pass_bh FROM ranked),
+         |  SELECT *, p_nano * 20 * (count(*) OVER ()) <= rk * 1000000000 AS pass_bh
+         |  FROM ranked),
          |kmax AS (
          |  SELECT CAST(MAX(CASE WHEN pass_bh THEN rk ELSE 0 END) AS BIGINT) AS k_bh
          |  FROM flagged)

@@ -442,23 +442,25 @@ object SimilarityQueries {
     //      drift apart fails it instantly.
     //  (2) aggregate recall@K vs the exact top-K. Per-index floors are
     //      calibrated from graft.RecallProbe's measured recall at ALL
-    //      three SFs (LSH 0.40/0.64/0.44, IVF 0.52/0.40/0.52, PQ
-    //      1.00/1.00/0.72 at sf0.001/0.01/0.1 — deterministic
-    //      pipelines, so these numbers are exactly reproducible), set
-    //      two pairs (800 bp of the 25-pair denominator) under the
-    //      worst SF: a PARTIAL bucketing break now fails the gate, not
-    //      just a total one. The synthetic embeddings carry little
+    //      three SFs, re-measured r12 (2026-08-14) and unchanged from
+    //      the promotion-time run (LSH 0.40/0.64/0.44, IVF
+    //      0.52/0.40/0.52, PQ 1.00/1.00/0.72 at sf0.001/0.01/0.1 —
+    //      deterministic pipelines, exactly reproducible), set ONE
+    //      pair (400 bp of the 25-pair denominator) under the worst
+    //      SF: losing a single exact-top-K pair beyond the calibrated
+    //      state fails the gate, so an index regression can't hide
+    //      under slack. The synthetic embeddings carry little
     //      neighborhood structure, so per-query floors would overfit
     //      noise; the aggregate floor is the robust invariant.
-    "sim_knn_lsh_check" -> ((s, d) =>
-      annCheck(s, d, excl => lshTopK(s, d, 4, 4, excl), minRecallBp = 3200)),
-    "sim_knn_ivf_check" -> ((s, d) =>
-      annCheck(s, d, ivfSearch(s, d, 16, 4), minRecallBp = 3200)),
+    "sim_knn_lsh_check" -> ((s, d) =>   // worst-SF measured 4000 bp − 400
+      annCheck(s, d, excl => lshTopK(s, d, 4, 4, excl), minRecallBp = 3600)),
+    "sim_knn_ivf_check" -> ((s, d) =>   // worst-SF measured 4000 bp − 400
+      annCheck(s, d, ivfSearch(s, d, 16, 4), minRecallBp = 3600)),
     // PQ re-ranks its top-256 ADC candidates with exact cosine, so its
     // recall floor sits far higher than the bucketed indexes'. Same
-    // calibration rule as LSH/IVF: worst-SF measured (7200 bp) − 800.
+    // calibration rule as LSH/IVF: worst-SF measured (7200 bp) − 400.
     "sim_knn_pq_check" -> ((s, d) =>
-      annCheck(s, d, pqSearch(s, d), minRecallBp = 6400))
+      annCheck(s, d, pqSearch(s, d), minRecallBp = 6800))
   )
 
   /** Shared ANN gate: one row of invariant booleans + oracle-computable
