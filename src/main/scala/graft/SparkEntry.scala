@@ -50,7 +50,11 @@ object SparkEntry {
       RelationalQueries13.queries ++
       TextQueries5.queries ++
       RelationalQueries14.queries ++
-      DedupQueries2.queries
+      DedupQueries2.queries ++
+      RelationalQueries15.queries ++
+      DedupQueries3.queries ++
+      MlQueries3.queries ++
+      TextQueries6.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -86,5 +90,9 @@ object SparkEntry {
       RelationalQueries13.oracles ++
       TextQueries5.oracles ++
       RelationalQueries14.oracles ++
-      DedupQueries2.oracles
+      DedupQueries2.oracles ++
+      RelationalQueries15.oracles ++
+      DedupQueries3.oracles ++
+      MlQueries3.oracles ++
+      TextQueries6.oracles
 }

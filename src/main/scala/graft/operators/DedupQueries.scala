@@ -675,7 +675,7 @@ object DedupQueries {
     * from the expression's own generator (unsigned rendering — the
     * oracle works in mod-2^64 HUGEINT space and converts to signed at
     * the end, matching JVM long wraparound). */
-  private lazy val minhashMixerValues: String = {
+  private[operators] lazy val minhashMixerValues: String = {
     val (a, b) = graft.functions.MinHashSignature.mixers(64)
     (0 until 64).map { i =>
       s"($i, ${java.lang.Long.toUnsignedString(a(i))}, ${java.lang.Long.toUnsignedString(b(i))})"

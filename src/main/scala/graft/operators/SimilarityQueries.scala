@@ -430,6 +430,40 @@ object SimilarityQueries {
     "sim_knn_pq" -> ((s, d) => {
       import s.implicits._
       pqTopK(s, d).orderBy($"q_id", $"rank")
+    }),
+
+    // MUTUAL-kNN graph over a FIXED vector panel (vec_id % 8 == 0 and
+    // < 2048 — bounded ≤256 members at ANY corpus size, like the
+    // Hodges–Lehmann day cap): edge (a,b) exists iff b is in a's
+    // exact top-K AND a is in b's — the symmetric graph density-based
+    // clustering (HDBSCAN-style) builds on, where one-sided neighbors
+    // (a hub attracting everything) are pruned. Panel² cosine scoring
+    // is broadcast-sized forever by the cap; at corpus scale the
+    // candidate side rides the bucketed indexes instead (sim_knn_*),
+    // and the mutuality filter is THIS operator's semantic. Ranking
+    // ties break on vec_id; cosine is micro-floored for output (the
+    // sim_mips hash-parity idiom).
+    "sim_mutual_knn" -> ((s, d) => {
+      import s.implicits._
+      val panel = embeddings(s, d)
+        .filter($"vec_id" % 8 === 0 && $"vec_id" < 2048)
+        .select($"vec_id", $"embedding")
+      val scored = panel.select($"vec_id".as("a"), $"embedding".as("ea"))
+        .join(broadcast(panel.select($"vec_id".as("b"), $"embedding".as("eb"))),
+          $"a" =!= $"b")
+        .select($"a", $"b", cosineSimilarity($"ea", $"eb").as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"a").orderBy($"cosine".desc, $"b".asc)
+      val topk = scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+        .select($"a", $"b", $"rank", $"cosine")
+      topk.select($"a", $"b", $"rank".as("rank_ab"), $"cosine")
+        .join(topk.select($"b".as("a"), $"a".as("b"), $"rank".as("rank_ba")),
+          Seq("a", "b"))
+        .filter($"a" < $"b")
+        .selectExpr("a", "b", "rank_ab", "rank_ba",
+          "CAST(FLOOR(cosine * 1000000.0) AS BIGINT) AS cos_micro")
+        .orderBy($"a", $"b")
     })
   ) ++ Map[String, Q](
     // ANN quality gates, two invariants per index:
@@ -493,6 +527,24 @@ object SimilarityQueries {
     s"(${dot.format(a, a, b)} / (sqrt(${dot.format(a, a, a)}) * sqrt(${dot.format(b, b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    "sim_mutual_knn" ->
+      s"""WITH panel AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 8 = 0 AND vec_id < 2048),
+         |scored AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    ${cos("a.embedding", "b.embedding")} AS cosine
+         |  FROM panel a JOIN panel b ON a.vec_id <> b.vec_id),
+         |topk AS (
+         |  SELECT a, b, cosine,
+         |    CAST(row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS INT) AS rank
+         |  FROM scored QUALIFY rank <= $K)
+         |SELECT t1.a, t1.b, t1.rank AS rank_ab, t2.rank AS rank_ba,
+         |  CAST(FLOOR(t1.cosine * 1000000.0) AS BIGINT) AS cos_micro
+         |FROM topk t1 JOIN topk t2 ON t2.a = t1.b AND t2.b = t1.a
+         |WHERE t1.a < t1.b
+         |ORDER BY t1.a, t1.b""".stripMargin,
+
     "feat_l2_normalize" ->
       s"""SELECT vec_id, label,
          | printf('%.9f', sqrt(${dot.format("embedding", "embedding", "embedding")})) AS l2_norm,

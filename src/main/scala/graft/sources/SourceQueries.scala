@@ -102,6 +102,25 @@ object SourceQueries {
         .orderBy($"s_nationkey")
     }),
 
+    // GZIP-compressed JSONL sink → source — the compressed landing
+    // format S3 log pipelines actually ship (the reference's wire
+    // format plus the codec every crawler applies). Spark's reader
+    // decompresses .json.gz transparently by extension; the aggregate
+    // over the read-back pins losslessness through the codec. Scale
+    // note: gzip files are NOT splittable — one file = one task — so
+    // the landing layout must keep objects at ~100 MB; the re-read
+    // here is the same code path.
+    "src_gzip_jsonl_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val src = part(s, d)
+      val path = tmp("part_jsonl_gz")
+      src.write.mode("overwrite").option("compression", "gzip").json(path)
+      s.read.schema(src.schema).json(path)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
+        .orderBy($"p_brand")
+    }),
+
     // Bucketed tables — the PRE-shuffle: both fact tables written
     // bucketed+sorted on the join key, so every future join between
     // them plans with zero exchanges (BucketingSpec pins the no-
@@ -361,6 +380,11 @@ object SourceQueries {
       """SELECT s_nationkey, COUNT(*) AS n_supp,
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "src_gzip_jsonl_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "src_bucketed_write" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

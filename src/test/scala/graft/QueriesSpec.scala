@@ -44,7 +44,11 @@ class QueriesSpec extends SparkSuite {
       "RelationalQueries13" -> RelationalQueries13.queries.keySet,
       "TextQueries5" -> TextQueries5.queries.keySet,
       "RelationalQueries14" -> RelationalQueries14.queries.keySet,
-      "DedupQueries2" -> DedupQueries2.queries.keySet)
+      "DedupQueries2" -> DedupQueries2.queries.keySet,
+      "RelationalQueries15" -> RelationalQueries15.queries.keySet,
+      "DedupQueries3" -> DedupQueries3.queries.keySet,
+      "MlQueries3" -> MlQueries3.queries.keySet,
+      "TextQueries6" -> TextQueries6.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${
