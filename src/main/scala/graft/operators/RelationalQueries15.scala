@@ -232,6 +232,41 @@ object RelationalQueries15 {
           "CASE WHEN v > m THEN CAST(FLOOR(m * m / (v - m) * 1000.0) AS BIGINT) END AS r_milli",
           "CASE WHEN v > m THEN CAST(FLOOR(m / v * 1000000.0) AS BIGINT) END AS p_micro",
           "v > m AS overdispersed")
+    }),
+
+    // SEASONAL MANN–KENDALL: q162's monotone-trend test restricted to
+    // WITHIN-SEASON pairs (month-of-year strata), so an annual cycle
+    // can't masquerade as (or mask) a trend — the variant environmental
+    // and capacity monitoring actually runs on seasonal series. S and
+    // the tie-corrected variance are summed over the 12 strata as pure
+    // integers (Kendall's S_m and Var_m are per-stratum integer
+    // closed forms; the cross-stratum Σ is exact). Pairs are
+    // calendar²/12-bounded — the same day-table theta-join contract as
+    // q162/q169, never corpus-sized.
+    "q236_seasonal_mann_kendall" -> ((s, d) => {
+      import s.implicits._
+      val daily = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("rev"))
+        .select($"day", month($"day").as("moy"), $"rev")
+        .localCheckpoint() // day-table-sized
+      val a = daily.select($"moy", $"day".as("da"), $"rev".as("xa"))
+      val b = daily.select($"moy", $"day".as("db"), $"rev".as("xb"))
+      val sStat = a.join(b, Seq("moy")).filter($"da" < $"db")
+        .agg(sum(when($"xb" > $"xa", 1L).when($"xb" < $"xa", -1L).otherwise(0L))
+          .as("s_stat"))
+      val varSum = daily.groupBy($"moy", $"rev").agg(count(lit(1)).as("t"))
+        .groupBy($"moy").agg(sum($"t").as("nm"),
+          sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tie_m"))
+        .agg(count(lit(1)).as("n_seasons"), sum($"nm").as("n_days"),
+          sum($"nm" * ($"nm" - 1) * (lit(2) * $"nm" + 5) - $"tie_m").as("var18"))
+      sStat.crossJoin(varSum) // both single-row
+        .withColumn("z", format_string("%.6f",
+          when($"s_stat" > 0, ($"s_stat" - 1).cast("double"))
+            .when($"s_stat" < 0, ($"s_stat" + 1).cast("double"))
+            .otherwise(lit(0.0))
+            / sqrt($"var18".cast("double") / 18.0)))
+        .select($"n_seasons", $"n_days", $"s_stat", $"var18", $"z")
     })
   )
 
@@ -265,6 +300,35 @@ object RelationalQueries15 {
          |  CASE WHEN v > m THEN CAST(FLOOR(m / v * 1000000.0) AS BIGINT) END AS p_micro,
          |  v > m AS overdispersed
          |FROM mv""".stripMargin,
+
+    "q236_seasonal_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS moy,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+        |    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.moy = b.moy AND a.day < b.day),
+        |ties AS (
+        |  SELECT moy, rev, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY moy, rev),
+        |perm AS (
+        |  SELECT moy, CAST(SUM(t) AS BIGINT) AS nm,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_m
+        |  FROM ties GROUP BY moy),
+        |v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_seasons,
+        |    CAST(SUM(nm) AS BIGINT) AS n_days,
+        |    CAST(SUM(nm * (nm - 1) * (2 * nm + 5) - tie_m) AS BIGINT) AS var18
+        |  FROM perm)
+        |SELECT n_seasons, n_days, s_stat, var18,
+        |  printf('%.6f',
+        |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |          ELSE 0.0 END)
+        |    / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS z
+        |FROM s CROSS JOIN v""".stripMargin,
 
     "q231_ljung_box" ->
       s"""WITH day AS ($dayCount),

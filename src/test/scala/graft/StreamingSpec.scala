@@ -578,4 +578,41 @@ class StreamingSpec extends SparkSuite {
                    case None => spark.conf.unset(key) }
     }
   }
+
+  test("O(1)-state TWS processors: state saturates at distinct-key count under corpus replay") {
+    // the StreamBench soak in miniature: feed the same events twice
+    // (pass 2 time-shifted forward so event time keeps advancing) and
+    // assert the state store's row count does NOT grow after pass 1 —
+    // the fixed-size-ValueState-per-key contract that keeps a
+    // long-running job's state bounded by active keys, not by rows.
+    import graft.streaming.UserEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    // emaTws keys its ValueState by event_type → 4 distinct keys here
+    val rows = (1L to 12L).map { i =>
+      UserEvent(i, ts(f"2024-01-01 00:${i % 30}%02d:00"), i % 4 + 1,
+        s"type${i % 4}", i.toDouble)
+    }
+    val in = MemoryStream[UserEvent](spark, 77)
+    val q = Streams.emaTws(in.toDS()).toDF().writeStream.format("memory")
+      .queryName("soak_mini").outputMode("update").start()
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    in.addData(rows: _*); q.processAllAvailable()
+    val afterPass1 = stateRows
+    val shifted = rows.map(e =>
+      e.copy(event_id = e.event_id + 100, ts = new Timestamp(e.ts.getTime + 86400000L)))
+    in.addData(shifted: _*); q.processAllAvailable()
+    val afterPass2 = stateRows
+    q.stop()
+    assert(afterPass1 === 4L, s"one ValueState row per distinct key: $afterPass1")
+    assert(afterPass2 === afterPass1,
+      s"state grew on replay ($afterPass1 -> $afterPass2): per-key state is not O(1)")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
