@@ -53,9 +53,18 @@ object StreamBench {
     val batches = events.grouped(batchRows).toSeq
     println(s"feeding ${events.length} events in ${batches.size} micro-batches of <=$batchRows")
 
+    // optional name filter for re-measuring single streams in
+    // isolation (floor-trip triage): `runMain graft.StreamBench topk`.
+    // A filtered run prints rates but does NOT overwrite
+    // STREAM_BENCH.json (the round record stays the full profile).
+    val only = args.toSet
+    def wanted(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
+
     /** Feed all batches through `mk`'s query, draining each; returns rows/sec. */
     def run(name: String, mode: String)
         (mk: org.apache.spark.sql.Dataset[UserEvent] => DataFrame): (String, Double) = {
+      if (!wanted(name)) return name -> -1.0
       val in = MemoryStream[UserEvent](spark, math.abs(name.hashCode % 1000) + 100)
       val q = mk(in.toDS()).writeStream.format("memory")
         .queryName(s"sb_$name").outputMode(mode).start()
@@ -85,6 +94,7 @@ object StreamBench {
       * Dominated by the per-batch snapshot rewrite — the number a real
       * JDBC/Delta MERGE sink would pay too. */
     def runCdc(): (String, Double) = {
+      if (!wanted("cdc_upsert")) return "cdc_upsert" -> -1.0
       val base = s"${sys.props("java.io.tmpdir")}/graft_sb_cdc_${spark.sparkContext.applicationId}"
       val basePath = new org.apache.hadoop.fs.Path(base)
       basePath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(basePath, true)
@@ -127,6 +137,7 @@ object StreamBench {
       sstBytesPerPass: Seq[Long], flatOk: Boolean)
     def runSoak(name: String, passes: Int)
         (mk: org.apache.spark.sql.Dataset[UserEvent] => DataFrame): Soak = {
+      if (!wanted(s"soak_$name")) return Soak(name, -1.0, Nil, Nil, flatOk = true)
       val spanMs = events.last.ts.getTime - events.head.ts.getTime + 3600L * 1000
       val in = MemoryStream[UserEvent](spark, math.abs(name.hashCode % 1000) + 2100)
       val q = mk(in.toDS()).writeStream.format("memory")
@@ -155,7 +166,7 @@ object StreamBench {
       Soak(name, passes * events.length / secs, rows, sstAtPassEnd.result(), flat)
     }
 
-    val results = Seq(
+    val allStreams = Seq(
       run("tumbling_agg", "update") { ds =>
         ds.toDF().withWatermark("ts", "10 minutes")
           .groupBy(window($"ts", "1 hour"), $"event_type")
@@ -206,6 +217,7 @@ object StreamBench {
           .agg(sum($"n15").as("n"))
       },
       runCdc())
+    val results = allStreams.filter(_._2 >= 0)
 
     // Soak the two ends of the O(1)-state TWS spectrum: the CEP funnel
     // (fixed-size ValueState struct per user, TimeMode.None — state
@@ -214,6 +226,7 @@ object StreamBench {
     val soaks = Seq(
       runSoak("tws_funnel", passes = 3)(ds => Streams.funnelTws(ds).toDF()),
       runSoak("tws_ema", passes = 3)(ds => Streams.emaTws(ds).toDF()))
+      .filter(_.rate >= 0)
     val growthViolations = soaks.collect { case s if !s.flatOk => s.name }
     growthViolations.foreach(k => System.err.println(
       s"[stream-bench] WARNING: soak $k state store GREW after pass 1"))
@@ -256,7 +269,8 @@ object StreamBench {
     val json = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString(s"""{"metric":"stream_rows_per_sec","rows":${events.length},"sf":"$sfDir",""",
         ",", floorJson + belowJson + soakJson + "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("STREAM_BENCH.json"), json + "\n")
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("STREAM_BENCH.json"), json + "\n")
     println(json)
     spark.stop()
   }

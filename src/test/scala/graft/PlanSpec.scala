@@ -207,6 +207,38 @@ class PlanSpec extends SparkSuite {
       "size-only estimate over the threshold must not broadcast")
   }
 
+  test("dedup_prefix_trunc: anchor candidate generation is a hash join, never a nested loop") {
+    // the truncation-dedup contract: candidates come from the 8-token
+    // anchor EQUI-join (hash-joinable key), and the exact string-prefix
+    // verify is a post-join filter — a plan that degrades to a nested
+    // loop would be all-pairs at corpus scale.
+    val p = plan("dedup_prefix_trunc")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"anchor join fell off the hash-join path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix-trunc planned a nested loop:\n$p")
+  }
+
+  test("ml_logreg_newton: each Newton pass is ONE partial+final corpus aggregate") {
+    // the distributed-logreg contract: sufficient statistics reduce
+    // map-side (partial_sum) and the single-row weight frame broadcasts
+    // back — the fact table must never shuffle on a key.
+    val p = plan("ml_logreg_newton")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"Newton sums lost partial aggregation:\n$p")
+    assert(!"hashpartitioning\\((x1|x2|y)".r.findFirstIn(p).isDefined,
+      s"logreg shuffled the fact table on a feature key:\n$p")
+  }
+
+  test("sim_mutual_knn: the bounded panel broadcasts into the scoring join") {
+    val p = plan("sim_mutual_knn")
+    assert(p.contains("BroadcastExchange"),
+      s"panel side did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"mutual-knn planned a cartesian:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
