@@ -234,6 +234,34 @@ object RelationalQueries15 {
           "v > m AS overdispersed")
     }),
 
+    // LINDLEY BACKLOG RECURRENCE: the queueing-theory capacity audit —
+    // feed daily order arrivals into a fixed-capacity server
+    // (C = ⌈mean daily arrivals⌉, data-derived, no constant) and
+    // report the backlog process W_t = max(0, W_{t−1} + A_t − C).
+    // The recurrence NEVER folds sequentially: by the reflection
+    // identity W_t = S_t − min(0, min_{j≤t} S_j) with S_t = Σ(A−C),
+    // it is two prefix scans over the day series — the same
+    // prefix-sum machinery as q234, exact integers end-to-end.
+    "q237_lindley_backlog" -> ((s, d) => {
+      import s.implicits._
+      val day = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("a"))
+      val cap = day.agg(sum($"a").as("sa"), count(lit(1)).as("nd"))
+        .selectExpr("(sa + nd - 1) DIV nd AS c") // integer ceil, non-negative
+      val wT = Window.orderBy($"day".asc) // day-sized
+      val wPre = Window.orderBy($"t".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val td = day.crossJoin(broadcast(cap))
+        .withColumn("t", row_number().over(wT).cast("long"))
+      val w = td
+        .withColumn("st", sum($"a" - $"c").over(wPre))
+        .withColumn("wt", $"st" - least(lit(0L), min($"st").over(wPre)))
+      w.agg(count(lit(1)).as("n_days"), max($"c").as("capacity"),
+        max($"wt").as("peak_backlog"), sum($"wt").as("sum_backlog"),
+        sum(when($"wt" > 0, 1L).otherwise(0L)).as("busy_days"))
+    }),
+
     // SEASONAL MANN–KENDALL: q162's monotone-trend test restricted to
     // WITHIN-SEASON pairs (month-of-year strata), so an annual cycle
     // can't masquerade as (or mask) a trend — the variant environmental
@@ -300,6 +328,24 @@ object RelationalQueries15 {
          |  CASE WHEN v > m THEN CAST(FLOOR(m / v * 1000000.0) AS BIGINT) END AS p_micro,
          |  v > m AS overdispersed
          |FROM mv""".stripMargin,
+
+    "q237_lindley_backlog" ->
+      s"""WITH day AS ($dayCount),
+         |cap AS (
+         |  SELECT (CAST(SUM(y) AS BIGINT) + CAST(count(*) AS BIGINT) - 1)
+         |    // CAST(count(*) AS BIGINT) AS c
+         |  FROM day),
+         |td AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, y AS a, c
+         |  FROM day CROSS JOIN cap),
+         |s AS (SELECT t, c, CAST(SUM(a - c) OVER (ORDER BY t) AS BIGINT) AS st FROM td),
+         |w AS (
+         |  SELECT t, c, st - LEAST(0, MIN(st) OVER (ORDER BY t)) AS wt FROM s)
+         |SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(MAX(c) AS BIGINT) AS capacity,
+         |  CAST(MAX(wt) AS BIGINT) AS peak_backlog,
+         |  CAST(SUM(wt) AS BIGINT) AS sum_backlog,
+         |  CAST(SUM(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS busy_days
+         |FROM w""".stripMargin,
 
     "q236_seasonal_mann_kendall" ->
       """WITH daily AS (
