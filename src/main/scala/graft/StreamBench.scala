@@ -135,13 +135,13 @@ object StreamBench {
       * count is asserted). */
     case class Soak(name: String, rate: Double, stateRowsPerPass: Seq[Long],
       sstBytesPerPass: Seq[Long], flatOk: Boolean)
-    def runSoak(name: String, passes: Int)
+    def runSoak(name: String, passes: Int, mode: String = "update")
         (mk: org.apache.spark.sql.Dataset[UserEvent] => DataFrame): Soak = {
       if (!wanted(s"soak_$name")) return Soak(name, -1.0, Nil, Nil, flatOk = true)
       val spanMs = events.last.ts.getTime - events.head.ts.getTime + 3600L * 1000
       val in = MemoryStream[UserEvent](spark, math.abs(name.hashCode % 1000) + 2100)
       val q = mk(in.toDS()).writeStream.format("memory")
-        .queryName(s"sb_soak_$name").outputMode("update").start()
+        .queryName(s"sb_soak_$name").outputMode(mode).start()
       val rowsAtPassEnd = Seq.newBuilder[Long]
       val sstAtPassEnd = Seq.newBuilder[Long]
       val t0 = System.nanoTime()
@@ -223,9 +223,20 @@ object StreamBench {
     // (fixed-size ValueState struct per user, TimeMode.None — state
     // must equal the distinct-user count and never grow again) and the
     // EMA smoother (one (n, ema) ValueState per key — same bound).
+    // ... plus the two BOUNDED-collection state shapes: the top-k
+    // leaderboard (ListState capped at k entries per key — state must
+    // saturate at k·keys) and the anomaly ring buffer (ListState
+    // capped at 20 values per key — saturates at 20·keys). Their
+    // bounds are enforced by processor code, not by the store, which
+    // is exactly why the soak has to prove them: a take(k)/takeRight
+    // regression would grow state forever and no single-burst floor
+    // would notice.
     val soaks = Seq(
       runSoak("tws_funnel", passes = 3)(ds => Streams.funnelTws(ds).toDF()),
-      runSoak("tws_ema", passes = 3)(ds => Streams.emaTws(ds).toDF()))
+      runSoak("tws_ema", passes = 3)(ds => Streams.emaTws(ds).toDF()),
+      runSoak("tws_topk", passes = 3)(ds => Streams.topKTws(ds).toDF()),
+      runSoak("tws_anomaly", passes = 3, mode = "append")(
+        ds => Streams.anomalyTws(ds).toDF()))
       .filter(_.rate >= 0)
     val growthViolations = soaks.collect { case s if !s.flatOk => s.name }
     growthViolations.foreach(k => System.err.println(
@@ -259,16 +270,23 @@ object StreamBench {
       .mkString(""","floors":{""", ",", "}")
     val belowJson =
       if (below.isEmpty) "" else below.map("\"" + _ + "\"").mkString(""","below_floor":[""", ",", "]")
-    val soakJson = soaks.map { s =>
-      "\"" + s.name + "\":{\"rate\":" + fmt(s.rate) +
-        s""","state_rows_per_pass":[${s.stateRowsPerPass.mkString(",")}]""" +
-        s""","sst_bytes_per_pass":[${s.sstBytesPerPass.mkString(",")}]""" +
-        s""","flat_growth_ok":${s.flatOk}}"""
-    }.mkString(s""","soak":{"passes":3,"rows_per_pass":${events.length},"streams":{""",
-      ",", "}}")
-    val json = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString(s"""{"metric":"stream_rows_per_sec","rows":${events.length},"sf":"$sfDir",""",
-        ",", floorJson + belowJson + soakJson + "}")
+    val soakJson =
+      if (soaks.isEmpty) "" // filtered run matching no soaks: omit the block
+      else soaks.map { s =>
+        "\"" + s.name + "\":{\"rate\":" + fmt(s.rate) +
+          s""","state_rows_per_pass":[${s.stateRowsPerPass.mkString(",")}]""" +
+          s""","sst_bytes_per_pass":[${s.sstBytesPerPass.mkString(",")}]""" +
+          s""","flat_growth_ok":${s.flatOk}}"""
+      }.mkString(s""","soak":{"passes":3,"rows_per_pass":${events.length},"streams":{""",
+        ",", "}}")
+    // every fragment after the head carries its OWN leading comma (a
+    // filtered run matching only soak streams has an empty `results`,
+    // and a comma embedded in the head prefix then produced `",,"` —
+    // invalid JSON on stdout)
+    val ratesJson = results.map { case (k, v) => ",\"" + k + "\":" + fmt(v) }.mkString
+    val json =
+      s"""{"metric":"stream_rows_per_sec","rows":${events.length},"sf":"$sfDir"""" +
+        ratesJson + floorJson + belowJson + soakJson + "}"
     if (only.isEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("STREAM_BENCH.json"), json + "\n")
     println(json)

@@ -87,9 +87,19 @@ object TextQueries6 {
       val pe = rows.join(cols, $"lang" === $"guess")
         .agg(coalesce(sum($"rn" * $"cn"), lit(0L)).as("pe_num"))
       tot.crossJoin(pe) // both single-row
+        // pe_bp = ⌊pe_num·10⁴ / n²⌋ computed WITHOUT ever forming
+        // pe_num·10⁴ or n² in BIGINT: with pe_num = q·n + r,
+        // ⌊pe_num·10⁴/n²⌋ = ⌊(q·10⁴ + ⌊r·10⁴/n⌋)/n⌋ exactly (the
+        // standard nested-floor identity ⌊⌊a/b⌋/c⌋ = ⌊a/(b·c)⌋ applied
+        // twice). Width: q ≤ n and r < n, so every
+        // intermediate is ≤ n·10⁴ — safe to n ≈ 9e14 docs. The one
+        // remaining BIGINT bound is pe_num itself (Σ rn·cn ≤ n²),
+        // exact to n ≈ 3e9 docs; beyond that the marginal sums rn/cn
+        // stay exact and pe should move to DOUBLE fractions (scale
+        // note in SURVEY §2.4 width discipline).
         .selectExpr("n", "n_agree",
           "n_agree * 10000 DIV n AS po_bp",
-          "pe_num * 10000 DIV (n * n) AS pe_bp",
+          "((pe_num DIV n) * 10000 + ((pe_num % n) * 10000) DIV n) DIV n AS pe_bp",
           """CAST(FLOOR((CAST(n AS DOUBLE) * CAST(n_agree AS DOUBLE)
             | - CAST(pe_num AS DOUBLE))
             | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(pe_num AS DOUBLE))
@@ -135,7 +145,7 @@ object TextQueries6 {
          |  FROM r JOIN c ON c.guess = r.lang)
          |SELECT n, n_agree,
          |  n_agree * 10000 // n AS po_bp,
-         |  pe_num * 10000 // (n * n) AS pe_bp,
+         |  ((pe_num // n) * 10000 + ((pe_num % n) * 10000) // n) // n AS pe_bp,
          |  CAST(FLOOR((CAST(n AS DOUBLE) * CAST(n_agree AS DOUBLE)
          |    - CAST(pe_num AS DOUBLE))
          |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(pe_num AS DOUBLE))

@@ -31,19 +31,30 @@ object SourceQueries {
     * pays this once; the explicit `src_bucketed_write` entry carries
     * the layout-write cost under its own name. */
   private val bucketedWh =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-  def ensureBucketedWarehouse(s: SparkSession, d: String): Unit = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  /** Returns the (lineitem, orders) catalog table names for `d`'s
+    * bucketed layout. Both the warehouse path and the table names are
+    * keyed by a dir-derived suffix: a single session touching two
+    * sfDirs (ScaleProbe-style loops) gets two independent layouts —
+    * with one global path/table pair, building dir B used to overwrite
+    * dir A's tables while (session, A)'s memo entry stayed populated,
+    * silently serving B's rows to A's join. */
+  def ensureBucketedWarehouse(s: SparkSession, d: String): (String, String) = {
     bucketedWh.computeIfAbsent((s, d), { _ =>
-      val wh = tmp("bucketed_wh")
+      // String.hashCode is spec-stable, so the suffix (and the on-disk
+      // layout it names) is reusable across JVMs for the same dir
+      val sfx = f"${d.hashCode & 0xffffffffL}%08x"
+      val wh = tmp(s"bucketed_wh_$sfx")
+      val li = s"li_bg_$sfx"
+      val ord = s"ord_bg_$sfx"
       lineitem(s, d).write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$wh/li_bg").saveAsTable("li_bg")
+        .option("path", s"$wh/$li").saveAsTable(li)
       orders(s, d).write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$wh/ord_bg").saveAsTable("ord_bg")
-      wh
+        .option("path", s"$wh/$ord").saveAsTable(ord)
+      (li, ord)
     })
-    ()
   }
 
   val queries: Map[String, Q] = Map(
@@ -151,8 +162,8 @@ object SourceQueries {
       // layout is memoized per (session, dir): the timed body is the
       // zero-exchange bucketed join READ alone (BucketingSpec pins the
       // no-Exchange plan; src_bucketed_write carries the layout cost)
-      ensureBucketedWarehouse(s, d)
-      s.table("li_bg").join(s.table("ord_bg"), $"l_orderkey" === $"o_orderkey")
+      val (liTbl, ordTbl) = ensureBucketedWarehouse(s, d)
+      s.table(liTbl).join(s.table(ordTbl), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_lines"), dsum($"l_extendedprice").as("sum_price"))
         .orderBy($"o_orderpriority")

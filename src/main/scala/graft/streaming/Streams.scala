@@ -114,6 +114,32 @@ object Streams {
   private[streaming] def microsOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Documented heap cap of the per-(key, micro-batch) sort buffer used
+    * by every keyed stateful op in this file — ~1M rows ≈ 50 MB of
+    * UserEvent per concurrently-processed hot key, far above any
+    * gate/bench batch (≤5000 rows) yet bounded however large a
+    * production micro-batch gets. */
+  final val OrderedChunkCap: Int = 1 << 20
+
+  /** The shared BOUNDED-INPUT contract of the keyed stateful ops: drain
+    * a key's batch iterator in chunks of at most `cap` rows, sorting
+    * each chunk by (event-time micros, event_id) before handing it to
+    * the per-event fold. The old idiom (`rows.toSeq.sortBy`)
+    * materialized the WHOLE per-key iterator — unbounded heap for a
+    * hot key in a large micro-batch; this caps heap at O(cap) per
+    * (key, batch).
+    *
+    * Semantics: for batches ≤ cap (every gate and bench run) the
+    * output order is EXACTLY the old full-sort order — oracle parity
+    * unchanged. Beyond cap, ordering degrades to sorted-within-chunk +
+    * arrival-order-across-chunks, which is precisely the in-order-
+    * arrival-per-key contract the order-sensitive processors already
+    * document for events split ACROSS micro-batches (an oversized
+    * batch is the same phenomenon at a different boundary). */
+  private[streaming] def orderedBounded(rows: Iterator[UserEvent],
+      cap: Int = OrderedChunkCap): Iterator[UserEvent] =
+    rows.grouped(cap).flatMap(_.sortBy(e => (microsOf(e.ts), e.event_id)))
+
   /** 0..n outputs per key per micro-batch via flatMapGroupsWithState:
     * emits an alert each time a user's cumulative value crosses another
     * multiple of `step`. State is a single double per key, BOUNDED by an
@@ -124,7 +150,8 @@ object Streams {
     * immediately, none emits nothing — the shape mapGroupsWithState
     * (exactly one output per key) can't express. */
   def valueAlerts(events: org.apache.spark.sql.Dataset[UserEvent], step: Double,
-      watermark: String = "10 minutes", stateTtl: String = "30 days")
+      watermark: String = "10 minutes", stateTtl: String = "30 days",
+      cap: Int = OrderedChunkCap)
       : org.apache.spark.sql.Dataset[ValueAlert] = {
     import events.sparkSession.implicits._
     events
@@ -140,8 +167,9 @@ object Streams {
           } else {
             var cum = state.getOption.getOrElse(0.0)
             val out = Seq.newBuilder[ValueAlert]
-            val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
-            evs.foreach { e =>
+            var maxTsMs = Long.MinValue // running max: no materialized batch
+            orderedBounded(batch, cap).foreach { e =>
+              maxTsMs = math.max(maxTsMs, e.ts.getTime)
               val before = math.floor(cum / step).toLong
               cum += e.value
               val after = math.floor(cum / step).toLong
@@ -149,7 +177,8 @@ object Streams {
               while (m <= after) { out += ValueAlert(uid, m, e.event_id); m += 1 }
             }
             state.update(cum)
-            state.setTimeoutTimestamp(evs.map(_.ts.getTime).max, stateTtl)
+            if (maxTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTsMs, stateTtl)
             out.result().iterator
           }
       }
@@ -171,7 +200,8 @@ object Streams {
     * TTLConfig.NONE. */
   def userProfileTws(events: org.apache.spark.sql.Dataset[UserEvent],
       watermark: String = "10 minutes",
-      ttl: java.time.Duration = null)
+      ttl: java.time.Duration = null,
+      cap: Int = OrderedChunkCap)
       : org.apache.spark.sql.Dataset[TwsProfile] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
@@ -181,7 +211,7 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .transformWithState(new ProfileProcessor(ttlConf),
+      .transformWithState(new ProfileProcessor(ttlConf, cap),
         timeMode,
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
@@ -216,13 +246,14 @@ object Streams {
     * each micro-batch so a shuffled batch scores like the batch
     * window. Emits only users with ≥1 conversion (update mode). */
   def funnelTws(events: org.apache.spark.sql.Dataset[UserEvent],
-      watermark: String = "10 minutes")
+      watermark: String = "10 minutes",
+      cap: Int = OrderedChunkCap)
       : org.apache.spark.sql.Dataset[TwsFunnel] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor(),
+      .transformWithState(new FunnelProcessor(cap = cap),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
@@ -235,13 +266,14 @@ object Streams {
     * construction (20 doubles per key), so an unbounded stream never
     * grows it. */
   def anomalyTws(events: org.apache.spark.sql.Dataset[UserEvent],
-      watermark: String = "10 minutes")
+      watermark: String = "10 minutes",
+      cap: Int = OrderedChunkCap)
       : org.apache.spark.sql.Dataset[TwsAnomaly] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.event_type)
-      .transformWithState(new AnomalyProcessor(),
+      .transformWithState(new AnomalyProcessor(cap = cap),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
@@ -290,13 +322,14 @@ object Streams {
     * smoother (one (n, ema) ValueState per key) whose emission equals
     * the batch ordered fold bit-for-bit — see [[EmaProcessor]]. */
   def emaTws(events: org.apache.spark.sql.Dataset[UserEvent],
-      watermark: String = "10 minutes")
+      watermark: String = "10 minutes",
+      cap: Int = OrderedChunkCap)
       : org.apache.spark.sql.Dataset[TwsEma] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.event_type)
-      .transformWithState(new EmaProcessor(),
+      .transformWithState(new EmaProcessor(cap),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
@@ -325,7 +358,8 @@ object Streams {
     * by an event-time timeout: an idle key past `stateTtl` emits its
     * final profile once as an eviction record and is removed. */
   def userRunningProfile(events: org.apache.spark.sql.Dataset[UserEvent],
-      watermark: String = "10 minutes", stateTtl: String = "30 days")
+      watermark: String = "10 minutes", stateTtl: String = "30 days",
+      cap: Int = OrderedChunkCap)
       : org.apache.spark.sql.Dataset[UserProfile] = {
     import events.sparkSession.implicits._
     events
@@ -340,18 +374,24 @@ object Streams {
             fin
           } else {
             val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, ""))
-            val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
             // fold one event at a time in (ts, event_id) order: float
             // addition is non-associative, so a batch-local sum would
             // drift from the oracle's strictly ordered sum once a key
             // spans multiple micro-batches
-            val next = UserProfile(
-              userId,
-              prev.n_events + evs.size,
-              evs.foldLeft(prev.sum_value)(_ + _.value),
-              evs.lastOption.map(_.event_type).getOrElse(prev.last_type))
+            var n = prev.n_events
+            var sum = prev.sum_value
+            var last = prev.last_type
+            var maxTsMs = Long.MinValue
+            orderedBounded(batch, cap).foreach { e =>
+              n += 1L
+              sum += e.value
+              last = e.event_type
+              maxTsMs = math.max(maxTsMs, e.ts.getTime)
+            }
+            val next = UserProfile(userId, n, sum, last)
             state.update(next)
-            state.setTimeoutTimestamp(evs.map(_.ts.getTime).max, stateTtl)
+            if (maxTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTsMs, stateTtl)
             next
           }
       }
@@ -372,7 +412,8 @@ case class TwsProfile(user_id: Long, n_events: Long, sum_value: Double,
   * bounded-input runs pass TTLConfig.NONE; StreamingSpec pins the
   * expiry behavior with a short TTL on RocksDB. */
 class ProfileProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
-      org.apache.spark.sql.streaming.TTLConfig.NONE)
+      org.apache.spark.sql.streaming.TTLConfig.NONE,
+      cap: Int = Streams.OrderedChunkCap)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TwsProfile] {
   import org.apache.spark.sql.streaming.{TimerValues, ValueState}
   import org.apache.spark.sql.{Encoders, streaming}
@@ -385,19 +426,25 @@ class ProfileProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsProfile] = {
-    val evs = rows.toSeq.sortBy(e => (Streams.microsOf(e.ts), e.event_id))
-    if (evs.isEmpty) return Iterator.empty
-    val prev = Option(st.get())
-      .getOrElse(TwsProfile(key, 0L, 0.0, Double.NegativeInfinity, ""))
     // ordered per-event fold (not a batch-local sum): keeps the float
     // accumulation bit-identical to the oracle's (ts, event_id)-ordered
-    // sum across any micro-batch split of a key's events
-    val next = TwsProfile(
-      key,
-      prev.n_events + evs.size,
-      evs.foldLeft(prev.sum_value)(_ + _.value),
-      math.max(prev.max_value, evs.map(_.value).max),
-      evs.last.event_type)
+    // sum across any micro-batch split of a key's events; the bounded
+    // helper caps the sort buffer at `cap` rows per (key, batch)
+    val evs = Streams.orderedBounded(rows, cap)
+    if (!evs.hasNext) return Iterator.empty
+    val prev = Option(st.get())
+      .getOrElse(TwsProfile(key, 0L, 0.0, Double.NegativeInfinity, ""))
+    var n = prev.n_events
+    var sum = prev.sum_value
+    var mx = prev.max_value
+    var last = prev.last_type
+    evs.foreach { e =>
+      n += 1L
+      sum += e.value
+      mx = math.max(mx, e.value)
+      last = e.event_type
+    }
+    val next = TwsProfile(key, n, sum, mx, last)
     st.update(next)
     Iterator.single(next)
   }
@@ -459,7 +506,8 @@ case class FunnelState(last_view_us: Long, n_views: Long, n_purchases: Long,
   * carry is the FunnelState struct. */
 class FunnelProcessor(windowUs: Long = 3600000000L,
       ttl: org.apache.spark.sql.streaming.TTLConfig =
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.streaming.TTLConfig.NONE,
+      cap: Int = Streams.OrderedChunkCap)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TwsFunnel] {
   import org.apache.spark.sql.streaming.{TimerValues, ValueState}
   import org.apache.spark.sql.{Encoders, streaming}
@@ -472,8 +520,8 @@ class FunnelProcessor(windowUs: Long = 3600000000L,
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsFunnel] = {
-    val evs = rows.toSeq.sortBy(e => (Streams.microsOf(e.ts), e.event_id))
-    if (evs.isEmpty) return Iterator.empty
+    val evs = Streams.orderedBounded(rows, cap)
+    if (!evs.hasNext) return Iterator.empty
     var s = if (st.exists()) st.get()
       else FunnelState(-1L, 0L, 0L, 0L, Long.MaxValue)
     evs.foreach { e =>
@@ -513,7 +561,7 @@ case class TwsEmaState(n: Long, ema: Double)
   * emission equals the batch fold bit-for-bit (identical IEEE
   * multiply/add sequence; parity scope as AnomalyProcessor: in-order
   * arrival per key, e.g. the gate's single AvailableNow batch). */
-class EmaProcessor
+class EmaProcessor(cap: Int = Streams.OrderedChunkCap)
     extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsEma] {
   import org.apache.spark.sql.streaming.{TimerValues, ValueState}
   import org.apache.spark.sql.{Encoders, streaming}
@@ -527,8 +575,8 @@ class EmaProcessor
 
   override def handleInputRows(key: String, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsEma] = {
-    val evs = rows.toSeq.sortBy(e => (Streams.microsOf(e.ts), e.event_id))
-    if (evs.isEmpty) return Iterator.empty
+    val evs = Streams.orderedBounded(rows, cap)
+    if (!evs.hasNext) return Iterator.empty
     var s = if (st.exists()) st.get() else TwsEmaState(0L, 0.0)
     evs.foreach { e =>
       // literal 0.9/0.1 so the multiply/add sequence is textually the
@@ -561,7 +609,8 @@ case class TwsAnomaly(event_type: String, event_id: Long, ts_us: Long,
   * globally ts-ordered frame — buffering by watermark before scoring
   * would close that gap at the cost of emit latency. */
 class AnomalyProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
-      org.apache.spark.sql.streaming.TTLConfig.NONE)
+      org.apache.spark.sql.streaming.TTLConfig.NONE,
+      cap: Int = Streams.OrderedChunkCap)
     extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsAnomaly] {
   import org.apache.spark.sql.streaming.{ListState, TimerValues}
   import org.apache.spark.sql.{Encoders, streaming}
@@ -578,8 +627,8 @@ class AnomalyProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
 
   override def handleInputRows(key: String, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsAnomaly] = {
-    val evs = rows.toSeq.sortBy(e => (Streams.microsOf(e.ts), e.event_id))
-    if (evs.isEmpty) return Iterator.empty
+    val evs = Streams.orderedBounded(rows, cap)
+    if (!evs.hasNext) return Iterator.empty
     var ring = buf.get().toVector
     val out = Vector.newBuilder[TwsAnomaly]
     evs.foreach { e =>
@@ -684,10 +733,26 @@ class TopKProcessor(k: Int = 5)
 
   override def handleInputRows(key: String, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsTopK] = {
-    val incoming = rows.map(e => TwsTopEntry(e.value, e.event_id)).toSeq
-    if (incoming.isEmpty) return Iterator.empty
-    val merged = (top.get().toSeq ++ incoming)
-      .sortBy(e => (-e.value, e.event_id)).take(k)
+    // bounded streaming merge: each row is tested against the current
+    // ≤k leaderboard and insert-sorted only if it qualifies — O(k)
+    // heap however large the batch (the old `rows.toSeq` materialized
+    // the whole per-key iterator). Same total order (value DESC,
+    // event_id ASC), so the merged result is identical to the one-shot
+    // sort-take for any input.
+    var merged = top.get().toVector
+    var any = false
+    rows.foreach { e =>
+      any = true
+      val entry = TwsTopEntry(e.value, e.event_id)
+      val qualifies = merged.size < k || {
+        val worst = merged.last
+        entry.value > worst.value ||
+          (entry.value == worst.value && entry.event_id < worst.event_id)
+      }
+      if (qualifies)
+        merged = (merged :+ entry).sortBy(x => (-x.value, x.event_id)).take(k)
+    }
+    if (!any) return Iterator.empty
     top.put(merged.toArray)
     merged.iterator.zipWithIndex.map { case (e, i) =>
       TwsTopK(key, i + 1, e.event_id, e.value)

@@ -225,8 +225,13 @@ class PlanSpec extends SparkSuite {
     // map-side (partial_sum) and the single-row weight frame broadcasts
     // back — the fact table must never shuffle on a key.
     val p = plan("ml_logreg_newton")
-    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
-      s"Newton sums lost partial aggregation:\n$p")
+    // partial_sum alone: FormattedMode prints partial aggregate
+    // functions by name, so any plan that demoted the map-side combine
+    // to a final-only aggregate fails here (the old
+    // `|| p.contains("HashAggregate")` alternative passed for ANY
+    // hash aggregate and pinned nothing).
+    assert(p.contains("partial_sum"),
+      s"Newton sums lost map-side partial aggregation:\n$p")
     assert(!"hashpartitioning\\((x1|x2|y)".r.findFirstIn(p).isDefined,
       s"logreg shuffled the fact table on a feature key:\n$p")
   }

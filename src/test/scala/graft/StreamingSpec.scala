@@ -615,4 +615,67 @@ class StreamingSpec extends SparkSuite {
                    case None => spark.conf.unset(key) }
     }
   }
+
+  test("bounded-input contract: an oversized single-key batch folds in O(cap) chunks") {
+    // the shared orderedBounded helper caps the per-(key, batch) sort
+    // buffer; here ONE batch carries 1000 rows of a single key through
+    // a cap of 8 — 125 chunks — and the fold must equal the unbounded
+    // full-sort fold exactly when arrival order is event-time order
+    // (the documented contract: ≤cap batches sort fully; beyond cap,
+    // in-order arrival per key gives identical results).
+    import graft.streaming.{UserEvent, TwsProfile}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val n = 1000
+    val rows = (1 to n).map { i =>
+      UserEvent(i.toLong, new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 1000L),
+        7L, if (i == n) "purchase" else "view", i.toDouble)
+    }
+    def finalProfile(cap: Int, id: Int): TwsProfile = {
+      // ONE source partition: the MemoryStream int is numPartitions,
+      // and the in-order-arrival premise of this test needs the key's
+      // iterator to be fed in arrival order (a multi-partition source
+      // interleaves)
+      val in = MemoryStream[UserEvent](spark, 1)
+      val q = Streams.userProfileTws(in.toDS(), cap = cap)
+        .toDF().writeStream.format("memory")
+        .queryName(s"cap_$id").outputMode("update").start()
+      in.addData(rows: _*) // ONE oversized batch, one hot key
+      q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      spark.table(s"cap_$id").as[TwsProfile].collect().last
+    }
+    val capped = finalProfile(cap = 8, id = 81)
+    val unbounded = finalProfile(cap = Streams.OrderedChunkCap, id = 82)
+    // identical ordered float fold: 125 sorted chunks of an in-order
+    // feed concatenate to the exact full-sort order
+    assert(capped === unbounded,
+      s"chunked fold diverged from full-sort fold: $capped vs $unbounded")
+    val expectSum = (1 to n).foldLeft(0.0)((a, i) => a + i.toDouble)
+    assert(capped === TwsProfile(7L, n.toLong, expectSum, n.toDouble, "purchase"))
+
+    // degraded-order path: a fully REVERSED oversized batch still
+    // completes with bounded heap and exact order-insensitive fields
+    // (count/max); order-sensitive fields follow the documented
+    // within-chunk contract, not asserted here
+    val inRev = MemoryStream[UserEvent](spark, 1)
+    val qRev = Streams.userProfileTws(inRev.toDS(), cap = 8)
+      .toDF().writeStream.format("memory")
+      .queryName("cap_rev").outputMode("update").start()
+    inRev.addData(rows.reverse: _*)
+    qRev.processAllAvailable()
+    qRev.stop()
+    import spark.implicits._
+    val rev = spark.table("cap_rev").as[TwsProfile].collect().last
+    assert(rev.n_events === n.toLong && rev.max_value === n.toDouble,
+      s"order-insensitive fields wrong under reversed oversized batch: $rev")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
