@@ -54,7 +54,10 @@ object SparkEntry {
       RelationalQueries15.queries ++
       DedupQueries3.queries ++
       MlQueries3.queries ++
-      TextQueries6.queries
+      TextQueries6.queries ++
+      RelationalQueries16.queries ++
+      MlQueries4.queries ++
+      FeatureQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -94,5 +97,8 @@ object SparkEntry {
       RelationalQueries15.oracles ++
       DedupQueries3.oracles ++
       MlQueries3.oracles ++
-      TextQueries6.oracles
+      TextQueries6.oracles ++
+      RelationalQueries16.oracles ++
+      MlQueries4.oracles ++
+      FeatureQueries.oracles
 }

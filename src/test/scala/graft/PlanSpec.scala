@@ -236,6 +236,46 @@ class PlanSpec extends SparkSuite {
       s"logreg shuffled the fact table on a feature key:\n$p")
   }
 
+  test("ml_gaussian_nb: stats pass is partial+final; the stats row broadcasts back") {
+    // generative-classifier contract: ONE corpus aggregate reduces
+    // map-side to the 10 sufficient statistics, the quantized
+    // single-row stats frame broadcasts into the scoring scan — the
+    // fact table never shuffles on a key.
+    val p = plan("ml_gaussian_nb")
+    assert(p.contains("partial_sum"), s"NB stats lost map-side combine:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"NB stats row did not broadcast:\n$p")
+    assert(!"hashpartitioning\\((x1|x2|y)".r.findFirstIn(p).isDefined,
+      s"NB shuffled the fact table on a feature key:\n$p")
+  }
+
+  test("ml_adaboost_stumps: the candidate grid broadcasts; error counts reduce map-side") {
+    // boosting contract: the 28-row stump grid expands rows BEFORE the
+    // partial aggregate, so each task emits 28 rows — never a keyed
+    // shuffle of the fact table (the global no-cartesian test covers
+    // the join type).
+    val p = plan("ml_adaboost_stumps")
+    assert(p.contains("partial_sum"), s"stump error counts lost map-side combine:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"stump grid did not broadcast:\n$p")
+    assert(!"hashpartitioning\\((x1|x2|y)".r.findFirstIn(p).isDefined,
+      s"adaboost shuffled the fact table on a feature key:\n$p")
+  }
+
+  test("feat_standardize: group stats broadcast back onto the document scan") {
+    val p = plan("feat_standardize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"lang stats did not broadcast into the scan:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"standardize shuffled documents on the row key:\n$p")
+  }
+
+  test("q241_periodogram: per-period sums are partial+final over one scan") {
+    val p = plan("q241_periodogram")
+    assert(p.contains("partial_sum"), s"periodogram sums lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"periodogram planned a cartesian:\n$p")
+  }
+
   test("sim_mutual_knn: the bounded panel broadcasts into the scoring join") {
     val p = plan("sim_mutual_knn")
     assert(p.contains("BroadcastExchange"),
