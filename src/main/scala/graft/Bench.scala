@@ -134,8 +134,9 @@ object Bench {
       if (failedNames.isEmpty) ""
       else failedNames.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     // loadavg snapshots ride BOTH records; the full per-run spread
-    // (every successful attempt's time, min first since attempts run
-    // in order) rides the detail file only (stdout has a byte budget).
+    // (every successful attempt's time, in attempt order — the first,
+    // cold run is typically the slowest, so min is usually LAST)
+    // rides the detail file only (stdout has a byte budget).
     val loadJson =
       s""","loadavg_before":[${fmt(la1Before)},${fmt(la5Before)}]""" +
         s""","loadavg_after":[${fmt(la1After)},${fmt(la5After)}]"""

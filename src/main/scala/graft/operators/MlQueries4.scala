@@ -55,16 +55,23 @@ object MlQueries4 {
       |FROM lineitem""".stripMargin
 
   /** Per-class Gaussian stats, micro-quantized (shared column text):
-    * sample variance via exact centered sums n·Σx² − (Σx)². */
+    * sample variance via exact centered sums n·Σx² − (Σx)².
+    * Degenerate-input guards (identical in both engine texts, since
+    * this IS the shared text): the quantized variance is clamped to
+    * ≥1 micro-unit and the (n−1) Bessel denominator to ≥1, so a class
+    * with n≤1 rows or a constant feature feeds ln(1e-6) and a nonzero
+    * score denominator instead of ln(0)/0-div — Spark would emit
+    * NULL/NaN there while DuckDB raises on ln(0), crashing the oracle
+    * rather than failing parity gracefully. Same for the prior's n. */
   private def nbStatsE(c: Int): Seq[String] = {
     val n = s"n$c"
-    def m(f: Int) = s"CAST(FLOOR(CAST(s$c$f AS DOUBLE) / CAST($n AS DOUBLE) * 1e6) AS BIGINT) AS mu$c$f"
+    def m(f: Int) = s"CAST(FLOOR(CAST(s$c$f AS DOUBLE) / CAST(GREATEST($n, 1) AS DOUBLE) * 1e6) AS BIGINT) AS mu$c$f"
     def v(f: Int) =
-      s"""CAST(FLOOR((CAST($n AS DOUBLE) * CAST(q$c$f AS DOUBLE)
+      s"""GREATEST(CAST(FLOOR((CAST($n AS DOUBLE) * CAST(q$c$f AS DOUBLE)
          | - CAST(s$c$f AS DOUBLE) * CAST(s$c$f AS DOUBLE))
-         | / (CAST($n AS DOUBLE) * CAST($n - 1 AS DOUBLE)) * 1e6) AS BIGINT) AS var$c$f""".stripMargin
+         | / (CAST(GREATEST($n, 1) AS DOUBLE) * CAST(GREATEST($n - 1, 1) AS DOUBLE)) * 1e6) AS BIGINT), 1) AS var$c$f""".stripMargin
     Seq(m(1), v(1), m(2), v(2),
-      s"CAST(FLOOR(ln(CAST($n AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp$c")
+      s"CAST(FLOOR(ln(CAST(GREATEST($n, 1) AS DOUBLE) / CAST(GREATEST(n0 + n1, 1) AS DOUBLE)) * 1e6) AS BIGINT) AS lp$c")
   }
 
   /** Class-c log-score over the quantized stats (shared text): log-prior
@@ -177,9 +184,15 @@ object MlQueries4 {
         .selectExpr("f1", "thr1", "pol1", "k", "n",
           "f AS f2", "thr AS thr2", "pol AS pol2", "m",
           "2 * k * (n - k) AS dd",
-          // α₁ > α₂ ⟺ odds₁ = k/(n−k) < odds₂ = m/(D−m)
-          """CAST(k AS DOUBLE) / CAST(n - k AS DOUBLE)
-            | < CAST(m AS DOUBLE) / CAST(2 * k * (n - k) - m AS DOUBLE)
+          // α₁ > α₂ ⟺ odds₁ = k/(n−k) < odds₂ = m/(D−m). Degenerate
+          // round 1 short-circuits BEFORE the odds ratio forms: k=0
+          // (h1 perfect) → all round-2 weights are zero, m = dd = 0,
+          // and the compare is 0/0 vs 0/0 — NaN, whose ordering/raise
+          // semantics differ across engines. Perfect h1 wins by
+          // definition (α₁ = +∞); all-wrong h1 (k=n) loses the same way.
+          """CASE WHEN k = 0 THEN TRUE WHEN k = n THEN FALSE
+            | ELSE CAST(k AS DOUBLE) / CAST(n - k AS DOUBLE)
+            |  < CAST(m AS DOUBLE) / CAST(2 * k * (n - k) - m AS DOUBLE) END
             | AS h1_wins""".stripMargin)
       val h2p = stumpPredE.replace("f =", "f2 =")
         .replace("thr", "thr2").replace("pol", "pol2")
@@ -275,8 +288,9 @@ object MlQueries4 {
          |  SELECT f1, thr1, pol1, k, n,
          |    f AS f2, thr AS thr2, pol AS pol2, m,
          |    2 * k * (n - k) AS dd,
-         |    CAST(k AS DOUBLE) / CAST(n - k AS DOUBLE)
-         |      < CAST(m AS DOUBLE) / CAST(2 * k * (n - k) - m AS DOUBLE) AS h1_wins
+         |    CASE WHEN k = 0 THEN TRUE WHEN k = n THEN FALSE
+         |      ELSE CAST(k AS DOUBLE) / CAST(n - k AS DOUBLE)
+         |       < CAST(m AS DOUBLE) / CAST(2 * k * (n - k) - m AS DOUBLE) END AS h1_wins
          |  FROM r2
          |  ORDER BY m ASC, f ASC, thr ASC, pol ASC LIMIT 1),
          |voted AS (

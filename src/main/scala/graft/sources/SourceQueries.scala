@@ -41,9 +41,13 @@ object SourceQueries {
     * silently serving B's rows to A's join. */
   def ensureBucketedWarehouse(s: SparkSession, d: String): (String, String) = {
     bucketedWh.computeIfAbsent((s, d), { _ =>
-      // String.hashCode is spec-stable, so the suffix (and the on-disk
-      // layout it names) is reusable across JVMs for the same dir
-      val sfx = f"${d.hashCode & 0xffffffffL}%08x"
+      // SHA-256 prefix (collision-resistant, stable across JVMs): a
+      // 32-bit String.hashCode collision between two sfDirs would have
+      // silently shared li_bg_/ord_bg_ tables — the exact cross-dir
+      // aliasing this keying exists to prevent
+      val sfx = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
       val wh = tmp(s"bucketed_wh_$sfx")
       val li = s"li_bg_$sfx"
       val ord = s"ord_bg_$sfx"
