@@ -57,7 +57,11 @@ object SparkEntry {
       TextQueries6.queries ++
       RelationalQueries16.queries ++
       MlQueries4.queries ++
-      FeatureQueries.queries
+      FeatureQueries.queries ++
+      RelationalQueries17.queries ++
+      MlQueries5.queries ++
+      GraphQueries3.queries ++
+      TextQueries7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -100,5 +104,9 @@ object SparkEntry {
       TextQueries6.oracles ++
       RelationalQueries16.oracles ++
       MlQueries4.oracles ++
-      FeatureQueries.oracles
+      FeatureQueries.oracles ++
+      RelationalQueries17.oracles ++
+      MlQueries5.oracles ++
+      GraphQueries3.oracles ++
+      TextQueries7.oracles
 }

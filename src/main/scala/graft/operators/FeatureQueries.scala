@@ -116,6 +116,28 @@ object FeatureQueries {
       b.withColumn("iv_total_micro",
           sum($"iv_term_micro").over(Window.partitionBy())) // bucket-sized window
         .orderBy($"bucket")
+    }),
+
+    // HASHING TRICK: the brand|type composite (~150 categories) hashed
+    // into 32 buckets via the repo's portable 60-bit md5 hash (the
+    // MinHash/SimHash idiom in pure SQL: first 15 hex chars of md5 —
+    // byte-identical on both engines, so the bucket assignment is a
+    // full hash-gated oracle, not a rows-only check). Output is the
+    // bucket census a trainer needs to size the hashed feature space:
+    // rows per bucket, distinct original categories per bucket
+    // (>1 = collision), and the per-bucket collision flag.
+    "feat_hashing_trick" -> ((s, d) => {
+      import s.implicits._
+      val hashed = part(s, d).selectExpr(
+        "concat(p_brand, '|', p_type) AS featval",
+        """CAST(conv(substring(md5(concat(p_brand, '|', p_type)), 1, 15), 16, 10)
+          | AS BIGINT) % 32 AS bucket""".stripMargin)
+      hashed.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct($"featval").as("n_categories"))
+        .selectExpr("bucket", "n_parts", "n_categories",
+          "CASE WHEN n_categories > 1 THEN 1 ELSE 0 END AS collided")
+        .orderBy($"bucket")
     })
   )
 
@@ -190,6 +212,19 @@ object FeatureQueries {
         |  FROM w)
         |SELECT bucket, n, pos, neg, woe_micro, iv_term_micro,
         |  CAST(SUM(iv_term_micro) OVER () AS BIGINT) AS iv_total_micro
-        |FROM iv ORDER BY bucket""".stripMargin
+        |FROM iv ORDER BY bucket""".stripMargin,
+
+    "feat_hashing_trick" ->
+      """WITH h AS (
+        |  SELECT p_brand || '|' || p_type AS featval,
+        |    ('0x' || substring(md5(p_brand || '|' || p_type), 1, 15))::BIGINT % 32 AS bucket
+        |  FROM part),
+        |c AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_parts,
+        |    CAST(count(DISTINCT featval) AS BIGINT) AS n_categories
+        |  FROM h GROUP BY bucket)
+        |SELECT bucket, n_parts, n_categories,
+        |  CASE WHEN n_categories > 1 THEN 1 ELSE 0 END AS collided
+        |FROM c ORDER BY bucket""".stripMargin
   )
 }

@@ -49,7 +49,7 @@ object GraphQueries2 {
     * vertex's top-8 neighbors under a (count desc, dst) total order —
     * the densification guard that keeps wedge enumeration linear when
     * volume grows over a fixed part universe. */
-  private def coPurchase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[operators] def coPurchase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val cap = 8
     val li = lineitem(s, d)

@@ -1,0 +1,450 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-14 ML additions over the (x1, x2, y) return-flag frame
+  * (MlQueries4.features — discount cents −5, quantity −25, y = returned):
+  *
+  *  - `ml_decision_tree`    — a depth-2 CART grown exactly: exhaustive
+  *    best-first split search over a fixed 14-candidate grid at the
+  *    root, then independently on each side — the structural step past
+  *    `ml_decision_stump` (one split) and `ml_adaboost_stumps`
+  *    (additive stumps): an actual tree with four leaves, plus its
+  *    exact train accuracy.
+  *  - `ml_mutual_info_rank` — mutual-information feature screen: four
+  *    bucketed candidate features ranked by I(F;Y) against the return
+  *    flag (the filter-method complement of the model-based
+  *    `ml_permutation_importance`).
+  *
+  * Exactness: the tree's split criterion is the Gini-equivalent purity
+  * score Σ_child (pos² + neg²)/n_child — all counts exact BIGINTs, the
+  * score one shared double tree evaluated once per (node, candidate)
+  * on identical integers in both engines (pos² ≤ (9e7)² stays an exact
+  * double through sf ≈ 15; beyond that the IEEE product is rounded but
+  * still deterministic, same inputs → same bits). Leaf predictions and
+  * accuracy are pure integer counts. MI terms (c/N)·ln(N·c/(c_f·c_y))
+  * are nano-quantized PER CELL before the ≤62-cell sum (the
+  * bartlett/tukey cross-group discipline), so the ranking integer is
+  * summation-order-free.
+  *
+  * Scale: each tree pass is grid-crossjoin (14 rows, broadcast) →
+  * partial+final aggregate — rows expand ×14 BEFORE the map-side
+  * combine collapses each task to ≤28 groups; the fact table never
+  * shuffles on a row key (the ml_adaboost_stumps shape). MI is one
+  * corpus scan through a 4-way stack generator into a ≤62-cell
+  * aggregate; marginals ride cell-sized windows.
+  */
+object MlQueries5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The (x1, x2, y) feature frame (shared with MlQueries4). */
+  private def features(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).selectExpr(
+      "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
+      "CAST(l_quantity AS BIGINT) - 25 AS x2",
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
+
+  private val featSql =
+    """SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1,
+      |  CAST(l_quantity AS BIGINT) - 25 AS x2,
+      |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |FROM lineitem""".stripMargin
+
+  /** 14-candidate split grid: feature (1|2) × 7 thresholds spanning
+    * each feature's small integer range (x1 −3..3; x2 −15..15 step 5).
+    * Split semantics: left ⟺ x_f ≤ thr. */
+  private val splitGrid: Seq[(Int, Long)] = for {
+    f <- Seq(1, 2)
+    t <- Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L)
+  } yield (f, if (f == 1) t else t * 5)
+
+  private val gridSql = splitGrid
+    .map { case (f, t) => s"($f, CAST($t AS BIGINT))" }
+    .mkString("(VALUES ", ", ", ") grid(f, thr)")
+
+  /** Left-branch predicate over (x1, x2) for feature/threshold columns
+    * `$f`/`$thr`; f = 0 encodes "no split, everything left" (the
+    * degenerate-side fallback). Shared text, both engines. */
+  private def leftE(f: String, thr: String): String =
+    s"(CASE WHEN $f = 0 THEN TRUE WHEN $f = 1 THEN x1 <= $thr ELSE x2 <= $thr END)"
+
+  /** Purity score to MAXIMIZE over candidates: Σ_child (pos²+neg²)/n —
+    * minimizing weighted Gini ⟺ maximizing this (n − Σ(pos²+neg²)/n is
+    * n·Gini_w). One double tree over exact counts nl/pl/nr/pr. */
+  private val scoreE =
+    """((CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+      |  + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE)) / CAST(nl AS DOUBLE)
+      | + (CAST(pr AS DOUBLE) * CAST(pr AS DOUBLE)
+      |  + CAST(nr - pr AS DOUBLE) * CAST(nr - pr AS DOUBLE)) / CAST(nr AS DOUBLE))""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // DEPTH-2 CART: root split by exhaustive purity search, then the
+    // same search independently on each side; a side with no valid
+    // candidate (every split leaves one child empty — a pure constant
+    // block) keeps f = 0 and predicts its own majority in both leaves.
+    // Three corpus passes total (root stats, side stats, final score),
+    // like ml_adaboost_stumps.
+    "ml_decision_tree" -> ((s, d) => {
+      import s.implicits._
+      val t = features(s, d).localCheckpoint()
+      val grid = splitGrid.toDF("f", "thr")
+      // pass 1: per-candidate (n, pos, n_left, pos_left) → root argmax
+      val cand = t.crossJoin(broadcast(grid))
+        .selectExpr("f", "thr", "y",
+          s"CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END AS isl")
+        .groupBy($"f", $"thr")
+        .agg(count(lit(1)).as("n"), sum($"y").cast("long").as("p"),
+          sum($"isl").cast("long").as("nl"),
+          sum(when($"isl" === 1, $"y").otherwise(0)).cast("long").as("pl"))
+        .withColumn("nr", $"n" - $"nl").withColumn("pr", $"p" - $"pl")
+        .filter($"nl" > 0 && $"nr" > 0)
+        .withColumn("score", expr(scoreE))
+      val root = cand.orderBy($"score".desc, $"f".asc, $"thr".asc).limit(1)
+        .selectExpr("f AS rootf", "thr AS roott")
+        .localCheckpoint() // 1-row model state: pin so later passes don't re-run the search
+      // pass 2: route rows by the root, re-run the search per side
+      val sided = t.crossJoin(broadcast(root))
+        .selectExpr("x1", "x2", "y",
+          s"CASE WHEN ${leftE("rootf", "roott")} THEN 0 ELSE 1 END AS side")
+      val sideCand = sided.crossJoin(broadcast(grid))
+        .selectExpr("side", "f", "thr", "y",
+          s"CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END AS isl")
+        .groupBy($"side", $"f", $"thr")
+        .agg(count(lit(1)).as("n"), sum($"y").cast("long").as("p"),
+          sum($"isl").cast("long").as("nl"),
+          sum(when($"isl" === 1, $"y").otherwise(0)).cast("long").as("pl"))
+        .withColumn("nr", $"n" - $"nl").withColumn("pr", $"p" - $"pl")
+        .filter($"nl" > 0 && $"nr" > 0)
+        .withColumn("score", expr(scoreE))
+      val wSide = Window.partitionBy($"side")
+        .orderBy($"score".desc, $"f".asc, $"thr".asc)
+      val best = sideCand.withColumn("rk", row_number().over(wSide))
+        .filter($"rk" === 1)
+        .select($"side", $"f".as("cf"), $"thr".as("cthr"),
+          $"nl", $"pl", $"nr", $"pr")
+      val sides = sided.groupBy($"side")
+        .agg(count(lit(1)).as("ns"), sum($"y").cast("long").as("ps"))
+      val childs = sides.join(best, Seq("side"), "left")
+        .selectExpr("side", "COALESCE(cf, 0) AS cf",
+          "COALESCE(cthr, CAST(0 AS BIGINT)) AS cthr",
+          """CASE WHEN cf IS NULL THEN (CASE WHEN 2 * ps > ns THEN 1 ELSE 0 END)
+            | ELSE (CASE WHEN 2 * pl > nl THEN 1 ELSE 0 END) END AS pred_l""".stripMargin,
+          """CASE WHEN cf IS NULL THEN (CASE WHEN 2 * ps > ns THEN 1 ELSE 0 END)
+            | ELSE (CASE WHEN 2 * pr > nr THEN 1 ELSE 0 END) END AS pred_r""".stripMargin)
+      val tree = root.crossJoin(broadcast(childs.groupBy().agg(
+        max(when($"side" === 0, $"cf")).as("lf"),
+        max(when($"side" === 0, $"cthr")).as("lt"),
+        max(when($"side" === 0, $"pred_l")).as("pred_ll"),
+        max(when($"side" === 0, $"pred_r")).as("pred_lr"),
+        max(when($"side" === 1, $"cf")).as("rgf"),
+        max(when($"side" === 1, $"cthr")).as("rgt"),
+        max(when($"side" === 1, $"pred_l")).as("pred_rl"),
+        max(when($"side" === 1, $"pred_r")).as("pred_rr"))))
+        .localCheckpoint() // 1-row assembled tree
+      // pass 3: exact train accuracy through the four leaves
+      t.crossJoin(broadcast(tree))
+        .selectExpr("y", "rootf", "roott", "lf", "lt", "rgf", "rgt",
+          "pred_ll", "pred_lr", "pred_rl", "pred_rr",
+          s"""CASE WHEN ${leftE("rootf", "roott")}
+             | THEN (CASE WHEN ${leftE("lf", "lt")} THEN pred_ll ELSE pred_lr END)
+             | ELSE (CASE WHEN ${leftE("rgf", "rgt")} THEN pred_rl ELSE pred_rr END)
+             | END AS yhat""".stripMargin)
+        .groupBy($"rootf", $"roott", $"lf", $"lt", $"rgf", $"rgt",
+          $"pred_ll", $"pred_lr", $"pred_rl", $"pred_rr")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"y" === $"yhat", 1L).otherwise(0L)).cast("long").as("n_correct"))
+        .selectExpr("rootf AS root_f", "roott AS root_thr",
+          "lf AS left_f", "lt AS left_thr", "rgf AS right_f", "rgt AS right_thr",
+          "pred_ll", "pred_lr", "pred_rl", "pred_rr",
+          "n", "n_correct", "n_correct * 10000 DIV n AS acc_bp")
+    }),
+
+    // MUTUAL-INFORMATION FEATURE RANK: I(F;Y) = Σ_cells (c/N)·
+    // ln(N·c/(c_f·c_y)) over exact counts, nano-quantized per cell.
+    // One corpus scan stacks the four candidate features into
+    // (feature, val, y) cells; marginals ride windows on the ≤62-row
+    // cell table. Ranking by the Σ of per-cell nano terms == ranking
+    // by MI (same N across features).
+    "ml_mutual_info_rank" -> ((s, d) => {
+      import s.implicits._
+      val cells = lineitem(s, d).selectExpr(
+          "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc",
+          "CAST(l_quantity AS BIGINT) DIV 10 AS qtyb",
+          "CAST(month(l_shipdate) AS BIGINT) AS mon",
+          "CAST(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS st",
+          "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
+        .select(expr("stack(4, 'disc', disc, 'qty', qtyb, 'month', mon, 'status', st) AS (feature, val)"), $"y")
+        .groupBy($"feature", $"val", $"y").agg(count(lit(1)).as("c"))
+      val marg = cells
+        .withColumn("n", sum($"c").over(Window.partitionBy($"feature")))
+        .withColumn("cf", sum($"c").over(Window.partitionBy($"feature", $"val")))
+        .withColumn("cy", sum($"c").over(Window.partitionBy($"feature", $"y")))
+      val terms = marg.selectExpr("feature",
+        """CAST(FLOOR(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          | * ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+          |      / (CAST(cf AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e9) AS BIGINT) AS t_nano""".stripMargin)
+      terms.groupBy($"feature").agg(sum($"t_nano").cast("long").as("mi_nano"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"mi_nano".desc, $"feature".asc)).cast("long"))
+        .select($"feature", $"mi_nano", $"rk")
+        .orderBy($"rk")
+    }),
+
+    // GRADIENT-BOOSTED REGRESSION STUMPS, TWO ROUNDS: stump 1 fits the
+    // price target by exhaustive SSE-gain search (argmin SSE ⟺ argmax
+    // S_L²/n_L + S_R²/n_R over exact child sums), leaf means are
+    // milli-quantized by integer DIV (exact — sums are non-negative),
+    // so round-2 residuals r = 1000·y − μ_milli are EXACT BIGINTs;
+    // stump 2 refits the residuals with the same search and its leaf
+    // offsets ν = ⌊T/n⌋ floor through the double (T signed — DIV would
+    // truncate toward zero, floor() agrees across engines). The Σ|r|
+    // before/after stump 2 is the exact-integer fit-improvement
+    // certificate. Squared sums S² enter ONLY as IEEE doubles of exact
+    // integers (deterministic both engines; the ml_decision_tree
+    // contract). Three corpus passes, each grid-broadcast →
+    // partial+final aggregate — no row-key shuffle anywhere.
+    "ml_gbt_stumps" -> ((s, d) => {
+      import s.implicits._
+      val t = lineitem(s, d).selectExpr(
+          "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
+          "CAST(l_quantity AS BIGINT) - 25 AS x2",
+          "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y")
+        .localCheckpoint()
+      val grid = splitGrid.toDF("f", "thr")
+      // round 1: argmax of sl²/nl + sr²/nr
+      val c1 = t.crossJoin(broadcast(grid))
+        .selectExpr("f", "thr", "y",
+          s"CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END AS isl")
+        .groupBy($"f", $"thr")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+          sum($"isl").cast("long").as("nl"),
+          sum(when($"isl" === 1, $"y").otherwise(0L)).as("sl"))
+        .withColumn("nr", $"n" - $"nl").withColumn("sr", $"sy" - $"sl")
+        .filter($"nl" > 0 && $"nr" > 0)
+      val h1 = c1.orderBy(expr(sseGainE).desc, $"f".asc, $"thr".asc).limit(1)
+        .selectExpr("f AS f1", "thr AS thr1",
+          "sl * 1000 DIV nl AS mul_milli", // y ≥ 0 ⟹ sl, sr ≥ 0: DIV == floor
+          "sr * 1000 DIV nr AS mur_milli")
+        .localCheckpoint() // 1-row model state
+      // round 2: exact residuals vs the quantized leaf means
+      val resid = t.crossJoin(broadcast(h1))
+        .selectExpr("x1", "x2", "f1", "thr1", "mul_milli", "mur_milli",
+          s"""1000 * y - (CASE WHEN ${leftE("f1", "thr1")}
+             | THEN mul_milli ELSE mur_milli END) AS r""".stripMargin)
+      val c2 = resid.crossJoin(broadcast(grid))
+        .selectExpr("f", "thr", "r", "f1", "thr1", "mul_milli", "mur_milli",
+          s"CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END AS isl")
+        .groupBy($"f", $"thr", $"f1", $"thr1", $"mul_milli", $"mur_milli")
+        .agg(count(lit(1)).as("n"), sum($"r").as("sy"),
+          sum($"isl").cast("long").as("nl"),
+          sum(when($"isl" === 1, $"r").otherwise(0L)).as("sl"),
+          sum(abs($"r")).as("sae1"))
+        .withColumn("nr", $"n" - $"nl").withColumn("sr", $"sy" - $"sl")
+        .filter($"nl" > 0 && $"nr" > 0)
+      val h2 = c2.orderBy(expr(sseGainE).desc, $"f".asc, $"thr".asc).limit(1)
+        .selectExpr("f1", "thr1", "mul_milli", "mur_milli",
+          "f AS f2", "thr AS thr2", "sae1",
+          "CAST(FLOOR(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) AS BIGINT) AS nul_milli",
+          "CAST(FLOOR(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) AS BIGINT) AS nur_milli")
+        .localCheckpoint() // 1-row model state
+      // pass 3: Σ|r − ν| — the post-boost residual mass
+      resid.select($"x1", $"x2", $"r").crossJoin(broadcast(h2))
+        .selectExpr("f1", "thr1", "mul_milli", "mur_milli",
+          "f2", "thr2", "nul_milli", "nur_milli", "sae1",
+          s"""abs(r - (CASE WHEN ${leftE("f2", "thr2")}
+             | THEN nul_milli ELSE nur_milli END)) AS a2""".stripMargin)
+        .groupBy($"f1", $"thr1", $"mul_milli", $"mur_milli",
+          $"f2", $"thr2", $"nul_milli", $"nur_milli", $"sae1")
+        .agg(count(lit(1)).as("n"), sum($"a2").as("sae2"))
+        .selectExpr("f1", "thr1", "mul_milli", "mur_milli",
+          "f2", "thr2", "nul_milli", "nur_milli",
+          "n", "sae1 DIV n AS mae1_milli", "sae2 DIV n AS mae2_milli")
+    })
+  )
+
+  /** SSE-gain surrogate for a regression split (maximize):
+    * S_L²/n_L + S_R²/n_R over exact child target sums. Same double
+    * contract as `scoreE`. */
+  private val sseGainE =
+    """(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+      | + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ml_decision_tree" ->
+      s"""WITH t AS ($featSql),
+         |cand AS (
+         |  SELECT f, thr, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS p,
+         |    CAST(SUM(CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(SUM(CASE WHEN ${leftE("f", "thr")} THEN y ELSE 0 END) AS BIGINT) AS pl
+         |  FROM t CROSS JOIN $gridSql
+         |  GROUP BY f, thr),
+         |cand2 AS (
+         |  SELECT f, thr, n, p, nl, pl, n - nl AS nr, p - pl AS pr FROM cand
+         |  WHERE nl > 0 AND n - nl > 0),
+         |root AS (
+         |  SELECT f AS rootf, thr AS roott FROM (
+         |    SELECT f, thr, $scoreE AS score FROM cand2)
+         |  ORDER BY score DESC, f ASC, thr ASC LIMIT 1),
+         |sided AS (
+         |  SELECT x1, x2, y,
+         |    CASE WHEN ${leftE("rootf", "roott")} THEN 0 ELSE 1 END AS side
+         |  FROM t CROSS JOIN root),
+         |scand AS (
+         |  SELECT side, f, thr, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS p,
+         |    CAST(SUM(CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(SUM(CASE WHEN ${leftE("f", "thr")} THEN y ELSE 0 END) AS BIGINT) AS pl
+         |  FROM sided CROSS JOIN $gridSql
+         |  GROUP BY side, f, thr),
+         |scand2 AS (
+         |  SELECT side, f, thr, n, p, nl, pl, n - nl AS nr, p - pl AS pr FROM scand
+         |  WHERE nl > 0 AND n - nl > 0),
+         |best AS (
+         |  SELECT side, f AS cf, thr AS cthr, nl, pl, nr, pr FROM (
+         |    SELECT side, f, thr, nl, pl, nr, pr,
+         |      row_number() OVER (PARTITION BY side
+         |        ORDER BY $scoreE DESC, f ASC, thr ASC) AS rk
+         |    FROM scand2) q WHERE rk = 1),
+         |sides AS (
+         |  SELECT side, CAST(count(*) AS BIGINT) AS ns, CAST(SUM(y) AS BIGINT) AS ps
+         |  FROM sided GROUP BY side),
+         |childs AS (
+         |  SELECT s.side, COALESCE(b.cf, 0) AS cf,
+         |    COALESCE(b.cthr, CAST(0 AS BIGINT)) AS cthr,
+         |    CASE WHEN b.cf IS NULL THEN (CASE WHEN 2 * s.ps > s.ns THEN 1 ELSE 0 END)
+         |      ELSE (CASE WHEN 2 * b.pl > b.nl THEN 1 ELSE 0 END) END AS pred_l,
+         |    CASE WHEN b.cf IS NULL THEN (CASE WHEN 2 * s.ps > s.ns THEN 1 ELSE 0 END)
+         |      ELSE (CASE WHEN 2 * b.pr > b.nr THEN 1 ELSE 0 END) END AS pred_r
+         |  FROM sides s LEFT JOIN best b ON b.side = s.side),
+         |tree AS (
+         |  SELECT rootf, roott,
+         |    MAX(CASE WHEN side = 0 THEN cf END) AS lf,
+         |    MAX(CASE WHEN side = 0 THEN cthr END) AS lt,
+         |    MAX(CASE WHEN side = 0 THEN pred_l END) AS pred_ll,
+         |    MAX(CASE WHEN side = 0 THEN pred_r END) AS pred_lr,
+         |    MAX(CASE WHEN side = 1 THEN cf END) AS rgf,
+         |    MAX(CASE WHEN side = 1 THEN cthr END) AS rgt,
+         |    MAX(CASE WHEN side = 1 THEN pred_l END) AS pred_rl,
+         |    MAX(CASE WHEN side = 1 THEN pred_r END) AS pred_rr
+         |  FROM childs CROSS JOIN root
+         |  GROUP BY rootf, roott),
+         |scored AS (
+         |  SELECT y, rootf, roott, lf, lt, rgf, rgt,
+         |    pred_ll, pred_lr, pred_rl, pred_rr,
+         |    CASE WHEN ${leftE("rootf", "roott")}
+         |      THEN (CASE WHEN ${leftE("lf", "lt")} THEN pred_ll ELSE pred_lr END)
+         |      ELSE (CASE WHEN ${leftE("rgf", "rgt")} THEN pred_rl ELSE pred_rr END)
+         |      END AS yhat
+         |  FROM t CROSS JOIN tree)
+         |SELECT rootf AS root_f, roott AS root_thr,
+         |  lf AS left_f, lt AS left_thr, rgf AS right_f, rgt AS right_thr,
+         |  pred_ll, pred_lr, pred_rl, pred_rr,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         |    // CAST(count(*) AS BIGINT) AS acc_bp
+         |FROM scored
+         |GROUP BY rootf, roott, lf, lt, rgf, rgt,
+         |  pred_ll, pred_lr, pred_rl, pred_rr""".stripMargin,
+
+    "ml_gbt_stumps" ->
+      s"""WITH t AS (
+         |  SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1,
+         |    CAST(l_quantity AS BIGINT) - 25 AS x2,
+         |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+         |  FROM lineitem),
+         |c1 AS (
+         |  SELECT f, thr, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(SUM(CASE WHEN ${leftE("f", "thr")} THEN y ELSE 0 END) AS BIGINT) AS sl
+         |  FROM t CROSS JOIN $gridSql
+         |  GROUP BY f, thr),
+         |c1b AS (
+         |  SELECT f, thr, n, sy, nl, sl, n - nl AS nr, sy - sl AS sr FROM c1
+         |  WHERE nl > 0 AND n - nl > 0),
+         |h1 AS (
+         |  SELECT f AS f1, thr AS thr1,
+         |    sl * 1000 // nl AS mul_milli, sr * 1000 // nr AS mur_milli
+         |  FROM c1b ORDER BY $sseGainE DESC, f ASC, thr ASC LIMIT 1),
+         |resid AS (
+         |  SELECT x1, x2, f1, thr1, mul_milli, mur_milli,
+         |    1000 * y - (CASE WHEN ${leftE("f1", "thr1")}
+         |      THEN mul_milli ELSE mur_milli END) AS r
+         |  FROM t CROSS JOIN h1),
+         |c2 AS (
+         |  SELECT f, thr, f1, thr1, mul_milli, mur_milli,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS sy,
+         |    CAST(SUM(CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(SUM(CASE WHEN ${leftE("f", "thr")} THEN r ELSE 0 END) AS BIGINT) AS sl,
+         |    CAST(SUM(abs(r)) AS BIGINT) AS sae1
+         |  FROM resid CROSS JOIN $gridSql
+         |  GROUP BY f, thr, f1, thr1, mul_milli, mur_milli),
+         |c2b AS (
+         |  SELECT f, thr, f1, thr1, mul_milli, mur_milli, n, sy, nl, sl, sae1,
+         |    n - nl AS nr, sy - sl AS sr
+         |  FROM c2 WHERE nl > 0 AND n - nl > 0),
+         |h2 AS (
+         |  SELECT f1, thr1, mul_milli, mur_milli,
+         |    f AS f2, thr AS thr2, sae1,
+         |    CAST(FLOOR(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) AS BIGINT) AS nul_milli,
+         |    CAST(FLOOR(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) AS BIGINT) AS nur_milli
+         |  FROM c2b ORDER BY $sseGainE DESC, f ASC, thr ASC LIMIT 1),
+         |resid2 AS (
+         |  SELECT f1, thr1, mul_milli, mur_milli, f2, thr2,
+         |    nul_milli, nur_milli, sae1,
+         |    abs(r.r - (CASE WHEN ${leftE("f2", "thr2")}
+         |      THEN nul_milli ELSE nur_milli END)) AS a2
+         |  FROM (SELECT x1, x2,
+         |          1000 * y - (CASE WHEN ${leftE("f1", "thr1")}
+         |            THEN mul_milli ELSE mur_milli END) AS r
+         |        FROM t CROSS JOIN h1) r
+         |  CROSS JOIN h2)
+         |SELECT f1, thr1, mul_milli, mur_milli, f2, thr2, nul_milli, nur_milli,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  sae1 // CAST(count(*) AS BIGINT) AS mae1_milli,
+         |  CAST(SUM(a2) AS BIGINT) // CAST(count(*) AS BIGINT) AS mae2_milli
+         |FROM resid2
+         |GROUP BY f1, thr1, mul_milli, mur_milli, f2, thr2,
+         |  nul_milli, nur_milli, sae1""".stripMargin,
+
+    "ml_mutual_info_rank" ->
+      s"""WITH base AS (
+         |  SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+         |    CAST(l_quantity AS BIGINT) // 10 AS qtyb,
+         |    CAST(month(l_shipdate) AS BIGINT) AS mon,
+         |    CAST(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS st,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |cells AS (
+         |  SELECT feature, val, y, CAST(count(*) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT 'disc' AS feature, disc AS val, y FROM base
+         |    UNION ALL SELECT 'qty', qtyb, y FROM base
+         |    UNION ALL SELECT 'month', mon, y FROM base
+         |    UNION ALL SELECT 'status', st, y FROM base) u
+         |  GROUP BY feature, val, y),
+         |marg AS (
+         |  SELECT feature, val, y, c,
+         |    CAST(SUM(c) OVER (PARTITION BY feature) AS BIGINT) AS n,
+         |    CAST(SUM(c) OVER (PARTITION BY feature, val) AS BIGINT) AS cf,
+         |    CAST(SUM(c) OVER (PARTITION BY feature, y) AS BIGINT) AS cy
+         |  FROM cells),
+         |terms AS (
+         |  SELECT feature,
+         |    CAST(FLOOR(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+         |      * ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+         |           / (CAST(cf AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e9) AS BIGINT) AS t_nano
+         |  FROM marg),
+         |mi AS (
+         |  SELECT feature, CAST(SUM(t_nano) AS BIGINT) AS mi_nano
+         |  FROM terms GROUP BY feature)
+         |SELECT feature, mi_nano,
+         |  CAST(row_number() OVER (ORDER BY mi_nano DESC, feature ASC) AS BIGINT) AS rk
+         |FROM mi ORDER BY rk""".stripMargin
+  )
+}

@@ -29,8 +29,9 @@ object TextQueries6 {
 
   private val W = 25
 
-  /** The text_lang_id sniff rule as one shared SQL string. */
-  private val guessSql =
+  /** The text_lang_id sniff rule as one shared SQL string (also rater
+    * #2 of text_fleiss_kappa in TextQueries7). */
+  private[operators] val guessSql =
     """CASE WHEN contains(text, ' the ') THEN 'en'
       | WHEN contains(text, ' el ') THEN 'es'
       | WHEN contains(text, ' der ') THEN 'de'

@@ -565,4 +565,50 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       "the per-nation moment aggregate must map-side combine")
   }
+
+  test("ml_decision_tree/ml_gbt_stumps: grid+model frames broadcast; stats map-side combine") {
+    for (q <- Seq("ml_decision_tree", "ml_gbt_stumps")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the 1-row model frame must ride a broadcast cross join")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian leaked")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: final scoring aggregate must map-side combine")
+    }
+  }
+
+  test("q242: the calendar-pair theta join broadcasts one day frame (no cartesian)") {
+    val p = plan("q242_isotonic_pav")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the j<=k day-pair join must broadcast the day frame")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q243/q244: day/user aggregates are partial+final; no cartesian anywhere") {
+    for (q <- Seq("q243_sprt_ab", "q244_shapley_attribution")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q: corpus aggregate must map-side combine")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian leaked")
+    }
+  }
+
+  test("text_textrank: vocabulary broadcasts onto the token stream (pre-checkpoint fragment)") {
+    // the query's eager localCheckpoint truncates the final plan (the
+    // pcaGram lesson), so pin the package-visible substrate builder
+    val p = graft.operators.TextQueries7.textrankEdges(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      "the 50-token vocab must broadcast against the (doc, tok) stream")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ml_mutual_info_rank/text_fleiss_kappa: one corpus scan through a generator/stacked labels") {
+    val p = plan("ml_mutual_info_rank")
+    assert(p.contains("Generate"), "the 4-way feature stack must be one Generate pass")
+    assert(p.contains("partial_count"), "cell census must map-side combine")
+    val p2 = plan("text_fleiss_kappa")
+    assert(p2.contains("partial_sum") || p2.contains("partial_count"),
+      "fleiss S2 aggregate must map-side combine")
+  }
 }

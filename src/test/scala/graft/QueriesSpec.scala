@@ -48,7 +48,14 @@ class QueriesSpec extends SparkSuite {
       "RelationalQueries15" -> RelationalQueries15.queries.keySet,
       "DedupQueries3" -> DedupQueries3.queries.keySet,
       "MlQueries3" -> MlQueries3.queries.keySet,
-      "TextQueries6" -> TextQueries6.queries.keySet)
+      "TextQueries6" -> TextQueries6.queries.keySet,
+      "RelationalQueries16" -> RelationalQueries16.queries.keySet,
+      "MlQueries4" -> MlQueries4.queries.keySet,
+      "FeatureQueries" -> FeatureQueries.queries.keySet,
+      "RelationalQueries17" -> RelationalQueries17.queries.keySet,
+      "MlQueries5" -> MlQueries5.queries.keySet,
+      "GraphQueries3" -> GraphQueries3.queries.keySet,
+      "TextQueries7" -> TextQueries7.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${
