@@ -1,0 +1,91 @@
+package graft
+
+/** Behavioral invariants of the round-14 operators — properties the
+  * hash gate can't express (it pins values, not the math that makes
+  * them correct). */
+class Round14Spec extends SparkSuite {
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("q242: the isotonic fit is non-decreasing and bracketed by the series range") {
+    val r = rows("q242_isotonic_pav")
+    val fitted = r.map(_.getAs[Long]("fitted_cents"))
+    assert(fitted.zip(fitted.tail).forall { case (a, b) => a <= b },
+      "minimax identity must produce a monotone fit")
+    val v = r.map(_.getAs[Long]("v_cents"))
+    assert(fitted.head >= v.min - 1 && fitted.last <= v.max,
+      "fit must stay inside the observed range (floor slack 1 cent)")
+  }
+
+  test("q244: Shapley efficiency — credits sum to n!·(v(N) − v(∅))") {
+    import org.apache.spark.sql.functions._
+    val phiSum = rows("q244_shapley_attribution")
+      .map(_.getAs[Long]("phi_num")).sum
+    // v(N) = all converters; v(∅) = converters with an empty coalition
+    val ev = Tables.events(spark, sf)
+    val firstp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+    val vN = firstp.count()
+    val withPre = ev.join(firstp, Seq("user_id"))
+      .filter(col("ts") < col("fp") && col("event_type") =!= "purchase")
+      .select(col("user_id")).distinct().count()
+    val vEmpty = vN - withPre
+    assert(phiSum === 24L * (vN - vEmpty),
+      "Shapley values must exactly distribute the coalition value")
+  }
+
+  test("ml_decision_tree: depth-2 accuracy is at least the majority-class baseline") {
+    import org.apache.spark.sql.functions._
+    val r = rows("ml_decision_tree").head
+    val n = r.getAs[Long]("n")
+    val acc = r.getAs[Long]("acc_bp")
+    val pos = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R").count()
+    val majority = math.max(pos, n - pos) * 10000 / n
+    assert(acc >= majority, s"tree acc $acc bp < majority baseline $majority bp")
+  }
+
+  test("ml_gbt_stumps: the second boosting round does not worsen the training fit") {
+    val r = rows("ml_gbt_stumps").head
+    assert(r.getAs[Long]("mae2_milli") <= r.getAs[Long]("mae1_milli"),
+      "round-2 stump fitted on residuals must not increase mean |residual|")
+  }
+
+  test("graph_ktruss: peeling is monotone (edges and vertices never grow)") {
+    val r = rows("graph_ktruss").sortBy(_.getAs[Int]("round"))
+    val e = r.map(_.getAs[Long]("n_dir_edges"))
+    val v = r.map(_.getAs[Long]("n_vertices"))
+    assert(e.zip(e.tail).forall { case (a, b) => b <= a })
+    assert(v.zip(v.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("text_fleiss_kappa: kappa and agreement components stay in their ranges") {
+    val r = rows("text_fleiss_kappa").head
+    val pbar = r.getAs[Long]("pbar_bp")
+    val pe = r.getAs[Long]("pe_bp")
+    val k = r.getAs[Long]("kappa_micro")
+    assert(pbar >= 0 && pbar <= 10000)
+    assert(pe >= 0 && pe <= 10000)
+    assert(k >= -1000000 && k <= 1000000)
+  }
+
+  test("q243: the SPRT decision is consistent with the extremes of the LLR path") {
+    val r = rows("q243_sprt_ab").head
+    val dec = r.getAs[String]("decision")
+    val mx = r.getAs[Long]("llr_max_micro")
+    val mn = r.getAs[Long]("llr_min_micro")
+    val A = math.floor(math.log(0.95 / 0.05) * 1e6).toLong
+    val B = math.floor(math.log(0.05 / 0.95) * 1e6).toLong
+    if (dec == "continue") assert(mx < A && mn > B)
+    else assert(mx >= A || mn <= B)
+  }
+
+  test("ml_mutual_info_rank: MI of every feature is non-negative up to quantization slack") {
+    val r = rows("ml_mutual_info_rank")
+    assert(r.length === 4)
+    // each cell term floors by at most 1 nano; ≤62 cells of slack
+    assert(r.forall(_.getAs[Long]("mi_nano") >= -62L),
+      "I(F;Y) is non-negative; quantized sum may undershoot by ≤1 nano/cell")
+  }
+}
