@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions.minhashSignature
@@ -100,8 +101,60 @@ object DedupQueries3 {
           "COALESCE(inter, 0) * 10000 DIV (n1 + n2 - COALESCE(inter, 0)) AS exact_bp",
           "agree * 10000 DIV 64 - COALESCE(inter, 0) * 10000 DIV (n1 + n2 - COALESCE(inter, 0)) AS err_bp")
         .orderBy($"s1", $"s2")
+    }),
+
+    // CONTENT-DEFINED CHUNKING dedup census (the FastCDC/rolling-hash
+    // idea at token granularity): chunk boundaries fall AFTER any
+    // "anchor token" whose portable md5 60-bit hash ≡ 0 (mod 16), so
+    // boundaries depend only on LOCAL content — an insertion early in
+    // a document shifts fixed-size chunks everywhere but re-aligns
+    // content-defined chunks at the next anchor, which is what lets
+    // chunk-level dedup find shared spans between shifted revisions
+    // that whole-doc hashing and fixed windows both miss. Expected
+    // chunk length 16 tokens. Per doc: one posexplode + one keyed
+    // window (running anchor count = chunk id); census keyed by the
+    // chunk md5. Output: top-10 repeated chunks (count desc, hash) +
+    // corpus totals on every row. Fully hash-gated — both engines
+    // compute the identical md5-derived boundaries and chunk keys.
+    "dedup_cdc_chunks" -> ((s, d) => {
+      import s.implicits._
+      val chunks = cdcChunks(s, d)
+        .localCheckpoint() // chunk-sized; feeds census + totals
+      val census = chunks.groupBy($"chash")
+        .agg(max($"clen").as("clen"), count(lit(1)).as("n_occ"),
+          countDistinct($"doc_id").as("n_docs"))
+      val tot = census.agg(sum($"n_occ").cast("long").as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(when($"n_occ" > 1, $"n_occ").otherwise(0L)).cast("long").as("dup_chunk_mass"))
+      census.filter($"n_occ" > 1)
+        .orderBy($"n_occ".desc, $"chash".asc).limit(10)
+        .crossJoin(broadcast(tot))
+        .select($"chash", $"clen", $"n_occ", $"n_docs",
+          $"total_chunks", $"distinct_chunks", $"dup_chunk_mass")
     })
   )
+
+  /** Pre-checkpoint chunk builder (package-visible so PlanSpec can pin
+    * the keyed per-doc window — the query's eager localCheckpoint
+    * truncates the plan it would otherwise see): posexplode → running
+    * anchor count per doc (chunk id; boundary falls AFTER the anchor,
+    * so cid = running count − bnd) → per-(doc, chunk) md5 key. */
+  private[graft] def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val toks = documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("bnd", expr(
+        "CASE WHEN CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 16 = 0 THEN 1 ELSE 0 END"))
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cid", sum($"bnd").over(wd) - $"bnd")
+      .groupBy($"doc_id", $"cid")
+      .agg(count(lit(1)).cast("long").as("clen"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok), ' '))")
+          .as("chash"))
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_prefix_trunc" ->
@@ -165,6 +218,42 @@ object DedupQueries3 {
          |LEFT JOIN inter i ON i.s1 = g.s1 AND i.s2 = g.s2
          |JOIN sizes n1 ON n1.source = g.s1
          |JOIN sizes n2 ON n2.source = g.s2
-         |ORDER BY g.s1, g.s2""".stripMargin
+         |ORDER BY g.s1, g.s2""".stripMargin,
+
+    "dedup_cdc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pt AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok
+        |  FROM tok),
+        |b AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN ('0x' || substring(md5(tok), 1, 15))::BIGINT % 16 = 0
+        |      THEN 1 ELSE 0 END AS bnd
+        |  FROM pt),
+        |ch AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - bnd AS cid
+        |  FROM b),
+        |chunks AS (
+        |  SELECT doc_id, cid, CAST(count(*) AS BIGINT) AS clen,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+        |  FROM ch GROUP BY doc_id, cid),
+        |census AS (
+        |  SELECT chash, CAST(MAX(clen) AS BIGINT) AS clen,
+        |    CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM chunks GROUP BY chash),
+        |tot AS (
+        |  SELECT CAST(SUM(n_occ) AS BIGINT) AS total_chunks,
+        |    CAST(count(*) AS BIGINT) AS distinct_chunks,
+        |    CAST(SUM(CASE WHEN n_occ > 1 THEN n_occ ELSE 0 END) AS BIGINT) AS dup_chunk_mass
+        |  FROM census)
+        |SELECT chash, clen, n_occ, n_docs,
+        |  total_chunks, distinct_chunks, dup_chunk_mass
+        |FROM census CROSS JOIN tot
+        |WHERE n_occ > 1
+        |ORDER BY n_occ DESC, chash ASC LIMIT 10""".stripMargin
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.OracleParity._
 
@@ -43,6 +44,8 @@ import graft.OracleParity._
   */
 object RelationalQueries17 {
   type Q = (SparkSession, String) => DataFrame
+
+  private val D19 = DecimalType(19, 0)
 
   /** SPRT design constants (fixed literals shared with the oracle). */
   private val P0 = 0.18
@@ -155,6 +158,121 @@ object RelationalQueries17 {
         .selectExpr("channel", "phi_num",
           "phi_num * 1000 DIV 24 AS phi_milli") // n! = 24; marginals ≥ 0
         .orderBy($"channel")
+    }),
+
+    // TWO-SAMPLE ANDERSON–DARLING (tie-weighted Pettitt form): where
+    // q228's Cramér–von Mises weights all of [0,1] equally, AD weights
+    // the ECDF gap by 1/(H(N−H)) — tail-sensitive distribution-shift
+    // detection. Per distinct value: t = c·(N·B − n1·H)²/(H(N−H)n1n2),
+    // every operand an exact BIGINT off the same cumulative substrate
+    // as q228, per-point micro-quantized BEFORE the sum. The last
+    // pooled point (H = N) is excluded by definition (its weight is a
+    // 0/0). Asymptotic 5% point 2.492 as a fixed literal.
+    "q245_anderson_darling" -> ((s, d) => {
+      import s.implicits._
+      val perv = lineitem(s, d)
+        .groupBy((dec($"l_discount") * 100).cast("long").as("disc"))
+        .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("c1"),
+          sum(when($"l_returnflag" =!= "R", 1L).otherwise(0L)).as("c2"))
+      val wc = Window.orderBy($"disc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perv
+        .withColumn("b", sum($"c1").over(wc))
+        .withColumn("h", sum($"c1" + $"c2").over(wc))
+      val tot = cum.agg(max($"b").as("n1"), max($"h").as("nn"))
+      cum.crossJoin(broadcast(tot))
+        .filter($"h" < $"nn")
+        .selectExpr("n1", "nn",
+          """CAST(FLOOR(
+            |  (CAST(nn AS DOUBLE) * CAST(b AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(h AS DOUBLE))
+            |  * (CAST(nn AS DOUBLE) * CAST(b AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(h AS DOUBLE))
+            |  / (CAST(h AS DOUBLE) * CAST(nn - h AS DOUBLE))
+            |  / (CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE))
+            |  * CAST(c1 + c2 AS DOUBLE) * 1e6) AS BIGINT) AS t_micro""".stripMargin)
+        .groupBy($"n1", $"nn")
+        .agg(sum($"t_micro").cast("long").as("a2_micro"),
+          count(lit(1)).as("n_points"))
+        .selectExpr("n1", "nn - n1 AS n2", "n_points", "a2_micro",
+          "a2_micro >= 2492000 AS significant")
+    }),
+
+    // KPSS LEVEL-STATIONARITY TEST on daily order counts — the
+    // complement of q239's Dickey–Fuller (DF: H0 = unit root; KPSS:
+    // H0 = stationary; agreement of the pair is the real diagnostic).
+    // With centered exact integers a_t = n·y_t − Σy and their prefix
+    // sums S_t, η = ΣS_t²/(n·Σa_t²) exactly (the n-scalings cancel);
+    // both quadratic sums ride DECIMAL(19)² products. 5% critical
+    // 0.463 as a fixed literal.
+    "q246_kpss_level" -> ((s, d) => {
+      import s.implicits._
+      val day = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val tot = day.agg(count(lit(1)).as("nd"), sum($"y").as("sy"))
+      val a = day.crossJoin(broadcast(tot))
+        .select($"day", ($"nd" * $"y" - $"sy").cast("long").as("a"), $"nd")
+      val wc = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.withColumn("sa", sum($"a").over(wc))
+        .groupBy()
+        .agg(max($"nd").as("n_days"),
+          sum($"sa".cast(D19) * $"sa".cast(D19)).as("ssq"),
+          sum($"a".cast(D19) * $"a".cast(D19)).as("saa"))
+        .selectExpr("n_days",
+          """CASE WHEN saa = 0 THEN CAST(0 AS BIGINT)
+            | ELSE CAST(FLOOR(CAST(ssq AS DOUBLE)
+            |  / (CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)) * 1e6) AS BIGINT)
+            | END AS eta_micro""".stripMargin)
+        .selectExpr("n_days", "eta_micro", "eta_micro >= 463000 AS nonstationary")
+    }),
+
+    // BINARY-SEGMENTATION CHANGEPOINT SEARCH on daily revenue — where
+    // q170 TESTS a given break and q127/q154/q234 monitor drift, this
+    // FINDS the two strongest level shifts: round 1 picks the split
+    // maximizing the SSE gain S_L²/n_L + S_R²/n_R − S²/n over all
+    // calendar positions (prefix sums make every candidate O(1)),
+    // round 2 re-runs the search inside both segments and keeps the
+    // globally best second split (classic binseg order). Gains are
+    // doubles of exact cents sums (the ml_decision_tree contract),
+    // reported normalized by n (cents²/day; exact-BIGINT-rendered).
+    "q247_binseg_changepoints" -> ((s, d) => {
+      import s.implicits._
+      val day = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("v"))
+      val idx = day
+        .withColumn("t", row_number().over(Window.orderBy($"day")).cast("long"))
+        .withColumn("sp", sum($"v").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint() // day-sized
+      val tot = idx.agg(max($"t").as("n"), max($"sp").as("stot"))
+        .localCheckpoint()
+      val cand1 = idx.crossJoin(broadcast(tot)).filter($"t" < $"n")
+        .withColumn("gain", expr(
+          """(CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(t AS DOUBLE)
+            | + CAST(stot - sp AS DOUBLE) * CAST(stot - sp AS DOUBLE) / CAST(n - t AS DOUBLE)
+            | - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin))
+      val cp1 = cand1.orderBy($"gain".desc, $"t".asc).limit(1)
+        .selectExpr("t AS t1", "sp AS sp1", "n", "stot",
+          "date_format(day, 'yyyy-MM-dd') AS cp1_day",
+          "CAST(FLOOR(gain / CAST(n AS DOUBLE)) AS BIGINT) AS g1_norm",
+          "sp DIV t AS mean1_l_cents",
+          "(stot - sp) DIV (n - t) AS mean1_r_cents")
+        .localCheckpoint() // 1-row model state
+      // two segments (lo, hi] with their boundary prefix sums
+      val segs = cp1.selectExpr(
+        """stack(2, CAST(0 AS BIGINT), t1, CAST(0 AS BIGINT), sp1, 'L',
+          | t1, n, sp1, stot, 'R') AS (lo, hi, slo, shi, side)""".stripMargin)
+      val cand2 = idx.join(broadcast(segs), $"t" > $"lo" && $"t" < $"hi")
+        .withColumn("gain", expr(
+          """(CAST(sp - slo AS DOUBLE) * CAST(sp - slo AS DOUBLE) / CAST(t - lo AS DOUBLE)
+            | + CAST(shi - sp AS DOUBLE) * CAST(shi - sp AS DOUBLE) / CAST(hi - t AS DOUBLE)
+            | - CAST(shi - slo AS DOUBLE) * CAST(shi - slo AS DOUBLE) / CAST(hi - lo AS DOUBLE))""".stripMargin))
+      val cp2 = cand2.orderBy($"gain".desc, $"t".asc).limit(1)
+        .selectExpr("date_format(day, 'yyyy-MM-dd') AS cp2_day", "side AS cp2_side",
+          "CAST(FLOOR(gain / CAST(hi - lo AS DOUBLE)) AS BIGINT) AS g2_norm")
+      cp1.selectExpr("n AS n_days", "cp1_day", "mean1_l_cents", "mean1_r_cents", "g1_norm")
+        .crossJoin(broadcast(cp2))
     })
   )
 
@@ -273,6 +391,107 @@ object RelationalQueries17 {
          |JOIN v vb ON vb.m = coal.m
          |JOIN v vc ON vc.m = (coal.m | ch.bit)
          |GROUP BY ch.channel
-         |ORDER BY ch.channel""".stripMargin
+         |ORDER BY ch.channel""".stripMargin,
+
+    "q245_anderson_darling" ->
+      """WITH perv AS (
+        |  SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT disc, c1, c2,
+        |    CAST(SUM(c1) OVER (ORDER BY disc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS b,
+        |    CAST(SUM(c1 + c2) OVER (ORDER BY disc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS h
+        |  FROM perv),
+        |tot AS (SELECT MAX(b) AS n1, MAX(h) AS nn FROM cum),
+        |terms AS (
+        |  SELECT n1, nn,
+        |    CAST(FLOOR(
+        |      (CAST(nn AS DOUBLE) * CAST(b AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(h AS DOUBLE))
+        |      * (CAST(nn AS DOUBLE) * CAST(b AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(h AS DOUBLE))
+        |      / (CAST(h AS DOUBLE) * CAST(nn - h AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE))
+        |      * CAST(c1 + c2 AS DOUBLE) * 1e6) AS BIGINT) AS t_micro
+        |  FROM cum CROSS JOIN tot
+        |  WHERE h < nn)
+        |SELECT n1, nn - n1 AS n2,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(t_micro) AS BIGINT) AS a2_micro,
+        |  CAST(SUM(t_micro) AS BIGINT) >= 2492000 AS significant
+        |FROM terms GROUP BY n1, nn""".stripMargin,
+
+    "q246_kpss_level" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(SUM(y) AS BIGINT) AS sy FROM day),
+        |a AS (
+        |  SELECT day, CAST(nd * y - sy AS BIGINT) AS a, nd
+        |  FROM day CROSS JOIN tot),
+        |sa AS (
+        |  SELECT a, nd,
+        |    CAST(SUM(a) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sa
+        |  FROM a),
+        |sums AS (
+        |  SELECT MAX(nd) AS n_days,
+        |    CAST(SUM(CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0))) AS DOUBLE) AS ssq,
+        |    CAST(SUM(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0))) AS DOUBLE) AS saa
+        |  FROM sa)
+        |SELECT n_days,
+        |  CASE WHEN saa = 0 THEN CAST(0 AS BIGINT)
+        |   ELSE CAST(FLOOR(ssq / (CAST(n_days AS DOUBLE) * saa) * 1e6) AS BIGINT)
+        |   END AS eta_micro,
+        |  CASE WHEN saa = 0 THEN CAST(0 AS BIGINT)
+        |   ELSE CAST(FLOOR(ssq / (CAST(n_days AS DOUBLE) * saa) * 1e6) AS BIGINT)
+        |   END >= 463000 AS nonstationary
+        |FROM sums""".stripMargin,
+
+    "q247_binseg_changepoints" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT day, v,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(SUM(v) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sp
+        |  FROM day),
+        |tot AS (SELECT MAX(t) AS n, MAX(sp) AS stot FROM idx),
+        |cand1 AS (
+        |  SELECT i.*, tot.n, tot.stot,
+        |    CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(t AS DOUBLE)
+        |     + CAST(stot - sp AS DOUBLE) * CAST(stot - sp AS DOUBLE) / CAST(n - t AS DOUBLE)
+        |     - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE) AS gain
+        |  FROM idx i CROSS JOIN tot WHERE t < n),
+        |cp1 AS (
+        |  SELECT t AS t1, sp AS sp1, n, stot,
+        |    strftime(day, '%Y-%m-%d') AS cp1_day,
+        |    CAST(FLOOR(gain / CAST(n AS DOUBLE)) AS BIGINT) AS g1_norm,
+        |    sp // t AS mean1_l_cents,
+        |    (stot - sp) // (n - t) AS mean1_r_cents
+        |  FROM cand1 ORDER BY gain DESC, t ASC LIMIT 1),
+        |segs AS (
+        |  SELECT CAST(0 AS BIGINT) AS lo, t1 AS hi, CAST(0 AS BIGINT) AS slo,
+        |    sp1 AS shi, 'L' AS side FROM cp1
+        |  UNION ALL
+        |  SELECT t1, n, sp1, stot, 'R' FROM cp1),
+        |cand2 AS (
+        |  SELECT i.day, i.t, s.lo, s.hi, s.side,
+        |    CAST(i.sp - s.slo AS DOUBLE) * CAST(i.sp - s.slo AS DOUBLE) / CAST(i.t - s.lo AS DOUBLE)
+        |     + CAST(s.shi - i.sp AS DOUBLE) * CAST(s.shi - i.sp AS DOUBLE) / CAST(s.hi - i.t AS DOUBLE)
+        |     - CAST(s.shi - s.slo AS DOUBLE) * CAST(s.shi - s.slo AS DOUBLE) / CAST(s.hi - s.lo AS DOUBLE) AS gain
+        |  FROM idx i JOIN segs s ON i.t > s.lo AND i.t < s.hi),
+        |cp2 AS (
+        |  SELECT strftime(day, '%Y-%m-%d') AS cp2_day, side AS cp2_side,
+        |    CAST(FLOOR(gain / CAST(hi - lo AS DOUBLE)) AS BIGINT) AS g2_norm
+        |  FROM cand2 ORDER BY gain DESC, t ASC LIMIT 1)
+        |SELECT n AS n_days, cp1_day, mean1_l_cents, mean1_r_cents, g1_norm,
+        |  cp2_day, cp2_side, g2_norm
+        |FROM cp1 CROSS JOIN cp2""".stripMargin
   )
 }

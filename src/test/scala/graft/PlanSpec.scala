@@ -603,6 +603,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q245/q246/q247: day/value aggregates map-side combine; segment probes broadcast") {
+    for (q <- Seq("q245_anderson_darling", "q246_kpss_level")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q: corpus aggregate must map-side combine")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian leaked")
+    }
+    val p = plan("q247_binseg_changepoints")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the segment-bounds probe must ride a broadcast theta join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_cdc_chunks: the chunk-id window is keyed by doc (never a single partition)") {
+    // the query's eager localCheckpoint truncates the final plan, so
+    // pin the package-visible pre-checkpoint fragment
+    val p = graft.operators.DedupQueries3.cdcChunks(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("SinglePartition"),
+      "per-doc running anchor count fell back to a one-task window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ml_mutual_info_rank/text_fleiss_kappa: one corpus scan through a generator/stacked labels") {
     val p = plan("ml_mutual_info_rank")
     assert(p.contains("Generate"), "the 4-way feature stack must be one Generate pass")

@@ -81,6 +81,34 @@ class Round14Spec extends SparkSuite {
     else assert(mx >= A || mn <= B)
   }
 
+  test("q245: the AD statistic is a sum of non-negative weighted gaps") {
+    val r = rows("q245_anderson_darling").head
+    assert(r.getAs[Long]("a2_micro") >= 0)
+    assert(r.getAs[Long]("n_points") >= 1)
+  }
+
+  test("q246: KPSS eta is positive and finite on a non-constant series") {
+    val eta = rows("q246_kpss_level").head.getAs[Long]("eta_micro")
+    assert(eta > 0 && eta < 100000000L)
+  }
+
+  test("q247: binseg picks two distinct changepoints with positive gains") {
+    val r = rows("q247_binseg_changepoints").head
+    assert(r.getAs[String]("cp1_day") !== r.getAs[String]("cp2_day"))
+    assert(r.getAs[Long]("g1_norm") >= 0 && r.getAs[Long]("g2_norm") >= 0,
+      "SSE split gain is non-negative by construction")
+  }
+
+  test("dedup_cdc_chunks: census totals are internally consistent") {
+    val r = rows("dedup_cdc_chunks")
+    assert(r.nonEmpty)
+    val h = r.head
+    assert(h.getAs[Long]("total_chunks") >= h.getAs[Long]("distinct_chunks"))
+    assert(h.getAs[Long]("dup_chunk_mass") >= h.getAs[Long]("n_occ"),
+      "the top repeated chunk's occurrences are part of the dup mass")
+    assert(r.forall(_.getAs[Long]("n_occ") > 1))
+  }
+
   test("ml_mutual_info_rank: MI of every feature is non-negative up to quantization slack") {
     val r = rows("ml_mutual_info_rank")
     assert(r.length === 4)
