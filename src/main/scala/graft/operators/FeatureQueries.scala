@@ -138,8 +138,34 @@ object FeatureQueries {
         .selectExpr("bucket", "n_parts", "n_categories",
           "CASE WHEN n_categories > 1 THEN 1 ELSE 0 END AS collided")
         .orderBy($"bucket")
+    }),
+
+    // CYCLICAL ENCODING of the order month: (sin, cos) of 2πm/12 as a
+    // Scala-precomputed nano-quantized LITERAL table (the q241
+    // periodogram discipline — no libm at query time on either
+    // engine), so December and January land adjacent in feature space
+    // instead of 11 apart. One keyed month aggregate + a 12-row
+    // broadcast join.
+    "feat_cyclical_encode" -> ((s, d) => {
+      import s.implicits._
+      val months = MonthTrig.toDF("m", "sin_nano", "cos_nano")
+      orders(s, d)
+        .groupBy(month($"o_orderdate").as("m"))
+        .agg(count(lit(1)).as("n_orders"))
+        .join(broadcast(months), Seq("m"))
+        .select($"m".as("month"), $"n_orders", $"sin_nano", $"cos_nano")
+        .orderBy($"month")
     })
   )
+
+  /** (month, ⌊sin·1e9⌋, ⌊cos·1e9⌋) literals for 2π(m−1)/12. */
+  private val MonthTrig: Seq[(Int, Long, Long)] = (1 to 12).map { m =>
+    val a = 2.0 * math.Pi * (m - 1) / 12.0
+    (m, math.floor(math.sin(a) * 1e9).toLong, math.floor(math.cos(a) * 1e9).toLong)
+  }
+  private val MonthTrigSql = MonthTrig
+    .map { case (m, sn, cn) => s"($m, CAST($sn AS BIGINT), CAST($cn AS BIGINT))" }
+    .mkString("(VALUES ", ", ", ") trig(m, sin_nano, cos_nano)")
 
   val oracles: Map[String, String] = Map(
     "feat_standardize" ->
@@ -225,6 +251,15 @@ object FeatureQueries {
         |  FROM h GROUP BY bucket)
         |SELECT bucket, n_parts, n_categories,
         |  CASE WHEN n_categories > 1 THEN 1 ELSE 0 END AS collided
-        |FROM c ORDER BY bucket""".stripMargin
+        |FROM c ORDER BY bucket""".stripMargin,
+
+    "feat_cyclical_encode" ->
+      s"""WITH cnt AS (
+         |  SELECT CAST(month(o_orderdate) AS INTEGER) AS m,
+         |    CAST(count(*) AS BIGINT) AS n_orders
+         |  FROM orders GROUP BY 1)
+         |SELECT cnt.m AS month, n_orders, sin_nano, cos_nano
+         |FROM cnt JOIN $MonthTrigSql ON trig.m = cnt.m
+         |ORDER BY month""".stripMargin
   )
 }

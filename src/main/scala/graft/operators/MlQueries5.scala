@@ -262,8 +262,123 @@ object MlQueries5 {
         .selectExpr("f1", "thr1", "mul_milli", "mur_milli",
           "f2", "thr2", "nul_milli", "nur_milli",
           "n", "sae1 DIV n AS mae1_milli", "sae2 DIV n AS mae2_milli")
+    }),
+
+    // BOOTSTRAP-AGGREGATED STUMPS (bagging — the variance-reduction
+    // ensemble next to boosting's bias reduction): 8 deterministic
+    // "bootstrap" resamples via md5-derived pseudo-Poisson(1) row
+    // weights w ∈ {0,1,2,3} (thresholds 368/736/920 on md5‰ ≈ the
+    // Poisson(1) pmf mass — same in both engines by md5 portability),
+    // each bag fits the best weighted-Gini stump, the ensemble
+    // majority-votes. Two corpus passes: one ×(8 bags · 14 splits)
+    // grid expansion into a 112-group partial aggregate, one scoring
+    // pass against the 8-row broadcast model.
+    "ml_bagging_stumps" -> ((s, d) => {
+      import s.implicits._
+      val t = lineitem(s, d).selectExpr(
+          "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
+          "CAST(l_quantity AS BIGINT) - 25 AS x2",
+          "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+          "concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING)) AS rk")
+        .localCheckpoint()
+      val grid = splitGrid.toDF("f", "thr")
+      val bags = (0 until Bags).map(b => Tuple1(b)).toDF("bag")
+      val weighted = t.crossJoin(broadcast(bags))
+        .selectExpr("x1", "x2", "y", "bag", s"$BagWSql AS w")
+      val cand = weighted.crossJoin(broadcast(grid))
+        .selectExpr("bag", "f", "thr", "w", "y",
+          s"CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END AS isl")
+        .groupBy($"bag", $"f", $"thr")
+        .agg(sum($"w").cast("long").as("n"),
+          sum($"w" * $"y").cast("long").as("p"),
+          sum($"w" * $"isl").cast("long").as("nl"),
+          sum($"w" * $"isl" * $"y").cast("long").as("pl"))
+        .withColumn("nr", $"n" - $"nl").withColumn("pr", $"p" - $"pl")
+        .filter($"nl" > 0 && $"nr" > 0)
+        .withColumn("score", expr(scoreE))
+      val wBag = Window.partitionBy($"bag")
+        .orderBy($"score".desc, $"f".asc, $"thr".asc)
+      val model = cand.withColumn("rn", row_number().over(wBag))
+        .filter($"rn" === 1)
+        .selectExpr("bag", "f", "thr", "n AS n_eff",
+          "CASE WHEN 2 * pl > nl THEN 1 ELSE 0 END AS pred_l",
+          "CASE WHEN 2 * pr > nr THEN 1 ELSE 0 END AS pred_r")
+        .localCheckpoint() // 8-row ensemble
+      // vote INLINE (the ml_isolation_stumps idiom): pivot the 8
+      // stumps into one broadcast row, score all 8 as CASE terms per
+      // row — no per-row-key shuffle anywhere
+      val modelRow = model.groupBy().agg(
+        (0 until Bags).flatMap(b => Seq(
+          max(when($"bag" === b, $"f")).as(s"f$b"),
+          max(when($"bag" === b, $"thr")).as(s"t$b"),
+          max(when($"bag" === b, $"pred_l")).as(s"pl$b"),
+          max(when($"bag" === b, $"pred_r")).as(s"pr$b"))).head,
+        (0 until Bags).flatMap(b => Seq(
+          max(when($"bag" === b, $"f")).as(s"f$b"),
+          max(when($"bag" === b, $"thr")).as(s"t$b"),
+          max(when($"bag" === b, $"pred_l")).as(s"pl$b"),
+          max(when($"bag" === b, $"pred_r")).as(s"pr$b"))).tail: _*)
+      val voteE = (0 until Bags)
+        .map(b => s"(CASE WHEN ${leftE(s"f$b", s"t$b")} THEN pl$b ELSE pr$b END)")
+        .mkString(" + ")
+      val acc = t.crossJoin(broadcast(modelRow))
+        .selectExpr("y", s"CASE WHEN 2 * ($voteE) > $Bags THEN 1 ELSE 0 END AS yhat")
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(when($"y" === $"yhat", 1L).otherwise(0L)).cast("long").as("n_correct"))
+        .selectExpr("n", "n_correct", "n_correct * 10000 DIV n AS ens_acc_bp")
+      model.crossJoin(broadcast(acc))
+        .select($"bag", $"f", $"thr", $"n_eff", $"pred_l", $"pred_r",
+          $"n", $"n_correct", $"ens_acc_bp")
+        .orderBy($"bag")
+    }),
+
+    // GREEDY k-CENTER CORESET (González farthest-point selection) over
+    // the embedding corpus — the diversity-maximizing subset picker a
+    // curation pipeline uses to seed balanced eval panels: each round
+    // adds the point FARTHEST from the selected set (exact integer
+    // squared distance on milli-quantized coordinates; argmax under
+    // the (dist desc, vec_id) total order) and reports the coverage
+    // radius after each pick. Per round one broadcast-centers corpus
+    // pass — the linear Gonzalez bound, no pairwise corpus join ever.
+    "samp_kcenter_coreset" -> ((s, d) => {
+      import s.implicits._
+      val qv = transform($"embedding", x => floor(x.cast("double") * 1000).cast("long"))
+      def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+      val emb = embeddings(s, d).select($"vec_id", qv.as("q")).localCheckpoint()
+      var selected = emb.orderBy($"vec_id".asc).limit(1)
+        .select($"vec_id", $"q", lit(1).as("pick"), lit(0L).as("mindist"))
+        .localCheckpoint() // deterministic seed: smallest vec_id
+      for (k <- 2 to CoresetK) {
+        val next = emb
+          .join(selected.select($"vec_id".as("sid")), $"vec_id" === $"sid", "left_anti")
+          .crossJoin(broadcast(selected.select($"q".as("sq"))))
+          .select($"vec_id", $"q", sqd($"q", $"sq").as("dist"))
+          .groupBy($"vec_id", $"q").agg(min($"dist").as("mindist"))
+          .orderBy($"mindist".desc, $"vec_id".asc).limit(1)
+          .select($"vec_id", $"q", lit(k).as("pick"), $"mindist")
+        selected = selected.unionByName(next).localCheckpoint()
+      }
+      selected.select($"pick", $"vec_id", $"mindist").orderBy($"pick")
     })
   )
+
+  /** Number of bagging resamples. */
+  private val Bags = 8
+  /** Greedy k-center picks. */
+  private val CoresetK = 6
+
+  /** Deterministic pseudo-Poisson(1) bootstrap weight for (row rk,
+    * bag): md5‰ thresholds 368/736/920 ≈ the Poisson(1) pmf masses
+    * for 0/1/2/3+. Shared structure across engines (the md5 idiom);
+    * the DuckDB twin spells the same thresholds over the same hash. */
+  private val BagWSql =
+    """(CASE
+      | WHEN CAST(conv(substring(md5(concat(rk, '#', CAST(bag AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000 < 368 THEN 0
+      | WHEN CAST(conv(substring(md5(concat(rk, '#', CAST(bag AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000 < 736 THEN 1
+      | WHEN CAST(conv(substring(md5(concat(rk, '#', CAST(bag AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000 < 920 THEN 2
+      | ELSE 3 END)""".stripMargin
 
   /** SSE-gain surrogate for a regression split (maximize):
     * S_L²/n_L + S_R²/n_R over exact child target sums. Same double
@@ -411,6 +526,93 @@ object MlQueries5 {
          |FROM resid2
          |GROUP BY f1, thr1, mul_milli, mur_milli, f2, thr2,
          |  nul_milli, nur_milli, sae1""".stripMargin,
+
+    "ml_bagging_stumps" -> {
+      val duckW =
+        """(CASE
+          | WHEN ('0x' || substring(md5(rk || '#' || CAST(bag AS VARCHAR)), 1, 15))::BIGINT % 1000 < 368 THEN 0
+          | WHEN ('0x' || substring(md5(rk || '#' || CAST(bag AS VARCHAR)), 1, 15))::BIGINT % 1000 < 736 THEN 1
+          | WHEN ('0x' || substring(md5(rk || '#' || CAST(bag AS VARCHAR)), 1, 15))::BIGINT % 1000 < 920 THEN 2
+          | ELSE 3 END)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1,
+         |    CAST(l_quantity AS BIGINT) - 25 AS x2,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS rk
+         |  FROM lineitem),
+         |weighted AS MATERIALIZED (
+         |  SELECT x1, x2, y, rk, bag, $duckW AS w
+         |  FROM t CROSS JOIN (SELECT unnest(range(0, $Bags)) AS bag) bg),
+         |cand AS (
+         |  SELECT bag, f, thr, CAST(SUM(w) AS BIGINT) AS n,
+         |    CAST(SUM(w * y) AS BIGINT) AS p,
+         |    CAST(SUM(w * CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(SUM(w * y * CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END) AS BIGINT) AS pl
+         |  FROM weighted CROSS JOIN $gridSql
+         |  GROUP BY bag, f, thr),
+         |cand2 AS (
+         |  SELECT bag, f, thr, n, p, nl, pl, n - nl AS nr, p - pl AS pr FROM cand
+         |  WHERE nl > 0 AND n - nl > 0),
+         |model AS MATERIALIZED (
+         |  SELECT bag, f, thr, n AS n_eff,
+         |    CASE WHEN 2 * pl > nl THEN 1 ELSE 0 END AS pred_l,
+         |    CASE WHEN 2 * pr > nr THEN 1 ELSE 0 END AS pred_r
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bag
+         |      ORDER BY $scoreE DESC, f ASC, thr ASC) AS rn
+         |    FROM cand2) q WHERE rn = 1),
+         |mrow AS (
+         |  SELECT ${(0 until Bags).map(b =>
+             s"MAX(CASE WHEN bag = $b THEN f END) AS f$b, " +
+             s"MAX(CASE WHEN bag = $b THEN thr END) AS t$b, " +
+             s"MAX(CASE WHEN bag = $b THEN pred_l END) AS pl$b, " +
+             s"MAX(CASE WHEN bag = $b THEN pred_r END) AS pr$b").mkString(",\n    ")}
+         |  FROM model),
+         |acc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN y = (CASE WHEN 2 * (${(0 until Bags).map(b =>
+               s"(CASE WHEN ${leftE(s"f$b", s"t$b")} THEN pl$b ELSE pr$b END)").mkString(" + ")})
+         |      > $Bags THEN 1 ELSE 0 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM t CROSS JOIN mrow)
+         |SELECT m.bag, m.f, m.thr, m.n_eff, m.pred_l, m.pred_r,
+         |  a.n, a.n_correct, a.n_correct * 10000 // a.n AS ens_acc_bp
+         |FROM model m CROSS JOIN acc a
+         |ORDER BY m.bag""".stripMargin
+    },
+
+    "samp_kcenter_coreset" -> {
+      // per-round CTEs: distance to every current center, min over
+      // centers, argmax pick, then the grown selected set
+      def roundFull(k: Int): String = {
+        val prev = s"sel${k - 1}"
+        s"""d$k AS (
+           |  SELECT a.vec_id, s.vec_id AS cid,
+           |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS dist
+           |  FROM e a
+           |  CROSS JOIN $prev s
+           |  JOIN e b ON b.vec_id = s.vec_id AND b.dim = a.dim
+           |  WHERE a.vec_id NOT IN (SELECT vec_id FROM $prev)
+           |  GROUP BY a.vec_id, s.vec_id),
+           |n$k AS (
+           |  SELECT vec_id, CAST(MIN(dist) AS BIGINT) AS mindist
+           |  FROM d$k GROUP BY vec_id),
+           |p$k AS (
+           |  SELECT $k AS pick, vec_id, mindist FROM n$k
+           |  ORDER BY mindist DESC, vec_id ASC LIMIT 1),
+           |sel$k AS MATERIALIZED (
+           |  SELECT pick, vec_id, mindist FROM ${prev}
+           |  UNION ALL SELECT pick, vec_id, mindist FROM p$k)""".stripMargin
+      }
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, i AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+         |  FROM embeddings, generate_series(1, 64) AS g(i)),
+         |sel1 AS MATERIALIZED (
+         |  SELECT 1 AS pick, MIN(vec_id) AS vec_id, CAST(0 AS BIGINT) AS mindist
+         |  FROM embeddings),
+         |${(2 to CoresetK).map(roundFull).mkString(",\n")}
+         |SELECT pick, vec_id, mindist FROM sel$CoresetK ORDER BY pick""".stripMargin
+    },
 
     "ml_mutual_info_rank" ->
       s"""WITH base AS (

@@ -603,6 +603,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ml_bagging_stumps: bag/grid frames broadcast; 112-group aggregate map-side combines") {
+    val p = plan("ml_bagging_stumps")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "bags/grid/model frames must ride broadcast cross joins")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("feat_cyclical_encode: the 12-row trig literal table broadcasts") {
+    val p = plan("feat_cyclical_encode")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_count"), "month census must map-side combine")
+  }
+
   test("q245/q246/q247: day/value aggregates map-side combine; segment probes broadcast") {
     for (q <- Seq("q245_anderson_darling", "q246_kpss_level")) {
       val p = plan(q)

@@ -81,6 +81,36 @@ class Round14Spec extends SparkSuite {
     else assert(mx >= A || mn <= B)
   }
 
+  test("samp_kcenter_coreset: farthest-point coverage radii are non-increasing") {
+    val r = rows("samp_kcenter_coreset").sortBy(_.getAs[Int]("pick"))
+    assert(r.head.getAs[Long]("mindist") === 0L, "seed has no prior centers")
+    val radii = r.tail.map(_.getAs[Long]("mindist"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      "each added center can only shrink the farthest distance")
+    assert(r.map(_.getAs[Long]("vec_id")).distinct.length === r.length)
+  }
+
+  test("ml_bagging_stumps: ensemble accuracy is at least the majority-class baseline") {
+    import org.apache.spark.sql.functions._
+    val r = rows("ml_bagging_stumps")
+    assert(r.length === 8)
+    val n = r.head.getAs[Long]("n")
+    val acc = r.head.getAs[Long]("ens_acc_bp")
+    val pos = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R").count()
+    assert(acc >= math.max(pos, n - pos) * 10000 / n)
+  }
+
+  test("feat_cyclical_encode: the quantized encoding stays on the unit circle") {
+    val r = rows("feat_cyclical_encode")
+    assert(r.length === 12)
+    assert(r.forall { row =>
+      val s = row.getAs[Long]("sin_nano").toDouble
+      val c = row.getAs[Long]("cos_nano").toDouble
+      math.abs(s * s + c * c - 1e18) < 1e10 // ≤1-nano floor per leg
+    })
+  }
+
   test("q245: the AD statistic is a sum of non-negative weighted gaps") {
     val r = rows("q245_anderson_darling").head
     assert(r.getAs[Long]("a2_micro") >= 0)
