@@ -361,6 +361,48 @@ object MlQueries5 {
         selected = selected.unionByName(next).localCheckpoint()
       }
       selected.select($"pick", $"vec_id", $"mindist").orderBy($"pick")
+    }),
+
+    // RANK-1 ALS MATRIX FACTORIZATION of the customer×part quantity
+    // matrix — the third recommender member next to cf_item_neighbors
+    // (neighborhood) and cf_user_recs (scoring): r̂_ij ≈ u_i·v_j by
+    // three alternating least-squares half-steps (u|v=1 → v|u → u|v),
+    // each closed-form update u_i = Σr·v/Σv² run in EXACT integer
+    // milli-units (all sums of BIGINTs, one floor DIV per update —
+    // non-negative operands, so Spark DIV == DuckDB //). The final
+    // pass reports Σ|1000·r − û·v̂/1000| — train MAE in milli-units,
+    // all-integer. Every step is a keyed aggregate or keyed equi-join
+    // on c or p (the true distributed-ALS shape: factors co-partition
+    // with the ratings; no broadcast of anything user-sized).
+    "cf_als_rank1" -> ((s, d) => {
+      import s.implicits._
+      val r = lineitem(s, d)
+        .join(orders(s, d).select($"o_orderkey".as("l_orderkey"), $"o_custkey"),
+          Seq("l_orderkey"))
+        .groupBy($"o_custkey".as("c"), $"l_partkey".as("p"))
+        .agg(sum($"l_quantity".cast("long")).as("r"))
+        .localCheckpoint() // the ratings matrix, (c,p)-keyed
+      val u1 = r.groupBy($"c")
+        .agg(count(lit(1)).as("ni"), sum($"r").as("sri"))
+        .selectExpr("c", "(1000 * sri) DIV ni AS um") // v≡1000: Σr·v/Σv² = Σr/(1000·n)·1e6
+      val v1 = r.join(u1.select($"c", $"um"), Seq("c"))
+        .groupBy($"p").agg(count(lit(1)).as("nj"),
+          sum($"r" * $"um").as("srum"), sum($"um" * $"um").as("sumsq"))
+        .selectExpr("p", "nj", "(1000000 * srum) DIV sumsq AS vm")
+        .localCheckpoint() // part-factor table
+      val u2 = r.join(v1.select($"p", $"vm"), Seq("p"))
+        .groupBy($"c").agg(sum($"r" * $"vm").as("srvm"),
+          sum($"vm" * $"vm").as("svmsq"))
+        .selectExpr("c", "(1000000 * srvm) DIV svmsq AS um2")
+      val err = r.join(u2, Seq("c")).join(v1.select($"p", $"vm"), Seq("p"))
+        .selectExpr("abs(1000 * r - (um2 * vm) DIV 1000) AS e")
+        .agg(count(lit(1)).as("n_ratings"), sum($"e").cast("long").as("sae"))
+        .selectExpr("n_ratings", "sae DIV n_ratings AS mae_milli")
+      v1.orderBy($"vm".desc, $"p".asc).limit(10)
+        .crossJoin(broadcast(err))
+        .selectExpr("p AS partkey", "vm", "nj AS n_raters",
+          "n_ratings", "mae_milli")
+        .orderBy($"vm".desc, $"partkey".asc)
     })
   )
 
@@ -526,6 +568,34 @@ object MlQueries5 {
          |FROM resid2
          |GROUP BY f1, thr1, mul_milli, mur_milli, f2, thr2,
          |  nul_milli, nur_milli, sae1""".stripMargin,
+
+    "cf_als_rank1" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT o.o_custkey AS c, l.l_partkey AS p,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |u1 AS (
+        |  SELECT c, (1000 * CAST(SUM(r) AS BIGINT)) // CAST(count(*) AS BIGINT) AS um
+        |  FROM r GROUP BY c),
+        |v1 AS MATERIALIZED (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS nj,
+        |    (1000000 * CAST(SUM(r.r * um) AS BIGINT))
+        |      // CAST(SUM(um * um) AS BIGINT) AS vm
+        |  FROM r JOIN u1 USING (c) GROUP BY p),
+        |u2 AS MATERIALIZED (
+        |  SELECT c, (1000000 * CAST(SUM(r.r * vm) AS BIGINT))
+        |      // CAST(SUM(vm * vm) AS BIGINT) AS um2
+        |  FROM r JOIN v1 USING (p) GROUP BY c),
+        |err AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_ratings,
+        |    CAST(SUM(abs(1000 * r.r - (um2 * vm) // 1000)) AS BIGINT) AS sae
+        |  FROM r JOIN u2 USING (c) JOIN v1 USING (p)),
+        |top AS (SELECT p, vm, nj FROM v1 ORDER BY vm DESC, p ASC LIMIT 10)
+        |SELECT p AS partkey, vm, nj AS n_raters, n_ratings,
+        |  sae // n_ratings AS mae_milli
+        |FROM top CROSS JOIN err
+        |ORDER BY vm DESC, partkey ASC""".stripMargin,
 
     "ml_bagging_stumps" -> {
       val duckW =

@@ -47,6 +47,21 @@ object RelationalQueries17 {
 
   private val D19 = DecimalType(19, 0)
 
+  /** q248 decay factors (1−λ)^{2t} = 0.64^t for t = 1..89 as EXACT
+    * double literals (17 sig digits round-trips bit-exactly through
+    * both engines' parsers); beyond t = 89 the factor is below half an
+    * ulp of 1.0, so 1−decay evaluates to exactly 1.0 either way. A
+    * Scala-precomputed literal table instead of a per-row fold — the
+    * q241 trig discipline — because a multiplicative HOF fold was
+    * measured to drift 1 ulp between Spark's codegen'd aggregate and
+    * DuckDB's list_reduce. */
+  private val DecayCase: String = {
+    val ds = Iterator.iterate(1.0)(_ * 0.64).drop(1).take(89).toSeq
+    ds.zipWithIndex.map { case (v, i) =>
+      f"WHEN t = ${i + 1} THEN CAST(${"%.17e".format(v)} AS DOUBLE)" }
+      .mkString("(CASE ", " ", " ELSE CAST(0.0 AS DOUBLE) END)")
+  }
+
   /** SPRT design constants (fixed literals shared with the oracle). */
   private val P0 = 0.18
   private val P1 = 0.22
@@ -273,6 +288,105 @@ object RelationalQueries17 {
           "CAST(FLOOR(gain / CAST(hi - lo AS DOUBLE)) AS BIGINT) AS g2_norm")
       cp1.selectExpr("n AS n_days", "cp1_day", "mean1_l_cents", "mean1_r_cents", "g1_norm")
         .crossJoin(broadcast(cp2))
+    }),
+
+    // EWMA CONTROL CHART (λ=0.2, L=3) on daily revenue — the
+    // small-shift-sensitive SPC member between q151's XmR (big shifts)
+    // and q195's p-chart (rates): z_t = λx_t + (1−λ)z_{t−1} seeded at
+    // x̄, limits x̄ ± 3σ√(λ/(2−λ)·(1−(1−λ)^{2t})). With λ = 1/5 the z
+    // recursion is run ENTIRELY IN INTEGERS: z'_milli = ⌊(4·z_milli +
+    // 1000·x)/5⌋ — floor-quantized to milli-cents at every step, so
+    // the 2400-step prefix fold is bit-free of float drift (a plain
+    // double fold of this length measurably diverges by 1 ulp between
+    // Spark's codegen'd HOF and DuckDB's list_reduce — caught by the
+    // gate and designed out, not papered over). The decay factor
+    // (1−λ)^{2t} and σ ride one single-evaluation double tree each.
+    "q248_ewma_chart" -> ((s, d) => {
+      import s.implicits._
+      val day = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("v"))
+      val tot = day.agg(count(lit(1)).as("nd"), sum($"v").as("sv"))
+      // deviations kilo-cent-quantized BEFORE squaring: the quadratic
+      // sum then stays < 2^53, so its BIGINT→DOUBLE cast is EXACT on
+      // both engines — a DECIMAL(38) Σa² cast to double diverged by
+      // 1 ulp between the engines at sf ≥ 0.01 (the q170 class) and
+      // surfaced in the printf'd limits. Width: exact through ~9e4
+      // daily kilo-cent deviations² × calendar (≈ sf 15); beyond,
+      // re-coarsen the quantum (q188 discipline).
+      val a = day.crossJoin(broadcast(tot))
+        .selectExpr("day", "v", "nd", "sv",
+          """CAST(FLOOR(CAST(v - sv DIV nd AS DOUBLE) / 1000.0) AS BIGINT)
+            | AS devk""".stripMargin)
+      val sd = a.agg(sum($"devk" * $"devk").cast("long").as("m2k"))
+      val wc = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.crossJoin(broadcast(sd))
+        .withColumn("vals", collect_list($"v").over(wc))
+        .selectExpr("day", "v", "CAST(size(vals) AS BIGINT) AS t",
+          "(1000 * sv) DIV nd AS mu_milli",
+          "CAST(sv AS DOUBLE) / CAST(nd AS DOUBLE) AS mu",
+          // sample σ in cents from the exact kilo-cent quadratic sum
+          """sqrt(CAST(m2k AS DOUBLE) / CAST(nd - 1 AS DOUBLE))
+            | * 1000.0D AS sigma""".stripMargin,
+          """aggregate(vals, (1000 * sv) DIV nd,
+            | (acc, x) -> (4 * acc + 1000 * x) DIV 5) AS z_milli""".stripMargin)
+        .selectExpr("day", "v", "t", "mu_milli", "mu", "z_milli",
+          s"3.0D * sigma * sqrt(0.2D / 1.8D * (1.0D - $DecayCase)) AS hw")
+        .selectExpr("date_format(day, 'yyyy-MM-dd') AS day", "v AS v_cents", "t",
+          "z_milli",
+          "format_string('%.6e', mu + hw) AS ucl",
+          "format_string('%.6e', mu - hw) AS lcl",
+          "CAST(abs(z_milli - mu_milli) AS DOUBLE) / 1000.0D > hw AS ooc")
+        .orderBy($"day")
+    }),
+
+    // SEASONAL GENERALIZED-ESD: 3 iterative Grubbs rounds over
+    // WEEKDAY-deseasonalized daily revenue — q238 flags one outlier
+    // and stops; masked second/third outliers (which inflate the SD
+    // the single test divides by) need the remove-and-retest rounds,
+    // and deseasonalizing first keeps ordinary weekend dips from
+    // soaking up the budget. Residuals are milli-floored per row
+    // (exact BIGINTs); each round's G = max|a|/√(Σa²/(n−1)) rides the
+    // q238 centered-integer machinery on the day-sized remaining set,
+    // argmax under the (|a| desc, day) total order, then the day is
+    // removed. 3 pointer-checkpointed rounds, unrolled-CTE oracle.
+    "q249_seasonal_esd" -> ((s, d) => {
+      import s.implicits._
+      val day = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("v"))
+        .withColumn("w", dayofweek($"day"))
+      val wk = day.groupBy($"w")
+        .agg(count(lit(1)).as("nw"), sum($"v").as("sw"))
+      var rem = day.join(broadcast(wk), Seq("w"))
+        .selectExpr("day",
+          """CAST(FLOOR((CAST(v AS DOUBLE)
+            | - CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)) * 1000.0) AS BIGINT) AS r""".stripMargin)
+        .localCheckpoint() // day-sized residual frame
+      val out = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      for (i <- 1 to 3) {
+        val tot = rem.agg(count(lit(1)).as("n"), sum($"r").as("sr"),
+          sum($"r".cast(D19) * $"r".cast(D19)).as("srr"))
+        val dev = rem.crossJoin(broadcast(tot))
+          .select($"day", $"r", $"n", $"sr", $"srr",
+            ($"n" * $"r" - $"sr").cast("long").as("a"))
+        val pick = dev.orderBy(abs($"a").desc, $"day".asc).limit(1)
+          .selectExpr(s"$i AS round", "date_format(day, 'yyyy-MM-dd') AS outlier_day",
+            "n AS n_tested",
+            // G = max|a| / √((n·Σr² − (Σr)²)·n/(n−1)) over exact sums
+            """CAST(FLOOR(CAST(abs(a) AS DOUBLE)
+              | / sqrt((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+              |         - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+              |        * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+              | * 1000.0) AS BIGINT) AS g_milli""".stripMargin,
+            "day AS pick_day")
+          .localCheckpoint() // 1-row round state
+        out += pick.drop("pick_day")
+        rem = rem.join(broadcast(pick.select($"pick_day".as("day"))),
+          Seq("day"), "left_anti").localCheckpoint()
+      }
+      out.result().reduce(_ unionByName _).orderBy($"round")
     })
   )
 
@@ -492,6 +606,85 @@ object RelationalQueries17 {
         |  FROM cand2 ORDER BY gain DESC, t ASC LIMIT 1)
         |SELECT n AS n_days, cp1_day, mean1_l_cents, mean1_r_cents, g1_norm,
         |  cp2_day, cp2_side, g2_norm
-        |FROM cp1 CROSS JOIN cp2""".stripMargin
+        |FROM cp1 CROSS JOIN cp2""".stripMargin,
+
+    "q248_ewma_chart" ->
+      s"""WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(SUM(v) AS BIGINT) AS sv FROM day),
+        |av AS (
+        |  SELECT day, v, nd, sv,
+        |    CAST(FLOOR(CAST(v - sv // nd AS DOUBLE) / 1000.0) AS BIGINT) AS devk
+        |  FROM day CROSS JOIN tot),
+        |sd AS (
+        |  SELECT CAST(SUM(devk * devk) AS BIGINT) AS m2k
+        |  FROM av),
+        |w AS (
+        |  SELECT day, v, nd, sv,
+        |    list(v) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vals
+        |  FROM av),
+        |n1 AS (
+        |  SELECT day, v, CAST(len(vals) AS BIGINT) AS t,
+        |    (1000 * sv) // nd AS mu_milli,
+        |    CAST(sv AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+        |    sqrt(CAST(m2k AS DOUBLE) / CAST(nd - 1 AS DOUBLE)) * 1000.0 AS sigma,
+        |    CAST(list_reduce(list_prepend((1000 * sv) // nd, vals),
+        |      (acc, x) -> (4 * acc + 1000 * x) // 5) AS BIGINT) AS z_milli
+        |  FROM w CROSS JOIN sd),
+        |n2 AS (
+        |  SELECT day, v, t, mu_milli, mu, z_milli,
+        |    3.0 * sigma * sqrt(0.2 / 1.8 * (1.0 - $DecayCase)) AS hw
+        |  FROM n1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, v AS v_cents, t,
+        |  z_milli,
+        |  printf('%.6e', mu + hw) AS ucl,
+        |  printf('%.6e', mu - hw) AS lcl,
+        |  CAST(abs(z_milli - mu_milli) AS DOUBLE) / 1000.0 > hw AS ooc
+        |FROM n2 ORDER BY day""".stripMargin,
+
+    "q249_seasonal_esd" -> {
+      def round(i: Int): String = {
+        val prev = s"rem${i - 1}"
+        s"""tot$i AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS sr,
+           |    SUM(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))) AS srr
+           |  FROM $prev),
+           |pick$i AS MATERIALIZED (
+           |  SELECT $i AS round, strftime(day, '%Y-%m-%d') AS outlier_day,
+           |    n AS n_tested,
+           |    CAST(FLOOR(CAST(abs(n * r - sr) AS DOUBLE)
+           |      / sqrt((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+           |              - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+           |             * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+           |      * 1000.0) AS BIGINT) AS g_milli,
+           |    day AS pick_day
+           |  FROM $prev CROSS JOIN tot$i
+           |  ORDER BY abs(n * r - sr) DESC, day ASC LIMIT 1),
+           |rem$i AS MATERIALIZED (
+           |  SELECT day, r FROM $prev
+           |  WHERE day NOT IN (SELECT pick_day FROM pick$i))""".stripMargin
+      }
+      s"""WITH day AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+         |  FROM orders GROUP BY 1),
+         |dw AS (SELECT day, v, dayofweek(day) AS w FROM day),
+         |wk AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS nw, CAST(SUM(v) AS BIGINT) AS sw
+         |  FROM dw GROUP BY w),
+         |rem0 AS MATERIALIZED (
+         |  SELECT d.day,
+         |    CAST(FLOOR((CAST(v AS DOUBLE)
+         |      - CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)) * 1000.0) AS BIGINT) AS r
+         |  FROM dw d JOIN wk ON wk.w = d.w),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT round, outlier_day, n_tested, g_milli FROM pick1
+         |UNION ALL SELECT round, outlier_day, n_tested, g_milli FROM pick2
+         |UNION ALL SELECT round, outlier_day, n_tested, g_milli FROM pick3
+         |ORDER BY round""".stripMargin
+    }
   )
 }

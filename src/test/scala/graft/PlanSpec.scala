@@ -603,6 +603,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q248/cf_als_rank1: corpus aggregates map-side combine; no cartesian in the ALS chain") {
+    for (q <- Seq("q248_ewma_chart", "cf_als_rank1")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q: corpus aggregate must map-side combine")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian leaked")
+    }
+  }
+
   test("ml_bagging_stumps: bag/grid frames broadcast; 112-group aggregate map-side combines") {
     val p = plan("ml_bagging_stumps")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -81,6 +81,33 @@ class Round14Spec extends SparkSuite {
     else assert(mx >= A || mn <= B)
   }
 
+  test("q248: the EWMA trace stays inside the observed series range") {
+    val r = rows("q248_ewma_chart")
+    val lo = r.map(_.getAs[Long]("v_cents")).min * 1000
+    val hi = r.map(_.getAs[Long]("v_cents")).max * 1000
+    assert(r.forall { row =>
+      val z = row.getAs[Long]("z_milli"); z >= lo - 1000 && z <= hi + 1000
+    }, "a convex-combination recursion cannot leave the data range")
+  }
+
+  test("q249: ESD rounds test shrinking sets and distinct outlier days") {
+    val r = rows("q249_seasonal_esd").sortBy(_.getAs[Int]("round"))
+    assert(r.length === 3)
+    val ns = r.map(_.getAs[Long]("n_tested"))
+    assert(ns(1) === ns(0) - 1 && ns(2) === ns(1) - 1)
+    assert(r.map(_.getAs[String]("outlier_day")).distinct.length === 3)
+    assert(r.forall(_.getAs[Long]("g_milli") > 0))
+  }
+
+  test("cf_als_rank1: factor table and train MAE are well-formed") {
+    val r = rows("cf_als_rank1")
+    assert(r.length === 10)
+    assert(r.forall(_.getAs[Long]("vm") > 0), "quantity ratings are positive")
+    assert(r.head.getAs[Long]("mae_milli") >= 0)
+    val vms = r.map(_.getAs[Long]("vm"))
+    assert(vms.zip(vms.tail).forall { case (a, b) => b <= a }, "top-10 ordered by vm")
+  }
+
   test("samp_kcenter_coreset: farthest-point coverage radii are non-increasing") {
     val r = rows("samp_kcenter_coreset").sortBy(_.getAs[Int]("pick"))
     assert(r.head.getAs[Long]("mindist") === 0L, "seed has no prior centers")
