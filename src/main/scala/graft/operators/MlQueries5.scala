@@ -403,8 +403,179 @@ object MlQueries5 {
         .selectExpr("p AS partkey", "vm", "nj AS n_raters",
           "n_ratings", "mae_milli")
         .orderBy($"vm".desc, $"partkey".asc)
+    }),
+
+    // PLATT SCALING: calibrate the raw quantity margin s = qty − 25
+    // into P(returned | s) = σ(a·s + b) by two Newton steps — the
+    // calibration FITTER next to ml_calibration_ece's measurement.
+    // The shape exploits s having ≤50 DISTINCT VALUES: the corpus
+    // collapses to its (s, n, pos) cell table in ONE partial+final
+    // aggregate, and both Newton iterations run on the 50-cell frame
+    // (gradient/Hessian sums over cells, 2×2 Cramer solve) — the
+    // smarter variant of ml_logreg_newton's per-row passes. Per-cell
+    // sigmoids are nano-floored BEFORE every cross-cell sum (the
+    // pNano idiom), coefficients micro-floored between steps, so each
+    // iteration consumes only identical integers. Output: the fitted
+    // (a, b), the 50-cell reliability table, and the n-weighted ECE.
+    "ml_platt_scaling" -> ((s, d) => {
+      import s.implicits._
+      val cells = lineitem(s, d).selectExpr(
+          "CAST(l_quantity AS BIGINT) - 25 AS sc",
+          "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
+        .groupBy($"sc")
+        .agg(count(lit(1)).as("cnt"), sum($"y").cast("long").as("pos"))
+        .localCheckpoint() // ≤50 cells; every Newton pass reads this
+      var ab = cells.sparkSession.range(1)
+        .selectExpr("CAST(0 AS BIGINT) AS a_micro", "CAST(0 AS BIGINT) AS b_micro")
+        .localCheckpoint()
+      for (_ <- 1 to 2) {
+        val scored = cells.crossJoin(broadcast(ab))
+          .selectExpr("sc", "cnt", "pos", "a_micro", "b_micro",
+            s"$PlattPNanoE AS p_nano")
+        val sums = scored.selectExpr("a_micro", "b_micro",
+            // every cross-cell sum consumes INTEGER terms: gradients
+            // are exact by construction; Hessian w-masses milli-floor
+            // per cell first (cross-group double Σ is order-dependent
+            // even at 50 cells — the bartlett discipline)
+            "sc * (1000000000 * pos - cnt * p_nano) AS ga_t",
+            "(1000000000 * pos - cnt * p_nano) AS gb_t",
+            s"sc * sc * $PlattWMilliE AS haa_t",
+            s"sc * $PlattWMilliE AS hab_t",
+            s"$PlattWMilliE AS hbb_t")
+          .groupBy($"a_micro", $"b_micro")
+          .agg(sum($"ga_t").cast("long").as("ga"), sum($"gb_t").cast("long").as("gb"),
+            sum($"haa_t").cast("long").as("haam"), sum($"hab_t").cast("long").as("habm"),
+            sum($"hbb_t").cast("long").as("hbbm"))
+        ab = sums.selectExpr("a_micro", "b_micro",
+            "CAST(haam AS DOUBLE) / 1e3 AS haa",
+            "CAST(habm AS DOUBLE) / 1e3 AS hab",
+            "CAST(hbbm AS DOUBLE) / 1e3 AS hbb",
+            "CAST(ga AS DOUBLE) / 1e9 AS gad", "CAST(gb AS DOUBLE) / 1e9 AS gbd")
+          .selectExpr(
+          // Newton: [da db] = H⁻¹ g (2×2 Cramer), micro-floored
+          """CAST(a_micro + FLOOR((gad * hbb - gbd * hab)
+            | / (haa * hbb - hab * hab) * 1e6) AS BIGINT) AS a_micro""".stripMargin,
+          """CAST(b_micro + FLOOR((gbd * haa - gad * hab)
+            | / (haa * hbb - hab * hab) * 1e6) AS BIGINT) AS b_micro""".stripMargin)
+          .localCheckpoint()
+      }
+      val rel = cells.crossJoin(broadcast(ab))
+        .selectExpr("sc", "cnt", "pos", "a_micro", "b_micro",
+          s"$PlattPNanoE AS p_nano")
+        .selectExpr("sc", "cnt", "pos", "a_micro", "b_micro", "p_nano",
+          "pos * 10000 DIV cnt AS obs_bp",
+          // cell ECE mass |Σy − n·p| = n·|ȳ − p|, exact ×1e9 integers
+          "abs(1000000000 * pos - cnt * p_nano) AS ece_t")
+      rel.selectExpr("sc", "cnt", "pos", "obs_bp", "p_nano", "a_micro", "b_micro", "ece_t")
+        .withColumn("ece_num", sum($"ece_t").over(Window.partitionBy()))
+        .withColumn("n_total", sum($"cnt").over(Window.partitionBy()))
+        .selectExpr("sc", "cnt", "pos", "obs_bp", "p_nano", "a_micro", "b_micro",
+          "ece_num DIV (n_total * 100000) AS ece_e4") // Σ|pos·1e9−cnt·p|/(N·1e9) ×1e4
+        .orderBy($"sc")
+    }),
+
+    // PRECISION–RECALL CURVE + AVERAGE PRECISION over the quantity
+    // ranking (pos = returned): the imbalanced-class complement of
+    // ml_roc_curve — precision is base-rate-sensitive where TPR/FPR
+    // are not. Operating points are the ≤50 DISTINCT quantity scores
+    // themselves ("predict positive ⟺ quantity ≥ s"), so the corpus
+    // collapses to its (score, n, pos) census in ONE partial+final
+    // aggregate and everything after is 50-row window algebra. AP is
+    // the step-integral Σ_k Δtp_k · precision_k rendered exactly in
+    // integers: precision basis points are floored BIGINT ratios, the
+    // Δtp weights are the per-cell positive counts, so ap_e4 =
+    // Σ(pos·prec_bp) DIV P consumes only identical integers — no
+    // trapezoid doubles anywhere.
+    "ml_pr_curve" -> ((s, d) => {
+      import s.implicits._
+      val cells = lineitem(s, d).selectExpr(
+          "CAST(l_quantity AS BIGINT) AS sc",
+          "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
+        .groupBy($"sc")
+        .agg(count(lit(1)).as("cnt"), sum($"y").cast("long").as("pos"))
+      val w = Window.orderBy($"sc".desc) // ≤50 rows: global window idiom
+      cells
+        .withColumn("tp", sum($"pos").over(w))
+        .withColumn("pp", sum($"cnt").over(w))
+        .withColumn("p_all", sum($"pos").over(Window.partitionBy()))
+        .selectExpr("sc", "cnt", "pos", "tp", "pp", "p_all",
+          "tp * 10000 DIV pp AS precision_bp",
+          "tp * 10000 DIV p_all AS recall_bp")
+        .withColumn("ap_num", sum($"pos" * $"precision_bp").over(Window.partitionBy()))
+        .selectExpr("sc", "cnt", "pos", "tp", "pp", "precision_bp", "recall_bp",
+          """CASE WHEN precision_bp + recall_bp = 0 THEN 0
+            | ELSE 2 * precision_bp * recall_bp DIV (precision_bp + recall_bp)
+            | END AS f1_bp""".stripMargin,
+          "ap_num DIV p_all AS ap_e4")
+        .orderBy($"sc".desc)
+    }),
+
+    // CONFUSION-MATRIX EVAL PANEL for the quantity>25 return
+    // classifier: the standard single-threshold report card — counts
+    // plus accuracy, balanced accuracy, precision/recall/F1, Matthews
+    // correlation and Cohen's κ — that ml_roc_curve (sweep),
+    // ml_pr_curve (imbalance) and ml_calibration_ece (probabilities)
+    // all presuppose. ONE conditional partial+final aggregate over
+    // the corpus; every ratio metric is an exact integer floor
+    // (basis points) or one shared double tree over the four exact
+    // counts (MCC's √ of a 4-factor product, κ's chance-agreement
+    // quadratics — products ≤ n² stay exact doubles past 100×),
+    // floored to milli at output.
+    "ml_confusion_metrics" -> ((s, d) => {
+      import s.implicits._
+      val cm = lineitem(s, d).selectExpr(
+          "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS yhat",
+          "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
+        .groupBy()
+        .agg(sum(expr("yhat * y")).cast("long").as("tp"),
+          sum(expr("yhat * (1 - y)")).cast("long").as("fp"),
+          sum(expr("(1 - yhat) * y")).cast("long").as("fn"),
+          sum(expr("(1 - yhat) * (1 - y)")).cast("long").as("tn"))
+      cm.selectExpr("tp", "fp", "fn", "tn", "tp + fp + fn + tn AS n",
+          "(tp + tn) * 10000 DIV (tp + fp + fn + tn) AS acc_bp",
+          "(tp * 10000 DIV (tp + fn) + tn * 10000 DIV (tn + fp)) DIV 2 AS bal_acc_bp",
+          "tp * 10000 DIV (tp + fp) AS precision_bp",
+          "tp * 10000 DIV (tp + fn) AS recall_bp",
+          "2 * tp * 10000 DIV (2 * tp + fp + fn) AS f1_bp",
+          s"$MccMilliE AS mcc_milli",
+          s"$KappaMilliE AS kappa_milli")
     })
   )
+
+  /** Matthews correlation (tp·tn − fp·fn)/√(Π marginals) milli-floored
+    * — one shared double tree over the four exact counts (shared
+    * text). */
+  private val MccMilliE =
+    """CAST(FLOOR(CAST(tp * tn - fp * fn AS DOUBLE)
+      | / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+      |   * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+      | * 1000.0) AS BIGINT)""".stripMargin
+
+  /** Cohen's κ = (p_o − p_e)/(1 − p_e) milli-floored; marginal
+    * products ≤ n² are exact doubles (shared text). */
+  private val KappaMilliE =
+    """CAST(FLOOR((CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+      | - (CAST((tp + fp) * (tp + fn) AS DOUBLE)
+      |    + CAST((tn + fn) * (tn + fp) AS DOUBLE))
+      |   / (CAST(tp + fp + fn + tn AS DOUBLE) * CAST(tp + fp + fn + tn AS DOUBLE)))
+      | / (1.0
+      |   - (CAST((tp + fp) * (tp + fn) AS DOUBLE)
+      |      + CAST((tn + fn) * (tn + fp) AS DOUBLE))
+      |     / (CAST(tp + fp + fn + tn AS DOUBLE) * CAST(tp + fp + fn + tn AS DOUBLE)))
+      | * 1000.0) AS BIGINT)""".stripMargin
+
+  /** Per-cell calibrated probability σ(a·s + b) in nano units, from
+    * micro-quantized coefficients (shared text; the one libm call —
+    * exp — floors immediately, the pNano discipline). */
+  private val PlattPNanoE =
+    """CAST(FLOOR(1e9 / (1.0 + exp(-(CAST(a_micro AS DOUBLE) / 1e6 * CAST(sc AS DOUBLE)
+      | + CAST(b_micro AS DOUBLE) / 1e6)))) AS BIGINT)""".stripMargin
+
+  /** Per-cell Hessian mass n·p·(1−p) milli-floored (shared text). */
+  private val PlattWMilliE =
+    """CAST(FLOOR(CAST(cnt AS DOUBLE)
+      | * (CAST(p_nano AS DOUBLE) / 1e9)
+      | * (1.0 - CAST(p_nano AS DOUBLE) / 1e9) * 1000.0) AS BIGINT)""".stripMargin
 
   /** Number of bagging resamples. */
   private val Bags = 8
@@ -568,6 +739,102 @@ object MlQueries5 {
          |FROM resid2
          |GROUP BY f1, thr1, mul_milli, mur_milli, f2, thr2,
          |  nul_milli, nur_milli, sae1""".stripMargin,
+
+    "ml_platt_scaling" -> {
+      val dEnom = """((CAST(haam AS DOUBLE) / 1e3) * (CAST(hbbm AS DOUBLE) / 1e3)
+        | - (CAST(habm AS DOUBLE) / 1e3) * (CAST(habm AS DOUBLE) / 1e3))""".stripMargin
+      def step(i: Int): String = {
+        val prev = s"ab${i - 1}"
+        s"""sc$i AS (
+           |  SELECT sc, cnt, pos, a_micro, b_micro, $PlattPNanoE AS p_nano
+           |  FROM cells CROSS JOIN $prev),
+           |sm$i AS (
+           |  SELECT a_micro, b_micro,
+           |    CAST(SUM(sc * (1000000000 * pos - cnt * p_nano)) AS BIGINT) AS ga,
+           |    CAST(SUM(1000000000 * pos - cnt * p_nano) AS BIGINT) AS gb,
+           |    CAST(SUM(sc * sc * $PlattWMilliE) AS BIGINT) AS haam,
+           |    CAST(SUM(sc * $PlattWMilliE) AS BIGINT) AS habm,
+           |    CAST(SUM($PlattWMilliE) AS BIGINT) AS hbbm
+           |  FROM sc$i GROUP BY a_micro, b_micro),
+           |ab$i AS MATERIALIZED (
+           |  SELECT
+           |    CAST(a_micro + FLOOR(((CAST(ga AS DOUBLE) / 1e9) * (CAST(hbbm AS DOUBLE) / 1e3)
+           |      - (CAST(gb AS DOUBLE) / 1e9) * (CAST(habm AS DOUBLE) / 1e3))
+           |      / $dEnom * 1e6) AS BIGINT) AS a_micro,
+           |    CAST(b_micro + FLOOR(((CAST(gb AS DOUBLE) / 1e9) * (CAST(haam AS DOUBLE) / 1e3)
+           |      - (CAST(ga AS DOUBLE) / 1e9) * (CAST(habm AS DOUBLE) / 1e3))
+           |      / $dEnom * 1e6) AS BIGINT) AS b_micro
+           |  FROM sm$i)""".stripMargin
+      }
+      s"""WITH cells AS MATERIALIZED (
+         |  SELECT CAST(l_quantity AS BIGINT) - 25 AS sc,
+         |    CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM lineitem GROUP BY 1),
+         |ab0 AS (SELECT CAST(0 AS BIGINT) AS a_micro, CAST(0 AS BIGINT) AS b_micro),
+         |${(1 to 2).map(step).mkString(",\n")},
+         |rel AS (
+         |  SELECT sc, cnt, pos, a_micro, b_micro, $PlattPNanoE AS p_nano
+         |  FROM cells CROSS JOIN ab2),
+         |rel2 AS (
+         |  SELECT sc, cnt, pos, a_micro, b_micro, p_nano,
+         |    pos * 10000 // cnt AS obs_bp,
+         |    abs(1000000000 * pos - cnt * p_nano) AS ece_t
+         |  FROM rel),
+         |tot AS (
+         |  SELECT CAST(SUM(ece_t) AS BIGINT) AS ece_num,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_total
+         |  FROM rel2)
+         |SELECT sc, cnt, pos, obs_bp, p_nano, a_micro, b_micro,
+         |  ece_num // (n_total * 100000) AS ece_e4
+         |FROM rel2 CROSS JOIN tot
+         |ORDER BY sc""".stripMargin
+    },
+
+    "ml_pr_curve" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS sc,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT sc, cnt, pos,
+        |    CAST(SUM(pos) OVER (ORDER BY sc DESC) AS BIGINT) AS tp,
+        |    CAST(SUM(cnt) OVER (ORDER BY sc DESC) AS BIGINT) AS pp,
+        |    CAST(SUM(pos) OVER () AS BIGINT) AS p_all
+        |  FROM cells),
+        |pr AS (
+        |  SELECT sc, cnt, pos, tp, pp, p_all,
+        |    tp * 10000 // pp AS precision_bp,
+        |    tp * 10000 // p_all AS recall_bp
+        |  FROM cum)
+        |SELECT sc, cnt, pos, tp, pp, precision_bp, recall_bp,
+        |  CASE WHEN precision_bp + recall_bp = 0 THEN 0
+        |    ELSE 2 * precision_bp * recall_bp // (precision_bp + recall_bp)
+        |    END AS f1_bp,
+        |  CAST(SUM(pos * precision_bp) OVER () AS BIGINT) // p_all AS ap_e4
+        |FROM pr
+        |ORDER BY sc DESC""".stripMargin,
+
+    "ml_confusion_metrics" ->
+      s"""WITH cm AS (
+         |  SELECT
+         |    CAST(SUM(yhat * y) AS BIGINT) AS tp,
+         |    CAST(SUM(yhat * (1 - y)) AS BIGINT) AS fp,
+         |    CAST(SUM((1 - yhat) * y) AS BIGINT) AS fn,
+         |    CAST(SUM((1 - yhat) * (1 - y)) AS BIGINT) AS tn
+         |  FROM (SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS yhat,
+         |          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |        FROM lineitem))
+         |SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+         |  (tp + tn) * 10000 // (tp + fp + fn + tn) AS acc_bp,
+         |  (tp * 10000 // (tp + fn) + tn * 10000 // (tn + fp)) // 2 AS bal_acc_bp,
+         |  tp * 10000 // (tp + fp) AS precision_bp,
+         |  tp * 10000 // (tp + fn) AS recall_bp,
+         |  2 * tp * 10000 // (2 * tp + fp + fn) AS f1_bp,
+         |  $MccMilliE AS mcc_milli,
+         |  $KappaMilliE AS kappa_milli
+         |FROM cm""".stripMargin,
 
     "cf_als_rank1" ->
       """WITH r AS MATERIALIZED (

@@ -387,8 +387,259 @@ object RelationalQueries17 {
           Seq("day"), "left_anti").localCheckpoint()
       }
       out.result().reduce(_ unionByName _).orderBy($"round")
+    }),
+
+    // CUPED variance reduction for the A/B readout — the controlled
+    // experiment technique q100/q184 lack: each customer's pre-period
+    // (1995) revenue is the covariate, θ = cov(X,Y)/var(X) pooled,
+    // and the post-period (1996) metric is replaced by Y − θ(X − X̄).
+    // Exactness: revenues quantize to kilo-cents so EVERY moment sum
+    // (Σxy, n·Σx², (Σx)², the n-scaled adjusted-metric sums) is an
+    // exact BIGINT below 2^53 (exact double casts; the q248 lesson
+    // institutionalized — widths hold to ~1.5e6 customers, note in
+    // PLANS); θ is micro-floored once, so adjusted sums are again
+    // pure integers. Arms ride the samp_ab_assign md5 split. One
+    // orders scan → customer-level pivot → single-row algebra.
+    "q250_cuped_adjust" -> ((s, d) => {
+      import s.implicits._
+      val rev = orders(s, d)
+        .groupBy($"o_custkey", year($"o_orderdate").as("yr"))
+        .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("cents"))
+      val cust = customer(s, d).select($"c_custkey")
+      val xy = cust
+        .join(rev.filter($"yr" === 1995)
+          .selectExpr("o_custkey AS c_custkey", "cents DIV 1000 AS x"),
+          Seq("c_custkey"), "left")
+        .join(rev.filter($"yr" === 1996)
+          .selectExpr("o_custkey AS c_custkey", "cents DIV 1000 AS y"),
+          Seq("c_custkey"), "left")
+        .selectExpr("c_custkey", "COALESCE(x, 0) AS x", "COALESCE(y, 0) AS y",
+          """CASE WHEN substring(md5(CAST(CAST(c_custkey AS STRING) AS BINARY)), 1, 1) < '8'
+            | THEN 'A' ELSE 'B' END AS arm""".stripMargin)
+        .localCheckpoint() // customer-sized (x, y, arm) frame
+      val m = xy.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+        sum($"y" * $"y").as("syy"),
+        sum(when($"arm" === "A", 1L).otherwise(0L)).as("na"),
+        sum(when($"arm" === "A", $"x").otherwise(0L)).as("sxa"),
+        sum(when($"arm" === "A", $"y").otherwise(0L)).as("sya"))
+        .selectExpr("n", "sx", "sy", "sxx", "sxy", "syy", "na", "sxa", "sya",
+          "n - na AS nb", "sx - sxa AS sxb", "sy - sya AS syb",
+          // θ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), micro-floored once
+          """CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+            | / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT) AS th_micro""".stripMargin)
+        // n-scaled 1e6-scaled adjusted-metric sums, exact BIGINTs:
+        // Σ_g n·Yadj·1e6 = 1e6·n·Σ_g y − θ_micro·(n·Σ_g x − n_g·Σx)
+        .selectExpr("n", "na", "nb", "sy", "sya", "syb", "th_micro",
+          "sxx", "sxy", "syy", "sx",
+          "1000000 * n * sya - th_micro * (n * sxa - na * sx) AS adj_a",
+          "1000000 * n * syb - th_micro * (n * sxb - nb * sx) AS adj_b")
+      m.selectExpr("n", "na", "nb", "th_micro",
+        "sya DIV na AS mean_y_a_kc", "syb DIV nb AS mean_y_b_kc",
+        // diffs in micro-kilo-cents, floored from exact-integer ratios
+        """CAST(FLOOR(1e6 * (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+          | - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT) AS diff_raw_microkc""".stripMargin,
+        """CAST(FLOOR(CAST(adj_a AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(n AS DOUBLE))
+          | - CAST(adj_b AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+          | AS diff_cuped_microkc""".stripMargin,
+        // var reduction 1 − var(Yadj)/var(Y) = ρ² in bp, from exact moments
+        """CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+          | * CAST(n * sxy - sx * sy AS DOUBLE)
+          | / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+          | * 10000.0) AS BIGINT) AS var_reduction_bp""".stripMargin)
+    }),
+
+    // PARTIAL CORRELATION of quantity and price CONTROLLING for
+    // discount — r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)):
+    // the confound-removal step q129/q180 stop short of ("is the
+    // qty↔price link real, or does discount drive both?"). Exactness
+    // by the two-pass shifted-moments discipline: pass 1 floors the
+    // integer means; pass 2 sums INTEGER residual products around
+    // them — dx ≤ 50, dy ≤ ~1.2e3 (price in hecto-dollars), dz ≤ 100,
+    // so every Σ d_a·d_b stays an exact double cast well past 100×
+    // corpus (no n·Σxy−ΣxΣy BIGINT products anywhere — the width trap
+    // the raw-moment form hits at 10×). The exact-mean correction
+    // S_ab = Σd_a d_b − r_a r_b/n uses residual totals |r| < n. Each
+    // correlation micro-floors before the partial formula consumes
+    // it; the partial micro-floors before the t-statistic does.
+    "q251_partial_corr" -> ((s, d) => {
+      import s.implicits._
+      def vars(df: DataFrame): DataFrame = df.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 10000 AS y",
+        "CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS z")
+      val v = vars(lineitem(s, d))
+      val m = v.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"), sum($"z").as("sz"))
+        .selectExpr("n", "sx DIV n AS mx", "sy DIV n AS my", "sz DIV n AS mz")
+      val c = v.crossJoin(broadcast(m)) // single-row means side
+        .selectExpr("n", "x - mx AS dx", "y - my AS dy", "z - mz AS dz")
+        .groupBy($"n")
+        .agg(sum($"dx" * $"dx").as("qxx"), sum($"dy" * $"dy").as("qyy"),
+          sum($"dz" * $"dz").as("qzz"), sum($"dx" * $"dy").as("qxy"),
+          sum($"dx" * $"dz").as("qxz"), sum($"dy" * $"dz").as("qyz"),
+          sum($"dx").as("rx"), sum($"dy").as("ry"), sum($"dz").as("rz"))
+      val corr = c.selectExpr("n",
+        s"${rMicroE("qxy", "rx", "ry", "qxx", "qyy")} AS rxy_micro",
+        s"${rMicroE("qxz", "rx", "rz", "qxx", "qzz")} AS rxz_micro",
+        s"${rMicroE("qyz", "ry", "rz", "qyy", "qzz")} AS ryz_micro")
+      corr.selectExpr("n", "rxy_micro", "rxz_micro", "ryz_micro",
+          s"$PartialMicroE AS partial_micro")
+        .selectExpr("n", "rxy_micro", "rxz_micro", "ryz_micro", "partial_micro",
+          s"$PartialTMilliE AS t_milli")
+    }),
+
+    // TWO-GROUP LOG-RANK TEST on order→ship fulfillment lag (every
+    // line an observed event): do urgent/high-priority orders ship
+    // on a different time-to-event distribution than the rest? The
+    // inferential complement of q98_survival_km's single-group
+    // curve. The lag takes a few thousand DISTINCT day values
+    // (bounded by the CALENDAR span, never the corpus), so after one
+    // orderkey equi-join the corpus collapses to its (t, d1, d2)
+    // death census in one partial+final aggregate; at-risk counts
+    // n_g(t) = Σ_{u≥t} d_g(u) are reverse cumulative sums on the
+    // lag-sized frame. Per-time hypergeometric terms E1_t = d·n1/n
+    // and V_t = d·(n1/n)·(n2/n)·(n−d)/(n−1) micro-floor PER TIME
+    // before the cross-time sum (the bartlett discipline), so the
+    // z statistic consumes only identical integers.
+    "q252_logrank_test" -> ((s, d) => {
+      import s.implicits._
+      val ev = lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+        .join(orders(s, d).select($"o_orderkey".as("l_orderkey"),
+          $"o_orderdate", $"o_orderpriority"), Seq("l_orderkey"))
+        .selectExpr(
+          "CAST(datediff(l_shipdate, o_orderdate) AS BIGINT) AS t",
+          """CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            | THEN 1 ELSE 0 END AS g""".stripMargin)
+        .groupBy($"t")
+        .agg(sum($"g").cast("long").as("d1"),
+          sum(lit(1L) - $"g").cast("long").as("d2"))
+      val w = Window.orderBy($"t".desc) // calendar-sized: global window idiom
+      ev
+        .withColumn("n1", sum($"d1").over(w))
+        .withColumn("n2", sum($"d2").over(w))
+        .selectExpr("t", "d1", "d2", "n1", "n2", "n1 + n2 AS nt", "d1 + d2 AS dt")
+        .selectExpr("t", "d1", "d2", "n1", "n2",
+          s"$LogrankE1MicroE AS e1_micro", s"$LogrankVMicroE AS v_micro")
+        .withColumn("o1", sum($"d1").over(Window.partitionBy()))
+        .withColumn("se1", sum($"e1_micro").over(Window.partitionBy()))
+        .withColumn("sv", sum($"v_micro").over(Window.partitionBy()))
+        .selectExpr("t", "d1", "d2", "n1", "n2", "e1_micro", "v_micro",
+          // z = (O1 − E1)/√V from micro-integer totals
+          """CAST(FLOOR(CAST(1000000 * o1 - se1 AS DOUBLE)
+            | / sqrt(CAST(sv AS DOUBLE))) AS BIGINT) AS z_milli""".stripMargin)
+        .orderBy($"t")
+    }),
+
+    // HOTELLING T² two-sample test: does the (quantity, price) MEAN
+    // VECTOR differ between returned and kept items? The multivariate
+    // closure of q140's univariate Welch/t family — answers in one
+    // number what two marginal t-tests plus a correlation argument
+    // can't. Same two-pass shifted-moments discipline as q251, per
+    // GROUP: integer means floored in pass 1, integer residual
+    // products in pass 2 (dx ≤ 50, dy ≤ ~1.2e3 hecto-dollars — exact
+    // doubles past 100×), exact-mean corrections from residual
+    // totals. Pooled 2×2 covariance, Cramer inverse, and
+    // T² = (n1n2/n)·d'W⁻¹d evaluate as ONE shared double tree over
+    // identical integers (the q177 pooled-SD idiom), floored at
+    // output; the F transform (n−3)/(2(n−2))·T² reuses the floored
+    // integer.
+    "q253_hotelling_t2" -> ((s, d) => {
+      import s.implicits._
+      val v = lineitem(s, d).selectExpr(
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g",
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 10000 AS y")
+      val m = v.groupBy($"g")
+        .agg(count(lit(1)).as("ng"), sum($"x").as("sx"), sum($"y").as("sy"))
+        .selectExpr("g", "ng", "sx DIV ng AS mx", "sy DIV ng AS my")
+      val c = v.join(broadcast(m), Seq("g")) // 2-row means side
+        .selectExpr("g", "ng", "x - mx AS dx", "y - my AS dy", "mx", "my")
+        .groupBy($"g", $"ng", $"mx", $"my")
+        .agg(sum($"dx" * $"dx").as("qxx"), sum($"dy" * $"dy").as("qyy"),
+          sum($"dx" * $"dy").as("qxy"),
+          sum($"dx").as("rx"), sum($"dy").as("ry"))
+        .selectExpr("g", "ng", "rx", "ry",
+          // exact group means as doubles: m + r/n (r < n by floor)
+          "CAST(mx AS DOUBLE) + CAST(rx AS DOUBLE) / CAST(ng AS DOUBLE) AS ux",
+          "CAST(my AS DOUBLE) + CAST(ry AS DOUBLE) / CAST(ng AS DOUBLE) AS uy",
+          // exact-mean-corrected central moments (doubles of exact ints)
+          "CAST(qxx AS DOUBLE) - CAST(rx * rx AS DOUBLE) / CAST(ng AS DOUBLE) AS cxx",
+          "CAST(qyy AS DOUBLE) - CAST(ry * ry AS DOUBLE) / CAST(ng AS DOUBLE) AS cyy",
+          "CAST(qxy AS DOUBLE) - CAST(rx * ry AS DOUBLE) / CAST(ng AS DOUBLE) AS cxy")
+      c.groupBy() // 2 rows → 1: pooled algebra, deterministic sums
+        .agg(sum($"ng").as("n"),
+          sum(when($"g" === 1, $"ng").otherwise(0L)).as("n1"),
+          sum(when($"g" === 1, $"ux").otherwise(0.0)).as("ux1"),
+          sum(when($"g" === 1, $"uy").otherwise(0.0)).as("uy1"),
+          sum(when($"g" === 0, $"ux").otherwise(0.0)).as("ux0"),
+          sum(when($"g" === 0, $"uy").otherwise(0.0)).as("uy0"),
+          sum($"cxx").as("wxx"), sum($"cyy").as("wyy"), sum($"cxy").as("wxy"))
+        .selectExpr("n", "n1", "n - n1 AS n0",
+          "CAST(FLOOR((ux1 - ux0) * 1000.0) AS BIGINT) AS dx_milli",
+          "CAST(FLOOR((uy1 - uy0) * 1000.0) AS BIGINT) AS dy_milli",
+          s"CAST(FLOOR($HotellingT2E * 1000.0) AS BIGINT) AS t2_milli")
+        .selectExpr("n", "n1", "n0", "dx_milli", "dy_milli", "t2_milli",
+          // F = (n−3)/(2(n−2))·T² from the floored integer
+          """CAST(FLOOR(CAST(n - 3 AS DOUBLE) / (2.0 * CAST(n - 2 AS DOUBLE))
+            | * CAST(t2_milli AS DOUBLE)) AS BIGINT) AS f_milli""".stripMargin)
     })
   )
+
+  /** Hotelling T² = (n1·n0/n)·d'W⁻¹d with W the pooled covariance
+    * (S1+S2)/(n−2), inverted by 2×2 Cramer — one shared double tree
+    * over the exact-moment columns (shared text). */
+  private val HotellingT2E =
+    """(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+      | * ((ux1 - ux0) * ((wyy / CAST(n - 2 AS DOUBLE)) * (ux1 - ux0)
+      |      - (wxy / CAST(n - 2 AS DOUBLE)) * (uy1 - uy0))
+      |   + (uy1 - uy0) * ((wxx / CAST(n - 2 AS DOUBLE)) * (uy1 - uy0)
+      |      - (wxy / CAST(n - 2 AS DOUBLE)) * (ux1 - ux0)))
+      | / ((wxx / CAST(n - 2 AS DOUBLE)) * (wyy / CAST(n - 2 AS DOUBLE))
+      |   - (wxy / CAST(n - 2 AS DOUBLE)) * (wxy / CAST(n - 2 AS DOUBLE)))""".stripMargin
+
+  /** Pearson correlation of two centered-residual moment columns in
+    * micro units (shared text): S_ab = Σd_a d_b − r_a r_b/n over
+    * √(S_aa S_bb), every input an exact BIGINT→DOUBLE cast. */
+  private def rMicroE(qab: String, ra: String, rb: String,
+      qaa: String, qbb: String): String =
+    s"""CAST(FLOOR((CAST($qab AS DOUBLE) - CAST($ra * $rb AS DOUBLE) / CAST(n AS DOUBLE))
+       | / sqrt((CAST($qaa AS DOUBLE) - CAST($ra * $ra AS DOUBLE) / CAST(n AS DOUBLE))
+       |   * (CAST($qbb AS DOUBLE) - CAST($rb * $rb AS DOUBLE) / CAST(n AS DOUBLE)))
+       | * 1e6) AS BIGINT)""".stripMargin
+
+  /** Partial correlation from the three micro-quantized pairwise
+    * correlations (shared text; consumes only identical integers). */
+  private val PartialMicroE =
+    """CAST(FLOOR((CAST(rxy_micro AS DOUBLE) / 1e6
+      | - CAST(rxz_micro AS DOUBLE) / 1e6 * CAST(ryz_micro AS DOUBLE) / 1e6)
+      | / sqrt((1.0 - CAST(rxz_micro AS DOUBLE) / 1e6 * CAST(rxz_micro AS DOUBLE) / 1e6)
+      |   * (1.0 - CAST(ryz_micro AS DOUBLE) / 1e6 * CAST(ryz_micro AS DOUBLE) / 1e6))
+      | * 1e6) AS BIGINT)""".stripMargin
+
+  /** t = r√((n−3)/(1−r²)) from the micro-quantized partial (shared
+    * text). */
+  private val PartialTMilliE =
+    """CAST(FLOOR(CAST(partial_micro AS DOUBLE) / 1e6
+      | * sqrt(CAST(n - 3 AS DOUBLE)
+      |   / (1.0 - CAST(partial_micro AS DOUBLE) / 1e6 * CAST(partial_micro AS DOUBLE) / 1e6))
+      | * 1000.0) AS BIGINT)""".stripMargin
+
+  /** Per-time log-rank expectation d·n1/n micro-floored (shared
+    * text). */
+  private val LogrankE1MicroE =
+    """CAST(FLOOR(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+      | / CAST(nt AS DOUBLE) * 1e6) AS BIGINT)""".stripMargin
+
+  /** Per-time hypergeometric variance micro-floored (shared text);
+    * the last event time has n = d so the term is exactly 0. */
+  private val LogrankVMicroE =
+    """CASE WHEN nt > 1 THEN CAST(FLOOR(CAST(dt AS DOUBLE)
+      | * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+      | * (CAST(n2 AS DOUBLE) / CAST(nt AS DOUBLE))
+      | * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE))
+      | * 1e6) AS BIGINT) ELSE 0 END""".stripMargin
 
   /** Channel → bit assignment (the 4 non-purchase event types). */
   private val ChannelBitSql =
@@ -685,6 +936,166 @@ object RelationalQueries17 {
          |UNION ALL SELECT round, outlier_day, n_tested, g_milli FROM pick2
          |UNION ALL SELECT round, outlier_day, n_tested, g_milli FROM pick3
          |ORDER BY round""".stripMargin
-    }
+    },
+
+    "q250_cuped_adjust" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |xy AS MATERIALIZED (
+        |  SELECT c.c_custkey,
+        |    COALESCE(x.cents // 1000, 0) AS x,
+        |    COALESCE(y.cents // 1000, 0) AS y,
+        |    CASE WHEN substring(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM customer c
+        |  LEFT JOIN rev x ON x.o_custkey = c.c_custkey AND x.yr = 1995
+        |  LEFT JOIN rev y ON y.o_custkey = c.c_custkey AND y.yr = 1996),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS sxa,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS sya
+        |  FROM xy),
+        |m2 AS (
+        |  SELECT n, sx, sy, sxx, sxy, syy, na, sxa, sya,
+        |    n - na AS nb, sx - sxa AS sxb, sy - sya AS syb,
+        |    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT) AS th_micro
+        |  FROM m),
+        |m3 AS (
+        |  SELECT *,
+        |    1000000 * n * sya - th_micro * (n * sxa - na * sx) AS adj_a,
+        |    1000000 * n * syb - th_micro * (n * sxb - nb * sx) AS adj_b
+        |  FROM m2)
+        |SELECT n, na, nb, th_micro,
+        |  sya // na AS mean_y_a_kc, syb // nb AS mean_y_b_kc,
+        |  CAST(FLOOR(1e6 * (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT) AS diff_raw_microkc,
+        |  CAST(FLOOR(CAST(adj_a AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(n AS DOUBLE))
+        |    - CAST(adj_b AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS diff_cuped_microkc,
+        |  CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+        |    * 10000.0) AS BIGINT) AS var_reduction_bp
+        |FROM m3""".stripMargin,
+
+    "q251_partial_corr" ->
+      s"""WITH v AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS y,
+         |    CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS z
+         |  FROM lineitem),
+         |m AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS mx,
+         |    CAST(SUM(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS my,
+         |    CAST(SUM(z) AS BIGINT) // CAST(count(*) AS BIGINT) AS mz
+         |  FROM v),
+         |c AS (
+         |  SELECT n,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS qxx, CAST(SUM(dy * dy) AS BIGINT) AS qyy,
+         |    CAST(SUM(dz * dz) AS BIGINT) AS qzz, CAST(SUM(dx * dy) AS BIGINT) AS qxy,
+         |    CAST(SUM(dx * dz) AS BIGINT) AS qxz, CAST(SUM(dy * dz) AS BIGINT) AS qyz,
+         |    CAST(SUM(dx) AS BIGINT) AS rx, CAST(SUM(dy) AS BIGINT) AS ry,
+         |    CAST(SUM(dz) AS BIGINT) AS rz
+         |  FROM (SELECT n, x - mx AS dx, y - my AS dy, z - mz AS dz
+         |        FROM v CROSS JOIN m)
+         |  GROUP BY n),
+         |corr AS (
+         |  SELECT n,
+         |    ${rMicroE("qxy", "rx", "ry", "qxx", "qyy")} AS rxy_micro,
+         |    ${rMicroE("qxz", "rx", "rz", "qxx", "qzz")} AS rxz_micro,
+         |    ${rMicroE("qyz", "ry", "rz", "qyy", "qzz")} AS ryz_micro
+         |  FROM c),
+         |p AS (
+         |  SELECT n, rxy_micro, rxz_micro, ryz_micro,
+         |    $PartialMicroE AS partial_micro
+         |  FROM corr)
+         |SELECT n, rxy_micro, rxz_micro, ryz_micro, partial_micro,
+         |  $PartialTMilliE AS t_milli
+         |FROM p""".stripMargin,
+
+    "q252_logrank_test" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS t,
+         |    CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS d2
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1),
+         |risk AS (
+         |  SELECT t, d1, d2,
+         |    CAST(SUM(d1) OVER (ORDER BY t DESC) AS BIGINT) AS n1,
+         |    CAST(SUM(d2) OVER (ORDER BY t DESC) AS BIGINT) AS n2
+         |  FROM ev),
+         |base AS (
+         |  SELECT t, d1, d2, n1, n2, n1 + n2 AS nt, d1 + d2 AS dt FROM risk),
+         |mic AS (
+         |  SELECT t, d1, d2, n1, n2,
+         |    $LogrankE1MicroE AS e1_micro,
+         |    $LogrankVMicroE AS v_micro
+         |  FROM base),
+         |tot AS (
+         |  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         |    CAST(SUM(e1_micro) AS BIGINT) AS se1,
+         |    CAST(SUM(v_micro) AS BIGINT) AS sv
+         |  FROM mic)
+         |SELECT t, d1, d2, n1, n2, e1_micro, v_micro,
+         |  CAST(FLOOR(CAST(1000000 * o1 - se1 AS DOUBLE)
+         |    / sqrt(CAST(sv AS DOUBLE))) AS BIGINT) AS z_milli
+         |FROM mic CROSS JOIN tot
+         |ORDER BY t""".stripMargin,
+
+    "q253_hotelling_t2" ->
+      s"""WITH v AS (
+         |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+         |    CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS y
+         |  FROM lineitem),
+         |m AS MATERIALIZED (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(SUM(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS mx,
+         |    CAST(SUM(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS my
+         |  FROM v GROUP BY g),
+         |c AS (
+         |  SELECT g, ng, mx, my,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS qxx, CAST(SUM(dy * dy) AS BIGINT) AS qyy,
+         |    CAST(SUM(dx * dy) AS BIGINT) AS qxy,
+         |    CAST(SUM(dx) AS BIGINT) AS rx, CAST(SUM(dy) AS BIGINT) AS ry
+         |  FROM (SELECT v.g, m.ng, m.mx, m.my, v.x - m.mx AS dx, v.y - m.my AS dy
+         |        FROM v JOIN m ON v.g = m.g)
+         |  GROUP BY g, ng, mx, my),
+         |e AS (
+         |  SELECT g, ng,
+         |    CAST(mx AS DOUBLE) + CAST(rx AS DOUBLE) / CAST(ng AS DOUBLE) AS ux,
+         |    CAST(my AS DOUBLE) + CAST(ry AS DOUBLE) / CAST(ng AS DOUBLE) AS uy,
+         |    CAST(qxx AS DOUBLE) - CAST(rx * rx AS DOUBLE) / CAST(ng AS DOUBLE) AS cxx,
+         |    CAST(qyy AS DOUBLE) - CAST(ry * ry AS DOUBLE) / CAST(ng AS DOUBLE) AS cyy,
+         |    CAST(qxy AS DOUBLE) - CAST(rx * ry AS DOUBLE) / CAST(ng AS DOUBLE) AS cxy
+         |  FROM c),
+         |p AS (
+         |  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN g = 1 THEN ng ELSE 0 END) AS BIGINT) AS n1,
+         |    SUM(CASE WHEN g = 1 THEN ux ELSE 0.0 END) AS ux1,
+         |    SUM(CASE WHEN g = 1 THEN uy ELSE 0.0 END) AS uy1,
+         |    SUM(CASE WHEN g = 0 THEN ux ELSE 0.0 END) AS ux0,
+         |    SUM(CASE WHEN g = 0 THEN uy ELSE 0.0 END) AS uy0,
+         |    SUM(cxx) AS wxx, SUM(cyy) AS wyy, SUM(cxy) AS wxy
+         |  FROM e),
+         |t2 AS (
+         |  SELECT n, n1, n - n1 AS n0,
+         |    CAST(FLOOR((ux1 - ux0) * 1000.0) AS BIGINT) AS dx_milli,
+         |    CAST(FLOOR((uy1 - uy0) * 1000.0) AS BIGINT) AS dy_milli,
+         |    CAST(FLOOR($HotellingT2E * 1000.0) AS BIGINT) AS t2_milli
+         |  FROM p)
+         |SELECT n, n1, n0, dx_milli, dy_milli, t2_milli,
+         |  CAST(FLOOR(CAST(n - 3 AS DOUBLE) / (2.0 * CAST(n - 2 AS DOUBLE))
+         |    * CAST(t2_milli AS DOUBLE)) AS BIGINT) AS f_milli
+         |FROM t2""".stripMargin
   )
 }

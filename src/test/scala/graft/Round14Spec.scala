@@ -81,6 +81,85 @@ class Round14Spec extends SparkSuite {
     else assert(mx >= A || mn <= B)
   }
 
+  test("q250: CUPED preserves arm sizes and bounds the variance reduction by rho^2") {
+    val r = rows("q250_cuped_adjust").head
+    assert(r.getAs[Long]("n") === r.getAs[Long]("na") + r.getAs[Long]("nb"))
+    val vr = r.getAs[Long]("var_reduction_bp")
+    assert(vr >= 0 && vr <= 10000, "1 - var(Yadj)/var(Y) = rho^2 in [0, 1]")
+  }
+
+  test("ml_pr_curve: recall is monotone along the threshold sweep and ends at 100%") {
+    val r = rows("ml_pr_curve") // emitted sc DESC = sweep order
+    assert(r.length === 50)
+    val rec = r.map(_.getAs[Long]("recall_bp"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a },
+      "lowering the threshold can only add true positives")
+    assert(rec.last === 10000L, "threshold at min score predicts everything positive")
+    val prec = r.map(_.getAs[Long]("precision_bp"))
+    assert(prec.forall(p => p >= 0 && p <= 10000))
+    val ap = r.head.getAs[Long]("ap_e4")
+    assert(ap >= prec.min && ap <= prec.max,
+      "AP is a Δrecall-weighted mean of precisions — bracketed by them")
+  }
+
+  test("ml_confusion_metrics: counts partition the corpus and agree with the PR sweep") {
+    val cm = rows("ml_confusion_metrics").head
+    val n = cm.getAs[Long]("n")
+    assert(n === Tables.lineitem(spark, sf).count())
+    // the PR curve's sc=26 operating point IS this classifier (>25)
+    val pr26 = rows("ml_pr_curve").find(_.getAs[Long]("sc") === 26L).get
+    assert(pr26.getAs[Long]("tp") === cm.getAs[Long]("tp"))
+    assert(pr26.getAs[Long]("precision_bp") === cm.getAs[Long]("precision_bp"))
+    for (c <- Seq("mcc_milli", "kappa_milli")) {
+      val v = cm.getAs[Long](c)
+      assert(v >= -1000L && v <= 1000L, s"$c out of range: $v")
+    }
+  }
+
+  test("q253: Hotelling T-square is a nonnegative quadratic form and F shrinks it") {
+    val r = rows("q253_hotelling_t2").head
+    assert(r.getAs[Long]("n") === r.getAs[Long]("n1") + r.getAs[Long]("n0"))
+    val t2 = r.getAs[Long]("t2_milli")
+    assert(t2 >= 0, "d'W^-1 d with positive-definite W cannot be negative")
+    val f = r.getAs[Long]("f_milli")
+    assert(f >= 0 && f <= t2 / 2 + 1, "(n-3)/(2(n-2)) < 1/2 at any real n")
+  }
+
+  test("q251: pairwise and partial correlations are all inside [-1, 1]") {
+    val r = rows("q251_partial_corr").head
+    for (c <- Seq("rxy_micro", "rxz_micro", "ryz_micro", "partial_micro")) {
+      val v = r.getAs[Long](c)
+      assert(v >= -1000000L && v <= 1000000L, s"$c out of range: $v")
+    }
+  }
+
+  test("q252: at-risk counts telescope from the death census") {
+    val r = rows("q252_logrank_test").sortBy(_.getAs[Long]("t"))
+    val n1 = r.map(_.getAs[Long]("n1"))
+    assert(n1.zip(n1.tail).forall { case (a, b) => a >= b },
+      "risk sets can only shrink in t")
+    assert(n1.head === r.map(_.getAs[Long]("d1")).sum,
+      "everyone is at risk at the first event time")
+    assert(r.map(_.getAs[Long]("v_micro")).forall(_ >= 0))
+    // z sign must agree with the O1 - E1 micro totals it came from
+    val diff = 1000000L * r.map(_.getAs[Long]("d1")).sum -
+      r.map(_.getAs[Long]("e1_micro")).sum
+    val z = r.head.getAs[Long]("z_milli")
+    assert((diff >= 0) === (z >= 0),
+      "z (floored) and the O1-E1 micro total must agree in sign")
+  }
+
+  test("ml_platt_scaling: fitted sigmoid is monotone over the score cells") {
+    val r = rows("ml_platt_scaling").sortBy(_.getAs[Long]("sc"))
+    assert(r.length === 50)
+    val p = r.map(_.getAs[Long]("p_nano"))
+    val up = p.zip(p.tail).forall { case (a, b) => b >= a }
+    val down = p.zip(p.tail).forall { case (a, b) => b <= a }
+    assert(up || down, "sigma(a*s + b) is monotone in s")
+    assert(p.forall(x => x >= 0 && x <= 1000000000L))
+    assert(r.head.getAs[Long]("ece_e4") >= 0)
+  }
+
   test("q248: the EWMA trace stays inside the observed series range") {
     val r = rows("q248_ewma_chart")
     val lo = r.map(_.getAs[Long]("v_cents")).min * 1000
