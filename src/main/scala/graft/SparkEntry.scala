@@ -61,7 +61,11 @@ object SparkEntry {
       RelationalQueries17.queries ++
       MlQueries5.queries ++
       GraphQueries3.queries ++
-      TextQueries7.queries
+      TextQueries7.queries ++
+      RelationalQueries18.queries ++
+      MlQueries6.queries ++
+      DedupQueries4.queries ++
+      TextQueries8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -108,5 +112,9 @@ object SparkEntry {
       RelationalQueries17.oracles ++
       MlQueries5.oracles ++
       GraphQueries3.oracles ++
-      TextQueries7.oracles
+      TextQueries7.oracles ++
+      RelationalQueries18.oracles ++
+      MlQueries6.oracles ++
+      DedupQueries4.oracles ++
+      TextQueries8.oracles
 }

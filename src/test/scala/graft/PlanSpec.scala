@@ -617,6 +617,36 @@ class PlanSpec extends SparkSuite {
     assert(!plan("ml_platt_scaling").contains("CartesianProduct"))
   }
 
+  test("batch-8: keyed joins stay hash joins; the SampEn pair frame broadcasts") {
+    // corpus aggregates map-side combine (partial agg before exchange)
+    for (q <- Seq("ml_fisher_lda", "text_yule_k", "cf_slope_one")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q: corpus aggregate must map-side combine")
+    }
+    // the edit-distance verify stage joins candidates and prefixes by
+    // doc key only — a nested loop here would be a pairs×docs scan
+    assert(!plan("dedup_edit_verify").contains("BroadcastNestedLoopJoin"),
+      "dedup_edit_verify: verify joins must stay keyed hash joins")
+    // the calendar²-bounded template pair join must BROADCAST its day
+    // frame (a checkpointed self-theta-join without the hint planned a
+    // CartesianProduct — the r11 lesson; the global test is the net)
+    assert(plan("q255_sample_entropy").contains("BroadcastNestedLoopJoin"),
+      "q255: the day-pair theta join must ride a broadcast")
+  }
+
+  test("batch-9: corpus aggregates map-side combine; the trig lookup broadcasts") {
+    for (q <- Seq("q257_poisson_gof", "q258_bass_diffusion")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q: corpus aggregate must map-side combine")
+    }
+    // the 457-row literal trig table joins the day×period frame by
+    // (p, r) — a broadcast HASH join, never a nested loop over days
+    assert(plan("q256_spectral_entropy").contains("BroadcastHashJoin"),
+      "q256: trig lookup must be a broadcast hash join")
+  }
+
   test("ml_bagging_stumps: bag/grid frames broadcast; 112-group aggregate map-side combines") {
     val p = plan("ml_bagging_stumps")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -55,7 +55,11 @@ class QueriesSpec extends SparkSuite {
       "RelationalQueries17" -> RelationalQueries17.queries.keySet,
       "MlQueries5" -> MlQueries5.queries.keySet,
       "GraphQueries3" -> GraphQueries3.queries.keySet,
-      "TextQueries7" -> TextQueries7.queries.keySet)
+      "TextQueries7" -> TextQueries7.queries.keySet,
+      "RelationalQueries18" -> RelationalQueries18.queries.keySet,
+      "MlQueries6" -> MlQueries6.queries.keySet,
+      "DedupQueries4" -> DedupQueries4.queries.keySet,
+      "TextQueries8" -> TextQueries8.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${

@@ -81,6 +81,150 @@ class Round14Spec extends SparkSuite {
     else assert(mx >= A || mn <= B)
   }
 
+  test("q254: Cox score at zero agrees in sign with the log-rank z; Newton contracts it") {
+    val cox = rows("q254_cox_binary").head
+    val u0 = cox.getAs[Long]("u0_micro")
+    val z = rows("q252_logrank_test").head.getAs[Long]("z_milli")
+    assert((u0 >= 0) === (z >= 0),
+      "the partial-likelihood score at beta = 0 IS the log-rank numerator")
+    val u1 = cox.getAs[Long]("u1_micro")
+    assert(math.abs(u1) <= math.abs(u0),
+      "a Newton step on a concave log-likelihood shrinks the score")
+    val b2 = cox.getAs[Long]("b2_micro")
+    val hr = cox.getAs[Long]("hr_milli")
+    assert(hr >= 0)
+    if (b2 > 0) assert(hr >= 1000, "e^beta > 1 for beta > 0")
+    if (b2 < 0) assert(hr < 1000, "e^beta < 1 for beta < 0")
+    assert(cox.getAs[Long]("i0_micro") > 0 && cox.getAs[Long]("i1_micro") > 0,
+      "Fisher information of a non-degenerate census is positive")
+  }
+
+  test("q255: template match counts nest and SampEn is nonnegative when defined") {
+    val r = rows("q255_sample_entropy").head
+    val (np, b, a) = (r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("b_pairs"), r.getAs[Long]("a_pairs"))
+    assert(a <= b && b <= np, "an (m+1)-match is an m-match is a pair")
+    assert(r.getAs[Long]("r_tol") >= 0)
+    val nDays = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate"))).distinct().count()
+    assert(r.getAs[Long]("n_days") === nDays)
+    if (!r.isNullAt(r.fieldIndex("sampen_milli")))
+      assert(r.getAs[Long]("sampen_milli") >= 0, "B >= A forces ln(B/A) >= 0")
+  }
+
+  test("ml_fisher_lda: counts partition the corpus and the discriminant is max-normalized") {
+    val r = rows("ml_fisher_lda").head
+    val n = r.getAs[Long]("n")
+    assert(n === r.getAs[Long]("tp") + r.getAs[Long]("fp")
+      + r.getAs[Long]("fn") + r.getAs[Long]("tn"))
+    assert(n === r.getAs[Long]("n1") + r.getAs[Long]("n0"))
+    val (wx, wy) = (r.getAs[Long]("wx_micro"), r.getAs[Long]("wy_micro"))
+    val mx = math.max(math.abs(wx), math.abs(wy))
+    // 1e6·w evaluates BEFORE /m in the shared text, so the product's
+    // IEEE rounding can push the floored ratio one ulp past ±1e6
+    assert(mx >= 999999L && mx <= 1000001L,
+      "max-normalization pins the larger coefficient at 1e6 (floor slack 1)")
+    assert(r.getAs[Long]("acc_bp") >= 0 && r.getAs[Long]("acc_bp") <= 10000)
+  }
+
+  test("cf_slope_one: support-ordered pair panel with a nonnegative integer MAE") {
+    val r = rows("cf_slope_one")
+    assert(r.length === 10)
+    val nij = r.map(_.getAs[Long]("nij"))
+    assert(nij.zip(nij.tail).forall { case (a, b) => a >= b },
+      "panel is ordered by pair support")
+    assert(r.head.getAs[Long]("mae_milli") >= 0)
+    assert(r.head.getAs[Long]("n_preds") > 0 && r.head.getAs[Long]("n_pairs") >= 10)
+    assert(r.forall(x => x.getAs[Long]("part_i") < x.getAs[Long]("part_j")),
+      "deviation pairs are stored under the i < j total order")
+  }
+
+  test("dedup_edit_verify: every Jaccard candidate is scored, similarity bounded") {
+    val r = rows("dedup_edit_verify")
+    assert(r.length === rows("dedup_ngram_jaccard").length,
+      "the verify stage preserves the candidate list 1:1")
+    assert(r.forall { x =>
+      val (dist, len, bp) = (x.getAs[Long]("edit_dist"),
+        x.getAs[Long]("max_len"), x.getAs[Long]("edit_sim_bp"))
+      dist >= 0 && dist <= len && bp >= 0 && bp <= 10000
+    }, "levenshtein on prefixes is bounded by the longer prefix")
+  }
+
+  test("text_yule_k / text_good_turing: spectrum identities hold across the pair") {
+    val y = rows("text_yule_k").head
+    val (n, v) = (y.getAs[Long]("n_tokens"), y.getAs[Long]("vocab"))
+    assert(v <= n && y.getAs[Long]("hapax") <= v)
+    assert(y.getAs[Long]("yule_k_milli") >= 0, "S2 >= N always (m^2 >= m)")
+    assert(y.getAs[Long]("simpson_micro") >= 0 && y.getAs[Long]("simpson_micro") <= 1000000L)
+    assert(y.getAs[Long]("herdan_c_milli") <= 1000L, "V <= N forces lnV/lnN <= 1")
+    val gt = rows("text_good_turing")
+    assert(gt.length === 5)
+    assert(gt.head.getAs[Long]("v_r") === y.getAs[Long]("hapax"),
+      "the r = 1 spectrum cell IS the hapax count")
+    assert(gt.head.getAs[Long]("v_r1") === y.getAs[Long]("dis_legomena"))
+    assert(gt.head.getAs[Long]("p_unseen_bp") === (10000L * y.getAs[Long]("hapax")) / n)
+  }
+
+  test("q256: power shares form a floored distribution and entropy is normalized") {
+    val r = rows("q256_spectral_entropy")
+    assert(r.length === 16)
+    assert(r.forall(_.getAs[Long]("power_micro") >= 0))
+    val shareSum = r.map(_.getAs[Long]("share_micro")).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - 16,
+      "floored shares must sum to 1e6 within one floor per cell")
+    val hn = r.head.getAs[Long]("h_norm_milli")
+    assert(hn >= 0 && hn <= 1000, "entropy normalized by ln(16) lives in [0, 1]")
+    val p2 = r.find(_.getAs[Long]("period") === 2L).get
+    assert(p2.getAs[Long]("rs_micro") === 0L,
+      "the period-2 sine factor is identically zero (guarded correlation)")
+  }
+
+  test("q257: observed cells partition the orders and chi2 totals its contributions") {
+    val r = rows("q257_poisson_gof")
+    // orders with at least one line — sf0.001 has a few lineless orders
+    val nOrders = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey")).distinct().count()
+    assert(r.map(_.getAs[Long]("obs")).sum === nOrders)
+    assert(r.forall(_.getAs[Long]("contrib_milli") >= 0))
+    assert(r.head.getAs[Long]("chi2_milli") === r.map(_.getAs[Long]("contrib_milli")).sum)
+    assert(r.head.getAs[Long]("df") === r.length - 2)
+    val eSum = r.map(_.getAs[Long]("e_milli")).sum
+    assert(eSum <= 1000L * nOrders && eSum >= 1000L * nOrders - 1000L * r.length,
+      "expected counts renormalize to n within per-cell floor slack")
+  }
+
+  test("q258: the Bass fit explains at most all the variance") {
+    val r = rows("q258_bass_diffusion").head
+    assert(r.getAs[Long]("r2_milli") <= 1000L)
+    val nDays = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate"))).distinct().count()
+    assert(r.getAs[Long]("n_days") === nDays)
+  }
+
+  test("ml_gmm_em: responsibilities stay proper and components stay inside the data range") {
+    val r = rows("ml_gmm_em").head
+    for (c <- Seq("pi1_r1", "pi1_r2")) {
+      val v = r.getAs[Long](c)
+      assert(v >= 1 && v <= 999, s"$c: mixture weight clamped to (0, 1)")
+    }
+    assert(r.getAs[Long]("mu1_0") <= r.getAs[Long]("mu2_0"),
+      "init components are the ordered quartiles")
+    for (c <- Seq("var_0", "var_r1", "var_r2"))
+      assert(r.getAs[Long](c) >= 1, s"$c: tied variance clamped positive")
+    import org.apache.spark.sql.functions._
+    val mm = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .selectExpr("c DIV 100000 AS x").agg(min("x"), max("x")).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    for (c <- Seq("mu1_r1", "mu2_r1", "mu1_r2", "mu2_r2")) {
+      val v = r.getAs[Long](c)
+      assert(v >= lo && v <= hi, s"$c: a responsibility-weighted mean is a convex combination")
+    }
+  }
+
   test("q250: CUPED preserves arm sizes and bounds the variance reduction by rho^2") {
     val r = rows("q250_cuped_adjust").head
     assert(r.getAs[Long]("n") === r.getAs[Long]("na") + r.getAs[Long]("nb"))
