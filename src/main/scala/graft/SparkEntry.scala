@@ -65,7 +65,8 @@ object SparkEntry {
       RelationalQueries18.queries ++
       MlQueries6.queries ++
       DedupQueries4.queries ++
-      TextQueries8.queries
+      TextQueries8.queries ++
+      GraphQueries4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -116,5 +117,6 @@ object SparkEntry {
       RelationalQueries18.oracles ++
       MlQueries6.oracles ++
       DedupQueries4.oracles ++
-      TextQueries8.oracles
+      TextQueries8.oracles ++
+      GraphQueries4.oracles
 }

@@ -31,7 +31,7 @@ object GraphQueries {
 
   /** Undirected edge list (both orientations) of the ≥0.5-jaccard
     * document similarity graph, pinned once per query. */
-  private def simEdges(s: SparkSession, d: String): DataFrame = {
+  private[operators] def simEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     DedupQueries.jaccardPairs(s, d)
       .select(explode(array(
@@ -147,44 +147,48 @@ object GraphQueries {
     // join/aggregate; the candidate fan-out is bounded at 3 neighbors
     // per owned item, so work grows linearly with user-item pairs —
     // the serving-batch shape of an item-CF recommender.
-    "cf_user_recs" -> ((s, d) => {
-      import s.implicits._
-      val li = lineitem(s, d)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      val freq = li.groupBy($"pk").agg(count(lit(1)).as("f"))
-      val cooc = li.as("a").join(li.as("b"),
-          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-        .groupBy($"a.pk".as("p1"), $"b.pk".as("p2"))
-        .agg(count(lit(1)).as("cooc"))
-      val sym = cooc.select(explode(array(
-          struct($"p1".as("item"), $"p2".as("nbr"), $"cooc"),
-          struct($"p2".as("item"), $"p1".as("nbr"), $"cooc"))).as("e"))
-        .select($"e.item".as("item"), $"e.nbr".as("nbr"), $"e.cooc".as("cooc"))
-      val wn = Window.partitionBy($"item").orderBy($"cos2_e8".desc, $"nbr")
-      val nbrs = sym
-        .join(freq.select($"pk".as("item"), $"f".as("f_item")), Seq("item"))
-        .join(freq.select($"pk".as("nbr"), $"f".as("f_nbr")), Seq("nbr"))
-        .withColumn("cos2_e8",
-          expr("cooc * cooc * 100000000 DIV (f_item * f_nbr)"))
-        .withColumn("rank", row_number().over(wn))
-        .filter($"rank" <= 3)
-        .select($"item", $"nbr", $"cos2_e8")
-      val userItems = orders(s, d)
-        .filter($"o_custkey" % 100 === 0)
-        .select($"o_orderkey".as("ok"), $"o_custkey".as("cust"))
-        .join(li, Seq("ok"))
-        .select($"cust", $"pk").distinct()
-      val wr = Window.partitionBy($"cust").orderBy($"score_e8".desc, $"rec_item")
-      userItems.join(nbrs.select($"item".as("pk"), $"nbr", $"cos2_e8"), Seq("pk"))
-        .join(userItems.select($"cust", $"pk".as("nbr")),
-          Seq("cust", "nbr"), "left_anti")
-        .groupBy($"cust", $"nbr".as("rec_item"))
-        .agg(sum($"cos2_e8").as("score_e8"), count(lit(1)).as("n_via"))
-        .withColumn("rec_rank", row_number().over(wr))
-        .filter($"rec_rank" <= 3)
-        .select($"cust", $"rec_rank", $"rec_item", $"n_via", $"score_e8")
-        .orderBy($"cust", $"rec_rank")
-    }))
+    "cf_user_recs" -> ((s, d) =>
+      userRecs(s, d).orderBy(col("cust"), col("rec_rank"))))
+
+  /** The cf_user_recs pipeline (see its scaladoc in `queries`) —
+    * shared with cf_rec_coverage's serving-health audit. */
+  private[operators] def userRecs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val freq = li.groupBy($"pk").agg(count(lit(1)).as("f"))
+    val cooc = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("p1"), $"b.pk".as("p2"))
+      .agg(count(lit(1)).as("cooc"))
+    val sym = cooc.select(explode(array(
+        struct($"p1".as("item"), $"p2".as("nbr"), $"cooc"),
+        struct($"p2".as("item"), $"p1".as("nbr"), $"cooc"))).as("e"))
+      .select($"e.item".as("item"), $"e.nbr".as("nbr"), $"e.cooc".as("cooc"))
+    val wn = Window.partitionBy($"item").orderBy($"cos2_e8".desc, $"nbr")
+    val nbrs = sym
+      .join(freq.select($"pk".as("item"), $"f".as("f_item")), Seq("item"))
+      .join(freq.select($"pk".as("nbr"), $"f".as("f_nbr")), Seq("nbr"))
+      .withColumn("cos2_e8",
+        expr("cooc * cooc * 100000000 DIV (f_item * f_nbr)"))
+      .withColumn("rank", row_number().over(wn))
+      .filter($"rank" <= 3)
+      .select($"item", $"nbr", $"cos2_e8")
+    val userItems = orders(s, d)
+      .filter($"o_custkey" % 100 === 0)
+      .select($"o_orderkey".as("ok"), $"o_custkey".as("cust"))
+      .join(li, Seq("ok"))
+      .select($"cust", $"pk").distinct()
+    val wr = Window.partitionBy($"cust").orderBy($"score_e8".desc, $"rec_item")
+    userItems.join(nbrs.select($"item".as("pk"), $"nbr", $"cos2_e8"), Seq("pk"))
+      .join(userItems.select($"cust", $"pk".as("nbr")),
+        Seq("cust", "nbr"), "left_anti")
+      .groupBy($"cust", $"nbr".as("rec_item"))
+      .agg(sum($"cos2_e8").as("score_e8"), count(lit(1)).as("n_via"))
+      .withColumn("rec_rank", row_number().over(wr))
+      .filter($"rec_rank" <= 3)
+      .select($"cust", $"rec_rank", $"rec_item", $"n_via", $"score_e8")
+  }
 
   val oracles: Map[String, String] = Map(
     "graph_label_prop" -> {

@@ -184,6 +184,61 @@ object RelationalQueries18 {
             |   / CAST(a_pairs AS DOUBLE))) AS BIGINT) END AS sampen_milli""".stripMargin)
     }),
 
+    // KAPLAN–MEIER WITH GREENWOOD CONFIDENCE BANDS: q98's click→
+    // purchase survival curve upgraded with the variance it ships
+    // without — Greenwood's Var(S) = S²·Σ d/(n(n−d)) and the clamped
+    // 95% band. Same substrate and the same ordered-cumulative-fold
+    // exactness contract (every ln/divide operand derives from
+    // integer counts under a total window order; the d = n absorbing
+    // state is zflag-guarded so ln(0)/div-0 reaches neither engine).
+    // Scale: per-user firsts are keyed aggregates; all windows run
+    // over DISTINCT DURATIONS — a calendar-bounded set.
+    "q259_greenwood_bands" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val fc = ev.filter($"event_type" === "click")
+        .groupBy($"user_id").agg(min($"ts").as("fc"))
+      val fp = ev.filter($"event_type" === "purchase")
+        .join(fc, Seq("user_id"))
+        .filter($"ts" >= $"fc")
+        .groupBy($"user_id").agg(min($"ts").as("fp"))
+      val studyEnd = ev.agg(max($"ts").as("study_end"))
+      val users = fc.join(fp, Seq("user_id"), "left")
+        .crossJoin(broadcast(studyEnd))
+        .select(
+          when($"fp".isNotNull, datediff(to_date($"fp"), to_date($"fc")))
+            .otherwise(datediff(to_date($"study_end"), to_date($"fc"))).as("dur"),
+          $"fp".isNotNull.cast("long").as("event"))
+      val byDur = users.groupBy($"dur")
+        .agg(sum($"event").as("d_events"), count(lit(1)).as("n_at_dur"))
+      val wRisk = Window.orderBy($"dur".desc).rowsBetween(Window.unboundedPreceding, 0)
+      val wSurv = Window.orderBy($"dur").rowsBetween(Window.unboundedPreceding, 0)
+      byDur
+        .withColumn("n_at_risk", sum($"n_at_dur").over(wRisk))
+        .withColumn("zflag",
+          max(when($"d_events" === $"n_at_risk", 1).otherwise(0)).over(wSurv))
+        .withColumn("lnterm",
+          when($"d_events" < $"n_at_risk",
+            log(lit(1.0) - $"d_events" * lit(1.0) / $"n_at_risk")).otherwise(lit(0.0)))
+        .withColumn("gterm",
+          when($"d_events" < $"n_at_risk",
+            $"d_events" * lit(1.0) / ($"n_at_risk" * ($"n_at_risk" - $"d_events")))
+            .otherwise(lit(0.0)))
+        .withColumn("surv",
+          when($"zflag" === 1, lit(0.0)).otherwise(exp(sum($"lnterm").over(wSurv))))
+        .withColumn("se",
+          when($"zflag" === 1, lit(0.0))
+            .otherwise($"surv" * sqrt(sum($"gterm").over(wSurv))))
+        .select($"dur".as("t_days"), $"n_at_risk", $"d_events",
+          format_string("%.9f", $"surv").as("survival"),
+          format_string("%.9f", $"se").as("greenwood_se"),
+          format_string("%.9f",
+            greatest($"surv" - lit(1.959963985) * $"se", lit(0.0))).as("ci_lo"),
+          format_string("%.9f",
+            least($"surv" + lit(1.959963985) * $"se", lit(1.0))).as("ci_hi"))
+        .orderBy($"t_days")
+    }),
+
     // PERIOD-GRAM + SPECTRAL ENTROPY of the daily order-count series:
     // correlation power ρ_cos² + ρ_sin² at 16 fixed periods (q241's
     // three seasonal lines widened to a spectrum), then the normalized
@@ -415,6 +470,54 @@ object RelationalQueries18 {
         |    ELSE CAST(FLOOR(1000.0 * ln(CAST(b_pairs AS DOUBLE)
         |      / CAST(a_pairs AS DOUBLE))) AS BIGINT) END AS sampen_milli
         |FROM cnt CROSS JOIN tol""".stripMargin,
+
+    "q259_greenwood_bands" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(ts) AS fc FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, MIN(e.ts) AS fp
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fc.fc
+        |  GROUP BY e.user_id),
+        |se AS (SELECT MAX(ts) AS study_end FROM events),
+        |u AS (
+        |  SELECT CASE WHEN fp.fp IS NOT NULL
+        |           THEN date_diff('day', CAST(fc.fc AS DATE), CAST(fp.fp AS DATE))
+        |           ELSE date_diff('day', CAST(fc.fc AS DATE), CAST(se.study_end AS DATE)) END AS dur,
+        |    CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END AS event
+        |  FROM fc LEFT JOIN fp USING (user_id) CROSS JOIN se),
+        |bd AS (
+        |  SELECT dur, CAST(SUM(event) AS BIGINT) AS d_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_at_dur
+        |  FROM u GROUP BY dur),
+        |r AS (
+        |  SELECT *, CAST(SUM(n_at_dur) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_at_risk
+        |  FROM bd),
+        |k AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN d_events = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS zflag,
+        |    exp(SUM(CASE WHEN d_events < n_at_risk
+        |              THEN ln(1.0 - d_events * 1.0 / n_at_risk) ELSE 0.0 END)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)) AS surv0,
+        |    SUM(CASE WHEN d_events < n_at_risk
+        |          THEN d_events * 1.0 / (n_at_risk * (n_at_risk - d_events))
+        |          ELSE 0.0 END)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS gsum
+        |  FROM r),
+        |fin AS (
+        |  SELECT dur, n_at_risk, d_events,
+        |    CASE WHEN zflag = 1 THEN 0.0 ELSE surv0 END AS surv,
+        |    CASE WHEN zflag = 1 THEN 0.0 ELSE surv0 * sqrt(gsum) END AS sev
+        |  FROM k)
+        |SELECT dur AS t_days, n_at_risk, d_events,
+        |  printf('%.9f', surv) AS survival,
+        |  printf('%.9f', sev) AS greenwood_se,
+        |  printf('%.9f', GREATEST(surv - 1.959963985 * sev, 0.0)) AS ci_lo,
+        |  printf('%.9f', LEAST(surv + 1.959963985 * sev, 1.0)) AS ci_hi
+        |FROM fin ORDER BY t_days""".stripMargin,
 
     "q256_spectral_entropy" ->
       s"""WITH day AS MATERIALIZED (

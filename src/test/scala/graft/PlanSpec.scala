@@ -647,6 +647,16 @@ class PlanSpec extends SparkSuite {
       "q256: trig lookup must be a broadcast hash join")
   }
 
+  test("batch-10: the Greenwood curve shares q98's window exchange; coverage aggregates combine") {
+    val p = plan("q259_greenwood_bands")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-user firsts must map-side combine before the duration windows")
+    val c = plan("cf_rec_coverage")
+    assert(c.contains("partial_count") || c.contains("partial_sum"),
+      "the per-item census must map-side combine")
+  }
+
   test("ml_bagging_stumps: bag/grid frames broadcast; 112-group aggregate map-side combines") {
     val p = plan("ml_bagging_stumps")
     assert(p.contains("BroadcastNestedLoopJoin"),

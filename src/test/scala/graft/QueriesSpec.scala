@@ -59,7 +59,8 @@ class QueriesSpec extends SparkSuite {
       "RelationalQueries18" -> RelationalQueries18.queries.keySet,
       "MlQueries6" -> MlQueries6.queries.keySet,
       "DedupQueries4" -> DedupQueries4.queries.keySet,
-      "TextQueries8" -> TextQueries8.queries.keySet)
+      "TextQueries8" -> TextQueries8.queries.keySet,
+      "GraphQueries4" -> GraphQueries4.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${

@@ -225,6 +225,43 @@ class Round14Spec extends SparkSuite {
     }
   }
 
+  test("q259: bands bracket the KM curve and tie out to q98 exactly") {
+    val gw = rows("q259_greenwood_bands")
+    val km = rows("q98_survival_km")
+    assert(gw.length === km.length)
+    gw.zip(km).foreach { case (g, k) =>
+      assert(g.getAs[Number]("t_days").longValue === k.getAs[Number]("t_days").longValue)
+      assert(g.getAs[String]("survival") === k.getAs[String]("survival"),
+        "the banded curve IS q98's curve, bit for bit")
+    }
+    gw.foreach { g =>
+      val (s0, lo, hi) = (g.getAs[String]("survival").toDouble,
+        g.getAs[String]("ci_lo").toDouble, g.getAs[String]("ci_hi").toDouble)
+      assert(lo <= s0 + 1e-12 && s0 <= hi + 1e-12, "bands must bracket the estimate")
+      assert(g.getAs[String]("greenwood_se").toDouble >= 0.0)
+    }
+  }
+
+  test("graph_pseudo_diameter: the second sweep can only widen the bound") {
+    val r = rows("graph_pseudo_diameter").head
+    val (e1, e2) = (r.getAs[Long]("ecc1"), r.getAs[Long]("pseudo_diameter"))
+    assert(e2 >= e1, "ecc(farthest) >= dist(seed, farthest) on an undirected graph")
+    assert(r.getAs[Long]("n_reach1") >= 1 && r.getAs[Long]("n_reach2") >= 1)
+  }
+
+  test("cf_rec_coverage: the audit counts tie out to the rec table it audits") {
+    val r = rows("cf_rec_coverage").head
+    assert(r.getAs[Long]("n_recs") === rows("cf_user_recs").length,
+      "coverage audits exactly the cf_user_recs output")
+    assert(r.getAs[Long]("n_recs") <= 3 * r.getAs[Long]("n_users"))
+    assert(r.getAs[Long]("coverage_bp") >= 0 && r.getAs[Long]("coverage_bp") <= 10000)
+    val k = r.getAs[Long]("n_rec_items")
+    assert(r.getAs[Long]("top_item_share_bp") >= 10000 / k,
+      "the top item holds at least the average share")
+    val en = r.getAs[Long]("entropy_norm_milli")
+    assert(en >= 0 && en <= 1000)
+  }
+
   test("q250: CUPED preserves arm sizes and bounds the variance reduction by rho^2") {
     val r = rows("q250_cuped_adjust").head
     assert(r.getAs[Long]("n") === r.getAs[Long]("na") + r.getAs[Long]("nb"))
