@@ -337,6 +337,97 @@ object RelationalQueries18 {
         .orderBy($"k")
     }),
 
+    // ENGLE–GRANGER COINTEGRATION (lite) between daily revenue and
+    // daily order count: OLS in LEVELS, then a Dickey–Fuller test on
+    // the residual series — "do these two series share a common
+    // stochastic trend, or does their spread itself wander?" The
+    // two-series closure of q239's single-series unit root and q190's
+    // lead-lag correlation (which both presuppose stationarity this
+    // test CHECKS). Exactness: OLS slope/intercept from exact integer
+    // moments (b micro-floored, then a micro-floored FROM the floored
+    // b), per-day residuals are pure integer milli-units, and the DF
+    // regression consumes only those integers — one shared double
+    // tree for the t statistic, compared against the fixed 5%
+    // Engle–Granger critical literal. Scale: two keyed day aggregates
+    // + calendar-sized windows; corpus touched once.
+    "q260_cointegration_eg" -> ((s, d) => {
+      import s.implicits._
+      val day = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+        .selectExpr("day", "x", "cents DIV 1000 AS y") // kilo-cents, exact floor
+      val m = day.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .selectExpr("n", "sx", "sy",
+          """CAST(FLOOR(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+            | / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS b_micro""".stripMargin)
+        .selectExpr("n", "b_micro",
+          "(1000000 * sy - b_micro * sx) DIV n AS a_micro")
+        .localCheckpoint() // 1-row model
+      val wd = Window.orderBy($"day")
+      val resid = day.crossJoin(broadcast(m))
+        .selectExpr("day", "n", "b_micro", "a_micro",
+          // e in whole kilo-cents: y − (a + b·x)/1e6, all integer —
+          // milli residuals square past int64 at TPC-H's ~$150k
+          // order prices (measured at sf0.1)
+          "y - (a_micro + b_micro * x) DIV 1000000 AS e")
+        .withColumn("e1", lag($"e", 1).over(wd))
+        .filter($"e1".isNotNull)
+        .selectExpr("n", "b_micro", "a_micro", "e1", "e - e1 AS de")
+      resid.groupBy($"n", $"b_micro", $"a_micro")
+        .agg(count(lit(1)).as("m"),
+          sum($"e1" * $"de").as("num"), sum($"e1" * $"e1").as("den"),
+          sum($"de" * $"de").as("sdd"))
+        .selectExpr("n AS n_days", "b_micro", "a_micro", "m",
+          "CAST(FLOOR(1000000.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT) AS rho_micro",
+          s"CAST(FLOOR(1000.0 * $EgTStatE) AS BIGINT) AS t_milli")
+        .selectExpr("n_days", "b_micro", "a_micro", "m", "rho_micro", "t_milli",
+          // Engle–Granger 5% critical value for 2 variables, large n
+          "CASE WHEN t_milli < -3340 THEN 1 ELSE 0 END AS cointegrated_5pct")
+    }),
+
+    // UPPER/LOWER TAIL DEPENDENCE between daily revenue and daily
+    // order volume: among the top-decile days of one series, what
+    // fraction are top-decile in the other (and same for the lower
+    // tail)? The copula-flavored dependence diagnostic Pearson/rank
+    // correlations average away — two series can correlate 0.6 yet be
+    // independent exactly in the tail where capacity planning lives.
+    // Decile membership comes from exact row_number ranks under a
+    // (value, day) total order; everything downstream is integer
+    // counting on the calendar-sized day frame.
+    "q261_tail_dependence" -> ((s, d) => {
+      import s.implicits._
+      val day = orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("y"))
+      val rx = Window.orderBy($"x", $"day")
+      val ry = Window.orderBy($"y", $"day")
+      val ranked = day
+        .withColumn("rkx", row_number().over(rx).cast("long"))
+        .withColumn("rky", row_number().over(ry).cast("long"))
+        .localCheckpoint() // day-sized
+      val tot = ranked.agg(count(lit(1)).as("n"))
+        .selectExpr("n", "n DIV 10 AS k")
+      ranked.crossJoin(broadcast(tot))
+        .selectExpr("n", "k",
+          "CASE WHEN rkx > n - k THEN 1 ELSE 0 END AS ux",
+          "CASE WHEN rky > n - k THEN 1 ELSE 0 END AS uy",
+          "CASE WHEN rkx <= k THEN 1 ELSE 0 END AS lx",
+          "CASE WHEN rky <= k THEN 1 ELSE 0 END AS ly")
+        .groupBy($"n", $"k")
+        .agg(sum(expr("ux * uy")).cast("long").as("n_upper"),
+          sum(expr("lx * ly")).cast("long").as("n_lower"))
+        .selectExpr("n AS n_days", "k AS decile_days", "n_upper", "n_lower",
+          "(10000 * n_upper) DIV k AS lambda_upper_bp",
+          "(10000 * n_lower) DIV k AS lambda_lower_bp",
+          // lift vs independence: P(both)/[P(tail)²] = n·n_both/k²
+          "(1000 * n * n_upper) DIV (k * k) AS lift_upper_milli",
+          "(1000 * n * n_lower) DIV (k * k) AS lift_lower_milli")
+    }),
+
     // BASS-STYLE ADOPTION-CURVE FIT of cumulative order intake:
     // N_t = a + b·F_{t−1} + c·F²_{t−1} with F the cumulative adoption
     // in PERMILLE of the final total (the scale-free Bass discrete
@@ -385,6 +476,16 @@ object RelationalQueries18 {
             | AS BIGINT) AS r2_milli""".stripMargin)
     })
   )
+
+  /** Dickey–Fuller t statistic for the Engle–Granger residual
+    * regression: t = ρ̂·√den / s with ρ̂ = num/den (UNfloored inside
+    * the shared tree) and s² = (Σde² − num²/den)/(m − 2) — one double
+    * tree over the exact integer sums num/den/sdd/m (shared text). */
+  private val EgTStatE =
+    """((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * sqrt(CAST(den AS DOUBLE))
+      | / sqrt((CAST(sdd AS DOUBLE)
+      |   - CAST(num AS DOUBLE) * CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+      |   / CAST(m - 2 AS DOUBLE)))""".stripMargin
 
   /** 3×3 Cramer pieces for the Bass normal equations over the exact
     * moment columns m0..m4, sy, syf, syf2 (shared text, both engines).
@@ -597,6 +698,69 @@ object RelationalQueries18 {
         |  CAST(COUNT(*) OVER () AS BIGINT) - 2 AS df,
         |  lam_micro
         |FROM c ORDER BY k""".stripMargin,
+
+    "q260_cointegration_eg" ->
+      s"""WITH day AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         |      // 1000 AS y
+         |  FROM orders GROUP BY 1),
+         |mo AS MATERIALIZED (
+         |  SELECT n, b_micro, (1000000 * sy - b_micro * sx) // n AS a_micro FROM (
+         |    SELECT n, sx, sy,
+         |      CAST(FLOOR(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS b_micro
+         |    FROM (
+         |      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |        CAST(SUM(x * x) AS BIGINT) AS sxx
+         |      FROM day))),
+         |resid AS (
+         |  SELECT n, b_micro, a_micro, e,
+         |    LAG(e) OVER (ORDER BY day) AS e1
+         |  FROM (
+         |    SELECT day, n, b_micro, a_micro,
+         |      y - (a_micro + b_micro * x) // 1000000 AS e
+         |    FROM day CROSS JOIN mo)),
+         |s AS (
+         |  SELECT n, b_micro, a_micro, CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(e1 * (e - e1)) AS BIGINT) AS num,
+         |    CAST(SUM(e1 * e1) AS BIGINT) AS den,
+         |    CAST(SUM((e - e1) * (e - e1)) AS BIGINT) AS sdd
+         |  FROM resid WHERE e1 IS NOT NULL
+         |  GROUP BY n, b_micro, a_micro),
+         |f AS (
+         |  SELECT n AS n_days, b_micro, a_micro, m,
+         |    CAST(FLOOR(1000000.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT) AS rho_micro,
+         |    CAST(FLOOR(1000.0 * $EgTStatE) AS BIGINT) AS t_milli
+         |  FROM s)
+         |SELECT n_days, b_micro, a_micro, m, rho_micro, t_milli,
+         |  CASE WHEN t_milli < -3340 THEN 1 ELSE 0 END AS cointegrated_5pct
+         |FROM f""".stripMargin,
+
+    "q261_tail_dependence" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |ranked AS MATERIALIZED (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY x, day) AS BIGINT) AS rkx,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY y, day) AS BIGINT) AS rky
+        |  FROM day),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) // 10 AS k
+        |        FROM ranked),
+        |c AS (
+        |  SELECT n, k,
+        |    CAST(SUM(CASE WHEN rkx > n - k AND rky > n - k THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+        |    CAST(SUM(CASE WHEN rkx <= k AND rky <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_lower
+        |  FROM ranked CROSS JOIN tot
+        |  GROUP BY n, k)
+        |SELECT n AS n_days, k AS decile_days, n_upper, n_lower,
+        |  (10000 * n_upper) // k AS lambda_upper_bp,
+        |  (10000 * n_lower) // k AS lambda_lower_bp,
+        |  (1000 * n * n_upper) // (k * k) AS lift_upper_milli,
+        |  (1000 * n * n_lower) // (k * k) AS lift_lower_milli
+        |FROM c""".stripMargin,
 
     "q258_bass_diffusion" ->
       s"""WITH day AS (

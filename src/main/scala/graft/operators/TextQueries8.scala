@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions.tokens
@@ -82,6 +83,47 @@ object TextQueries8 {
             | / ln(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS herdan_c_milli""".stripMargin)
     }),
 
+    // BURROWS' DELTA stylometric distance between sources: z-score
+    // each source's usage rate of the top-30 corpus tokens (function
+    // words dominate that set — the classical authorship signal),
+    // then Delta(s1, s2) = mean |z1 − z2|. The "do these crawl
+    // sources write alike?" panel next to text_source_drift's
+    // distribution shift. Exactness: per-source micro rates are
+    // integer floors; cross-source z-scores floor to milli PER
+    // (source, token) CELL (30·|sources| cells — the bartlett
+    // discipline) with the zero-variance token guarded to 0; Delta is
+    // an integer mean. Scale: one token explode → two keyed
+    // aggregates; everything downstream is (sources × 30)-sized.
+    "text_burrows_delta" -> ((s, d) => {
+      import s.implicits._
+      val tok = documents(s, d)
+        .select($"source", explode(tokens($"text")).as("t"))
+      val perST = tok.groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+      val perS = tok.groupBy($"source").agg(count(lit(1)).as("ns"))
+      val top = tok.groupBy($"t").agg(count(lit(1)).as("ct"))
+        .orderBy($"ct".desc, $"t".asc).limit(30) // TakeOrdered — vocab never sorts
+      val dense = perS.crossJoin(broadcast(top.select($"t")))
+        .join(perST, Seq("source", "t"), "left")
+        .selectExpr("source", "t", "(1000000 * COALESCE(c, 0)) DIV ns AS r")
+      val wt = Window.partitionBy($"t") // 30-token partitions
+      val z = dense
+        .withColumn("k", count(lit(1)).over(wt))
+        .withColumn("sr", sum($"r").over(wt))
+        .withColumn("srr", sum($"r" * $"r").over(wt))
+        .selectExpr("source", "t",
+          """CASE WHEN k * srr - sr * sr = 0 THEN 0
+            | ELSE CAST(FLOOR(1000.0 * CAST(k * r - sr AS DOUBLE)
+            |   / sqrt(CAST(k * srr - sr * sr AS DOUBLE))) AS BIGINT)
+            | END AS z_milli""".stripMargin)
+      z.as("a").join(z.as("b"),
+          $"a.t" === $"b.t" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(abs($"a.z_milli" - $"b.z_milli")).as("sad"))
+        .selectExpr("s1", "s2", "n_tokens", "sad DIV n_tokens AS delta_milli")
+        .orderBy($"s1", $"s2")
+    }),
+
     "text_good_turing" -> ((s, d) => {
       import s.implicits._
       val spec = spectrum(s, d).localCheckpoint() // spectrum-sized, read 3×
@@ -126,6 +168,40 @@ object TextQueries8 {
          |  CAST(FLOOR(1000.0 * ln(CAST(vocab AS DOUBLE))
          |    / ln(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS herdan_c_milli
          |FROM t""".stripMargin,
+
+    "text_burrows_delta" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |per_st AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM tok GROUP BY source, t),
+        |per_s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM tok GROUP BY source),
+        |top AS (SELECT t FROM (
+        |  SELECT t, COUNT(*) AS ct FROM tok GROUP BY t
+        |  ORDER BY ct DESC, t ASC LIMIT 30)),
+        |dense AS (
+        |  SELECT s.source, top.t,
+        |    (1000000 * COALESCE(p.c, 0)) // s.ns AS r
+        |  FROM per_s s CROSS JOIN top
+        |  LEFT JOIN per_st p ON p.source = s.source AND p.t = top.t),
+        |z AS MATERIALIZED (
+        |  SELECT source, t,
+        |    CASE WHEN k * srr - sr * sr = 0 THEN 0
+        |      ELSE CAST(FLOOR(1000.0 * CAST(k * r - sr AS DOUBLE)
+        |        / sqrt(CAST(k * srr - sr * sr AS DOUBLE))) AS BIGINT)
+        |      END AS z_milli
+        |  FROM (
+        |    SELECT source, t, r,
+        |      CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS k,
+        |      CAST(SUM(r) OVER (PARTITION BY t) AS BIGINT) AS sr,
+        |      CAST(SUM(r * r) OVER (PARTITION BY t) AS BIGINT) AS srr
+        |    FROM dense))
+        |SELECT a.source AS s1, b.source AS s2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(abs(a.z_milli - b.z_milli)) AS BIGINT)
+        |    // CAST(COUNT(*) AS BIGINT) AS delta_milli
+        |FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY s1, s2""".stripMargin,
 
     "text_good_turing" ->
       s"""WITH $spectrumCte,

@@ -262,6 +262,38 @@ class Round14Spec extends SparkSuite {
     assert(en >= 0 && en <= 1000)
   }
 
+  test("q260: the residual DF regression pulls toward zero and the verdict matches t") {
+    val r = rows("q260_cointegration_eg").head
+    assert(r.getAs[Long]("m") === r.getAs[Long]("n_days") - 1)
+    val rho = r.getAs[Long]("rho_micro")
+    assert(rho >= -2000000L && rho <= 0L,
+      "a stationary-or-unit-root residual has rho-hat in [-2, 0] in the DF form")
+    val t = r.getAs[Long]("t_milli")
+    assert((t < -3340) === (r.getAs[Long]("cointegrated_5pct") === 1L))
+  }
+
+  test("q261: tail overlaps are bounded by the decile size and lifts are consistent") {
+    val r = rows("q261_tail_dependence").head
+    val k = r.getAs[Long]("decile_days")
+    assert(k === r.getAs[Long]("n_days") / 10)
+    for (c <- Seq("n_upper", "n_lower")) {
+      val v = r.getAs[Long](c)
+      assert(v >= 0 && v <= k, s"$c: tail intersection can't exceed the tail")
+    }
+    assert(r.getAs[Long]("lambda_upper_bp") <= 10000L)
+    assert(r.getAs[Long]("lambda_lower_bp") <= 10000L)
+  }
+
+  test("text_burrows_delta: a full pair panel of bounded distances; z-scores centered") {
+    val r = rows("text_burrows_delta")
+    val srcs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source")).distinct().count()
+    assert(r.length === srcs * (srcs - 1) / 2, "all unordered source pairs appear")
+    assert(r.forall(_.getAs[Long]("n_tokens") === 30L))
+    assert(r.forall(_.getAs[Long]("delta_milli") >= 0))
+    assert(r.forall(x => x.getAs[String]("s1") < x.getAs[String]("s2")))
+  }
+
   test("q250: CUPED preserves arm sizes and bounds the variance reduction by rho^2") {
     val r = rows("q250_cuped_adjust").head
     assert(r.getAs[Long]("n") === r.getAs[Long]("na") + r.getAs[Long]("nb"))
