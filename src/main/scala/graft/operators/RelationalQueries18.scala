@@ -428,6 +428,73 @@ object RelationalQueries18 {
           "(1000 * n * n_lower) DIV (k * k) AS lift_lower_milli")
     }),
 
+    // TOP-K RANK TURNOVER between consecutive years: how much did the
+    // top-20 revenue-part LIST change from 1995 to 1996, graded three
+    // ways — set overlap/Jaccard, turnover share, and RANK-BIASED
+    // OVERLAP (RBO, p = 0.9), the top-weighted list-similarity measure
+    // retrieval evaluation uses where plain Jaccard treats rank 1 and
+    // rank 20 alike. The assortment-churn diagnostic for "did the
+    // catalog's head rotate?" RBO's (1−p)p^{d−1} weights are Scala-
+    // precomputed nano literals; per-depth terms w_d·|A_d ∩ B_d| ÷ d
+    // floor per depth cell (20 cells) before the sum. Ranks come from
+    // exact integer cents revenue under a (revenue desc, partkey)
+    // total order. Scale: one lineitem⋈orders scan → part×year
+    // keyed aggregate; everything downstream is top-20-sized.
+    "q262_rank_turnover" -> ((s, d) => {
+      import s.implicits._
+      val rev = lineitem(s, d)
+        .join(orders(s, d).select($"o_orderkey".as("l_orderkey"), $"o_orderdate"),
+          Seq("l_orderkey"))
+        .filter(year($"o_orderdate").isin(1995, 1996))
+        .groupBy(year($"o_orderdate").as("yr"), $"l_partkey".as("p"))
+        .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      val wy = Window.partitionBy($"yr").orderBy($"cents".desc, $"p".asc)
+      val top = rev.withColumn("r", row_number().over(wy).cast("long"))
+        .filter($"r" <= RboDepth).localCheckpoint() // 40 rows
+      val pairs = top.filter($"yr" === 1995).select($"p", $"r".as("ra"))
+        .join(top.filter($"yr" === 1996).select($"p", $"r".as("rb")), Seq("p"))
+      val depths = rboWeights.toDF("d", "w")
+      val ov = pairs.crossJoin(broadcast(depths))
+        .filter(greatest($"ra", $"rb") <= $"d")
+        .groupBy($"d", $"w").agg(count(lit(1)).as("ov"))
+      // absent depths (no overlap yet) contribute 0 — left join the grid
+      val terms = depths
+        .join(ov.select($"d", $"ov"), Seq("d"), "left")
+        .selectExpr("d", "w", "COALESCE(ov, CAST(0 AS BIGINT)) AS ov")
+        .selectExpr("d", "ov", "(w * ov) DIV d AS term_nano")
+      val ov20 = terms.filter($"d" === RboDepth).select($"ov".as("ov_k"))
+      terms.agg(sum($"term_nano").as("rbo_nano"))
+        .crossJoin(broadcast(ov20))
+        .selectExpr(s"CAST($RboDepth AS BIGINT) AS k", "ov_k", "rbo_nano",
+          s"(10000 * ov_k) DIV (2 * $RboDepth - ov_k) AS jaccard_bp",
+          s"(10000 * ($RboDepth - ov_k)) DIV $RboDepth AS turnover_bp")
+    }),
+
+    // ATKINSON INEQUALITY INDEX (ε = 1) of customer revenue:
+    // A = 1 − geomean/mean — the welfare-theoretic member of the
+    // inequality family (q99 Gini counts rank gaps, q155 Theil is the
+    // entropy member; Atkinson states "what fraction of total revenue
+    // could be discarded if it were spread evenly, for equal
+    // welfare"). Per-customer ln(x) nano-floors PER ROW before the
+    // corpus sum (the pNano idiom, exact at any corpus size); the
+    // geomean exponential and final ratio are one shared double tree.
+    "q263_atkinson_index" -> ((s, d) => {
+      import s.implicits._
+      val cust = orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("x"))
+        .filter($"x" > 0)
+      cust
+        .selectExpr("x", "CAST(FLOOR(1.0e9 * ln(CAST(x AS DOUBLE))) AS BIGINT) AS lnx")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"lnx").as("slnx"))
+        .selectExpr("n", "sx DIV n AS mean_cents",
+          "CAST(FLOOR(exp(CAST(slnx DIV n AS DOUBLE) / 1.0e9)) AS BIGINT) AS geomean_cents")
+        .selectExpr("n", "mean_cents", "geomean_cents",
+          """CAST(FLOOR(1000.0 * (1.0
+            | - CAST(geomean_cents AS DOUBLE) / CAST(mean_cents AS DOUBLE)))
+            | AS BIGINT) AS atkinson_milli""".stripMargin)
+    }),
+
     // BASS-STYLE ADOPTION-CURVE FIT of cumulative order intake:
     // N_t = a + b·F_{t−1} + c·F²_{t−1} with F the cumulative adoption
     // in PERMILLE of the final total (the scale-free Bass discrete
@@ -476,6 +543,18 @@ object RelationalQueries18 {
             | AS BIGINT) AS r2_milli""".stripMargin)
     })
   )
+
+  /** RBO depth weights (1−p)·p^{d−1} for p = 0.9, d = 1..20, nano-
+    * floored in Scala (the literal-table discipline — no query-time
+    * pow). */
+  private val RboP = 0.9
+  private val RboDepth = 20
+  private lazy val rboWeights: Seq[(Int, Long)] = (1 to RboDepth).map { dd =>
+    (dd, math.floor((1 - RboP) * math.pow(RboP, dd - 1) * 1e9).toLong)
+  }
+  private lazy val rboWeightsSql: String = rboWeights
+    .map { case (dd, w) => s"($dd, $w)" }
+    .mkString("(VALUES ", ", ", ") wt(d, w)")
 
   /** Dickey–Fuller t statistic for the Engle–Granger residual
     * regression: t = ρ̂·√den / s with ρ̂ = num/den (UNfloored inside
@@ -761,6 +840,58 @@ object RelationalQueries18 {
         |  (1000 * n * n_upper) // (k * k) AS lift_upper_milli,
         |  (1000 * n * n_lower) // (k * k) AS lift_lower_milli
         |FROM c""".stripMargin,
+
+    "q262_rank_turnover" ->
+      s"""WITH rev AS (
+         |  SELECT EXTRACT(year FROM o.o_orderdate) AS yr, l.l_partkey AS p,
+         |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+         |  GROUP BY 1, 2),
+         |top AS MATERIALIZED (
+         |  SELECT yr, p, r FROM (
+         |    SELECT yr, p,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY yr ORDER BY cents DESC, p ASC) AS BIGINT) AS r
+         |    FROM rev)
+         |  WHERE r <= $RboDepth),
+         |pairs AS (
+         |  SELECT a.p, a.r AS ra, b.r AS rb
+         |  FROM (SELECT p, r FROM top WHERE yr = 1995) a
+         |  JOIN (SELECT p, r FROM top WHERE yr = 1996) b USING (p)),
+         |ov AS (
+         |  SELECT wt.d, wt.w,
+         |    CAST(COALESCE(SUM(CASE WHEN GREATEST(pairs.ra, pairs.rb) <= wt.d
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ov
+         |  FROM $rboWeightsSql LEFT JOIN pairs ON TRUE
+         |  GROUP BY wt.d, wt.w),
+         |terms AS (
+         |  SELECT d, ov, (CAST(w AS BIGINT) * ov) // d AS term_nano FROM ov),
+         |ovk AS (SELECT ov AS ov_k FROM terms WHERE d = $RboDepth)
+         |SELECT CAST($RboDepth AS BIGINT) AS k, ov_k,
+         |  CAST(SUM(term_nano) AS BIGINT) AS rbo_nano,
+         |  (10000 * ov_k) // (2 * $RboDepth - ov_k) AS jaccard_bp,
+         |  (10000 * ($RboDepth - ov_k)) // $RboDepth AS turnover_bp
+         |FROM terms CROSS JOIN ovk
+         |GROUP BY ov_k""".stripMargin,
+
+    "q263_atkinson_index" ->
+      """WITH cust AS (
+        |  SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey
+        |  HAVING SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) > 0),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(FLOOR(1.0e9 * ln(CAST(x AS DOUBLE))) AS BIGINT)) AS BIGINT) AS slnx
+        |  FROM cust),
+        |g AS (
+        |  SELECT n, sx // n AS mean_cents,
+        |    CAST(FLOOR(exp(CAST(slnx // n AS DOUBLE) / 1.0e9)) AS BIGINT) AS geomean_cents
+        |  FROM s)
+        |SELECT n, mean_cents, geomean_cents,
+        |  CAST(FLOOR(1000.0 * (1.0
+        |    - CAST(geomean_cents AS DOUBLE) / CAST(mean_cents AS DOUBLE)))
+        |    AS BIGINT) AS atkinson_milli
+        |FROM g""".stripMargin,
 
     "q258_bass_diffusion" ->
       s"""WITH day AS (

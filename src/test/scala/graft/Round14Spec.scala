@@ -294,6 +294,24 @@ class Round14Spec extends SparkSuite {
     assert(r.forall(x => x.getAs[String]("s1") < x.getAs[String]("s2")))
   }
 
+  test("q262: overlap metrics agree and RBO stays a truncated probability") {
+    val r = rows("q262_rank_turnover").head
+    val (k, ov) = (r.getAs[Long]("k"), r.getAs[Long]("ov_k"))
+    assert(k === 20L && ov >= 0 && ov <= k)
+    assert(r.getAs[Long]("jaccard_bp") === 10000 * ov / (2 * k - ov))
+    assert(r.getAs[Long]("turnover_bp") === 10000 * (k - ov) / k)
+    val rbo = r.getAs[Long]("rbo_nano")
+    assert(rbo >= 0 && rbo <= 1000000000L, "truncated RBO lives in [0, 1]")
+  }
+
+  test("q263: AM-GM bounds the Atkinson index into [0, 1]") {
+    val r = rows("q263_atkinson_index").head
+    assert(r.getAs[Long]("geomean_cents") <= r.getAs[Long]("mean_cents"),
+      "the geometric mean never exceeds the arithmetic mean")
+    val a = r.getAs[Long]("atkinson_milli")
+    assert(a >= 0 && a <= 1000)
+  }
+
   test("q250: CUPED preserves arm sizes and bounds the variance reduction by rho^2") {
     val r = rows("q250_cuped_adjust").head
     assert(r.getAs[Long]("n") === r.getAs[Long]("na") + r.getAs[Long]("nb"))
