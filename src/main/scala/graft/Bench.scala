@@ -16,12 +16,41 @@ import org.apache.spark.sql.SparkSession
   * regression without external forensics — r12's official record was
   * taken under load-average-8+ contention and the four biggest
   * "regressions" were spikes, distinguishable only by a judge-side
-  * same-code rerun. Re-measure protocol (PLANS.md "Bench protocol"):
-  * if the whole-suite median ratio vs the prior round's detail exceeds
-  * ~1.3×, or any code-unchanged query exceeds 3×, re-run the outliers
-  * alone via `runMain graft.Prof <names…>` on a quiet host (loadavg <
-  * ~4) and commit those numbers next to the record. */
+  * same-code rerun.
+  *
+  * The record now ACTS on that telemetry (the r14 verdict ask)
+  * instead of only carrying it:
+  *
+  *  1. LOAD GATE — before the measured loop, if the 1-minute loadavg
+  *     exceeds [[LoadGateMax]] the run sleeps and re-polls (up to
+  *     [[LoadGateTries]] × [[LoadGateSleepSec]] s); the full poll
+  *     chain rides the record as `load_gate` so a reader sees whether
+  *     the gate passed or the run proceeded under documented protest.
+  *  2. OUTLIER RE-MEASURE — after the loop, every query whose min
+  *     exceeds 3× its time in the committed quiet-host baseline
+  *     (BENCH_QUIET.json — written only by runs that STARTED quiet,
+  *     so a contended driver run can never pollute the baseline) is
+  *     re-run twice more; both the official min and the re-measure
+  *     ride the record as `remeasured` (the official number is NOT
+  *     replaced — the re-measure is evidence, not a do-over).
+  *
+  * BENCH_QUIET.json vs BENCH_DETAIL.json: DETAIL is whatever the last
+  * run measured (driver runs overwrite it); QUIET is the rolling
+  * quiet-host baseline the 3× gate compares against, refreshed only
+  * when `loadavg_before ≤` [[LoadGateMax]]. Keeping them separate is
+  * the r14 ADVICE fix — one contended driver run used to overwrite
+  * the baseline the protocol needed. */
 object Bench {
+  /** 1-min loadavg above which the host counts as contended (32 cpus;
+    * ambient quiet is <2, the r12/r14 contended runs started at 8–9). */
+  private val LoadGateMax = 4.0
+  private val LoadGateTries = 10
+  private val LoadGateSleepSec = 60
+  /** Re-measure at most this many 3× outliers (keeps a pathologically
+    * contended run from doubling its own wall time; the truncation is
+    * recorded). */
+  private val RemeasureCap = 60
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,6 +121,26 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
         (p(0).toDouble, p(1).toDouble)
       } catch { case _: Throwable => (-1.0, -1.0) }
+
+    // LOAD GATE: poll-and-sleep until the host is quiet (or the retry
+    // budget runs out — then proceed, with the whole chain on record).
+    // Opt out with SPARK_GRAFT_NO_LOAD_GATE=1 (local iteration).
+    val gatePolls = Seq.newBuilder[Double]
+    var gateWaited = 0
+    if (!sys.env.contains("SPARK_GRAFT_NO_LOAD_GATE")) {
+      var tries = 0
+      var la = loadavg()._1
+      gatePolls += la
+      while (la > LoadGateMax && la >= 0 && tries < LoadGateTries) {
+        System.err.println(f"[bench] load gate: 1-min loadavg $la%.2f > " +
+          f"$LoadGateMax%.1f — sleeping ${LoadGateSleepSec}s (${tries + 1}/$LoadGateTries)")
+        Thread.sleep(LoadGateSleepSec * 1000L)
+        gateWaited += LoadGateSleepSec
+        tries += 1
+        la = loadavg()._1
+        gatePolls += la
+      }
+    }
     val (la1Before, la5Before) = loadavg()
 
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -120,6 +169,42 @@ object Bench {
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val failedNames = results.collect { case (n, t) if t < 0 => n }
+
+    // OUTLIER RE-MEASURE vs the committed quiet-host baseline: any
+    // query >3× its BENCH_QUIET time (and >0.5 s absolute excess, so
+    // sub-second jitter can't trip it) gets two more attempts NOW —
+    // on a contended host that's still contended the re-measure will
+    // agree with the official number (real regression); if the burst
+    // passed, it recovers the quiet time and the reader needs no
+    // hand-run forensics.
+    val quietBase: Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH_QUIET.json")))
+        val qs = node.get("queries")
+        import scala.jdk.CollectionConverters._
+        qs.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } catch { case _: Throwable => Map.empty }
+    val outliers = results.filter { case (name, t) =>
+      quietBase.get(name).exists(b => b > 0 && t > 3 * b && t - b > 0.5)
+    }
+    val remeasured = outliers.take(RemeasureCap).map { case (name, t) =>
+      val fn = SparkEntry.queries(name)
+      def once(): Option[Double] = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      val again = Seq(once(), once()).flatten
+      val re = if (again.isEmpty) -1.0 else again.min
+      System.err.println(f"[bench] re-measured 3x outlier $name: " +
+        f"official $t%.2f s, quiet base ${quietBase(name)}%.2f s, re-measure $re%.2f s")
+      name -> (t, quietBase(name), re)
+    }
     // Locale.ROOT: the f interpolator is locale-sensitive — a comma-
     // decimal default locale would print "1,234" and break the JSON
     def fmt(v: Double): String =
@@ -139,14 +224,32 @@ object Bench {
     // rides the detail file only (stdout has a byte budget).
     val loadJson =
       s""","loadavg_before":[${fmt(la1Before)},${fmt(la5Before)}]""" +
-        s""","loadavg_after":[${fmt(la1After)},${fmt(la5After)}]"""
+        s""","loadavg_after":[${fmt(la1After)},${fmt(la5After)}]""" +
+        s""","load_gate":{"max":${fmt(LoadGateMax)},"waited_sec":$gateWaited,""" +
+        s""""polls":[${gatePolls.result().map(fmt).mkString(",")}]}""" +
+        s""","n_remeasured":${remeasured.size}"""
     val spreadJson = runs.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]"
     }.mkString(""","spread":{""", ",", "}")
+    // Per-outlier re-measure evidence (detail file only — stdout has a
+    // byte budget and carries the n_remeasured count instead).
+    val remeasureJson =
+      if (remeasured.isEmpty) ""
+      else remeasured.map { case (k, (t, b, re)) =>
+        "\"" + k + s"""":{"official":${fmt(t)},"quiet_base":${fmt(b)},"remeasure":${fmt(re)}}"""
+      }.mkString(""","remeasured":{""", ",", "}") +
+        (if (outliers.size > remeasured.size)
+          s""","remeasure_truncated":${outliers.size - remeasured.size}""" else "")
     // Full per-query detail → file (the driver commits stray files at
     // round end, so this lands in the repo for the judge).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      line(results, total, s""","n":${results.size}$loadJson$spreadJson$failedJson""") + "\n")
+    val detailLine =
+      line(results, total, s""","n":${results.size}$loadJson$spreadJson$remeasureJson$failedJson""") + "\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detailLine)
+    // Refresh the quiet-host baseline ONLY from runs that started
+    // quiet and had no failures — a contended or broken run can never
+    // become the 3× gate's reference.
+    if (la1Before >= 0 && la1Before <= LoadGateMax && failedNames.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_QUIET.json"), detailLine)
     // The driver captures only the LAST 2000 bytes of stdout; a 100+
     // query map (~3.4 KB) gets its head clipped and the round's bench
     // JSON fails to parse (BENCH_r03 "parsed": null). Print the slowest

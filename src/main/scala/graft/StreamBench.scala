@@ -231,12 +231,28 @@ object StreamBench {
     // is exactly why the soak has to prove them: a take(k)/takeRight
     // regression would grow state forever and no single-burst floor
     // would notice.
+    // ... plus the two STREAM-STREAM JOIN shapes (the r14 verdict ask
+    // — the two slowest streams and the only stateful shapes that had
+    // no state-growth evidence): both sides' rows are held only until
+    // the watermark proves no match can arrive, so state at each pass
+    // boundary must stay at the horizon's row count — watermark
+    // eviction, not key saturation, is what keeps it flat. The outer
+    // join holds unmatched left rows longer (it must prove absence),
+    // which is exactly why it needs its own soak.
     val soaks = Seq(
       runSoak("tws_funnel", passes = 3)(ds => Streams.funnelTws(ds).toDF()),
       runSoak("tws_ema", passes = 3)(ds => Streams.emaTws(ds).toDF()),
       runSoak("tws_topk", passes = 3)(ds => Streams.topKTws(ds).toDF()),
       runSoak("tws_anomaly", passes = 3, mode = "append")(
-        ds => Streams.anomalyTws(ds).toDF()))
+        ds => Streams.anomalyTws(ds).toDF()),
+      runSoak("stream_stream_join", passes = 3, mode = "append") { ds =>
+        val (purchases, clicks) = sides(ds)
+        purchases.join(clicks, joinCond)
+      },
+      runSoak("left_outer_join", passes = 3, mode = "append") { ds =>
+        val (purchases, clicks) = sides(ds)
+        purchases.join(clicks, joinCond, "leftOuter")
+      })
       .filter(_.rate >= 0)
     val growthViolations = soaks.collect { case s if !s.flatOk => s.name }
     growthViolations.foreach(k => System.err.println(

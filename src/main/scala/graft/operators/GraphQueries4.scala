@@ -36,12 +36,16 @@ object GraphQueries4 {
   type Q = (SparkSession, String) => DataFrame
 
   /** Hop budget per sweep (similarity components are shallow; the
-    * sweep reports a lower bound by construction either way). */
-  private val Hops = 6
+    * sweep reports a lower bound by construction either way — and the
+    * output's `frontier_exhausted` flag records WHICH kind of bound:
+    * a true eccentricity (frontier went empty) vs a budget truncation). */
+  private[graft] val Hops = 6
 
   /** Hop-limited BFS from a 1-row seed frame (doc_id) over the
-    * two-orientation edge list; returns (doc_id, dist). */
-  private def bfs(edges: DataFrame, seed: DataFrame): DataFrame = {
+    * two-orientation edge list; returns (visited = (doc_id, dist),
+    * remaining = 1-row count of unvisited vertices one more hop would
+    * still reach — 0 ⟺ the frontier was exhausted within the budget). */
+  private[graft] def bfs(edges: DataFrame, seed: DataFrame): (DataFrame, DataFrame) = {
     import edges.sparkSession.implicits._
     val loopParts = 4
     var visited = seed.select($"doc_id").withColumn("dist", lit(0))
@@ -58,7 +62,14 @@ object GraphQueries4 {
         .repartition(loopParts, $"doc_id").localCheckpoint()
       frontier = next.select($"doc_id")
     }
-    visited
+    // one PROBE expansion past the budget (frontier-sized, like any
+    // hop): >0 rows means the budget truncated the sweep
+    val remaining = edges
+      .join(frontier.select($"doc_id".as("src")), Seq("src"))
+      .select($"dst".as("doc_id")).distinct()
+      .join(visited.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("remaining"))
+    (visited, remaining)
   }
 
   val queries: Map[String, Q] = Map(
@@ -66,10 +77,10 @@ object GraphQueries4 {
       import s.implicits._
       val edges = GraphQueries.simEdges(s, d)
       val seed = edges.agg(min($"src").as("doc_id")).localCheckpoint()
-      val v1 = bfs(edges, seed)
+      val (v1, rem1) = bfs(edges, seed)
       val far1 = v1.orderBy($"dist".desc, $"doc_id".asc).limit(1)
         .select($"doc_id", $"dist".as("ecc1")).localCheckpoint()
-      val v2 = bfs(edges, far1.select($"doc_id"))
+      val (v2, rem2) = bfs(edges, far1.select($"doc_id"))
       val far2 = v2.orderBy($"dist".desc, $"doc_id".asc).limit(1)
         .select($"doc_id".as("far2"), $"dist".as("pseudo_diameter"))
       val n1 = v1.agg(count(lit(1)).as("n_reach1"))
@@ -78,9 +89,14 @@ object GraphQueries4 {
         .crossJoin(broadcast(far1.select($"doc_id".as("far1"), $"ecc1")))
         .crossJoin(broadcast(far2))
         .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .crossJoin(broadcast(rem1.select($"remaining".as("rem1"))))
+        .crossJoin(broadcast(rem2.select($"remaining".as("rem2"))))
         .selectExpr("seed", "far1", "CAST(ecc1 AS BIGINT) AS ecc1",
           "far2", "CAST(pseudo_diameter AS BIGINT) AS pseudo_diameter",
-          "n_reach1", "n_reach2")
+          "n_reach1", "n_reach2",
+          // 1 ⟺ BOTH sweeps ran out of frontier, not hop budget — the
+          // reported bound is a true eccentricity of the component
+          "CAST(CASE WHEN rem1 = 0 AND rem2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS frontier_exhausted")
     }),
 
     "cf_rec_coverage" -> ((s, d) => {
@@ -132,22 +148,26 @@ object GraphQueries4 {
          |  SELECT d1 AS src, d2 AS dst FROM pairs
          |  UNION ALL SELECT d2, d1 FROM pairs),
          |av0 AS (SELECT MIN(src) AS doc_id, 0 AS dist FROM edges),
-         |${(1 to Hops).map(hopSql("a", _)).mkString(",\n")},
+         |${(1 to Hops + 1).map(hopSql("a", _)).mkString(",\n")},
          |far1 AS MATERIALIZED (
          |  SELECT doc_id, dist AS ecc1 FROM av$Hops
          |  ORDER BY dist DESC, doc_id LIMIT 1),
          |bv0 AS (SELECT doc_id, 0 AS dist FROM far1),
-         |${(1 to Hops).map(hopSql("b", _)).mkString(",\n")},
+         |${(1 to Hops + 1).map(hopSql("b", _)).mkString(",\n")},
          |far2 AS (
          |  SELECT doc_id AS far2, dist AS pseudo_diameter FROM bv$Hops
          |  ORDER BY dist DESC, doc_id LIMIT 1),
          |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reach1 FROM av$Hops),
-         |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reach2 FROM bv$Hops)
+         |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reach2 FROM bv$Hops),
+         |probe AS (
+         |  SELECT (SELECT COUNT(*) FROM an${Hops + 1}) AS ra,
+         |    (SELECT COUNT(*) FROM bn${Hops + 1}) AS rb)
          |SELECT (SELECT MIN(src) FROM edges) AS seed,
          |  far1.doc_id AS far1, CAST(far1.ecc1 AS BIGINT) AS ecc1,
          |  far2.far2, CAST(far2.pseudo_diameter AS BIGINT) AS pseudo_diameter,
-         |  n_reach1, n_reach2
-         |FROM far1 CROSS JOIN far2 CROSS JOIN n1 CROSS JOIN n2""".stripMargin,
+         |  n_reach1, n_reach2,
+         |  CAST(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END AS BIGINT) AS frontier_exhausted
+         |FROM far1 CROSS JOIN far2 CROSS JOIN n1 CROSS JOIN n2 CROSS JOIN probe""".stripMargin,
 
     "cf_rec_coverage" ->
       """WITH li AS (

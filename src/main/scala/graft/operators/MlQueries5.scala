@@ -279,20 +279,33 @@ object MlQueries5 {
           "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
           "CAST(l_quantity AS BIGINT) - 25 AS x2",
           "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
-          "concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING)) AS rk")
+          // ONE digest per row, materialized by the checkpoint — the
+          // ×Bags weight expansion below only slices lanes of it
+          "md5(concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))) AS hk")
         .localCheckpoint()
       val grid = splitGrid.toDF("f", "thr")
       val bags = (0 until Bags).map(b => Tuple1(b)).toDF("bag")
-      val weighted = t.crossJoin(broadcast(bags))
+      // CELL COLLAPSE (the ml_decision_stump threshold-collapse trick,
+      // extended to the weighted ensemble): the Gini search only needs
+      // per-(bag, x1, x2, y) weight sums — so pay ONE ×Bags corpus
+      // pass to fold the md5 weights into ≤ |cells|·Bags sufficient
+      // rows (~9k at any SF; x1 spans 11 values, x2 ~50, y 2), then
+      // expand the ×14 grid over CELLS, not rows. The r14 version
+      // expanded ×(Bags·14) = ×112 over the corpus; the totals are
+      // identical integer sums, so the model and hashes are unchanged.
+      val cells = t.crossJoin(broadcast(bags))
         .selectExpr("x1", "x2", "y", "bag", s"$BagWSql AS w")
-      val cand = weighted.crossJoin(broadcast(grid))
-        .selectExpr("bag", "f", "thr", "w", "y",
+        .groupBy($"bag", $"x1", $"x2", $"y")
+        .agg(sum($"w").cast("long").as("sw"))
+        .localCheckpoint() // sufficient-statistic grid, corpus-size-free
+      val cand = cells.crossJoin(broadcast(grid))
+        .selectExpr("bag", "f", "thr", "sw", "y",
           s"CASE WHEN ${leftE("f", "thr")} THEN 1 ELSE 0 END AS isl")
         .groupBy($"bag", $"f", $"thr")
-        .agg(sum($"w").cast("long").as("n"),
-          sum($"w" * $"y").cast("long").as("p"),
-          sum($"w" * $"isl").cast("long").as("nl"),
-          sum($"w" * $"isl" * $"y").cast("long").as("pl"))
+        .agg(sum($"sw").cast("long").as("n"),
+          sum($"sw" * $"y").cast("long").as("p"),
+          sum($"sw" * $"isl").cast("long").as("nl"),
+          sum($"sw" * $"isl" * $"y").cast("long").as("pl"))
         .withColumn("nr", $"n" - $"nl").withColumn("pr", $"p" - $"pl")
         .filter($"nl" > 0 && $"nr" > 0)
         .withColumn("score", expr(scoreE))
@@ -321,11 +334,16 @@ object MlQueries5 {
       val voteE = (0 until Bags)
         .map(b => s"(CASE WHEN ${leftE(s"f$b", s"t$b")} THEN pl$b ELSE pr$b END)")
         .mkString(" + ")
-      val acc = t.crossJoin(broadcast(modelRow))
-        .selectExpr("y", s"CASE WHEN 2 * ($voteE) > $Bags THEN 1 ELSE 0 END AS yhat")
+      // score over the UNWEIGHTED cell census too — the vote depends
+      // only on (x1, x2), so per-cell vote × cell count replaces the
+      // second corpus scan (same integer totals, hash-unchanged)
+      val acc = t.groupBy($"x1", $"x2", $"y").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(modelRow))
+        .selectExpr("y", "cnt",
+          s"CASE WHEN 2 * ($voteE) > $Bags THEN 1 ELSE 0 END AS yhat")
         .groupBy()
-        .agg(count(lit(1)).as("n"),
-          sum(when($"y" === $"yhat", 1L).otherwise(0L)).cast("long").as("n_correct"))
+        .agg(sum($"cnt").cast("long").as("n"),
+          sum(when($"y" === $"yhat", $"cnt").otherwise(0L)).cast("long").as("n_correct"))
         .selectExpr("n", "n_correct", "n_correct * 10000 DIV n AS ens_acc_bp")
       model.crossJoin(broadcast(acc))
         .select($"bag", $"f", $"thr", $"n_eff", $"pred_l", $"pred_r",
@@ -582,15 +600,20 @@ object MlQueries5 {
   /** Greedy k-center picks. */
   private val CoresetK = 6
 
-  /** Deterministic pseudo-Poisson(1) bootstrap weight for (row rk,
-    * bag): md5‰ thresholds 368/736/920 ≈ the Poisson(1) pmf masses
-    * for 0/1/2/3+. Shared structure across engines (the md5 idiom);
-    * the DuckDB twin spells the same thresholds over the same hash. */
+  /** Deterministic pseudo-Poisson(1) bootstrap weight for (row hash
+    * hk, bag): bag b reads its own DISJOINT 3-hex-char lane of ONE
+    * md5-per-row (chars 1+3b..3+3b — 8 lanes fit the 32-char digest
+    * with room to spare), 12-bit value ‰ thresholds 368/736/920 ≈ the
+    * Poisson(1) pmf masses for 0/1/2/3+. One md5 per corpus row
+    * replaces the r14 version's Bags=8 independent md5(rk#bag) calls —
+    * the avalanche property makes the lanes pairwise-independent,
+    * which is all the bootstrap needs. The DuckDB twin slices the
+    * same lanes of the same digest. */
   private val BagWSql =
     """(CASE
-      | WHEN CAST(conv(substring(md5(concat(rk, '#', CAST(bag AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000 < 368 THEN 0
-      | WHEN CAST(conv(substring(md5(concat(rk, '#', CAST(bag AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000 < 736 THEN 1
-      | WHEN CAST(conv(substring(md5(concat(rk, '#', CAST(bag AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000 < 920 THEN 2
+      | WHEN CAST(conv(substring(hk, 1 + 3 * bag, 3), 16, 10) AS BIGINT) % 1000 < 368 THEN 0
+      | WHEN CAST(conv(substring(hk, 1 + 3 * bag, 3), 16, 10) AS BIGINT) % 1000 < 736 THEN 1
+      | WHEN CAST(conv(substring(hk, 1 + 3 * bag, 3), 16, 10) AS BIGINT) % 1000 < 920 THEN 2
       | ELSE 3 END)""".stripMargin
 
   /** SSE-gain surrogate for a regression split (maximize):
@@ -867,18 +890,18 @@ object MlQueries5 {
     "ml_bagging_stumps" -> {
       val duckW =
         """(CASE
-          | WHEN ('0x' || substring(md5(rk || '#' || CAST(bag AS VARCHAR)), 1, 15))::BIGINT % 1000 < 368 THEN 0
-          | WHEN ('0x' || substring(md5(rk || '#' || CAST(bag AS VARCHAR)), 1, 15))::BIGINT % 1000 < 736 THEN 1
-          | WHEN ('0x' || substring(md5(rk || '#' || CAST(bag AS VARCHAR)), 1, 15))::BIGINT % 1000 < 920 THEN 2
+          | WHEN ('0x' || substring(hk, 1 + 3 * bag, 3))::BIGINT % 1000 < 368 THEN 0
+          | WHEN ('0x' || substring(hk, 1 + 3 * bag, 3))::BIGINT % 1000 < 736 THEN 1
+          | WHEN ('0x' || substring(hk, 1 + 3 * bag, 3))::BIGINT % 1000 < 920 THEN 2
           | ELSE 3 END)""".stripMargin
       s"""WITH t AS (
          |  SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1,
          |    CAST(l_quantity AS BIGINT) - 25 AS x2,
          |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
-         |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS rk
+         |    md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS hk
          |  FROM lineitem),
          |weighted AS MATERIALIZED (
-         |  SELECT x1, x2, y, rk, bag, $duckW AS w
+         |  SELECT x1, x2, y, bag, $duckW AS w
          |  FROM t CROSS JOIN (SELECT unnest(range(0, $Bags)) AS bag) bg),
          |cand AS (
          |  SELECT bag, f, thr, CAST(SUM(w) AS BIGINT) AS n,

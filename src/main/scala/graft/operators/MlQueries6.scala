@@ -205,23 +205,36 @@ object MlQueries6 {
         .withColumn("rn", row_number().over(
           Window.partitionBy($"c").orderBy($"r".desc, $"p".asc)))
         .filter($"rn" <= CapK).select($"c", $"p", $"r")
-        .localCheckpoint() // feeds the deviation AND prediction pair joins
-      val dev = capped.as("a").join(capped.as("b"),
+        .localCheckpoint() // feeds ONE ordered pair enumeration
+      // SINGLE ordered enumeration (i < j), checkpointed: `dev` is its
+      // aggregate and `preds` its symmetric 2-leg explode — the r14
+      // version re-enumerated the a.p =!= b.p frame for preds (~3× the
+      // pair mass of one ordered join); hashes are untouched because
+      // every downstream sum sees the same multiset of terms.
+      val pairs = capped.as("a").join(capped.as("b"),
           $"a.c" === $"b.c" && $"a.p" < $"b.p")
-        .groupBy($"a.p".as("i"), $"b.p".as("j"))
+        .select($"a.c".as("c"), $"a.p".as("i"), $"a.r".as("ri"),
+          $"b.p".as("j"), $"b.r".as("rj"))
+        .localCheckpoint() // ≤ C(CapK,2) rows per user, forever
+      val dev = pairs
+        .groupBy($"i", $"j")
         .agg(count(lit(1)).as("nij"),
-          sum($"a.r" - $"b.r").cast("long").as("diff"))
+          sum($"ri" - $"rj").cast("long").as("diff"))
         .selectExpr("i", "j", "nij",
           // sign-split milli floor (Spark DIV truncates; DuckDB // floors)
           "CAST(SIGN(diff) AS BIGINT) * ((1000 * abs(diff)) DIV nij) AS dev_milli")
         .localCheckpoint() // the item-pair model
-      val preds = capped.as("a").join(capped.as("b"),
-          $"a.c" === $"b.c" && $"a.p" =!= $"b.p")
-        .selectExpr("a.c AS c", "a.p AS tgt", "a.r AS r_tgt",
-          "b.p AS oth", "b.r AS r_oth",
-          "LEAST(a.p, b.p) AS i", "GREATEST(a.p, b.p) AS j",
-          // dev(oth→tgt) = +dev_milli when oth = i, −dev_milli when oth = j
-          "CASE WHEN b.p < a.p THEN 1 ELSE -1 END AS sgn")
+      // each ordered pair predicts BOTH ways: tgt=i from oth=j (dev
+      // enters with −, since dev_milli is the i−j deviation) and tgt=j
+      // from oth=i (dev enters with +)
+      val preds = pairs
+        .select($"c", $"i", $"j", explode(array(
+          struct($"i".as("tgt"), $"ri".as("r_tgt"), $"rj".as("r_oth"),
+            lit(-1).as("sgn")),
+          struct($"j".as("tgt"), $"rj".as("r_tgt"), $"ri".as("r_oth"),
+            lit(1).as("sgn")))).as("leg"))
+        .select($"c", $"i", $"j", $"leg.tgt".as("tgt"), $"leg.r_tgt".as("r_tgt"),
+          $"leg.r_oth".as("r_oth"), $"leg.sgn".as("sgn"))
         .join(dev, Seq("i", "j"))
         .groupBy($"c", $"tgt", $"r_tgt")
         .agg(sum($"nij" * (lit(1000L) * $"r_oth" - $"sgn" * $"dev_milli")).as("num"),

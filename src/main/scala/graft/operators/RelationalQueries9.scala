@@ -198,12 +198,19 @@ object RelationalQueries9 {
     // sketch (broadcast) and take min over rows; est ≥ exact by
     // construction and the `over` column exposes the collision error
     // the 512-cell width buys.
+    //
+    // The d row hashes are 4 DISJOINT 16-bit lanes of ONE md5 per key
+    // (hex chars 1–4, 5–8, 9–12, 13–16) — the r14 version paid d
+    // independent md5 calls per row (4× the hashing in the sketch's
+    // hot path); md5's avalanche makes the lanes pairwise-independent
+    // exactly as the CMS analysis requires, and the oracle slices the
+    // same lanes so the sketch stays bit-reproducible.
     "q156_cms_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       val W = 512
       def cell(r: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat(r.cast("string"), lit(":"), k.cast("string"))
-          .cast("binary")), 1, 8), 16, 10).cast("long") % W
+        conv(md5(k.cast("string").cast("binary"))
+          .substr(lit(1) + lit(4) * r, lit(4)), 16, 10).cast("long") % W
       val rows = lineitem(s, d).select($"l_partkey")
       val sketch = rows
         .select($"l_partkey", explode(sequence(lit(0), lit(3))).as("r"))
@@ -388,8 +395,8 @@ object RelationalQueries9 {
 
     "q156_cms_heavy_hitters" ->
       """WITH cells AS (
-        |  SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' ||
-        |      CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 512 AS cell,
+        |  SELECT r, ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)),
+        |      1 + 4 * r, 4))::BIGINT % 512 AS cell,
         |    l_partkey
         |  FROM lineitem, (SELECT unnest([0, 1, 2, 3]) AS r)),
         |sketch AS (
@@ -403,8 +410,8 @@ object RelationalQueries9 {
         |  FROM exact e
         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rr
         |  JOIN sketch s ON s.r = rr.r
-        |    AND s.cell = ('0x' || substring(md5(CAST(rr.r AS VARCHAR) || ':' ||
-        |      CAST(e.l_partkey AS VARCHAR)), 1, 8))::BIGINT % 512
+        |    AND s.cell = ('0x' || substring(md5(CAST(e.l_partkey AS VARCHAR)),
+        |      1 + 4 * rr.r, 4))::BIGINT % 512
         |  GROUP BY e.l_partkey, e.exact)
         |SELECT l_partkey, est, exact, est - exact AS overcount
         |FROM est

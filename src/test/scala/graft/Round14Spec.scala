@@ -247,6 +247,33 @@ class Round14Spec extends SparkSuite {
     val (e1, e2) = (r.getAs[Long]("ecc1"), r.getAs[Long]("pseudo_diameter"))
     assert(e2 >= e1, "ecc(farthest) >= dist(seed, farthest) on an undirected graph")
     assert(r.getAs[Long]("n_reach1") >= 1 && r.getAs[Long]("n_reach2") >= 1)
+    // the flag may legitimately be 0 or 1 on real data, but only 0/1
+    assert(Set(0L, 1L).contains(r.getAs[Long]("frontier_exhausted")))
+  }
+
+  test("graph_pseudo_diameter: the frontier flag distinguishes budget truncation from exhaustion") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // PATH deeper than the hop budget: 0-1-2-...-9 (9 hops end to end).
+    // From seed 0 the sweep visits 0..Hops and the probe hop still has
+    // an unvisited vertex -> remaining > 0 (budget-truncated).
+    val deep = (0 until 9).map(i => (s"d$i", s"d${i + 1}"))
+    val deepEdges = (deep ++ deep.map(_.swap)).toDF("src", "dst")
+    val seed = deepEdges.agg(min($"src").as("doc_id"))
+    val (vDeep, remDeep) = operators.GraphQueries4.bfs(deepEdges, seed)
+    assert(vDeep.count() === operators.GraphQueries4.Hops + 1,
+      "a path visits exactly one new vertex per hop")
+    assert(remDeep.head().getAs[Long]("remaining") > 0,
+      "a 9-hop path must trip the budget-truncation probe")
+    // STAR of 5 leaves: everything is reached at hop 1, the probe
+    // finds nothing -> remaining == 0 (true eccentricity).
+    val star = (1 to 5).map(i => ("hub", s"leaf$i"))
+    val starEdges = (star ++ star.map(_.swap)).toDF("src", "dst")
+    val (vStar, remStar) =
+      operators.GraphQueries4.bfs(starEdges, starEdges.agg(min($"src").as("doc_id")))
+    assert(vStar.count() === 6)
+    assert(remStar.head().getAs[Long]("remaining") === 0,
+      "an exhausted frontier must report remaining = 0")
   }
 
   test("cf_rec_coverage: the audit counts tie out to the rec table it audits") {
