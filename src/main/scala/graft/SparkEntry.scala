@@ -66,7 +66,12 @@ object SparkEntry {
       MlQueries6.queries ++
       DedupQueries4.queries ++
       TextQueries8.queries ++
-      GraphQueries4.queries
+      GraphQueries4.queries ++
+      GraphQueries5.queries ++
+      RelationalQueries19.queries ++
+      MlQueries7.queries ++
+      RelationalQueries20.queries ++
+      TextQueries9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -118,5 +123,10 @@ object SparkEntry {
       MlQueries6.oracles ++
       DedupQueries4.oracles ++
       TextQueries8.oracles ++
-      GraphQueries4.oracles
+      GraphQueries4.oracles ++
+      GraphQueries5.oracles ++
+      RelationalQueries19.oracles ++
+      MlQueries7.oracles ++
+      RelationalQueries20.oracles ++
+      TextQueries9.oracles
 }

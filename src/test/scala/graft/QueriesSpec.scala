@@ -60,7 +60,12 @@ class QueriesSpec extends SparkSuite {
       "MlQueries6" -> MlQueries6.queries.keySet,
       "DedupQueries4" -> DedupQueries4.queries.keySet,
       "TextQueries8" -> TextQueries8.queries.keySet,
-      "GraphQueries4" -> GraphQueries4.queries.keySet)
+      "GraphQueries4" -> GraphQueries4.queries.keySet,
+      "GraphQueries5" -> GraphQueries5.queries.keySet,
+      "RelationalQueries19" -> RelationalQueries19.queries.keySet,
+      "MlQueries7" -> MlQueries7.queries.keySet,
+      "RelationalQueries20" -> RelationalQueries20.queries.keySet,
+      "TextQueries9" -> TextQueries9.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${
