@@ -71,7 +71,8 @@ object SparkEntry {
       RelationalQueries19.queries ++
       MlQueries7.queries ++
       RelationalQueries20.queries ++
-      TextQueries9.queries
+      TextQueries9.queries ++
+      RelationalQueries21.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -128,5 +129,6 @@ object SparkEntry {
       RelationalQueries19.oracles ++
       MlQueries7.oracles ++
       RelationalQueries20.oracles ++
-      TextQueries9.oracles
+      TextQueries9.oracles ++
+      RelationalQueries21.oracles
 }

@@ -1,0 +1,361 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.OracleParity._
+
+/** Round-15 batch 5 — the nonparametric/extreme-value corner of the
+  * statistics battery:
+  *
+  *  - `q275_pettitt_test`    — Pettitt's rank-based changepoint test
+  *    per event type's daily revenue series: U_t = 2·S_t − t·(n+1)
+  *    on midranks (2×-scaled to stay integer), K = max|U_t|, the
+  *    nonparametric sibling of CUSUM (q127) / binseg (q247) / PH
+  *    (q270) that needs no variance estimate.
+  *  - `q276_cliffs_delta`    — Cliff's δ dominance effect size between
+  *    'A' and 'R' returnflag quantities: (#(x>y) − #(x<y))/(n_a·n_r)
+  *    from the two ≤50-row distinct-value tables — the robust
+  *    companion to q177's Cohen's d.
+  *  - `q277_kendall_w`       — Kendall's coefficient of concordance:
+  *    do the event types (raters) rank the days (items) consistently
+  *    by revenue? Tie-corrected, on 2×-scaled midranks so every sum
+  *    is integer until the final division.
+  *  - `q278_hill_estimator`  — Hill tail-index of the customer revenue
+  *    distribution over the top k = 100 order statistics: the
+  *    heavy-tail diagnostic behind "is revenue Pareto, and how fat?".
+  *    Per-item ln terms are nano-floored BEFORE the k-sum (the
+  *    quantize-before-Σ idiom); the order statistics come from a
+  *    TakeOrdered, never a global sort.
+  *  - `q279_gumbel_maxima`   — Gumbel fit by the method of moments on
+  *    the daily block MAXIMA of event values per type, with the
+  *    30-block return level — the extreme-value companion to q204's
+  *    Weibull fit.
+  *  - `q280_turning_points`  — turning-point randomness test per
+  *    daily series: observed local extrema vs E = 2(n−2)/3,
+  *    Var = (16n−29)/90 — the cheap "is this series i.i.d. noise?"
+  *    screen next to q161's runs test.
+  *
+  * Scale: everything runs on calendar-sized day series (keyed windows
+  * per event type) or ≤50-row distinct-value tables; q278's order
+  * statistics are a k-limited TakeOrdered over the customer aggregate.
+  */
+object RelationalQueries21 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val D38 = DecimalType(38, 0)
+  private val HillK = 100
+
+  val queries: Map[String, Q] = Map(
+    "q275_pettitt_test" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum((dec($"value") * 100).cast("long")).as("x"))
+      // 2×-scaled midrank within the series: r2 = 2·rank + ties − 1
+      val wOrd = Window.partitionBy($"event_type").orderBy($"x")
+      val wEq = Window.partitionBy($"event_type", $"x")
+      val wN = Window.partitionBy($"event_type")
+      val ranked = daily
+        .withColumn("r2", lit(2) * rank().over(wOrd) + count(lit(1)).over(wEq) - 1)
+        .withColumn("n", count(lit(1)).over(wN))
+      val wCum = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy($"event_type").orderBy($"day")
+      val u = ranked
+        .withColumn("t", row_number().over(wT).cast("long"))
+        .withColumn("s2", sum($"r2").over(wCum))
+        // U_t = 2·S_t − t(n+1); with S2 = 2·S: U_t = S2_t − t(n+1)
+        .withColumn("u", $"s2" - $"t" * ($"n" + 1))
+        .localCheckpoint() // feeds the max AND the argmax passes
+      val k = u.groupBy($"event_type")
+        .agg(max($"n").as("n_days"), max(abs($"u")).as("k_stat"))
+      val cp = u.join(k.select($"event_type", $"k_stat"), Seq("event_type"))
+        .filter(abs($"u") === $"k_stat")
+        .groupBy($"event_type").agg(min($"day").as("change_day"))
+      k.join(cp, Seq("event_type"))
+        .selectExpr("event_type", "n_days", "k_stat",
+          "CAST(change_day AS STRING) AS change_day",
+          // p ≈ 2·exp(−6K²/(n³+n²)) — one libm call per group
+          """format_string('%.6e', 2.0 * exp(-6.0 * k_stat * k_stat
+            | / (CAST(n_days AS DOUBLE) * n_days * n_days
+            |    + CAST(n_days AS DOUBLE) * n_days))) AS p_approx""".stripMargin)
+        .orderBy($"event_type")
+    }),
+
+    "q276_cliffs_delta" -> ((s, d) => {
+      import s.implicits._
+      val v = lineitem(s, d)
+        .filter($"l_returnflag".isin("A", "R"))
+        .select($"l_returnflag".as("g"), $"l_quantity".cast("long").as("q"))
+        .groupBy($"q")
+        .agg(sum(when($"g" === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when($"g" === "R", 1L).otherwise(0L)).as("cr"))
+        .localCheckpoint() // ≤50-row value table, feeds both sides
+      val pairs = v.select($"q".as("qa"), $"ca")
+        .crossJoin(broadcast(v.select($"q".as("qr"), $"cr")))
+      pairs.groupBy()
+        .agg(sum($"ca" * $"cr").as("n_pairs"),
+          sum(when($"qa" > $"qr", $"ca" * $"cr").otherwise(0L)).as("n_gt"),
+          sum(when($"qa" < $"qr", $"ca" * $"cr").otherwise(0L)).as("n_lt"),
+          sum(when($"qa" === $"qr", $"ca" * $"cr").otherwise(0L)).as("n_eq"))
+        .selectExpr("n_pairs", "n_gt", "n_lt", "n_eq",
+          """CAST(SIGN(n_gt - n_lt) AS BIGINT)
+            | * ((1000 * abs(n_gt - n_lt)) DIV n_pairs) AS delta_milli""".stripMargin)
+    }),
+
+    "q277_kendall_w" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum((dec($"value") * 100).cast("long")).as("x"))
+        .localCheckpoint() // feeds ranks AND tie census
+      // only days every rater scored keep the design balanced
+      val full = daily.groupBy($"day").agg(count(lit(1)).as("m_day"))
+      val m = daily.select($"event_type").distinct().count()
+      val grid = daily.join(full.filter($"m_day" === m).select($"day"), Seq("day"))
+      val wOrd = Window.partitionBy($"event_type").orderBy($"x")
+      val wEq = Window.partitionBy($"event_type", $"x")
+      val r2d = grid
+        .withColumn("r2", lit(2) * rank().over(wOrd) + count(lit(1)).over(wEq) - 1)
+      val rsum = r2d.groupBy($"day").agg(sum($"r2").as("rr2"))
+      val sums = rsum.agg(count(lit(1)).as("n"),
+        sum($"rr2" * $"rr2").as("s4")) // 4·S
+      // tie correction per rater: T = Σ(t³ − t) over tie groups
+      val ties = r2d.groupBy($"event_type", $"x").agg(count(lit(1)).as("tt"))
+        .agg(sum($"tt" * $"tt" * $"tt" - $"tt").as("tcorr"))
+      sums.crossJoin(broadcast(ties))
+        .selectExpr("n", s"CAST($m AS BIGINT) AS m", "s4", "tcorr",
+          // W = (3·ΣR2² − 3m²n(n+1)²) / (m²(n³−n) − m·T)
+          s"""format_string('%.6f',
+             | (3.0 * s4 - 3.0 * $m * $m * n * (n + 1) * (n + 1))
+             | / ($m.0 * $m * (CAST(n AS DOUBLE) * n * n - n) - $m.0 * tcorr))
+             | AS kendall_w""".stripMargin)
+    }),
+
+    "q278_hill_estimator" -> ((s, d) => {
+      import s.implicits._
+      val per = orders(s, d).groupBy($"o_custkey")
+        .agg(sum((dec($"o_totalprice") * 100).cast(D38)).cast("long").as("m"))
+      val top = per.orderBy($"m".desc, $"o_custkey".asc).limit(HillK + 1)
+        .localCheckpoint() // k+1 order statistics via TakeOrdered
+      val xk1 = top.orderBy($"m".asc, $"o_custkey".desc).limit(1)
+        .select($"m".as("x_threshold"))
+      top.crossJoin(broadcast(xk1))
+        .filter($"m" > $"x_threshold") // the k items above the threshold
+        .selectExpr("x_threshold",
+          // per-item ln term, nano-floored BEFORE the sum
+          """CAST(FLOOR(1.0e9 * ln(CAST(m AS DOUBLE) / CAST(x_threshold AS DOUBLE)))
+            | AS BIGINT) AS t_nano""".stripMargin)
+        .groupBy($"x_threshold")
+        .agg(count(lit(1)).as("k"), sum($"t_nano").as("sum_nano"))
+        .selectExpr("k", "x_threshold", "sum_nano",
+          "format_string('%.6f', CAST(sum_nano AS DOUBLE) / 1.0e9 / k) AS hill_gamma",
+          "format_string('%.6f', 1.0e9 * k / CAST(sum_nano AS DOUBLE)) AS tail_alpha")
+    }),
+
+    "q279_gumbel_maxima" -> ((s, d) => {
+      import s.implicits._
+      val blocks = events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(max((dec($"value") * 100).cast("long")).as("x"))
+      val g = blocks.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(D38)).cast("double").as("s1"),
+        sum(($"x" * $"x").cast(D38)).cast("double").as("s2"))
+      val nD = $"n".cast("double")
+      val mean = $"s1" / nD
+      val varr = ($"s2" - $"s1" * $"s1" / nD) / (nD - 1.0)
+      val beta = sqrt(varr * lit(6.0)) / lit(math.Pi)
+      val mu = mean - lit(0.5772156649015329) * beta
+      // 30-block return level: μ − β·ln(−ln(1 − 1/30))
+      val rl = mu - beta * log(-log(lit(1.0) - lit(1.0) / 30.0))
+      g.select($"event_type", $"n".as("n_blocks"),
+          format_string("%.6f", mu / 100.0).as("gumbel_mu_usd"),
+          format_string("%.6f", beta / 100.0).as("gumbel_beta_usd"),
+          format_string("%.6f", rl / 100.0).as("return_level_30_usd"))
+        .orderBy($"event_type")
+    }),
+
+    "q280_turning_points" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum((dec($"value") * 100).cast("long")).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val tp = daily
+        .withColumn("xp", lag($"x", 1).over(w))
+        .withColumn("xn", lead($"x", 1).over(w))
+        .filter($"xp".isNotNull && $"xn".isNotNull)
+        .withColumn("is_tp",
+          when(($"xp" < $"x" && $"x" > $"xn") ||
+            ($"xp" > $"x" && $"x" < $"xn"), 1L).otherwise(0L))
+      tp.groupBy($"event_type")
+        .agg((count(lit(1)) + 2).as("n_days"), sum($"is_tp").as("n_turning"))
+        .selectExpr("event_type", "n_days", "n_turning",
+          "format_string('%.6f', 2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0) AS expected_tp",
+          """format_string('%.6f',
+            | (CAST(n_turning AS DOUBLE) - 2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0)
+            | / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0)) AS z_stat""".stripMargin)
+        .orderBy($"event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q275_pettitt_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, day,
+        |    CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS BIGINT) AS r2,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM daily),
+        |u AS (
+        |  SELECT event_type, day, n,
+        |    CAST(SUM(r2) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+        |      * (n + 1) AS u
+        |  FROM ranked),
+        |k AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |    CAST(MAX(abs(u)) AS BIGINT) AS k_stat
+        |  FROM u GROUP BY event_type),
+        |cp AS (
+        |  SELECT u.event_type, MIN(u.day) AS change_day
+        |  FROM u JOIN k ON u.event_type = k.event_type AND abs(u.u) = k.k_stat
+        |  GROUP BY u.event_type)
+        |SELECT k.event_type, k.n_days, k.k_stat,
+        |  CAST(cp.change_day AS VARCHAR) AS change_day,
+        |  printf('%.6e', 2.0 * exp(-6.0 * k_stat * k_stat
+        |    / (CAST(n_days AS DOUBLE) * n_days * n_days
+        |       + CAST(n_days AS DOUBLE) * n_days))) AS p_approx
+        |FROM k JOIN cp ON k.event_type = cp.event_type
+        |ORDER BY k.event_type""".stripMargin,
+
+    "q276_cliffs_delta" ->
+      """WITH v AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(SUM(a.ca * b.cr) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN a.q > b.q THEN a.ca * b.cr ELSE 0 END) AS BIGINT) AS n_gt,
+        |    CAST(SUM(CASE WHEN a.q < b.q THEN a.ca * b.cr ELSE 0 END) AS BIGINT) AS n_lt,
+        |    CAST(SUM(CASE WHEN a.q = b.q THEN a.ca * b.cr ELSE 0 END) AS BIGINT) AS n_eq
+        |  FROM v a CROSS JOIN v b)
+        |SELECT n_pairs, n_gt, n_lt, n_eq,
+        |  CAST(SIGN(n_gt - n_lt) AS BIGINT)
+        |  * ((1000 * abs(n_gt - n_lt)) // n_pairs) AS delta_milli
+        |FROM agg""".stripMargin,
+
+    "q277_kendall_w" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS m FROM daily),
+        |grid AS (
+        |  SELECT d.* FROM daily d
+        |  JOIN (SELECT day FROM daily GROUP BY day
+        |        HAVING COUNT(*) = (SELECT m FROM m)) f USING (day)),
+        |r2d AS (
+        |  SELECT day,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS r2
+        |  FROM grid),
+        |rsum AS (SELECT day, CAST(SUM(r2) AS BIGINT) AS rr2 FROM r2d GROUP BY day),
+        |sums AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rr2 * rr2) AS BIGINT) AS s4
+        |  FROM rsum),
+        |ties AS (
+        |  SELECT CAST(SUM(tt * tt * tt - tt) AS BIGINT) AS tcorr FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS tt
+        |    FROM grid GROUP BY event_type, x))
+        |SELECT n, (SELECT m FROM m) AS m, s4, tcorr,
+        |  printf('%.6f',
+        |    (3.0 * s4 - 3.0 * (SELECT m FROM m) * (SELECT m FROM m) * n * (n + 1) * (n + 1))
+        |    / ((SELECT m FROM m) * 1.0 * (SELECT m FROM m)
+        |        * (CAST(n AS DOUBLE) * n * n - n)
+        |       - (SELECT m FROM m) * 1.0 * tcorr)) AS kendall_w
+        |FROM sums CROSS JOIN ties""".stripMargin,
+
+    "q278_hill_estimator" ->
+      s"""WITH per AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS m
+         |  FROM orders GROUP BY o_custkey),
+         |top AS (
+         |  SELECT m, o_custkey FROM per
+         |  ORDER BY m DESC, o_custkey ASC LIMIT ${HillK + 1}),
+         |thr AS (
+         |  SELECT m AS x_threshold FROM top
+         |  ORDER BY m ASC, o_custkey DESC LIMIT 1),
+         |terms AS (
+         |  SELECT x_threshold,
+         |    CAST(FLOOR(1.0e9 * ln(CAST(m AS DOUBLE) / CAST(x_threshold AS DOUBLE)))
+         |      AS BIGINT) AS t_nano
+         |  FROM top CROSS JOIN thr
+         |  WHERE m > x_threshold),
+         |agg AS (
+         |  SELECT x_threshold, CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(t_nano) AS BIGINT) AS sum_nano
+         |  FROM terms GROUP BY x_threshold)
+         |SELECT k, x_threshold, sum_nano,
+         |  printf('%.6f', CAST(sum_nano AS DOUBLE) / 1.0e9 / k) AS hill_gamma,
+         |  printf('%.6f', 1.0e9 * k / CAST(sum_nano AS DOUBLE)) AS tail_alpha
+         |FROM agg""".stripMargin,
+
+    "q279_gumbel_maxima" ->
+      """WITH blocks AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2
+        |  FROM blocks GROUP BY event_type),
+        |fit AS (
+        |  SELECT event_type, n,
+        |    s1 / n AS mean,
+        |    sqrt(((s2 - s1 * s1 / n) / (CAST(n AS DOUBLE) - 1.0)) * 6.0) / pi() AS beta
+        |  FROM g)
+        |SELECT event_type, n AS n_blocks,
+        |  printf('%.6f', (mean - 0.5772156649015329 * beta) / 100.0) AS gumbel_mu_usd,
+        |  printf('%.6f', beta / 100.0) AS gumbel_beta_usd,
+        |  printf('%.6f', ((mean - 0.5772156649015329 * beta)
+        |    - beta * ln(-ln(1.0 - 1.0 / 30.0))) / 100.0) AS return_level_30_usd
+        |FROM fit ORDER BY event_type""".stripMargin,
+
+    "q280_turning_points" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, x,
+        |    LAG(x) OVER w AS xp, LEAD(x) OVER w AS xn
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |tp AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) + 2 AS BIGINT) AS n_days,
+        |    CAST(SUM(CASE WHEN (xp < x AND x > xn) OR (xp > x AND x < xn)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+        |  FROM lagged WHERE xp IS NOT NULL AND xn IS NOT NULL
+        |  GROUP BY event_type)
+        |SELECT event_type, n_days, n_turning,
+        |  printf('%.6f', 2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0) AS expected_tp,
+        |  printf('%.6f', (CAST(n_turning AS DOUBLE) - 2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0)
+        |    / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0)) AS z_stat
+        |FROM tp ORDER BY event_type""".stripMargin
+  )
+}

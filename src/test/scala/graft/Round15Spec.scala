@@ -171,6 +171,57 @@ class Round15Spec extends SparkSuite {
     }
   }
 
+  test("q275_pettitt_test: K is bounded by the analytic rank-sum maximum") {
+    rows("q275_pettitt_test").foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_days"), r.getAs[Long]("k_stat"))
+      // |U_t| ≤ t(n−t) · max rank spread ≤ n²/2 loose bound; exact
+      // ceiling for U on midranks is t(n−t) ≤ n²/4 doubled ranks
+      assert(k >= 0 && k <= n * n / 2, s"K=$k out of range for n=$n")
+      assert(r.getAs[String]("p_approx").toDouble >= 0.0)
+      assert(r.getAs[String]("change_day") != null)
+    }
+  }
+
+  test("q276_cliffs_delta: dominance counts partition the pair mass") {
+    val r = rows("q276_cliffs_delta").head
+    assert(r.getAs[Long]("n_pairs") ===
+      r.getAs[Long]("n_gt") + r.getAs[Long]("n_lt") + r.getAs[Long]("n_eq"))
+    val dm = r.getAs[Long]("delta_milli")
+    assert(dm >= -1000 && dm <= 1000)
+  }
+
+  test("q277_kendall_w: concordance lies in [0, 1]") {
+    val w = rows("q277_kendall_w").head.getAs[String]("kendall_w").toDouble
+    assert(w >= 0.0 && w <= 1.0 + 1e-9)
+  }
+
+  test("q278_hill_estimator: k order statistics, positive tail index") {
+    val r = rows("q278_hill_estimator").head
+    assert(r.getAs[Long]("k") <= 100)
+    assert(r.getAs[Long]("sum_nano") > 0,
+      "top-k values strictly above the threshold have positive log ratios")
+    val gamma = r.getAs[String]("hill_gamma").toDouble
+    val alpha = r.getAs[String]("tail_alpha").toDouble
+    assert(gamma > 0 && math.abs(alpha * gamma - 1.0) < 1e-3)
+  }
+
+  test("q279_gumbel_maxima: return level exceeds the location parameter") {
+    rows("q279_gumbel_maxima").foreach { r =>
+      val mu = r.getAs[String]("gumbel_mu_usd").toDouble
+      val beta = r.getAs[String]("gumbel_beta_usd").toDouble
+      val rl = r.getAs[String]("return_level_30_usd").toDouble
+      assert(beta > 0, "moment-fit scale must be positive on non-constant maxima")
+      assert(rl > mu, "the 30-block return level sits above the mode")
+    }
+  }
+
+  test("q280_turning_points: the count is bounded by the interior length") {
+    rows("q280_turning_points").foreach { r =>
+      assert(r.getAs[Long]("n_turning") <= r.getAs[Long]("n_days") - 2)
+      assert(r.getAs[String]("expected_tp").toDouble > 0)
+    }
+  }
+
   test("samp_bandit_replay: plays partition the days; wins are bounded by plays") {
     val r = rows("samp_bandit_replay")
     val nDays = r.head.getAs[Long]("n_days")
