@@ -193,6 +193,9 @@ object StreamBench {
       run("tws_quantile", "update")(ds => Streams.quantileTws(ds).toDF()),
       // one (n, ema) ValueState per key — the minimal TWS smoother
       run("tws_ema", "update")(ds => Streams.emaTws(ds).toDF()),
+      // Page–Hinkley drift detector: one fixed-size integer ValueState
+      // per key — same state shape as ema, plus the alarm bookkeeping
+      run("tws_drift", "update")(ds => Streams.driftTws(ds).toDF()),
       // CEP sequence matcher: one fixed-size ValueState struct per user
       run("tws_funnel", "update")(ds => Streams.funnelTws(ds).toDF()),
       run("stream_stream_join", "append") { ds =>
@@ -270,6 +273,7 @@ object StreamBench {
     val floors = Map(
       "tumbling_agg" -> 1900.0, "tws_anomaly" -> 3100.0,
       "tws_quantile" -> 2200.0, "tws_ema" -> 2200.0,
+      "tws_drift" -> 2200.0,
       "dedup" -> 1600.0, "session_agg" -> 2200.0,
       "tws_favorite" -> 3200.0, "tws_topk" -> 2700.0,
       "tws_funnel" -> 1500.0,

@@ -428,6 +428,23 @@ object StreamingQueries {
     // type, folded in strict (event-time, id) order, so the
     // update-mode emission equals the batch list_reduce fold
     // bit-for-bit and the oracle hash-pins it.
+    // Streaming Page–Hinkley drift detector: the online twin of batch
+    // q270 at EVENT grain — one fixed-size ValueState per event type
+    // carrying (n, Σcents, u, min u, max PH, alarms); all integer
+    // cents, so the summary row hash-matches the oracle's cumulative-
+    // window replay of the same fold.
+    "stream_tws_drift" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val e = Streams.driftTws(typed)
+        .select($"event_type", $"n_events", $"max_ph", $"n_alarms",
+          $"first_alarm_us")
+      toMemoryRocks(s, e.toDF(), "stream_tws_drift_sink", "update")
+        .orderBy($"event_type")
+    }),
+
     "stream_tws_ema" -> ((s, d) => {
       import s.implicits._
       val typed = eventsStream(s, d)
@@ -659,6 +676,34 @@ object StreamingQueries {
         |  FROM w GROUP BY user_id)
         |SELECT user_id, n_views, n_purchases, n_conversions, min_lag_us
         |FROM g WHERE n_conversions > 0 ORDER BY user_id""".stripMargin,
+
+    "stream_tws_drift" ->
+      """WITH cum AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(row_number() OVER w AS BIGINT) AS t,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS sx
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(SUM(x - sx // t - 100) OVER w AS BIGINT) AS u
+        |  FROM cum
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ph AS (
+        |  SELECT event_type, ts, event_id,
+        |    u - CAST(MIN(u) OVER w AS BIGINT) AS ph
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(ph) AS BIGINT) AS max_ph,
+        |  CAST(SUM(CASE WHEN ph > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  COALESCE(CAST(MIN(CASE WHEN ph > 100000 THEN epoch_us(ts) END) AS BIGINT), -1)
+        |    AS first_alarm_us
+        |FROM ph GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "stream_tws_ema" ->
       """WITH v AS (

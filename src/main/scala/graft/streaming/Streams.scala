@@ -334,6 +334,22 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Streaming Page–Hinkley drift detector (the online q270): one
+    * fixed-size ValueState per event type, integer-cents arithmetic,
+    * Update-mode summary row per key per batch. */
+  def driftTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes",
+      cap: Int = OrderedChunkCap)
+      : org.apache.spark.sql.Dataset[TwsDrift] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .transformWithState(new DriftProcessor(cap = cap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Timer-driven idle-key eviction on transformWithState (the fourth
     * and last TWS primitive after Value/Map/List state): event-time
     * timers re-armed per batch; when the watermark passes a key's
@@ -809,5 +825,70 @@ class IdleEvictProcessor(ttlMs: Long)
     val n = Option(st.get()).map(_.n).getOrElse(0L)
     st.clear()
     Iterator.single(TwsIdle(key, n, evicted = true))
+  }
+}
+
+/** Output row of the transformWithState Page–Hinkley drift op. */
+case class TwsDrift(event_type: String, n_events: Long, max_ph: Long,
+    n_alarms: Long, first_alarm_us: Long)
+
+/** Carried PH state: running count/sum (for the mean), cumulative
+  * deviation u, its running minimum, and the alarm bookkeeping. */
+case class TwsDriftState(n: Long, sum_cents: Long, u: Long, umin: Long,
+    max_ph: Long, n_alarms: Long, first_alarm_us: Long)
+
+/** StatefulProcessor for the streaming PAGE–HINKLEY drift detector
+  * (the online twin of batch q270, at event grain): per event-type
+  * key, u_t = Σ(x_i − mean_i − δ) with mean_i the running integer
+  * mean, PH_t = u_t − min u, alarm when PH > λ. One fixed-size
+  * ValueState per key; all arithmetic integer cents (per-value
+  * DECIMAL(18,2) rounding — the AnomalyProcessor idiom), so the
+  * output hash-matches the oracle's window replay exactly.
+  *
+  * Parity scope: exact when each key's events arrive in event-time
+  * order across micro-batches (the AvailableNow gate shape); late
+  * events fold in arrival order, like every sequential detector. */
+class DriftProcessor(deltaCents: Long = 100L, lambdaCents: Long = 100000L,
+      cap: Int = Streams.OrderedChunkCap)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsDrift] {
+  import org.apache.spark.sql.streaming.{TimerValues, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+  import java.math.{BigDecimal => JBD, RoundingMode}
+
+  @transient private var st: ValueState[TwsDriftState] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[TwsDriftState]("ph",
+      Encoders.product[TwsDriftState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsDrift] = {
+    val evs = Streams.orderedBounded(rows, cap)
+    if (!evs.hasNext) return Iterator.empty
+    var s = if (st.exists()) st.get()
+      // umin starts at the sentinel so the first event's u becomes the
+      // minimum — matching the oracle's MIN(u) window, which has no
+      // phantom u_0 = 0 row
+      else TwsDriftState(0L, 0L, 0L, Long.MaxValue, 0L, 0L, -1L)
+    evs.foreach { e =>
+      // exact integer cents via DECIMAL(18,2) rounding
+      val x = JBD.valueOf(e.value).setScale(2, RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+      val n = s.n + 1
+      val sum = s.sum_cents + x
+      val mean = sum / n // non-negative values: floor == trunc
+      val u = s.u + (x - mean - deltaCents)
+      val umin = math.min(s.umin, u)
+      val ph = u - umin
+      val alarmed = ph > lambdaCents
+      s = TwsDriftState(n, sum, u, umin,
+        math.max(s.max_ph, ph),
+        s.n_alarms + (if (alarmed) 1L else 0L),
+        if (s.first_alarm_us >= 0 || !alarmed) s.first_alarm_us
+        else Streams.microsOf(e.ts))
+    }
+    st.update(s)
+    Iterator.single(TwsDrift(key, s.n, s.max_ph, s.n_alarms, s.first_alarm_us))
   }
 }

@@ -678,4 +678,55 @@ class StreamingSpec extends SparkSuite {
                    case None => spark.conf.unset(key) }
     }
   }
+
+  test("transformWithState Page-Hinkley accumulates across batches and alarms exactly once") {
+    import graft.streaming.UserEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    // batch 1: flat series (no drift) — PH stays at 0 because every
+    // deviation is negative and u tracks its own running minimum
+    val flat = (1L to 8L).map { i =>
+      UserEvent(i, ts(f"2024-01-01 00:${i}%02d:00"), 1L, "click", 10.0)
+    }
+    val in = MemoryStream[UserEvent](spark, 913)
+    val q = Streams.driftTws(in.toDS()).toDF().writeStream.format("memory")
+      .queryName("drift_sink").outputMode("update").start()
+    in.addData(flat: _*); q.processAllAvailable()
+    val r1 = spark.table("drift_sink").collect().last
+    assert(r1.getAs[Long]("n_events") === 8L)
+    assert(r1.getAs[Long]("max_ph") === 0L,
+      "a flat series has zero Page-Hinkley drift")
+    assert(r1.getAs[Long]("n_alarms") === 0L && r1.getAs[Long]("first_alarm_us") === -1L)
+    // batch 2: a level shift to 5000.00 — u climbs past lambda within
+    // a few events, the first alarm timestamp pins and never moves
+    val shifted = (9L to 16L).map { i =>
+      UserEvent(i, ts(f"2024-01-01 00:${i}%02d:00"), 1L, "click", 5000.0)
+    }
+    in.addData(shifted: _*); q.processAllAvailable()
+    val r2 = spark.table("drift_sink").collect()
+      .filter(_.getAs[String]("event_type") == "click").last
+    assert(r2.getAs[Long]("n_events") === 16L, "state must accumulate across batches")
+    assert(r2.getAs[Long]("max_ph") > 100000L, "the level shift must trip the detector")
+    assert(r2.getAs[Long]("n_alarms") >= 1L)
+    val first = r2.getAs[Long]("first_alarm_us")
+    assert(first >= ts("2024-01-01 00:09:00").getTime * 1000L,
+      "the alarm can only fire after the shift")
+    // batch 3: more flat data — first_alarm_us is sticky
+    val more = (17L to 20L).map { i =>
+      UserEvent(i, ts(f"2024-01-01 00:${i}%02d:00"), 1L, "click", 5000.0)
+    }
+    in.addData(more: _*); q.processAllAvailable()
+    val r3 = spark.table("drift_sink").collect()
+      .filter(_.getAs[String]("event_type") == "click").last
+    q.stop()
+    assert(r3.getAs[Long]("first_alarm_us") === first, "first alarm must be sticky")
+    assert(r3.getAs[Long]("max_ph") >= r2.getAs[Long]("max_ph"))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
