@@ -72,7 +72,8 @@ object SparkEntry {
       MlQueries7.queries ++
       RelationalQueries20.queries ++
       TextQueries9.queries ++
-      RelationalQueries21.queries
+      RelationalQueries21.queries ++
+      MlQueries8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -130,5 +131,6 @@ object SparkEntry {
       MlQueries7.oracles ++
       RelationalQueries20.oracles ++
       TextQueries9.oracles ++
-      RelationalQueries21.oracles
+      RelationalQueries21.oracles ++
+      MlQueries8.oracles
 }

@@ -179,6 +179,75 @@ object RelationalQueries21 {
         .orderBy($"event_type")
     }),
 
+    "q281_markov_entropy" -> ((s, d) => {
+      import s.implicits._
+      // transition matrix + steady state (the q91/q175 substrate),
+      // then the chain's ENTROPY RATE H = −Σ_i π_i Σ_j p_ij ln p_ij —
+      // the information-theoretic "how predictable is the next event?"
+      // headline that ties the Markov family together. Per-cell libm
+      // terms are nano-floored BEFORE the sum (quantize-before-Σ).
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = events(s, d)
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = tr.groupBy($"from_type").agg(sum($"n_trans").as("n_from"))
+      val p = tr.join(tot, Seq("from_type"))
+        .select($"from_type", $"to_type",
+          expr("n_trans * 10000 DIV n_from").as("bp"))
+        .localCheckpoint() // (types)² rows
+      val k = p.select($"from_type").distinct().count()
+      var v = p.select($"from_type".as("state")).distinct()
+        .select($"state", lit(1000000L / k).as("m"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        v = p.join(v, $"from_type" === $"state")
+          .groupBy($"to_type")
+          .agg(expr("SUM(m * bp) DIV 10000").as("m"))
+          .select($"to_type".as("state"), $"m")
+          .localCheckpoint()
+      }
+      val cells = p.join(v.select($"state".as("from_type"), $"m"), Seq("from_type"))
+        .filter($"bp" > 0)
+        .selectExpr("from_type",
+          """CAST(FLOOR(-1.0e9 * (CAST(m AS DOUBLE) / 1.0e6)
+            | * (CAST(bp AS DOUBLE) / 1.0e4)
+            | * ln(CAST(bp AS DOUBLE) / 1.0e4)) AS BIGINT) AS h_nano""".stripMargin)
+      cells.agg(count(lit(1)).as("n_cells"), sum($"h_nano").as("h_rate_nano"))
+        .selectExpr("n_cells", "h_rate_nano",
+          "format_string('%.6f', CAST(h_rate_nano AS DOUBLE) / 1.0e9 / ln(2.0)) AS h_rate_bits")
+    }),
+
+    "q282_bowley_skew" -> ((s, d) => {
+      import s.implicits._
+      // type-1 (inverse-ECDF) quartiles on the per-group distinct-value
+      // table: v_q = smallest value whose cumulative count reaches
+      // ⌈q·n⌉ — pure integers, no interpolation to drift
+      val v = lineitem(s, d)
+        .select($"l_returnflag".as("g"), $"l_quantity".cast("long").as("q"))
+        .groupBy($"g", $"q").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"g").orderBy($"q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wG = Window.partitionBy($"g")
+      val cum = v.withColumn("cumc", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wG))
+      def qAt(kExpr: String) =
+        s"MIN(CASE WHEN cumc >= $kExpr THEN q END)"
+      val quart = cum.groupBy($"g")
+        .agg(max($"n").as("n"),
+          expr(qAt("(n + 3) DIV 4")).as("q1"),
+          expr(qAt("(n + 1) DIV 2")).as("q2"),
+          expr(qAt("(3 * n + 3) DIV 4")).as("q3"))
+      quart.selectExpr("g AS l_returnflag", "n", "q1", "q2", "q3",
+          """CASE WHEN q3 = q1 THEN CAST(0 AS BIGINT)
+            | ELSE CAST(SIGN(q3 + q1 - 2 * q2) AS BIGINT)
+            |   * ((1000 * abs(q3 + q1 - 2 * q2)) DIV (q3 - q1)) END AS bowley_milli""".stripMargin,
+          """CASE WHEN q3 + q1 = 0 THEN CAST(0 AS BIGINT)
+            | ELSE (1000 * (q3 - q1)) DIV (q3 + q1) END AS qcd_milli""".stripMargin)
+        .orderBy($"l_returnflag")
+    }),
+
     "q280_turning_points" -> ((s, d) => {
       import s.implicits._
       val daily = events(s, d)
@@ -204,6 +273,71 @@ object RelationalQueries21 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q281_markov_entropy" ->
+      """WITH tr AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        |  FROM (
+        |    SELECT event_type AS from_type,
+        |      LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |    FROM events) q
+        |  WHERE to_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        |        FROM tr GROUP BY 1),
+        |p AS MATERIALIZED (
+        |  SELECT tr.from_type, tr.to_type, (tr.n_trans * 10000) // tot.n_from AS bp
+        |  FROM tr JOIN tot ON tr.from_type = tot.from_type),
+        |k AS (SELECT CAST(COUNT(DISTINCT from_type) AS BIGINT) AS k FROM p),
+        |v0 AS (SELECT DISTINCT from_type AS state,
+        |         1000000 // (SELECT k FROM k) AS m FROM p),
+        |v1 AS MATERIALIZED (
+        |  SELECT to_type AS state, CAST(SUM(m * bp) AS BIGINT) // 10000 AS m
+        |  FROM p JOIN v0 ON p.from_type = v0.state GROUP BY to_type),
+        |v2 AS MATERIALIZED (
+        |  SELECT to_type AS state, CAST(SUM(m * bp) AS BIGINT) // 10000 AS m
+        |  FROM p JOIN v1 ON p.from_type = v1.state GROUP BY to_type),
+        |v3 AS MATERIALIZED (
+        |  SELECT to_type AS state, CAST(SUM(m * bp) AS BIGINT) // 10000 AS m
+        |  FROM p JOIN v2 ON p.from_type = v2.state GROUP BY to_type),
+        |v4 AS MATERIALIZED (
+        |  SELECT to_type AS state, CAST(SUM(m * bp) AS BIGINT) // 10000 AS m
+        |  FROM p JOIN v3 ON p.from_type = v3.state GROUP BY to_type),
+        |cells AS (
+        |  SELECT CAST(FLOOR(-1.0e9 * (CAST(m AS DOUBLE) / 1.0e6)
+        |    * (CAST(bp AS DOUBLE) / 1.0e4)
+        |    * ln(CAST(bp AS DOUBLE) / 1.0e4)) AS BIGINT) AS h_nano
+        |  FROM p JOIN v4 ON p.from_type = v4.state
+        |  WHERE bp > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(h_nano) AS BIGINT) AS h_rate_nano,
+        |  printf('%.6f', CAST(SUM(h_nano) AS DOUBLE) / 1.0e9 / ln(2.0)) AS h_rate_bits
+        |FROM cells""".stripMargin,
+
+    "q282_bowley_skew" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, q,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM v),
+        |quart AS (
+        |  SELECT g, MAX(n) AS n,
+        |    MIN(CASE WHEN cumc >= (n + 3) // 4 THEN q END) AS q1,
+        |    MIN(CASE WHEN cumc >= (n + 1) // 2 THEN q END) AS q2,
+        |    MIN(CASE WHEN cumc >= (3 * n + 3) // 4 THEN q END) AS q3
+        |  FROM cum GROUP BY g)
+        |SELECT g AS l_returnflag, n, q1, q2, q3,
+        |  CASE WHEN q3 = q1 THEN CAST(0 AS BIGINT)
+        |   ELSE CAST(SIGN(q3 + q1 - 2 * q2) AS BIGINT)
+        |     * ((1000 * abs(q3 + q1 - 2 * q2)) // (q3 - q1)) END AS bowley_milli,
+        |  CASE WHEN q3 + q1 = 0 THEN CAST(0 AS BIGINT)
+        |   ELSE (1000 * (q3 - q1)) // (q3 + q1) END AS qcd_milli
+        |FROM quart ORDER BY l_returnflag""".stripMargin,
+
     "q275_pettitt_test" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

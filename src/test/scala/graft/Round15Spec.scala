@@ -222,6 +222,55 @@ class Round15Spec extends SparkSuite {
     }
   }
 
+  test("samp_borda_fusion: Borda scores are consistent with the three ranks") {
+    val r = rows("samp_borda_fusion")
+    assert(r.length === 10)
+    r.foreach { x =>
+      val borda = x.getAs[Long]("borda")
+      val rs = Seq("r_rev", "r_qty", "r_cnt").map(x.getAs[Long])
+      assert(rs.forall(_ >= 1))
+      // borda = 3n − Σranks is the same affine map for every row, so
+      // order by borda == order by −Σranks
+      assert(borda + rs.sum === r.map(y =>
+        y.getAs[Long]("borda") + Seq("r_rev", "r_qty", "r_cnt").map(y.getAs[Long]).sum).head)
+    }
+    // at most one Condorcet winner in the audit
+    assert(r.map(_.getAs[Long]("condorcet_top10")).sum <= 1)
+  }
+
+  test("ml_youden_j: exactly one best threshold; J = TPR - FPR everywhere") {
+    val r = rows("ml_youden_j")
+    assert(r.length === 14)
+    assert(r.map(_.getAs[Long]("is_best")).sum === 1)
+    r.foreach { x =>
+      assert(x.getAs[Long]("j_bp") ===
+        x.getAs[Long]("tpr_bp") - x.getAs[Long]("fpr_bp"))
+      assert(x.getAs[Long]("tpr_bp") >= 0 && x.getAs[Long]("tpr_bp") <= 10000)
+      assert(x.getAs[Long]("fpr_bp") >= 0 && x.getAs[Long]("fpr_bp") <= 10000)
+    }
+    val bestJ = r.filter(_.getAs[Long]("is_best") === 1).head.getAs[Long]("j_bp")
+    assert(r.forall(_.getAs[Long]("j_bp") <= bestJ))
+  }
+
+  test("q281_markov_entropy: the rate is bounded by log of the state count") {
+    val r = rows("q281_markov_entropy").head
+    val bits = r.getAs[String]("h_rate_bits").toDouble
+    assert(bits >= 0.0)
+    // ≤ log2(#states); the chain has at most a handful of event types
+    assert(bits <= math.log(32.0) / math.log(2.0))
+    assert(r.getAs[Long]("n_cells") >= 1)
+  }
+
+  test("q282_bowley_skew: quartiles are ordered and the coefficients are bounded") {
+    rows("q282_bowley_skew").foreach { r =>
+      val (q1, q2, q3) = (r.getAs[Long]("q1"), r.getAs[Long]("q2"), r.getAs[Long]("q3"))
+      assert(q1 <= q2 && q2 <= q3, "type-1 quartiles must be monotone")
+      val b = r.getAs[Long]("bowley_milli")
+      assert(b >= -1000 && b <= 1000)
+      assert(r.getAs[Long]("qcd_milli") >= 0)
+    }
+  }
+
   test("samp_bandit_replay: plays partition the days; wins are bounded by plays") {
     val r = rows("samp_bandit_replay")
     val nDays = r.head.getAs[Long]("n_days")
