@@ -702,4 +702,30 @@ class PlanSpec extends SparkSuite {
     assert(p2.contains("partial_sum") || p2.contains("partial_count"),
       "fleiss S2 aggregate must map-side combine")
   }
+
+  test("ml_lof_cells: no cartesian anywhere; the final cnt join broadcasts") {
+    // the pairwise BNLJ sits behind the nbrs localCheckpoint (the
+    // pcaGram lesson) — what the visible plan must still show is a
+    // broadcast for the tiny pts side and zero cartesians
+    val p = plan("ml_lof_cells")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "the lrd/lof aggregates must map-side combine")
+  }
+
+  test("q264_seq_contain: the extrema frame map-side combines; the type census broadcasts") {
+    val p = plan("q264_seq_contain")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "per-(user,type) extrema must map-side combine")
+    assert(p.contains("BroadcastHashJoin"),
+      "the type-count-sized na side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("samp_borda_fusion: the top-10 Condorcet audit broadcasts") {
+    val p = plan("samp_borda_fusion")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

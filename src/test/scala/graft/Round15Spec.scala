@@ -271,6 +271,26 @@ class Round15Spec extends SparkSuite {
     }
   }
 
+  test("q283_price_index: Fisher is the geometric mean of Laspeyres and Paasche") {
+    val r = rows("q283_price_index").head
+    val l = r.getAs[Long]("laspeyres_milli") / 1000.0
+    val p = r.getAs[Long]("paasche_milli") / 1000.0
+    val f = r.getAs[String]("fisher_index").toDouble
+    assert(l > 0 && p > 0)
+    assert(math.abs(f - math.sqrt(l * p)) < 5e-3,
+      "Fisher must be the geometric mean up to milli quantization")
+    assert(r.getAs[Long]("n_parts") > 0)
+  }
+
+  test("q284_forecast_eval: error masses are consistent and sMAPE is bounded") {
+    rows("q284_forecast_eval").foreach { r =>
+      assert(r.getAs[Long]("mae7_cents") >= 0 && r.getAs[Long]("mae1_cents") >= 0)
+      val sm = r.getAs[Long]("smape_milli")
+      assert(sm >= 0 && sm <= 2000, "sMAPE lives in [0, 200%]")
+      assert(r.getAs[Long]("mase_milli") >= 0)
+    }
+  }
+
   test("samp_bandit_replay: plays partition the days; wins are bounded by plays") {
     val r = rows("samp_bandit_replay")
     val nDays = r.head.getAs[Long]("n_days")
