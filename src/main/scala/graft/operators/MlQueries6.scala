@@ -196,9 +196,14 @@ object MlQueries6 {
 
     "cf_slope_one" -> ((s, d) => {
       import s.implicits._
+      // ONE shuffle builds the capped rating frame: the explicit
+      // repartition on c satisfies BOTH the (c, p) aggregate (c is a
+      // subset of its grouping key) and the per-user top-K window, so
+      // neither plans its own exchange.
       val r = lineitem(s, d)
         .join(orders(s, d).select($"o_orderkey".as("l_orderkey"), $"o_custkey"),
           Seq("l_orderkey"))
+        .repartition(32, $"o_custkey")
         .groupBy($"o_custkey".as("c"), $"l_partkey".as("p"))
         .agg(sum($"l_quantity".cast("long")).as("r"))
       val capped = r
@@ -206,36 +211,35 @@ object MlQueries6 {
           Window.partitionBy($"c").orderBy($"r".desc, $"p".asc)))
         .filter($"rn" <= CapK).select($"c", $"p", $"r")
         .localCheckpoint() // feeds ONE ordered pair enumeration
-      // SINGLE ordered enumeration (i < j), checkpointed: `dev` is its
-      // aggregate and `preds` its symmetric 2-leg explode — the r14
-      // version re-enumerated the a.p =!= b.p frame for preds (~3× the
-      // pair mass of one ordered join); hashes are untouched because
-      // every downstream sum sees the same multiset of terms.
-      val pairs = capped.as("a").join(capped.as("b"),
+      // SINGLE ordered enumeration (i < j); the per-pair deviation is a
+      // WINDOW over the same frame (the r15 bench showed dev is pair-
+      // mass-sized — nearly every (i, j) is unique — so the old
+      // groupBy + join paid a full extra shuffle to rejoin each pair
+      // with its own aggregate). rn = 1 marks one representative row
+      // per (i, j) for the model outputs.
+      val wij = Window.partitionBy($"i", $"j")
+      val pw = capped.as("a").join(capped.as("b"),
           $"a.c" === $"b.c" && $"a.p" < $"b.p")
         .select($"a.c".as("c"), $"a.p".as("i"), $"a.r".as("ri"),
           $"b.p".as("j"), $"b.r".as("rj"))
-        .localCheckpoint() // ≤ C(CapK,2) rows per user, forever
-      val dev = pairs
-        .groupBy($"i", $"j")
-        .agg(count(lit(1)).as("nij"),
-          sum($"ri" - $"rj").cast("long").as("diff"))
-        .selectExpr("i", "j", "nij",
+        .withColumn("nij", count(lit(1)).over(wij))
+        .withColumn("diff", sum($"ri" - $"rj").over(wij).cast("long"))
+        .withColumn("rn", row_number().over(wij.orderBy($"c".asc)))
+        .selectExpr("c", "i", "ri", "j", "rj", "nij", "rn",
           // sign-split milli floor (Spark DIV truncates; DuckDB // floors)
           "CAST(SIGN(diff) AS BIGINT) * ((1000 * abs(diff)) DIV nij) AS dev_milli")
-        .localCheckpoint() // the item-pair model
+        .localCheckpoint() // pair frame + its deviations, read 3× below
       // each ordered pair predicts BOTH ways: tgt=i from oth=j (dev
       // enters with −, since dev_milli is the i−j deviation) and tgt=j
-      // from oth=i (dev enters with +)
-      val preds = pairs
-        .select($"c", $"i", $"j", explode(array(
+      // from oth=i (dev enters with +) — no join back to a model table
+      val preds = pw
+        .select($"c", explode(array(
           struct($"i".as("tgt"), $"ri".as("r_tgt"), $"rj".as("r_oth"),
             lit(-1).as("sgn")),
           struct($"j".as("tgt"), $"rj".as("r_tgt"), $"ri".as("r_oth"),
-            lit(1).as("sgn")))).as("leg"))
-        .select($"c", $"i", $"j", $"leg.tgt".as("tgt"), $"leg.r_tgt".as("r_tgt"),
-          $"leg.r_oth".as("r_oth"), $"leg.sgn".as("sgn"))
-        .join(dev, Seq("i", "j"))
+            lit(1).as("sgn")))).as("leg"), $"nij", $"dev_milli")
+        .select($"c", $"leg.tgt".as("tgt"), $"leg.r_tgt".as("r_tgt"),
+          $"leg.r_oth".as("r_oth"), $"leg.sgn".as("sgn"), $"nij", $"dev_milli")
         .groupBy($"c", $"tgt", $"r_tgt")
         .agg(sum($"nij" * (lit(1000L) * $"r_oth" - $"sgn" * $"dev_milli")).as("num"),
           sum($"nij").as("den"))
@@ -245,8 +249,9 @@ object MlQueries6 {
         .agg(count(lit(1)).as("n_preds"),
           sum(abs(lit(1000L) * $"r_tgt" - $"pred_milli")).cast("long").as("sae"))
         .selectExpr("n_preds", "sae DIV n_preds AS mae_milli")
-      val nPairs = dev.agg(count(lit(1)).as("n_pairs"))
-      dev.orderBy($"nij".desc, $"i".asc, $"j".asc).limit(10)
+      val dev1 = pw.filter($"rn" === 1)
+      val nPairs = dev1.agg(count(lit(1)).as("n_pairs"))
+      dev1.orderBy($"nij".desc, $"i".asc, $"j".asc).limit(10)
         .crossJoin(broadcast(err))
         .crossJoin(broadcast(nPairs))
         .selectExpr("i AS part_i", "j AS part_j", "nij", "dev_milli",
