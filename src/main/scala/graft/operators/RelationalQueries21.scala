@@ -319,6 +319,51 @@ object RelationalQueries21 {
         .orderBy($"event_type")
     }),
 
+    "q285_footrule_distance" -> ((s, d) => {
+      import s.implicits._
+      // Spearman's FOOTRULE between the revenue and quantity catalog
+      // rankings: Σ|r1 − r2|, normalized against its maximum ⌊n²/2⌋ —
+      // the L1 companion to Borda fusion (how far apart are the two
+      // ballots at all?). Exact GlobalRanks; pure integers.
+      val per = lineitem(s, d).groupBy($"l_partkey")
+        .agg(sum((dec($"l_extendedprice") * 100).cast("long")).as("rev"),
+          sum($"l_quantity".cast("long")).as("qty"))
+        .localCheckpoint()
+      val (r1, n) = GlobalRank.withRank(per.select($"l_partkey", $"rev"),
+        "r_rev", Seq($"rev".desc, $"l_partkey".asc))
+      val (r2, _) = GlobalRank.withRank(per.select($"l_partkey", $"qty"),
+        "r_qty", Seq($"qty".desc, $"l_partkey".asc))
+      r1.select($"l_partkey", $"r_rev").join(r2.select($"l_partkey", $"r_qty"),
+          Seq("l_partkey"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(abs($"r_rev" - $"r_qty")).as("footrule"))
+        .selectExpr("n_parts", "footrule",
+          // max Σ|r−σ(r)| over permutations is ⌊n²/2⌋
+          "(1000 * footrule) DIV ((n_parts * n_parts) DIV 2) AS footrule_norm_milli")
+    }),
+
+    "q286_dispersion_test" -> ((s, d) => {
+      import s.implicits._
+      // Poisson DISPERSION test per event type: D = Σ(x − x̄)²/x̄ over
+      // daily event COUNTS ~ χ²(n−1) under Poisson — the formal
+      // overdispersion screen behind the Fano heuristic. Centered
+      // sums as exact integers (X = n·x − Σx), one double division.
+      val daily = events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sx2"))
+        .selectExpr("event_type", "n", "sx",
+          // D = (n·Σx² − (Σx)²) / Σx, exact integers until the division
+          """format_string('%.6f',
+            | CAST(n * sx2 - sx * sx AS DOUBLE) / CAST(sx AS DOUBLE)) AS d_stat""".stripMargin,
+          """format_string('%.6f',
+            | CAST(n * sx2 - sx * sx AS DOUBLE) / CAST(sx AS DOUBLE)
+            | / (CAST(n AS DOUBLE) - 1.0)) AS dispersion_index""".stripMargin)
+        .orderBy($"event_type")
+    }),
+
     "q280_turning_points" -> ((s, d) => {
       import s.implicits._
       val daily = events(s, d)
@@ -344,6 +389,39 @@ object RelationalQueries21 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q285_footrule_distance" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_partkey),
+        |r AS (
+        |  SELECT l_partkey,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, l_partkey ASC) AS BIGINT) AS r_rev,
+        |    CAST(row_number() OVER (ORDER BY qty DESC, l_partkey ASC) AS BIGINT) AS r_qty
+        |  FROM per)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(abs(r_rev - r_qty)) AS BIGINT) AS footrule,
+        |  (1000 * CAST(SUM(abs(r_rev - r_qty)) AS BIGINT))
+        |    // ((CAST(COUNT(*) AS BIGINT) * COUNT(*)) // 2) AS footrule_norm_milli
+        |FROM r""".stripMargin,
+
+    "q286_dispersion_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sx2
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n, sx,
+        |  printf('%.6f', CAST(n * sx2 - sx * sx AS DOUBLE) / CAST(sx AS DOUBLE)) AS d_stat,
+        |  printf('%.6f', CAST(n * sx2 - sx * sx AS DOUBLE) / CAST(sx AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) - 1.0)) AS dispersion_index
+        |FROM g ORDER BY event_type""".stripMargin,
+
     "q283_price_index" ->
       """WITH li AS (
         |  SELECT l.l_partkey,

@@ -291,6 +291,25 @@ class Round15Spec extends SparkSuite {
     }
   }
 
+  test("q285_footrule_distance: the normalized distance is a proper fraction") {
+    val r = rows("q285_footrule_distance").head
+    val n = r.getAs[Long]("n_parts")
+    val f = r.getAs[Long]("footrule")
+    assert(f >= 0 && f <= n * n / 2, "footrule is bounded by its permutation maximum")
+    val norm = r.getAs[Long]("footrule_norm_milli")
+    assert(norm >= 0 && norm <= 1000)
+  }
+
+  test("q286_dispersion_test: the index is positive and D = index * (n-1)") {
+    rows("q286_dispersion_test").foreach { r =>
+      val d = r.getAs[String]("d_stat").toDouble
+      val idx = r.getAs[String]("dispersion_index").toDouble
+      val n = r.getAs[Long]("n")
+      assert(d >= 0 && idx >= 0)
+      assert(math.abs(d - idx * (n - 1)) < 1e-3 * math.max(1.0, d))
+    }
+  }
+
   test("samp_bandit_replay: plays partition the days; wins are bounded by plays") {
     val r = rows("samp_bandit_replay")
     val nDays = r.head.getAs[Long]("n_days")
