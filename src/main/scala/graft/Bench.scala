@@ -34,12 +34,26 @@ import org.apache.spark.sql.SparkSession
   *     ride the record as `remeasured` (the official number is NOT
   *     replaced — the re-measure is evidence, not a do-over).
   *
-  * BENCH_QUIET.json vs BENCH_DETAIL.json: DETAIL is whatever the last
-  * run measured (driver runs overwrite it); QUIET is the rolling
-  * quiet-host baseline the 3× gate compares against, refreshed only
-  * when `loadavg_before ≤` [[LoadGateMax]]. Keeping them separate is
-  * the r14 ADVICE fix — one contended driver run used to overwrite
-  * the baseline the protocol needed. */
+  * BENCH_QUIET.json vs BENCH_DETAIL.json: DETAIL is the last RECORD
+  * run's full measurement; QUIET is the rolling quiet-host baseline
+  * the 3× gate compares against, refreshed only when
+  * `loadavg_before ≤` [[LoadGateMax]]. Keeping them separate is the
+  * r14 ADVICE fix — one contended driver run used to overwrite the
+  * baseline the protocol needed.
+  *
+  * RECORD vs session runs (the r15 verdict ask): only an explicit
+  * `SPARK_GRAFT_BENCH_RECORD=1` run may touch the two committed
+  * artifacts above. Any other invocation — the per-round driver run
+  * included — writes its detail to `BENCH_DETAIL.run.json` (an
+  * uncommitted scratch name) and never refreshes the quiet baseline,
+  * so a driver bench leaves `git status` clean on the committed
+  * records and the 3× gate can never baseline against
+  * driver-contended times by accident.
+  *
+  * The 3× gate also checks the baseline's `sf` field against the
+  * current `SPARK_GRAFT_SF_DIR` (r15 ADVICE): a quiet run at a
+  * smaller scale factor must not become the outlier reference for an
+  * sf0.1 run (every query would flag and re-run twice). */
 object Bench {
   /** 1-min loadavg above which the host counts as contended (32 cpus;
     * ambient quiet is <2, the r12/r14 contended runs started at 8–9). */
@@ -177,14 +191,25 @@ object Bench {
     // agree with the official number (real regression); if the burst
     // passed, it recovers the quiet time and the reader needs no
     // hand-run forensics.
+    // Baseline is only comparable when it was measured at the SAME
+    // scale factor: a quiet sf0.01 baseline vs an sf0.1 run would
+    // flag nearly every query as a 3× outlier and double wall time
+    // re-measuring phantoms (r15 ADVICE).
     val quietBase: Map[String, Double] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get("BENCH_QUIET.json")))
-        val qs = node.get("queries")
-        import scala.jdk.CollectionConverters._
-        qs.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+        val baseSf = Option(node.get("sf")).map(_.asText()).getOrElse("")
+        if (baseSf != sfDir) {
+          System.err.println(s"[bench] quiet baseline sf '$baseSf' != current" +
+            s" '$sfDir' — skipping 3x outlier gate")
+          Map.empty[String, Double]
+        } else {
+          val qs = node.get("queries")
+          import scala.jdk.CollectionConverters._
+          qs.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
       } catch { case _: Throwable => Map.empty }
     val outliers = results.filter { case (name, t) =>
       quietBase.get(name).exists(b => b > 0 && t > 3 * b && t - b > 0.5)
@@ -205,6 +230,10 @@ object Bench {
         f"official $t%.2f s, quiet base ${quietBase(name)}%.2f s, re-measure $re%.2f s")
       name -> (t, quietBase(name), re)
     }
+    // Host load AFTER the re-measure loop too: the loop can run for
+    // minutes on a contended host, so the pre-loop snapshot alone
+    // would predate the re-measure evidence it certifies (r15 ADVICE).
+    val (la1AfterRe, la5AfterRe) = loadavg()
     // Locale.ROOT: the f interpolator is locale-sensitive — a comma-
     // decimal default locale would print "1,234" and break the JSON
     def fmt(v: Double): String =
@@ -225,6 +254,7 @@ object Bench {
     val loadJson =
       s""","loadavg_before":[${fmt(la1Before)},${fmt(la5Before)}]""" +
         s""","loadavg_after":[${fmt(la1After)},${fmt(la5After)}]""" +
+        s""","loadavg_after_remeasure":[${fmt(la1AfterRe)},${fmt(la5AfterRe)}]""" +
         s""","load_gate":{"max":${fmt(LoadGateMax)},"waited_sec":$gateWaited,""" +
         s""""polls":[${gatePolls.result().map(fmt).mkString(",")}]}""" +
         s""","n_remeasured":${remeasured.size}"""
@@ -240,15 +270,20 @@ object Bench {
       }.mkString(""","remeasured":{""", ",", "}") +
         (if (outliers.size > remeasured.size)
           s""","remeasure_truncated":${outliers.size - remeasured.size}""" else "")
-    // Full per-query detail → file (the driver commits stray files at
-    // round end, so this lands in the repo for the judge).
+    // Full per-query detail → file. Only an explicit RECORD run may
+    // overwrite the committed artifacts; everything else (driver
+    // per-round runs included) writes a scratch name so `git status`
+    // stays clean on BENCH_DETAIL.json / BENCH_QUIET.json (r15
+    // verdict ask #1).
+    val isRecord = sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("1")
     val detailLine =
-      line(results, total, s""","n":${results.size}$loadJson$spreadJson$remeasureJson$failedJson""") + "\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detailLine)
-    // Refresh the quiet-host baseline ONLY from runs that started
-    // quiet and had no failures — a contended or broken run can never
-    // become the 3× gate's reference.
-    if (la1Before >= 0 && la1Before <= LoadGateMax && failedNames.isEmpty)
+      line(results, total, s""","n":${results.size},"record":$isRecord$loadJson$spreadJson$remeasureJson$failedJson""") + "\n"
+    val detailPath = if (isRecord) "BENCH_DETAIL.json" else "BENCH_DETAIL.run.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailLine)
+    // Refresh the quiet-host baseline ONLY from record runs that
+    // started quiet and had no failures — a contended, broken, or
+    // unflagged driver run can never become the 3× gate's reference.
+    if (isRecord && la1Before >= 0 && la1Before <= LoadGateMax && failedNames.isEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_QUIET.json"), detailLine)
     // The driver captures only the LAST 2000 bytes of stdout; a 100+
     // query map (~3.4 KB) gets its head clipped and the round's bench

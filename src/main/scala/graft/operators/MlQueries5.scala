@@ -291,8 +291,10 @@ object MlQueries5 {
       // pass to fold the md5 weights into ≤ |cells|·Bags sufficient
       // rows (~9k at any SF; x1 spans 11 values, x2 ~50, y 2), then
       // expand the ×14 grid over CELLS, not rows. The r14 version
-      // expanded ×(Bags·14) = ×112 over the corpus; the totals are
-      // identical integer sums, so the model and hashes are unchanged.
+      // expanded ×(Bags·14) = ×112 over the corpus; the collapse
+      // itself is output-preserving (identical integer sums) — the
+      // concurrent weight-scheme changes (r15 digest lanes, r16
+      // 4-hex lanes) are what re-pinned the output hashes.
       val cells = t.crossJoin(broadcast(bags))
         .selectExpr("x1", "x2", "y", "bag", s"$BagWSql AS w")
         .groupBy($"bag", $"x1", $"x2", $"y")
@@ -601,19 +603,21 @@ object MlQueries5 {
   private val CoresetK = 6
 
   /** Deterministic pseudo-Poisson(1) bootstrap weight for (row hash
-    * hk, bag): bag b reads its own DISJOINT 3-hex-char lane of ONE
-    * md5-per-row (chars 1+3b..3+3b — 8 lanes fit the 32-char digest
-    * with room to spare), 12-bit value ‰ thresholds 368/736/920 ≈ the
-    * Poisson(1) pmf masses for 0/1/2/3+. One md5 per corpus row
-    * replaces the r14 version's Bags=8 independent md5(rk#bag) calls —
-    * the avalanche property makes the lanes pairwise-independent,
-    * which is all the bootstrap needs. The DuckDB twin slices the
-    * same lanes of the same digest. */
+    * hk, bag): bag b reads its own DISJOINT 4-hex-char lane of ONE
+    * md5-per-row (chars 1+4b..4+4b — 8 lanes exactly fill the 32-char
+    * digest), 16-bit value ‰ thresholds 368/736/920 ≈ the Poisson(1)
+    * pmf masses for 0/1/2/3+. 16-bit lanes (r15 ADVICE): 4096 % 1000
+    * = 96 made the old 12-bit lanes visibly non-uniform mod 1000
+    * (P(w=0) ≈ 0.383 vs the documented 0.368); 65536 % 1000 = 536
+    * bounds the bias at 1/65.5 ≈ 0.4%. One md5 per corpus row — the
+    * avalanche property makes the lanes pairwise-independent, which
+    * is all the bootstrap needs. The DuckDB twin slices the same
+    * lanes of the same digest. */
   private val BagWSql =
     """(CASE
-      | WHEN CAST(conv(substring(hk, 1 + 3 * bag, 3), 16, 10) AS BIGINT) % 1000 < 368 THEN 0
-      | WHEN CAST(conv(substring(hk, 1 + 3 * bag, 3), 16, 10) AS BIGINT) % 1000 < 736 THEN 1
-      | WHEN CAST(conv(substring(hk, 1 + 3 * bag, 3), 16, 10) AS BIGINT) % 1000 < 920 THEN 2
+      | WHEN CAST(conv(substring(hk, 1 + 4 * bag, 4), 16, 10) AS BIGINT) % 1000 < 368 THEN 0
+      | WHEN CAST(conv(substring(hk, 1 + 4 * bag, 4), 16, 10) AS BIGINT) % 1000 < 736 THEN 1
+      | WHEN CAST(conv(substring(hk, 1 + 4 * bag, 4), 16, 10) AS BIGINT) % 1000 < 920 THEN 2
       | ELSE 3 END)""".stripMargin
 
   /** SSE-gain surrogate for a regression split (maximize):
@@ -890,9 +894,9 @@ object MlQueries5 {
     "ml_bagging_stumps" -> {
       val duckW =
         """(CASE
-          | WHEN ('0x' || substring(hk, 1 + 3 * bag, 3))::BIGINT % 1000 < 368 THEN 0
-          | WHEN ('0x' || substring(hk, 1 + 3 * bag, 3))::BIGINT % 1000 < 736 THEN 1
-          | WHEN ('0x' || substring(hk, 1 + 3 * bag, 3))::BIGINT % 1000 < 920 THEN 2
+          | WHEN ('0x' || substring(hk, 1 + 4 * bag, 4))::BIGINT % 1000 < 368 THEN 0
+          | WHEN ('0x' || substring(hk, 1 + 4 * bag, 4))::BIGINT % 1000 < 736 THEN 1
+          | WHEN ('0x' || substring(hk, 1 + 4 * bag, 4))::BIGINT % 1000 < 920 THEN 2
           | ELSE 3 END)""".stripMargin
       s"""WITH t AS (
          |  SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1,

@@ -314,8 +314,12 @@ object RelationalQueries21 {
           "sae1 DIV n1 AS mae1_cents",
           "mape_sum_milli DIV n7 AS mape_milli",
           "smape_sum_milli DIV n7 AS smape_milli",
-          // MASE = (Σ|e7|/n7) / (Σ|e1|/n1), milli
-          "(1000 * sae7 * n1) DIV (sae1 * n7) AS mase_milli")
+          // MASE = (Σ|e7|/n7) / (Σ|e1|/n1), milli. GREATEST(sae1, 1)
+          // guards the constant-series corner (naive 1-step error 0
+          // would NULL the ratio silently, r15 ADVICE); with sae1 = 0
+          // the milli ratio degenerates to an explicit huge sentinel
+          // rather than a missing row.
+          "(1000 * sae7 * n1) DIV (GREATEST(sae1, 1) * n7) AS mase_milli")
         .orderBy($"event_type")
     }),
 
@@ -480,7 +484,7 @@ object RelationalQueries21 {
         |  sae1 // n1 AS mae1_cents,
         |  mape_sum_milli // n7 AS mape_milli,
         |  smape_sum_milli // n7 AS smape_milli,
-        |  (1000 * sae7 * n1) // (sae1 * n7) AS mase_milli
+        |  (1000 * sae7 * n1) // (GREATEST(sae1, 1) * n7) AS mase_milli
         |FROM e ORDER BY event_type""".stripMargin,
 
     "q281_markov_entropy" ->
