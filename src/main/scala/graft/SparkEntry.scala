@@ -73,7 +73,9 @@ object SparkEntry {
       RelationalQueries20.queries ++
       TextQueries9.queries ++
       RelationalQueries21.queries ++
-      MlQueries8.queries
+      MlQueries8.queries ++
+      TextQueries10.queries ++
+      DedupQueries5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -132,5 +134,7 @@ object SparkEntry {
       RelationalQueries20.oracles ++
       TextQueries9.oracles ++
       RelationalQueries21.oracles ++
-      MlQueries8.oracles
+      MlQueries8.oracles ++
+      TextQueries10.oracles ++
+      DedupQueries5.oracles
 }

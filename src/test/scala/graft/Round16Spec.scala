@@ -1,0 +1,75 @@
+package graft
+
+/** Behavioral invariants of the round-16 operators — properties the
+  * hash gate can't express (it pins values, not the math behind them). */
+class Round16Spec extends SparkSuite {
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("text_bpe_train: separator is absent from the token alphabet") {
+    // the |-delimited sequence encoding is only sound if no corpus
+    // token can contain the delimiter
+    import org.apache.spark.sql.functions._
+    val n = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").contains("|")).count()
+    assert(n === 0L, "corpus tokens must not contain the '|' separator")
+  }
+
+  test("text_bpe_train: 8 ordered rounds with a monotone compression curve") {
+    val r = rows("text_bpe_train")
+    assert(r.length === 8)
+    assert(r.map(_.getAs[Long]("round")).toSeq === (1L to 8L),
+      "one merge per round, in order")
+    r.foreach { x =>
+      assert(x.getAs[String]("merged") ===
+        x.getAs[String]("sym_a") + x.getAs[String]("sym_b"),
+        "merged symbol is the concatenation of the pair")
+      assert(x.getAs[Long]("pair_n") >= 1L)
+    }
+    // each merge collapses ≥1 pair occurrence → strictly fewer symbol
+    // occurrences after every round
+    val occ = r.map(_.getAs[Long]("occ_after")).toSeq
+    assert(occ.zip(occ.tail).forall { case (a, b) => b < a },
+      s"occ_after must strictly decrease: $occ")
+    // the top pair's weighted count never grows round-over-round: a
+    // new symbol's occurrences are bounded by the merge that made it
+    val pn = r.map(_.getAs[Long]("pair_n")).toSeq
+    assert(pn.zip(pn.tail).forall { case (a, b) => b <= a },
+      s"top-pair count must be non-increasing: $pn")
+  }
+
+  test("dedup_semantic: verdicts partition the corpus, one rep per cluster") {
+    val r = rows("dedup_semantic")
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(r.length.toLong === nVecs, "one verdict row per corpus vector")
+    val byCluster = r.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getAs[Boolean]("keep")) === 1,
+        s"cluster $cid must keep exactly one representative")
+      assert(members.forall(_.getAs[Long]("n_members") === members.length.toLong),
+        s"cluster $cid n_members must equal its actual size")
+      assert(members.map(_.getAs[Long]("vec_id")).min === cid,
+        s"cluster id must be the minimum member vec_id")
+    }
+    // the kept representative is always the cluster id itself
+    r.filter(_.getAs[Boolean]("keep")).foreach { x =>
+      assert(x.getAs[Long]("vec_id") === x.getAs[Long]("cluster_id"))
+    }
+    // cells index is total: every verdict carries a valid cell
+    r.foreach(x => assert((0 until 8).contains(x.getAs[Int]("cell"))))
+  }
+
+  test("dedup_semantic: near-dup clusters exist and drops are the non-reps") {
+    val r = rows("dedup_semantic")
+    val dropped = r.count(!_.getAs[Boolean]("keep"))
+    val multi = r.filter(_.getAs[Long]("n_members") > 1L)
+    // threshold 0.35 yields real near-dup mass on this corpus (74+
+    // pairs at sf0.001) — the op must actually drop something
+    assert(multi.nonEmpty, "expected at least one multi-member cluster")
+    assert(dropped.toLong ===
+      multi.length.toLong - multi.map(_.getAs[Long]("cluster_id")).distinct.length,
+      "drops = multi-cluster members minus their reps")
+  }
+}
