@@ -118,6 +118,11 @@ object Bench {
       // write cost under its own name; r11's +51% "regression" was
       // write-side filesystem noise riding the join entry).
       graft.sources.SourceQueries.ensureBucketedWarehouse(spark, sfDir)
+      // Shared CF substrate (item-neighbor model + rec table): built
+      // once per session (r15 verdict ask #3) — warming it here keeps
+      // each cf_* timing its own aggregates, not whichever query
+      // happens to train the model first.
+      graft.operators.GraphQueries.warmRecSubstrate(spark, sfDir)
     }
 
     // Min of TWO runs per query: in a 190+-query single-session bench,

@@ -101,8 +101,8 @@ object GraphQueries4 {
 
     "cf_rec_coverage" -> ((s, d) => {
       import s.implicits._
-      val recs = GraphQueries.userRecs(s, d)
-        .select($"cust", $"rec_item").localCheckpoint() // rec-table-sized
+      val recs = GraphQueries.userRecs(s, d) // session-memoized + checkpointed
+        .select($"cust", $"rec_item")
       val perItem = recs.groupBy($"rec_item").agg(count(lit(1)).as("c"))
       val catalog = part(s, d).agg(count(lit(1)).as("catalog_size"))
       val tot = perItem.agg(count(lit(1)).as("k"), sum($"c").as("t"),

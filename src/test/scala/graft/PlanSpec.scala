@@ -395,7 +395,10 @@ class PlanSpec extends SparkSuite {
   test("cf_item_neighbors: per-item neighbor rank is a keyed window; top rows via TakeOrdered") {
     // The only window is the per-item neighbor rank — it must carry a
     // partition spec, or one task would hold the whole pair table.
-    val wins = SparkEntry.queries("cf_item_neighbors")(spark, sf)
+    // Pinned on the raw substrate builder: the session-memoized
+    // checkpoint truncates the plan the query itself shows (pcaGram
+    // lesson).
+    val wins = graft.operators.GraphQueries.itemNbrsPlan(spark, sf)
       .queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
@@ -537,7 +540,9 @@ class PlanSpec extends SparkSuite {
   }
 
   test("cf_user_recs: candidate fan-out is keyed — no nested-loop join, anti-join plans as LeftAnti") {
-    val p = plan("cf_user_recs")
+    // raw builder, not the memoized checkpoint (pcaGram lesson)
+    val p = graft.operators.GraphQueries.userRecsPlan(spark, sf)
+      .queryExecution.explainString(FormattedMode)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "all CF joins must be equi-joins")
     assert(p.contains("LeftAnti"), "owned-item exclusion must plan as an anti-join")
