@@ -166,6 +166,61 @@ object StreamBench {
       Soak(name, passes * events.length / secs, rows, sstAtPassEnd.result(), flat)
     }
 
+    // Streaming LSH-dedup runs on DOCUMENTS, not events: its rate is
+    // docs/sec (each doc expands to 16 band-probe rows inside the
+    // stream). Batches of 500 docs, doc_id order (crawl-arrival shape).
+    val docsAll = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[graft.streaming.DocText]
+      .orderBy($"doc_id").collect()
+    val docBatches = docsAll.grouped(500).toSeq
+
+    def runLshDedup(): (String, Double) = {
+      if (!wanted("lsh_dedup")) return "lsh_dedup" -> -1.0
+      val in = MemoryStream[graft.streaming.DocText](spark, 995)
+      val q = Streams.lshDedupTws(Streams.lshBandRows(in.toDS())).toDF()
+        .writeStream.format("memory").queryName("sb_lsh_dedup")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      docBatches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rate = docsAll.length / secs
+      println(f"${"lsh_dedup"}%-22s ${secs}%7.2f s  ${rate}%9.0f docs/s")
+      "lsh_dedup" -> rate
+    }
+
+    /** LSH-dedup SOAK: replay the SAME documents `passes` times — the
+      * index must saturate at pass 1's unique-band-bucket count and
+      * never grow again (re-seen docs are idempotent: their own id in
+      * the bucket is not a hit and writes nothing). This is the
+      * "index grows with unique docs only" property, asserted on the
+      * state store's own row count. */
+    def runSoakLshDedup(passes: Int): Soak = {
+      if (!wanted("soak_lsh_dedup")) return Soak("lsh_dedup", -1.0, Nil, Nil, flatOk = true)
+      val in = MemoryStream[graft.streaming.DocText](spark, 2995)
+      val q = Streams.lshDedupTws(Streams.lshBandRows(in.toDS())).toDF()
+        .writeStream.format("memory").queryName("sb_soak_lsh_dedup")
+        .outputMode("append").start()
+      val rowsAtPassEnd = Seq.newBuilder[Long]
+      val sstAtPassEnd = Seq.newBuilder[Long]
+      val t0 = System.nanoTime()
+      for (_ <- 0 until passes) {
+        docBatches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+        val so = q.lastProgress.stateOperators.headOption
+        rowsAtPassEnd += so.map(_.numRowsTotal).getOrElse(-1L)
+        sstAtPassEnd += so.flatMap(s =>
+          Option(s.customMetrics.get("rocksdbSstFileSize")).map(_.longValue))
+          .getOrElse(-1L)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rows = rowsAtPassEnd.result()
+      val flat = rows.tail.forall(r => r <= (rows.head * 1.02).toLong)
+      println(f"soak_lsh_dedup    ${secs}%7.2f s  ${passes * docsAll.length / secs}%9.0f docs/s" +
+        s"  state_rows=${rows.mkString("/")} flat=$flat")
+      Soak("lsh_dedup", passes * docsAll.length / secs, rows, sstAtPassEnd.result(), flat)
+    }
+
     val allStreams = Seq(
       run("tumbling_agg", "update") { ds =>
         ds.toDF().withWatermark("ts", "10 minutes")
@@ -219,7 +274,9 @@ object StreamBench {
           .groupBy(window($"window", "1 hour"), $"event_type")
           .agg(sum($"n15").as("n"))
       },
-      runCdc())
+      runCdc(),
+      // sharded MapState band index probed per doc (docs/sec basis)
+      runLshDedup())
     val results = allStreams.filter(_._2 >= 0)
 
     // Soak the two ends of the O(1)-state TWS spectrum: the CEP funnel
@@ -255,7 +312,8 @@ object StreamBench {
       runSoak("left_outer_join", passes = 3, mode = "append") { ds =>
         val (purchases, clicks) = sides(ds)
         purchases.join(clicks, joinCond, "leftOuter")
-      })
+      },
+      runSoakLshDedup(passes = 3))
       .filter(_.rate >= 0)
     val growthViolations = soaks.collect { case s if !s.flatOk => s.name }
     growthViolations.foreach(k => System.err.println(
@@ -279,7 +337,10 @@ object StreamBench {
       "tws_funnel" -> 1500.0,
       "alerts" -> 2600.0, "running_profile" -> 3000.0,
       "stream_stream_join" -> 1000.0, "left_outer_join" -> 1000.0,
-      "chained_agg" -> 1600.0, "cdc_upsert" -> 2000.0)
+      "chained_agg" -> 1600.0, "cdc_upsert" -> 2000.0,
+      // docs/sec (a doc = 16 band-probe rows, so 151 docs/s quiet ≈
+      // 2400 band-rows/s — in family with the other TWS floors)
+      "lsh_dedup" -> 75.0)
     val below = results.collect {
       case (k, v) if floors.get(k).exists(v < _) => k }
     below.foreach(k => System.err.println(

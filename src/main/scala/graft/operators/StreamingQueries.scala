@@ -445,6 +445,34 @@ object StreamingQueries {
         .orderBy($"event_type")
     }),
 
+    // Streaming NEAR-DUP DEDUP — the streaming twin of
+    // dedup_incremental_lsh (the r15 verdict ask): documents stream
+    // through the MinHash-LSH banding projection into a sharded
+    // MapState band index (16 bands × 64 bucket shards,
+    // RocksDB-backed); each doc either collides with an earlier
+    // (smaller-id) owner of one of its band buckets or claims the
+    // buckets. The gate's verdict table is the stateless per-doc
+    // rollup of the per-band emissions: n_band_hits, the earliest
+    // matching owner, and the admit/duplicate flag. The index grows
+    // with unique docs only (replays don't touch state — asserted by
+    // StreamBench's 3-pass soak). Portable md5 signatures → the whole
+    // verdict hash-matches the batch bucket-min oracle.
+    "stream_lsh_dedup" -> ((s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select($"doc_id", $"text").as[graft.streaming.DocText]
+      val hits = Streams.lshDedupTws(Streams.lshBandRows(docs))
+      val sink = toMemoryRocks(s, hits.toDF(), "stream_lsh_dedup_sink", "append")
+      sink.groupBy($"doc_id")
+        .agg(sum(when($"hit", 1L).otherwise(0L)).as("n_band_hits"),
+          min(when($"hit", $"matched")).as("first_match"))
+        .select($"doc_id", $"n_band_hits", $"first_match",
+          ($"n_band_hits" > 0).as("is_dup"))
+        .orderBy($"doc_id")
+    }),
+
     "stream_tws_ema" -> ((s, d) => {
       import s.implicits._
       val typed = eventsStream(s, d)
@@ -486,6 +514,46 @@ object StreamingQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Batch replay of the streaming band index's bucket-min rule: a
+    // doc is a duplicate iff some band bucket's minimum doc_id is
+    // smaller than its own (string band keys stand in for the
+    // stream's xxhash64 keys — equal up to a ~2^-64 collision, the
+    // dedup_minhash_lsh convention).
+    "stream_lsh_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM tok),
+        |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
+        |hx AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h FROM ex),
+        |ab(i, am, bm) AS (VALUES ${DedupQueries.minhashMixerValues}),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CAST(MIN(CASE WHEN gu >= 9223372036854775808 THEN gu - 18446744073709551616
+        |             ELSE gu END) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, i, (am::HUGEINT * h + bm) % 18446744073709551616 AS gu
+        |        FROM hx CROSS JOIN ab)
+        |  GROUP BY doc_id, i),
+        |bsig AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bkey
+        |  FROM g GROUP BY doc_id, i // 4),
+        |bmin AS (SELECT band, bkey, MIN(doc_id) AS owner
+        |         FROM bsig GROUP BY band, bkey),
+        |hits AS (
+        |  SELECT s.doc_id, b.owner FROM bsig s
+        |  JOIN bmin b ON s.band = b.band AND s.bkey = b.bkey
+        |  WHERE b.owner < s.doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_band_hits,
+        |               MIN(owner) AS first_match
+        |        FROM hits GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(a.n_band_hits, 0) AS n_band_hits,
+        |  a.first_match, coalesce(a.n_band_hits, 0) > 0 AS is_dup
+        |FROM (SELECT doc_id FROM shf) s LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
     "stream_tumbling_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         | event_type, COUNT(*) AS n,

@@ -412,6 +412,52 @@ object Streams {
           }
       }
   }
+
+  /** Bucket shards per band for the streaming LSH index: state key =
+    * (band, bkey mod shards), so the index spreads over 16 × 64 =
+    * 1024 state shards instead of 16 (the band count alone would cap
+    * parallelism; at 100 TB raise this with the state-partition
+    * count). */
+  final val LshShards: Long = 64L
+
+  /** Document text → its 16 MinHash-LSH band probe rows (the
+    * dedup_minhash_lsh signature/banding, computed ON the stream —
+    * a narrow per-row projection, no state). Docs with no 3-token
+    * shingle (under 3 tokens) drop out, mirroring the batch family's
+    * `size(sh) > 0` guard. */
+  def lshBandRows(docs: org.apache.spark.sql.Dataset[DocText])
+      : org.apache.spark.sql.Dataset[LshBandRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{tokens, shingles3, minhashSignature, lshBands}
+    docs.toDF()
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        posexplode(lshBands(minhashSignature(col("sh"), 64), 16, 4))
+          .as(Seq("band", "bkey")))
+      .select(col("doc_id"), col("band").cast("int").as("band"), col("bkey"))
+      .as[LshBandRow]
+  }
+
+  /** Streaming NEAR-DUP DEDUP — the streaming twin of
+    * dedup_incremental_lsh: the MinHash-LSH band index lives in
+    * sharded MapState ([[LshIndexProcessor]]); every arriving
+    * document probes its 16 band buckets and either collides with an
+    * earlier document (duplicate evidence, the owner rides along) or
+    * claims the bucket (admission). The index grows with UNIQUE
+    * documents only — replaying a document re-emits its verdict
+    * without touching state. Per-doc verdict = any-band-hit, rolled
+    * up by the stateless aggregation downstream of the sink. */
+  def lshDedupTws(bands: org.apache.spark.sql.Dataset[LshBandRow])
+      : org.apache.spark.sql.Dataset[TwsLshHit] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(r => (r.band, math.floorMod(r.bkey, LshShards)))
+      .transformWithState(new LshIndexProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }
 
 /** Output row of the transformWithState profile op. */
@@ -890,5 +936,58 @@ class DriftProcessor(deltaCents: Long = 100L, lambdaCents: Long = 100000L,
     }
     st.update(s)
     Iterator.single(TwsDrift(key, s.n, s.max_ph, s.n_alarms, s.first_alarm_us))
+  }
+}
+
+/** Input row of the streaming LSH dedup: one document's text. */
+case class DocText(doc_id: Long, text: String)
+
+/** One (document, band) probe row: `bkey` is the xxhash64 of the
+  * band's signature slice (the dedup_minhash_lsh band key). */
+case class LshBandRow(doc_id: Long, band: Int, bkey: Long)
+
+/** Per-(doc, band) emission of the streaming band index: `hit` means
+  * an earlier (smaller-id) document already owned this band bucket;
+  * `matched` is that owner (−1 on a miss). */
+case class TwsLshHit(doc_id: Long, band: Int, hit: Boolean, matched: Long)
+
+/** StatefulProcessor for [[Streams.lshDedupTws]]: one shard of the
+  * streaming MinHash-LSH band index. Key = (band, bucket-shard);
+  * state = MapState[band key → owning doc_id] — the index itself,
+  * RocksDB-backed so a 100 TB index spills to disk and shards across
+  * the key space (16 bands × [[Streams.LshShards]] shards).
+  *
+  * Rule (the batch `bucket_min < doc_id` order): rows fold in doc_id
+  * order within a batch; a row whose bucket owner is a SMALLER id is
+  * a hit (emit the owner); otherwise the row is a miss and the bucket
+  * owner becomes min(owner, doc_id). Re-seeing a document is
+  * idempotent (its own id in the bucket is not a hit, and the state
+  * does not change) — the property the replay soak asserts: the index
+  * grows with UNIQUE documents only. */
+class LshIndexProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), LshBandRow, TwsLshHit] {
+  import org.apache.spark.sql.streaming.{MapState, TimerValues}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var index: MapState[Long, Long] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    index = getHandle.getMapState[Long, Long]("index",
+      Encoders.scalaLong, Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[LshBandRow],
+      timerValues: TimerValues): Iterator[TwsLshHit] = {
+    val out = Seq.newBuilder[TwsLshHit]
+    rows.grouped(Streams.OrderedChunkCap)
+      .flatMap(_.sortBy(r => (r.doc_id, r.bkey))).foreach { r =>
+        val owner = if (index.containsKey(r.bkey)) index.getValue(r.bkey) else Long.MaxValue
+        if (owner < r.doc_id) out += TwsLshHit(r.doc_id, r.band, hit = true, owner)
+        else {
+          if (owner > r.doc_id) index.updateValue(r.bkey, r.doc_id)
+          out += TwsLshHit(r.doc_id, r.band, hit = false, -1L)
+        }
+      }
+    out.result().iterator
   }
 }

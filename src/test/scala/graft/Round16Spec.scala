@@ -40,6 +40,26 @@ class Round16Spec extends SparkSuite {
       s"top-pair count must be non-increasing: $pn")
   }
 
+  test("stream_lsh_dedup: verdicts respect the bucket-min order and band bounds") {
+    val r = rows("stream_lsh_dedup")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.length.toLong === nDocs, "one verdict per streamed document")
+    r.foreach { x =>
+      val hits = x.getAs[Long]("n_band_hits")
+      assert(hits >= 0L && hits <= 16L, "hits bounded by the 16 bands")
+      if (x.getAs[Boolean]("is_dup")) {
+        assert(hits > 0L)
+        // the matched owner claimed its bucket earlier => smaller id
+        assert(x.getAs[Long]("first_match") < x.getAs[Long]("doc_id"),
+          "a duplicate's first match must be an earlier document")
+      } else {
+        assert(hits === 0L && x.isNullAt(x.fieldIndex("first_match")))
+      }
+    }
+    // the smallest doc can never be a duplicate (no earlier owner)
+    assert(!r.minBy(_.getAs[Long]("doc_id")).getAs[Boolean]("is_dup"))
+  }
+
   test("dedup_semantic: verdicts partition the corpus, one rep per cluster") {
     val r = rows("dedup_semantic")
     val nVecs = Tables.embeddings(spark, sf).count()
