@@ -126,18 +126,77 @@ object ScaleProbe {
     println(s"corpus: ${nDocs}x$Copies docs, ${nEmb}x$Copies vectors at $dir10")
 
     // ---- time each family at 1× and 10× ----
-    val qs = if (args.nonEmpty) args.toSeq else Seq(
-      "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_reps",
-      "dedup_graph_pagerank", "dedup_minhash_lsh", "dedup_simhash",
-      "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq",
-      "q85_equidepth_bins", "q95_rfm_segments",
-      "q99_gini_concentration", "q110_decile_lift", "samp_shuffle")
-    for (q <- qs; (tag, d) <- Seq(("1x", base), ("10x", dir10))) {
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, d).count()
-      println(f"$q%-22s $tag%-4s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    // Default probe set (no args): the 20 most expensive queries of
+    // the committed quiet bench record — the r15 verdict ask: the 10×
+    // evidence used to live as PLANS.md prose; now every round emits
+    // SCALE_BENCH.json so a scale regression gates mechanically like
+    // CORRECTNESS. An arg-filtered run probes those queries but does
+    // NOT overwrite the round record.
+    val fromQuiet: Seq[String] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH_QUIET.json")))
+        import scala.jdk.CollectionConverters._
+        node.get("queries").properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toSeq
+          .sortBy(-_._2).map(_._1)
+          .filter(SparkEntry.queries.contains)
+          .take(20)
+      } catch { case _: Throwable => Seq.empty }
+    val qs = if (args.nonEmpty) args.toSeq
+      else if (fromQuiet.nonEmpty) fromQuiet
+      else Seq(
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_reps",
+        "dedup_graph_pagerank", "dedup_minhash_lsh", "dedup_simhash",
+        "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq",
+        "q85_equidepth_bins", "q95_rfm_segments",
+        "q99_gini_concentration", "q110_decile_lift", "samp_shuffle")
+    case class Probe(q: String, t1: Double, n1: Long, t10: Double, n10: Long) {
+      def ratio: Double = if (t1 > 0) t10 / t1 else -1.0
+      // ≤ ~linear: 10× data may pay up to ~12× (shuffle log factors);
+      // sub-second 1× times are fixed-overhead-dominated, so the gate
+      // floors the denominator at 0.3 s before judging.
+      def verdict: String =
+        if (t1 < 0 || t10 < 0) "failed"
+        else if (t10 <= 15.0 * math.max(t1, 0.3)) "linear_ok"
+        else "superlinear"
     }
+    // min of two runs per (query, scale): same one-time-cost
+    // attribution discipline as Bench
+    def time(q: String, d: String): (Double, Long) = {
+      def once(): Option[(Double, Long)] =
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(q)(spark, d).count()
+          Some(((System.nanoTime() - t0) / 1e9, n))
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $q failed: ${e.getMessage}"); None
+        }
+      val runs = Seq(once(), once()).flatten
+      if (runs.isEmpty) (-1.0, -1L) else (runs.map(_._1).min, runs.head._2)
+    }
+    val probes = qs.map { q =>
+      val (t1, n1) = time(q, base)
+      val (t10, n10) = time(q, dir10)
+      val p = Probe(q, t1, n1, t10, n10)
+      println(f"$q%-26s 1x ${p.t1}%7.2f s (rows=$n1)  10x ${p.t10}%7.2f s " +
+        f"(rows=$n10)  ratio ${p.ratio}%5.2f  ${p.verdict}")
+      p
+    }
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val json = probes.map { p =>
+      "\"" + p.q + s"""":{"t1x":${fmt(p.t1)},"t10x":${fmt(p.t10)},""" +
+        s""""rows1x":${p.n1},"rows10x":${p.n10},""" +
+        s""""ratio":${fmt(p.ratio)},"verdict":"${p.verdict}"}"""
+    }.mkString(
+      s"""{"metric":"scale_10x","sf":"$base","copies":$Copies,"queries":{""",
+      ",", "}}")
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALE_BENCH.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }
