@@ -26,6 +26,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // Memory-backed ImageIO streams: the JDK default (useCache=true)
+  // routes EVERY encode/decode through a FileCache*ImageStream — a
+  // temp file created and deleted per call — so 32 codec threads ×
+  // hundreds of thousands of frames turn /tmp metadata into the
+  // bottleneck (the 10× scale probe measured mm_scene_cuts at 16.8×
+  // for 10× frames before this). Payloads here are KB-sized; the
+  // in-heap cache is strictly better at any scale.
+  ImageIO.setUseCache(false)
+
   val batchSize = 64
 
   /** Deterministic w×h solid-RGB PNG. Solid fill keeps the expected

@@ -51,7 +51,70 @@ object DedupQueries5 {
   private def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  private val StopList = Seq("the", "a", "of", "and", "to", "in", "is")
+
   val queries: Map[String, Q] = Map(
+    // END-TO-END CURATION FUNNEL — the four-stage drop report every
+    // LLM-data curation run publishes (RefinedWeb/FineWeb style):
+    //   1. exact_dedup     keep min doc per md5(normalized text)
+    //   2. neardup_dedup   among survivors, keep one rep per
+    //                      jaccard≥0.5 connected component (the
+    //                      df-capped shingle substrate + shared CC)
+    //   3. quality_filter  ≥30 tokens and stopword share in
+    //                      [5%, 60%] — text_quality's gate, decided
+    //                      in exact integer cross-multiplication
+    //   4. lang_filter     the text_lang_id marker heuristic must
+    //                      fire (unidentifiable language → drop)
+    // Output: per-stage docs_in/docs_kept/drop_bp — the funnel curve.
+    // Scale: stage 1 is one hash groupBy; stage 2 rides the memoized
+    // banded substrate and the pointer-doubling CC (never all-pairs);
+    // stages 3–4 are narrow filters; every count is an aggregate.
+    "dedup_curation_funnel" -> ((s, d) => {
+      import s.implicits._
+      val wEx = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")
+      val exact = documents(s, d)
+        .select($"doc_id", md5(graft.functions.TextFunctions.normalize($"text")).as("fp"))
+        .withColumn("rn", row_number().over(wEx)).filter($"rn" === 1)
+        .select($"doc_id").localCheckpoint() // survivor ids (narrow)
+      val sp = DedupQueries.jaccardPairs(s, d).select($"d1", $"d2")
+        .join(exact.select($"doc_id".as("d1")), Seq("d1"))
+        .join(exact.select($"doc_id".as("d2")), Seq("d2"))
+      val labels = ConnectedComponents.labels(s, sp, "dedup_curation_funnel")
+      val nd = exact
+        .join(labels.select($"id".as("doc_id"), $"lab"), Seq("doc_id"), "left")
+        .filter($"lab".isNull || $"lab" === $"doc_id")
+        .select($"doc_id").localCheckpoint()
+      val toks = split($"text", " ")
+      val qual = nd.join(documents(s, d), Seq("doc_id"))
+        .select($"doc_id", $"text",
+          size(toks).cast("long").as("ntok"),
+          size(filter(toks, t => t.isin(StopList.map(lit(_)): _*)))
+            .cast("long").as("nstop"))
+        .filter($"ntok" >= 30 &&
+          lit(20L) * $"nstop" >= $"ntok" && lit(5L) * $"nstop" <= lit(3L) * $"ntok")
+        .localCheckpoint()
+      val lng = qual.filter(
+        $"text".contains(" the ") || $"text".contains(" el ") ||
+          $"text".contains(" der ") || $"text".contains(" le ") ||
+          $"text".contains("的"))
+        .select($"doc_id")
+      def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+      def stage(id: Int, name: String, in: DataFrame, kept: DataFrame) =
+        cnt(in, "docs_in").crossJoin(broadcast(cnt(kept, "docs_kept")))
+          .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+            $"docs_in", $"docs_kept",
+            // GREATEST guard: an emptied stage must report 0, not
+            // trip ANSI divide-by-zero
+            expr("((docs_in - docs_kept) * 10000) DIV GREATEST(docs_in, 1)").as("drop_bp"))
+      Seq(
+        stage(1, "exact_dedup", documents(s, d), exact),
+        stage(2, "neardup_dedup", exact, nd),
+        stage(3, "quality_filter", nd, qual),
+        stage(4, "lang_filter", qual, lng))
+        .reduce(_ unionByName _).orderBy($"stage_id")
+    }),
+
     "dedup_semantic" -> ((s, d) => {
       import s.implicits._
       val emb = embeddings(s, d)
@@ -96,6 +159,61 @@ object DedupQueries5 {
       "CAST(floor(CAST(%s[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "dedup_curation_funnel" ->
+      s"""WITH RECURSIVE ${DedupQueries.pairsCte},
+         |norm AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |exd AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM norm) WHERE rn = 1),
+         |sp AS MATERIALIZED (
+         |  SELECT d1, d2 FROM pairs
+         |  JOIN exd e1 ON d1 = e1.doc_id JOIN exd e2 ON d2 = e2.doc_id),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM sp
+         |          UNION ALL SELECT d2, d1 FROM sp),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM exd
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+         |cc AS (SELECT id, MIN(lab) AS lab FROM reach GROUP BY id),
+         |nd AS MATERIALIZED (SELECT id AS doc_id FROM cc WHERE id = lab),
+         |qual AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT n.doc_id,
+         |      CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok,
+         |      CAST(len(list_filter(string_split(d.text, ' '),
+         |        x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS nstop,
+         |      d.text
+         |    FROM nd n JOIN documents d USING (doc_id))
+         |  WHERE ntok >= 30 AND 20 * nstop >= ntok AND 5 * nstop <= 3 * ntok),
+         |lng AS (
+         |  SELECT q.doc_id FROM qual q JOIN documents d USING (doc_id)
+         |  WHERE d.text LIKE '% the %' OR d.text LIKE '% el %'
+         |     OR d.text LIKE '% der %' OR d.text LIKE '% le %'
+         |     OR d.text LIKE '%的%'),
+         |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exd),
+         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qual),
+         |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lng)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_id, 'exact_dedup' AS stage,
+         |    c0.n AS docs_in, c1.n AS docs_kept,
+         |    ((c0.n - c1.n) * 10000) // GREATEST(c0.n, 1) AS drop_bp FROM c0, c1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'neardup_dedup', c1.n, c2.n,
+         |    ((c1.n - c2.n) * 10000) // GREATEST(c1.n, 1) FROM c1, c2
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), 'quality_filter', c2.n, c3.n,
+         |    ((c2.n - c3.n) * 10000) // GREATEST(c2.n, 1) FROM c2, c3
+         |  UNION ALL
+         |  SELECT CAST(4 AS BIGINT), 'lang_filter', c3.n, c4.n,
+         |    ((c3.n - c4.n) * 10000) // GREATEST(c3.n, 1) FROM c3, c4)
+         |ORDER BY stage_id""".stripMargin,
+
     "dedup_semantic" ->
       s"""WITH RECURSIVE cells AS MATERIALIZED (
          |  SELECT vec_id, cell, n2 FROM (

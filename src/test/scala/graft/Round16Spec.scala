@@ -40,6 +40,52 @@ class Round16Spec extends SparkSuite {
       s"top-pair count must be non-increasing: $pn")
   }
 
+  test("text_bpe_apply: fertility floors hold and language rows are complete") {
+    val r = rows("text_bpe_apply")
+    assert(r.length === 5, "one fertility row per corpus language")
+    r.foreach { x =>
+      // every word is at least one piece; every piece at least one char
+      assert(x.getAs[Long]("pieces_per_word_milli") >= 1000L)
+      assert(x.getAs[Long]("chars_per_piece_milli") >= 1000L)
+      assert(x.getAs[Long]("n_pieces") >= x.getAs[Long]("n_words"))
+    }
+  }
+
+  test("text_bpe_vocab: census is ordered and merged subwords surface") {
+    val r = rows("text_bpe_vocab")
+    assert(r.length === 30)
+    val occ = r.map(_.getAs[Long]("n_occ")).toSeq
+    assert(occ.zip(occ.tail).forall { case (a, b) => b <= a }, "ordered by occurrences")
+    // 8 merges on a 31-word corpus must promote at least one
+    // multi-character symbol into the top-30
+    assert(r.exists(_.getAs[Long]("sym_len") > 1L),
+      "expected a merged (multi-char) symbol in the induced vocabulary")
+    r.foreach(x => assert(x.getAs[Long]("sym_len") ===
+      x.getAs[String]("sym").length.toLong))
+  }
+
+  test("dedup_curation_funnel: stage chain is conservative and consistent") {
+    val r = rows("dedup_curation_funnel").sortBy(_.getAs[Long]("stage_id"))
+    assert(r.map(_.getAs[String]("stage")).toSeq ===
+      Seq("exact_dedup", "neardup_dedup", "quality_filter", "lang_filter"))
+    assert(r.head.getAs[Long]("docs_in") ===
+      Tables.documents(spark, sf).count(), "the funnel starts from the full corpus")
+    r.foreach { x =>
+      assert(x.getAs[Long]("docs_kept") <= x.getAs[Long]("docs_in"))
+      val bp = x.getAs[Long]("drop_bp")
+      assert(bp >= 0L && bp <= 10000L)
+    }
+    // each stage consumes exactly what the previous stage kept
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("docs_in") === a.getAs[Long]("docs_kept"),
+        s"stage ${b.getAs[String]("stage")} input must chain from the previous stage")
+    }
+    // the corpus is built with real duplicate families — the dedup
+    // stages must actually drop something
+    assert(r.take(2).map(_.getAs[Long]("drop_bp")).sum > 0L,
+      "expected the dedup stages to drop documents")
+  }
+
   test("stream_lsh_dedup: verdicts respect the bucket-min order and band bounds") {
     val r = rows("stream_lsh_dedup")
     val nDocs = Tables.documents(spark, sf).count()

@@ -616,6 +616,65 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming LSH-dedup: in-order splits agree with one batch; replay is idempotent") {
+    import graft.streaming.DocText
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val docs = Seq(
+      DocText(1L, "alpha beta gamma delta epsilon"),
+      DocText(2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      DocText(3L, "zeta eta theta iota kappa"))
+    def verdicts(batches: Seq[Seq[DocText]], id: Int): Map[Long, (Long, Boolean)] = {
+      val in = MemoryStream[DocText](spark, id)
+      val q = Streams.lshDedupTws(Streams.lshBandRows(in.toDS()))
+        .writeStream.format("memory").queryName(s"lshd_$id")
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val state = q.lastProgress.stateOperators.head.numRowsTotal
+      q.stop()
+      val byDoc = spark.table(s"lshd_$id").collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .map { case (d, rs) =>
+          d -> (rs.count(_.getAs[Boolean]("hit")).toLong,
+            rs.exists(_.getAs[Boolean]("hit")))
+        }
+      assert(state === 32L, // two unique docs × 16 bands claimed
+        s"index must hold exactly the unique docs' buckets, saw $state")
+      byDoc
+    }
+    val one = verdicts(Seq(docs), 41)
+    assert(one(1L) === ((0L, false)), "first copy admits")
+    assert(one(2L) === ((16L, true)), "exact dup collides on all 16 bands")
+    assert(one(3L) === ((0L, false)), "distinct doc admits")
+    // doc_id-ordered micro-batch split sees the same verdicts
+    val split = verdicts(Seq(docs.take(1), docs.drop(1)), 42)
+    assert(split === one, "in-order split diverged from single batch")
+    // replaying the corpus is idempotent: state stays flat and the
+    // re-seen reps are NOT flagged as duplicates of themselves
+    val in = MemoryStream[DocText](spark, 43)
+    val q = Streams.lshDedupTws(Streams.lshBandRows(in.toDS()))
+      .writeStream.format("memory").queryName("lshd_43")
+      .outputMode("append").start()
+    in.addData(docs: _*); q.processAllAvailable()
+    val s1 = q.lastProgress.stateOperators.head.numRowsTotal
+    in.addData(docs: _*); q.processAllAvailable()
+    val s2 = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(s1 === 32L && s2 === 32L, "replay must not grow the index")
+    val replayRows = spark.table("lshd_43").collect()
+    val doc1Rows = replayRows.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(doc1Rows.length === 32 && !doc1Rows.take(16).exists(_.getAs[Boolean]("hit"))
+      && !doc1Rows.drop(16).exists(_.getAs[Boolean]("hit")),
+      "a replayed representative is not a duplicate of itself")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("bounded-input contract: an oversized single-key batch folds in O(cap) chunks") {
     // the shared orderedBounded helper caps the per-(key, batch) sort
     // buffer; here ONE batch carries 1000 rows of a single key through
