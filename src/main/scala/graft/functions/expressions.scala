@@ -67,6 +67,55 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact MILLI-QUANTIZED integer dot product of two float arrays:
+  * Σ ⌊1000·aᵢ⌋·⌊1000·bᵢ⌋ as a long — the `sim_mips_topk` quantization
+  * discipline as ONE codegen'd kernel instead of a transform +
+  * zip_with + aggregate HOF chain (which evaluates interpreted and
+  * allocates two long arrays per comparison; the semantic-dedup pair
+  * join runs millions of these). floor matches Spark's FLOOR(double)
+  * and DuckDB's floor bit-for-bit on the float-widened inputs, so the
+  * oracle twin stays list_sum(list_transform(...)) over the same
+  * floors. */
+case class QuantizedDotMilli(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quantized_dot_milli"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val qa = math.floor(x.getFloat(i).toDouble * 1000.0).toLong
+      val qb = math.floor(y.getFloat(i).toDouble * 1000.0).toLong
+      s += qa * qb
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val qa = ctx.freshName("qa"); val qb = ctx.freshName("qb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $qa = (long) java.lang.Math.floor((double) $a.getFloat($i) * 1000.0);
+         |  long $qb = (long) java.lang.Math.floor((double) $b.getFloat($i) * 1000.0);
+         |  $s += $qa * $qb;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Shared 60-bit token hash: first 15 hex chars of md5, i.e. the
   * big-endian value of the digest's first 8 bytes shifted right 4.
   * md5 is the one hash both engines compute byte-identically, so every
@@ -304,6 +353,8 @@ object GraftExpressions {
 
   def cosine_similarity(a: Column, b: Column): Column =
     toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
+  def quantized_dot_milli(a: Column, b: Column): Column =
+    toColumn(QuantizedDotMilli(toExpression(a), toExpression(b)))
   def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpression(tokens)))
   def minhash_signature(shingles: Column, k: Int): Column =
     toColumn(MinHashSignature(toExpression(shingles), k))
@@ -317,6 +368,8 @@ object GraftExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_similarity",
       es => CosineSimilarity(es.head, es(1)), "builtin")
+    reg.createOrReplaceTempFunction("quantized_dot_milli",
+      es => QuantizedDotMilli(es.head, es(1)), "builtin")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "builtin")
     reg.createOrReplaceTempFunction("minhash_signature",

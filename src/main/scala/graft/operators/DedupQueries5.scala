@@ -24,7 +24,11 @@ import graft.Tables._
   *      integers: dot > 0 ∧ 400·dot² > 49·‖a‖²·‖b‖² (0.35 = 7/20;
   *      |qv| ≤ 578 ⇒ dot ≤ 2.2e7, 400·dot² ≤ 1.9e17 — no overflow).
   *   3. CONNECTED COMPONENTS — paraphrase families A~B~C collapse
-  *      transitively via the shared pointer-doubling CC engine.
+  *      transitively via the shared pointer-doubling CC engine. (The
+  *      0.35-cosine graph has a chain-shaped giant component on this
+  *      corpus — the loop measures 10 doubling rounds; ~0.45 s/round
+  *      of job-scheduling overhead dominates the op's quiet time, not
+  *      data volume. At 100 TB rounds stay O(log diameter).)
   *   4. VERDICT — one representative per cluster (minimum vec_id):
   *      every doc gets (cell, cluster_id, n_members, keep), keep ⟺
   *      doc is its cluster's rep. Singletons keep themselves.
@@ -43,15 +47,36 @@ object DedupQueries5 {
   /** IVF cells for the semantic-dedup index (seeds = vec_id < 8). */
   private val SemCells = 8
 
-  /** Milli-quantized embedding → array<long>. */
-  private def qvec(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
-
-  /** Integer dot product of two quantized arrays. */
+  /** Exact milli-quantized integer dot product — the native codegen'd
+    * kernel ([[graft.functions.QuantizedDotMilli]]): the HOF chain
+    * (transform → zip_with → aggregate) computes the same longs but
+    * evaluates interpreted and allocates two long arrays per pair —
+    * the within-cell pair join runs millions of these. */
   private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftExpressions.quantized_dot_milli(a, b)
 
   private val StopList = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** The built integer-argmax IVF index: (vec_id, cell, qv, ‖v‖²) —
+    * materialized once per call, read by both sides of the candidate
+    * join (on a cluster this is the bucketBy(cell) table BucketingSpec
+    * pins). Shared by dedup_semantic and sim_cell_stats. */
+  private def semCells(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+      .select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism)
+    val seeds = embeddings(s, d).filter($"vec_id" < SemCells)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("cemb"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"dot".desc, $"cell".asc)
+    emb.crossJoin(broadcast(seeds))
+      .select($"vec_id", $"cell", $"embedding", qdot($"embedding", $"cemb").as("dot"))
+      .withColumn("rn", row_number().over(wCell)).filter($"rn" === 1)
+      .select($"vec_id", $"cell", $"embedding", qdot($"embedding", $"embedding").as("n2"))
+      .repartition(s.sparkContext.defaultParallelism, $"cell")
+      .localCheckpoint()
+  }
 
   val queries: Map[String, Q] = Map(
     // END-TO-END CURATION FUNNEL — the four-stage drop report every
@@ -115,28 +140,34 @@ object DedupQueries5 {
         .reduce(_ unionByName _).orderBy($"stage_id")
     }),
 
+    // IVF INDEX-HEALTH diagnostic over the same integer cell
+    // assignment dedup_semantic searches: per-cell population, the
+    // balance read (max/mean in basis points — a hot cell bounds both
+    // probe latency and the within-cell pair mass Σ|cell|²), and the
+    // cell's mean quantized vector norm. The table an ANN deployment
+    // checks before trusting its recall numbers.
+    "sim_cell_stats" -> ((s, d) => {
+      import s.implicits._
+      val cells = semCells(s, d)
+      val per = cells.groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"), sum($"n2").as("sum_n2"))
+      val tot = per.agg(count(lit(1)).as("n_cells"), sum($"n_vecs").as("n_total"),
+        max($"n_vecs").as("n_max"))
+      per.crossJoin(broadcast(tot))
+        .selectExpr("cell", "n_vecs",
+          "(10000 * n_vecs * n_cells) DIV n_total AS share_of_mean_bp",
+          "sum_n2 DIV n_vecs AS mean_norm2",
+          "(10000 * n_max * n_cells) DIV n_total AS max_imbalance_bp")
+        .orderBy($"cell")
+    }),
+
     "dedup_semantic" -> ((s, d) => {
       import s.implicits._
-      val emb = embeddings(s, d)
-        .select($"vec_id", qvec($"embedding").as("q"))
-        .repartition(s.sparkContext.defaultParallelism)
-      val seeds = embeddings(s, d).filter($"vec_id" < SemCells)
-        .select($"vec_id".cast("int").as("cell"), qvec($"embedding").as("cq"))
-      val wCell = org.apache.spark.sql.expressions.Window
-        .partitionBy($"vec_id").orderBy($"dot".desc, $"cell".asc)
-      // the built index: (vec_id, cell, ‖v‖², qv) — materialized once,
-      // read by both sides of the candidate join (on a cluster this is
-      // the bucketBy(cell) table BucketingSpec pins)
-      val cells = emb.crossJoin(broadcast(seeds))
-        .select($"vec_id", $"cell", $"q", qdot($"q", $"cq").as("dot"))
-        .withColumn("rn", row_number().over(wCell)).filter($"rn" === 1)
-        .select($"vec_id", $"cell", $"q", qdot($"q", $"q").as("n2"))
-        .repartition(s.sparkContext.defaultParallelism, $"cell")
-        .localCheckpoint()
-      val a = cells.select($"cell", $"vec_id".as("v1"), $"q".as("q1"), $"n2".as("na2"))
-      val b = cells.select($"cell", $"vec_id".as("v2"), $"q".as("q2"), $"n2".as("nb2"))
+      val cells = semCells(s, d)
+      val a = cells.select($"cell", $"vec_id".as("v1"), $"embedding".as("e1"), $"n2".as("na2"))
+      val b = cells.select($"cell", $"vec_id".as("v2"), $"embedding".as("e2"), $"n2".as("nb2"))
       val pairs = a.join(b, Seq("cell")).filter($"v1" < $"v2")
-        .withColumn("dot", qdot($"q1", $"q2"))
+        .withColumn("dot", qdot($"e1", $"e2"))
         .filter($"dot" > 0 &&
           lit(400L) * $"dot" * $"dot" > lit(49L) * $"na2" * $"nb2")
         .select($"v1", $"v2")
@@ -158,7 +189,38 @@ object DedupQueries5 {
       "CAST(floor(CAST(%s[i] AS DOUBLE) * 1000) AS BIGINT) * " +
       "CAST(floor(CAST(%s[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)"
 
+  /** Shared cells CTE body of the integer-argmax IVF index (DuckDB
+    * replay of [[semCells]]). */
+  private lazy val semCellsCte: String =
+    s"""cells AS MATERIALIZED (
+       |  SELECT vec_id, cell, n2 FROM (
+       |    SELECT e.vec_id, s.vec_id AS cell,
+       |      ${duckQdot.format("e.embedding", "s.embedding")} AS dot,
+       |      ${duckQdot.format("e.embedding", "e.embedding")} AS n2,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckQdot.format("e.embedding", "s.embedding")} DESC,
+       |                 s.vec_id ASC) AS rn
+       |    FROM embeddings e
+       |    JOIN embeddings s ON s.vec_id < $SemCells) t
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_cell_stats" ->
+      s"""WITH $semCellsCte,
+         |per AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(n2) AS BIGINT) AS sum_n2
+         |  FROM cells GROUP BY cell),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+         |    CAST(MAX(n_vecs) AS BIGINT) AS n_max
+         |  FROM per)
+         |SELECT CAST(cell AS INTEGER) AS cell, n_vecs,
+         |  (10000 * n_vecs * n_cells) // n_total AS share_of_mean_bp,
+         |  sum_n2 // n_vecs AS mean_norm2,
+         |  (10000 * n_max * n_cells) // n_total AS max_imbalance_bp
+         |FROM per, tot ORDER BY cell""".stripMargin,
     "dedup_curation_funnel" ->
       s"""WITH RECURSIVE ${DedupQueries.pairsCte},
          |norm AS (
@@ -215,17 +277,7 @@ object DedupQueries5 {
          |ORDER BY stage_id""".stripMargin,
 
     "dedup_semantic" ->
-      s"""WITH RECURSIVE cells AS MATERIALIZED (
-         |  SELECT vec_id, cell, n2 FROM (
-         |    SELECT e.vec_id, s.vec_id AS cell,
-         |      ${duckQdot.format("e.embedding", "s.embedding")} AS dot,
-         |      ${duckQdot.format("e.embedding", "e.embedding")} AS n2,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckQdot.format("e.embedding", "s.embedding")} DESC,
-         |                 s.vec_id ASC) AS rn
-         |    FROM embeddings e
-         |    JOIN embeddings s ON s.vec_id < $SemCells) t
-         |  WHERE rn = 1),
+      s"""WITH RECURSIVE $semCellsCte,
          |pairs AS MATERIALIZED (
          |  SELECT a.vec_id AS v1, b.vec_id AS v2
          |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id

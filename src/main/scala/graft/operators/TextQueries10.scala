@@ -83,8 +83,16 @@ object TextQueries10 {
   /** The full training loop: returns (final segmented vocab state —
     * (w, n, seq) after [[BpeRounds]] merges — and the per-round merge
     * rows). Shared by the trainer output, the tokenizer-apply
-    * evaluation, and the induced-vocabulary census. */
-  private def bpeTrain(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    * evaluation, and the induced-vocabulary census; session-memoized
+    * (every round state is already an eager localCheckpoint, so the
+    * memo hands consumers pinned vocab-sized frames — train once,
+    * evaluate many, the tokenizer-shipping shape). */
+  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Seq[DataFrame])]()
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) =
+    trainMemo.computeIfAbsent((s, d), _ => bpeTrainRun(s, d))
+
+  private def bpeTrainRun(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     // One corpus pass: distinct-word frequency table, each word
     // exploded to its |-delimited character-symbol sequence.

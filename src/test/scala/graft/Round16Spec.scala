@@ -106,6 +106,20 @@ class Round16Spec extends SparkSuite {
     assert(!r.minBy(_.getAs[Long]("doc_id")).getAs[Boolean]("is_dup"))
   }
 
+  test("sim_cell_stats: cells partition the corpus and the balance read is coherent") {
+    val r = rows("sim_cell_stats")
+    assert(r.length === 8, "one row per IVF cell")
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_vecs")).sum === nVecs,
+      "cell populations must partition the corpus")
+    val maxShare = r.map(_.getAs[Long]("share_of_mean_bp")).max
+    r.foreach { x =>
+      assert(x.getAs[Long]("max_imbalance_bp") === maxShare,
+        "the repeated imbalance scalar must equal the max cell share")
+      assert(x.getAs[Long]("mean_norm2") > 0L)
+    }
+  }
+
   test("dedup_semantic: verdicts partition the corpus, one rep per cluster") {
     val r = rows("dedup_semantic")
     val nVecs = Tables.embeddings(spark, sf).count()
