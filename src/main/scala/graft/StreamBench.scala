@@ -134,7 +134,11 @@ object StreamBench {
       * diagnostic (compaction makes them non-monotone, so only row
       * count is asserted). */
     case class Soak(name: String, rate: Double, stateRowsPerPass: Seq[Long],
-      sstBytesPerPass: Seq[Long], flatOk: Boolean)
+      sstBytesPerPass: Seq[Long], flatOk: Boolean,
+      // what stateRowsPerPass measures: "state_rows" for stores whose
+      // numRowsTotal tracks entries; "match_deltas" for the ListState
+      // soak (one reported row per key regardless of list length)
+      signal: String = "state_rows_per_pass")
     def runSoak(name: String, passes: Int, mode: String = "update")
         (mk: org.apache.spark.sql.Dataset[UserEvent] => DataFrame): Soak = {
       if (!wanted(s"soak_$name")) return Soak(name, -1.0, Nil, Nil, flatOk = true)
@@ -221,6 +225,75 @@ object StreamBench {
       Soak("lsh_dedup", passes * docsAll.length / secs, rows, sstAtPassEnd.result(), flat)
     }
 
+    // Streaming SEMANTIC dedup runs on EMBEDDINGS (vectors/sec): the
+    // integer-argmax cell assignment is precomputed batch-side (it's a
+    // narrow projection; the stateful work is the per-cell scoring).
+    val vecsAll = {
+      val seeds = Tables.embeddings(spark, sfDir).filter($"vec_id" < 8)
+        .select($"vec_id".cast("int"), $"embedding")
+        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+      def qd(a: org.apache.spark.sql.Column, c: Array[Float]) =
+        graft.functions.GraftExpressions.quantized_dot_milli(a, typedlit(c.toSeq))
+      val sims = array(seeds.map(c => qd($"embedding", c)): _*)
+      Tables.embeddings(spark, sfDir)
+        .select($"vec_id",
+          (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"),
+          $"embedding")
+        .as[graft.streaming.EmbRow].orderBy($"vec_id").collect()
+    }
+    val vecBatches = vecsAll.grouped(500).toSeq
+
+    def runSemDedup(): (String, Double) = {
+      if (!wanted("sem_dedup")) return "sem_dedup" -> -1.0
+      val in = MemoryStream[graft.streaming.EmbRow](spark, 997)
+      val q = Streams.semanticDedupTws(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("sb_sem_dedup")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      vecBatches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rate = vecsAll.length / secs
+      println(f"${"sem_dedup"}%-22s ${secs}%7.2f s  ${rate}%9.0f vecs/s")
+      "sem_dedup" -> rate
+    }
+
+    /** Semantic-dedup SOAK: replay the same vectors — re-seen ids are
+      * idempotent (no re-insert, no self-match), so the cell index
+      * must saturate after pass 1. TWS ListState reports ONE state row
+      * per key (8 cells) regardless of list length, so the growth
+      * signal here is the per-pass EMITTED MATCH MASS: if replays
+      * leaked into the index, every later pass would find strictly
+      * more matches; equal per-pass deltas prove the index holds
+      * exactly the unique vectors. */
+    def runSoakSemDedup(passes: Int): Soak = {
+      if (!wanted("soak_sem_dedup")) return Soak("sem_dedup", -1.0, Nil, Nil, flatOk = true)
+      val in = MemoryStream[graft.streaming.EmbRow](spark, 2997)
+      val q = Streams.semanticDedupTws(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("sb_soak_sem_dedup")
+        .outputMode("append").start()
+      val matchesAtPassEnd = Seq.newBuilder[Long]
+      val sstAtPassEnd = Seq.newBuilder[Long]
+      val t0 = System.nanoTime()
+      for (_ <- 0 until passes) {
+        vecBatches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+        matchesAtPassEnd += spark.table("sb_soak_sem_dedup")
+          .agg(sum(col("n_matches"))).head.getLong(0)
+        sstAtPassEnd += q.lastProgress.stateOperators.headOption.flatMap(s =>
+          Option(s.customMetrics.get("rocksdbSstFileSize")).map(_.longValue))
+          .getOrElse(-1L)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val cum = matchesAtPassEnd.result()
+      val deltas = (cum.head +: cum.sliding(2).map { case Seq(a, b) => b - a }.toSeq)
+      val flat = deltas.forall(_ == deltas.head)
+      println(f"soak_sem_dedup    ${secs}%7.2f s  ${passes * vecsAll.length / secs}%9.0f vecs/s" +
+        s"  match_deltas=${deltas.mkString("/")} flat=$flat")
+      Soak("sem_dedup", passes * vecsAll.length / secs, deltas, sstAtPassEnd.result(), flat,
+        signal = "match_deltas_per_pass")
+    }
+
     val allStreams = Seq(
       run("tumbling_agg", "update") { ds =>
         ds.toDF().withWatermark("ts", "10 minutes")
@@ -276,7 +349,9 @@ object StreamBench {
       },
       runCdc(),
       // sharded MapState band index probed per doc (docs/sec basis)
-      runLshDedup())
+      runLshDedup(),
+      // per-cell ListState vector index scored per vector (vecs/sec)
+      runSemDedup())
     val results = allStreams.filter(_._2 >= 0)
 
     // Soak the two ends of the O(1)-state TWS spectrum: the CEP funnel
@@ -313,7 +388,8 @@ object StreamBench {
         val (purchases, clicks) = sides(ds)
         purchases.join(clicks, joinCond, "leftOuter")
       },
-      runSoakLshDedup(passes = 3))
+      runSoakLshDedup(passes = 3),
+      runSoakSemDedup(passes = 3))
       .filter(_.rate >= 0)
     val growthViolations = soaks.collect { case s if !s.flatOk => s.name }
     growthViolations.foreach(k => System.err.println(
@@ -340,7 +416,10 @@ object StreamBench {
       "chained_agg" -> 1600.0, "cdc_upsert" -> 2000.0,
       // docs/sec (a doc = 16 band-probe rows, so 151 docs/s quiet ≈
       // 2400 band-rows/s — in family with the other TWS floors)
-      "lsh_dedup" -> 75.0)
+      "lsh_dedup" -> 75.0,
+      // vecs/sec — the heaviest per-row state op (each vector scores
+      // against its whole cell); 160 vecs/s quiet, floor at half
+      "sem_dedup" -> 80.0)
     val below = results.collect {
       case (k, v) if floors.get(k).exists(v < _) => k }
     below.foreach(k => System.err.println(
@@ -355,7 +434,7 @@ object StreamBench {
       if (soaks.isEmpty) "" // filtered run matching no soaks: omit the block
       else soaks.map { s =>
         "\"" + s.name + "\":{\"rate\":" + fmt(s.rate) +
-          s""","state_rows_per_pass":[${s.stateRowsPerPass.mkString(",")}]""" +
+          s""","${s.signal}":[${s.stateRowsPerPass.mkString(",")}]""" +
           s""","sst_bytes_per_pass":[${s.sstBytesPerPass.mkString(",")}]""" +
           s""","flat_growth_ok":${s.flatOk}}"""
       }.mkString(s""","soak":{"passes":3,"rows_per_pass":${events.length},"streams":{""",

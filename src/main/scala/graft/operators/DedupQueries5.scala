@@ -191,7 +191,7 @@ object DedupQueries5 {
 
   /** Shared cells CTE body of the integer-argmax IVF index (DuckDB
     * replay of [[semCells]]). */
-  private lazy val semCellsCte: String =
+  private[operators] lazy val semCellsCte: String =
     s"""cells AS MATERIALIZED (
        |  SELECT vec_id, cell, n2 FROM (
        |    SELECT e.vec_id, s.vec_id AS cell,
@@ -203,6 +203,19 @@ object DedupQueries5 {
        |    FROM embeddings e
        |    JOIN embeddings s ON s.vec_id < $SemCells) t
        |  WHERE rn = 1)""".stripMargin
+
+  /** Shared within-cell threshold-pair CTE (reads `cells`): the exact
+    * integer cosine > 0.35 rule over the cell equi-join. */
+  private[operators] lazy val semPairsCte: String =
+    s"""pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ${duckQdot.format("ea.embedding", "eb.embedding")} > 0
+       |    AND 400 * ${duckQdot.format("ea.embedding", "eb.embedding")}
+       |        * ${duckQdot.format("ea.embedding", "eb.embedding")}
+       |      > 49 * a.n2 * b.n2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_cell_stats" ->
@@ -278,15 +291,7 @@ object DedupQueries5 {
 
     "dedup_semantic" ->
       s"""WITH RECURSIVE $semCellsCte,
-         |pairs AS MATERIALIZED (
-         |  SELECT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |  WHERE ${duckQdot.format("ea.embedding", "eb.embedding")} > 0
-         |    AND 400 * ${duckQdot.format("ea.embedding", "eb.embedding")}
-         |        * ${duckQdot.format("ea.embedding", "eb.embedding")}
-         |      > 49 * a.n2 * b.n2),
+         |$semPairsCte,
          |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
          |          UNION ALL SELECT v2, v1 FROM pairs),
          |reach(id, lab) AS (

@@ -473,6 +473,37 @@ object StreamingQueries {
         .orderBy($"doc_id")
     }),
 
+    // Streaming SEMANTIC DEDUP — the embedding-space twin of
+    // stream_lsh_dedup (SemDeDup online): vectors stream through the
+    // integer-argmax cell assignment (8 broadcast seed centroids, the
+    // dedup_semantic quantizer) into a per-cell transformWithState
+    // ListState of earlier members; each newcomer is scored against
+    // its cell with the exact integer cosine>0.35 rule and the
+    // processor emits the per-vector admit/duplicate verdict DIRECTLY
+    // (the cell is the complete candidate universe — no rollup).
+    // Hash-matches the batch within-cell earlier-match oracle.
+    "stream_semantic_dedup" -> ((s, d) => {
+      import s.implicits._
+      // seed centroids: driver-bounded (8×64 floats), the IVF
+      // broadcast-model path
+      val seeds = graft.Tables.embeddings(s, d).filter($"vec_id" < 8)
+        .select($"vec_id".cast("int"), $"embedding")
+        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+      def qd(a: org.apache.spark.sql.Column, c: Array[Float]) =
+        graft.functions.GraftExpressions.quantized_dot_milli(a, typedlit(c.toSeq))
+      val sims = array(seeds.map(c => qd($"embedding", c)): _*)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val vecs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        .select($"vec_id",
+          (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"),
+          $"embedding")
+        .as[graft.streaming.EmbRow]
+      val v = Streams.semanticDedupTws(vecs)
+      toMemoryRocks(s, v.toDF(), "stream_semantic_dedup_sink", "append")
+        .orderBy($"vec_id")
+    }),
+
     "stream_tws_ema" -> ((s, d) => {
       import s.implicits._
       val typed = eventsStream(s, d)
@@ -514,6 +545,24 @@ object StreamingQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Batch replay of the streaming semantic dedup: a vector is a
+    // duplicate iff an EARLIER (smaller-id) vector of its IVF cell
+    // clears the integer cosine threshold — the shared cells/pairs
+    // CTEs of dedup_semantic, aggregated per later endpoint.
+    "stream_semantic_dedup" ->
+      s"""WITH ${DedupQueries5.semCellsCte},
+         |${DedupQueries5.semPairsCte},
+         |agg AS (
+         |  SELECT v2 AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |    MIN(v1) AS first_match
+         |  FROM pairs GROUP BY v2)
+         |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+         |  coalesce(a.n_matches, 0) AS n_matches,
+         |  coalesce(a.first_match, -1) AS first_match,
+         |  coalesce(a.n_matches, 0) > 0 AS is_dup
+         |FROM cells c LEFT JOIN agg a USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin,
+
     // Batch replay of the streaming band index's bucket-min rule: a
     // doc is a duplicate iff some band bucket's minimum doc_id is
     // smaller than its own (string band keys stand in for the

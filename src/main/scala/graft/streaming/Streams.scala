@@ -458,6 +458,23 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  /** Streaming SEMANTIC DEDUP — the embedding-space twin of
+    * [[lshDedupTws]] (SemDeDup online): vectors arrive already
+    * cell-assigned (a narrow projection against the broadcast seed
+    * centroids), each cell's processor compares the newcomer against
+    * its earlier members with the exact integer cosine rule and emits
+    * the per-vector verdict directly — the cell IS the complete
+    * candidate universe, so no downstream rollup is needed. */
+  def semanticDedupTws(vecs: org.apache.spark.sql.Dataset[EmbRow])
+      : org.apache.spark.sql.Dataset[TwsSemVerdict] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .groupByKey(_.cell)
+      .transformWithState(new SemanticDedupProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }
 
 /** Output row of the transformWithState profile op. */
@@ -986,6 +1003,90 @@ class LshIndexProcessor
         else {
           if (owner > r.doc_id) index.updateValue(r.bkey, r.doc_id)
           out += TwsLshHit(r.doc_id, r.band, hit = false, -1L)
+        }
+      }
+    out.result().iterator
+  }
+}
+
+/** Input row of the streaming semantic dedup: a vector already
+  * assigned to its IVF cell (the assignment is a narrow stream-side
+  * projection against the broadcast seed centroids). */
+case class EmbRow(vec_id: Long, cell: Int, embedding: Array[Float])
+
+/** Stored cell member: milli-quantized coordinates + their norm². */
+case class SemVecState(vec_id: Long, n2: Long, qv: Array[Long])
+
+/** Per-vector verdict of the streaming semantic dedup. */
+case class TwsSemVerdict(vec_id: Long, cell: Int, n_matches: Long,
+    first_match: Long, is_dup: Boolean)
+
+/** StatefulProcessor for [[Streams.semanticDedupTws]]: one IVF cell of
+  * the streaming SemDeDup index. State = ListState of the cell's seen
+  * vectors (milli-quantized). An arriving vector is compared against
+  * every EARLIER (smaller-id) member of its cell with the exact
+  * integer rule cos > 0.35 ⟺ dot > 0 ∧ 400·dot² > 49·‖a‖²·‖b‖²; it
+  * emits (n_matches, earliest match, is_dup) and joins the cell.
+  * Re-seen ids are idempotent (no re-insert, no self-match).
+  *
+  * Memory: the cell's members are buffered on heap for the batch (one
+  * cell per concurrently-processed key) — the working set is
+  * cell-population-sized, which is exactly what the IVF sizing rule
+  * (cells ∝ √N) bounds; RocksDB holds the persistent copy. */
+class SemanticDedupProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Int, EmbRow, TwsSemVerdict] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var members: ListState[SemVecState] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    members = getHandle.getListState[SemVecState]("members",
+      Encoders.product[SemVecState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  private def quantize(e: Array[Float]): (Array[Long], Long) = {
+    val q = new Array[Long](e.length)
+    var n2 = 0L
+    var i = 0
+    while (i < e.length) {
+      q(i) = math.floor(e(i).toDouble * 1000.0).toLong
+      n2 += q(i) * q(i)
+      i += 1
+    }
+    (q, n2)
+  }
+
+  override def handleInputRows(key: Int, rows: Iterator[EmbRow],
+      timerValues: TimerValues): Iterator[TwsSemVerdict] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[SemVecState]
+    members.get().foreach(buf += _)
+    val out = Seq.newBuilder[TwsSemVerdict]
+    rows.grouped(Streams.OrderedChunkCap)
+      .flatMap(_.sortBy(_.vec_id)).foreach { r =>
+        val (q, n2) = quantize(r.embedding)
+        var nMatches = 0L
+        var first = Long.MaxValue
+        var present = false
+        buf.foreach { m =>
+          if (m.vec_id == r.vec_id) present = true
+          else if (m.vec_id < r.vec_id) {
+            var dot = 0L
+            val n = math.min(q.length, m.qv.length)
+            var i = 0
+            while (i < n) { dot += q(i) * m.qv(i); i += 1 }
+            if (dot > 0 && 400L * dot * dot > 49L * n2 * m.n2) {
+              nMatches += 1L
+              if (m.vec_id < first) first = m.vec_id
+            }
+          }
+        }
+        out += TwsSemVerdict(r.vec_id, key, nMatches,
+          if (nMatches > 0) first else -1L, nMatches > 0)
+        if (!present) {
+          val st = SemVecState(r.vec_id, n2, q)
+          members.appendValue(st)
+          buf += st
         }
       }
     out.result().iterator
