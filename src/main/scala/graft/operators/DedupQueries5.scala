@@ -58,10 +58,15 @@ object DedupQueries5 {
   private val StopList = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** The built integer-argmax IVF index: (vec_id, cell, qv, ‖v‖²) —
-    * materialized once per call, read by both sides of the candidate
+    * session-memoized (dedup_semantic, sim_cell_stats, and
+    * sim_probe_recall all read one build), read by both sides of the candidate
     * join (on a cluster this is the bucketBy(cell) table BucketingSpec
     * pins). Shared by dedup_semantic and sim_cell_stats. */
-  private def semCells(s: SparkSession, d: String): DataFrame = {
+  private val cellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def semCells(s: SparkSession, d: String): DataFrame =
+    cellsMemo.computeIfAbsent((s, d), _ => semCellsRun(s, d))
+  private def semCellsRun(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, d)
       .select($"vec_id", $"embedding")
@@ -161,6 +166,52 @@ object DedupQueries5 {
         .orderBy($"cell")
     }),
 
+    // RECALL-vs-nProbe OPERATING CURVE for the integer-argmax cell
+    // index — the tuning table an IVF deployment reads before fixing
+    // its probe count (the dedup_lsh_tuning discipline applied to the
+    // semantic index): exact top-5 neighbors per query vector vs the
+    // cell-restricted top-5 at nProbe ∈ {1, 2, 4}, with the candidate
+    // volume each probe level pays. All integer dots under total
+    // orders, so the whole curve is hash-green — unlike the
+    // float-ranked sim_knn_ivf lists, which are rows-only. ONE
+    // corpus × 5-query scoring pass feeds the exact ranks and every
+    // probe level (filters, not re-scores).
+    "sim_probe_recall" -> ((s, d) => {
+      import s.implicits._
+      val cells = semCells(s, d)
+      val qs = cells.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val seeds = embeddings(s, d).filter($"vec_id" < SemCells)
+        .select($"vec_id".cast("int").as("cell"), $"embedding".as("cemb"))
+      val affinity = qs.crossJoin(broadcast(seeds))
+        .select($"q_id", $"cell", qdot($"q_emb", $"cemb").as("sdot"))
+      val wAff = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"sdot".desc, $"cell".asc)
+      val affRank = affinity.withColumn("pr", row_number().over(wAff))
+        .select($"q_id", $"cell", $"pr").localCheckpoint() // 5×8 rows
+      val scored = cells.join(broadcast(qs), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", $"cell", qdot($"q_emb", $"embedding").as("dot"))
+        .localCheckpoint() // 5 × corpus — the sim_knn scoring bound
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"dot".desc, $"vec_id".asc)
+      val exact = scored.withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 5).select($"q_id", $"vec_id").localCheckpoint()
+      Seq(1, 2, 4).map { p =>
+        val pc = affRank.filter($"pr" <= p).select($"q_id", $"cell")
+        val cand = scored.join(broadcast(pc), Seq("q_id", "cell"))
+        val approx = cand.withColumn("rn", row_number().over(wTop))
+          .filter($"rn" <= 5).select($"q_id", $"vec_id")
+        val hit = approx.join(exact, Seq("q_id", "vec_id"))
+          .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+        val nc = cand.groupBy($"q_id").agg(count(lit(1)).as("n_candidates"))
+        qs.select($"q_id")
+          .join(nc, Seq("q_id"), "left").join(hit, Seq("q_id"), "left")
+          .select($"q_id", lit(p.toLong).as("n_probe"),
+            coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+            expr("coalesce(n_hit, 0) * 10000 DIV 5").as("recall_bp"))
+      }.reduce(_ unionByName _).orderBy($"q_id", $"n_probe")
+    }),
+
     "dedup_semantic" -> ((s, d) => {
       import s.implicits._
       val cells = semCells(s, d)
@@ -218,6 +269,52 @@ object DedupQueries5 {
        |      > 49 * a.n2 * b.n2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_probe_recall" ->
+      s"""WITH $semCellsCte,
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |       FROM embeddings WHERE vec_id < 5),
+         |sc AS MATERIALIZED (
+         |  SELECT q.q_id, c.vec_id, c.cell,
+         |    ${duckQdot.format("q.q_emb", "e.embedding")} AS dot
+         |  FROM qs q JOIN cells c ON c.vec_id != q.q_id
+         |  JOIN embeddings e ON e.vec_id = c.vec_id),
+         |ex AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 5),
+         |aff AS (
+         |  SELECT q_id, cell,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sdot DESC, cell) AS pr
+         |  FROM (
+         |    SELECT q.q_id, s.vec_id AS cell,
+         |      ${duckQdot.format("q.q_emb", "s.embedding")} AS sdot
+         |    FROM qs q JOIN embeddings s ON s.vec_id < $SemCells)),
+         |np(n_probe) AS (VALUES (1), (2), (4)),
+         |cand AS MATERIALIZED (
+         |  SELECT n.n_probe, sc.q_id, sc.vec_id, sc.dot
+         |  FROM sc JOIN aff a ON sc.q_id = a.q_id AND sc.cell = a.cell
+         |  JOIN np n ON a.pr <= n.n_probe),
+         |ap AS (
+         |  SELECT n_probe, q_id, vec_id FROM (
+         |    SELECT n_probe, q_id, vec_id,
+         |      row_number() OVER (PARTITION BY n_probe, q_id
+         |        ORDER BY dot DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn <= 5),
+         |hit AS (
+         |  SELECT n_probe, q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM ap JOIN ex USING (q_id, vec_id) GROUP BY 1, 2),
+         |nc AS (
+         |  SELECT n_probe, q_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cand GROUP BY 1, 2)
+         |SELECT q.q_id, CAST(n.n_probe AS BIGINT) AS n_probe,
+         |  coalesce(nc.n_candidates, 0) AS n_candidates,
+         |  coalesce(h.n_hit, 0) * 10000 // 5 AS recall_bp
+         |FROM qs q CROSS JOIN np n
+         |LEFT JOIN nc ON nc.q_id = q.q_id AND nc.n_probe = n.n_probe
+         |LEFT JOIN hit h ON h.q_id = q.q_id AND h.n_probe = n.n_probe
+         |ORDER BY q.q_id, n_probe""".stripMargin,
+
     "sim_cell_stats" ->
       s"""WITH $semCellsCte,
          |per AS (

