@@ -75,7 +75,8 @@ object SparkEntry {
       RelationalQueries21.queries ++
       MlQueries8.queries ++
       TextQueries10.queries ++
-      DedupQueries5.queries
+      DedupQueries5.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -136,5 +137,6 @@ object SparkEntry {
       RelationalQueries21.oracles ++
       MlQueries8.oracles ++
       TextQueries10.oracles ++
-      DedupQueries5.oracles
+      DedupQueries5.oracles ++
+      CurationQueries.oracles
 }

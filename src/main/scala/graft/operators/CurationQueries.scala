@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions.tokens
+
+/** Round-16 corpus-curation additions — the three data-selection
+  * staples a pretraining pipeline runs AFTER dedup and quality gates:
+  *
+  *   - `text_ccnet_buckets` — CCNet-style per-language LM buckets
+  *     (Wenzek et al. 2020): score every doc against a corpus bigram
+  *     LM, split each language into head / middle / tail tertiles.
+  *     The scoring here is the exact-integer surrogate of perplexity
+  *     — mean conditional bigram probability in ppm (the
+  *     `sim_mips_topk` milli-quantization discipline applied to LM
+  *     scoring): identical bucketing semantics, and the NTILE
+  *     boundaries ride exact integers, never an engine's last ulp of
+  *     `ln`.
+  *   - `samp_dsir_weights` — DSIR importance weights (Xie et al.
+  *     2023): per-doc log-ratio of a target-domain unigram LM vs the
+  *     raw-corpus LM, the score used to resample a general crawl
+  *     toward a target domain. One source (`src0`) stands in as the
+  *     target domain.
+  *   - `samp_epoch_schedule` — data-mixing epoch schedule under a
+  *     token budget (the UniMax / data-constrained-scaling shape,
+  *     Muennighoff et al. 2023): sqrt-temperature source weights,
+  *     largest-remainder token apportionment, epochs-per-source with
+  *     a >4-epoch repetition-risk flag.
+  *
+  * Scale notes (100 TB lens): every pass over the corpus is a single
+  * narrow explode feeding keyed partial+final aggregates; LM count
+  * frames are vocab-sized (~1e8 rows at web scale — comfortably
+  * distributed, joined by key, never collected); the only windows are
+  * over |languages| / |sources| dimension frames or per-language
+  * NTILE over doc-level aggregates (at 100 TB the tertile boundary
+  * would come from GlobalRank's range-partitioned two-pass rank per
+  * language — the boundary is two exact integers either way).
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // CCNET LM BUCKETS — per-language head/middle/tail split by LM
+    // familiarity. Per-doc score: mean over the doc's bigrams of the
+    // corpus conditional probability P(w2|w1) in ppm, all-integer
+    // (n_bigram * 1e6 DIV n_w1, summed exactly, DIV n_bigrams).
+    // "head" = most corpus-typical (CCNet's lowest-perplexity
+    // bucket). Docs with <2 tokens have no bigrams and drop out on
+    // both engines identically (inner join on the bigram census).
+    "text_ccnet_buckets" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.GraftExpressions.ngrams
+      val pos = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(ngrams(tokens($"text"), 2)).as("bigram"))
+      val bc = pos.groupBy($"bigram").agg(count(lit(1)).as("n_bigram"))
+        .withColumn("w1", split($"bigram", " ")(0))
+      val w1c = bc.groupBy($"w1").agg(sum($"n_bigram").as("n_w1"))
+      val perDoc = pos
+        .join(bc.select($"bigram", $"n_bigram", $"w1"), Seq("bigram"))
+        .join(w1c, Seq("w1"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("n_bigram * 1000000 DIV n_w1")).as("sum_ppm"))
+        .select($"doc_id", expr("sum_ppm DIV n_bigrams").as("score_ppm"))
+      val wTile = Window.partitionBy($"lang")
+        .orderBy($"score_ppm".desc, $"doc_id".asc)
+      perDoc
+        .join(documents(s, d).select($"doc_id", $"lang", $"n_chars"), Seq("doc_id"))
+        .withColumn("tile", ntile(3).over(wTile))
+        .groupBy($"lang", $"tile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("n_chars"),
+          sum($"score_ppm").as("sum_ppm"),
+          min($"score_ppm").as("min_ppm"),
+          max($"score_ppm").as("max_ppm"))
+        .select($"lang",
+          when($"tile" === 1, "head")
+            .when($"tile" === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          $"n_docs", $"n_chars",
+          expr("sum_ppm DIV n_docs").as("mean_ppm"),
+          $"min_ppm", $"max_ppm")
+        .orderBy($"lang", $"bucket")
+    }),
+
+    // DSIR IMPORTANCE WEIGHTS — per-doc Σ_tokens ln(p_target(w) /
+    // p_raw(w)) under add-one-smoothed unigram LMs, target = src0.
+    // The float log-weight folds per-doc in token-position order
+    // (the text_perplexity discipline; ln operands are identical
+    // rationals built from exact counts). `n_target_leaning` is the
+    // exact-integer companion — count of tokens whose target
+    // probability beats the corpus probability by integer
+    // cross-multiplication — so the selection signal itself never
+    // depends on float parity.
+    "samp_dsir_weights" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"source",
+          posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      val cc = toks.groupBy($"tok").agg(count(lit(1)).as("c_w"))
+      val tc = toks.filter($"source" === "src0")
+        .groupBy($"tok").agg(count(lit(1)).as("t_w"))
+      val vc = cc.join(tc, Seq("tok"), "left")
+        .select($"tok", $"c_w", coalesce($"t_w", lit(0L)).as("t_w"))
+      // model-sized scalars: vocab size + the two LM totals
+      val sc = vc.agg(count(lit(1)), sum($"c_w"), sum($"t_w")).head()
+      val v = sc.getLong(0); val c = sc.getLong(1); val t = sc.getLong(2)
+      val lam = vc.select($"tok",
+        (log(($"t_w" + lit(1.0)) / lit((t + v).toDouble)) -
+          log(($"c_w" + lit(1.0)) / lit((c + v).toDouble))).as("lam"),
+        // exact integer vote: (t_w+1)(C+V) > (c_w+1)(T+V)
+        (($"t_w" + 1L) * lit(c + v) > ($"c_w" + 1L) * lit(t + v))
+          .cast("long").as("leans_target"))
+      toks.join(lam, Seq("tok"))
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"leans_target").as("n_target_leaning"),
+          aggregate(
+            transform(array_sort(collect_list(struct($"pos", $"lam"))),
+              x => x("lam")),
+            lit(0.0), (a, x) => a + x).as("sum_lam"))
+        .select($"doc_id", $"source", $"n_tokens", $"n_target_leaning",
+          ($"source" === "src0").as("is_target"),
+          format_string("%.6f", $"sum_lam").as("log_weight"))
+        .orderBy($"doc_id")
+    }),
+
+    // EPOCH SCHEDULE UNDER A TOKEN BUDGET — sqrt-temperature mixing:
+    // source weight = floor(sqrt(source tokens)) (exact: the token
+    // totals are < 2^53, floor(sqrt(double)) is bit-identical — the
+    // samp_neyman_alloc precedent), budget = 2× total corpus tokens,
+    // apportioned by largest remainder (the samp_temperature_mix
+    // machinery), epochs in milli via integer DIV. Sources scheduled
+    // past 4 epochs get the repetition-risk flag (the data-constrained
+    // scaling rule of thumb: returns decay fast after ~4 epochs).
+    "samp_epoch_schedule" -> ((s, d) => {
+      import s.implicits._
+      val wAll = Window.partitionBy()               // |sources| rows
+      val wRk = Window.orderBy($"rem".desc, $"source") // |sources| rows
+      documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens($"text")).cast("long")).as("toks"))
+        .withColumn("weight", floor(sqrt($"toks".cast("double"))).cast("long"))
+        .withColumn("budget", lit(2L) * sum($"toks").over(wAll))
+        .withColumn("w_tot", sum($"weight").over(wAll))
+        .withColumn("base", expr("weight * budget DIV w_tot"))
+        .withColumn("rem", expr("(weight * budget) % w_tot"))
+        .withColumn("extra",
+          when(row_number().over(wRk) <= $"budget" - sum($"base").over(wAll), 1L)
+            .otherwise(0L))
+        .withColumn("target_toks", $"base" + $"extra")
+        .select($"source", $"n_docs", $"toks", $"weight", $"target_toks",
+          expr("target_toks * 1000 DIV toks").as("epochs_milli"))
+        .withColumn("repeat_risk", $"epochs_milli" > 4000L)
+        .orderBy($"source")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t)),
+        |bc AS (SELECT bigram, COUNT(*) AS n_bigram FROM g GROUP BY bigram),
+        |bw AS (SELECT bigram, n_bigram, string_split(bigram, ' ')[1] AS w1 FROM bc),
+        |w1c AS (SELECT w1, SUM(n_bigram) AS n_w1 FROM bw GROUP BY w1),
+        |pd AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(n_bigram * 1000000 // n_w1) // COUNT(*) AS BIGINT)
+        |      AS score_ppm
+        |  FROM g JOIN bw USING (bigram) JOIN w1c USING (w1)
+        |  GROUP BY doc_id),
+        |tiles AS (
+        |  SELECT d.lang, d.n_chars, pd.score_ppm,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |                   ORDER BY pd.score_ppm DESC, pd.doc_id ASC) AS tile
+        |  FROM pd JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_ppm,
+        |  CAST(MIN(score_ppm) AS BIGINT) AS min_ppm,
+        |  CAST(MAX(score_ppm) AS BIGINT) AS max_ppm
+        |FROM tiles GROUP BY lang, tile ORDER BY lang, bucket""".stripMargin,
+
+    "samp_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, i AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t,
+        |          unnest(range(1, len(t) + 1)) AS i
+        |        FROM documents)),
+        |cc AS (SELECT tok, COUNT(*) AS c_w FROM tok GROUP BY tok),
+        |tc AS (SELECT tok, COUNT(*) AS t_w FROM tok
+        |       WHERE source = 'src0' GROUP BY tok),
+        |vc AS (SELECT cc.tok, cc.c_w, COALESCE(tc.t_w, 0) AS t_w
+        |       FROM cc LEFT JOIN tc USING (tok)),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |             CAST(SUM(c_w) AS BIGINT) AS c,
+        |             CAST(SUM(t_w) AS BIGINT) AS t FROM vc),
+        |lam AS (
+        |  SELECT tok,
+        |    ln((t_w + 1.0) / (t + v)) - ln((c_w + 1.0) / (c + v)) AS lam,
+        |    CASE WHEN (t_w + 1) * (c + v) > (c_w + 1) * (t + v)
+        |         THEN 1 ELSE 0 END AS leans_target
+        |  FROM vc CROSS JOIN s),
+        |pd AS (
+        |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(leans_target) AS BIGINT) AS n_target_leaning,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lam ORDER BY pos)),
+        |      (a, x) -> a + x) AS sum_lam
+        |  FROM tok JOIN lam USING (tok)
+        |  GROUP BY doc_id, source)
+        |SELECT doc_id, source, n_tokens, n_target_leaning,
+        |  source = 'src0' AS is_target,
+        |  printf('%.6f', sum_lam) AS log_weight
+        |FROM pd ORDER BY doc_id""".stripMargin,
+
+    "samp_epoch_schedule" ->
+      """WITH w AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |a AS (
+        |  SELECT source, n_docs, toks,
+        |    CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS weight,
+        |    CAST(2 * SUM(toks) OVER () AS BIGINT) AS budget
+        |  FROM w),
+        |b AS (
+        |  SELECT source, n_docs, toks, weight, budget,
+        |    weight * budget // SUM(weight) OVER () AS base,
+        |    (weight * budget) % SUM(weight) OVER () AS rem
+        |  FROM a),
+        |c AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    SUM(base) OVER () AS base_tot
+        |  FROM b),
+        |e AS (
+        |  SELECT source, n_docs, toks, weight,
+        |    CAST(base + CASE WHEN rk <= budget - base_tot THEN 1 ELSE 0 END
+        |      AS BIGINT) AS target_toks
+        |  FROM c)
+        |SELECT source, n_docs, toks, weight, target_toks,
+        |  CAST(target_toks * 1000 // toks AS BIGINT) AS epochs_milli,
+        |  target_toks * 1000 // toks > 4000 AS repeat_risk
+        |FROM e ORDER BY source""".stripMargin
+  )
+}

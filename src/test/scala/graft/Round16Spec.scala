@@ -187,4 +187,61 @@ class Round16Spec extends SparkSuite {
       multi.length.toLong - multi.map(_.getAs[Long]("cluster_id")).distinct.length,
       "drops = multi-cluster members minus their reps")
   }
+
+  test("text_ccnet_buckets: tertiles are complete, balanced and ordered") {
+    val r = rows("text_ccnet_buckets")
+    assert(r.length === 15, "5 languages x 3 buckets")
+    r.groupBy(_.getAs[String]("lang")).foreach { case (lang, bs) =>
+      val byB = bs.map(x => x.getAs[String]("bucket") -> x).toMap
+      assert(byB.keySet === Set("head", "middle", "tail"), s"$lang buckets")
+      // NTILE balance: bucket sizes differ by at most one
+      val sizes = bs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1L, s"$lang tertile balance: $sizes")
+      // head = most corpus-typical: score ranges must not interleave
+      assert(byB("head").getAs[Long]("min_ppm") >=
+        byB("middle").getAs[Long]("max_ppm"), s"$lang head/middle boundary")
+      assert(byB("middle").getAs[Long]("min_ppm") >=
+        byB("tail").getAs[Long]("max_ppm"), s"$lang middle/tail boundary")
+      bs.foreach { x =>
+        assert(x.getAs[Long]("min_ppm") <= x.getAs[Long]("mean_ppm") &&
+          x.getAs[Long]("mean_ppm") <= x.getAs[Long]("max_ppm"))
+      }
+    }
+  }
+
+  test("samp_dsir_weights: one row per doc and the target domain scores higher") {
+    val r = rows("samp_dsir_weights")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.length.toLong === nDocs, "one weight row per document")
+    r.foreach { x =>
+      val lean = x.getAs[Long]("n_target_leaning")
+      assert(lean >= 0L && lean <= x.getAs[Long]("n_tokens"))
+      assert(!x.getAs[String]("log_weight").isEmpty)
+    }
+    // DSIR's defining property: docs FROM the target domain average a
+    // higher importance weight than the rest of the corpus
+    val (tgt, rest) = r.partition(_.getAs[Boolean]("is_target"))
+    def meanW(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(_.getAs[String]("log_weight").toDouble).sum / xs.length
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    assert(meanW(tgt) > meanW(rest),
+      s"target-domain mean log-weight ${meanW(tgt)} must exceed ${meanW(rest)}")
+  }
+
+  test("samp_epoch_schedule: budget conserved, sqrt-temper favors small sources") {
+    val r = rows("samp_epoch_schedule")
+    assert(r.length === 20, "one row per source")
+    val totToks = r.map(_.getAs[Long]("toks")).sum
+    assert(r.map(_.getAs[Long]("target_toks")).sum === 2L * totToks,
+      "largest-remainder apportionment must hand out the whole budget")
+    r.foreach { x =>
+      val w = x.getAs[Long]("weight"); val t = x.getAs[Long]("toks")
+      assert(w * w <= t && t < (w + 1) * (w + 1), "weight = floor(sqrt(toks))")
+      assert(x.getAs[Long]("epochs_milli") > 0L)
+    }
+    val byToks = r.sortBy(_.getAs[Long]("toks"))
+    assert(byToks.head.getAs[Long]("epochs_milli") >=
+      byToks.last.getAs[Long]("epochs_milli"),
+      "the smallest source must be scheduled for at least as many epochs")
+  }
 }
