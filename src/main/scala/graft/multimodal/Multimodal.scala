@@ -618,4 +618,85 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ─── audio fingerprint: Goertzel peak-frequency constellation ───────
+  // The Shazam-shaped primitive (Wang 2003): detect the dominant
+  // spectral peak among a fixed candidate-bin set. With on-bin square
+  // tones the argmax has an exact closed form (the fundamental always
+  // beats any odd harmonic that lands on another candidate by ≥ 9×
+  // power), so the real decode→Goertzel→argmax path is hash-checkable.
+
+  /** Decoded 16-bit mono LE samples of one WAV payload; None for dead
+    * or non-16-bit-mono payloads (DLQ pattern). */
+  private[graft] def decodeWavSamples(payload: Array[Byte]): Option[Array[Int]] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.isBigEndian) return None
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      if (n == 0) return None
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+        i += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Goertzel power at exact DFT bin k of the first `frameLen`
+    * samples (caller guarantees frameLen ≤ n). */
+  private def goertzelPower(samples: Array[Int], k: Int, frameLen: Int): Double = {
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * k / frameLen)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < frameLen) {
+      val s0 = samples(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  val peakSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("peak_hz", LongType)))
+
+  /** Batched peak detection over (doc_id, payload): Goertzel power at
+    * each candidate frequency (all must be exact bins of `frameLen`
+    * samples at 8 kHz), argmax → detected peak Hz. Zero-shuffle,
+    * `batchSize` payloads in flight per task; null peak for dead or
+    * short payloads. */
+  def audioPeakHz(df: DataFrame, candidatesHz: Seq[Int], frameLen: Int): DataFrame = {
+    require(candidatesHz.forall(hz => (hz.toLong * frameLen) % 8000 == 0),
+      s"candidate bins must be exact DFT bins of frameLen=$frameLen at 8 kHz")
+    val enc = RowEncoder.encoderFor(peakSchema)
+    val cands = candidatesHz.toArray
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          decodeWavSamples(payload).filter(_.length >= frameLen) match {
+            case Some(samples) =>
+              var bestHz = 0L; var bestP = -1.0
+              var j = 0
+              while (j < cands.length) {
+                val k = cands(j) * frameLen / 8000
+                val p = goertzelPower(samples, k, frameLen)
+                if (p > bestP) { bestP = p; bestHz = cands(j).toLong }
+                j += 1
+              }
+              Row(id, bestHz)
+            case None => Row(id, null)
+          }
+        }
+      }
+    }(enc)
+  }
 }

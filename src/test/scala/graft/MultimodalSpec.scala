@@ -142,4 +142,27 @@ class MultimodalSpec extends SparkSuite {
     val Some((nf, na, ns)) = Multimodal.vadOne(wav, 80, 500L * 80)
     assert((nf, na, ns) === ((2L, 2L, 1L)))
   }
+
+  test("audioPeakHz: every tone class lands on its own fundamental") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val halfPeriods = Seq(4, 5, 8, 10, 20, 25, 40, 50)
+    val cands = halfPeriods.map(4000 / _)
+    val meta = halfPeriods.zipWithIndex
+      .map { case (h, i) => (i.toLong, 400, h, 10000) }
+      .toDF("doc_id", "n_samples", "half_period", "amplitude")
+    val peaks = Multimodal.audioPeakHz(
+      Multimodal.encodeWavPayloads(meta), cands, 400).collect()
+    peaks.foreach { r =>
+      val h = halfPeriods(r.getLong(0).toInt)
+      assert(r.getLong(1) === 4000L / h,
+        s"half-period $h must fingerprint as its fundamental ${4000 / h} Hz")
+    }
+    // the 200 Hz square's 5th harmonic lands on candidate 1000 Hz —
+    // the fundamental must still win (harmonic power is 1/25)
+    assert(peaks.find(_.getLong(0) === 4L).get.getLong(1) === 200L)
+    // dead payload → null peak (DLQ pattern)
+    val dead = Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.audioPeakHz(dead, cands, 400).collect()(0).isNullAt(1))
+  }
 }
