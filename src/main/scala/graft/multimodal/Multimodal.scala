@@ -417,6 +417,41 @@ object Multimodal {
   // decoders a production pipeline would plug into the same
   // `Array[Byte] => features` seam.
 
+  // SCALE FIX (the audio twin of ImageIO.setUseCache(false)): the
+  // javax.sound.sampled.AudioSystem facade re-resolves its SPI provider
+  // list through JDK13Services.getProviders — a synchronized, uncached
+  // process-global lookup — on EVERY read and write call. At 32 codec
+  // threads that lock serializes the executor: the WAV family measured
+  // 11–14× wall-clock for 10× payloads. Resolving the platform WAV
+  // reader/writer ONCE per JVM keeps the identical codec objects
+  // (com.sun.media.sound.WaveFile{Reader,Writer} are stateless) but
+  // makes the per-payload hot path lock-free.
+  private lazy val wavReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+  }
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer on this JVM"))
+  }
+
+  /** AudioSystem.getAudioInputStream without the per-call provider
+    * rescan: first cached reader that accepts the payload wins. */
+  private def readWav(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = wavReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(new ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException("no reader matched")
+  }
+
   /** Deterministic 16-bit signed mono PCM square wave at 8 kHz: sample
     * i is +amplitude while (i / halfPeriod) is even, −amplitude while
     * odd. Square fill is to audio what solid fill is to the PNG path:
@@ -435,7 +470,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
+    wavWriter.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
@@ -461,8 +496,7 @@ object Multimodal {
       payload: Array[Byte]): Option[(Long, Int, Long, Long, Long)] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(payload))
+      val ais = readWav(payload)
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
         fmt.isBigEndian) return None
@@ -535,7 +569,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
+    wavWriter.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
@@ -563,8 +597,7 @@ object Multimodal {
       thrSumAbs: Long): Option[(Long, Long, Long)] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(payload))
+      val ais = readWav(payload)
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
         fmt.isBigEndian) return None
@@ -631,8 +664,7 @@ object Multimodal {
   private[graft] def decodeWavSamples(payload: Array[Byte]): Option[Array[Int]] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(payload))
+      val ais = readWav(payload)
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
         fmt.isBigEndian) return None
