@@ -158,6 +158,59 @@ object CurationQueries {
           expr("target_toks * 1000 DIV toks").as("epochs_milli"))
         .withColumn("repeat_risk", $"epochs_milli" > 4000L)
         .orderBy($"source")
+    }),
+
+    // EMBEDDING-SPACE DRIFT between two corpus snapshots (vec_id
+    // parity stands in for crawl N vs crawl N+1) — the monitoring op
+    // a curation team runs before trusting an index/dedup threshold
+    // across snapshots: per label, the cosine between the two
+    // snapshots' mean embedding directions, in exact integers end to
+    // end (milli-quantized components → sign-split integer means →
+    // integer dot / isqrt norms → cos in milli). Scale: one narrow
+    // ×dims explode into a keyed partial+final sum (shuffle volume =
+    // |labels|·|dims| after map-side combine), then |labels|-sized
+    // math — the same shape at 100 TB.
+    "sim_embedding_drift" -> ((s, d) => {
+      import s.implicits._
+      val q = embeddings(s, d)
+        .select(($"vec_id" % 2).cast("int").as("half"), $"label",
+          posexplode($"embedding").as(Seq("dim", "x")))
+        .select($"half", $"label", $"dim",
+          expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("qx"))
+      val cnt = embeddings(s, d)
+        .groupBy($"label", ($"vec_id" % 2).cast("int").as("half"))
+        .agg(count(lit(1)).as("n"))
+      val means = q.groupBy($"label", $"half", $"dim")
+        .agg(sum($"qx").as("sq"))
+        .join(cnt, Seq("label", "half"))
+        // integer mean; DIV truncates and DuckDB // floors, so
+        // negative sums go through the sign-split idiom
+        .select($"label", $"half", $"dim", $"n",
+          expr("CASE WHEN sq >= 0 THEN sq DIV n ELSE -((-sq) DIV n) END")
+            .as("m"))
+      val a = means.filter($"half" === 0)
+        .select($"label", $"dim", $"n".as("n_a"), $"m".as("ma"))
+      val b = means.filter($"half" === 1)
+        .select($"label", $"dim", $"n".as("n_b"), $"m".as("mb"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy($"label")
+        .agg(min($"n_a").as("n_a"), min($"n_b").as("n_b"),
+          sum($"ma" * $"mb").as("dot"),
+          sum($"ma" * $"ma").as("na2"),
+          sum($"mb" * $"mb").as("nb2"))
+        .select($"label", $"n_a", $"n_b", $"dot",
+          greatest(floor(sqrt($"na2".cast("double"))).cast("long"), lit(1L))
+            .as("norm_a_milli"),
+          greatest(floor(sqrt($"nb2".cast("double"))).cast("long"), lit(1L))
+            .as("norm_b_milli"))
+        .withColumn("cos_micro",
+          expr("""CASE WHEN dot >= 0
+                 | THEN (dot * 1000000) DIV (norm_a_milli * norm_b_milli)
+                 | ELSE -(((-dot) * 1000000) DIV (norm_a_milli * norm_b_milli))
+                 | END""".stripMargin))
+        .select($"label", $"n_a", $"n_b", $"norm_a_milli", $"norm_b_milli",
+          $"cos_micro", ($"cos_micro" < 990000L).as("drifted"))
+        .orderBy($"label")
     })
   )
 
@@ -250,6 +303,52 @@ object CurationQueries {
         |SELECT source, n_docs, toks, weight, target_toks,
         |  CAST(target_toks * 1000 // toks AS BIGINT) AS epochs_milli,
         |  target_toks * 1000 // toks > 4000 AS repeat_risk
-        |FROM e ORDER BY source""".stripMargin
+        |FROM e ORDER BY source""".stripMargin,
+
+    "sim_embedding_drift" ->
+      """WITH q AS (
+        |  SELECT CAST(vec_id % 2 AS INTEGER) AS half, label, i AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qx
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |cnt AS (
+        |  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT label, half, dim, CAST(SUM(qx) AS BIGINT) AS sq
+        |  FROM q GROUP BY 1, 2, 3),
+        |means AS (
+        |  SELECT s.label, s.half, s.dim, c.n,
+        |    CASE WHEN sq >= 0 THEN sq // n ELSE -((-sq) // n) END AS m
+        |  FROM sums s JOIN cnt c USING (label, half)),
+        |j AS (
+        |  SELECT a.label, CAST(MIN(a.n) AS BIGINT) AS n_a,
+        |    CAST(MIN(b.n) AS BIGINT) AS n_b,
+        |    CAST(SUM(a.m * b.m) AS BIGINT) AS dot,
+        |    CAST(SUM(a.m * a.m) AS BIGINT) AS na2,
+        |    CAST(SUM(b.m * b.m) AS BIGINT) AS nb2
+        |  FROM means a JOIN means b ON a.label = b.label AND a.dim = b.dim
+        |  WHERE a.half = 0 AND b.half = 1
+        |  GROUP BY a.label),
+        |nrm AS (
+        |  SELECT label, n_a, n_b, dot,
+        |    GREATEST(CAST(FLOOR(SQRT(CAST(na2 AS DOUBLE))) AS BIGINT), 1)
+        |      AS norm_a_milli,
+        |    GREATEST(CAST(FLOOR(SQRT(CAST(nb2 AS DOUBLE))) AS BIGINT), 1)
+        |      AS norm_b_milli
+        |  FROM j),
+        |fin AS (
+        |  SELECT label, n_a, n_b, norm_a_milli, norm_b_milli,
+        |    CASE WHEN dot >= 0
+        |      THEN (dot * 1000000) // (norm_a_milli * norm_b_milli)
+        |      ELSE -(((-dot) * 1000000) // (norm_a_milli * norm_b_milli))
+        |      END AS cos_micro
+        |  FROM nrm)
+        |SELECT label, n_a, n_b, norm_a_milli, norm_b_milli,
+        |  CAST(cos_micro AS BIGINT) AS cos_micro,
+        |  cos_micro < 990000 AS drifted
+        |FROM fin ORDER BY label""".stripMargin
   )
 }

@@ -244,4 +244,21 @@ class Round16Spec extends SparkSuite {
       byToks.last.getAs[Long]("epochs_milli"),
       "the smallest source must be scheduled for at least as many epochs")
   }
+
+  test("sim_embedding_drift: one row per label, cosine in range, counts conserved") {
+    val r = rows("sim_embedding_drift")
+    assert(r.length === 10, "one drift row per label")
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(r.map(x => x.getAs[Long]("n_a") + x.getAs[Long]("n_b")).sum === nVecs,
+      "snapshot halves must partition the corpus")
+    r.foreach { x =>
+      val c = x.getAs[Long]("cos_micro")
+      // integer-quantized cosine of two real vectors; floor rounding
+      // can push the magnitude a hair past 1e6, never past 1001000
+      assert(c >= -1001000L && c <= 1001000L, s"cos_micro out of range: $c")
+      assert(x.getAs[Long]("norm_a_milli") >= 1L)
+      assert(x.getAs[Long]("norm_b_milli") >= 1L)
+      assert(x.getAs[Boolean]("drifted") === (c < 990000L))
+    }
+  }
 }
