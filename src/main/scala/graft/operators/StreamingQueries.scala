@@ -504,6 +504,44 @@ object StreamingQueries {
         .orderBy($"vec_id")
     }),
 
+    // Streaming INGEST QUALITY MONITOR — the curation funnel's
+    // quality + language gates (dedup_curation_funnel stages 3–4, the
+    // exact integer cross-multiplication rules) run at the ingestion
+    // edge: documents stream through the stateless gate projection
+    // into a per-source streaming aggregate, the admit-rate panel an
+    // LLM-data ingest pipeline alarms on when a source goes bad
+    // mid-crawl. Stateless scoring + one keyed streaming agg (state =
+    // |sources| rows, bounded by construction); admit_bp is exact
+    // integer basis points.
+    "stream_quality_gate" -> ((s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val toks = split($"text", " ")
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val scored = docs.select($"source", $"text",
+          size(toks).cast("long").as("ntok"),
+          size(filter(toks, t => t.isin(stops.map(lit(_)): _*)))
+            .cast("long").as("nstop"))
+        .withColumn("pass_quality",
+          $"ntok" >= 30 &&
+            lit(20L) * $"nstop" >= $"ntok" && lit(5L) * $"nstop" <= lit(3L) * $"ntok")
+        .withColumn("pass_lang",
+          $"text".contains(" the ") || $"text".contains(" el ") ||
+            $"text".contains(" der ") || $"text".contains(" le ") ||
+            $"text".contains("的"))
+      val agg = scored.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"pass_quality", 1L).otherwise(0L)).as("n_pass_quality"),
+          sum(when($"pass_quality" && $"pass_lang", 1L).otherwise(0L))
+            .as("n_admitted"))
+      toMemoryRocks(s, agg.toDF(), "stream_quality_gate_sink", "update")
+        .select($"source", $"n_docs", $"n_pass_quality", $"n_admitted",
+          expr("n_admitted * 10000 DIV n_docs").as("admit_bp"))
+        .orderBy($"source")
+    }),
+
     "stream_tws_ema" -> ((s, d) => {
       import s.implicits._
       val typed = eventsStream(s, d)
@@ -545,6 +583,30 @@ object StreamingQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Batch replay of the streaming quality gate: identical integer
+    // gate rules over the same corpus, grouped per source.
+    "stream_quality_gate" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    len(string_split(text, ' ')) AS ntok,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS nstop,
+        |    (text LIKE '% the %' OR text LIKE '% el %' OR text LIKE '% der %'
+        |      OR text LIKE '% le %' OR text LIKE '%的%') AS pass_lang
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT source,
+        |    (ntok >= 30 AND 20 * nstop >= ntok AND 5 * nstop <= 3 * ntok) AS pq,
+        |    pass_lang
+        |  FROM g)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+        |  CAST(SUM(CASE WHEN pq AND pass_lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(SUM(CASE WHEN pq AND pass_lang THEN 1 ELSE 0 END) * 10000
+        |    // COUNT(*) AS BIGINT) AS admit_bp
+        |FROM g2 GROUP BY source ORDER BY source""".stripMargin,
+
     // Batch replay of the streaming semantic dedup: a vector is a
     // duplicate iff an EARLIER (smaller-id) vector of its IVF cell
     // clears the integer cosine threshold — the shared cells/pairs

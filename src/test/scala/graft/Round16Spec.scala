@@ -245,6 +245,21 @@ class Round16Spec extends SparkSuite {
       "the smallest source must be scheduled for at least as many epochs")
   }
 
+  test("stream_quality_gate: per-source gate panel is conservative and exact") {
+    val r = rows("stream_quality_gate")
+    assert(r.length === 20, "one panel row per source")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === nDocs,
+      "source panels must partition the streamed corpus")
+    r.foreach { x =>
+      val nd = x.getAs[Long]("n_docs")
+      val nq = x.getAs[Long]("n_pass_quality")
+      val na = x.getAs[Long]("n_admitted")
+      assert(na <= nq && nq <= nd, "gate chain must be conservative")
+      assert(x.getAs[Long]("admit_bp") === na * 10000 / nd)
+    }
+  }
+
   test("sim_embedding_drift: one row per label, cosine in range, counts conserved") {
     val r = rows("sim_embedding_drift")
     assert(r.length === 10, "one drift row per label")
