@@ -76,7 +76,8 @@ object SparkEntry {
       MlQueries8.queries ++
       TextQueries10.queries ++
       DedupQueries5.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      RelationalQueries22.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -138,5 +139,6 @@ object SparkEntry {
       MlQueries8.oracles ++
       TextQueries10.oracles ++
       DedupQueries5.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++
+      RelationalQueries22.oracles
 }

@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.OracleParity.dec
+
+/** Round-16 statistics batch — four classical tests the battery still
+  * lacked, each in the house exact-arithmetic contract:
+  *
+  *  - `q287_mood_median`   — Mood's median test: does l_quantity's
+  *    location differ across return flags? Grand median from the
+  *    ≤50-row value census, 2×k above/≤ counts, χ² with per-cell
+  *    micro-quantization before the cross-cell sum.
+  *  - `q288_quade_test`    — Quade's blocked rank test, the
+  *    range-weighted upgrade of Friedman (q158): block weights =
+  *    rank of the block's revenue range, so wide-spread weeks count
+  *    more. Doubled tie-averaged ranks keep every sum integer; the
+  *    F statistic is an exact integer rational.
+  *  - `q289_siegel_tukey`  — Siegel–Tukey dispersion test between
+  *    urgent and low order priorities: alternating extreme ranks
+  *    (closed form over the global ascending rank) fed through the
+  *    Wilcoxon machinery. Global rank rides GlobalRank's two-pass
+  *    range-partitioned prefix sum.
+  *  - `q290_smr_indirect`  — indirectly standardized completion ratio
+  *    (the SMR of epidemiology): the urgent-priority cohort's observed
+  *    finalized orders vs the expectation under per-month reference
+  *    rates, expectation milli-quantized per stratum before the
+  *    cross-stratum sum.
+  */
+object RelationalQueries22 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val D38 = DecimalType(38, 0)
+
+  /** Money column as exact integer cents, decimal-38 typed. */
+  private def cents38(c: Column) = (dec(c) * 100).cast(D38)
+
+  val queries: Map[String, Q] = Map(
+    // MOOD'S MEDIAN TEST — the coarsest, most outlier-proof k-group
+    // location test (the rank-free sibling of Kruskal–Wallis q152):
+    // classify every line as above / at-or-below the GRAND median of
+    // l_quantity, then χ² on the 2×k table. The grand median comes
+    // from the ≤50-row quantity census (value-domain-sized at any
+    // corpus scale — one keyed aggregate + a 50-row running sum);
+    // each of the 2k χ² cells is (O·N − r·c)²/(r·c·N) from exact
+    // integers, micro-floored PER CELL before the cross-cell sum
+    // (the bartlett/tukey quantize-before-Σ idiom).
+    "q287_mood_median" -> ((s, d) => {
+      import s.implicits._
+      val wCum = Window.orderBy($"qty") // ≤50 rows: the value census
+      val census = lineitem(s, d)
+        .groupBy($"l_quantity".cast("long").as("qty"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(wCum))
+      val med = census
+        .crossJoin(broadcast(census.agg(sum($"c").as("n_tot"))))
+        .filter($"cum" * 2 >= $"n_tot")
+        .agg(min($"qty").as("median"), min($"n_tot").as("n_tot"))
+      val grp = lineitem(s, d)
+        .crossJoin(broadcast(med))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"l_quantity" > $"median", 1L).otherwise(0L)).as("n_above"),
+          min($"median").as("median"), min($"n_tot").as("n_tot"))
+      val wAll = Window.partitionBy() // k = 3 rows
+      grp
+        .withColumn("tot_above", sum($"n_above").over(wAll))
+        // per-cell χ² term (O·N − r·c)²/(r·c·N), micro-floored per
+        // cell; both engines build the identical double tree from
+        // exact sub-2^53 integers
+        // libm pow is not correctly rounded — square via d*d (exact
+        // IEEE multiply of an exactly-representable integer diff)
+        .withColumn("da", ($"n_above" * $"n_tot" - $"n" * $"tot_above")
+          .cast("double"))
+        .withColumn("db", (($"n" - $"n_above") * $"n_tot"
+          - $"n" * ($"n_tot" - $"tot_above")).cast("double"))
+        .withColumn("chi2_above_micro", floor(lit(1000000.0) * $"da" * $"da"
+          / ($"n" * $"tot_above").cast("double") / $"n_tot".cast("double"))
+          .cast("long"))
+        .withColumn("chi2_below_micro", floor(lit(1000000.0) * $"db" * $"db"
+          / ($"n" * ($"n_tot" - $"tot_above")).cast("double")
+          / $"n_tot".cast("double")).cast("long"))
+        .withColumn("chi2_micro",
+          sum($"chi2_above_micro" + $"chi2_below_micro").over(wAll))
+        .select($"l_returnflag", $"n", $"n_above", $"median",
+          $"chi2_micro", lit(2L).as("df"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // QUADE TEST — Friedman (q158) with blocks weighted by their
+    // response RANGE: weeks where priority moves revenue a lot count
+    // more than flat weeks. Within-block doubled tie-averaged ranks
+    // r2 = 2r̄ and doubled block-range ranks Q2 = 2·rank(range) keep
+    // S4_ij = Q2_i·(r2_ij − (k+1)) exactly 4·Q_i·(r_ij − (k+1)/2) —
+    // pure integers, so A = ΣS4², S_j = Σ_i S4_ij, and the statistic
+    // F = (n−1)·ΣS_j² / (n·A − ΣS_j²) are exact integer rationals.
+    // One (week, priority) exchange; everything after runs on n·k
+    // aggregated rows.
+    "q288_quade_test" -> ((s, d) => {
+      import s.implicits._
+      val k = 5
+      val cell = orders(s, d)
+        .groupBy(
+          floor(datediff(to_date($"o_orderdate"), lit("1970-01-05")) / 7).as("wk"),
+          $"o_orderpriority".as("priority"))
+        .agg(sum(cents38($"o_totalprice")).cast("long").as("rev"))
+      val wBlk = Window.partitionBy($"wk")
+      val complete = cell
+        .withColumn("n_in_block", count(lit(1)).over(wBlk))
+        .filter($"n_in_block" === k)
+        .withColumn("rng", max($"rev").over(wBlk) - min($"rev").over(wBlk))
+      val wRank = Window.partitionBy($"wk").orderBy($"rev")
+      val wTies = Window.partitionBy($"wk", $"rev")
+      // block-weight rank: over the n-block range table (n-sized,
+      // aggregate-scale — at 100 TB this window rides GlobalRank)
+      val wQ = Window.orderBy($"rng")
+      val wQt = Window.partitionBy($"rng")
+      val blkW = complete.select($"wk", $"rng").distinct()
+        .withColumn("q2", lit(2) * rank().over(wQ) + count(lit(1)).over(wQt) - 1)
+      val ranked = complete
+        .withColumn("r2", lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+        .join(blkW.select($"wk", $"q2"), Seq("wk"))
+        .withColumn("s4", $"q2" * ($"r2" - (k + 1)))
+      val perTreat = ranked.groupBy($"priority")
+        .agg(count(lit(1)).as("n_blocks"), sum($"s4").cast("long").as("s_stat"))
+      val aTot = ranked.agg(sum($"s4" * $"s4").cast("long").as("a_tot"))
+      val wAll = Window.partitionBy() // k rows
+      perTreat.crossJoin(broadcast(aTot))
+        .withColumn("sum_s2", sum($"s_stat" * $"s_stat").over(wAll))
+        .withColumn("f_stat", format_string("%.6f",
+          (($"n_blocks" - 1) * $"sum_s2").cast("double")
+            / ($"n_blocks" * $"a_tot" - $"sum_s2").cast("double")))
+        .select($"priority", $"n_blocks", $"s_stat", $"f_stat",
+          lit(k - 1).cast("long").as("df1"),
+          (($"n_blocks" - 1) * (k - 1)).cast("long").as("df2"))
+        .orderBy($"priority")
+    }),
+
+    // SIEGEL–TUKEY DISPERSION TEST — are urgent orders more spread in
+    // value than low-priority ones? Alternating extreme ranks (1 to
+    // the minimum, 2–3 to the two maxima, 4–5 to the next two minima,
+    // …) have a closed form over the global ascending rank r:
+    // b = r from below, t = n+1−r from above; the lower half takes
+    // 2b−1 / 2b (b odd/even), the upper half 2t / 2t−1 (t odd/even).
+    // Wilcoxon machinery on those ranks gives U and an exact-integer
+    // z numerator; ties in cents break by o_orderkey so the rank
+    // assignment is a total order on both engines. For an odd pooled
+    // count the midpoint (b = t) takes the from-below value 2b — one
+    // unit above n, where the textbook drops the observation: a
+    // deterministic, engine-portable total rule with the same
+    // asymptotics (the BPE self-pair convention's spirit). The ascending rank
+    // is GlobalRank's two-pass range-partitioned prefix sum — no
+    // single-partition sort at any scale.
+    "q289_siegel_tukey" -> ((s, d) => {
+      import s.implicits._
+      val pool = orders(s, d)
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select($"o_orderkey", $"o_orderpriority".as("grp"),
+          cents38($"o_totalprice").cast("long").as("cents"))
+      val (ranked, n) = GlobalRank.withRank(pool, "r",
+        Seq($"cents".asc, $"o_orderkey".asc))
+      val st = ranked
+        .withColumn("b", $"r")
+        .withColumn("t", lit(n) + 1 - $"r")
+        .withColumn("st_rank",
+          when($"b" <= $"t",
+            when($"b" % 2 === 1, $"b" * 2 - 1).otherwise($"b" * 2))
+            .otherwise(
+              when($"t" % 2 === 1, $"t" * 2).otherwise($"t" * 2 - 1)))
+      st.groupBy($"grp")
+        .agg(count(lit(1)).as("n_grp"), sum($"st_rank").as("w_sum"))
+        .withColumn("n_other", lit(n) - $"n_grp")
+        .withColumn("u_stat", expr("w_sum - n_grp * (n_grp + 1) DIV 2"))
+        .withColumn("z", format_string("%.6f",
+          ($"u_stat".cast("double")
+            - ($"n_grp" * $"n_other").cast("double") / 2.0)
+            / sqrt(($"n_grp" * $"n_other" * (lit(n) + 1)).cast("double") / 12.0)))
+        .select($"grp", $"n_grp", $"w_sum", $"u_stat", $"z")
+        .orderBy($"grp")
+    }),
+
+    // INDIRECTLY STANDARDIZED COMPLETION RATIO — epidemiology's SMR
+    // applied to order flow: does the URGENT cohort finalize more
+    // often than its calendar mix predicts? Reference finalize rates
+    // come from the whole corpus per order-month stratum; the
+    // cohort's expected count is Σ_strata n_s·rate_s, milli-quantized
+    // PER STRATUM (integer DIV) before the cross-stratum sum, so the
+    // SMR is an exact integer ratio in basis points. Two keyed
+    // aggregates over the fact table; the stratum table is
+    // calendar-sized (~80 months), as is the final window.
+    "q290_smr_indirect" -> ((s, d) => {
+      import s.implicits._
+      val fin = when($"o_orderstatus" === "F", 1L).otherwise(0L)
+      val month = date_format(to_date($"o_orderdate"), "yyyy-MM").as("month")
+      val ref = orders(s, d)
+        .groupBy(month)
+        .agg(count(lit(1)).as("ref_n"), sum(fin).as("ref_f"))
+      val tgt = orders(s, d)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy(month)
+        .agg(count(lit(1)).as("n_target"), sum(fin).as("obs_f"))
+      val wAll = Window.partitionBy() // calendar-sized (~80 months)
+      tgt.join(ref, Seq("month"))
+        .withColumn("e_milli", expr("n_target * ref_f * 1000 DIV ref_n"))
+        .withColumn("obs_tot", sum($"obs_f").over(wAll))
+        .withColumn("e_tot_milli", sum($"e_milli").over(wAll))
+        .select($"month", $"n_target", $"obs_f", $"e_milli",
+          expr("obs_tot * 10000000 DIV e_tot_milli").as("smr_bp"))
+        .orderBy($"month")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q287_mood_median" ->
+      """WITH census AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT qty, CAST(SUM(c) OVER (ORDER BY qty) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n_tot
+        |  FROM census),
+        |med AS (
+        |  SELECT MIN(qty) AS median, MIN(n_tot) AS n_tot
+        |  FROM cum WHERE cum * 2 >= n_tot),
+        |grp AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity > median THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_above,
+        |    MIN(median) AS median, MIN(n_tot) AS n_tot
+        |  FROM lineitem CROSS JOIN med
+        |  GROUP BY l_returnflag),
+        |g2 AS (
+        |  SELECT *, CAST(SUM(n_above) OVER () AS BIGINT) AS tot_above
+        |  FROM grp),
+        |g3 AS (
+        |  SELECT *,
+        |    CAST(FLOOR(1000000.0
+        |      * CAST(n_above * n_tot - n * tot_above AS DOUBLE)
+        |      * CAST(n_above * n_tot - n * tot_above AS DOUBLE)
+        |      / CAST(n * tot_above AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |      AS BIGINT) AS ca,
+        |    CAST(FLOOR(1000000.0
+        |      * CAST((n - n_above) * n_tot - n * (n_tot - tot_above) AS DOUBLE)
+        |      * CAST((n - n_above) * n_tot - n * (n_tot - tot_above) AS DOUBLE)
+        |      / CAST(n * (n_tot - tot_above) AS DOUBLE)
+        |      / CAST(n_tot AS DOUBLE)) AS BIGINT) AS cb
+        |  FROM g2)
+        |SELECT l_returnflag, n, n_above, median,
+        |  CAST(SUM(ca + cb) OVER () AS BIGINT) AS chi2_micro,
+        |  CAST(2 AS BIGINT) AS df
+        |FROM g3 ORDER BY l_returnflag""".stripMargin,
+
+    "q288_quade_test" ->
+      """WITH cell AS (
+        |  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-05') // 7 AS wk,
+        |    o_orderpriority AS priority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |complete AS (
+        |  SELECT *, MAX(rev) OVER (PARTITION BY wk)
+        |    - MIN(rev) OVER (PARTITION BY wk) AS rng
+        |  FROM (SELECT *, COUNT(*) OVER (PARTITION BY wk) AS nb FROM cell)
+        |  WHERE nb = 5),
+        |blkw AS (
+        |  SELECT wk,
+        |    2 * rank() OVER (ORDER BY rng)
+        |      + COUNT(*) OVER (PARTITION BY rng) - 1 AS q2
+        |  FROM (SELECT DISTINCT wk, rng FROM complete)),
+        |ranked AS (
+        |  SELECT c.priority,
+        |    (2 * rank() OVER (PARTITION BY c.wk ORDER BY c.rev)
+        |      + COUNT(*) OVER (PARTITION BY c.wk, c.rev) - 1 - 6) * b.q2 AS s4
+        |  FROM complete c JOIN blkw b USING (wk)),
+        |pt AS (
+        |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(s4) AS BIGINT) AS s_stat
+        |  FROM ranked GROUP BY priority),
+        |tot AS (SELECT CAST(SUM(s4 * s4) AS BIGINT) AS a_tot FROM ranked),
+        |fin AS (
+        |  SELECT priority, n_blocks, s_stat,
+        |    CAST(SUM(s_stat * s_stat) OVER () AS BIGINT) AS sum_s2, a_tot
+        |  FROM pt CROSS JOIN tot)
+        |SELECT priority, n_blocks, s_stat,
+        |  printf('%.6f', CAST((n_blocks - 1) * sum_s2 AS DOUBLE)
+        |    / CAST(n_blocks * a_tot - sum_s2 AS DOUBLE)) AS f_stat,
+        |  CAST(4 AS BIGINT) AS df1,
+        |  CAST((n_blocks - 1) * 4 AS BIGINT) AS df2
+        |FROM fin ORDER BY priority""".stripMargin,
+
+    "q289_siegel_tukey" ->
+      """WITH pool AS (
+        |  SELECT o_orderkey, o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |rk AS (
+        |  SELECT grp,
+        |    row_number() OVER (ORDER BY cents, o_orderkey) AS r,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM pool),
+        |st AS (
+        |  SELECT grp, n,
+        |    CASE WHEN r <= n + 1 - r
+        |      THEN CASE WHEN r % 2 = 1 THEN 2 * r - 1 ELSE 2 * r END
+        |      ELSE CASE WHEN (n + 1 - r) % 2 = 1 THEN 2 * (n + 1 - r)
+        |        ELSE 2 * (n + 1 - r) - 1 END
+        |      END AS st_rank
+        |  FROM rk),
+        |g AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_grp,
+        |    CAST(SUM(st_rank) AS BIGINT) AS w_sum, MIN(n) AS n
+        |  FROM st GROUP BY grp),
+        |u AS (
+        |  SELECT grp, n_grp, w_sum, n, n - n_grp AS n_other,
+        |    w_sum - n_grp * (n_grp + 1) // 2 AS u_stat
+        |  FROM g)
+        |SELECT grp, n_grp, w_sum, CAST(u_stat AS BIGINT) AS u_stat,
+        |  printf('%.6f', (CAST(u_stat AS DOUBLE)
+        |      - CAST(n_grp * n_other AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n_grp * n_other * (n + 1) AS DOUBLE) / 12.0)) AS z
+        |FROM u ORDER BY grp""".stripMargin,
+
+    "q290_smr_indirect" ->
+      """WITH ref AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS ref_n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ref_f
+        |  FROM orders GROUP BY 1),
+        |tgt AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS n_target,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS obs_f
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT t.month, t.n_target, t.obs_f,
+        |    t.n_target * r.ref_f * 1000 // r.ref_n AS e_milli
+        |  FROM tgt t JOIN ref r USING (month)),
+        |w AS (
+        |  SELECT *, CAST(SUM(obs_f) OVER () AS BIGINT) AS obs_tot,
+        |    CAST(SUM(e_milli) OVER () AS BIGINT) AS e_tot_milli
+        |  FROM j)
+        |SELECT month, n_target, obs_f,
+        |  CAST(e_milli AS BIGINT) AS e_milli,
+        |  CAST(obs_tot * 10000000 // e_tot_milli AS BIGINT) AS smr_bp
+        |FROM w ORDER BY month""".stripMargin
+  )
+}

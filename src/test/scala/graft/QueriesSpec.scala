@@ -70,7 +70,8 @@ class QueriesSpec extends SparkSuite {
       "MlQueries8" -> MlQueries8.queries.keySet,
       "TextQueries10" -> TextQueries10.queries.keySet,
       "DedupQueries5" -> DedupQueries5.queries.keySet,
-      "CurationQueries" -> CurationQueries.queries.keySet)
+      "CurationQueries" -> CurationQueries.queries.keySet,
+      "RelationalQueries22" -> RelationalQueries22.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query keys declared in multiple files: ${

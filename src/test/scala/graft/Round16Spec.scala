@@ -245,6 +245,57 @@ class Round16Spec extends SparkSuite {
       "the smallest source must be scheduled for at least as many epochs")
   }
 
+  test("q287_mood_median: the 2xk table is conservative and chi2 is shared") {
+    val r = rows("q287_mood_median")
+    assert(r.length === 3, "one row per return flag")
+    assert(r.map(_.getAs[Long]("chi2_micro")).distinct.length === 1,
+      "the test statistic is a corpus scalar")
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_above") <= x.getAs[Long]("n"))
+      val m = x.getAs[Long]("median")
+      assert(m >= 1L && m <= 50L, "grand median within the quantity domain")
+    }
+  }
+
+  test("q288_quade_test: centered rank sums and a nonnegative statistic") {
+    val r = rows("q288_quade_test")
+    assert(r.length === 5, "one row per priority")
+    // Σ_j S_j = 0 exactly: within-block tie-averaged ranks always sum
+    // to k(k+1)/2, so the weighted centered sums cancel across
+    // treatments — the integer identity the doubled-rank encoding
+    // must preserve
+    assert(r.map(_.getAs[Long]("s_stat")).sum === 0L)
+    r.foreach { x =>
+      assert(x.getAs[String]("f_stat").toDouble >= 0.0)
+      assert(x.getAs[Long]("df2") === (x.getAs[Long]("n_blocks") - 1) * 4)
+    }
+  }
+
+  test("q289_siegel_tukey: groups partition the pool and U is in range") {
+    val r = rows("q289_siegel_tukey")
+    assert(r.length === 2, "urgent vs low")
+    val n = r.map(_.getAs[Long]("n_grp")).sum
+    r.foreach { x =>
+      val u = x.getAs[Long]("u_stat")
+      val na = x.getAs[Long]("n_grp")
+      // U ranges over [0, n_a*n_b] up to the odd-n midpoint's +1 slack
+      assert(u >= 0L && u <= na * (n - na) + 1,
+        s"U out of range: $u for n_a=$na n=$n")
+    }
+  }
+
+  test("q290_smr_indirect: expectation is rate-consistent and SMR is shared") {
+    val r = rows("q290_smr_indirect")
+    assert(r.length >= 70, "one stratum row per order month")
+    assert(r.map(_.getAs[Long]("smr_bp")).distinct.length === 1,
+      "the SMR is a cohort scalar")
+    r.foreach { x =>
+      assert(x.getAs[Long]("obs_f") <= x.getAs[Long]("n_target"))
+      assert(x.getAs[Long]("e_milli") <= x.getAs[Long]("n_target") * 1000L,
+        "a stratum's expectation cannot exceed its cohort size")
+    }
+  }
+
   test("stream_quality_gate: per-source gate panel is conservative and exact") {
     val r = rows("stream_quality_gate")
     assert(r.length === 20, "one panel row per source")
