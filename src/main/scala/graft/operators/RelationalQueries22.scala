@@ -38,6 +38,21 @@ object RelationalQueries22 {
   /** Money column as exact integer cents, decimal-38 typed. */
   private def cents38(c: Column) = (dec(c) * 100).cast(D38)
 
+  /** (priority score, quantity) census — the ≤ 5×50-row sufficient
+    * statistic behind the ordered-alternative tests (q291/q293): one
+    * keyed fact-fact join + one keyed aggregate; every rank moment
+    * derives from it in exact integers. Priorities are '1-URGENT' …
+    * '5-LOW', so the leading character IS the trend score. */
+  private def prioQty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .select($"l_orderkey", $"l_quantity".cast("long").as("qty"))
+      .join(orders(s, d).select($"o_orderkey".as("l_orderkey"),
+        substring($"o_orderpriority", 1, 1).cast("long").as("g")),
+        Seq("l_orderkey"))
+      .groupBy($"g", $"qty").agg(count(lit(1)).as("c"))
+  }
+
   val queries: Map[String, Q] = Map(
     // MOOD'S MEDIAN TEST — the coarsest, most outlier-proof k-group
     // location test (the rank-free sibling of Kruskal–Wallis q152):
@@ -210,6 +225,115 @@ object RelationalQueries22 {
         .select($"month", $"n_target", $"obs_f", $"e_milli",
           expr("obs_tot * 10000000 DIV e_tot_milli").as("smr_bp"))
         .orderBy($"month")
+    }),
+
+    // JONCKHEERE–TERPSTRA ordered-alternative test — does line
+    // quantity trend monotonically across the FIVE ORDERED priorities
+    // (the ordered upgrade of Kruskal–Wallis q152, as Page q292 is of
+    // Friedman)? All pairwise Mann–Whitney mass comes from the
+    // (priority, quantity) CENSUS — ≤ 5×50 rows at any corpus scale —
+    // so the i<j "pair enumeration" is a census self-join, never
+    // row-level. Doubled counts (2·#greater + #ties) keep U exact;
+    // the z uses the untied variance (conservative under ties,
+    // documented). One fact-fact keyed join builds the census.
+    "q291_jonckheere" -> ((s, d) => {
+      import s.implicits._
+      val cen = prioQty(s, d).localCheckpoint() // ≤ 250 rows
+      val a = cen.select($"g".as("gi"), $"qty".as("va"), $"c".as("ca"))
+      val b = cen.select($"g".as("gj"), $"qty".as("vb"), $"c".as("cb"))
+      val pairU = a.join(b, $"gi" < $"gj")
+        .withColumn("contrib",
+          when($"vb" > $"va", $"ca" * $"cb" * 2)
+            .when($"vb" === $"va", $"ca" * $"cb").otherwise(lit(0L)))
+        .groupBy($"gi", $"gj").agg(sum($"contrib").as("u2_pair"))
+      val tot = cen.groupBy($"g").agg(sum($"c").as("n_g"))
+        .agg(sum($"n_g").as("nn"), sum($"n_g" * $"n_g").as("sn2"),
+          sum($"n_g" * $"n_g" * ($"n_g" * 2 + 3)).as("sn23"))
+      val wAll = Window.partitionBy() // 10 pair rows
+      pairU.crossJoin(broadcast(tot))
+        .withColumn("j2", sum($"u2_pair").over(wAll))
+        .withColumn("z", format_string("%.6f",
+          (($"j2".cast("double")
+            - ($"nn" * $"nn" - $"sn2").cast("double") / 2.0) / 2.0)
+            / sqrt(($"nn".cast("double") * $"nn".cast("double")
+              * ($"nn".cast("double") * 2.0 + 3.0)
+              - $"sn23".cast("double")) / 72.0)))
+        .select($"gi", $"gj", $"u2_pair", $"j2", $"z")
+        .orderBy($"gi", $"gj")
+    }),
+
+    // PAGE'S TREND TEST — the ordered-alternative Friedman (q158's
+    // machinery, scored): within complete weekly blocks, L = Σ_j w_j·R_j
+    // with w_j the priority's numeric score. Doubled tie-averaged
+    // ranks keep L2 integer; for k=5 the null closed forms are
+    // E[L] = 45n and Var[L] = 25n, so z = (L2 − 90n)/2 / (5√n) is one
+    // exact double tree. Same (week, priority) exchange as q158.
+    "q292_page_trend" -> ((s, d) => {
+      import s.implicits._
+      val k = 5
+      val cell = orders(s, d)
+        .groupBy(
+          floor(datediff(to_date($"o_orderdate"), lit("1970-01-05")) / 7).as("wk"),
+          $"o_orderpriority".as("priority"))
+        .agg(sum(cents38($"o_totalprice")).cast("long").as("rev"))
+      val wBlk = Window.partitionBy($"wk")
+      val complete = cell
+        .withColumn("n_in_block", count(lit(1)).over(wBlk))
+        .filter($"n_in_block" === k)
+      val wRank = Window.partitionBy($"wk").orderBy($"rev")
+      val wTies = Window.partitionBy($"wk", $"rev")
+      val ranked = complete
+        .withColumn("r2", lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+      val perTreat = ranked.groupBy($"priority")
+        .agg(count(lit(1)).as("n_blocks"), sum($"r2").cast("long").as("rank2_sum"))
+        .withColumn("score", substring($"priority", 1, 1).cast("long"))
+      val wAll = Window.partitionBy() // k rows
+      perTreat
+        .withColumn("l2_stat", sum($"score" * $"rank2_sum").over(wAll))
+        .withColumn("z", format_string("%.6f",
+          ($"l2_stat" - $"n_blocks" * 90).cast("double") / 2.0
+            / (sqrt($"n_blocks".cast("double")) * 5.0)))
+        .select($"priority", $"score", $"n_blocks", $"rank2_sum",
+          $"l2_stat", $"z")
+        .orderBy($"priority")
+    }),
+
+    // CUZICK'S TREND TEST — the rank-sum trend across ordered groups
+    // (the two-group Wilcoxon generalized by scores): T = Σ_g s_g·W_g
+    // over POOLED midranks, tie-corrected variance. Midranks and all
+    // moments come from the same ≤5×50 census as q291 (doubled
+    // midranks R2 = 2·cum_before + t + 1 stay integer); the tie term
+    // Σ(t³−t) is exact BIGINT (largest census cell ³ ≪ 2^63 at any
+    // tested SF — the value domain has 50 cells). One double tree for
+    // the z on both engines.
+    "q293_cuzick_trend" -> ((s, d) => {
+      import s.implicits._
+      val cen = prioQty(s, d).localCheckpoint() // ≤ 250 rows
+      val wCumB = Window.orderBy($"qty")
+        .rowsBetween(Window.unboundedPreceding, -1) // ≤50-row census
+      val pooled = cen.groupBy($"qty").agg(sum($"c").as("t"))
+        .withColumn("cum_before", coalesce(sum($"t").over(wCumB), lit(0L)))
+        .withColumn("r2", $"cum_before" * 2 + $"t" + 1)
+      val wg = cen.join(pooled.select($"qty", $"r2"), Seq("qty"))
+        .groupBy($"g")
+        .agg(sum($"c").as("n_g"), sum($"c" * $"r2").as("w2_g"))
+      val moments = wg
+        .agg(sum($"n_g").as("nn"), sum($"g" * $"n_g").as("sn"),
+          sum($"g" * $"g" * $"n_g").as("ssn"))
+        .crossJoin(broadcast(
+          pooled.agg(sum($"t" * $"t" * $"t" - $"t").as("tie_num"))))
+      val wAll = Window.partitionBy() // 5 rows
+      wg.crossJoin(broadcast(moments))
+        .withColumn("t2_stat", sum($"g" * $"w2_g").over(wAll))
+        .withColumn("z", format_string("%.6f",
+          (($"t2_stat" - ($"nn" + 1) * $"sn").cast("double") / 2.0)
+            / sqrt(($"nn" + 1).cast("double") / 12.0
+              * ($"nn" * $"ssn" - $"sn" * $"sn").cast("double")
+              * (lit(1.0) - $"tie_num".cast("double")
+                / ($"nn".cast("double") * $"nn".cast("double")
+                  * $"nn".cast("double") - $"nn".cast("double"))))))
+        .select($"g", $"n_g", $"w2_g", $"t2_stat", $"z")
+        .orderBy($"g")
     })
   )
 
@@ -349,6 +473,104 @@ object RelationalQueries22 {
         |SELECT month, n_target, obs_f,
         |  CAST(e_milli AS BIGINT) AS e_milli,
         |  CAST(obs_tot * 10000000 // e_tot_milli AS BIGINT) AS smr_bp
-        |FROM w ORDER BY month""".stripMargin
+        |FROM w ORDER BY month""".stripMargin,
+
+    "q291_jonckheere" ->
+      """WITH cen AS (
+        |  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |    CAST(l.l_quantity AS BIGINT) AS qty, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |pairu AS (
+        |  SELECT a.g AS gi, b.g AS gj,
+        |    CAST(SUM(CASE WHEN b.qty > a.qty THEN a.c * b.c * 2
+        |      WHEN b.qty = a.qty THEN a.c * b.c ELSE 0 END) AS BIGINT) AS u2_pair
+        |  FROM cen a JOIN cen b ON a.g < b.g
+        |  GROUP BY 1, 2),
+        |szs AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cen GROUP BY g),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+        |  CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+        |  CAST(SUM(n_g * n_g * (n_g * 2 + 3)) AS BIGINT) AS sn23 FROM szs),
+        |fin AS (
+        |  SELECT gi, gj, u2_pair,
+        |    CAST(SUM(u2_pair) OVER () AS BIGINT) AS j2, nn, sn2, sn23
+        |  FROM pairu CROSS JOIN tot)
+        |SELECT gi, gj, u2_pair, j2,
+        |  printf('%.6f',
+        |    ((CAST(j2 AS DOUBLE) - CAST(nn * nn - sn2 AS DOUBLE) / 2.0) / 2.0)
+        |    / sqrt((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) * 2.0 + 3.0)
+        |        - CAST(sn23 AS DOUBLE)) / 72.0)) AS z
+        |FROM fin ORDER BY gi, gj""".stripMargin,
+
+    "q292_page_trend" ->
+      """WITH cell AS (
+        |  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-05') // 7 AS wk,
+        |    o_orderpriority AS priority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |complete AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY wk) AS nb FROM cell)
+        |  WHERE nb = 5),
+        |ranked AS (
+        |  SELECT priority,
+        |    2 * rank() OVER (PARTITION BY wk ORDER BY rev)
+        |      + COUNT(*) OVER (PARTITION BY wk, rev) - 1 AS r2
+        |  FROM complete),
+        |pt AS (
+        |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(r2) AS BIGINT) AS rank2_sum,
+        |    CAST(substring(priority, 1, 1) AS BIGINT) AS score
+        |  FROM ranked GROUP BY priority),
+        |fin AS (
+        |  SELECT *, CAST(SUM(score * rank2_sum) OVER () AS BIGINT) AS l2_stat
+        |  FROM pt)
+        |SELECT priority, score, n_blocks, rank2_sum, l2_stat,
+        |  printf('%.6f', CAST(l2_stat - n_blocks * 90 AS DOUBLE) / 2.0
+        |    / (sqrt(CAST(n_blocks AS DOUBLE)) * 5.0)) AS z
+        |FROM fin ORDER BY priority""".stripMargin,
+
+    "q293_cuzick_trend" ->
+      """WITH cen AS (
+        |  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |    CAST(l.l_quantity AS BIGINT) AS qty, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |pooled AS (
+        |  SELECT qty, CAST(SUM(c) AS BIGINT) AS t FROM cen GROUP BY qty),
+        |p2 AS (
+        |  SELECT qty, t,
+        |    COALESCE(CAST(SUM(t) OVER (ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS cum_before
+        |  FROM pooled),
+        |p3 AS (SELECT qty, t, cum_before * 2 + t + 1 AS r2 FROM p2),
+        |wg AS (
+        |  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+        |    CAST(SUM(c * r2) AS BIGINT) AS w2_g
+        |  FROM cen JOIN p3 USING (qty) GROUP BY g),
+        |mom AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+        |    CAST(SUM(g * n_g) AS BIGINT) AS sn,
+        |    CAST(SUM(g * g * n_g) AS BIGINT) AS ssn
+        |  FROM wg),
+        |tie AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_num
+        |        FROM pooled),
+        |fin AS (
+        |  SELECT g, n_g, w2_g,
+        |    CAST(SUM(g * w2_g) OVER () AS BIGINT) AS t2_stat,
+        |    nn, sn, ssn, tie_num
+        |  FROM wg CROSS JOIN mom CROSS JOIN tie)
+        |SELECT g, n_g, w2_g, t2_stat,
+        |  printf('%.6f',
+        |    (CAST(t2_stat - (nn + 1) * sn AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(nn + 1 AS DOUBLE) / 12.0
+        |      * CAST(nn * ssn - sn * sn AS DOUBLE)
+        |      * (1.0 - CAST(tie_num AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))))) AS z
+        |FROM fin ORDER BY g""".stripMargin
   )
 }

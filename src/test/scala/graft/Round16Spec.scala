@@ -296,6 +296,39 @@ class Round16Spec extends SparkSuite {
     }
   }
 
+  test("q291_jonckheere: all ordered pairs present, J is their exact sum") {
+    val r = rows("q291_jonckheere")
+    assert(r.length === 10, "C(5,2) ordered priority pairs")
+    val pairs = r.map(x => (x.getAs[Long]("gi"), x.getAs[Long]("gj"))).toSet
+    assert(pairs === (for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)).toSet)
+    val j2 = r.map(_.getAs[Long]("j2")).distinct
+    assert(j2.length === 1 && j2.head === r.map(_.getAs[Long]("u2_pair")).sum,
+      "the shared J statistic must equal the pairwise U mass")
+    r.foreach(x => assert(x.getAs[Long]("u2_pair") >= 0L))
+  }
+
+  test("q292_page_trend: doubled block ranks satisfy the Friedman identities") {
+    val r = rows("q292_page_trend")
+    assert(r.length === 5)
+    val n = r.map(_.getAs[Long]("n_blocks")).distinct
+    assert(n.length === 1, "every treatment sees the same complete blocks")
+    // Σ_j R2_j = n·k(k+1): within-block doubled ranks always sum to 30
+    assert(r.map(_.getAs[Long]("rank2_sum")).sum === 30L * n.head)
+    assert(r.map(x => x.getAs[Long]("score") * x.getAs[Long]("rank2_sum")).sum
+      === r.head.getAs[Long]("l2_stat"), "L is the scored rank-sum")
+    assert(r.map(_.getAs[Long]("score")).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("q293_cuzick_trend: pooled doubled midranks sum to N(N+1)") {
+    val r = rows("q293_cuzick_trend")
+    assert(r.length === 5)
+    val nn = r.map(_.getAs[Long]("n_g")).sum
+    assert(r.map(_.getAs[Long]("w2_g")).sum === nn * (nn + 1),
+      "Σ_g W2_g must equal the total doubled midrank mass")
+    assert(r.map(x => x.getAs[Long]("g") * x.getAs[Long]("w2_g")).sum
+      === r.head.getAs[Long]("t2_stat"))
+  }
+
   test("stream_quality_gate: per-source gate panel is conservative and exact") {
     val r = rows("stream_quality_gate")
     assert(r.length === 20, "one panel row per source")
