@@ -211,6 +211,45 @@ object CurationQueries {
         .select($"label", $"n_a", $"n_b", $"norm_a_milli", $"norm_b_milli",
           $"cos_micro", ($"cos_micro" < 990000L).as("drifted"))
         .orderBy($"label")
+    }),
+
+    // DATASET DATA CARD — the per-source datasheet a curation run
+    // publishes (Datasheets for Datasets, Gebru et al. 2021): size,
+    // token mass, dominant language and its share, exact-duplicate
+    // exposure (share of docs whose normalized text also occurs
+    // ELSEWHERE in the corpus — the cross-source contamination read),
+    // quality-gate pass rate, and mean length. Every signal is a
+    // keyed aggregate joined on the 20-row source dimension; the dup
+    // exposure reuses the normalized-fingerprint census (corpus-keyed
+    // groupBy, never a pair join). All-integer basis points.
+    "samp_data_card" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.normalize
+      val base = documents(s, d).select($"doc_id", $"source", $"lang",
+        $"n_chars", $"text", md5(normalize($"text")).as("fp"))
+      val fpc = base.groupBy($"fp").agg(count(lit(1)).as("n_fp"))
+      val core = base.join(fpc, Seq("fp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens($"text")).cast("long")).as("n_tokens"),
+          sum($"n_chars").as("n_chars"),
+          sum(when($"n_fp" > 1, 1L).otherwise(0L)).as("n_dup_exposed"),
+          sum(when(size(tokens($"text")) >= 30, 1L).otherwise(0L))
+            .as("n_len_ok"))
+      val wLang = Window.partitionBy($"source")
+        .orderBy($"n_lang".desc, $"lang".asc)
+      val topLang = documents(s, d)
+        .groupBy($"source", $"lang").agg(count(lit(1)).as("n_lang"))
+        .withColumn("rn", row_number().over(wLang)).filter($"rn" === 1)
+        .select($"source", $"lang".as("top_lang"), $"n_lang")
+      core.join(topLang, Seq("source"))
+        .select($"source", $"n_docs", $"n_tokens",
+          expr("n_chars DIV n_docs").as("mean_chars"),
+          $"top_lang",
+          expr("n_lang * 10000 DIV n_docs").as("top_lang_bp"),
+          expr("n_dup_exposed * 10000 DIV n_docs").as("dup_exposed_bp"),
+          expr("n_len_ok * 10000 DIV n_docs").as("len_ok_bp"))
+        .orderBy($"source")
     })
   )
 
@@ -349,6 +388,38 @@ object CurationQueries {
         |SELECT label, n_a, n_b, norm_a_milli, norm_b_milli,
         |  CAST(cos_micro AS BIGINT) AS cos_micro,
         |  cos_micro < 990000 AS drifted
-        |FROM fin ORDER BY label""".stripMargin
+        |FROM fin ORDER BY label""".stripMargin,
+
+    "samp_data_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, lang, n_chars, text,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |fpc AS (SELECT fp, COUNT(*) AS n_fp FROM base GROUP BY fp),
+        |core AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_exposed,
+        |    CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= 30
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok
+        |  FROM base JOIN fpc USING (fp)
+        |  GROUP BY source),
+        |tl AS (
+        |  SELECT source, lang AS top_lang, n_lang FROM (
+        |    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_lang,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY COUNT(*) DESC, lang ASC) AS rn
+        |    FROM documents GROUP BY source, lang)
+        |  WHERE rn = 1)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_chars // n_docs AS BIGINT) AS mean_chars,
+        |  top_lang,
+        |  CAST(n_lang * 10000 // n_docs AS BIGINT) AS top_lang_bp,
+        |  CAST(n_dup_exposed * 10000 // n_docs AS BIGINT) AS dup_exposed_bp,
+        |  CAST(n_len_ok * 10000 // n_docs AS BIGINT) AS len_ok_bp
+        |FROM core JOIN tl USING (source)
+        |ORDER BY source""".stripMargin
   )
 }

@@ -344,6 +344,24 @@ class Round16Spec extends SparkSuite {
     }
   }
 
+  test("samp_data_card: per-source datasheet is conservative and complete") {
+    val r = rows("samp_data_card")
+    assert(r.length === 20, "one card row per source")
+    assert(r.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    r.foreach { x =>
+      Seq("top_lang_bp", "dup_exposed_bp", "len_ok_bp").foreach { c =>
+        val v = x.getAs[Long](c)
+        assert(v >= 0L && v <= 10000L, s"$c out of basis-point range: $v")
+      }
+      assert(x.getAs[Long]("top_lang_bp") >= 10000L / 5,
+        "the dominant language can never sit below the uniform share")
+      assert(x.getAs[Long]("n_tokens") >= x.getAs[Long]("n_docs"),
+        "every document has at least one token")
+      assert(Set("en", "de", "es", "fr", "zh")(x.getAs[String]("top_lang")))
+    }
+  }
+
   test("sim_embedding_drift: one row per label, cosine in range, counts conserved") {
     val r = rows("sim_embedding_drift")
     assert(r.length === 10, "one drift row per label")
