@@ -41,6 +41,9 @@ object GraphQueries5 {
     * change nothing visible). */
   private val KatzRounds = 4
 
+  /** Betweenness hop cap (k-bounded Brandes). */
+  private val BcHops = 4
+
   val queries: Map[String, Q] = Map(
     "graph_katz_centrality" -> ((s, d) => {
       import s.implicits._
@@ -82,6 +85,77 @@ object GraphQueries5 {
           "comp_size * n_components AS docs_in_size",
           "(10000 * comp_size * n_components) DIV n_docs AS docs_share_bp")
         .orderBy($"comp_size")
+    }),
+
+    // HOP-BOUNDED BRANDES BETWEENNESS (sampled sources) — the
+    // bridge-vertex centrality the pagerank/Katz/HITS trio can't see:
+    // which documents sit ON the shortest paths between near-dup
+    // regions? Sources = the graph_bfs_reach seed set (doc_id ≡ 0 mod
+    // 10); distances capped at [[BcHops]] hops (k-bounded betweenness,
+    // the standard sampling + truncation pair for huge graphs —
+    // Brandes 2001 + Borassi/Natale-style bounding). FORWARD: per-seed
+    // BFS where σ(w) = Σ σ(v) over dist-(h−1) predecessors — one keyed
+    // join + keyed sum + anti-join per hop, frontier-sized. BACKWARD:
+    // Brandes' dependency accumulation with the fraction kept in
+    // INTEGER micro-units — δμ(v) = Σ_w σ(v)·(10⁶ + δμ(w)) DIV σ(w)
+    // per successor edge, summed exactly (all terms non-negative, so
+    // Spark DIV and DuckDB // agree; the oracle unrolls the identical
+    // per-level floors). Output: top-20 bridges by accumulated
+    // dependency. State is (seed × reached-node)-sized, checkpointed
+    // per hop; at 100 TB the seed sample rate bounds it.
+    "graph_betweenness" -> ((s, d) => {
+      import s.implicits._
+      val edges = GraphQueries.simEdges(s, d)
+      val loopParts = 4
+      var levels = edges.select($"src".as("doc_id")).distinct()
+        .filter($"doc_id" % 10 === 0)
+        .select($"doc_id".as("seed"), $"doc_id", lit(0).as("dist"),
+          lit(1L).as("sigma"))
+        .repartition(loopParts, $"seed", $"doc_id").localCheckpoint()
+      var frontier = levels
+      for (h <- 1 to BcHops) {
+        val next = edges
+          .join(frontier.select($"seed", $"doc_id".as("src"), $"sigma"),
+            Seq("src"))
+          .groupBy($"seed", $"dst".as("doc_id"))
+          .agg(sum($"sigma").as("sigma"))
+          .join(levels.select($"seed", $"doc_id"), Seq("seed", "doc_id"),
+            "left_anti")
+          .withColumn("dist", lit(h))
+          .select($"seed", $"doc_id", $"dist", $"sigma")
+          .repartition(loopParts, $"seed", $"doc_id").localCheckpoint()
+        levels = levels.union(next)
+          .repartition(loopParts, $"seed", $"doc_id").localCheckpoint()
+        frontier = next
+      }
+      // backward accumulation, deepest level first; the cap level's
+      // dependency is 0 by construction
+      var delta = levels.filter($"dist" === BcHops)
+        .select($"seed", $"doc_id", lit(0L).as("dmu")).localCheckpoint()
+      var acc = delta
+      for (h <- (BcHops - 1) to 1 by -1) {
+        val cur = levels.filter($"dist" === h)
+          .select($"seed", $"doc_id", $"sigma")
+        val contrib = edges
+          .join(cur.select($"seed", $"doc_id".as("src"), $"sigma".as("sig_v")),
+            Seq("src"))
+          .join(levels.filter($"dist" === h + 1)
+            .select($"seed", $"doc_id".as("dst"), $"sigma".as("sig_w")),
+            Seq("seed", "dst"))
+          .join(delta.select($"seed", $"doc_id".as("dst"), $"dmu".as("dmu_w")),
+            Seq("seed", "dst"))
+          .groupBy($"seed", $"src".as("doc_id"))
+          .agg(sum(expr("sig_v * (1000000 + dmu_w) DIV sig_w")).as("contrib"))
+        delta = cur.join(contrib, Seq("seed", "doc_id"), "left")
+          .select($"seed", $"doc_id",
+            coalesce($"contrib", lit(0L)).as("dmu"))
+          .repartition(loopParts, $"seed", $"doc_id").localCheckpoint()
+        acc = acc.union(delta)
+      }
+      acc.groupBy($"doc_id")
+        .agg(sum($"dmu").as("bc_micro"),
+          count(lit(1)).as("n_seeds_reaching"))
+        .orderBy($"bc_micro".desc, $"doc_id".asc).limit(20)
     })
   )
 
@@ -94,7 +168,56 @@ object GraphQueries5 {
        |  FROM edges e JOIN k${i - 1} p ON e.src = p.doc_id
        |  GROUP BY e.dst)""".stripMargin
 
+  /** One unrolled forward Brandes hop: frontier n$i + visited v$i. */
+  private def bcHopSql(i: Int): String =
+    s"""n$i AS MATERIALIZED (
+       |  SELECT f.seed, e.dst AS doc_id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+       |  FROM edges e JOIN n${i - 1} f ON e.src = f.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x
+       |                    WHERE x.seed = f.seed AND x.doc_id = e.dst)
+       |  GROUP BY f.seed, e.dst),
+       |v$i AS MATERIALIZED (SELECT seed, doc_id FROM v${i - 1}
+       |        UNION ALL SELECT seed, doc_id FROM n$i)""".stripMargin
+
+  /** One unrolled backward Brandes level: integer-floored per-edge
+    * dependency contributions from level h+1 into level h. */
+  private def bcBackSql(h: Int): String =
+    s"""x$h AS MATERIALIZED (
+       |  SELECT v.seed, v.doc_id,
+       |    CAST(SUM(v.sigma * (1000000 + dw.dmu) // w.sigma) AS BIGINT)
+       |      AS contrib
+       |  FROM n$h v
+       |  JOIN edges e ON e.src = v.doc_id
+       |  JOIN n${h + 1} w ON w.seed = v.seed AND w.doc_id = e.dst
+       |  JOIN d${h + 1} dw ON dw.seed = v.seed AND dw.doc_id = e.dst
+       |  GROUP BY v.seed, v.doc_id),
+       |d$h AS MATERIALIZED (
+       |  SELECT v.seed, v.doc_id, CAST(COALESCE(x.contrib, 0) AS BIGINT) AS dmu
+       |  FROM n$h v LEFT JOIN x$h x
+       |    ON x.seed = v.seed AND x.doc_id = v.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_betweenness" ->
+      s"""WITH ${DedupQueries.pairsCte},
+         |edges AS MATERIALIZED (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |n0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS seed, src AS doc_id,
+         |    CAST(1 AS BIGINT) AS sigma
+         |  FROM edges WHERE src % 10 = 0),
+         |v0 AS MATERIALIZED (SELECT seed, doc_id FROM n0),
+         |${(1 to BcHops).map(bcHopSql).mkString(",\n")},
+         |d$BcHops AS (SELECT seed, doc_id, CAST(0 AS BIGINT) AS dmu
+         |             FROM n$BcHops),
+         |${((BcHops - 1) to 1 by -1).map(bcBackSql).mkString(",\n")},
+         |acc AS (${(1 to BcHops).map(h => s"SELECT seed, doc_id, dmu FROM d$h")
+            .mkString("\n  UNION ALL ")})
+         |SELECT doc_id, CAST(SUM(dmu) AS BIGINT) AS bc_micro,
+         |  CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching
+         |FROM acc GROUP BY doc_id
+         |ORDER BY bc_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
+
     "graph_katz_centrality" ->
       s"""WITH ${DedupQueries.pairsCte},
          |edges AS MATERIALIZED (

@@ -241,7 +241,10 @@ object RelationalQueries22 {
       val cen = prioQty(s, d).localCheckpoint() // ≤ 250 rows
       val a = cen.select($"g".as("gi"), $"qty".as("va"), $"c".as("ca"))
       val b = cen.select($"g".as("gj"), $"qty".as("vb"), $"c".as("cb"))
-      val pairU = a.join(b, $"gi" < $"gj")
+      // theta self-join of a checkpointed frame plans a CartesianProduct
+      // unless one side broadcasts (the r11 PlanSpec lesson) — the
+      // census is ≤250 rows, so the broadcast is free
+      val pairU = a.join(broadcast(b), $"gi" < $"gj")
         .withColumn("contrib",
           when($"vb" > $"va", $"ca" * $"cb" * 2)
             .when($"vb" === $"va", $"ca" * $"cb").otherwise(lit(0L)))

@@ -344,6 +344,24 @@ class Round16Spec extends SparkSuite {
     }
   }
 
+  test("graph_betweenness: dependencies are nonnegative and seeds bound the reach") {
+    val r = rows("graph_betweenness")
+    assert(r.nonEmpty && r.length <= 20)
+    val bc = r.map(_.getAs[Long]("bc_micro"))
+    assert(bc.zip(bc.tail).forall { case (a, b) => b <= a },
+      "output is ordered by accumulated dependency")
+    r.foreach { x =>
+      assert(x.getAs[Long]("bc_micro") >= 0L)
+      assert(x.getAs[Long]("n_seeds_reaching") >= 1L)
+    }
+    // a vertex counted once per seed BFS: n_seeds_reaching is bounded
+    // by the seed universe (doc_id ≡ 0 mod 10)
+    import org.apache.spark.sql.functions._
+    val seedBound = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(r.forall(_.getAs[Long]("n_seeds_reaching") <= seedBound))
+  }
+
   test("samp_data_card: per-source datasheet is conservative and complete") {
     val r = rows("samp_data_card")
     assert(r.length === 20, "one card row per source")
