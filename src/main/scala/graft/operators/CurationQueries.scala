@@ -250,6 +250,38 @@ object CurationQueries {
           expr("n_dup_exposed * 10000 DIV n_docs").as("dup_exposed_bp"),
           expr("n_len_ok * 10000 DIV n_docs").as("len_ok_bp"))
         .orderBy($"source")
+    }),
+
+    // CROSS-LINGUAL SHINGLE OVERLAP — the translation/contamination
+    // screen a multilingual corpus audit runs: how much of language
+    // A's distinct 3-shingle inventory also appears in language B?
+    // High overlap between languages flags machine-translated or
+    // lang-mislabeled mass that per-language dedup would miss. The
+    // substrate is the distinct (lang, shingle) set (one explode +
+    // distinct, shingle-keyed); the pair counts come from a
+    // shingle-keyed self-join whose per-key fanout is bounded by the
+    // language count (≤5 rows per shingle), never corpus×corpus.
+    // Pure integer counts and basis points.
+    "text_crosslingual_overlap" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.shingles3
+      val sh = documents(s, d)
+        .select($"lang", explode(shingles3(tokens($"text"))).as("shingle"))
+        .distinct().localCheckpoint() // (lang, shingle) inventory
+      val inv = sh.groupBy($"lang").agg(count(lit(1)).as("n_shingles"))
+      val shared = sh.select($"lang".as("lang_a"), $"shingle")
+        .join(sh.select($"lang".as("lang_b"), $"shingle"), Seq("shingle"))
+        .filter($"lang_a" < $"lang_b")
+        .groupBy($"lang_a", $"lang_b").agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(inv.select($"lang".as("lang_a"), $"n_shingles".as("n_a")),
+          Seq("lang_a"))
+        .join(inv.select($"lang".as("lang_b"), $"n_shingles".as("n_b")),
+          Seq("lang_b"))
+        .select($"lang_a", $"lang_b", $"n_a", $"n_b", $"n_shared",
+          expr("n_shared * 10000 DIV n_a").as("share_of_a_bp"),
+          expr("n_shared * 10000 DIV n_b").as("share_of_b_bp"))
+        .orderBy($"lang_a", $"lang_b")
     })
   )
 
@@ -420,6 +452,29 @@ object CurationQueries {
         |  CAST(n_dup_exposed * 10000 // n_docs AS BIGINT) AS dup_exposed_bp,
         |  CAST(n_len_ok * 10000 // n_docs AS BIGINT) AS len_ok_bp
         |FROM core JOIN tl USING (source)
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "text_crosslingual_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT lang, shingle FROM (
+        |    SELECT lang,
+        |      unnest(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM (SELECT lang, string_split(text, ' ') AS t FROM documents))),
+        |inv AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        |        FROM sh GROUP BY lang),
+        |shared AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT s.lang_a, s.lang_b,
+        |  ia.n_shingles AS n_a, ib.n_shingles AS n_b, s.n_shared,
+        |  CAST(s.n_shared * 10000 // ia.n_shingles AS BIGINT) AS share_of_a_bp,
+        |  CAST(s.n_shared * 10000 // ib.n_shingles AS BIGINT) AS share_of_b_bp
+        |FROM shared s
+        |JOIN inv ia ON s.lang_a = ia.lang
+        |JOIN inv ib ON s.lang_b = ib.lang
+        |ORDER BY s.lang_a, s.lang_b""".stripMargin
   )
 }

@@ -337,6 +337,52 @@ object RelationalQueries22 {
                   * $"nn".cast("double") - $"nn".cast("double"))))))
         .select($"g", $"n_g", $"w2_g", $"t2_stat", $"z")
         .orderBy($"g")
+    }),
+
+    // STUART–MAXWELL MARGINAL HOMOGENEITY — McNemar (q194)
+    // generalized to k=3 categories: did the customer spend-tercile
+    // DISTRIBUTION shift between 1995 and 1996, beyond individual
+    // churn? Terciles come from per-year NTILE over exact cents under
+    // a (cents, custkey) total order (at 100 TB the tertile boundary
+    // rides GlobalRank, as in text_ccnet_buckets); the 3×3 transition
+    // table is one keyed aggregate; χ² = d'V⁻¹d with the 2×2
+    // covariance inverted in closed form — every term an exact BIGINT
+    // until the final ratio (det guarded at ≥1: a singular V means a
+    // degenerate table and reports the raw numerator scale).
+    "q294_stuart_maxwell" -> ((s, d) => {
+      import s.implicits._
+      def spend(yy: Int) = orders(s, d)
+        .filter(year(to_date($"o_orderdate")) === yy)
+        .groupBy($"o_custkey")
+        .agg(sum(cents38($"o_totalprice")).cast("long").as(s"c$yy"))
+      val j = spend(1995).join(spend(1996), Seq("o_custkey"))
+      val w95 = Window.orderBy($"c1995", $"o_custkey") // customer-frame
+      val w96 = Window.orderBy($"c1996", $"o_custkey")
+      val cont = j
+        .withColumn("t95", ntile(3).over(w95))
+        .withColumn("t96", ntile(3).over(w96))
+        .groupBy($"t95", $"t96").agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy() // ≤9 rows
+      def marg(c: org.apache.spark.sql.Column, t: Int) =
+        sum(when(c === t, $"n").otherwise(0L)).over(wAll)
+      def cell(a: Int, b: Int) =
+        sum(when($"t95" === a && $"t96" === b, $"n").otherwise(0L)).over(wAll)
+      cont
+        .withColumn("d1", marg($"t95", 1) - marg($"t96", 1))
+        .withColumn("d2", marg($"t95", 2) - marg($"t96", 2))
+        .withColumn("v11", marg($"t95", 1) + marg($"t96", 1) - cell(1, 1) * 2)
+        .withColumn("v22", marg($"t95", 2) + marg($"t96", 2) - cell(2, 2) * 2)
+        .withColumn("v12", -(cell(1, 2) + cell(2, 1)))
+        .withColumn("num",
+          $"v22" * $"d1" * $"d1" - $"v12" * $"d1" * $"d2" * 2
+            + $"v11" * $"d2" * $"d2")
+        .withColumn("det",
+          greatest($"v11" * $"v22" - $"v12" * $"v12", lit(1L)))
+        .select($"t95", $"t96", $"n",
+          format_string("%.6f", $"num".cast("double") / $"det".cast("double"))
+            .as("chi2"),
+          lit(2L).as("df"))
+        .orderBy($"t95", $"t96")
     })
   )
 
@@ -574,6 +620,57 @@ object RelationalQueries22 {
         |      * (1.0 - CAST(tie_num AS DOUBLE)
         |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
         |          * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))))) AS z
-        |FROM fin ORDER BY g""".stripMargin
+        |FROM fin ORDER BY g""".stripMargin,
+
+    "q294_stuart_maxwell" ->
+      """WITH s95 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS c1995
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |  GROUP BY 1),
+        |s96 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS c1996
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT s95.o_custkey, c1995, c1996,
+        |    ntile(3) OVER (ORDER BY c1995, s95.o_custkey) AS t95,
+        |    ntile(3) OVER (ORDER BY c1996, s95.o_custkey) AS t96
+        |  FROM s95 JOIN s96 USING (o_custkey)),
+        |cont AS (
+        |  SELECT t95, t96, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM j GROUP BY t95, t96),
+        |m AS (
+        |  SELECT *,
+        |    CAST(SUM(CASE WHEN t95 = 1 THEN n ELSE 0 END) OVER ()
+        |      - SUM(CASE WHEN t96 = 1 THEN n ELSE 0 END) OVER () AS BIGINT)
+        |      AS d1,
+        |    CAST(SUM(CASE WHEN t95 = 2 THEN n ELSE 0 END) OVER ()
+        |      - SUM(CASE WHEN t96 = 2 THEN n ELSE 0 END) OVER () AS BIGINT)
+        |      AS d2,
+        |    CAST(SUM(CASE WHEN t95 = 1 THEN n ELSE 0 END) OVER ()
+        |      + SUM(CASE WHEN t96 = 1 THEN n ELSE 0 END) OVER ()
+        |      - SUM(CASE WHEN t95 = 1 AND t96 = 1 THEN n ELSE 0 END) OVER ()
+        |        * 2 AS BIGINT) AS v11,
+        |    CAST(SUM(CASE WHEN t95 = 2 THEN n ELSE 0 END) OVER ()
+        |      + SUM(CASE WHEN t96 = 2 THEN n ELSE 0 END) OVER ()
+        |      - SUM(CASE WHEN t95 = 2 AND t96 = 2 THEN n ELSE 0 END) OVER ()
+        |        * 2 AS BIGINT) AS v22,
+        |    CAST(-(SUM(CASE WHEN t95 = 1 AND t96 = 2 THEN n ELSE 0 END) OVER ()
+        |      + SUM(CASE WHEN t95 = 2 AND t96 = 1 THEN n ELSE 0 END) OVER ())
+        |      AS BIGINT) AS v12
+        |  FROM cont),
+        |f AS (
+        |  SELECT t95, t96, n,
+        |    v22 * d1 * d1 - v12 * d1 * d2 * 2 + v11 * d2 * d2 AS num,
+        |    GREATEST(v11 * v22 - v12 * v12, 1) AS det
+        |  FROM m)
+        |SELECT t95, t96, n,
+        |  printf('%.6f', CAST(num AS DOUBLE) / CAST(det AS DOUBLE)) AS chi2,
+        |  CAST(2 AS BIGINT) AS df
+        |FROM f ORDER BY t95, t96""".stripMargin
   )
 }

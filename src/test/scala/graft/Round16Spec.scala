@@ -344,6 +344,33 @@ class Round16Spec extends SparkSuite {
     }
   }
 
+  test("text_crosslingual_overlap: all language pairs, symmetric-consistent shares") {
+    val r = rows("text_crosslingual_overlap")
+    assert(r.length === 10, "C(5,2) language pairs")
+    r.foreach { x =>
+      val sh = x.getAs[Long]("n_shared")
+      assert(sh <= math.min(x.getAs[Long]("n_a"), x.getAs[Long]("n_b")),
+        "shared inventory bounded by the smaller side")
+      assert(x.getAs[Long]("share_of_a_bp") <= 10000L)
+      assert(x.getAs[Long]("share_of_b_bp") <= 10000L)
+      assert(x.getAs[String]("lang_a") < x.getAs[String]("lang_b"))
+    }
+  }
+
+  test("q294_stuart_maxwell: transition table conserves customers, chi2 shared") {
+    val r = rows("q294_stuart_maxwell")
+    assert(r.length <= 9 && r.nonEmpty)
+    assert(r.map(_.getAs[String]("chi2")).distinct.length === 1,
+      "the statistic is a table scalar")
+    assert(r.head.getAs[String]("chi2").toDouble >= 0.0,
+      "chi-square is nonnegative (V is positive semidefinite)")
+    // NTILE terciles: both marginals are balanced within one customer
+    val n95 = r.groupBy(_.getAs[Int]("t95")).view.mapValues(_.map(_.getAs[Long]("n")).sum)
+    val n96 = r.groupBy(_.getAs[Int]("t96")).view.mapValues(_.map(_.getAs[Long]("n")).sum)
+    assert(n95.values.max - n95.values.min <= 1L)
+    assert(n96.values.max - n96.values.min <= 1L)
+  }
+
   test("graph_betweenness: dependencies are nonnegative and seeds bound the reach") {
     val r = rows("graph_betweenness")
     assert(r.nonEmpty && r.length <= 20)
