@@ -126,7 +126,7 @@ case class QuantizedDotMilli(left: Expression, right: Expression)
   * non-negative on both sides and keeps the oracle's mod-2^64 affine
   * remix inside HUGEINT range. ~3× slower per byte than xxh64 —
   * irrelevant next to the candidate joins these signatures feed. */
-private[functions] object PortableHash {
+private[graft] object PortableHash {
   def md5hash60(s: UTF8String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
     var h = 0L

@@ -542,6 +542,22 @@ object StreamingQueries {
         .orderBy($"source")
     }),
 
+    // Streaming BOTTOM-K HASH SAMPLE — the mergeable deterministic
+    // uniform sample (bottom-k minwise) per event type: k=16 smallest
+    // portable-md5 hashes held in ListState, count in ValueState; the
+    // k-th hash is the inverse-probability cardinality witness. The
+    // update-mode emission equals the batch bottom-k bit-for-bit
+    // (hash order, not RNG), which the oracle pins.
+    "stream_tws_bottomk" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[UserEvent]
+      val e = Streams.bottomKTws(typed)
+      toMemoryRocks(s, e.toDF(), "stream_tws_bottomk_sink", "update")
+        .orderBy($"event_type")
+    }),
+
     "stream_tws_ema" -> ((s, d) => {
       import s.implicits._
       val typed = eventsStream(s, d)
@@ -606,6 +622,28 @@ object StreamingQueries {
         |  CAST(SUM(CASE WHEN pq AND pass_lang THEN 1 ELSE 0 END) * 10000
         |    // COUNT(*) AS BIGINT) AS admit_bp
         |FROM g2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // Batch replay of the streaming bottom-k sample: identical hash
+    // order, identical k, cumulative count per type.
+    "stream_tws_bottomk" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id,
+        |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, event_id, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id)
+        |      AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_seen
+        |  FROM h),
+        |bk AS (SELECT * FROM rk WHERE rn <= 16)
+        |SELECT event_type, MIN(n_seen) AS n_seen,
+        |  CAST(COUNT(*) AS INTEGER) AS k_held,
+        |  CAST(MAX(h) AS BIGINT) AS threshold_hash,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY h, event_id)
+        |    AS sample_ids
+        |FROM bk GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Batch replay of the streaming semantic dedup: a vector is a
     // duplicate iff an EARLIER (smaller-id) vector of its IVF cell

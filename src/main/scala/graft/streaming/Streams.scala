@@ -298,6 +298,27 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Streaming BOTTOM-K HASH SAMPLE per key on transformWithState —
+    * the mergeable uniform-sample sketch (bottom-k minwise, Cohen &
+    * Kaplan 2007) every telemetry pipeline keeps next to its counters:
+    * hold the k events with the SMALLEST portable md5-derived hash;
+    * the k-th smallest hash doubles as an inverse-probability
+    * cardinality witness. Deterministic (hash order, not RNG), so the
+    * update-mode emission equals the batch bottom-k bit-for-bit and
+    * replays are idempotent. State: one ≤k ListState + a count per
+    * key. */
+  def bottomKTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TwsBottomK] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .transformWithState(new BottomKProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Streaming QUANTILE SKETCH per key on transformWithState: a
     * 16-bucket exact integer histogram per event type (O(1) state per
     * key on an unbounded stream — the fixed-histogram quantile sketch
@@ -836,6 +857,62 @@ class TopKProcessor(k: Int = 5)
     merged.iterator.zipWithIndex.map { case (e, i) =>
       TwsTopK(key, i + 1, e.event_id, e.value)
     }
+  }
+}
+
+/** Output row of the streaming bottom-k hash sample. */
+case class TwsBottomK(event_type: String, n_seen: Long, k_held: Int,
+    threshold_hash: Long, sample_ids: String)
+
+/** One held sample member: (portable hash, event id). */
+case class BkEntry(h: Long, event_id: Long)
+
+/** Seen-count state of [[BottomKProcessor]]. */
+case class BkCount(n: Long)
+
+/** StatefulProcessor holding the k smallest-hash events per key — the
+  * bottom-k minwise sample: ≤k ListState entries + one count, O(k)
+  * merge per row under the (hash, event_id) total order. The hash is
+  * the portable md5-derived 60-bit value, so the batch oracle
+  * recomputes the identical sample in SQL. */
+class BottomKProcessor(k: Int = 16)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, UserEvent, TwsBottomK] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var sample: ListState[BkEntry] = _
+  @transient private var seen: ValueState[BkCount] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
+    sample = getHandle.getListState[BkEntry]("sample", Encoders.product[BkEntry],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    seen = getHandle.getValueState[BkCount]("seen", Encoders.product[BkCount],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TwsBottomK] = {
+    var merged = sample.get().toVector
+    var n = Option(seen.get()).map(_.n).getOrElse(0L)
+    var any = false
+    rows.foreach { e =>
+      any = true
+      n += 1
+      val h = graft.functions.PortableHash.md5hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.event_id.toString))
+      val entry = BkEntry(h, e.event_id)
+      val qualifies = merged.size < k || {
+        val worst = merged.last
+        entry.h < worst.h || (entry.h == worst.h && entry.event_id < worst.event_id)
+      }
+      if (qualifies)
+        merged = (merged :+ entry).sortBy(x => (x.h, x.event_id)).take(k)
+    }
+    if (!any) return Iterator.empty
+    sample.put(merged.toArray)
+    seen.update(BkCount(n))
+    Iterator.single(TwsBottomK(key, n, merged.size, merged.last.h,
+      merged.map(_.event_id).mkString(",")))
   }
 }
 

@@ -344,6 +344,24 @@ class Round16Spec extends SparkSuite {
     }
   }
 
+  test("stream_tws_bottomk: sample is k-bounded, ordered and count-consistent") {
+    val r = rows("stream_tws_bottomk")
+    assert(r.length === 5, "one sample row per event type")
+    val typeCounts = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type")).count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { x =>
+      val k = x.getAs[Int]("k_held")
+      val ids = x.getAs[String]("sample_ids").split(",")
+      assert(ids.length === k, "sample_ids must hold exactly k_held members")
+      assert(ids.distinct.length === k, "sample members are distinct")
+      assert(k === math.min(16L, typeCounts(x.getAs[String]("event_type"))).toInt)
+      assert(x.getAs[Long]("n_seen") === typeCounts(x.getAs[String]("event_type")),
+        "the count witness sees every row of its type")
+      assert(x.getAs[Long]("threshold_hash") >= 0L, "60-bit hash is non-negative")
+    }
+  }
+
   test("text_crosslingual_overlap: all language pairs, symmetric-consistent shares") {
     val r = rows("text_crosslingual_overlap")
     assert(r.length === 10, "C(5,2) language pairs")
