@@ -312,6 +312,8 @@ object StreamBench {
       run("tws_favorite", "update")(ds => Streams.userFavoriteTws(ds).toDF()),
       // bounded ListState top-K re-ranked per batch
       run("tws_topk", "update")(ds => Streams.topKTws(ds).toDF()),
+      // bottom-k minwise hash sample: <=k ListState + count per key
+      run("tws_bottomk", "update")(ds => Streams.bottomKTws(ds).toDF()),
       // flatMapGroupsWithState: one double per key + event-time TTL
       run("alerts", "append")(ds => Streams.valueAlerts(ds, step = 1000.0).toDF()),
       // mapGroupsWithState running profile with eviction records
@@ -410,6 +412,8 @@ object StreamBench {
       "tws_drift" -> 2200.0,
       "dedup" -> 1600.0, "session_agg" -> 2200.0,
       "tws_favorite" -> 3200.0, "tws_topk" -> 2700.0,
+      // same state shape as tws_topk (bounded list merge per row)
+      "tws_bottomk" -> 2700.0,
       "tws_funnel" -> 1500.0,
       "alerts" -> 2600.0, "running_profile" -> 3000.0,
       "stream_stream_join" -> 1000.0, "left_outer_join" -> 1000.0,
