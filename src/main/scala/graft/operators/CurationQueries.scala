@@ -282,6 +282,36 @@ object CurationQueries {
           expr("n_shared * 10000 DIV n_a").as("share_of_a_bp"),
           expr("n_shared * 10000 DIV n_b").as("share_of_b_bp"))
         .orderBy($"lang_a", $"lang_b")
+    }),
+
+    // SYNTHETIC-TEXT WATERMARK DETECTION (Kirchenbauer et al. 2023) —
+    // the screen a curation run adds once model-generated text floods
+    // the crawl: a greenlist watermark biases each token toward the
+    // "green" half of the vocabulary under a hash seeded by its
+    // predecessor, so scoring = count bigrams whose portable-md5
+    // parity is green and z-test against the null p = 1/2. Human text
+    // scores z ≈ 0; watermarked text scores z ≈ γ√n. The suspect flag
+    // is decided in EXACT integers (2g−n > 0 AND (2g−n)² > 16n ⟺
+    // z > 4), so the verdict never rides a float; one bigram explode
+    // into a keyed aggregate — the text_perplexity shape.
+    "text_watermark_detect" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.GraftExpressions.ngrams
+      documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(ngrams(tokens($"text"), 2)).as("bigram"))
+        .select($"doc_id",
+          (conv(substring(md5($"bigram".cast("binary")), 1, 15), 16, 10)
+            .cast("long") % 2 === 0).cast("long").as("green"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_pairs"), sum($"green").as("n_green"))
+        .withColumn("bias", $"n_green" * 2 - $"n_pairs")
+        .select($"doc_id", $"n_pairs", $"n_green",
+          format_string("%.6f",
+            $"bias".cast("double") / sqrt($"n_pairs".cast("double"))).as("z"),
+          ($"bias" > 0 && $"bias" * $"bias" > $"n_pairs" * 16)
+            .as("watermark_suspect"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -475,6 +505,28 @@ object CurationQueries {
         |FROM shared s
         |JOIN inv ia ON s.lang_a = ia.lang
         |JOIN inv ib ON s.lang_b = ib.lang
-        |ORDER BY s.lang_a, s.lang_b""".stripMargin
+        |ORDER BY s.lang_a, s.lang_b""".stripMargin,
+
+    "text_watermark_detect" ->
+      """WITH g AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents))),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substring(md5(bigram), 1, 15))::BIGINT % 2 = 0
+        |      THEN 1 ELSE 0 END AS green
+        |  FROM g),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(green) AS BIGINT) AS n_green
+        |  FROM sc GROUP BY doc_id),
+        |b AS (SELECT *, n_green * 2 - n_pairs AS bias FROM agg)
+        |SELECT doc_id, n_pairs, n_green,
+        |  printf('%.6f', CAST(bias AS DOUBLE) / sqrt(CAST(n_pairs AS DOUBLE)))
+        |    AS z,
+        |  bias > 0 AND bias * bias > n_pairs * 16 AS watermark_suspect
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

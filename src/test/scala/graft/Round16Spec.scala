@@ -344,6 +344,26 @@ class Round16Spec extends SparkSuite {
     }
   }
 
+  test("text_watermark_detect: verdict matches the exact-integer z>4 rule") {
+    val r = rows("text_watermark_detect")
+    assert(r.length.toLong > 0)
+    var suspects = 0
+    r.foreach { x =>
+      val n = x.getAs[Long]("n_pairs"); val g = x.getAs[Long]("n_green")
+      assert(g >= 0L && g <= n)
+      val bias = 2 * g - n
+      assert(x.getAs[Boolean]("watermark_suspect") ===
+        (bias > 0 && bias * bias > 16 * n))
+      if (x.getAs[Boolean]("watermark_suspect")) suspects += 1
+      assert(math.abs(x.getAs[String]("z").toDouble
+        - bias.toDouble / math.sqrt(n.toDouble)) < 1e-6)
+    }
+    // the corpus is human-shaped word soup: md5 parity is a fair coin,
+    // so z > 4 suspects must be a vanishing fraction (p < 4e-5 each)
+    assert(suspects <= math.max(1, r.length / 100),
+      s"$suspects suspects in unwatermarked text — the null is broken")
+  }
+
   test("stream_tws_bottomk: sample is k-bounded, ordered and count-consistent") {
     val r = rows("stream_tws_bottomk")
     assert(r.length === 5, "one sample row per event type")
