@@ -312,6 +312,51 @@ object CurationQueries {
           ($"bias" > 0 && $"bias" * $"bias" > $"n_pairs" * 16)
             .as("watermark_suspect"))
         .orderBy($"doc_id")
+    }),
+
+    // HELD-OUT LM EVALUATION — text_perplexity with the eval
+    // discipline a real LM pipeline enforces: the bigram model trains
+    // on 80% of docs (doc_id % 5 ≠ 0) and scores the UNSEEN 20%, so
+    // the score measures generalization, not memorization. Unseen
+    // bigrams fall back to the add-one floor 1/(n_w1 + V) and unseen
+    // contexts to 1/V (left joins + coalesce — identical on both
+    // engines); the per-doc fold is position-ordered (the
+    // text_perplexity discipline) and the OOV-bigram share rides
+    // along as an exact integer diagnostic.
+    "text_lm_holdout_eval" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.GraftExpressions.ngrams
+      val train = documents(s, d).filter($"doc_id" % 5 =!= 0)
+      val vocab = train.select(explode(tokens($"text")).as("tok"))
+        .agg(countDistinct($"tok")).head().getLong(0) // model-sized scalar
+      val bc = train
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(ngrams(tokens($"text"), 2)).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n_bigram"))
+        .withColumn("w1", split($"bigram", " ")(0))
+      val w1c = bc.groupBy($"w1").agg(sum($"n_bigram").as("n_w1"))
+      val pos = documents(s, d).filter($"doc_id" % 5 === 0)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          posexplode(ngrams(tokens($"text"), 2)).as(Seq("pos", "bigram")))
+        .withColumn("w1", split($"bigram", " ")(0))
+      pos
+        .join(bc.select($"bigram", $"n_bigram"), Seq("bigram"), "left")
+        .join(w1c, Seq("w1"), "left")
+        .select($"doc_id", $"pos",
+          when($"n_bigram".isNull, 1L).otherwise(0L).as("unseen"),
+          (-log((coalesce($"n_bigram", lit(0L)) + lit(1.0))
+            / (coalesce($"n_w1", lit(0L)) + lit(vocab.toDouble)))).as("nll"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum($"unseen").as("n_unseen"),
+          aggregate(
+            transform(array_sort(collect_list(struct($"pos", $"nll"))),
+              x => x("nll")),
+            lit(0.0), (a, x) => a + x).as("sum_nll"))
+        .select($"doc_id", $"n_bigrams", $"n_unseen",
+          format_string("%.6f", $"sum_nll" / $"n_bigrams").as("avg_nll"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -527,6 +572,40 @@ object CurationQueries {
         |  printf('%.6f', CAST(bias AS DOUBLE) / sqrt(CAST(n_pairs AS DOUBLE)))
         |    AS z,
         |  bias > 0 AND bias * bias > n_pairs * 16 AS watermark_suspect
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_lm_holdout_eval" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents WHERE doc_id % 5 <> 0),
+        |v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM (
+        |  SELECT unnest(t) AS tok FROM tr)),
+        |g AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tr)),
+        |bc AS (SELECT bigram, COUNT(*) AS n_bigram FROM g GROUP BY bigram),
+        |bw AS (SELECT bigram, n_bigram, string_split(bigram, ' ')[1] AS w1
+        |       FROM bc),
+        |w1c AS (SELECT w1, SUM(n_bigram) AS n_w1 FROM bw GROUP BY w1),
+        |te AS (
+        |  SELECT doc_id, i AS pos, t[i] || ' ' || t[i+1] AS bigram,
+        |    string_split(t[i] || ' ' || t[i+1], ' ')[1] AS w1
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE doc_id % 5 = 0))),
+        |sc AS (
+        |  SELECT te.doc_id, te.pos,
+        |    CASE WHEN bw.n_bigram IS NULL THEN 1 ELSE 0 END AS unseen,
+        |    -ln((COALESCE(bw.n_bigram, 0) + 1.0)
+        |      / (COALESCE(w1c.n_w1, 0) + CAST(vocab AS DOUBLE))) AS nll
+        |  FROM te
+        |  LEFT JOIN bw ON te.bigram = bw.bigram
+        |  LEFT JOIN w1c ON te.w1 = w1c.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+        |  printf('%.6f',
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(nll ORDER BY pos)),
+        |      (a, x) -> a + x) / COUNT(*)) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -344,6 +344,25 @@ class Round16Spec extends SparkSuite {
     }
   }
 
+  test("text_lm_holdout_eval: scores only held-out docs, OOV mass is sane") {
+    val r = rows("text_lm_holdout_eval")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("doc_id") % 5 === 0L, "held-out split only")
+      assert(x.getAs[Long]("n_unseen") <= x.getAs[Long]("n_bigrams"))
+      assert(x.getAs[String]("avg_nll").toDouble > 0.0,
+        "negative log-likelihood is positive")
+    }
+    // generalization gap: the held-out average nll must exceed the
+    // in-corpus text_perplexity average (trained on everything)
+    val holdout = r.map(_.getAs[String]("avg_nll").toDouble).sum / r.length
+    val inCorpus = rows("text_perplexity")
+      .filter(_.getAs[Long]("doc_id") % 5 === 0L)
+    val inAvg = inCorpus.map(_.getAs[String]("avg_nll").toDouble).sum / inCorpus.length
+    assert(holdout > inAvg,
+      s"held-out nll $holdout must exceed in-corpus nll $inAvg")
+  }
+
   test("text_watermark_detect: verdict matches the exact-integer z>4 rule") {
     val r = rows("text_watermark_detect")
     assert(r.length.toLong > 0)
