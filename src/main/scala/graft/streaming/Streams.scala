@@ -905,7 +905,9 @@ class BottomKProcessor(k: Int = 16)
         val worst = merged.last
         entry.h < worst.h || (entry.h == worst.h && entry.event_id < worst.event_id)
       }
-      if (qualifies)
+      // membership check makes replays idempotent: a re-seen id must
+      // not occupy a second sample slot (the replay soak's contract)
+      if (qualifies && !merged.contains(entry))
         merged = (merged :+ entry).sortBy(x => (x.h, x.event_id)).take(k)
     }
     if (!any) return Iterator.empty

@@ -788,4 +788,46 @@ class StreamingSpec extends SparkSuite {
                    case None => spark.conf.unset(key) }
     }
   }
+
+  test("bottom-k sample is batch-split invariant and idempotent under replay") {
+    import graft.streaming.UserEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mk = (i: Long) => UserEvent(i, ts("2024-01-01 00:00:00"), 1, "click", 1.0)
+      val all = (1L to 40L).map(mk)
+      def run(name: String)(feed: (MemoryStream[UserEvent],
+          org.apache.spark.sql.streaming.StreamingQuery) => Unit) = {
+        val in = MemoryStream[UserEvent](spark, name.hashCode.abs % 1000 + 100)
+        val q = Streams.bottomKTws(in.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        feed(in, q); q.stop()
+        spark.table(name).collect()
+          .filter(_.getAs[String]("event_type") == "click")
+          .maxBy(_.getAs[Long]("n_seen"))
+      }
+      // one batch vs four batches: the final sample must be identical
+      val one = run("bk_one") { (in, q) =>
+        in.addData(all); q.processAllAvailable() }
+      val four = run("bk_four") { (in, q) =>
+        all.grouped(10).foreach { b => in.addData(b); q.processAllAvailable() } }
+      assert(one.getAs[String]("sample_ids") === four.getAs[String]("sample_ids"))
+      assert(one.getAs[Long]("threshold_hash") === four.getAs[Long]("threshold_hash"))
+      assert(one.getAs[Long]("n_seen") === 40L)
+      assert(one.getAs[Int]("k_held") === 16)
+      // replaying the same ids changes the SAMPLE not at all (hash
+      // order is idempotent) — only the count witness moves
+      val replay = run("bk_replay") { (in, q) =>
+        in.addData(all); q.processAllAvailable()
+        in.addData(all); q.processAllAvailable() }
+      assert(replay.getAs[String]("sample_ids") === one.getAs[String]("sample_ids"))
+      assert(replay.getAs[Long]("n_seen") === 80L)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
