@@ -655,9 +655,13 @@ object Multimodal {
   // ─── audio fingerprint: Goertzel peak-frequency constellation ───────
   // The Shazam-shaped primitive (Wang 2003): detect the dominant
   // spectral peak among a fixed candidate-bin set. With on-bin square
-  // tones the argmax has an exact closed form (the fundamental always
-  // beats any odd harmonic that lands on another candidate by ≥ 9×
-  // power), so the real decode→Goertzel→argmax path is hash-checkable.
+  // tones the argmax has an exact closed form: a square wave's m-th
+  // odd harmonic carries 1/m² of the fundamental's power, so the
+  // fundamental beats any odd harmonic landing on another candidate
+  // by ≥ 9× in general (m = 3) and by ≥ 25× for the candidate set
+  // shipped here, where only 5th-harmonic collisions are possible
+  // (MultimodalQueries.scala / MultimodalSpec pin the 25× figure) —
+  // either way the real decode→Goertzel→argmax path is hash-checkable.
 
   /** Decoded 16-bit mono LE samples of one WAV payload; None for dead
     * or non-16-bit-mono payloads (DLQ pattern). */

@@ -92,11 +92,19 @@ object RelationalQueries22 {
           .cast("double"))
         .withColumn("db", (($"n" - $"n_above") * $"n_tot"
           - $"n" * ($"n_tot" - $"tot_above")).cast("double"))
+        // GREATEST(…, 1) guards the degenerate corpus where every
+        // quantity is above (or at-or-below) the grand median:
+        // tot_above ∈ {0, n_tot} makes a denominator 0, and
+        // floor(NaN) is engine-divergent (Spark casts to 0L, DuckDB
+        // NULLs). In that corner the numerator da/db is also 0, so
+        // the guarded term is exactly 0 in both engines; on any
+        // non-degenerate corpus the guard is the identity (the q294
+        // det-guard idiom, r16 ADVICE).
         .withColumn("chi2_above_micro", floor(lit(1000000.0) * $"da" * $"da"
-          / ($"n" * $"tot_above").cast("double") / $"n_tot".cast("double"))
-          .cast("long"))
+          / greatest($"n" * $"tot_above", lit(1L)).cast("double")
+          / $"n_tot".cast("double")).cast("long"))
         .withColumn("chi2_below_micro", floor(lit(1000000.0) * $"db" * $"db"
-          / ($"n" * ($"n_tot" - $"tot_above")).cast("double")
+          / greatest($"n" * ($"n_tot" - $"tot_above"), lit(1L)).cast("double")
           / $"n_tot".cast("double")).cast("long"))
         .withColumn("chi2_micro",
           sum($"chi2_above_micro" + $"chi2_below_micro").over(wAll))
@@ -414,12 +422,13 @@ object RelationalQueries22 {
         |    CAST(FLOOR(1000000.0
         |      * CAST(n_above * n_tot - n * tot_above AS DOUBLE)
         |      * CAST(n_above * n_tot - n * tot_above AS DOUBLE)
-        |      / CAST(n * tot_above AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |      / CAST(GREATEST(n * tot_above, 1) AS DOUBLE)
+        |      / CAST(n_tot AS DOUBLE))
         |      AS BIGINT) AS ca,
         |    CAST(FLOOR(1000000.0
         |      * CAST((n - n_above) * n_tot - n * (n_tot - tot_above) AS DOUBLE)
         |      * CAST((n - n_above) * n_tot - n * (n_tot - tot_above) AS DOUBLE)
-        |      / CAST(n * (n_tot - tot_above) AS DOUBLE)
+        |      / CAST(GREATEST(n * (n_tot - tot_above), 1) AS DOUBLE)
         |      / CAST(n_tot AS DOUBLE)) AS BIGINT) AS cb
         |  FROM g2)
         |SELECT l_returnflag, n, n_above, median,

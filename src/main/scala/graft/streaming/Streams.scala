@@ -304,9 +304,14 @@ object Streams {
     * hold the k events with the SMALLEST portable md5-derived hash;
     * the k-th smallest hash doubles as an inverse-probability
     * cardinality witness. Deterministic (hash order, not RNG), so the
-    * update-mode emission equals the batch bottom-k bit-for-bit and
-    * replays are idempotent. State: one ≤k ListState + a count per
-    * key. */
+    * update-mode emission equals the batch bottom-k bit-for-bit, and
+    * replays are idempotent END-TO-END: the [[ReplayGuard]] drops
+    * re-delivered ids before the fold, so the sample, the threshold,
+    * AND n_seen all describe distinct events — the (n_seen,
+    * threshold_hash) pair stays a consistent cardinality witness
+    * under at-least-once redelivery (the r16 ADVICE gap, closed the
+    * strong way). State: one ≤k ListState + a count + the guard's
+    * high-water mark per key. */
   def bottomKTws(events: org.apache.spark.sql.Dataset[UserEvent],
       watermark: String = "10 minutes")
       : org.apache.spark.sql.Dataset[TwsBottomK] = {
@@ -498,6 +503,78 @@ object Streams {
   }
 }
 
+/** Cross-batch REPLAY GUARD shared by every UserEvent-keyed
+  * StatefulProcessor below: one O(1) ValueState[Long] per key holding
+  * the highest event_id the key has committed, with rows at or below
+  * the mark dropped before they reach the processor's fold.
+  *
+  * Contract: event ids are a per-key-nondecreasing delivery sequence —
+  * the log-offset shape of every Kafka/CDC/file source — so a row with
+  * id ≤ the mark is by definition a RE-DELIVERY of already-committed
+  * input (the at-least-once failure shape: a source replays a prefix
+  * or the whole feed after a producer retry / consumer restart). The
+  * r16 bottom-k soak proved this defect class is real and invisible to
+  * the batch hash gate (unique-id feeds never replay); the guard fixes
+  * it for the accumulating processors wholesale instead of per-state
+  * membership checks — counters, sums, rings, histograms and samples
+  * all become replay-idempotent at once, because replayed rows never
+  * enter the fold at all.
+  *
+  * Scope: (a) the guard dedups ACROSS batches — two rows with the same
+  * id inside one micro-batch are an upstream producer bug handled by
+  * `dropDuplicatesWithinWatermark` before the processor, not here;
+  * (b) a genuinely-late event must still carry a FRESH id (delivery
+  * order, not event-time order — late data has a new offset), which is
+  * exactly how the in-order-fold processors already scope their parity
+  * claims. On a single-batch feed (the gate's AvailableNow shape) the
+  * guard is the identity — there is no earlier mark to drop against —
+  * so every oracle hash is unchanged.
+  *
+  * Cost at 100 TB: one long per key in RocksDB, same lifecycle as the
+  * state it guards; the filter is one compare per row, no extra state
+  * reads (the mark is read once per (key, batch) and written only when
+  * it advances). */
+final class ReplayGuard private (
+    hwm: org.apache.spark.sql.streaming.ValueState[Long]) {
+  private var floorSeen = Long.MinValue
+  private var pending = Long.MinValue
+
+  /** Rows of the current (key, batch) above the key's high-water mark.
+    * Lazy: the caller must fully consume the iterator before
+    * [[commit]] (every processor below folds eagerly). */
+  def fresh(rows: Iterator[UserEvent]): Iterator[UserEvent] = {
+    val floor = if (hwm.exists()) hwm.get() else Long.MinValue
+    floorSeen = floor
+    pending = floor
+    rows.filter { e =>
+      val keep = e.event_id > floor
+      if (keep && e.event_id > pending) pending = e.event_id
+      keep
+    }
+  }
+
+  /** Persist the advanced mark — call after the batch's rows are fully
+    * consumed; a no-op when nothing fresh arrived. */
+  def commit(): Unit =
+    if (pending > floorSeen) hwm.update(pending)
+
+  /** Drop the key's mark (the idle-eviction path: once a key's state
+    * is evicted, keeping its mark forever would leak one long per
+    * EVER-SEEN key — so the mark dies with the state, and the replay
+    * window equals the idle TTL, the standard dedup-within-retention
+    * contract). */
+  def clear(): Unit = hwm.clear()
+}
+
+object ReplayGuard {
+  /** One guard per processor instance, created in `init` alongside the
+    * processor's own state handles. */
+  def create(handle: org.apache.spark.sql.streaming.StatefulProcessorHandle): ReplayGuard =
+    new ReplayGuard(handle.getValueState[Long]("replay_hwm",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE))
+}
+
 /** Output row of the transformWithState profile op. */
 case class TwsProfile(user_id: Long, n_events: Long, sum_value: Double,
     max_value: Double, last_type: String)
@@ -519,18 +596,23 @@ class ProfileProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var st: ValueState[TwsProfile] = _
+  @transient private var guard: ReplayGuard = _
 
-  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     st = getHandle.getValueState[TwsProfile]("profile",
       Encoders.product[TwsProfile], ttl)
+    guard = ReplayGuard.create(getHandle)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsProfile] = {
     // ordered per-event fold (not a batch-local sum): keeps the float
     // accumulation bit-identical to the oracle's (ts, event_id)-ordered
     // sum across any micro-batch split of a key's events; the bounded
-    // helper caps the sort buffer at `cap` rows per (key, batch)
-    val evs = Streams.orderedBounded(rows, cap)
+    // helper caps the sort buffer at `cap` rows per (key, batch).
+    // ReplayGuard drops re-delivered ids first, so n_events/sum/max
+    // count distinct events under at-least-once delivery.
+    val evs = Streams.orderedBounded(guard.fresh(rows), cap)
     if (!evs.hasNext) return Iterator.empty
     val prev = Option(st.get())
       .getOrElse(TwsProfile(key, 0L, 0.0, Double.NegativeInfinity, ""))
@@ -546,6 +628,7 @@ class ProfileProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
     }
     val next = TwsProfile(key, n, sum, mx, last)
     st.update(next)
+    guard.commit()
     Iterator.single(next)
   }
 }
@@ -566,19 +649,23 @@ class FavoriteProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var counts: MapState[String, Long] = _
+  @transient private var guard: ReplayGuard = _
 
-  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     counts = getHandle.getMapState[String, Long]("counts",
       Encoders.STRING, Encoders.scalaLong, ttl)
+    guard = ReplayGuard.create(getHandle)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsFavorite] = {
     var any = false
-    rows.foreach { e =>
+    guard.fresh(rows).foreach { e =>
       any = true
       val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
       counts.updateValue(e.event_type, prev + 1L)
     }
+    guard.commit()
     if (!any) return Iterator.empty
     val all = counts.iterator().toSeq
     // favorite = max count, tie -> lexicographically smallest type
@@ -613,14 +700,17 @@ class FunnelProcessor(windowUs: Long = 3600000000L,
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var st: ValueState[FunnelState] = _
+  @transient private var guard: ReplayGuard = _
 
-  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     st = getHandle.getValueState[FunnelState]("funnel",
       Encoders.product[FunnelState], ttl)
+    guard = ReplayGuard.create(getHandle)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsFunnel] = {
-    val evs = Streams.orderedBounded(rows, cap)
+    val evs = Streams.orderedBounded(guard.fresh(rows), cap)
     if (!evs.hasNext) return Iterator.empty
     var s = if (st.exists()) st.get()
       else FunnelState(-1L, 0L, 0L, 0L, Long.MaxValue)
@@ -639,6 +729,7 @@ class FunnelProcessor(windowUs: Long = 3600000000L,
       }
     }
     st.update(s)
+    guard.commit()
     if (s.n_conversions > 0L)
       Iterator.single(TwsFunnel(key, s.n_views, s.n_purchases,
         s.n_conversions, s.min_lag_us))
@@ -667,15 +758,18 @@ class EmaProcessor(cap: Int = Streams.OrderedChunkCap)
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var st: ValueState[TwsEmaState] = _
+  @transient private var guard: ReplayGuard = _
 
-  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     st = getHandle.getValueState[TwsEmaState]("ema",
       Encoders.product[TwsEmaState],
       org.apache.spark.sql.streaming.TTLConfig.NONE)
+    guard = ReplayGuard.create(getHandle)
+  }
 
   override def handleInputRows(key: String, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsEma] = {
-    val evs = Streams.orderedBounded(rows, cap)
+    val evs = Streams.orderedBounded(guard.fresh(rows), cap)
     if (!evs.hasNext) return Iterator.empty
     var s = if (st.exists()) st.get() else TwsEmaState(0L, 0.0)
     evs.foreach { e =>
@@ -685,6 +779,7 @@ class EmaProcessor(cap: Int = Streams.OrderedChunkCap)
       else TwsEmaState(s.n + 1L, s.ema * 0.9 + e.value * 0.1)
     }
     st.update(s)
+    guard.commit()
     Iterator.single(TwsEma(key, s.n, s.ema))
   }
 }
@@ -717,9 +812,12 @@ class AnomalyProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
   import java.math.{BigDecimal => JBD, RoundingMode}
 
   @transient private var buf: ListState[Double] = _
+  @transient private var guard: ReplayGuard = _
 
-  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     buf = getHandle.getListState[Double]("ring", Encoders.scalaDouble, ttl)
+    guard = ReplayGuard.create(getHandle)
+  }
 
   /** The same rounding Spark's double→DECIMAL(18,2) cast applies. */
   private def d2(v: Double): JBD =
@@ -727,7 +825,9 @@ class AnomalyProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
 
   override def handleInputRows(key: String, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsAnomaly] = {
-    val evs = Streams.orderedBounded(rows, cap)
+    // ReplayGuard keeps a re-delivered reading out of the ring: a
+    // replayed value would otherwise shift every later z-score
+    val evs = Streams.orderedBounded(guard.fresh(rows), cap)
     if (!evs.hasNext) return Iterator.empty
     var ring = buf.get().toVector
     val out = Vector.newBuilder[TwsAnomaly]
@@ -753,6 +853,7 @@ class AnomalyProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
       ring = (ring :+ e.value).takeRight(20)
     }
     buf.put(ring.toArray)
+    guard.commit()
     out.result().iterator
   }
 }
@@ -775,10 +876,13 @@ class QuantileProcessor
 
   private val NB = 16
   @transient private var hist: ListState[Long] = _
+  @transient private var guard: ReplayGuard = _
 
-  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     hist = getHandle.getListState[Long]("hist", Encoders.scalaLong,
       org.apache.spark.sql.streaming.TTLConfig.NONE)
+    guard = ReplayGuard.create(getHandle)
+  }
 
   override def handleInputRows(key: String, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsQuantile] = {
@@ -787,11 +891,12 @@ class QuantileProcessor
       if (cur.length == NB) cur else Array.fill(NB)(0L)
     }
     var any = false
-    rows.foreach { e =>
+    guard.fresh(rows).foreach { e =>
       val b = math.min(math.floor(e.value / 25.0).toLong, (NB - 1).toLong).toInt
       h(math.max(b, 0)) += 1
       any = true
     }
+    guard.commit()
     if (!any) return Iterator.empty
     hist.put(h)
     val n = h.sum
@@ -826,10 +931,13 @@ class TopKProcessor(k: Int = 5)
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var top: ListState[TwsTopEntry] = _
+  @transient private var guard: ReplayGuard = _
 
-  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     top = getHandle.getListState[TwsTopEntry]("top", Encoders.product[TwsTopEntry],
       org.apache.spark.sql.streaming.TTLConfig.NONE)
+    guard = ReplayGuard.create(getHandle)
+  }
 
   override def handleInputRows(key: String, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsTopK] = {
@@ -838,10 +946,13 @@ class TopKProcessor(k: Int = 5)
     // heap however large the batch (the old `rows.toSeq` materialized
     // the whole per-key iterator). Same total order (value DESC,
     // event_id ASC), so the merged result is identical to the one-shot
-    // sort-take for any input.
+    // sort-take for any input. ReplayGuard keeps a re-delivered event
+    // from occupying a second leaderboard slot (the r16 bottom-k
+    // defect class: a replayed qualifying id would re-insert); the
+    // membership check is the in-batch backstop for the same hazard.
     var merged = top.get().toVector
     var any = false
-    rows.foreach { e =>
+    guard.fresh(rows).foreach { e =>
       any = true
       val entry = TwsTopEntry(e.value, e.event_id)
       val qualifies = merged.size < k || {
@@ -849,9 +960,10 @@ class TopKProcessor(k: Int = 5)
         entry.value > worst.value ||
           (entry.value == worst.value && entry.event_id < worst.event_id)
       }
-      if (qualifies)
+      if (qualifies && !merged.contains(entry))
         merged = (merged :+ entry).sortBy(x => (-x.value, x.event_id)).take(k)
     }
+    guard.commit()
     if (!any) return Iterator.empty
     top.put(merged.toArray)
     merged.iterator.zipWithIndex.map { case (e, i) =>
@@ -882,12 +994,14 @@ class BottomKProcessor(k: Int = 16)
 
   @transient private var sample: ListState[BkEntry] = _
   @transient private var seen: ValueState[BkCount] = _
+  @transient private var guard: ReplayGuard = _
 
   override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     sample = getHandle.getListState[BkEntry]("sample", Encoders.product[BkEntry],
       org.apache.spark.sql.streaming.TTLConfig.NONE)
     seen = getHandle.getValueState[BkCount]("seen", Encoders.product[BkCount],
       org.apache.spark.sql.streaming.TTLConfig.NONE)
+    guard = ReplayGuard.create(getHandle)
   }
 
   override def handleInputRows(key: String, rows: Iterator[UserEvent],
@@ -895,7 +1009,13 @@ class BottomKProcessor(k: Int = 16)
     var merged = sample.get().toVector
     var n = Option(seen.get()).map(_.n).getOrElse(0L)
     var any = false
-    rows.foreach { e =>
+    // ReplayGuard upgrades the r16 membership fix from sample-only to
+    // END-TO-END idempotence: re-delivered ids no longer reach the
+    // fold, so n_seen counts DISTINCT events, not deliveries — the
+    // (n_seen, threshold_hash) pair is a consistent inverse-
+    // probability cardinality witness under at-least-once redelivery
+    // (r16 ADVICE resolved the strong way).
+    guard.fresh(rows).foreach { e =>
       any = true
       n += 1
       val h = graft.functions.PortableHash.md5hash60(
@@ -905,11 +1025,12 @@ class BottomKProcessor(k: Int = 16)
         val worst = merged.last
         entry.h < worst.h || (entry.h == worst.h && entry.event_id < worst.event_id)
       }
-      // membership check makes replays idempotent: a re-seen id must
-      // not occupy a second sample slot (the replay soak's contract)
+      // membership check: the in-batch backstop (the guard dedups
+      // across batches; a same-id dup inside one batch lands here)
       if (qualifies && !merged.contains(entry))
         merged = (merged :+ entry).sortBy(x => (x.h, x.event_id)).take(k)
     }
+    guard.commit()
     if (!any) return Iterator.empty
     sample.put(merged.toArray)
     seen.update(BkCount(n))
@@ -941,14 +1062,18 @@ class IdleEvictProcessor(ttlMs: Long)
   import org.apache.spark.sql.{Encoders, streaming}
 
   @transient private var st: ValueState[TwsIdleState] = _
+  @transient private var guard: ReplayGuard = _
 
-  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     st = getHandle.getValueState[TwsIdleState]("idle",
       Encoders.product[TwsIdleState], TTLConfig.NONE)
+    guard = ReplayGuard.create(getHandle)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsIdle] = {
-    val evs = rows.toSeq
+    val evs = guard.fresh(rows).toSeq
+    guard.commit()
     if (evs.isEmpty) return Iterator.empty
     val prev = Option(st.get()).getOrElse(TwsIdleState(0L, Long.MinValue))
     // monotone max across batches: a late batch with older timestamps
@@ -966,6 +1091,10 @@ class IdleEvictProcessor(ttlMs: Long)
       expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsIdle] = {
     val n = Option(st.get()).map(_.n).getOrElse(0L)
     st.clear()
+    // the replay mark dies with the state: keeping it forever would
+    // leak one long per EVER-SEEN key, defeating the eviction op's
+    // whole point — so the replay window equals the idle TTL
+    guard.clear()
     Iterator.single(TwsIdle(key, n, evicted = true))
   }
 }
@@ -998,15 +1127,18 @@ class DriftProcessor(deltaCents: Long = 100L, lambdaCents: Long = 100000L,
   import java.math.{BigDecimal => JBD, RoundingMode}
 
   @transient private var st: ValueState[TwsDriftState] = _
+  @transient private var guard: ReplayGuard = _
 
-  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     st = getHandle.getValueState[TwsDriftState]("ph",
       Encoders.product[TwsDriftState],
       org.apache.spark.sql.streaming.TTLConfig.NONE)
+    guard = ReplayGuard.create(getHandle)
+  }
 
   override def handleInputRows(key: String, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[TwsDrift] = {
-    val evs = Streams.orderedBounded(rows, cap)
+    val evs = Streams.orderedBounded(guard.fresh(rows), cap)
     if (!evs.hasNext) return Iterator.empty
     var s = if (st.exists()) st.get()
       // umin starts at the sentinel so the first event's u becomes the
@@ -1031,6 +1163,7 @@ class DriftProcessor(deltaCents: Long = 100L, lambdaCents: Long = 100000L,
         else Streams.microsOf(e.ts))
     }
     st.update(s)
+    guard.commit()
     Iterator.single(TwsDrift(key, s.n, s.max_ph, s.n_alarms, s.first_alarm_us))
   }
 }

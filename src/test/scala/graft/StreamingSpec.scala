@@ -607,7 +607,9 @@ class StreamingSpec extends SparkSuite {
     in.addData(shifted: _*); q.processAllAvailable()
     val afterPass2 = stateRows
     q.stop()
-    assert(afterPass1 === 4L, s"one ValueState row per distinct key: $afterPass1")
+    // 2 state rows per key: the (n, ema) ValueState + the ReplayGuard
+    // high-water mark (numRowsTotal counts every column family)
+    assert(afterPass1 === 8L, s"two state rows per distinct key: $afterPass1")
     assert(afterPass2 === afterPass1,
       s"state grew on replay ($afterPass1 -> $afterPass2): per-key state is not O(1)")
     } finally {
@@ -818,13 +820,16 @@ class StreamingSpec extends SparkSuite {
       assert(one.getAs[Long]("threshold_hash") === four.getAs[Long]("threshold_hash"))
       assert(one.getAs[Long]("n_seen") === 40L)
       assert(one.getAs[Int]("k_held") === 16)
-      // replaying the same ids changes the SAMPLE not at all (hash
-      // order is idempotent) — only the count witness moves
+      // replaying the same ids is a FULL no-op: the ReplayGuard drops
+      // re-delivered ids before the fold, so the sample AND the count
+      // witness are unchanged (r17 strengthening of the r16 fix,
+      // which kept the sample idempotent but let n_seen count
+      // deliveries)
       val replay = run("bk_replay") { (in, q) =>
         in.addData(all); q.processAllAvailable()
         in.addData(all); q.processAllAvailable() }
       assert(replay.getAs[String]("sample_ids") === one.getAs[String]("sample_ids"))
-      assert(replay.getAs[Long]("n_seen") === 80L)
+      assert(replay.getAs[Long]("n_seen") === 40L)
     } finally {
       prev match { case Some(v) => spark.conf.set(key, v)
                    case None => spark.conf.unset(key) }
