@@ -76,6 +76,7 @@ object SparkEntry {
       MlQueries8.queries ++
       TextQueries10.queries ++
       DedupQueries5.queries ++
+      DedupQueries6.queries ++
       CurationQueries.queries ++
       RelationalQueries22.queries
 
@@ -139,6 +140,7 @@ object SparkEntry {
       MlQueries8.oracles ++
       TextQueries10.oracles ++
       DedupQueries5.oracles ++
+      DedupQueries6.oracles ++
       CurationQueries.oracles ++
       RelationalQueries22.oracles
 }

@@ -113,6 +113,69 @@ class Round17Spec extends SparkSuite {
     }
   }
 
+  // ── cross-doc exact-substring dedup (Lee et al. 2022) ─────────────
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+    docs.map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("dedup_substring_spans cuts exactly the cross-doc duplicated run and preserves everything else") {
+    val shared = (1 to 12).map(i => s"S$i").mkString(" ") // 12-token duplicated run
+    val d1 = ((1 to 5).map(i => s"u$i") ++ Seq(shared) ++ (1 to 3).map(i => s"v$i")).mkString(" ")
+    val d2 = ((1 to 2).map(i => s"w$i") ++ Seq(shared) ++ (1 to 6).map(i => s"x$i")).mkString(" ")
+    val d3 = (1 to 20).map(i => s"z$i").mkString(" ") // no cross-doc content
+    val dir = java.nio.file.Files.createTempDirectory("r17sub").toString
+    writeDocs(dir, Seq((1L, d1), (2L, d2), (3L, d3)))
+    val spans = graft.operators.DedupQueries6.queries("dedup_substring_spans")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"))).toSeq
+    // each sharing doc gets ONE maximal span covering exactly the
+    // 12-token run (5 anchors merged); the unique doc gets none
+    assert(spans === Seq((1L, 5L, 17L, 12L), (2L, 2L, 14L, 12L)),
+      s"unexpected span map: $spans")
+    // surgical removal: cut the span tokens, keep the rest in order
+    def cut(text: String, s: Long, e: Long): String = {
+      val t = text.split(" ")
+      (t.take(s.toInt) ++ t.drop(e.toInt)).mkString(" ")
+    }
+    val cut1 = cut(d1, 5, 17)
+    val cut2 = cut(d2, 2, 14)
+    // non-duplicated content survives the cut verbatim
+    assert(cut1 === ((1 to 5).map(i => s"u$i") ++ (1 to 3).map(i => s"v$i")).mkString(" "))
+    assert(cut2 === ((1 to 2).map(i => s"w$i") ++ (1 to 6).map(i => s"x$i")).mkString(" "))
+    // and the cut corpus has NO remaining cross-doc span of length ≥ 8
+    val dir2 = java.nio.file.Files.createTempDirectory("r17sub2").toString
+    writeDocs(dir2, Seq((1L, cut1), (2L, cut2), (3L, d3)))
+    val residual = graft.operators.DedupQueries6
+      .queries("dedup_substring_spans")(spark, dir2).count()
+    assert(residual === 0L, "removal left a cross-doc duplicated span behind")
+    // removal census agrees with the span map
+    val census = graft.operators.DedupQueries6
+      .queries("dedup_substring_removal")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Long]("kept_tokens"))).toSeq
+    assert(census === Seq((1L, 20L, 12L, 8L), (2L, 20L, 12L, 8L)))
+  }
+
+  test("overlapping duplicated anchors merge into one maximal span, disjoint runs stay separate") {
+    // doc 1 carries TWO duplicated runs separated by unique filler;
+    // docs 2/3 each share one of them — the island merge must emit
+    // two disjoint spans for doc 1, not one and not five
+    val runA = (1 to 9).map(i => s"A$i").mkString(" ")  // 9 tokens → 2 anchors
+    val runB = (1 to 8).map(i => s"B$i").mkString(" ")  // 8 tokens → 1 anchor
+    val d1 = (Seq(runA) ++ (1 to 10).map(i => s"f$i") ++ Seq(runB)).mkString(" ")
+    val d2 = (Seq(runA) ++ (1 to 8).map(i => s"g$i")).mkString(" ")
+    val d3 = ((1 to 8).map(i => s"h$i") ++ Seq(runB)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("r17sub3").toString
+    writeDocs(dir, Seq((1L, d1), (2L, d2), (3L, d3)))
+    val spans = graft.operators.DedupQueries6.queries("dedup_substring_spans")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSeq
+    assert(spans === Seq((1L, 0L, 9L), (1L, 19L, 27L), (2L, 0L, 9L), (3L, 8L, 16L)),
+      s"unexpected span map: $spans")
+  }
+
   test("semantic-dedup processor: replaying the corpus re-derives identical verdicts and grows no state") {
     withRocks {
       // two cells; vectors 2 and 3 are near-duplicates of vector 1
