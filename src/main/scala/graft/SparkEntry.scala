@@ -75,6 +75,7 @@ object SparkEntry {
       RelationalQueries21.queries ++
       MlQueries8.queries ++
       TextQueries10.queries ++
+      TextQueries11.queries ++
       DedupQueries5.queries ++
       DedupQueries6.queries ++
       CurationQueries.queries ++
@@ -139,6 +140,7 @@ object SparkEntry {
       RelationalQueries21.oracles ++
       MlQueries8.oracles ++
       TextQueries10.oracles ++
+      TextQueries11.oracles ++
       DedupQueries5.oracles ++
       DedupQueries6.oracles ++
       CurationQueries.oracles ++

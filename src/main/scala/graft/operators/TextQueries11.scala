@@ -1,0 +1,325 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.Tables._
+
+/** Round-17 text additions — the UNIGRAM-LM TOKENIZER TRAINER
+  * (SentencePiece, Kudo 2018), completing the tokenizer-induction pair
+  * with `text_bpe_train`: BPE grows a vocabulary bottom-up by merges;
+  * unigram seeds a LARGE candidate vocabulary and prunes it top-down
+  * under a per-piece likelihood, re-estimating piece counts from each
+  * word's best segmentation (EM).
+  *
+  * Deterministic integer contract (what makes the whole loop
+  * hash-gateable — the `ml_kmeans_lloyd`/BPE oracle discipline):
+  *
+  *  - SEED — every substring of length 1..[[MaxPiece]] of the
+  *    distinct-word table, occurrence-weighted by corpus count; keep
+  *    all single characters (the coverage floor SentencePiece also
+  *    enforces) + the top-[[SeedV]] multi-char substrings under the
+  *    total order (count desc, piece asc).
+  *  - E-STEP — each word's candidate segmentations are the
+  *    compositions of its length into parts ≤ [[MaxPiece]], a
+  *    PLAN-TIME LITERAL shared verbatim with the oracle (≤ 108
+  *    compositions for 8-char words; this corpus's words are ≤ 8
+  *    chars of [a-z]). A segmentation is valid iff every piece is in
+  *    the current vocab; its score is Σ_p (bitlen(max(c_p, 1)) −
+  *    bitlen(T)) with bitlen = length(bin(·)) (exact on both
+  *    engines) and T the current vocab's total count mass — the
+  *    integer quantization of the true unigram log-likelihood
+  *    Σ log₂ p(piece): each piece contributes
+  *    ⌊log₂ c_p⌋ + 1 − bitlen(T) ≈ log₂(c_p/T), so the −k·log T
+  *    mass penalizes over-segmentation exactly as SentencePiece's
+  *    objective does (without it every word would shatter into
+  *    single characters, whose corpus counts are the largest).
+  *    Argmax under (score desc, k asc, seg asc) — a total order, so
+  *    the Viterbi pick is engine-identical.
+  *  - M-STEP — new piece counts = Σ over words of n_w × (uses of the
+  *    piece in the word's best segmentation).
+  *  - PRUNE — keep the character floor (re-counted; characters unused
+  *    as single-char pieces carry count 0 and the scoring floor
+  *    max(c, 1)) + the top-[[PruneV]] multi-char pieces by the same
+  *    total order. [[EmRounds]] rounds unrolled; the oracle replays
+  *    each as MATERIALIZED CTEs (the graph_ktruss lesson).
+  *
+  * Scale at 100 TB: the corpus is scanned ONCE (the distinct-word
+  * census — the BPE trainer's shape); every EM round scans the
+  * vocab-sized word table joined to a BROADCAST composition literal.
+  * Per-word lattice work is bounded by the composition count of the
+  * word's length (a constant once piece length and word length are
+  * capped — real SentencePiece caps both; for longer words the
+  * enumerate-all formulation swaps for the O(m·MaxPiece) Viterbi DP,
+  * same argmax, same totals). Nothing is corpus-quadratic and nothing
+  * sorts globally: the argmax is a per-word window over ≤ 108 rows
+  * and each prune is a TakeOrdered over the piece census.
+  */
+object TextQueries11 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private[operators] val MaxW = 8
+  private[operators] val MaxPiece = 4
+  private[operators] val SeedV = 24
+  private[operators] val PruneV = 16
+  private[operators] val EmRounds = 3
+
+  /** All compositions of m into parts ≤ [[MaxPiece]] for m ≤ [[MaxW]],
+    * with 1-based start offsets; `sid` numbers them per m in the
+    * lexicographic order of their length tuples — the SINGLE SOURCE
+    * both the Spark literal frame and the oracle VALUES list render. */
+  private[operators] val comps: Seq[(Int, Int, Seq[(Int, Int)])] = {
+    def go(rem: Int): Seq[Seq[Int]] =
+      if (rem == 0) Seq(Seq.empty)
+      else (1 to math.min(MaxPiece, rem)).flatMap(l => go(rem - l).map(l +: _))
+    (1 to MaxW).flatMap { m =>
+      go(m).sortBy(_.mkString(",")).zipWithIndex.map { case (lens, i) =>
+        val starts = lens.scanLeft(1)(_ + _).init
+        (m, i + 1, starts.zip(lens))
+      }
+    }
+  }
+
+  /** The composition literal as a broadcast-able frame:
+    * (m, sid, k, s1, l1, …, s8, l8) — unused slots 0. */
+  private def compDF(s: SparkSession): DataFrame = {
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    comps.foreach { case (m, sid, ps) =>
+      val padded = ps.padTo(MaxW, (0, 0))
+      rows.add(Row.fromSeq(Seq(m, sid, ps.size) ++
+        padded.flatMap { case (st, ln) => Seq(st, ln) }))
+    }
+    val schema = StructType(
+      Seq(StructField("m", IntegerType), StructField("sid", IntegerType),
+        StructField("k", IntegerType)) ++
+      (1 to MaxW).flatMap(i =>
+        Seq(StructField(s"s$i", IntegerType), StructField(s"l$i", IntegerType))))
+    s.createDataFrame(rows, schema)
+  }
+
+  /** Memoized training run: (final vocab (p, c), final best
+    * segmentations (w, n, sid, k, score, seg), per-round stat rows) —
+    * train once, read from all three gate entries (the tokenizer-
+    * shipping shape, same discipline as the BPE memo). */
+  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, Seq[DataFrame])]()
+  private def train(s: SparkSession, d: String): (DataFrame, DataFrame, Seq[DataFrame]) =
+    trainMemo.computeIfAbsent((s, d), _ => trainRun(s, d))
+
+  private def trainRun(s: SparkSession, d: String): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    val words = documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+
+    // candidate lattice: word × compositions of its length. segFrame
+    // carries the display string (concat_ws skips the NULL slots);
+    // pieces is the exploded (w, sid, piece) stream both the validity
+    // join and the M-step read.
+    val cand = words.join(broadcast(compDF(s)), length($"w") === $"m")
+    val segFrame = cand.select($"w", $"n", $"sid", $"k",
+      concat_ws("|", (1 to MaxW).map(i =>
+        when(col(s"l$i") > 0, expr(s"substring(w, s$i, l$i)"))): _*).as("seg"))
+      .localCheckpoint()
+    val pieces = cand.select($"w", $"n", $"sid", $"k",
+        explode(array((1 to MaxW).map(i =>
+          struct(col(s"s$i").as("st"), col(s"l$i").as("ln"))): _*)).as("pc"))
+      .filter($"pc.ln" > 0)
+      .select($"w", $"n", $"sid", $"k", expr("substring(w, pc.st, pc.ln)").as("p"))
+      .localCheckpoint()
+
+    // seed: occurrence-weighted substring census
+    val subs = words
+      .withColumn("l", explode(sequence(lit(1), lit(MaxPiece))))
+      .filter($"l" <= length($"w"))
+      .withColumn("st", explode(sequence(lit(1), length($"w") - $"l" + 1)))
+      .select(expr("substring(w, st, l)").as("p"), $"n")
+      .groupBy($"p").agg(sum($"n").as("c"))
+      .localCheckpoint()
+    val charInv = subs.filter(length($"p") === 1).select($"p").localCheckpoint()
+    var vocab = subs.filter(length($"p") === 1)
+      .unionByName(subs.filter(length($"p") >= 2)
+        .orderBy($"c".desc, $"p".asc).limit(SeedV))
+      .localCheckpoint()
+
+    var best: DataFrame = null
+    val stats = (1 to EmRounds).map { r =>
+      // E-step: integer bit-length scores normalized by the vocab's
+      // total mass (the −log T term), total-order argmax
+      val sT = vocab.agg(sum(greatest($"c", lit(1L))).as("t"))
+        .select(length(conv($"t", 10, 2)).cast("long").as("st"))
+      val sc = vocab.crossJoin(broadcast(sT)).select($"p",
+        (length(conv(greatest($"c", lit(1L)), 10, 2)).cast("long") - $"st").as("s"))
+      val ok = pieces.join(sc, Seq("p"))
+        .groupBy($"w", $"sid")
+        .agg(count(lit(1)).as("cnt"), max($"k").as("kk"), sum($"s").as("score"))
+        .filter($"cnt" === $"kk")
+        .select($"w", $"sid", $"score")
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy($"w").orderBy($"score".desc, $"k".asc, $"seg".asc)
+      best = ok.join(segFrame, Seq("w", "sid"))
+        .withColumn("rn", row_number().over(wBest))
+        .filter($"rn" === 1)
+        .select($"w", $"n", $"sid", $"k", $"score", $"seg")
+        .localCheckpoint()
+      // M-step: piece usage in the chosen segmentations
+      val usedPieces = best.select($"w", $"sid")
+        .join(pieces.select($"w", $"sid", $"n", $"p"), Seq("w", "sid"))
+        .groupBy($"p").agg(sum($"n").as("c"))
+        .localCheckpoint()
+      // prune: character floor + top-PruneV multi-char pieces
+      val charsV = charInv.join(usedPieces, Seq("p"), "left")
+        .select($"p", coalesce($"c", lit(0L)).as("c"))
+      val multiV = usedPieces.filter(length($"p") >= 2)
+        .orderBy($"c".desc, $"p".asc).limit(PruneV)
+      vocab = charsV.unionByName(multiV).localCheckpoint()
+      // per-round coverage row
+      val wordAgg = best.agg(sum($"n").as("nw"),
+        sum($"n" * $"k").as("npieces"),
+        sum($"n" * length($"w").cast("long")).as("nchars"))
+      val covAgg = best.select($"w", $"sid")
+        .join(pieces.select($"w", $"sid", $"n", $"p"), Seq("w", "sid"))
+        .agg(sum(when(length($"p") >= 2, $"n" * length($"p").cast("long"))
+          .otherwise(0L)).as("multi_chars"))
+      val vAgg = vocab.agg(count(lit(1)).as("vocab_size"),
+        sum(when(length($"p") >= 2, 1L).otherwise(0L)).as("n_multi"))
+      wordAgg.crossJoin(broadcast(covAgg)).crossJoin(broadcast(vAgg))
+        .select(lit(r.toLong).as("round"), $"vocab_size", $"n_multi",
+          expr("(1000 * npieces) DIV nw").as("ppw_milli"),
+          expr("(1000 * multi_chars) DIV nchars").as("cov_milli"))
+    }
+    (vocab, best, stats)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Per-round training curve: vocab size after prune, multi-char
+    // piece count, pieces-per-word and multi-char char coverage (the
+    // compression/fairness curve a tokenizer team reads per round).
+    "text_unigram_train" -> ((s, d) => {
+      import s.implicits._
+      train(s, d)._3.reduce(_ unionByName _).orderBy($"round")
+    }),
+
+    // Final per-word Viterbi segmentation under the pruned vocab.
+    "text_unigram_segment" -> ((s, d) => {
+      import s.implicits._
+      train(s, d)._2
+        .select($"w", $"n", $"k".cast("long").as("k"), $"score", $"seg")
+        .orderBy($"w")
+    }),
+
+    // The pruned vocabulary itself (the artifact you ship) — the FULL
+    // character floor + top-PruneV multi-char pieces, no display cap
+    // (Round17Spec reads it to validate every shipped segmentation).
+    "text_unigram_vocab" -> ((s, d) => {
+      import s.implicits._
+      train(s, d)._1
+        .orderBy($"c".desc, $"p".asc)
+        .select($"p", $"c", length($"p").cast("long").as("plen"))
+    })
+  )
+
+  /** Composition literal rendered for the oracle — the same
+    * [[comps]] value the Spark frame is built from. */
+  private lazy val compValues: String = comps.map { case (m, sid, ps) =>
+    s"($m, $sid, ${ps.size}, [${ps.map(_._1).mkString(",")}], [${ps.map(_._2).mkString(",")}])"
+  }.mkString(", ")
+
+  /** Shared WITH-body replaying the identical seed + [[EmRounds]] EM
+    * rounds (vc0 → vc3, best1 → best3, stat1 → stat3). */
+  private lazy val uniCteBody: String = {
+    val rounds = (1 to EmRounds).map { r =>
+      val prev = s"vc${r - 1}"
+      s"""sc$r AS (
+         |  SELECT p, CAST(length(bin(greatest(c, 1))) AS BIGINT)
+         |    - (SELECT CAST(length(bin(CAST(SUM(greatest(c, 1)) AS BIGINT)))
+         |         AS BIGINT) FROM $prev) AS s
+         |  FROM $prev),
+         |ok$r AS MATERIALIZED (
+         |  SELECT w, sid, CAST(SUM(s) AS BIGINT) AS score
+         |  FROM pieces JOIN sc$r USING (p) GROUP BY w, sid
+         |  HAVING count(*) = MAX(k)),
+         |best$r AS MATERIALIZED (
+         |  SELECT w, n, sid, k, score, seg FROM (
+         |    SELECT g.w, g.n, g.sid, g.k, o.score, g.seg,
+         |      ROW_NUMBER() OVER (PARTITION BY g.w
+         |        ORDER BY o.score DESC, g.k ASC, g.seg ASC) AS rn
+         |    FROM ok$r o JOIN segs g ON o.w = g.w AND o.sid = g.sid)
+         |  WHERE rn = 1),
+         |used$r AS MATERIALIZED (
+         |  SELECT pc.p, CAST(SUM(b.n) AS BIGINT) AS c
+         |  FROM best$r b JOIN pieces pc ON b.w = pc.w AND b.sid = pc.sid
+         |  GROUP BY pc.p),
+         |vc$r AS MATERIALIZED (
+         |  SELECT ci.p, CAST(COALESCE(u.c, 0) AS BIGINT) AS c
+         |  FROM charinv ci LEFT JOIN used$r u ON ci.p = u.p
+         |  UNION ALL
+         |  SELECT p, c FROM (
+         |    SELECT p, c FROM used$r WHERE length(p) >= 2
+         |    ORDER BY c DESC, p LIMIT $PruneV)),
+         |stat$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM vc$r) AS vocab_size,
+         |    (SELECT CAST(SUM(CASE WHEN length(p) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |       FROM vc$r) AS n_multi,
+         |    (SELECT (1000 * CAST(SUM(n * k) AS BIGINT)) // CAST(SUM(n) AS BIGINT)
+         |       FROM best$r) AS ppw_milli,
+         |    (SELECT 1000 * CAST(SUM(CASE WHEN length(pc.p) >= 2
+         |          THEN b.n * length(pc.p) ELSE 0 END) AS BIGINT)
+         |        FROM best$r b JOIN pieces pc ON b.w = pc.w AND b.sid = pc.sid)
+         |      // (SELECT CAST(SUM(n * length(w)) AS BIGINT) FROM best$r)
+         |      AS cov_milli)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS MATERIALIZED (
+       |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) > 0 GROUP BY tok),
+       |comp AS (SELECT * FROM (VALUES $compValues) t(m, sid, k, starts, lens)),
+       |segs AS MATERIALIZED (
+       |  SELECT v.w, v.n, c.sid, c.k,
+       |    array_to_string(list_transform(range(1, c.k + 1),
+       |      i -> substring(v.w, c.starts[i], c.lens[i])), '|') AS seg
+       |  FROM words v JOIN comp c ON length(v.w) = c.m),
+       |pieces AS MATERIALIZED (
+       |  SELECT w, n, sid, k, substring(w, starts[i], lens[i]) AS p
+       |  FROM (SELECT v.w, v.n, c.sid, c.k, c.starts, c.lens,
+       |          unnest(range(1, c.k + 1)) AS i
+       |        FROM words v JOIN comp c ON length(v.w) = c.m)),
+       |subs AS MATERIALIZED (
+       |  SELECT substring(w, st, l) AS p, CAST(SUM(n) AS BIGINT) AS c
+       |  FROM (SELECT w, n, l, unnest(range(1, length(w) - l + 2)) AS st
+       |        FROM (SELECT w, n, unnest(range(1, ${MaxPiece + 1})) AS l FROM words)
+       |        WHERE l <= length(w))
+       |  GROUP BY 1),
+       |charinv AS MATERIALIZED (SELECT p FROM subs WHERE length(p) = 1),
+       |vc0 AS MATERIALIZED (
+       |  SELECT p, c FROM subs WHERE length(p) = 1
+       |  UNION ALL
+       |  SELECT p, c FROM (
+       |    SELECT p, c FROM subs WHERE length(p) >= 2
+       |    ORDER BY c DESC, p LIMIT $SeedV)),
+       |$rounds""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_unigram_train" -> {
+      val union = (1 to EmRounds).map(r => s"SELECT * FROM stat$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH $uniCteBody
+         |$union
+         |ORDER BY round""".stripMargin
+    },
+
+    "text_unigram_segment" ->
+      s"""WITH $uniCteBody
+         |SELECT w, n, CAST(k AS BIGINT) AS k, score, seg
+         |FROM best$EmRounds ORDER BY w""".stripMargin,
+
+    "text_unigram_vocab" ->
+      s"""WITH $uniCteBody
+         |SELECT p, c, CAST(length(p) AS BIGINT) AS plen
+         |FROM vc$EmRounds ORDER BY c DESC, p""".stripMargin
+  )
+}

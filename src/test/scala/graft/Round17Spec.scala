@@ -176,6 +176,42 @@ class Round17Spec extends SparkSuite {
       s"unexpected span map: $spans")
   }
 
+  // ── unigram-LM tokenizer trainer (SentencePiece, Kudo 2018) ───────
+
+  test("unigram trainer: segmentations reassemble their words, use only vocab pieces, and keep the char floor") {
+    val vocab = graft.operators.TextQueries11
+      .queries("text_unigram_vocab")(spark, sf)
+      .collect().map(r => (r.getAs[String]("p"), r.getAs[Long]("c"))).toMap
+    val segs = graft.operators.TextQueries11
+      .queries("text_unigram_segment")(spark, sf)
+      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("k"),
+        r.getAs[String]("seg"))).toSeq
+    assert(segs.nonEmpty)
+    segs.foreach { case (w, k, seg) =>
+      val pieces = seg.split("\\|").toSeq
+      assert(pieces.mkString("") === w, s"segmentation of '$w' does not reassemble: $seg")
+      assert(pieces.size.toLong === k)
+      assert(pieces.forall(p => p.length == 1 || vocab.contains(p)),
+        s"'$w' uses a multi-char piece outside the pruned vocab: $seg")
+    }
+    // coverage floor: every character of the corpus words is representable
+    val chars = segs.flatMap(_._1.toSeq).map(_.toString).toSet
+    val vocabChars = vocab.keySet.filter(_.length == 1)
+    assert(chars.subsetOf(vocabChars),
+      s"missing character floor: ${chars.diff(vocabChars)}")
+    // the EM actually induced subword structure: some word segments
+    // with a multi-char piece, and coverage is visible in the curve
+    assert(segs.exists(_._3.split("\\|").exists(_.length >= 2)),
+      "no multi-char piece survived training — degenerate char-shatter")
+    val curve = graft.operators.TextQueries11
+      .queries("text_unigram_train")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_multi"),
+        r.getAs[Long]("cov_milli"))).toSeq
+    assert(curve.map(_._1) === Seq(1L, 2L, 3L))
+    assert(curve.forall(c => c._2 > 0 && c._3 > 0),
+      s"training curve shows no multi-char coverage: $curve")
+  }
+
   test("semantic-dedup processor: replaying the corpus re-derives identical verdicts and grows no state") {
     withRocks {
       // two cells; vectors 2 and 3 are near-duplicates of vector 1
