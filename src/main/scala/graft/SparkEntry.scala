@@ -28,6 +28,7 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
+      SimilarityQueries2.queries ++
       MultimodalQueries.queries ++
       AsOfJoin.queries ++
       RelationalQueries3.queries ++
@@ -93,6 +94,7 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
+      SimilarityQueries2.oracles ++
       MultimodalQueries.oracles ++
       AsOfJoin.oracles ++
       RelationalQueries3.oracles ++

@@ -66,6 +66,10 @@ object DedupQueries5 {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def semCells(s: SparkSession, d: String): DataFrame =
     cellsMemo.computeIfAbsent((s, d), _ => semCellsRun(s, d))
+  /** Package-visible accessor: [[SimilarityQueries2]] persists this
+    * index as the bucketed warehouse table (build-once/query-many). */
+  private[operators] def semCellIndex(s: SparkSession, d: String): DataFrame =
+    semCells(s, d)
   private def semCellsRun(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, d)
@@ -235,7 +239,7 @@ object DedupQueries5 {
     })
   )
 
-  private val duckQdot =
+  private[operators] val duckQdot =
     "CAST(list_sum(list_transform(range(1, 65), i -> " +
       "CAST(floor(CAST(%s[i] AS DOUBLE) * 1000) AS BIGINT) * " +
       "CAST(floor(CAST(%s[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)"

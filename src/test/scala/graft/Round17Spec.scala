@@ -176,6 +176,40 @@ class Round17Spec extends SparkSuite {
       s"unexpected span map: $spans")
   }
 
+  // ── persisted-index ANN round-trip (build-once / query-many) ──────
+
+  test("sim_knn_ivf_persist: probe side scans only the probed buckets and never shuffles the index") {
+    import org.apache.spark.sql.execution.FormattedMode
+    // a serving deployment pins the bucketed layout on (the scan-only
+    // auto-bucketed-scan heuristic would flatten it when no shuffle is
+    // being avoided — but pruning IS the point here)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val probe = graft.operators.SimilarityQueries2.ivfPersistProbe(spark, sf)
+      val plan = probe.queryExecution.explainString(FormattedMode)
+      // bucket pruning engaged: only NProbe-worth of the 8 cell
+      // buckets is read (5 queries × 2 probes can touch ≤ 8 distinct
+      // cells; on this corpus they collapse to a strict subset)
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in probe plan:\n$plan")
+      assert(sel.get.group(1).toInt < 8,
+        s"probe read every bucket — pruning vacuous:\n$plan")
+      // the index side never moves: broadcast join, zero shuffle
+      // exchanges anywhere in the probe fragment
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"probe fragment shuffles the index:\n$plan")
+      // and the served top-k equals the oracle-checked gate output
+      val rows = graft.operators.SimilarityQueries2
+        .queries("sim_knn_ivf_persist")(spark, sf).collect()
+      assert(rows.length === 25) // 5 queries × top-5
+      assert(rows.forall(_.getAs[Long]("vec_id") != -1L))
+    } finally spark.conf.set(autoKey, prevAuto)
+  }
+
   // ── unigram-LM tokenizer trainer (SentencePiece, Kudo 2018) ───────
 
   test("unigram trainer: segmentations reassemble their words, use only vocab pieces, and keep the char floor") {
