@@ -69,7 +69,10 @@ class QueriesSpec extends SparkSuite {
       "RelationalQueries21" -> RelationalQueries21.queries.keySet,
       "MlQueries8" -> MlQueries8.queries.keySet,
       "TextQueries10" -> TextQueries10.queries.keySet,
+      "TextQueries11" -> TextQueries11.queries.keySet,
       "DedupQueries5" -> DedupQueries5.queries.keySet,
+      "DedupQueries6" -> DedupQueries6.queries.keySet,
+      "SimilarityQueries2" -> SimilarityQueries2.queries.keySet,
       "CurationQueries" -> CurationQueries.queries.keySet,
       "RelationalQueries22" -> RelationalQueries22.queries.keySet)
     val dupes = files.flatMap { case (f, ks) => ks.map(_ -> f) }
