@@ -210,6 +210,31 @@ object TextQueries11 {
         .orderBy($"w")
     }),
 
+    // TOKENIZER-APPLY FERTILITY per language (Rust et al. 2021 —
+    // pieces/word, chars/piece), the text_bpe_apply twin for the
+    // unigram vocab: with BOTH trainers emitting the same table, the
+    // BPE-vs-unigram fertility comparison is one join away — the
+    // decision a tokenizer team actually makes. One broadcast join
+    // from the per-(lang, word) census to the vocab-sized trained
+    // segmentation; the corpus is never re-segmented.
+    "text_unigram_apply" -> ((s, d) => {
+      import s.implicits._
+      val segK = train(s, d)._2.select($"w", $"k".cast("long").as("n_pieces_w"))
+      val perLangWord = documents(s, d)
+        .select($"lang", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+      perLangWord.join(broadcast(segK), Seq("w"))
+        .groupBy($"lang")
+        .agg(sum($"c").as("n_words"),
+          sum($"c" * $"n_pieces_w").as("n_pieces"),
+          sum($"c" * length($"w").cast("long")).as("n_chars"))
+        .selectExpr("lang", "n_words", "n_pieces",
+          "(1000 * n_pieces) DIV n_words AS pieces_per_word_milli",
+          "(1000 * n_chars) DIV n_pieces AS chars_per_piece_milli")
+        .orderBy($"lang")
+    }),
+
     // The pruned vocabulary itself (the artifact you ship) — the FULL
     // character floor + top-PruneV multi-char pieces, no display cap
     // (Round17Spec reads it to validate every shipped segmentation).
@@ -320,6 +345,23 @@ object TextQueries11 {
     "text_unigram_vocab" ->
       s"""WITH $uniCteBody
          |SELECT p, c, CAST(length(p) AS BIGINT) AS plen
-         |FROM vc$EmRounds ORDER BY c DESC, p""".stripMargin
+         |FROM vc$EmRounds ORDER BY c DESC, p""".stripMargin,
+
+    "text_unigram_apply" ->
+      s"""WITH $uniCteBody,
+         |plw AS (
+         |  SELECT lang, tok AS w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY 1, 2),
+         |st AS (SELECT w, CAST(k AS BIGINT) AS n_pieces_w FROM best$EmRounds),
+         |agg AS (
+         |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+         |    CAST(SUM(c * n_pieces_w) AS BIGINT) AS n_pieces,
+         |    CAST(SUM(c * length(w)) AS BIGINT) AS n_chars
+         |  FROM plw JOIN st USING (w) GROUP BY lang)
+         |SELECT lang, n_words, n_pieces,
+         |  (1000 * n_pieces) // n_words AS pieces_per_word_milli,
+         |  (1000 * n_chars) // n_pieces AS chars_per_piece_milli
+         |FROM agg ORDER BY lang""".stripMargin
   )
 }
