@@ -299,9 +299,26 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailLine)
     // Refresh the quiet-host baseline ONLY from record runs that
     // started quiet and had no failures — a contended, broken, or
-    // unflagged driver run can never become the outlier gate's reference.
-    if (isRecord && la1Before >= 0 && la1Before <= LoadGateMax && failedNames.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_QUIET.json"), detailLine)
+    // unflagged driver run can never become the outlier gate's
+    // reference. The baseline takes min(official, re-measure) per
+    // query (r17): the official record keeps a mid-run contention
+    // burst as evidence, but the BASELINE means "best-known quiet
+    // time" — carrying the inflated official forward would blind the
+    // next round's 2× gate to a real regression on exactly the
+    // queries the burst hit.
+    if (isRecord && la1Before >= 0 && la1Before <= LoadGateMax && failedNames.isEmpty) {
+      val reMap = remeasured.toMap
+      val quietQs = results.map { case (k, t) =>
+        k -> (reMap.get(k) match {
+          case Some((_, _, re)) if re > 0 && t > 0 => math.min(t, re)
+          case _ => t
+        })
+      }
+      val quietTotal = quietQs.map(_._2).filter(_ >= 0).sum
+      val quietLine =
+        line(quietQs, quietTotal, s""","n":${quietQs.size},"record":$isRecord$loadJson$remeasureJson$failedJson""") + "\n"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_QUIET.json"), quietLine)
+    }
     // The driver captures only the LAST 2000 bytes of stdout; a 100+
     // query map (~3.4 KB) gets its head clipped and the round's bench
     // JSON fails to parse (BENCH_r03 "parsed": null). Print the slowest
