@@ -187,7 +187,7 @@ object TextQueries10 {
     * rounds (v0 → v8 plus per-round merge/stat CTEs) — DuckDB only
     * executes the CTEs a final SELECT actually references, so the
     * apply/vocab oracles riding only `v8` don't pay for r1..r8. */
-  private lazy val bpeCteBody: String = {
+  private[operators] lazy val bpeCteBody: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val prev = s"v${r - 1}"
       s"""c$r AS (

@@ -193,6 +193,26 @@ object TextQueries11 {
     (vocab, best, stats)
   }
 
+  /** Shared fertility-evaluation frame (the text_bpe_apply shape) —
+    * read by both the apply entry and the tokenizer bake-off. */
+  private def unigramApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val segK = train(s, d)._2.select($"w", $"k".cast("long").as("n_pieces_w"))
+    val perLangWord = documents(s, d)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+    perLangWord.join(broadcast(segK), Seq("w"))
+      .groupBy($"lang")
+      .agg(sum($"c").as("n_words"),
+        sum($"c" * $"n_pieces_w").as("n_pieces"),
+        sum($"c" * length($"w").cast("long")).as("n_chars"))
+      .selectExpr("lang", "n_words", "n_pieces",
+        "(1000 * n_pieces) DIV n_words AS pieces_per_word_milli",
+        "(1000 * n_chars) DIV n_pieces AS chars_per_piece_milli")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     // Per-round training curve: vocab size after prune, multi-char
     // piece count, pieces-per-word and multi-char char coverage (the
@@ -217,21 +237,25 @@ object TextQueries11 {
     // decision a tokenizer team actually makes. One broadcast join
     // from the per-(lang, word) census to the vocab-sized trained
     // segmentation; the corpus is never re-segmented.
-    "text_unigram_apply" -> ((s, d) => {
+    "text_unigram_apply" -> ((s, d) => unigramApply(s, d)),
+
+    // TOKENIZER BAKE-OFF — the side-by-side table the team reads to
+    // pick a tokenizer: per-language BPE vs unigram fertility from the
+    // two apply tables (each vocab-sized; one lang-keyed join of two
+    // ≤|langs| frames). Positive ppw_delta_milli = unigram fragments
+    // MORE than BPE on that language.
+    "text_tokenizer_compare" -> ((s, d) => {
       import s.implicits._
-      val segK = train(s, d)._2.select($"w", $"k".cast("long").as("n_pieces_w"))
-      val perLangWord = documents(s, d)
-        .select($"lang", explode(split($"text", " ")).as("w"))
-        .filter(length($"w") > 0)
-        .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
-      perLangWord.join(broadcast(segK), Seq("w"))
-        .groupBy($"lang")
-        .agg(sum($"c").as("n_words"),
-          sum($"c" * $"n_pieces_w").as("n_pieces"),
-          sum($"c" * length($"w").cast("long")).as("n_chars"))
-        .selectExpr("lang", "n_words", "n_pieces",
-          "(1000 * n_pieces) DIV n_words AS pieces_per_word_milli",
-          "(1000 * n_chars) DIV n_pieces AS chars_per_piece_milli")
+      val b = TextQueries10.queries("text_bpe_apply")(s, d).select($"lang",
+        $"pieces_per_word_milli".as("bpe_ppw_milli"),
+        $"chars_per_piece_milli".as("bpe_cpp_milli"))
+      val u = unigramApply(s, d).select($"lang",
+        $"pieces_per_word_milli".as("uni_ppw_milli"),
+        $"chars_per_piece_milli".as("uni_cpp_milli"))
+      b.join(u, Seq("lang"))
+        .select($"lang", $"bpe_ppw_milli", $"uni_ppw_milli",
+          ($"uni_ppw_milli" - $"bpe_ppw_milli").as("ppw_delta_milli"),
+          $"bpe_cpp_milli", $"uni_cpp_milli")
         .orderBy($"lang")
     }),
 
@@ -346,6 +370,37 @@ object TextQueries11 {
       s"""WITH $uniCteBody
          |SELECT p, c, CAST(length(p) AS BIGINT) AS plen
          |FROM vc$EmRounds ORDER BY c DESC, p""".stripMargin,
+
+    "text_tokenizer_compare" ->
+      s"""WITH ${TextQueries10.bpeCteBody},
+         |$uniCteBody,
+         |bplw AS (
+         |  SELECT lang, tok AS w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY 1, 2),
+         |bst AS (
+         |  SELECT w, CAST(length(seq) - length(replace(seq, '|', '')) - 1 AS BIGINT)
+         |    AS np
+         |  FROM v8),
+         |bagg AS (
+         |  SELECT lang,
+         |    (1000 * CAST(SUM(c * np) AS BIGINT)) // CAST(SUM(c) AS BIGINT)
+         |      AS bpe_ppw_milli,
+         |    (1000 * CAST(SUM(c * length(w)) AS BIGINT)) // CAST(SUM(c * np) AS BIGINT)
+         |      AS bpe_cpp_milli
+         |  FROM bplw JOIN bst USING (w) GROUP BY lang),
+         |ust AS (SELECT w, CAST(k AS BIGINT) AS np FROM best$EmRounds),
+         |uagg AS (
+         |  SELECT lang,
+         |    (1000 * CAST(SUM(c * np) AS BIGINT)) // CAST(SUM(c) AS BIGINT)
+         |      AS uni_ppw_milli,
+         |    (1000 * CAST(SUM(c * length(w)) AS BIGINT)) // CAST(SUM(c * np) AS BIGINT)
+         |      AS uni_cpp_milli
+         |  FROM bplw JOIN ust USING (w) GROUP BY lang)
+         |SELECT lang, bpe_ppw_milli, uni_ppw_milli,
+         |  uni_ppw_milli - bpe_ppw_milli AS ppw_delta_milli,
+         |  bpe_cpp_milli, uni_cpp_milli
+         |FROM bagg JOIN uagg USING (lang) ORDER BY lang""".stripMargin,
 
     "text_unigram_apply" ->
       s"""WITH $uniCteBody,

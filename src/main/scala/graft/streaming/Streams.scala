@@ -13,6 +13,15 @@ case class UserProfile(user_id: Long, n_events: Long, sum_value: Double,
     last_type: String)
 case class ValueAlert(user_id: Long, threshold_multiple: Long, event_id: Long)
 
+/** Carried state of [[Streams.valueAlerts]]: the running cumulative
+  * value plus the replay high-water mark over event ids. */
+case class AlertState(cum: Double, hwm: Long)
+
+/** Carried state of [[Streams.userRunningProfile]]: the running
+  * profile plus the replay high-water mark over event ids. */
+case class RunningProfileState(n_events: Long, sum_value: Double,
+    last_type: String, hwm: Long)
+
 /** Structured Streaming surface (SURVEY.md §2.1 O9 + §2.3 streaming rows).
   *
   * The reference's control plane — S3 ObjectCreated → Lambda → one ECS
@@ -157,7 +166,7 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Double, ValueAlert](
+      .flatMapGroupsWithState[AlertState, ValueAlert](
         org.apache.spark.sql.streaming.OutputMode.Append,
         org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
         case (uid, batch, state) =>
@@ -165,18 +174,24 @@ object Streams {
             state.remove()
             Iterator.empty
           } else {
-            var cum = state.getOption.getOrElse(0.0)
+            val prev = state.getOption.getOrElse(AlertState(0.0, Long.MinValue))
+            var cum = prev.cum
+            var hwm = prev.hwm
             val out = Seq.newBuilder[ValueAlert]
             var maxTsMs = Long.MinValue // running max: no materialized batch
-            orderedBounded(batch, cap).foreach { e =>
+            // replay guard (the TWS ReplayGuard contract, mGWS form):
+            // a re-delivered id must not re-add its value — a replayed
+            // batch would otherwise double cum and fire phantom alerts
+            orderedBounded(batch.filter(_.event_id > prev.hwm), cap).foreach { e =>
               maxTsMs = math.max(maxTsMs, e.ts.getTime)
+              hwm = math.max(hwm, e.event_id)
               val before = math.floor(cum / step).toLong
               cum += e.value
               val after = math.floor(cum / step).toLong
               var m = before + 1
               while (m <= after) { out += ValueAlert(uid, m, e.event_id); m += 1 }
             }
-            state.update(cum)
+            state.update(AlertState(cum, hwm))
             if (maxTsMs != Long.MinValue)
               state.setTimeoutTimestamp(maxTsMs, stateTtl)
             out.result().iterator
@@ -407,15 +422,16 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserProfile, UserProfile](
+      .mapGroupsWithState[RunningProfileState, UserProfile](
         org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
         case (userId, batch, state) =>
           if (state.hasTimedOut) {
             val fin = state.get
             state.remove()
-            fin
+            UserProfile(userId, fin.n_events, fin.sum_value, fin.last_type)
           } else {
-            val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, ""))
+            val prev = state.getOption
+              .getOrElse(RunningProfileState(0L, 0.0, "", Long.MinValue))
             // fold one event at a time in (ts, event_id) order: float
             // addition is non-associative, so a batch-local sum would
             // drift from the oracle's strictly ordered sum once a key
@@ -423,18 +439,20 @@ object Streams {
             var n = prev.n_events
             var sum = prev.sum_value
             var last = prev.last_type
+            var hwm = prev.hwm
             var maxTsMs = Long.MinValue
-            orderedBounded(batch, cap).foreach { e =>
+            // replay guard (the TWS ReplayGuard contract, mGWS form)
+            orderedBounded(batch.filter(_.event_id > prev.hwm), cap).foreach { e =>
               n += 1L
               sum += e.value
               last = e.event_type
+              hwm = math.max(hwm, e.event_id)
               maxTsMs = math.max(maxTsMs, e.ts.getTime)
             }
-            val next = UserProfile(userId, n, sum, last)
-            state.update(next)
+            state.update(RunningProfileState(n, sum, last, hwm))
             if (maxTsMs != Long.MinValue)
               state.setTimeoutTimestamp(maxTsMs, stateTtl)
-            next
+            UserProfile(userId, n, sum, last)
           }
       }
   }

@@ -176,6 +176,52 @@ class Round17Spec extends SparkSuite {
       s"unexpected span map: $spans")
   }
 
+  // ── mGWS ops: same replay contract as the TWS processors ──────────
+
+  test("userRunningProfile (mapGroupsWithState) ignores re-delivered ids") {
+    import graft.streaming.{UserEvent, UserProfile}
+    val mk = (i: Long) => UserEvent(i, ts(f"2024-01-01 00:${i}%02d:00"), 7, "click", i.toDouble)
+    val all = (1L to 12L).map(mk)
+    streamId += 1
+    val in = MemoryStream[UserEvent](spark, streamId)
+    val q = Streams.userRunningProfile(in.toDS())
+      .writeStream.format("memory").queryName("r17_mgws_profile")
+      .outputMode("update").start()
+    in.addData(all: _*); q.processAllAvailable()
+    // redeliver the whole feed plus two fresh events — only the fresh
+    // ones may fold
+    in.addData(all ++ Seq(mk(13L), mk(14L)): _*); q.processAllAvailable()
+    q.stop()
+    val last = spark.table("r17_mgws_profile")
+      .as[UserProfile].collect().maxBy(_.n_events)
+    assert(last === UserProfile(7L, 14L, (1L to 14L).map(_.toDouble).sum, "click"),
+      s"replayed prefix double-counted: $last")
+  }
+
+  test("valueAlerts (flatMapGroupsWithState) fires no phantom alerts on replay") {
+    import graft.streaming.{UserEvent, ValueAlert}
+    val mk = (i: Long) => UserEvent(i, ts(f"2024-01-01 00:${i}%02d:00"), 9, "click", 60.0)
+    streamId += 1
+    val in = MemoryStream[UserEvent](spark, streamId)
+    val q = graft.streaming.Streams.valueAlerts(in.toDS(), step = 100.0)
+      .writeStream.format("memory").queryName("r17_mgws_alerts")
+      .outputMode("append").start()
+    in.addData(mk(1), mk(2)); q.processAllAvailable() // cum 120: one crossing
+    val afterOnce = spark.table("r17_mgws_alerts").as[ValueAlert].collect().toSeq
+    // full redelivery: cum must NOT climb to 240 and fire a phantom
+    in.addData(mk(1), mk(2)); q.processAllAvailable()
+    val afterReplay = spark.table("r17_mgws_alerts").as[ValueAlert].collect().toSeq
+    // a fresh event still folds on top of the guarded state
+    in.addData(mk(3)); q.processAllAvailable() // cum 180: no new crossing
+    in.addData(mk(4)); q.processAllAvailable() // cum 240: crossing at 2
+    q.stop()
+    val fin = spark.table("r17_mgws_alerts").as[ValueAlert].collect().toSeq
+    assert(afterOnce === Seq(ValueAlert(9, 1, 2)))
+    assert(afterReplay === afterOnce, s"phantom alert on replay: $afterReplay")
+    assert(fin.sortBy(_.threshold_multiple) ===
+      Seq(ValueAlert(9, 1, 2), ValueAlert(9, 2, 4)), s"fresh events lost: $fin")
+  }
+
   // ── persisted-index ANN round-trip (build-once / query-many) ──────
 
   test("sim_knn_ivf_persist: probe side scans only the probed buckets and never shuffles the index") {
