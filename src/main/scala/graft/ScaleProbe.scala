@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   * probes of watch-listed queries, e.g. the r16 verdict's 30×
   * cf_slope_one ask, gate mechanically too). */
 object ScaleProbe {
-  private val Copies =
-    sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+  private val Copies = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10")
+    raw.toIntOption.filter(_ >= 2).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_SCALE_COPIES must be an integer >= 2, got '$raw'"))
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -204,12 +208,33 @@ object ScaleProbe {
     }.mkString(
       s"""{"metric":"scale_${Copies}x","sf":"$base","copies":$Copies,"queries":{""",
       ",", "}}")
-    if (args.isEmpty && Copies == 10)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_BENCH.json"), json + "\n")
-    else if (Copies != 10)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"SCALE_BENCH_${Copies}X.json"), json + "\n")
+    // A probe of an explicit query subset MERGES into the existing
+    // record instead of replacing it (r17 ADVICE: a partial probe
+    // used to overwrite SCALE_BENCH_<N>X.json indistinguishably from
+    // a full-suite run) — per-query entries are keyed, so folding the
+    // new measurements over the old file keeps every previously
+    // probed query's evidence while refreshing the ones just run.
+    val outPath = java.nio.file.Paths.get(
+      if (Copies == 10) "SCALE_BENCH.json" else s"SCALE_BENCH_${Copies}X.json")
+    val out =
+      if (args.isEmpty || !java.nio.file.Files.exists(outPath)) json
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val prev = om.readTree(java.nio.file.Files.readAllBytes(outPath))
+        val merged = om.readTree(json)
+        val prevQs = prev.get("queries").asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        prevQs.setAll(merged.get("queries").asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode])
+        prev.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .set("queries", prevQs)
+        om.writeValueAsString(prev)
+      }
+    // SCALE_BENCH.json (the 10× per-round record) stays full-suite-
+    // only; the deep-probe files accept keyed merges so watch-list
+    // queries can be added one at a time without losing prior entries.
+    if (args.isEmpty || Copies != 10)
+      java.nio.file.Files.writeString(outPath, out + "\n")
     println(json)
     spark.stop()
   }

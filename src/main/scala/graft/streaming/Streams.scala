@@ -586,11 +586,18 @@ final class ReplayGuard private (
 
 object ReplayGuard {
   /** One guard per processor instance, created in `init` alongside the
-    * processor's own state handles. */
-  def create(handle: org.apache.spark.sql.streaming.StatefulProcessorHandle): ReplayGuard =
+    * processor's own state handles. `ttl` MUST be the same TTLConfig
+    * the guarded state uses: if the guard's mark outlived an expired
+    * cell, one long would leak per ever-seen key (defeating the TTL
+    * bound); if it expired sooner, a replay after mark-expiry but
+    * before state-expiry would double-count. Mark and state sharing
+    * one TTL gives the standard dedup-within-retention contract — the
+    * replay window equals the state's idle TTL. */
+  def create(handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): ReplayGuard =
     new ReplayGuard(handle.getValueState[Long]("replay_hwm",
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.streaming.TTLConfig.NONE))
+      org.apache.spark.sql.Encoders.scalaLong, ttl))
 }
 
 /** Output row of the transformWithState profile op. */
@@ -619,7 +626,7 @@ class ProfileProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
   override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     st = getHandle.getValueState[TwsProfile]("profile",
       Encoders.product[TwsProfile], ttl)
-    guard = ReplayGuard.create(getHandle)
+    guard = ReplayGuard.create(getHandle, ttl)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
@@ -672,7 +679,7 @@ class FavoriteProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
   override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     counts = getHandle.getMapState[String, Long]("counts",
       Encoders.STRING, Encoders.scalaLong, ttl)
-    guard = ReplayGuard.create(getHandle)
+    guard = ReplayGuard.create(getHandle, ttl)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
@@ -723,7 +730,7 @@ class FunnelProcessor(windowUs: Long = 3600000000L,
   override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     st = getHandle.getValueState[FunnelState]("funnel",
       Encoders.product[FunnelState], ttl)
-    guard = ReplayGuard.create(getHandle)
+    guard = ReplayGuard.create(getHandle, ttl)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
@@ -834,7 +841,7 @@ class AnomalyProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
 
   override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit = {
     buf = getHandle.getListState[Double]("ring", Encoders.scalaDouble, ttl)
-    guard = ReplayGuard.create(getHandle)
+    guard = ReplayGuard.create(getHandle, ttl)
   }
 
   /** The same rounding Spark's double→DECIMAL(18,2) cast applies. */
