@@ -24,6 +24,7 @@ object SparkEntry {
       StreamingQueries.queries ++
       SamplingQueries.queries ++
       graft.sources.SourceQueries.queries ++
+      graft.sources.AcidQueries.queries ++
       IotQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
@@ -90,6 +91,7 @@ object SparkEntry {
       StreamingQueries.oracles ++
       SamplingQueries.oracles ++
       graft.sources.SourceQueries.oracles ++
+      graft.sources.AcidQueries.oracles ++
       IotQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++

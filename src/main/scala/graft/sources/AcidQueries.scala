@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.OracleParity._
+
+/** Gate entries over [[GraftAcid]] — the ACID/time-travel coverage the
+  * reference environment gets from a managed table format (the r17
+  * verdict ask #3; the reference's own future-work DLQ/replay notes,
+  * `/root/reference/README.md:215`, are its closest analogue of
+  * reprocessable history).
+  *
+  * One deterministic commit chain per (session, dir), built once and
+  * read by all four entries (the memoized-substrate discipline):
+  *
+  *  - v0 CREATE — the customer table, keyed by c_custkey, 8
+  *    range-partitioned files.
+  *  - v1 DELETE — `c_mktsegment = 'BUILDING'` (copy-on-write: only
+  *    files holding a BUILDING row are rewritten).
+  *  - v2 MERGE — source = every ORIGINAL customer with
+  *    c_custkey % 7 = 0, acctbal bumped +100.00 (exact DECIMAL
+  *    arithmetic) and segment re-labeled 'MERGED'. Keys deleted at v1
+  *    re-enter as inserts; surviving keys are updated in place —
+  *    both MERGE arms (matched-update, unmatched-insert) exercised.
+  *  - v3 COMPACT — the v2 snapshot rewritten into 2 files;
+  *    data-identical, so the v3 oracle equals the v2 state (which is
+  *    exactly what makes compaction hash-gateable).
+  *
+  * Every oracle replays the chain's STATE ALGEBRA in SQL over the
+  * original parquet (delete = filter; merge = anti-join ∪ source), so
+  * a hash match proves the manifest log reconstructs each snapshot
+  * bit-for-bit. Round18Spec separately pins the properties SQL can't
+  * express: snapshot isolation under concurrent commits, optimistic-
+  * concurrency conflicts, and merge's file-level pruning.
+  */
+object AcidQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The merge source, shared by the chain builder and (in SQL) the
+    * oracles: original customers with c_custkey % 7 = 0, +100.00. */
+  private def mergeSource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d).filter($"c_custkey" % 7 === 0)
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        (dec($"c_acctbal") + dec(lit(100.0))).cast("double").as("c_acctbal"),
+        lit("MERGED").as("c_mktsegment"))
+  }
+
+  private val chainMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Build (once per session × dir) the v0→v3 chain; returns the table
+    * root. Dir-keyed SHA suffix: same aliasing guard as the bucketed
+    * warehouse (two sfDirs in one session get independent tables). */
+  private[sources] def ensureChain(s: SparkSession, d: String): String =
+    chainMemo.computeIfAbsent((s, d), { _ =>
+      val sfx = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root = s"${sys.props("java.io.tmpdir")}/graft_acid/cust_$sfx"
+      // always rebuild on first touch per (session, dir): a chain left
+      // by an earlier JVM could predate the current chain semantics
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      GraftAcid.create(s, root, customer(s, d), "c_custkey")
+      GraftAcid.delete(s, root, col("c_mktsegment") === "BUILDING")
+      GraftAcid.merge(s, root, mergeSource(s, d), "c_custkey")
+      GraftAcid.compact(s, root)
+      root
+    })
+
+  /** v2-state rows in SQL (the oracle's merge algebra). */
+  private val mergedStateSql =
+    """cur AS (SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'),
+      |src AS (SELECT c_custkey, c_name, c_nationkey,
+      |          CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DOUBLE)
+      |            AS c_acctbal,
+      |          'MERGED' AS c_mktsegment
+      |        FROM customer WHERE c_custkey % 7 = 0),
+      |merged AS (
+      |  SELECT * FROM cur WHERE c_custkey % 7 <> 0
+      |  UNION ALL SELECT * FROM src)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // MERGE result, read back from the v2 snapshot: per-nation row
+    // count and exact balance mass.
+    "src_acid_merge" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureChain(s, d)
+      GraftAcid.read(s, root, Some(2))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_rows"), dsum($"c_acctbal").as("acct_sum"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // DELETE result, read back from the v1 snapshot: the BUILDING
+    // segment is gone, every other segment's mass is untouched.
+    "src_acid_delete" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureChain(s, d)
+      GraftAcid.read(s, root, Some(1))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum($"c_acctbal").as("acct_sum"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // TIME TRAVEL: one row per snapshot version — the whole history
+    // remains readable after every later commit (v3 ≡ v2 is the
+    // compaction-preserves-data proof, hash-gated).
+    "src_time_travel" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureChain(s, d)
+      (0 to 3).map { v =>
+        GraftAcid.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"), dsum($"c_acctbal").as("acct_sum"),
+            min($"c_custkey").as("min_key"), max($"c_custkey").as("max_key"))
+          .select(lit(v.toLong).as("version"), $"n_rows", $"acct_sum",
+            $"min_key", $"max_key")
+      }.reduce(_ unionByName _).orderBy($"version")
+    }),
+
+    // COMPACTION: the latest snapshot (v3, two files) aggregated per
+    // segment — equals the v2 state, proving the rewrite changed the
+    // LAYOUT and nothing else.
+    "src_acid_compact" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureChain(s, d)
+      GraftAcid.read(s, root)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum($"c_acctbal").as("acct_sum"),
+          countDistinct($"c_custkey").as("n_keys"))
+        .orderBy($"c_mktsegment")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "src_acid_merge" ->
+      s"""WITH $mergedStateSql
+         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
+         |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "src_acid_delete" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "src_time_travel" ->
+      s"""WITH $mergedStateSql,
+         |v0 AS (SELECT CAST(0 AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum,
+         |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key FROM customer),
+         |v1 AS (SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+         |  MIN(c_custkey), MAX(c_custkey) FROM cur),
+         |v23 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum,
+         |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key FROM merged)
+         |SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |UNION ALL SELECT CAST(2 AS BIGINT), n_rows, acct_sum, min_key, max_key FROM v23
+         |UNION ALL SELECT CAST(3 AS BIGINT), n_rows, acct_sum, min_key, max_key FROM v23
+         |ORDER BY version""".stripMargin,
+
+    "src_acid_compact" ->
+      s"""WITH $mergedStateSql
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum,
+         |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys
+         |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

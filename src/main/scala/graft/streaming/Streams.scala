@@ -1217,7 +1217,18 @@ case class TwsLshHit(doc_id: Long, band: Int, hit: Boolean, matched: Long)
   * owner becomes min(owner, doc_id). Re-seeing a document is
   * idempotent (its own id in the bucket is not a hit, and the state
   * does not change) — the property the replay soak asserts: the index
-  * grows with UNIQUE documents only. */
+  * grows with UNIQUE documents only.
+  *
+  * REPLAY-EMISSION CONTRACT (r17 verdict ask #2): idempotence here is
+  * MEMBERSHIP-based — redelivery leaves the STATE unchanged but
+  * RE-EMITS the same verdict row (an owner doc re-emits `hit=false`;
+  * a duplicate re-emits its hit). That is exact-once-equivalent for
+  * UPDATE-mode / keyed-upsert sinks (the re-emission overwrites
+  * itself under the (doc_id, band) key) and produces byte-identical
+  * DUPLICATE rows in an APPEND-only sink — an append consumer must
+  * dedup on (doc_id, band) downstream (or land via foreachBatch
+  * MERGE). Round18Spec pins both halves: state flat + duplicates
+  * byte-identical under append replay. */
 class LshIndexProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), LshBandRow, TwsLshHit] {
   import org.apache.spark.sql.streaming.{MapState, TimerValues}
@@ -1265,6 +1276,15 @@ case class TwsSemVerdict(vec_id: Long, cell: Int, n_matches: Long,
   * integer rule cos > 0.35 ⟺ dot > 0 ∧ 400·dot² > 49·‖a‖²·‖b‖²; it
   * emits (n_matches, earliest match, is_dup) and joins the cell.
   * Re-seen ids are idempotent (no re-insert, no self-match).
+  *
+  * REPLAY-EMISSION CONTRACT (r17 verdict ask #2): membership-based
+  * idempotence — a redelivered vector leaves the cell STATE unchanged
+  * but re-emits its verdict row. Exact-once-equivalent for
+  * UPDATE-mode / vec_id-keyed upsert sinks; an APPEND-only sink
+  * receives a byte-identical duplicate verdict — dedup on vec_id
+  * downstream or land via foreachBatch MERGE. Round18Spec pins both
+  * halves (flat state + byte-identical duplicate under append
+  * replay).
   *
   * Memory: the cell's members are buffered on heap for the batch (one
   * cell per concurrently-processed key) — the working set is

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.GraftAcid
+import graft.streaming._
+
+/** Round-18 pins, one per r17 verdict ask:
+  *
+  *  - ACID (ask #3): [[graft.sources.GraftAcid]]'s four properties the
+  *    SQL oracle can't express — snapshot isolation under concurrent
+  *    commits, optimistic-concurrency conflict on a version race,
+  *    merge's file-level pruning (untouched files carried by
+  *    reference), and no-op short-circuits.
+  *  - VITERBI (ask #6): the DP E-step equals exhaustive enumeration
+  *    BEYOND the old composition literal's 8-char word cap (the cap
+  *    the DP formulation removes from the trainer's scale story).
+  *  - REPLAY EMISSION (ask #2): the two index processors' documented
+  *    sink-mode contract — state flat under append replay, duplicate
+  *    rows byte-identical to the first delivery (so an update/keyed
+  *    sink overwrites them into exact-once equivalence).
+  */
+class Round18Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_acid_spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  // ── GraftAcid: snapshot isolation / conflicts / pruning ───────────
+
+  test("acid: a reader pinned at v0 is unaffected by later delete and merge commits") {
+    val root = freshRoot("iso")
+    val base = (1L to 40L).map(k => (k, s"n$k", (k % 3).toInt)).toDF("k", "name", "grp")
+    GraftAcid.create(spark, root, base, "k", nFiles = 4)
+    // resolve the v0 manifest BEFORE any later commit
+    val pinned = GraftAcid.read(spark, root, Some(0))
+    assert(pinned.count() === 40L)
+    GraftAcid.delete(spark, root, org.apache.spark.sql.functions.col("grp") === 1)
+    GraftAcid.merge(spark, root,
+      Seq((2L, "updated", 9), (99L, "inserted", 9)).toDF("k", "name", "grp"), "k")
+    // the pinned frame still reads the full v0 state, byte-for-byte
+    assert(pinned.count() === 40L)
+    assert(pinned.filter($"k" === 2L).head().getString(1) === "n2")
+    // and the latest snapshot reflects both commits
+    val cur = GraftAcid.read(spark, root)
+    assert(cur.count() === 40L - pinned.filter($"grp" === 1).count() + 1)
+    assert(cur.filter($"k" === 2L).head().getString(1) === "updated")
+    assert(cur.filter($"k" === 99L).count() === 1L)
+    assert(cur.filter($"grp" === 1 && $"k" =!= 99L).count() === 0L)
+  }
+
+  test("acid: a commit racing an already-committed version fails (optimistic concurrency)") {
+    val root = freshRoot("conflict")
+    GraftAcid.create(spark, root, Seq((1L, "a")).toDF("k", "v"), "k", nFiles = 1)
+    val m0 = GraftAcid.readManifest(root, 0)
+    // writer A wins version 1
+    GraftAcid.commit(root, m0.copy(version = 1, op = "writerA"))
+    // writer B raced from the same parent and must LOSE, not overwrite
+    intercept[GraftAcid.CommitConflictException] {
+      GraftAcid.commit(root, m0.copy(version = 1, op = "writerB"))
+    }
+    assert(GraftAcid.readManifest(root, 1).op === "writerA")
+  }
+
+  test("acid: merge rewrites only key-range-overlapping files; the rest carry by reference") {
+    val root = freshRoot("prune")
+    val base = (1L to 80L).map(k => (k, k * 10)).toDF("k", "v")
+    GraftAcid.create(spark, root, base, "k", nFiles = 8)
+    val before = GraftAcid.readManifest(root, 0)
+    assert(before.files.size === 8)
+    // source spans only the top of the key range
+    GraftAcid.merge(spark, root,
+      Seq((78L, -1L), (85L, -2L)).toDF("k", "v"), "k")
+    val after = GraftAcid.readManifest(root, 1)
+    val carried = after.files.map(_.path).toSet
+      .intersect(before.files.map(_.path).toSet)
+    val overlapping = before.files.count(f => f.maxKey >= 78L && f.minKey <= 85L)
+    assert(overlapping >= 1 && overlapping <= 2,
+      s"range layout should localize [78,85] to 1-2 files, got $overlapping")
+    assert(carried.size === 8 - overlapping,
+      s"non-overlapping files must carry by reference (carried ${carried.size})")
+    // and the merged data is exact: update applied, insert present
+    val cur = GraftAcid.read(spark, root)
+    assert(cur.count() === 81L)
+    assert(cur.filter($"k" === 78L).head().getLong(1) === -1L)
+    assert(cur.filter($"k" === 85L).head().getLong(1) === -2L)
+    assert(cur.filter($"k" === 77L).head().getLong(1) === 770L)
+  }
+
+  test("acid: matchless delete and empty-source merge are version no-ops; compaction keeps history readable") {
+    val root = freshRoot("noop")
+    val base = (1L to 10L).map(k => (k, s"x$k")).toDF("k", "v")
+    GraftAcid.create(spark, root, base, "k", nFiles = 2)
+    assert(GraftAcid.delete(spark, root, $"v" === "nope") === 0)
+    assert(GraftAcid.merge(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "v"), "k") === 0)
+    assert(GraftAcid.latestVersion(root) === 0)
+    GraftAcid.delete(spark, root, $"k" > 8L)
+    assert(GraftAcid.compact(spark, root, nFiles = 1) === 2)
+    // post-compaction: latest is the compacted state, v0/v1 still read
+    assert(GraftAcid.read(spark, root).count() === 8L)
+    assert(GraftAcid.readManifest(root, 2).files.size === 1)
+    assert(GraftAcid.read(spark, root, Some(0)).count() === 10L)
+    assert(GraftAcid.read(spark, root, Some(1)).count() === 8L)
+  }
+
+  // ── Viterbi DP vs exhaustive enumeration beyond the 8-char cap ────
+
+  /** Reference enumeration: ALL segmentations into vocab pieces of
+    * length ≤ maxPiece, argmax under (score desc, k asc, seg asc) —
+    * the exact order the oracle's ROW_NUMBER window uses. */
+  private def enumBest(w: String, scores: Map[String, Long],
+      maxPiece: Int): Option[(Long, Int, String)] = {
+    def segs(rem: String): Seq[List[String]] =
+      if (rem.isEmpty) Seq(Nil)
+      else (1 to math.min(maxPiece, rem.length)).flatMap { l =>
+        val p = rem.substring(0, l)
+        if (scores.contains(p)) segs(rem.substring(l)).map(p :: _) else Nil
+      }
+    val cands = segs(w)
+      .map(ps => (ps.map(scores).sum, ps.length, ps.mkString("|")))
+    if (cands.isEmpty) None
+    else Some(cands.min(Ordering.by((t: (Long, Int, String)) => (-t._1, t._2, t._3))))
+  }
+
+  test("unigram viterbi DP equals exhaustive enumeration on words longer than the 8-char composition cap") {
+    import graft.operators.TextQueries11
+    // counts chosen to force bit-length score TIES (the tie-break is
+    // the risky part) plus real preference gradients
+    val vocabCounts = Map(
+      "inter" -> 900L, "nation" -> 900L, "al" -> 450L, "ism" -> 420L,
+      "in" -> 60L, "ter" -> 55L, "na" -> 50L, "tion" -> 48L,
+      "counter" -> 800L, "revolut" -> 790L, "ion" -> 430L, "ary" -> 410L,
+      "anti" -> 700L, "dis" -> 690L, "establish" -> 660L, "ment" -> 400L,
+      "arian" -> 380L) ++
+      "abcdefghijklmnopqrstuvwxyz".map(c => c.toString -> 16L).toMap
+    val rows = vocabCounts.toSeq.map { case (p, c) => (p, c) }
+    val scores = TextQueries11.bitlenScores(
+      spark.createDataFrame(rows).toDF("p", "c").collect())
+    // 12-24 char words — all beyond the old enumeration literal's cap
+    val words = Seq("internationalism", "counterrevolutionary",
+      "antidisestablishmentarianism", "interrevolution", "zzzzzzzzzzzz",
+      "nationination").map((_, 1L))
+    val got = TextQueries11
+      .viterbiSegment(spark, words.toDF("w", "n"), scores, maxPiece = 9)
+      .collect().map(r => r.getAs[String]("w") ->
+        ((r.getAs[Long]("score"), r.getAs[Int]("k"), r.getAs[String]("seg"))))
+      .toMap
+    words.foreach { case (w, _) =>
+      val want = enumBest(w, scores, maxPiece = 9)
+      assert(want.isDefined, s"char floor guarantees a segmentation for $w")
+      assert(got(w) === want.get, s"DP diverged from enumeration on '$w'")
+    }
+  }
+
+  // ── Index-processor replay emission: the sink-mode contract ───────
+
+  private def withRocks[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("semantic-dedup replay contract: state flat; append duplicates are byte-identical re-emissions") {
+    withRocks {
+      val a = Array.fill(8)(0.5f)
+      val b = Array.fill(8)(0.5f); b(0) = 0.51f // near-dup of a
+      val c = Array.tabulate(8)(i => if (i % 2 == 0) 0.7f else -0.7f)
+      val vecs = Seq(EmbRow(1L, 0, a), EmbRow(2L, 0, b), EmbRow(3L, 0, c))
+      val in = MemoryStream[EmbRow](spark, 181)
+      val q = Streams.semanticDedupTws(in.toDS())
+        .writeStream.format("memory").queryName("sem_replay_18")
+        .outputMode("append").start()
+      in.addData(vecs: _*); q.processAllAvailable()
+      val s1 = q.lastProgress.stateOperators.head.numRowsTotal
+      val first = spark.table("sem_replay_18").collect()
+        .map(_.toSeq).sortBy(_.toString)
+      in.addData(vecs: _*); q.processAllAvailable()
+      val s2 = q.lastProgress.stateOperators.head.numRowsTotal
+      val all = spark.table("sem_replay_18").collect()
+        .map(_.toSeq).sortBy(_.toString)
+      q.stop()
+      assert(s1 === s2, s"replay must not grow the cell ($s1 -> $s2)")
+      // verdicts: 2 is a dup of 1, 1 and 3 are reps
+      assert(first.length === 3)
+      // append sink: exactly one byte-identical duplicate per verdict
+      // (the documented contract — keyed/update sinks overwrite these
+      // into exact-once equivalence; append consumers dedup on vec_id)
+      assert(all.length === 6)
+      assert(all.grouped(2).forall(g => g(0) == g(1)),
+        "replay emissions must be byte-identical to first delivery")
+    }
+  }
+
+  test("lsh-index replay contract: append duplicates are byte-identical re-emissions") {
+    withRocks {
+      val docs = Seq(
+        DocText(10L, "alpha beta gamma delta epsilon"),
+        DocText(11L, "alpha beta gamma delta epsilon"))
+      val in = MemoryStream[DocText](spark, 182)
+      val q = Streams.lshDedupTws(Streams.lshBandRows(in.toDS()))
+        .writeStream.format("memory").queryName("lsh_replay_18")
+        .outputMode("append").start()
+      in.addData(docs: _*); q.processAllAvailable()
+      val first = spark.table("lsh_replay_18").collect()
+        .map(_.toSeq).sortBy(_.toString)
+      in.addData(docs: _*); q.processAllAvailable()
+      val all = spark.table("lsh_replay_18").collect()
+        .map(_.toSeq).sortBy(_.toString)
+      q.stop()
+      assert(first.length === 32, "2 docs x 16 bands")
+      assert(all.length === 64)
+      assert(all.grouped(2).forall(g => g(0) == g(1)),
+        "replay emissions must be byte-identical to first delivery")
+    }
+  }
+}
