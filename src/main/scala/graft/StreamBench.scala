@@ -225,6 +225,54 @@ object StreamBench {
       Soak("lsh_dedup", passes * docsAll.length / secs, rows, sstAtPassEnd.result(), flat)
     }
 
+    def runSubstringDedup(): (String, Double) = {
+      if (!wanted("substring_dedup")) return "substring_dedup" -> -1.0
+      val in = MemoryStream[graft.streaming.DocText](spark, 996)
+      val q = Streams.substringDedupTws(Streams.anchorRows(in.toDS())).toDF()
+        .writeStream.format("memory").queryName("sb_substring_dedup")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      docBatches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rate = docsAll.length / secs
+      println(f"${"substring_dedup"}%-22s ${secs}%7.2f s  ${rate}%9.0f docs/s")
+      "substring_dedup" -> rate
+    }
+
+    /** Substring-dedup SOAK (the r17 verdict ask #5 evidence): replay
+      * the same documents — the anchor index must saturate at pass 1's
+      * unique first-claim anchor count and never grow again (a re-seen
+      * doc's own id in a bucket neither hits nor writes). Same state-
+      * row-count signal as the LSH soak. */
+    def runSoakSubstringDedup(passes: Int): Soak = {
+      if (!wanted("soak_substring_dedup"))
+        return Soak("substring_dedup", -1.0, Nil, Nil, flatOk = true)
+      val in = MemoryStream[graft.streaming.DocText](spark, 2996)
+      val q = Streams.substringDedupTws(Streams.anchorRows(in.toDS())).toDF()
+        .writeStream.format("memory").queryName("sb_soak_substring_dedup")
+        .outputMode("append").start()
+      val rowsAtPassEnd = Seq.newBuilder[Long]
+      val sstAtPassEnd = Seq.newBuilder[Long]
+      val t0 = System.nanoTime()
+      for (_ <- 0 until passes) {
+        docBatches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+        val so = q.lastProgress.stateOperators.headOption
+        rowsAtPassEnd += so.map(_.numRowsTotal).getOrElse(-1L)
+        sstAtPassEnd += so.flatMap(s =>
+          Option(s.customMetrics.get("rocksdbSstFileSize")).map(_.longValue))
+          .getOrElse(-1L)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rows = rowsAtPassEnd.result()
+      val flat = rows.tail.forall(r => r <= (rows.head * 1.02).toLong)
+      println(f"soak_substring_dedup ${secs}%7.2f s  ${passes * docsAll.length / secs}%9.0f docs/s" +
+        s"  state_rows=${rows.mkString("/")} flat=$flat")
+      Soak("substring_dedup", passes * docsAll.length / secs, rows,
+        sstAtPassEnd.result(), flat)
+    }
+
     // Streaming SEMANTIC dedup runs on EMBEDDINGS (vectors/sec): the
     // integer-argmax cell assignment is precomputed batch-side (it's a
     // narrow projection; the stateful work is the per-cell scoring).
@@ -352,6 +400,8 @@ object StreamBench {
       runCdc(),
       // sharded MapState band index probed per doc (docs/sec basis)
       runLshDedup(),
+      // sharded MapState anchor index, ~|tokens| probes per doc
+      runSubstringDedup(),
       // per-cell ListState vector index scored per vector (vecs/sec)
       runSemDedup())
     val results = allStreams.filter(_._2 >= 0)
@@ -391,6 +441,7 @@ object StreamBench {
         purchases.join(clicks, joinCond, "leftOuter")
       },
       runSoakLshDedup(passes = 3),
+      runSoakSubstringDedup(passes = 3),
       runSoakSemDedup(passes = 3))
       .filter(_.rate >= 0)
     val growthViolations = soaks.collect { case s if !s.flatOk => s.name }
@@ -421,6 +472,9 @@ object StreamBench {
       // docs/sec (a doc = 16 band-probe rows, so 151 docs/s quiet ≈
       // 2400 band-rows/s — in family with the other TWS floors)
       "lsh_dedup" -> 75.0,
+      // docs/sec — a doc is ~40 anchor probes (every L-gram), heavier
+      // per doc than the 16 LSH band probes; floor at half quiet
+      "substring_dedup" -> 35.0,
       // vecs/sec — the heaviest per-row state op (each vector scores
       // against its whole cell); 160 vecs/s quiet, floor at half
       "sem_dedup" -> 80.0)

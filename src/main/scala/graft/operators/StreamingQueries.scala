@@ -473,6 +473,49 @@ object StreamingQueries {
         .orderBy($"doc_id")
     }),
 
+    // Streaming EXACT-SUBSTRING DEDUP — the streaming twin of
+    // dedup_substring_spans (the r17 verdict ask #5), completing the
+    // streaming dedup trio (exact / near / substring): L-gram anchors
+    // stream through the stateless md5-key projection into a sharded
+    // MapState anchor index (anchor key → earliest owner doc, the
+    // LshIndexProcessor pattern); an anchor owned by an EARLIER doc is
+    // emitted as cross-doc duplicated evidence, and the stateless
+    // per-doc gaps-and-islands merge downstream of the sink turns the
+    // hit anchors into maximal [start, end) removal spans. The oracle
+    // replays the same one-sided rule in batch: an anchor is a hit
+    // iff min(doc_id) over its gram is SMALLER than its own doc (the
+    // online-arrival half of the batch op's symmetric ≥2-docs census —
+    // the first copy streams in clean and only later copies carry
+    // removable spans). Index grows with unique docs' first-claim
+    // anchors only (STREAM_BENCH soaks it flat; Round18Spec pins the
+    // replay property).
+    "stream_substring_dedup" -> ((s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select($"doc_id", $"text").as[graft.streaming.DocText]
+      val hits = Streams.substringDedupTws(Streams.anchorRows(docs))
+      val sink = toMemoryRocks(s, hits.toDF(),
+        "stream_substring_dedup_sink", "append")
+      val wLag = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val wCum = wLag.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      sink
+        .withColumn("prev", lag($"pos", 1).over(wLag))
+        .withColumn("brk",
+          when($"prev".isNull || $"pos" - $"prev" > 8, 1L).otherwise(0L))
+        .withColumn("island", sum($"brk").over(wCum))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").as("span_start"), (max($"pos") + 8).as("span_end"),
+          count(lit(1)).as("n_anchors"), min($"owner").as("earliest_owner"))
+        .select($"doc_id", $"span_start", $"span_end",
+          ($"span_end" - $"span_start").as("span_tokens"),
+          $"n_anchors", $"earliest_owner")
+        .orderBy($"doc_id", $"span_start")
+    }),
+
     // Streaming SEMANTIC DEDUP — the embedding-space twin of
     // stream_lsh_dedup (SemDeDup online): vectors stream through the
     // integer-argmax cell assignment (8 broadcast seed centroids, the
@@ -662,6 +705,41 @@ object StreamingQueries {
          |  coalesce(a.n_matches, 0) > 0 AS is_dup
          |FROM cells c LEFT JOIN agg a USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin,
+
+    // Batch replay of the streaming anchor index's earliest-owner
+    // rule: an anchor is duplicated evidence iff min(doc_id) over its
+    // gram key is smaller than its own doc; per-doc island merge to
+    // maximal spans (the dedup_substring_spans algebra, one-sided).
+    "stream_substring_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        | SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        | FROM toks WHERE len(t) >= 8),
+        |g AS (
+        | SELECT doc_id, i - 1 AS pos,
+        |  ('0x' || substring(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS k
+        | FROM pos),
+        |own AS (SELECT k, MIN(doc_id) AS owner FROM g GROUP BY k),
+        |a AS (
+        | SELECT g.doc_id, g.pos, o.owner FROM g JOIN own o USING (k)
+        | WHERE o.owner < g.doc_id),
+        |b AS (
+        | SELECT doc_id, pos, owner,
+        |  CASE WHEN lag(pos) OVER w IS NULL
+        |        OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+        | FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (
+        | SELECT doc_id, pos, owner, SUM(brk) OVER (
+        |   PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM b)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+        |  MAX(pos) + 8 - MIN(pos) AS span_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_anchors,
+        |  MIN(owner) AS earliest_owner
+        |FROM c GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // Batch replay of the streaming band index's bucket-min rule: a
     // doc is a duplicate iff some band bucket's minimum doc_id is

@@ -519,6 +519,52 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  /** State shards for the streaming substring-dedup anchor index
+    * (anchor key mod shards — same sizing note as [[LshShards]]). */
+  final val AnchorShards: Long = 64L
+
+  /** Document text → its L-gram ANCHOR rows (the dedup_substring_spans
+    * stage-1 projection computed ON the stream — narrow, stateless):
+    * every L-token gram at its position, keyed by the portable
+    * md5-derived 60-bit hash. The gram string is dropped before the
+    * keyed shuffle — only (doc_id, pos, 8-byte key) moves, the same
+    * 20-byte-row discipline as the batch op. */
+  def anchorRows(docs: org.apache.spark.sql.Dataset[DocText], l: Int = 8)
+      : org.apache.spark.sql.Dataset[AnchorRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    docs.toDF()
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftExpressions.ngrams(
+          graft.functions.TextFunctions.tokens(col("text")), l)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("k"))
+      .as[AnchorRow]
+  }
+
+  /** Streaming EXACT-SUBSTRING DEDUP — the streaming twin of
+    * `dedup_substring_spans` (r17 verdict ask #5), completing the
+    * streaming dedup trio (exact [[lshDedupTws]]-adjacent
+    * `dropDuplicatesWithinWatermark`, near [[lshDedupTws]] /
+    * [[semanticDedupTws]], substring here): anchors stream into a
+    * sharded MapState anchor index (anchor key → earliest owner doc,
+    * the [[LshIndexProcessor]] pattern); an anchor whose key is
+    * already owned by an EARLIER (smaller-id) document is duplicated
+    * cross-doc evidence and is emitted with its owner; first-seen
+    * keys claim silently. Downstream of the sink, the stateless
+    * per-doc gaps-and-islands merge turns hit anchors into maximal
+    * [start, end) removal spans — identical algebra to the batch op. */
+  def substringDedupTws(anchors: org.apache.spark.sql.Dataset[AnchorRow])
+      : org.apache.spark.sql.Dataset[TwsAnchorHit] = {
+    import anchors.sparkSession.implicits._
+    anchors
+      .groupByKey(r => math.floorMod(r.k, AnchorShards))
+      .transformWithState(new AnchorIndexProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }
 
 /** Cross-batch REPLAY GUARD shared by every UserEvent-keyed
@@ -1345,6 +1391,63 @@ class SemanticDedupProcessor
           members.appendValue(st)
           buf += st
         }
+      }
+    out.result().iterator
+  }
+}
+
+/** One L-gram anchor probe row of the streaming substring dedup:
+  * `k` is the portable md5-derived 60-bit key of the gram at `pos`. */
+case class AnchorRow(doc_id: Long, pos: Long, k: Long)
+
+/** Emission of the streaming anchor index: the anchor at (doc_id, pos)
+  * is owned by the EARLIER document `owner` — cross-doc duplicated
+  * evidence (first-seen anchors claim silently and emit nothing). */
+case class TwsAnchorHit(doc_id: Long, pos: Long, owner: Long)
+
+/** StatefulProcessor for [[Streams.substringDedupTws]]: one shard of
+  * the streaming anchor index. Key = anchor-key shard; state =
+  * MapState[anchor key → earliest owner doc_id] — RocksDB-backed, so
+  * a 100 TB anchor index spills to disk and spreads over
+  * [[Streams.AnchorShards]] state shards (raise with the state
+  * partition count at scale).
+  *
+  * Rule (the batch `min(doc_id) < doc_id` order): anchors fold in
+  * (doc_id, pos) order within a batch; an anchor whose key is owned
+  * by a SMALLER doc_id emits a [[TwsAnchorHit]] with that owner; an
+  * unowned (or same-doc) key claims/keeps the bucket with
+  * min(owner, doc_id) and emits nothing. Within-doc repeats of a gram
+  * are NOT hits (owner == doc_id), mirroring the batch op's
+  * distinct-doc census. Re-seeing a document is idempotent by
+  * membership: its own id in the bucket is not a hit and the state
+  * does not change — the index grows with UNIQUE docs' first-claim
+  * anchors only.
+  *
+  * REPLAY-EMISSION CONTRACT (same as [[LshIndexProcessor]]): a
+  * redelivered duplicate doc re-emits byte-identical hit rows (state
+  * untouched); a redelivered owner doc emits nothing. Exact-once-
+  * equivalent for update/keyed sinks; append consumers dedup on
+  * (doc_id, pos). Round18Spec pins it. */
+class AnchorIndexProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AnchorRow, TwsAnchorHit] {
+  import org.apache.spark.sql.streaming.{MapState, TimerValues}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var index: MapState[Long, Long] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    index = getHandle.getMapState[Long, Long]("anchor_index",
+      Encoders.scalaLong, Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[AnchorRow],
+      timerValues: TimerValues): Iterator[TwsAnchorHit] = {
+    val out = Seq.newBuilder[TwsAnchorHit]
+    rows.grouped(Streams.OrderedChunkCap)
+      .flatMap(_.sortBy(r => (r.doc_id, r.pos, r.k))).foreach { r =>
+        val owner = if (index.containsKey(r.k)) index.getValue(r.k) else Long.MaxValue
+        if (owner < r.doc_id) out += TwsAnchorHit(r.doc_id, r.pos, owner)
+        else if (owner > r.doc_id) index.updateValue(r.k, r.doc_id)
       }
     out.result().iterator
   }

@@ -200,6 +200,50 @@ class Round18Spec extends SparkSuite {
     }
   }
 
+  test("substring-dedup stream: split feed agrees with one batch; replay is state-flat and byte-identical") {
+    withRocks {
+      val shared = "one two three four five six seven eight nine ten"
+      val docs = Seq(
+        DocText(1L, s"$shared alpha beta gamma delta"),
+        DocText(2L, s"prefix words go here $shared tail end"),
+        DocText(3L, "totally different text with no overlap at all whatsoever indeed"))
+      def hits(batches: Seq[Seq[DocText]], id: Int): Seq[(Long, Long, Long)] = {
+        val in = MemoryStream[DocText](spark, id)
+        val q = Streams.substringDedupTws(Streams.anchorRows(in.toDS()))
+          .writeStream.format("memory").queryName(s"ss_dedup_$id")
+          .outputMode("append").start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+        spark.table(s"ss_dedup_$id").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+            r.getAs[Long]("owner"))).sorted.toSeq
+      }
+      val one = hits(Seq(docs), 183)
+      // doc 1 owns the shared run (no emissions); doc 2's 3 shared
+      // anchors (10 tokens, L=8) hit owner 1; doc 3 is clean
+      assert(one.forall(_._1 == 2L), s"only doc 2 carries hits: $one")
+      assert(one.length === 3 && one.forall(_._3 == 1L))
+      assert(hits(Seq(docs.take(1), docs.drop(1)), 184) === one,
+        "in-order split diverged from single batch")
+      // replay: state flat, duplicate emissions byte-identical
+      val in = MemoryStream[DocText](spark, 185)
+      val q = Streams.substringDedupTws(Streams.anchorRows(in.toDS()))
+        .writeStream.format("memory").queryName("ss_dedup_185")
+        .outputMode("append").start()
+      in.addData(docs: _*); q.processAllAvailable()
+      val s1 = q.lastProgress.stateOperators.head.numRowsTotal
+      in.addData(docs: _*); q.processAllAvailable()
+      val s2 = q.lastProgress.stateOperators.head.numRowsTotal
+      q.stop()
+      assert(s1 === s2, s"anchor index grew on replay ($s1 -> $s2)")
+      val all = spark.table("ss_dedup_185").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+          r.getAs[Long]("owner"))).sorted.toSeq
+      assert(all === (one ++ one).sorted,
+        "replay emissions must be byte-identical to first delivery")
+    }
+  }
+
   test("lsh-index replay contract: append duplicates are byte-identical re-emissions") {
     withRocks {
       val docs = Seq(
