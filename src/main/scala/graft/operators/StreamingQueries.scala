@@ -316,6 +316,56 @@ object StreamingQueries {
         .orderBy($"user_id")
     }),
 
+    // Streaming CDC upsert INTO THE ACID TABLE FORMAT — the
+    // stream_cdc_upsert pattern upgraded from hand-rolled snapshot
+    // parquet to GraftAcid's manifest log: each micro-batch lands via
+    // foreachBatch mergeLatest ("highest event_id wins" per user), so
+    // the result is independent of the batch split AND of redelivery
+    // — an at-least-once feed lands exactly-once-equivalent because a
+    // replayed row can never beat the sequence number that already
+    // won. Final table = each user's latest event; the whole commit
+    // history stays time-travel-readable. Oracle replays the global
+    // latest-per-user rule in one window.
+    "stream_acid_upsert" -> ((s, d) => {
+      import s.implicits._
+      val base =
+        s"${sys.props("java.io.tmpdir")}/graft_acid_stream_${s.sparkContext.applicationId}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+      val root = s"$base/table"
+      val inDir = s"$base/in"
+      val ev = graft.Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      graft.sources.GraftAcid.create(s, root, ev.limit(0), "user_id")
+      // deterministic two-file landing → ≥2 micro-batches (the same
+      // multi-batch forcing shape as stream_cdc_upsert)
+      ev.filter($"event_id" % 2 === 0).repartition(1)
+        .write.mode("overwrite").parquet(s"$inDir/even")
+      ev.filter($"event_id" % 2 === 1).repartition(1)
+        .write.mode("overwrite").parquet(s"$inDir/odd")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*")
+        .parquet(s"$inDir/*")
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.sources.GraftAcid.mergeLatest(s, root, batch.toDF(),
+            "user_id", "event_id")
+          ()
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(graft.sources.GraftAcid.latestVersion(root) >= 2,
+        "expected >=2 merge commits on the two-file landing")
+      graft.sources.GraftAcid.read(s, root)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"), dsum($"value").as("sum_value"),
+          max($"event_id").as("max_event_id"))
+        .orderBy($"event_type")
+    }),
+
     // The Spark 4 transformWithState successor API: same per-user
     // profile semantics as stream_running_profile but with explicit
     // ValueState + RocksDB-backed state (disk-spilling stores, native
@@ -705,6 +755,20 @@ object StreamingQueries {
          |  coalesce(a.n_matches, 0) > 0 AS is_dup
          |FROM cells c LEFT JOIN agg a USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin,
+
+    // Batch replay of the ACID-sink upsert: each user's latest event
+    // by event_id (sequence dominance — batch-split- and
+    // replay-independent), aggregated per type.
+    "stream_acid_upsert" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(event_id) AS max_event_id
+        |FROM latest WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Batch replay of the streaming anchor index's earliest-owner
     // rule: an anchor is duplicated evidence iff min(doc_id) over its

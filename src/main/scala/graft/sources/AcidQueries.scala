@@ -119,6 +119,25 @@ object AcidQueries {
       }.reduce(_ unionByName _).orderBy($"version")
     }),
 
+    // CHANGE DATA FEED v0 → v2: per change class, the row count and
+    // the pre/post balance mass — derived from the two immutable
+    // snapshots by one full-outer key join (deletes = BUILDING rows
+    // outside the merge source; updates = every %7 key, whether
+    // re-inserted after the delete or updated in place; no inserts —
+    // the merge source draws only existing keys).
+    "src_acid_changes" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureChain(s, d)
+      GraftAcid.changes(s, root, 0, 2)
+        .groupBy($"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce($"pre.c_acctbal", lit(0.0)).cast("decimal(18,2)"))
+            .cast("double").as("pre_sum"),
+          sum(coalesce($"post.c_acctbal", lit(0.0)).cast("decimal(18,2)"))
+            .cast("double").as("post_sum"))
+        .orderBy($"change_type")
+    }),
+
     // COMPACTION: the latest snapshot (v3, two files) aggregated per
     // segment — equals the v2 state, proving the rewrite changed the
     // LAYOUT and nothing else.
@@ -162,6 +181,27 @@ object AcidQueries {
          |UNION ALL SELECT CAST(2 AS BIGINT), n_rows, acct_sum, min_key, max_key FROM v23
          |UNION ALL SELECT CAST(3 AS BIGINT), n_rows, acct_sum, min_key, max_key FROM v23
          |ORDER BY version""".stripMargin,
+
+    "src_acid_changes" ->
+      s"""WITH $mergedStateSql,
+         |cls AS (
+         |  SELECT CASE WHEN b.c_custkey IS NULL THEN 'delete'
+         |              WHEN a.c_custkey IS NULL THEN 'insert'
+         |              WHEN a.c_name <> b.c_name
+         |                OR a.c_nationkey <> b.c_nationkey
+         |                OR a.c_acctbal <> b.c_acctbal
+         |                OR a.c_mktsegment <> b.c_mktsegment THEN 'update'
+         |              ELSE 'unchanged' END AS change_type,
+         |    a.c_acctbal AS pre_bal, b.c_acctbal AS post_bal
+         |  FROM customer a FULL OUTER JOIN merged b
+         |    ON a.c_custkey = b.c_custkey)
+         |SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(coalesce(pre_bal, 0) AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS pre_sum,
+         |  CAST(SUM(CAST(coalesce(post_bal, 0) AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS post_sum
+         |FROM cls WHERE change_type <> 'unchanged'
+         |GROUP BY change_type ORDER BY change_type""".stripMargin,
 
     "src_acid_compact" ->
       s"""WITH $mergedStateSql

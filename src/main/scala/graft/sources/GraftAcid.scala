@@ -187,6 +187,62 @@ object GraftAcid {
     v
   }
 
+  /** MERGE variant for CDC upserts ("latest wins"): per key, keep the
+    * row with the HIGHEST `seqCol` among the stored row and the
+    * incoming rows. Unlike [[merge]] (which lets the source
+    * unconditionally replace), the outcome is independent of how the
+    * source was split into batches AND of redelivery — a replayed row
+    * can never beat the sequence number that already won, which is
+    * what makes an at-least-once stream land exactly-once-equivalent
+    * (the foreachBatch sink pattern; `stream_acid_upsert`). Requires
+    * distinct `seqCol` values per key (log offsets / event ids). */
+  def mergeLatest(s: SparkSession, root: String, source: DataFrame,
+      key: String, seqCol: String): Int = {
+    val parent = latestVersion(root)
+    val m = readManifest(root, parent)
+    require(m.key == key, s"table is keyed by ${m.key}, not $key")
+    val span = source.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+    if (span.isNullAt(0)) return parent
+    val (sMin, sMax) = (span.getLong(0), span.getLong(1))
+    val (affected, untouched) =
+      m.files.partition(f => f.maxKey >= sMin && f.minKey <= sMax)
+    val v = parent + 1
+    val existing =
+      if (affected.isEmpty) None
+      else Some(s.read.schema(StructType.fromDDL(m.schemaDdl))
+        .parquet(affected.map(_.path): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val newData = existing.map(_.unionByName(source)).getOrElse(source)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val files = writeData(s, root, v, newData, key, math.max(affected.size, 1))
+    commit(root, Manifest(v, "merge_latest", key, m.schemaDdl, untouched ++ files))
+    v
+  }
+
+  /** CHANGE DATA FEED between two snapshots: one row per key whose
+    * state differs between `fromV` and `toV`, classified
+    * insert/update/delete, with the pre- and post-image structs —
+    * derived entirely from the two manifests' immutable files (no
+    * per-commit change log needed; the COW format keeps every
+    * snapshot readable, so the diff is one full-outer key join). */
+  def changes(s: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    val key = readManifest(root, fromV).key
+    val pre = read(s, root, Some(fromV))
+    val cols = pre.columns.filter(_ != key).toSeq
+    val a = pre.select(col(key), struct(cols.map(col): _*).as("pre"))
+    val b = read(s, root, Some(toV))
+      .select(col(key), struct(cols.map(col): _*).as("post"))
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("post").isNull, lit("delete"))
+          .when(col("pre").isNull, lit("insert"))
+          .when(col("pre") =!= col("post"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+  }
+
   /** Copy-on-write DELETE WHERE: files containing at least one
     * matching row are rewritten without those rows; all others carry
     * over by reference. `pred` must be null-free over the table's
