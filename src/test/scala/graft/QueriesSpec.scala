@@ -18,6 +18,7 @@ class QueriesSpec extends SparkSuite {
       "StreamingQueries" -> StreamingQueries.queries.keySet,
       "SamplingQueries" -> SamplingQueries.queries.keySet,
       "SourceQueries" -> graft.sources.SourceQueries.queries.keySet,
+      "AcidQueries" -> graft.sources.AcidQueries.queries.keySet,
       "IotQueries" -> IotQueries.queries.keySet,
       "TextQueries" -> TextQueries.queries.keySet,
       "DedupQueries" -> DedupQueries.queries.keySet,
