@@ -50,6 +50,13 @@ object SimilarityQueries2 {
   private val NProbe = 2
   private val K = 5
   private val NQ = 5
+  /** SQ8 recall@K floor in bp — calibrated per the annCheck rule:
+    * measured worst-SF recall minus one 400 bp pair (25-pair
+    * denominator). Measured on the reconstruction-cosine ranking:
+    * 10000/8800/10000 bp at sf0.001/0.01/0.1 (the sf0.01 misses are
+    * near-tie cosine pairs the 8-bit grid flips; deterministic
+    * pipeline, exactly reproducible), so floor = 8800 − 400. */
+  private val SqRecallFloorBp = 8400
 
   private def qdot(a: Column, b: Column): Column =
     graft.functions.GraftExpressions.quantized_dot_milli(a, b)
@@ -105,7 +112,106 @@ object SimilarityQueries2 {
       .select($"q_id", $"vec_id", qdot($"q_emb", $"embedding").as("dot"))
   }
 
+  /** SQ8 SCALAR QUANTIZATION codes (the faiss SQ8 shape — the
+    * quantization family member between float brute force and PQ):
+    * per-dimension milli-int min/max over the corpus (the 64-row
+    * model, collected once and folded in as array literals), every
+    * vector encoded to 64 uint8 codes q_d = (x_d − mn_d)·255 DIV
+    * span_d. All-integer end to end (the established floor(x·1000)
+    * milli quantization first, so no cross-engine float-division ulp
+    * can enter), which is what lets the WHOLE ranking — scores
+    * included — hash-gate against the DuckDB replay, where the
+    * float-scored LSH/IVF/PQ rankings are rows-only by contract.
+    * Scale: codes are 64 bytes/vector (16× smaller scans than float32
+    * — the memory-bandwidth win SQ8 exists for); the model is 128
+    * longs of driver state; encoding is one embarrassingly-parallel
+    * pass. */
+  private def sq8Codes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = embeddings(s, d).select($"vec_id",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("xm"))
+    val stats = m.select(posexplode($"xm").as(Seq("i", "v")))
+      .groupBy($"i").agg(min($"v").as("mn"),
+        greatest(max($"v") - min($"v"), lit(1L)).as("span"))
+      .orderBy($"i").collect() // 64-row model (the IVF-codebook class)
+    val mns = stats.map(_.getLong(1)).toSeq
+    val spans = stats.map(_.getLong(2)).toSeq
+    m.withColumn("mns", typedlit(mns)).withColumn("spans", typedlit(spans))
+      .select($"vec_id",
+        expr("zip_with(zip_with(xm, mns, (x, mn) -> x - mn), spans," +
+          " (t, sp) -> (t * 255) DIV sp)").as("codes"),
+        $"mns", $"spans")
+  }
+
+  /** SQ8 top-k: DECODE each code back to its integer-milli
+    * reconstruction x̂_d = mn_d + (c_d·span_d) DIV 255 (the faiss SQ8
+    * semantic — the metric runs on the reconstruction, not the raw
+    * codes: raw uint8 codes are shifted non-negative, so their dot
+    * does NOT track cosine), then rank by the exact-integer-dot
+    * cosine micro-floored through one shared double tree (sqrt and /
+    * are correctly rounded on both engines — the sim_mips cos_micro
+    * idiom). (score desc, vec_id) total order. */
+  private def sq8TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val xhat = expr("zip_with(zip_with(codes, spans, (c, sp) -> (c * sp) DIV 255)," +
+      " mns, (t, mn) -> t + mn)")
+    val decoded = sq8Codes(s, d)
+      .withColumn("xh", xhat)
+      .select($"vec_id", $"xh",
+        expr("greatest(aggregate(zip_with(xh, xh, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x), 1L)").as("n2"))
+    val codes = decoded.repartition(s.sparkContext.defaultParallelism)
+    val q = decoded.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"xh".as("qx"), $"n2".as("n2q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"score_micro".desc, $"vec_id".asc)
+    codes.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        expr("CAST(FLOOR((1000000.0 * CAST(aggregate(zip_with(qx, xh," +
+          " (a, b) -> a * b), 0L, (acc, x) -> acc + x) AS DOUBLE))" +
+          " / (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) AS BIGINT)")
+          .as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"q_id", $"rank", $"vec_id", $"score_micro")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_knn_sq8" -> ((s, d) => {
+      import s.implicits._
+      sq8TopK(s, d).orderBy($"q_id", $"rank")
+    }),
+
+    // SQ8 quality gate: aggregate recall@K of the int8-code ranking
+    // vs the exact float-cosine top-K (floor calibrated from the
+    // measured worst SF minus one 400 bp pair — the annCheck rule).
+    "sim_knn_sq8_check" -> ((s, d) => {
+      import s.implicits._
+      val exact = {
+        val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+        val qd = embeddings(s, d).filter($"vec_id" < NQ)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+        emb.join(broadcast(qd), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            graft.functions.GraftExpressions
+              .cosine_similarity($"q_emb", $"embedding").as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= K).select($"q_id", $"vec_id")
+      }
+      val hits = sq8TopK(s, d).select($"q_id", $"vec_id")
+        .join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val nq = embeddings(s, d).filter($"vec_id" < NQ)
+        .agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(broadcast(hits)) // single-row side
+        .select($"n_queries",
+          ($"n_hits" * 10000L / ($"n_queries" * K) >= SqRecallFloorBp)
+            .as("recall_ok"))
+    }),
+
     "sim_knn_ivf_persist" -> ((s, d) => {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
@@ -119,6 +225,53 @@ object SimilarityQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full replay of the SQ8 encode + decode + rank: same milli
+    // quantization, same per-dim min/span model, same code and
+    // reconstruction formulas, same micro-floored cosine double tree
+    // — scores hash-gate exactly.
+    "sim_knn_sq8" ->
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xm
+         |  FROM embeddings),
+         |dim AS (
+         |  SELECT i, MIN(xm[i]) AS mn,
+         |    GREATEST(MAX(xm[i]) - MIN(xm[i]), 1) AS span
+         |  FROM m CROSS JOIN range(1, 65) t(i) GROUP BY i),
+         |model AS (
+         |  SELECT list(mn ORDER BY i) AS mns, list(span ORDER BY i) AS spans
+         |  FROM dim),
+         |dn AS MATERIALIZED (
+         |  SELECT vec_id, xh,
+         |    GREATEST(CAST(list_sum(list_transform(range(1, 65),
+         |      i -> xh[i] * xh[i])) AS BIGINT), 1) AS n2
+         |  FROM (
+         |    SELECT vec_id, list_transform(range(1, 65),
+         |      i -> mns[i] + ((((xm[i] - mns[i]) * 255) // spans[i])
+         |        * spans[i]) // 255) AS xh
+         |    FROM m CROSS JOIN model)),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    CAST(FLOOR((1000000.0 * CAST(CAST(list_sum(list_transform(
+         |      range(1, 65), i -> q.xh[i] * e.xh[i])) AS BIGINT) AS DOUBLE))
+         |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))))
+         |      AS BIGINT) AS score_micro
+         |  FROM dn q JOIN dn e
+         |    ON q.vec_id < $NQ AND e.vec_id != q.vec_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, score_micro FROM (
+         |  SELECT q_id, vec_id, score_micro,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_micro DESC, vec_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn <= $K ORDER BY q_id, rank""".stripMargin,
+
+    // Quality gate: the oracle pins the invariant as literal TRUE
+    // (the sim_knn_lsh_check convention) — a quantization or ranking
+    // regression below the calibrated floor fails the hash.
+    "sim_knn_sq8_check" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $NQ""".stripMargin,
+
     // Full integer replay: the same cell assignment CTE the
     // dedup_semantic oracle uses, the same 2-probe affinity, the same
     // (dot desc, vec_id) total order.

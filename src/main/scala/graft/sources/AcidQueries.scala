@@ -69,6 +69,32 @@ object AcidQueries {
       root
     })
 
+  private val evoMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Separate table for the SCHEMA-EVOLUTION entry (its own root so
+    * the main chain's pinned version numbers stay stable): v0 =
+    * customer; v1 = mergeEvolve with a source carrying the NEW
+    * `c_tier` column for every %5 key — untouched files are not
+    * rewritten (evolution is metadata-only for them; the explicit-
+    * schema scan null-fills), upserted rows carry the tier. */
+  private[sources] def ensureEvo(s: SparkSession, d: String): String =
+    evoMemo.computeIfAbsent((s, d), { _ =>
+      import s.implicits._
+      val sfx = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root = s"${sys.props("java.io.tmpdir")}/graft_acid/evo_$sfx"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      GraftAcid.create(s, root, customer(s, d), "c_custkey")
+      val src = customer(s, d).filter($"c_custkey" % 5 === 0)
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal",
+          lit("EVOLVED").as("c_mktsegment"),
+          concat(lit("T"), ($"c_custkey" % 3).cast("string")).as("c_tier"))
+      GraftAcid.mergeEvolve(s, root, src, "c_custkey")
+      root
+    })
+
   /** v2-state rows in SQL (the oracle's merge algebra). */
   private val mergedStateSql =
     """cur AS (SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'),
@@ -117,6 +143,19 @@ object AcidQueries {
           .select(lit(v.toLong).as("version"), $"n_rows", $"acct_sum",
             $"min_key", $"max_key")
       }.reduce(_ unionByName _).orderBy($"version")
+    }),
+
+    // SCHEMA EVOLUTION: the post-evolution table grouped by the NEW
+    // column — legacy rows (files never rewritten) read back with a
+    // null tier via the explicit-schema scan; upserted rows carry it.
+    "src_acid_evolution" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureEvo(s, d)
+      GraftAcid.read(s, root)
+        .groupBy(coalesce($"c_tier", lit("legacy")).as("tier"))
+        .agg(count(lit(1)).as("n_rows"), dsum($"c_acctbal").as("acct_sum"),
+          countDistinct($"c_mktsegment").as("n_segments"))
+        .orderBy($"tier")
     }),
 
     // CHANGE DATA FEED v0 → v2: per change class, the row count and
@@ -181,6 +220,23 @@ object AcidQueries {
          |UNION ALL SELECT CAST(2 AS BIGINT), n_rows, acct_sum, min_key, max_key FROM v23
          |UNION ALL SELECT CAST(3 AS BIGINT), n_rows, acct_sum, min_key, max_key FROM v23
          |ORDER BY version""".stripMargin,
+
+    "src_acid_evolution" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    'T' || CAST(c_custkey % 3 AS VARCHAR) AS c_tier,
+        |    'EVOLVED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |evolved AS (
+        |  SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS c_tier,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 0
+        |  UNION ALL SELECT * FROM src)
+        |SELECT coalesce(c_tier, 'legacy') AS tier,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        |FROM evolved GROUP BY 1 ORDER BY tier""".stripMargin,
 
     "src_acid_changes" ->
       s"""WITH $mergedStateSql,

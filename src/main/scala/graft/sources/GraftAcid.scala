@@ -267,6 +267,65 @@ object GraftAcid {
     v
   }
 
+  /** Schema-evolving MERGE: like [[merge]], but the source may CARRY
+    * NEW COLUMNS — the committed schema becomes old ∪ new (new
+    * columns appended), rows from either side null-fill what they
+    * lack, and untouched old files need no rewrite (the explicit-
+    * schema parquet read null-fills absent columns at scan time, so
+    * evolution is a METADATA-only change for unaffected data — the
+    * Delta mergeSchema shape). */
+  def mergeEvolve(s: SparkSession, root: String, source: DataFrame,
+      key: String): Int = {
+    val parent = latestVersion(root)
+    val m = readManifest(root, parent)
+    require(m.key == key, s"table is keyed by ${m.key}, not $key")
+    val oldSchema = StructType.fromDDL(m.schemaDdl)
+    val evolved = StructType(oldSchema.fields ++
+      source.schema.fields.filterNot(f => oldSchema.fieldNames.contains(f.name)))
+    val span = source.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+    if (span.isNullAt(0)) return parent
+    val (sMin, sMax) = (span.getLong(0), span.getLong(1))
+    val (affected, untouched) =
+      m.files.partition(f => f.maxKey >= sMin && f.minKey <= sMax)
+    val v = parent + 1
+    val newData =
+      if (affected.isEmpty) source
+      else s.read.schema(oldSchema).parquet(affected.map(_.path): _*)
+        .join(source.select(col(key)), Seq(key), "left_anti")
+        .unionByName(source, allowMissingColumns = true)
+    // project to the evolved column order so every rewritten file
+    // carries the full evolved schema
+    val projected = evolved.fields.foldLeft(newData) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(evolved.fieldNames.map(col): _*)
+    val files = writeData(s, root, v, projected, key, math.max(affected.size, 1))
+    commit(root, Manifest(v, "merge_evolve", key, evolved.toDDL, untouched ++ files))
+    v
+  }
+
+  /** VACUUM: delete data files referenced by NO manifest at version ≥
+    * `retainFrom` (and drop the older manifests themselves), bounding
+    * the COW format's storage to the retained history. Time travel
+    * below the retention horizon is gone by design — the standard
+    * retention contract. Returns the number of data files deleted. */
+  def vacuum(s: SparkSession, root: String, retainFrom: Int): Int = {
+    val latest = latestVersion(root)
+    require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
+    val retained = (retainFrom to latest)
+      .flatMap(v => readManifest(root, v).files.map(_.path)).toSet
+    val doomed = (0 until retainFrom)
+      .flatMap(v => readManifest(root, v).files.map(_.path)).toSet -- retained
+    val conf = s.sparkContext.hadoopConfiguration
+    doomed.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, false)
+    }
+    (0 until retainFrom).foreach(v =>
+      java.nio.file.Files.deleteIfExists(vPath(root, v)))
+    doomed.size
+  }
+
   /** Rewrite the CURRENT snapshot into `nFiles` range-partitioned
     * files (small-file compaction). Data-identical by construction;
     * older snapshots keep reading their own (still-present) files. */

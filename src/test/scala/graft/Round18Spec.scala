@@ -106,6 +106,53 @@ class Round18Spec extends SparkSuite {
     assert(GraftAcid.read(spark, root, Some(1)).count() === 8L)
   }
 
+  test("acid: schema-evolving merge null-fills legacy files without rewriting them") {
+    val root = freshRoot("evolve")
+    val base = (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+    GraftAcid.create(spark, root, base, "k", nFiles = 4)
+    val before = GraftAcid.readManifest(root, 0)
+    // evolved source touches only the top keys and adds a column
+    GraftAcid.mergeEvolve(spark, root,
+      Seq((19L, "v19x", "extra19"), (21L, "v21", "extra21"))
+        .toDF("k", "v", "tag"), "k")
+    val after = GraftAcid.readManifest(root, 1)
+    assert(after.schemaDdl.contains("tag"), "schema must evolve")
+    // untouched files carried by reference — evolution is metadata-only
+    val carried = after.files.map(_.path).toSet
+      .intersect(before.files.map(_.path).toSet)
+    assert(carried.nonEmpty, "non-overlapping files must not be rewritten")
+    val cur = GraftAcid.read(spark, root)
+    assert(cur.columns.toSeq === Seq("k", "v", "tag"))
+    assert(cur.count() === 21L)
+    assert(cur.filter($"k" === 19L).head().getString(2) === "extra19")
+    assert(cur.filter($"k" === 1L).head().isNullAt(2),
+      "legacy rows read back with a null-filled evolved column")
+    // and v0 still reads with its own (pre-evolution) schema
+    assert(GraftAcid.read(spark, root, Some(0)).columns.toSeq === Seq("k", "v"))
+  }
+
+  test("acid: vacuum deletes files below the retention horizon and keeps retained snapshots intact") {
+    val root = freshRoot("vacuum")
+    val base = (1L to 20L).map(k => (k, k * 2)).toDF("k", "v")
+    GraftAcid.create(spark, root, base, "k", nFiles = 4)
+    GraftAcid.delete(spark, root, $"k" <= 5L)
+    GraftAcid.compact(spark, root, nFiles = 1) // v2: all-new files
+    val v0Files = GraftAcid.readManifest(root, 0).files.map(_.path)
+    val deleted = GraftAcid.vacuum(spark, root, retainFrom = 2)
+    assert(deleted > 0, "vacuum must reclaim pre-horizon files")
+    // retained snapshot fully intact
+    assert(GraftAcid.read(spark, root).count() === 15L)
+    assert(GraftAcid.latestVersion(root) === 2)
+    // pre-horizon history is gone by design: manifests deleted, and at
+    // least one v0-only data file physically removed
+    intercept[Exception] { GraftAcid.readManifest(root, 0) }
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(v0Files.exists { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      !hp.getFileSystem(conf).exists(hp)
+    }, "at least one unreferenced v0 file must be physically deleted")
+  }
+
   // ── Viterbi DP vs exhaustive enumeration beyond the 8-char cap ────
 
   /** Reference enumeration: ALL segmentations into vocab pieces of
