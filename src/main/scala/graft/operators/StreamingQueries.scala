@@ -49,17 +49,27 @@ object StreamingQueries {
     ss
   }
 
+  /** Streaming reader robust to BOTH table layouts: the gate's
+    * testdata lands each table as ONE parquet FILE (the file source's
+    * basePath must be a directory, so stream the parent dir with a
+    * glob filter), while the scale probe's salted corpus writes a
+    * DIRECTORY per table (streamed directly — a glob on the parent
+    * would see only indistinguishable part-* leaves). Schema comes
+    * from a batch footer probe, as readStream requires. */
+  private def tableStream(s: SparkSession, d: String, table: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/$table").schema
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table")
+    val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    if (isDir) s.readStream.schema(schema).parquet(s"$d/$table")
+    else s.readStream.schema(schema).option("pathGlobFilter", table).parquet(d)
+  }
+
   /** Streaming twin of Tables.events: schema-on-read parquet file
     * source with the same nanos→micros reconstruction. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    // schema must be supplied to readStream: infer it from a batch probe
-    // of the same path (cheap — footer only)
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    // the file source wants a directory: stream the testdata dir,
-    // glob-filtered to the one table
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val raw = tableStream(s, d, "events.parquet")
+    val schema = raw.schema
     // ts encoding varies by testdata generation (nanos-as-long vs
     // TIMESTAMP(MICROS)) — same dispatch as Tables.events
     schema("ts").dataType match {
@@ -509,9 +519,7 @@ object StreamingQueries {
     // verdict hash-matches the batch bucket-min oracle.
     "stream_lsh_dedup" -> ((s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val docs = tableStream(s, d, "documents.parquet")
         .select($"doc_id", $"text").as[graft.streaming.DocText]
       val hits = Streams.lshDedupTws(Streams.lshBandRows(docs))
       val sink = toMemoryRocks(s, hits.toDF(), "stream_lsh_dedup_sink", "append")
@@ -541,9 +549,7 @@ object StreamingQueries {
     // replay property).
     "stream_substring_dedup" -> ((s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val docs = tableStream(s, d, "documents.parquet")
         .select($"doc_id", $"text").as[graft.streaming.DocText]
       val hits = Streams.substringDedupTws(Streams.anchorRows(docs))
       val sink = toMemoryRocks(s, hits.toDF(),
@@ -585,9 +591,7 @@ object StreamingQueries {
       def qd(a: org.apache.spark.sql.Column, c: Array[Float]) =
         graft.functions.GraftExpressions.quantized_dot_milli(a, typedlit(c.toSeq))
       val sims = array(seeds.map(c => qd($"embedding", c)): _*)
-      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-      val vecs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      val vecs = tableStream(s, d, "embeddings.parquet")
         .select($"vec_id",
           (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"),
           $"embedding")
@@ -608,9 +612,7 @@ object StreamingQueries {
     // integer basis points.
     "stream_quality_gate" -> ((s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val docs = tableStream(s, d, "documents.parquet")
       val toks = split($"text", " ")
       val stops = Seq("the", "a", "of", "and", "to", "in", "is")
       val scored = docs.select($"source", $"text",
