@@ -136,6 +136,13 @@ object Bench {
       // sim_knn_ivf_persist timing the pruned probe READ alone, the
       // same attribution discipline as the bucketed warehouse.
       graft.operators.SimilarityQueries2.ensureIvfWarehouse(spark, sfDir)
+      // ACID commit chains (main v0→v3 + evolution table): one-time
+      // COW layout writes, memoized per (session, dir) — warmed here
+      // so the alphabetically-first src_acid_* entry times its
+      // snapshot READ, not the chain build (the bucketed-warehouse
+      // attribution discipline).
+      graft.sources.AcidQueries.ensureChain(spark, sfDir)
+      graft.sources.AcidQueries.ensureEvo(spark, sfDir)
     }
 
     // Min of TWO runs per query: in a 190+-query single-session bench,

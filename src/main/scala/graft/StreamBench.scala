@@ -472,9 +472,9 @@ object StreamBench {
       // docs/sec (a doc = 16 band-probe rows, so 151 docs/s quiet ≈
       // 2400 band-rows/s — in family with the other TWS floors)
       "lsh_dedup" -> 75.0,
-      // docs/sec — a doc is ~40 anchor probes (every L-gram), heavier
-      // per doc than the 16 LSH band probes; floor at half quiet
-      "substring_dedup" -> 35.0,
+      // docs/sec — a doc is ~40 anchor probes (every L-gram); measured
+      // 404 docs/s quiet (r18), floor at half
+      "substring_dedup" -> 200.0,
       // vecs/sec — the heaviest per-row state op (each vector scores
       // against its whole cell); 160 vecs/s quiet, floor at half
       "sem_dedup" -> 80.0)

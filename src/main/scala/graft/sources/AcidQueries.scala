@@ -53,7 +53,7 @@ object AcidQueries {
   /** Build (once per session × dir) the v0→v3 chain; returns the table
     * root. Dir-keyed SHA suffix: same aliasing guard as the bucketed
     * warehouse (two sfDirs in one session get independent tables). */
-  private[sources] def ensureChain(s: SparkSession, d: String): String =
+  private[graft] def ensureChain(s: SparkSession, d: String): String =
     chainMemo.computeIfAbsent((s, d), { _ =>
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -78,7 +78,7 @@ object AcidQueries {
     * `c_tier` column for every %5 key — untouched files are not
     * rewritten (evolution is metadata-only for them; the explicit-
     * schema scan null-fills), upserted rows carry the tier. */
-  private[sources] def ensureEvo(s: SparkSession, d: String): String =
+  private[graft] def ensureEvo(s: SparkSession, d: String): String =
     evoMemo.computeIfAbsent((s, d), { _ =>
       import s.implicits._
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
