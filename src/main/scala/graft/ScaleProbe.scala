@@ -151,9 +151,9 @@ object ScaleProbe {
           .map(e => e.getKey -> e.getValue.asDouble()).toSeq
           .sortBy(-_._2).map(_._1)
           .filter(SparkEntry.queries.contains)
-          // stream_* rates are STREAM_BENCH's job (and the salted 10×
-          // corpus directories don't match their single-file
-          // pathGlobFilter — a 10× stream probe here reads 0 rows)
+          // stream_* rates/soaks are STREAM_BENCH's job (r18: they CAN
+          // be probed here by name — tableStream dispatches on the 10×
+          // directory layout — but the default record stays batch-only)
           .filterNot(_.startsWith("stream_"))
           .take(20)
       } catch { case _: Throwable => Seq.empty }
