@@ -136,6 +136,43 @@ object DedupQueries6 {
         .select($"doc_id", $"n_tokens", $"n_spans", $"dup_tokens",
           ($"n_tokens" - $"dup_tokens").as("kept_tokens"))
         .orderBy($"doc_id")
+    }),
+
+    // PER-SOURCE DUPLICATION RATIO — the Lee et al. headline number
+    // per ingestion source (what fraction of a source's token mass
+    // sits inside cross-doc duplicated spans): the decision table for
+    // where the substring cut pays. Same substrate, one extra
+    // source-keyed rollup; docs with no duplicated span contribute
+    // only token mass (left join, zero-fill).
+    "dedup_substring_ratio" -> ((s, d) => {
+      import s.implicits._
+      val wLag = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val perDoc = dupAnchors(s, d)
+        .withColumn("prev", lag($"pos", 1).over(wLag))
+        .withColumn("brk",
+          when($"prev".isNull || $"pos" - $"prev" > L, 1L).otherwise(0L))
+        .withColumn("island", sum($"brk").over(wCum))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").as("ss"), (max($"pos") + L).as("se"))
+        .groupBy($"doc_id")
+        .agg(sum($"se" - $"ss").as("dup_tokens"))
+      documents(s, d)
+        .select($"source", $"doc_id",
+          size(graft.functions.TextFunctions.tokens($"text"))
+            .cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"dup_tokens".isNotNull, 1L).otherwise(0L)).as("n_affected"),
+          sum($"n_tokens").as("total_tokens"),
+          sum(coalesce($"dup_tokens", lit(0L))).as("dup_tokens"))
+        .selectExpr("source", "n_docs", "n_affected", "total_tokens",
+          "dup_tokens", "(10000 * dup_tokens) DIV total_tokens AS dup_bp")
+        .orderBy($"source")
     })
   )
 
@@ -167,6 +204,48 @@ object DedupQueries6 {
         |  CAST(COUNT(*) AS BIGINT) AS n_anchors
         |FROM c GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Same CTE chain as the removal oracle, rolled up per source with
+    // a zero-fill left join for span-free docs.
+    "dedup_substring_ratio" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        | SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        | FROM toks WHERE len(t) >= 8),
+        |g AS (
+        | SELECT doc_id, i - 1 AS pos,
+        |  ('0x' || substring(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS k
+        | FROM pos),
+        |dup AS (SELECT k FROM g GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),
+        |a AS (SELECT doc_id, pos FROM g JOIN dup USING (k)),
+        |b AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w IS NULL
+        |        OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+        | FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (
+        | SELECT doc_id, pos, SUM(brk) OVER (
+        |   PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM b),
+        |sp AS (
+        | SELECT doc_id, MIN(pos) AS ss, MAX(pos) + 8 AS se
+        | FROM c GROUP BY doc_id, island),
+        |per AS (
+        | SELECT doc_id, CAST(SUM(se - ss) AS BIGINT) AS dup_tokens
+        | FROM sp GROUP BY doc_id),
+        |dt AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |         AS n_tokens FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN p.dup_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_affected,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(COALESCE(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+        |  (10000 * CAST(SUM(COALESCE(p.dup_tokens, 0)) AS BIGINT))
+        |    // CAST(SUM(n_tokens) AS BIGINT) AS dup_bp
+        |FROM dt LEFT JOIN per p USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_substring_removal" ->
       """WITH toks AS (

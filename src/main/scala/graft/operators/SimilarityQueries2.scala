@@ -141,7 +141,7 @@ object SimilarityQueries2 {
       .select($"vec_id",
         expr("zip_with(zip_with(xm, mns, (x, mn) -> x - mn), spans," +
           " (t, sp) -> (t * 255) DIV sp)").as("codes"),
-        $"mns", $"spans")
+        $"mns", $"spans", $"xm")
   }
 
   /** SQ8 top-k: DECODE each code back to its integer-milli
@@ -181,6 +181,31 @@ object SimilarityQueries2 {
     "sim_knn_sq8" -> ((s, d) => {
       import s.implicits._
       sq8TopK(s, d).orderBy($"q_id", $"rank")
+    }),
+
+    // SQ8 CODEC AUDIT — the reconstruction-error table a quantization
+    // rollout reads before trusting the codes: per-corpus exact
+    // integer error mass |xm − x̂m| in milli units (worst vector, mean
+    // per dimension), all-integer so it hash-gates. The error bound
+    // is span/255 per dim by construction — the audit proves the
+    // implementation actually meets it (max_dim_err ≤ ceil(span/255)).
+    "sim_sq8_error" -> ((s, d) => {
+      import s.implicits._
+      sq8Codes(s, d)
+        .withColumn("xh",
+          expr("zip_with(zip_with(codes, spans, (c, sp) -> (c * sp) DIV 255)," +
+            " mns, (t, mn) -> t + mn)"))
+        .select($"vec_id",
+          expr("aggregate(zip_with(xm, xh, (a, b) -> abs(a - b)), 0L," +
+            " (acc, x) -> acc + x)").as("err_sum"),
+          expr("array_max(zip_with(xm, xh, (a, b) -> abs(a - b)))").as("err_max"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum($"err_sum").as("total_abs_err_milli"),
+          max($"err_max").as("max_dim_err_milli"),
+          max($"err_sum").as("max_vec_err_milli"))
+        .selectExpr("n_vectors", "total_abs_err_milli",
+          "total_abs_err_milli DIV (n_vectors * 64) AS mean_dim_err_milli",
+          "max_dim_err_milli", "max_vec_err_milli")
     }),
 
     // SQ8 quality gate: aggregate recall@K of the int8-code ranking
@@ -264,6 +289,36 @@ object SimilarityQueries2 {
          |      ORDER BY score_micro DESC, vec_id ASC) AS rn
          |  FROM scored)
          |WHERE rn <= $K ORDER BY q_id, rank""".stripMargin,
+
+    // Same model CTEs, error mass on the reconstruction.
+    "sim_sq8_error" ->
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xm
+         |  FROM embeddings),
+         |dim AS (
+         |  SELECT i, MIN(xm[i]) AS mn,
+         |    GREATEST(MAX(xm[i]) - MIN(xm[i]), 1) AS span
+         |  FROM m CROSS JOIN range(1, 65) t(i) GROUP BY i),
+         |model AS (
+         |  SELECT list(mn ORDER BY i) AS mns, list(span ORDER BY i) AS spans
+         |  FROM dim),
+         |errs AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> abs(xm[i] - (mns[i] + ((((xm[i] - mns[i]) * 255) // spans[i])
+         |        * spans[i]) // 255)))) AS BIGINT) AS err_sum,
+         |    CAST(list_max(list_transform(range(1, 65),
+         |      i -> abs(xm[i] - (mns[i] + ((((xm[i] - mns[i]) * 255) // spans[i])
+         |        * spans[i]) // 255)))) AS BIGINT) AS err_max
+         |  FROM m CROSS JOIN model)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(err_sum) AS BIGINT) AS total_abs_err_milli,
+         |  CAST(SUM(err_sum) AS BIGINT) // (CAST(count(*) AS BIGINT) * 64)
+         |    AS mean_dim_err_milli,
+         |  MAX(err_max) AS max_dim_err_milli,
+         |  MAX(err_sum) AS max_vec_err_milli
+         |FROM errs""".stripMargin,
 
     // Quality gate: the oracle pins the invariant as literal TRUE
     // (the sim_knn_lsh_check convention) — a quantization or ranking
