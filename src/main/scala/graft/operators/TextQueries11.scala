@@ -206,10 +206,11 @@ object TextQueries11 {
       best = viterbiSegment(s, words, scores).localCheckpoint()
       // M-step: piece usage in the chosen segmentations — derived by
       // re-splitting each word's ONE best seg string (k ≤ m pieces),
-      // not by re-joining a candidate lattice.
+      // not by re-joining a candidate lattice. bestPieces re-derives
+      // lazily from the checkpointed `best` (a vocab-of-words-sized
+      // frame) — cheaper than its own checkpoint job per round.
       val bestPieces = best
         .select($"w", $"n", explode(split($"seg", "\\|")).as("p"))
-        .localCheckpoint()
       val usedPieces = bestPieces.groupBy($"p").agg(sum($"n").as("c"))
         .localCheckpoint()
       // prune: character floor + top-PruneV multi-char pieces
