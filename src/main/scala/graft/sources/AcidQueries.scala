@@ -58,9 +58,13 @@ object AcidQueries {
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(8).map(b => f"$b%02x").mkString
-      val root = s"${sys.props("java.io.tmpdir")}/graft_acid/cust_$sfx"
+      // applicationId rides the path (the stream_cdc_upsert guard):
+      // two JVMs on one host (a Bench and a Verify run) must never
+      // clobber each other's chains mid-read
+      val root = s"${sys.props("java.io.tmpdir")}/graft_acid/" +
+        s"cust_${sfx}_${s.sparkContext.applicationId}"
       // always rebuild on first touch per (session, dir): a chain left
-      // by an earlier JVM could predate the current chain semantics
+      // by an earlier run could predate the current chain semantics
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       GraftAcid.create(s, root, customer(s, d), "c_custkey")
       GraftAcid.delete(s, root, col("c_mktsegment") === "BUILDING")
@@ -84,7 +88,8 @@ object AcidQueries {
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(8).map(b => f"$b%02x").mkString
-      val root = s"${sys.props("java.io.tmpdir")}/graft_acid/evo_$sfx"
+      val root = s"${sys.props("java.io.tmpdir")}/graft_acid/" +
+        s"evo_${sfx}_${s.sparkContext.applicationId}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       GraftAcid.create(s, root, customer(s, d), "c_custkey")
       val src = customer(s, d).filter($"c_custkey" % 5 === 0)
