@@ -125,7 +125,12 @@ object GraftAcid {
     * the new files (file-count-sized result). */
   private def writeData(s: SparkSession, root: String, v: Int, df: DataFrame,
       key: String, nFiles: Int): Seq[FileEntry] = {
-    val dir = s"$root/data/c$v"
+    // attempt-unique dir (the Delta UUID-file idiom): a writer that
+    // crashed between data write and manifest commit leaves garbage,
+    // never a path collision blocking the version's retry — and a
+    // commit RACE loser's files are likewise unreferenced garbage,
+    // not corruption
+    val dir = s"$root/data/c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     df.repartitionByRange(math.max(nFiles, 1), col(key))
       .write.mode("errorifexists").parquet(dir)
     // explicit schema: a fully-deleted rewrite leaves a part-file-less
