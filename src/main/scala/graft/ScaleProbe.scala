@@ -221,14 +221,25 @@ object ScaleProbe {
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val prev = om.readTree(java.nio.file.Files.readAllBytes(outPath))
-        val merged = om.readTree(json)
-        val prevQs = prev.get("queries").asInstanceOf[
-          com.fasterxml.jackson.databind.node.ObjectNode]
-        prevQs.setAll(merged.get("queries").asInstanceOf[
-          com.fasterxml.jackson.databind.node.ObjectNode])
-        prev.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          .set("queries", prevQs)
-        om.writeValueAsString(prev)
+        // SF GUARD (r18 ADVICE, mirroring the bench quiet-baseline's):
+        // a partial probe run at a different SPARK_GRAFT_SF_DIR must
+        // not fold per-query entries under the old file's "sf" label —
+        // replace the record wholesale instead of mixing scales.
+        val prevSf = Option(prev.get("sf")).map(_.asText()).getOrElse("")
+        if (prevSf != base) {
+          System.err.println(s"[scaleprobe] existing $outPath has sf " +
+            s"'$prevSf' != current '$base' — replacing wholesale, not merging")
+          json
+        } else {
+          val merged = om.readTree(json)
+          val prevQs = prev.get("queries").asInstanceOf[
+            com.fasterxml.jackson.databind.node.ObjectNode]
+          prevQs.setAll(merged.get("queries").asInstanceOf[
+            com.fasterxml.jackson.databind.node.ObjectNode])
+          prev.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .set("queries", prevQs)
+          om.writeValueAsString(prev)
+        }
       }
     // SCALE_BENCH.json (the 10× per-round record) stays full-suite-
     // only; the deep-probe files accept keyed merges so watch-list

@@ -95,7 +95,9 @@ object StreamBench {
       * JDBC/Delta MERGE sink would pay too. */
     def runCdc(): (String, Double) = {
       if (!wanted("cdc_upsert")) return "cdc_upsert" -> -1.0
-      val base = s"${sys.props("java.io.tmpdir")}/graft_sb_cdc_${spark.sparkContext.applicationId}"
+      val base = TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_sb_cdc_${spark.sparkContext.applicationId}",
+        "graft_sb_cdc_")
       val basePath = new org.apache.hadoop.fs.Path(base)
       basePath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(basePath, true)
       val in = MemoryStream[UserEvent](spark, 991)

@@ -283,8 +283,9 @@ object StreamingQueries {
       // Working dir is namespaced by applicationId so concurrent
       // sessions on one host (e.g. a Bench and a Verify run) cannot
       // clobber each other's input files / checkpoint / snapshots.
-      val base =
-        s"${sys.props("java.io.tmpdir")}/graft_cdc_${s.sparkContext.applicationId}"
+      val base = graft.TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_cdc_${s.sparkContext.applicationId}",
+        "graft_cdc_")
       // clear the whole working area up front: bounds the on-disk
       // footprint across repeated runs WITHIN a session and lets the
       // checkpoint use a fixed name (a fresh dir per run would
@@ -338,8 +339,9 @@ object StreamingQueries {
     // latest-per-user rule in one window.
     "stream_acid_upsert" -> ((s, d) => {
       import s.implicits._
-      val base =
-        s"${sys.props("java.io.tmpdir")}/graft_acid_stream_${s.sparkContext.applicationId}"
+      val base = graft.TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_acid_stream_${s.sparkContext.applicationId}",
+        "graft_acid_stream_")
       val basePath = new org.apache.hadoop.fs.Path(base)
       basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(basePath, true)
@@ -374,6 +376,45 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_users"), dsum($"value").as("sum_value"),
           max($"event_id").as("max_event_id"))
         .orderBy($"event_type")
+    }),
+
+    // STREAMING CHANGE-DATA-FEED TAIL of the GraftAcid manifest log
+    // (r18 verdict ask #1 — the natural consumer of src_acid_changes,
+    // and the reprocessable-history story the reference sketches as
+    // future work in README.md:215's DLQ/replay note): the shared
+    // v0→v3 commit chain's log is tailed as a file-source stream, one
+    // manifest per micro-batch; each commit's change rows (pre/post
+    // images, insert/update/delete) land under commit_version=<v>/
+    // via GraftAcid.tailChanges' idempotent overwrite sink. The
+    // checkpoint is the offset: a restart resumes at the first
+    // un-seen manifest, no commit duplicated or lost (Round19Spec
+    // pins the restart). Oracle replays each commit's diff from the
+    // chain algebra over the original customer parquet: v0 =
+    // all-inserts, v1 = BUILDING deletes, v2 = the merge's
+    // insert/update split, v3 (compact, data-identical) = no rows.
+    "stream_acid_changes" -> ((s, d) => {
+      import s.implicits._
+      val root = graft.sources.AcidQueries.ensureChain(s, d)
+      val sfx = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val base = graft.TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_acid_cdf_${sfx}_" +
+          s.sparkContext.applicationId, "graft_acid_cdf_")
+      graft.sources.GraftAcid
+        .tailChanges(s, root, s"$base/sink", s"$base/ck")
+        .awaitTermination()
+      require(graft.sources.GraftAcid.latestVersion(root) == 3,
+        "expected the shared chain at v3")
+      s.read.parquet(s"$base/sink")
+        .groupBy($"commit_version".cast("long").as("commit_version"),
+          $"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce($"pre.c_acctbal", lit(0.0)).cast("decimal(18,2)"))
+            .cast("double").as("pre_sum"),
+          sum(coalesce($"post.c_acctbal", lit(0.0)).cast("decimal(18,2)"))
+            .cast("double").as("post_sum"))
+        .orderBy($"commit_version", $"change_type")
     }),
 
     // The Spark 4 transformWithState successor API: same per-user
@@ -771,6 +812,35 @@ object StreamingQueries {
         |  MAX(event_id) AS max_event_id
         |FROM latest WHERE rn = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Batch replay of the streaming CDF tail: each commit's change
+    // rows reconstructed from the chain algebra (create → delete
+    // BUILDING → merge %7 keys at +100.00 → compact), aggregated per
+    // (commit, class). Money through DECIMAL(18,2) per the parity rule.
+    "stream_acid_changes" ->
+      """WITH ch AS (
+        |  SELECT CAST(0 AS BIGINT) AS v, 'insert' AS ct,
+        |    CAST(NULL AS DOUBLE) AS pre_b, c_acctbal AS post_b
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 1, 'delete', c_acctbal, NULL
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT 2, 'insert', NULL,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT 2, 'update', c_acctbal,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'BUILDING')
+        |SELECT v AS commit_version, ct AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(coalesce(pre_b, 0) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS pre_sum,
+        |  CAST(SUM(CAST(coalesce(post_b, 0) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS post_sum
+        |FROM ch GROUP BY v, ct
+        |ORDER BY commit_version, change_type""".stripMargin,
 
     // Batch replay of the streaming anchor index's earliest-owner
     // rule: an anchor is duplicated evidence iff min(doc_id) over its

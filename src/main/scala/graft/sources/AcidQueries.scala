@@ -60,9 +60,13 @@ object AcidQueries {
         .take(8).map(b => f"$b%02x").mkString
       // applicationId rides the path (the stream_cdc_upsert guard):
       // two JVMs on one host (a Bench and a Verify run) must never
-      // clobber each other's chains mid-read
-      val root = s"${sys.props("java.io.tmpdir")}/graft_acid/" +
-        s"cust_${sfx}_${s.sparkContext.applicationId}"
+      // clobber each other's chains mid-read; TmpRoots deletes this
+      // run's roots at JVM exit and sweeps >2h-stale siblings from
+      // crashed runs (r18 ADVICE — prior runs' copies used to
+      // accumulate under tmpdir forever)
+      val root = graft.TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_acid/" +
+          s"cust_${sfx}_${s.sparkContext.applicationId}", "cust_")
       // always rebuild on first touch per (session, dir): a chain left
       // by an earlier run could predate the current chain semantics
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -88,8 +92,9 @@ object AcidQueries {
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(8).map(b => f"$b%02x").mkString
-      val root = s"${sys.props("java.io.tmpdir")}/graft_acid/" +
-        s"evo_${sfx}_${s.sparkContext.applicationId}"
+      val root = graft.TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_acid/" +
+          s"evo_${sfx}_${s.sparkContext.applicationId}", "evo_")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       GraftAcid.create(s, root, customer(s, d), "c_custkey")
       val src = customer(s, d).filter($"c_custkey" % 5 === 0)
@@ -97,6 +102,32 @@ object AcidQueries {
           lit("EVOLVED").as("c_mktsegment"),
           concat(lit("T"), ($"c_custkey" % 3).cast("string")).as("c_tier"))
       GraftAcid.mergeEvolve(s, root, src, "c_custkey")
+      root
+    })
+
+  private val zorderMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Separate table for the OPTIMIZE-ZORDER entry: v0 = orders
+    * (key o_orderkey, 8 key-range files); v1 = optimizeZorder over
+    * (o_custkey, o_orderkey) — data-identical rewrite, files now
+    * covering tight Z-curve spans so a filter on EITHER clustered
+    * dimension prunes files (Round19Spec pins the pruned file count;
+    * the hash gate pins data identity, the compact pattern). */
+  private[graft] def ensureZorder(s: SparkSession, d: String): String =
+    zorderMemo.computeIfAbsent((s, d), { _ =>
+      import s.implicits._
+      val sfx = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root = graft.TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_acid/" +
+          s"zord_${sfx}_${s.sparkContext.applicationId}", "zord_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val src = orders(s, d).select($"o_orderkey", $"o_custkey",
+        $"o_totalprice", $"o_orderpriority", $"o_orderstatus")
+      GraftAcid.create(s, root, src, "o_orderkey")
+      GraftAcid.optimizeZorder(s, root, Seq("o_custkey", "o_orderkey"))
       root
     })
 
@@ -182,6 +213,22 @@ object AcidQueries {
         .orderBy($"change_type")
     }),
 
+    // OPTIMIZE ZORDER as a manifest commit: the post-optimize snapshot
+    // (v1) aggregated per priority equals the source orders exactly —
+    // the rewrite changed only the LAYOUT (clustered z-spans; the
+    // pruning effect is file-count-pinned in Round19Spec, since SQL
+    // can't see files).
+    "src_acid_zorder" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureZorder(s, d)
+      GraftAcid.read(s, root)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("sum_price"),
+          countDistinct($"o_custkey").as("n_cust"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // COMPACTION: the latest snapshot (v3, two files) aggregated per
     // segment — equals the v2 state, proving the rewrite changed the
     // LAYOUT and nothing else.
@@ -263,6 +310,13 @@ object AcidQueries {
          |    AS post_sum
          |FROM cls WHERE change_type <> 'unchanged'
          |GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    "src_acid_zorder" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "src_acid_compact" ->
       s"""WITH $mergedStateSql

@@ -220,7 +220,8 @@ object SourceQueries {
           |{"name":"c_nationkey","type":"int"},
           |{"name":"c_acctbal","type":"double"},
           |{"name":"c_mktsegment","type":"string"}]}""".stripMargin
-      val path = tmp(s"avro_${s.sparkContext.applicationId}")
+      val path = graft.TmpRoots.register(
+        tmp(s"avro_${s.sparkContext.applicationId}"), "avro_")
       val basePath = new org.apache.hadoop.fs.Path(path)
       basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(basePath, true)

@@ -1427,8 +1427,25 @@ case class TwsAnchorHit(doc_id: Long, pos: Long, owner: Long)
   * redelivered duplicate doc re-emits byte-identical hit rows (state
   * untouched); a redelivered owner doc emits nothing. Exact-once-
   * equivalent for update/keyed sinks; append consumers dedup on
-  * (doc_id, pos). Round18Spec pins it. */
-class AnchorIndexProcessor
+  * (doc_id, pos). Round18Spec pins it.
+  *
+  * >CAP BOUNDARY (r18 verdict ask #5 / r18 ADVICE — this op's anchor
+  * volume is ~token-count per doc, ~40× LshIndexProcessor's rows):
+  * "(doc_id, pos) order within a batch" holds ONLY while a
+  * (shard, batch)'s input fits one `chunkCap` chunk (default
+  * [[Streams.OrderedChunkCap]] = 2²⁰ rows, far above any gate/bench
+  * batch). Beyond the cap, a doc_id inversion ACROSS a chunk boundary
+  * degrades exactly to the cross-micro-batch contract the order-
+  * sensitive processors already document: a smaller-id doc arriving
+  * in a LATER chunk claims ownership without retro-emitting a hit for
+  * the larger doc that claimed first — as if the two docs had landed
+  * in separate micro-batches in arrival order. Round19Spec pins both
+  * sides of the boundary by driving [[AnchorIndexProcessor.fold]]
+  * with a lowered cap. To keep the batch-oracle hash guarantee at
+  * scale, bound per-(shard, batch) anchors ≤ cap — raise
+  * [[Streams.AnchorShards]] (shards scale the bound linearly) or
+  * lower maxFilesPerTrigger. */
+class AnchorIndexProcessor(chunkCap: Int = Streams.OrderedChunkCap)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AnchorRow, TwsAnchorHit] {
   import org.apache.spark.sql.streaming.{MapState, TimerValues}
   import org.apache.spark.sql.{Encoders, streaming}
@@ -1441,13 +1458,26 @@ class AnchorIndexProcessor
       org.apache.spark.sql.streaming.TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[AnchorRow],
-      timerValues: TimerValues): Iterator[TwsAnchorHit] = {
+      timerValues: TimerValues): Iterator[TwsAnchorHit] =
+    AnchorIndexProcessor.fold(rows, chunkCap,
+      k => if (index.containsKey(k)) index.getValue(k) else Long.MaxValue,
+      (k, v) => index.updateValue(k, v))
+}
+
+object AnchorIndexProcessor {
+  /** The pure per-(shard, batch) fold, factored out so Round19Spec can
+    * pin the >cap chunk boundary against a plain map (`get` returns
+    * Long.MaxValue for unowned keys). Semantics per chunk of `cap`
+    * rows, sorted by (doc_id, pos, k): owned-by-smaller → emit hit;
+    * smaller-than-owner → claim silently; own id → idempotent no-op. */
+  private[graft] def fold(rows: Iterator[AnchorRow], cap: Int,
+      get: Long => Long, put: (Long, Long) => Unit): Iterator[TwsAnchorHit] = {
     val out = Seq.newBuilder[TwsAnchorHit]
-    rows.grouped(Streams.OrderedChunkCap)
+    rows.grouped(cap)
       .flatMap(_.sortBy(r => (r.doc_id, r.pos, r.k))).foreach { r =>
-        val owner = if (index.containsKey(r.k)) index.getValue(r.k) else Long.MaxValue
+        val owner = get(r.k)
         if (owner < r.doc_id) out += TwsAnchorHit(r.doc_id, r.pos, owner)
-        else if (owner > r.doc_id) index.updateValue(r.k, r.doc_id)
+        else if (owner > r.doc_id) put(r.k, r.doc_id)
       }
     out.result().iterator
   }
