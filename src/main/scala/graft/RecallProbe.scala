@@ -21,7 +21,8 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
-    for (d <- dirs; idx <- Seq("sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq")) {
+    for (d <- dirs;
+         idx <- Seq("sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq", "sim_knn_ivfpq")) {
       val brute = SparkEntry.queries("sim_knn_brute")(spark, d).select("q_id", "vec_id")
       val ann = SparkEntry.queries(idx)(spark, d).select("q_id", "vec_id")
       val hits = ann.join(brute, Seq("q_id", "vec_id")).count()
