@@ -143,6 +143,11 @@ object Bench {
       // attribution discipline).
       graft.sources.AcidQueries.ensureChain(spark, sfDir)
       graft.sources.AcidQueries.ensureEvo(spark, sfDir)
+      // r19: the zorder maintenance table and the pattern-payload
+      // substrate (PNG fixture synthesis shared by the mm_* decode
+      // family) — same warm-up attribution discipline as above.
+      graft.sources.AcidQueries.ensureZorder(spark, sfDir)
+      graft.operators.MultimodalQueries.patternPayloads(spark, sfDir).count()
     }
 
     // Min of TWO runs per query: in a 190+-query single-session bench,
@@ -282,6 +287,24 @@ object Bench {
     // minutes on a contended host, so the pre-loop snapshot alone
     // would predate the re-measure evidence it certifies (r15 ADVICE).
     val (la1AfterRe, la5AfterRe) = loadavg()
+    // OFFICIAL-ADJUSTED TOTAL (r18 verdict ask #2): the raw official
+    // total keeps every one-run measurement as evidence, but a
+    // confirmed contention phantom (an outlier whose re-measure
+    // recovered its quiet time) still rides it, so round-over-round
+    // raw totals read as regressions while per-query quiet is flat
+    // (r18: +5.6 s raw vs flat 0.711→0.712 s/q quiet).
+    // `value_adjusted` replaces each re-measured outlier's time with
+    // min(official, re-measure) — this is the ROUND-OVER-ROUND
+    // CANONICAL total (PLANS.md §bench); `value` stays the raw
+    // evidence of the one run.
+    val reMap = remeasured.toMap
+    val adjusted = results.map { case (k, t) =>
+      k -> (reMap.get(k) match {
+        case Some((_, _, re)) if re > 0 && t > 0 => math.min(t, re)
+        case _ => t
+      })
+    }
+    val totalAdjusted = adjusted.map(_._2).filter(_ >= 0).sum
     // Locale.ROOT: the f interpolator is locale-sensitive — a comma-
     // decimal default locale would print "1,234" and break the JSON
     def fmt(v: Double): String =
@@ -300,7 +323,8 @@ object Bench {
     // cold run is typically the slowest, so min is usually LAST)
     // rides the detail file only (stdout has a byte budget).
     val loadJson =
-      s""","loadavg_before":[${fmt(la1Before)},${fmt(la5Before)}]""" +
+      s""","value_adjusted":${fmt(totalAdjusted)}""" +
+        s""","loadavg_before":[${fmt(la1Before)},${fmt(la5Before)}]""" +
         s""","loadavg_after":[${fmt(la1After)},${fmt(la5After)}]""" +
         s""","loadavg_after_remeasure":[${fmt(la1AfterRe)},${fmt(la5AfterRe)}]""" +
         s""","load_gate":{"max":${fmt(LoadGateMax)},"waited_sec":$gateWaited,""" +
@@ -356,7 +380,6 @@ object Bench {
     // next round's 2× gate to a real regression on exactly the
     // queries the burst hit.
     if (isRecord && la1Before >= 0 && la1Before <= LoadGateMax && failedNames.isEmpty) {
-      val reMap = remeasured.toMap
       // ROLLING MIN across record runs (r17): the baseline means
       // "best-known quiet time per query", so it folds (a) this run's
       // inline re-measures and (b) the previous baseline — a record
