@@ -147,6 +147,7 @@ object Bench {
       // substrate (PNG fixture synthesis shared by the mm_* decode
       // family) — same warm-up attribution discipline as above.
       graft.sources.AcidQueries.ensureZorder(spark, sfDir)
+      graft.sources.AcidQueries.ensureVacuum(spark, sfDir)
       graft.operators.MultimodalQueries.patternPayloads(spark, sfDir).count()
     }
 

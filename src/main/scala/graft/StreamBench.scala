@@ -227,6 +227,38 @@ object StreamBench {
       Soak("lsh_dedup", passes * docsAll.length / secs, rows, sstAtPassEnd.result(), flat)
     }
 
+    /** GraftAcid CDF tail throughput (r19): build a 12-commit chain
+      * (create + 11 interleaved-key merges — every merge rewrites the
+      * overlap, the COW worst case), then time `tailChanges` draining
+      * the whole manifest log (one commit per micro-batch; each batch
+      * runs that commit's snapshot-diff job and lands its change rows).
+      * commits/s basis — the unit a lakehouse replication/backfill
+      * consumer budgets in. */
+    def runAcidCdf(): (String, Double) = {
+      if (!wanted("acid_cdf")) return "acid_cdf" -> -1.0
+      val base = TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_sb_acidcdf_${spark.sparkContext.applicationId}",
+        "graft_sb_acidcdf_")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(basePath, true)
+      val root = s"$base/table"
+      val ev = Tables.events(spark, sfDir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      val N = 12
+      graft.sources.GraftAcid.create(spark, root,
+        ev.filter($"event_id" % N === 0), "event_id")
+      (1 until N).foreach(i => graft.sources.GraftAcid.merge(spark, root,
+        ev.filter($"event_id" % N === i), "event_id"))
+      val t0 = System.nanoTime()
+      graft.sources.GraftAcid.tailChanges(spark, root, s"$base/sink", s"$base/ck")
+        .awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val nCommits = graft.sources.GraftAcid.latestVersion(root) + 1
+      val rate = nCommits / secs
+      println(f"${"acid_cdf"}%-22s ${secs}%7.2f s  ${rate}%9.2f commits/s")
+      "acid_cdf" -> rate
+    }
+
     def runSubstringDedup(): (String, Double) = {
       if (!wanted("substring_dedup")) return "substring_dedup" -> -1.0
       val in = MemoryStream[graft.streaming.DocText](spark, 996)
@@ -405,7 +437,9 @@ object StreamBench {
       // sharded MapState anchor index, ~|tokens| probes per doc
       runSubstringDedup(),
       // per-cell ListState vector index scored per vector (vecs/sec)
-      runSemDedup())
+      runSemDedup(),
+      // manifest-log tail: commit-diff jobs per micro-batch (commits/s)
+      runAcidCdf())
     val results = allStreams.filter(_._2 >= 0)
 
     // Soak the two ends of the O(1)-state TWS spectrum: the CEP funnel
@@ -479,7 +513,11 @@ object StreamBench {
       "substring_dedup" -> 200.0,
       // vecs/sec — the heaviest per-row state op (each vector scores
       // against its whole cell); 160 vecs/s quiet, floor at half
-      "sem_dedup" -> 80.0)
+      "sem_dedup" -> 80.0,
+      // commits/sec — each commit is a full snapshot-diff job + change
+      // write (the interleaved-key COW worst case); 1.35 commits/s
+      // quiet (r19, 12 commits in 8.9 s), floor at half
+      "acid_cdf" -> 0.65)
     val below = results.collect {
       case (k, v) if floors.get(k).exists(v < _) => k }
     below.foreach(k => System.err.println(

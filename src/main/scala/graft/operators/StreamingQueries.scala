@@ -378,6 +378,75 @@ object StreamingQueries {
         .orderBy($"event_type")
     }),
 
+    // INCREMENTAL MATERIALIZED VIEW maintained FROM the CDF (r19 —
+    // the consumer half of the change-data-feed story): a per-nation
+    // (n_rows, balance) rollup is kept current by applying each
+    // commit's change rows as DELTAS — every change row contributes
+    // (−1, −cents(pre)) to its pre-image nation and (+1, +cents(post))
+    // to its post-image nation (a key move updates both) — never by
+    // recomputing from the table. All arithmetic in exact integer
+    // CENTS so the incremental fold is order-exact; the hash gate
+    // proves MV-after-all-commits ≡ recompute-from-final-snapshot,
+    // which is THE invariant incremental view maintenance must hold.
+    // Per-commit MV snapshots land version-stamped (the
+    // stream_cdc_upsert snapshot-sink pattern).
+    "stream_acid_mv" -> ((s, d) => {
+      import s.implicits._
+      val root = graft.sources.AcidQueries.ensureChain(s, d)
+      val base = graft.TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_acid_mv_${s.sparkContext.applicationId}",
+        "graft_acid_mv_")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+      def cents(c: org.apache.spark.sql.Column) =
+        (c.cast("decimal(18,2)") * 100).cast("long")
+      @volatile var snap = -1
+      // no maxFilesPerTrigger here: the fold is PER VERSION inside
+      // foreachBatch (sorted), so batching all pending manifests into
+      // one trigger changes nothing semantically and saves three
+      // fixed micro-batch overheads (the one-commit-per-batch tailing
+      // shape is already exercised by stream_acid_changes)
+      val manifests = s.readStream.format("text")
+        .option("pathGlobFilter", "v*.json")
+        .load(s"$root/_graft_log")
+        .select(get_json_object($"value", "$.version").cast("int").as("version"))
+      val q = manifests.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val vs = batch.select("version").distinct()
+            .collect().map(_.getInt(0)).sorted
+          vs.foreach { v =>
+            val ch = graft.sources.GraftAcid.commitChanges(s, root, v)
+            val deltas = ch.select(explode(array(
+                struct($"pre.c_nationkey".as("k"), lit(-1L).as("dn"),
+                  (-cents($"pre.c_acctbal")).as("dc")),
+                struct($"post.c_nationkey".as("k"), lit(1L).as("dn"),
+                  cents($"post.c_acctbal").as("dc")))).as("e"))
+              .select($"e.k", $"e.dn", $"e.dc")
+              .filter($"k".isNotNull) // null side of an insert/delete
+              .groupBy($"k").agg(sum($"dn").as("dn"), sum($"dc").as("dc"))
+            val next =
+              if (snap < 0) deltas.select($"k", $"dn".as("n"), $"dc".as("c"))
+              else s.read.parquet(s"$base/snap_$snap").as("m")
+                .join(deltas.as("d"), col("m.k") === col("d.k"), "full_outer")
+                .select(coalesce(col("m.k"), col("d.k")).as("k"),
+                  (coalesce(col("m.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L))).as("n"),
+                  (coalesce(col("m.c"), lit(0L)) + coalesce(col("d.dc"), lit(0L))).as("c"))
+                .filter($"n" > 0)
+            next.write.mode("overwrite").parquet(s"$base/snap_$v")
+            snap = v
+          }
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(snap == 3, s"expected the MV folded through v3, got $snap")
+      s.read.parquet(s"$base/snap_$snap")
+        .select($"k".as("c_nationkey"), $"n".as("n_rows"),
+          ($"c" / 100.0).cast("double").as("acct_sum"))
+        .orderBy($"c_nationkey")
+    }),
+
     // STREAMING CHANGE-DATA-FEED TAIL of the GraftAcid manifest log
     // (r18 verdict ask #1 — the natural consumer of src_acid_changes,
     // and the reprocessable-history story the reference sketches as
@@ -812,6 +881,23 @@ object StreamingQueries {
         |  MAX(event_id) AS max_event_id
         |FROM latest WHERE rn = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The MV invariant: incremental maintenance from the CDF must
+    // equal recompute from the final snapshot — the oracle IS that
+    // recompute (the src_acid_merge state algebra per nation).
+    "stream_acid_mv" ->
+      """WITH cur AS (SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'),
+        |src AS (SELECT c_custkey, c_name, c_nationkey,
+        |          CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DOUBLE)
+        |            AS c_acctbal,
+        |          'MERGED' AS c_mktsegment
+        |        FROM customer WHERE c_custkey % 7 = 0),
+        |merged AS (
+        |  SELECT * FROM cur WHERE c_custkey % 7 <> 0
+        |  UNION ALL SELECT * FROM src)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
+        |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // Batch replay of the streaming CDF tail: each commit's change
     // rows reconstructed from the chain algebra (create → delete

@@ -105,6 +105,33 @@ object AcidQueries {
       root
     })
 
+  private val vacMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Separate chain for the VACUUM entry (its own root — vacuuming the
+    * shared chain would break src_time_travel's pinned v0/v1 reads):
+    * the same v0 create → v1 delete → v2 merge algebra, then
+    * `vacuum(retainFrom = 2)` — data files referenced only by v0/v1
+    * are deleted and those manifests dropped, bounding the COW
+    * format's storage to the retained history. Returns (root,
+    * nDeleted). */
+  private[graft] def ensureVacuum(s: SparkSession, d: String): String =
+    vacMemo.computeIfAbsent((s, d), { _ =>
+      val sfx = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root = graft.TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_acid/" +
+          s"vac_${sfx}_${s.sparkContext.applicationId}", "vac_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      GraftAcid.create(s, root, customer(s, d), "c_custkey")
+      GraftAcid.delete(s, root, col("c_mktsegment") === "BUILDING")
+      GraftAcid.merge(s, root, mergeSource(s, d), "c_custkey")
+      val n = GraftAcid.vacuum(s, root, retainFrom = 2)
+      require(n > 0, "vacuum should reclaim at least one v0/v1-only file")
+      root
+    })
+
   private val zorderMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -213,6 +240,26 @@ object AcidQueries {
         .orderBy($"change_type")
     }),
 
+    // VACUUM — the retention end of the COW lifecycle: after
+    // vacuum(retainFrom=2) on its own chain, v0/v1 time travel is GONE
+    // BY DESIGN (manifests dropped, their exclusive data files deleted
+    // — the standard retention contract) while the retained v2
+    // snapshot still reads its full merged state. One row per version
+    // with a readable flag; the only driver-side work is assembling
+    // the 3-row panel from per-version distributed aggregates.
+    "src_acid_vacuum" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureVacuum(s, d)
+      (0L to 2L).map { v =>
+        scala.util.Try {
+          val r = GraftAcid.read(s, root, Some(v.toInt))
+            .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("m")).head()
+          (v, true, r.getLong(0), r.getDouble(1))
+        }.getOrElse((v, false, 0L, 0.0))
+      }.toDF("version", "readable", "n_rows", "acct_sum")
+        .orderBy($"version")
+    }),
+
     // OPTIMIZE ZORDER as a manifest commit: the post-optimize snapshot
     // (v1) aggregated per priority equals the source orders exactly —
     // the rewrite changed only the LAYOUT (clustered z-spans; the
@@ -310,6 +357,18 @@ object AcidQueries {
          |    AS post_sum
          |FROM cls WHERE change_type <> 'unchanged'
          |GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    "src_acid_vacuum" ->
+      s"""WITH $mergedStateSql,
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS m
+         |  FROM merged)
+         |SELECT CAST(0 AS BIGINT) AS version, FALSE AS readable,
+         |  CAST(0 AS BIGINT) AS n_rows, CAST(0 AS DOUBLE) AS acct_sum
+         |UNION ALL SELECT CAST(1 AS BIGINT), FALSE, CAST(0 AS BIGINT),
+         |  CAST(0 AS DOUBLE)
+         |UNION ALL SELECT CAST(2 AS BIGINT), TRUE, n, m FROM agg
+         |ORDER BY version""".stripMargin,
 
     "src_acid_zorder" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
