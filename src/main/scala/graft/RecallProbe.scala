@@ -4,12 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Diagnostic: measured recall@K of each ANN index vs the exact top-K,
   * per scale factor — the numbers the `sim_knn_*_check` floors are
-  * calibrated from. One rule for all three indexes: floor = measured
+  * calibrated from. One rule for all four indexes: floor = measured
   * recall at the WORST of the three SFs minus 400 bp (ONE pair of the
   * 25-pair denominator) — LSH 4000−400=3600, IVF 4000−400=3600,
-  * PQ 7200−400=6800 — the pipelines are deterministic, so any lost
-  * pair beyond the calibrated state is a real index regression, not
-  * noise. Last measured r12 (2026-08-14): identical to promotion-time.
+  * PQ 7200−400=6800, IVFPQ 4000−400=3600 (r19: measured EQUAL to IVF
+  * at every SF — the cell probe binds; residual quantization costs
+  * zero recall through the 256-wide exact re-rank) — the pipelines
+  * are deterministic, so any lost pair beyond the calibrated state is
+  * a real index regression, not noise. LSH/IVF/PQ last measured r12
+  * (2026-08-14), unchanged r19.
   * `runMain graft.RecallProbe [sfDir ...]` (defaults to all three). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
