@@ -297,14 +297,27 @@ object GraftAcid {
     * insert/update/delete, with the pre- and post-image structs —
     * derived entirely from the two manifests' immutable files (no
     * per-commit change log needed; the COW format keeps every
-    * snapshot readable, so the diff is one full-outer key join). */
+    * snapshot readable, so the diff is one full-outer key join).
+    *
+    * SCHEMA EVOLUTION (r19 hardening): the images are built over the
+    * UNION of both snapshots' columns, null-filling what a side lacks
+    * — so a diff spanning a [[mergeEvolve]] commit sees changes in the
+    * NEW column too (the old pre-schema projection silently dropped
+    * them, classifying a new-column-only update as "unchanged").
+    * Evolution only appends columns, so union order = pre's columns
+    * then post's additions, and the two struct types always match. */
   def changes(s: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
     val key = readManifest(root, fromV).key
     val pre = read(s, root, Some(fromV))
-    val cols = pre.columns.filter(_ != key).toSeq
-    val a = pre.select(col(key), struct(cols.map(col): _*).as("pre"))
-    val b = read(s, root, Some(toV))
-      .select(col(key), struct(cols.map(col): _*).as("post"))
+    val post = read(s, root, Some(toV))
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      (pre.schema.fields ++ post.schema.fields).map(f => f.name -> f.dataType).toMap
+    val cols = (pre.columns ++ post.columns).distinct.filter(_ != key).toSeq
+    def img(df: DataFrame) = struct(cols.map(c =>
+      if (df.columns.contains(c)) col(c).as(c)
+      else lit(null).cast(types(c)).as(c)): _*)
+    val a = pre.select(col(key), img(pre).as("pre"))
+    val b = post.select(col(key), img(post).as("post"))
     a.join(b, Seq(key), "full_outer")
       .withColumn("change_type",
         when(col("post").isNull, lit("delete"))
@@ -433,6 +446,7 @@ object GraftAcid {
     require(dims.nonEmpty, "optimizeZorder needs at least one dimension")
     val parent = latestVersion(root)
     val m = readManifest(root, parent)
+    if (m.files.isEmpty) return parent // nothing to cluster
     val v = parent + 1
     val cur = read(s, root, Some(parent))
     // per-dim bounds in ONE pass; literals ride the z expression so the
@@ -440,6 +454,8 @@ object GraftAcid {
     val stats = dims.flatMap(dd =>
       Seq(min(col(dd)).cast("long"), max(col(dd)).cast("long")))
     val b = cur.agg(stats.head, stats.tail: _*).head()
+    dims.indices.foreach(j => require(!b.isNullAt(2 * j),
+      s"zorder dim '${dims(j)}' has no non-null values to derive bounds from"))
     val z = dims.zipWithIndex.map { case (dd, j) =>
       val (mn, mx) = (b.getLong(2 * j), b.getLong(2 * j + 1))
       val span = math.max(mx - mn + 1, 1L)

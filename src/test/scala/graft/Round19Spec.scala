@@ -177,6 +177,27 @@ class Round19Spec extends SparkSuite {
       .select(input_file_name()).distinct().count() === 16L)
   }
 
+  // ── CDF across a schema-evolution commit ──────────────────────────
+
+  test("acid: changes() across mergeEvolve sees updates in the NEW column (union-schema images)") {
+    val root = freshRoot("cdfevo")
+    GraftAcid.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k", nFiles = 1)
+    // evolve: key 2 keeps v but gains tier — the OLD projection saw
+    // identical (v) images and classified this "unchanged"
+    GraftAcid.mergeEvolve(spark, root,
+      Seq((2L, "b", "T1")).toDF("k", "v", "tier"), "k")
+    val ch = GraftAcid.changes(spark, root, 0, 1)
+      .select($"k", $"change_type", $"pre.tier".as("pre_tier"),
+        $"post.tier".as("post_tier"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(ch === Set((2L, "update", None, Some("T1"))))
+    // and a doubly-evolved diff in the OTHER direction (pre has the
+    // column, post unchanged) stays symmetric: no spurious rows
+    assert(GraftAcid.changes(spark, root, 1, 1).count() === 0L)
+  }
+
   // ── AnchorIndexProcessor: the >cap chunk boundary, both sides ─────
 
   test("anchor fold: cross-chunk doc inversion degrades to cross-batch claim; within-cap is batch-global") {
