@@ -148,6 +148,7 @@ object Bench {
       // family) — same warm-up attribution discipline as above.
       graft.sources.AcidQueries.ensureZorder(spark, sfDir)
       graft.sources.AcidQueries.ensureVacuum(spark, sfDir)
+      graft.sources.AcidQueries.ensureRestore(spark, sfDir)
       graft.operators.MultimodalQueries.patternPayloads(spark, sfDir).count()
     }
 

@@ -132,6 +132,28 @@ object AcidQueries {
       root
     })
 
+  private val restoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Chain for the RESTORE entry (own root — restoring the shared
+    * chain would move its latest and break the entries pinned to it):
+    * v0 create → v1 delete BUILDING → v2 restore(v0). Metadata-only
+    * undo: v2's file list IS v0's. */
+  private[graft] def ensureRestore(s: SparkSession, d: String): String =
+    restoreMemo.computeIfAbsent((s, d), { _ =>
+      val sfx = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root = graft.TmpRoots.register(
+        s"${sys.props("java.io.tmpdir")}/graft_acid/" +
+          s"rest_${sfx}_${s.sparkContext.applicationId}", "rest_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      GraftAcid.create(s, root, customer(s, d), "c_custkey")
+      GraftAcid.delete(s, root, col("c_mktsegment") === "BUILDING")
+      GraftAcid.restore(s, root, 0)
+      root
+    })
+
   private val zorderMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -238,6 +260,36 @@ object AcidQueries {
           sum(coalesce($"post.c_acctbal", lit(0.0)).cast("decimal(18,2)"))
             .cast("double").as("post_sum"))
         .orderBy($"change_type")
+    }),
+
+    // RESTORE — the undo verb (Delta RESTORE TABLE): the latest
+    // snapshot after restore(v0) equals the ORIGINAL table exactly —
+    // the delete is undone with ZERO data movement (v2's manifest
+    // references v0's immutable files), and the deleted state (v1)
+    // stays time-travel-readable because restore moves the log
+    // forward instead of rewinding it.
+    "src_acid_restore" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureRestore(s, d)
+      require(GraftAcid.readManifest(root,
+        GraftAcid.latestVersion(root)).op == "restore_v0")
+      GraftAcid.read(s, root)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum($"c_acctbal").as("acct_sum"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // DESCRIBE HISTORY over the shared chain's manifest log: one row
+    // per commit with its operation and exact row count — read from
+    // file-count-sized manifest metadata alone (the per-file stats the
+    // manifests already carry), no data files opened. The oracle
+    // replays each version's row count from the chain algebra.
+    "src_acid_history" -> ((s, d) => {
+      import s.implicits._
+      val root = ensureChain(s, d)
+      GraftAcid.history(s, root)
+        .select($"version", $"op", $"n_rows")
+        .orderBy($"version")
     }),
 
     // VACUUM — the retention end of the COW lifecycle: after
@@ -357,6 +409,22 @@ object AcidQueries {
          |    AS post_sum
          |FROM cls WHERE change_type <> 'unchanged'
          |GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    "src_acid_restore" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "src_acid_history" ->
+      s"""WITH $mergedStateSql,
+         |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cur),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM merged)
+         |SELECT CAST(0 AS BIGINT) AS version, 'create' AS op, n AS n_rows FROM n0
+         |UNION ALL SELECT CAST(1 AS BIGINT), 'delete', n FROM n1
+         |UNION ALL SELECT CAST(2 AS BIGINT), 'merge', n FROM n2
+         |UNION ALL SELECT CAST(3 AS BIGINT), 'compact', n FROM n2
+         |ORDER BY version""".stripMargin,
 
     "src_acid_vacuum" ->
       s"""WITH $mergedStateSql,

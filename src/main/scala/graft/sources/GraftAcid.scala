@@ -472,6 +472,33 @@ object GraftAcid {
     v
   }
 
+  /** RESTORE TABLE to snapshot `toV` (the Delta RESTORE verb): commits
+    * a NEW version whose file list IS version `toV`'s — a metadata-only
+    * operation (zero data movement; the COW format keeps every
+    * snapshot's files present), and because it moves the log FORWARD,
+    * the pre-restore state stays time-travel-readable — restore is
+    * itself undoable by another restore. */
+  def restore(s: SparkSession, root: String, toV: Int): Int = {
+    val parent = latestVersion(root)
+    val target = readManifest(root, toV)
+    val v = parent + 1
+    commit(root, Manifest(v, s"restore_v$toV", target.key,
+      target.schemaDdl, target.files))
+    v
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version straight off the
+    * manifest log — (version, op, n_files, n_rows) — file-count-sized
+    * metadata, no data files touched (rows come from the per-file
+    * stats the manifests already carry). */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    (0 to latestVersion(root)).map { v =>
+      val m = readManifest(root, v)
+      (v.toLong, m.op, m.files.size.toLong, m.files.map(_.rows).sum)
+    }.toDF("version", "op", "n_files", "n_rows")
+  }
+
   /** Change rows INTRODUCED BY commit `v` alone: v=0 is the initial
     * snapshot as all-inserts; v>0 is [[changes]](v-1, v). The unit the
     * streaming tail emits per manifest. */

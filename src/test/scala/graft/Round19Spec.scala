@@ -177,6 +177,44 @@ class Round19Spec extends SparkSuite {
       .select(input_file_name()).distinct().count() === 16L)
   }
 
+  // ── RESTORE: metadata-only undo that moves the log forward ────────
+
+  test("acid: restore re-commits the target's file list — zero data movement, undo stays readable") {
+    val root = freshRoot("restore19")
+    GraftAcid.create(spark, root,
+      (1L to 30L).map(k => (k, (k % 3).toInt)).toDF("k", "grp"), "k", nFiles = 2)
+    GraftAcid.delete(spark, root, col("grp") === 0)
+    GraftAcid.restore(spark, root, 0)
+    // latest state == v0, via v0's own immutable files (no rewrite)
+    assert(GraftAcid.read(spark, root).count() === 30L)
+    assert(GraftAcid.readManifest(root, 2).files ===
+      GraftAcid.readManifest(root, 0).files)
+    // the log moved FORWARD: the deleted state (v1) stays readable,
+    // so the restore is itself undoable
+    assert(GraftAcid.read(spark, root, Some(1)).count() === 20L)
+    assert(GraftAcid.restore(spark, root, 1) === 3)
+    assert(GraftAcid.read(spark, root).count() === 20L)
+  }
+
+  // ── TmpRoots: age-gated sibling sweep ──────────────────────────────
+
+  test("tmp roots: stale same-prefix siblings are swept, fresh ones kept") {
+    val parent = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_tmproots_spec")
+    org.apache.commons.io.FileUtils.deleteQuietly(parent)
+    val stale = new java.io.File(parent, "spec_app-OLD")
+    val fresh = new java.io.File(parent, "spec_app-FRESH")
+    val other = new java.io.File(parent, "otherprefix-OLD")
+    Seq(stale, fresh, other).foreach(_.mkdirs())
+    val threeHoursAgo = System.currentTimeMillis() - 3L * 3600 * 1000
+    stale.setLastModified(threeHoursAgo)
+    other.setLastModified(threeHoursAgo)
+    TmpRoots.register(new java.io.File(parent, "spec_app-ME").getPath, "spec_")
+    assert(!stale.exists(), "stale same-prefix sibling must be swept")
+    assert(fresh.exists(), "fresh sibling must survive (live-JVM guard)")
+    assert(other.exists(), "different-prefix entries are not ours to sweep")
+  }
+
   // ── CDF across a schema-evolution commit ──────────────────────────
 
   test("acid: changes() across mergeEvolve sees updates in the NEW column (union-schema images)") {
