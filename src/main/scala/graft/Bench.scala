@@ -149,6 +149,9 @@ object Bench {
       graft.sources.AcidQueries.ensureZorder(spark, sfDir)
       graft.sources.AcidQueries.ensureVacuum(spark, sfDir)
       graft.sources.AcidQueries.ensureRestore(spark, sfDir)
+      // r20: the partitioned table (src_acid_partitioned times the
+      // pruned READ, not the one-time layout write)
+      graft.sources.AcidQueries.ensurePartitioned(spark, sfDir)
       graft.operators.MultimodalQueries.patternPayloads(spark, sfDir).count()
     }
 

@@ -22,13 +22,33 @@ object TmpRoots {
     * the driver's whole round is hours but each JVM is short-lived). */
   private val MaxAgeMs = 2L * 3600 * 1000
 
+  /** Heartbeat cadence — see [[touchAll]]. Far below [[MaxAgeMs]], so a
+    * live root is always fresher than the sweep bar. */
+  private val HeartbeatMs = 10L * 60 * 1000
+
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Refresh every registered root's mtime to NOW (r19 ADVICE: a
+    * directory's mtime does not tick when files change inside nested
+    * subdirs, so a legitimately >2h-old JVM — a long soak or a bench on
+    * a contended host — could have its LIVE scratch root swept by a
+    * concurrent JVM's registration). The heartbeat makes the age gate a
+    * LIVENESS gate: a root is stale only if its owner stopped touching
+    * it. */
+  private[graft] def touchAll(): Unit =
+    registered.forEach { r =>
+      val f = new java.io.File(r)
+      if (f.exists()) f.setLastModified(System.currentTimeMillis())
+    }
 
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       registered.forEach(r =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r)))))
+    val t = new java.util.Timer("graft-tmproots-heartbeat", true) // daemon
+    t.schedule(new java.util.TimerTask { def run(): Unit = touchAll() },
+      HeartbeatMs, HeartbeatMs)
     true
   }
 

@@ -396,8 +396,6 @@ object StreamingQueries {
       val base = graft.TmpRoots.register(
         s"${sys.props("java.io.tmpdir")}/graft_acid_mv_${s.sparkContext.applicationId}",
         "graft_acid_mv_")
-      def cents(c: org.apache.spark.sql.Column) =
-        (c.cast("decimal(18,2)") * 100).cast("long")
       // RESUME-AWARE (not delete-and-rebuild): checkpoint + MV
       // snapshots persist within the session, so a re-run of this
       // entry processes only manifests committed since the last run
@@ -405,12 +403,6 @@ object StreamingQueries {
       // MV. The bench's second run thereby measures the RESTART path
       // — pick up the high-water snapshot, fold nothing, serve — which
       // is exactly what a production IVM does on redeploy.
-      @volatile var snap = {
-        val dir = new java.io.File(base)
-        Option(dir.list()).toSeq.flatten
-          .collect { case n if n.startsWith("snap_") => n.drop(5).toInt }
-          .foldLeft(-1)(math.max)
-      }
       // no maxFilesPerTrigger here: the fold is PER VERSION inside
       // foreachBatch (sorted), so batching all pending manifests into
       // one trigger changes nothing semantically and saves three
@@ -423,33 +415,20 @@ object StreamingQueries {
       val q = manifests.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val vs = batch.select("version").distinct()
-            .collect().map(_.getInt(0)).sorted
-          vs.foreach { v =>
-            val ch = graft.sources.GraftAcid.commitChanges(s, root, v)
-            val deltas = ch.select(explode(array(
-                struct($"pre.c_nationkey".as("k"), lit(-1L).as("dn"),
-                  (-cents($"pre.c_acctbal")).as("dc")),
-                struct($"post.c_nationkey".as("k"), lit(1L).as("dn"),
-                  cents($"post.c_acctbal").as("dc")))).as("e"))
-              .select($"e.k", $"e.dn", $"e.dc")
-              .filter($"k".isNotNull) // null side of an insert/delete
-              .groupBy($"k").agg(sum($"dn").as("dn"), sum($"dc").as("dc"))
-            val next =
-              if (snap < 0) deltas.select($"k", $"dn".as("n"), $"dc".as("c"))
-              else s.read.parquet(s"$base/snap_$snap").as("m")
-                .join(deltas.as("d"), col("m.k") === col("d.k"), "full_outer")
-                .select(coalesce(col("m.k"), col("d.k")).as("k"),
-                  (coalesce(col("m.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L))).as("n"),
-                  (coalesce(col("m.c"), lit(0L)) + coalesce(col("d.dc"), lit(0L))).as("c"))
-                .filter($"n" > 0)
-            next.write.mode("overwrite").parquet(s"$base/snap_$v")
-            snap = v
-          }
+            .collect().map(_.getInt(0)).sorted.toSeq
+          mvFoldVersions(s, root, base, vs)
         }
         .option("checkpointLocation", s"$base/ck")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      require(snap == 3, s"expected the MV folded through v3, got $snap")
+      // the MV's high-water must equal the LOG's latest — derived from
+      // the manifest log, never a fixture constant (r19 verdict ask
+      // #9: the old `require(snap == 3)` silently coupled this entry
+      // to ensureChain's commit count two files away)
+      val latest = graft.sources.GraftAcid.latestVersion(root)
+      val snap = mvSnapshots(base).maxOption.getOrElse(-1)
+      require(snap == latest,
+        s"expected the MV folded through the log's latest v$latest, got $snap")
       s.read.parquet(s"$base/snap_$snap")
         .select($"k".as("c_nationkey"), $"n".as("n_rows"),
           ($"c" / 100.0).cast("double").as("acct_sum"))
@@ -801,6 +780,62 @@ object StreamingQueries {
         .orderBy($"user_id")
     })
   )
+
+  /** COMPLETE MV snapshots under `base` (a snap_<v> dir counts only
+    * with its _SUCCESS marker — a crash mid-write leaves a partial dir
+    * that must read as "not folded yet", never as a fold base). */
+  private[graft] def mvSnapshots(base: String): Seq[Int] =
+    Option(new java.io.File(base).list()).toSeq.flatten
+      .collect { case n if n.startsWith("snap_") &&
+        new java.io.File(s"$base/$n/_SUCCESS").exists() => n.drop(5).toInt }
+
+  /** The incremental-MV fold, IDEMPOTENT under foreachBatch redelivery
+    * (r19 ADVICE — the medium finding): version v's deltas fold onto
+    * the highest COMPLETE snapshot strictly below v (always v−1 in a
+    * sorted delivery; asserted), and a version whose complete snapshot
+    * already exists is skipped outright. A crash between writing
+    * snap_v and the checkpoint commit therefore re-delivers a batch
+    * whose every fold is a no-op — the old code folded v's deltas onto
+    * the session-global MAX snapshot (which already included them),
+    * double-counting on retry. Package-visible so Round20Spec drives a
+    * redelivery directly. */
+  private[graft] def mvFoldVersions(s: SparkSession, root: String,
+      base: String, versions: Seq[Int]): Unit = {
+    import s.implicits._
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast("decimal(18,2)") * 100).cast("long")
+    versions.sorted.foreach { v =>
+      val done = mvSnapshots(base).toSet
+      if (!done.contains(v)) {
+        val baseV = done.filter(_ < v).maxOption.getOrElse(-1)
+        // delivery is in-order and gapless (the manifest log is dense;
+        // a failed fold aborts the batch before later versions run) —
+        // a violated base would double-count or skip deltas, so fail
+        // loudly rather than fold wrong
+        require(baseV == v - 1 ||
+          (baseV < 0 && v == graft.sources.GraftAcid.earliestVersion(root)),
+          s"MV fold base for v$v is snap_$baseV — expected v${v - 1}")
+        val ch = graft.sources.GraftAcid.commitChanges(s, root, v)
+        val deltas = ch.select(explode(array(
+            struct($"pre.c_nationkey".as("k"), lit(-1L).as("dn"),
+              (-cents($"pre.c_acctbal")).as("dc")),
+            struct($"post.c_nationkey".as("k"), lit(1L).as("dn"),
+              cents($"post.c_acctbal").as("dc")))).as("e"))
+          .select($"e.k", $"e.dn", $"e.dc")
+          .filter($"k".isNotNull) // null side of an insert/delete
+          .groupBy($"k").agg(sum($"dn").as("dn"), sum($"dc").as("dc"))
+        val next =
+          if (baseV < 0) deltas.select($"k", $"dn".as("n"), $"dc".as("c"))
+          else s.read.parquet(s"$base/snap_$baseV").as("m")
+            .join(deltas.as("d"), col("m.k") === col("d.k"), "full_outer")
+            .select(coalesce(col("m.k"), col("d.k")).as("k"),
+              (coalesce(col("m.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L))).as("n"),
+              (coalesce(col("m.c"), lit(0L)) + coalesce(col("d.dc"), lit(0L))).as("c"))
+            .filter($"n" > 0)
+        next.write.mode("overwrite").parquet(s"$base/snap_$v")
+      }
+    }
+  }
 
   /** toMemory variant for transformWithState ops: TWS requires the
     * RocksDB state store provider (state spills to disk — the 100 TB
