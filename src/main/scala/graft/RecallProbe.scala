@@ -32,6 +32,17 @@ object RecallProbe {
       val denom = brute.count()
       println(f"$d%-28s $idx%-12s recall ${hits.toDouble / denom}%.3f ($hits/$denom)")
     }
+    // filtered ANN (r20): the baseline is the exact FILTERED flat scan
+    // — same label predicate, same integer ranking — not sim_knn_brute
+    for (d <- dirs) {
+      val exact = graft.operators.SimilarityQueries2.filteredExact(spark, d)
+        .select("q_id", "vec_id")
+      val ann = SparkEntry.queries("sim_knn_filtered")(spark, d)
+        .select("q_id", "vec_id")
+      val hits = ann.join(exact, Seq("q_id", "vec_id")).count()
+      val denom = exact.count()
+      println(f"$d%-28s sim_knn_filtered recall ${hits.toDouble / denom}%.3f ($hits/$denom)")
+    }
     spark.stop()
   }
 }

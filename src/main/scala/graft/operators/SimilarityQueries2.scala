@@ -50,6 +50,25 @@ object SimilarityQueries2 {
   private val NProbe = 2
   private val K = 5
   private val NQ = 5
+  /** Probe width for FILTERED queries (r19 verdict ask #5): a ~10%
+    * label predicate decimates each probed cell's candidate pool, so
+    * the naive 2-probe search starves below K matches — the standard
+    * compensation is widening probes until the EXPECTED post-filter
+    * pool covers K (E[matches] ≈ probes/8 × selectivity × corpus;
+    * 4 probes × 10% × 500 ≥ 5·K at the smallest SF). Pre-filtering
+    * the index instead would break cell pruning; post-filtering the
+    * final top-K would break recall — widened-probe filter-inside-
+    * the-candidate-set keeps both. */
+  private val FilterNProbe = 4
+  /** Filtered recall@K floor in bp — the annCheck calibration rule
+    * (measured worst SF minus one 400 bp pair of the 25-pair
+    * denominator): RecallProbe measured 9600/8000/10000 bp at
+    * sf0.001/0.01/0.1 vs the exact filtered flat scan, so floor =
+    * 8000 − 400. Notably ABOVE the unfiltered 2-probe IVF's 4000 bp —
+    * the widened probe more than repays the filter's candidate loss.
+    * Deterministic pipeline — a drop below is a real index/pruning
+    * regression, not noise. */
+  private val FilteredRecallFloorBp = 7600
   /** SQ8 recall@K floor in bp — calibrated per the annCheck rule:
     * measured worst-SF recall minus one 400 bp pair (25-pair
     * denominator). Measured on the reconstruction-cosine ranking:
@@ -74,8 +93,14 @@ object SimilarityQueries2 {
         .take(8).map(b => f"$b%02x").mkString
       val tbl = s"ivf_idx_$sfx"
       val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_wh_$sfx/$tbl"
+      // label rides the index row (r20): a filtered-ANN index stores
+      // its filter attributes NEXT TO the vectors (the faiss-with-
+      // metadata / Vespa shape) so the predicate applies inside the
+      // pruned candidate scan — no second join, no post-filter pass.
+      // Unfiltered probes never read the column (Catalyst prunes it).
       DedupQueries5.semCellIndex(s, d)
         .select(col("vec_id"), col("cell"), col("embedding"))
+        .join(embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
         .write.mode("overwrite")
         .bucketBy(SemCells, "cell").sortBy("vec_id")
         .option("path", path).saveAsTable(tbl)
@@ -110,6 +135,59 @@ object SimilarityQueries2 {
       .join(broadcast(aff), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id", qdot($"q_emb", $"embedding").as("dot"))
+  }
+
+  /** FILTERED-ANN probe fragment (r19 verdict ask #5 — production
+    * retrieval is predicate + vector: label = X AND top-k by
+    * similarity): the same persisted-bucketed-index shape as
+    * [[ivfPersistProbe]], with (a) each query carrying its target
+    * label (q_id % 10 — the per-query predicate shape), (b) the probe
+    * WIDENED to [[FilterNProbe]] cells (recall compensation — see the
+    * constant's doc), and (c) the label predicate applied INSIDE the
+    * pruned candidate scan against the index's own label column.
+    * Bucket pruning is preserved (the scan still reads only probed
+    * cells' files); ranking stays the integer quantized dot, so the
+    * whole filtered top-k hash-gates against the DuckDB replay where
+    * float-ranked variants are rows-only. */
+  private[graft] def filteredProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = s.table(ensureIvfWarehouse(s, d))
+    val seeds = embeddings(s, d).filter($"vec_id" < SemCells)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("cemb"))
+    val qs = embeddings(s, d).filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        ($"vec_id" % 10).cast("int").as("q_label"))
+    val wAff = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sdot".desc, $"cell".asc)
+    val aff = qs.crossJoin(broadcast(seeds))
+      .select($"q_id", $"q_emb", $"q_label", $"cell",
+        qdot($"q_emb", $"cemb").as("sdot"))
+      .withColumn("pr", row_number().over(wAff)).filter($"pr" <= FilterNProbe)
+      .select($"q_id", $"q_emb", $"q_label", $"cell")
+      .localCheckpoint() // query-batch-sized; pins the probe set
+    val cellIds = aff.select($"cell").distinct().as[Int].collect().sorted
+    idx.filter($"cell".isin(cellIds.map(Int.box): _*))
+      .join(broadcast(aff), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id" && $"label" === $"q_label")
+      .select($"q_id", $"vec_id", qdot($"q_emb", $"embedding").as("dot"))
+  }
+
+  /** Exact filtered baseline for the recall gate: the SAME label
+    * predicate and integer-dot ranking over the WHOLE corpus (no cell
+    * pruning) — what a flat scan with the filter would return. */
+  private[graft] def filteredExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val qs = embeddings(s, d).filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        ($"vec_id" % 10).cast("int").as("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"dot".desc, $"vec_id".asc)
+    emb.join(broadcast(qs), $"vec_id" =!= $"q_id" && $"label" === $"q_label")
+      .select($"q_id", $"vec_id", qdot($"q_emb", $"embedding").as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"q_id", $"rank", $"vec_id", $"dot")
   }
 
   /** SQ8 SCALAR QUANTIZATION codes (the faiss SQ8 shape — the
@@ -246,6 +324,40 @@ object SimilarityQueries2 {
         .filter($"rank" <= K)
         .select($"q_id", $"rank", $"vec_id", $"dot")
         .orderBy($"q_id", $"rank")
+    }),
+
+    // FILTERED ANN over the persisted IVF index: label predicate +
+    // vector top-k in one probe (see filteredProbe). Integer ranking
+    // → the whole filtered top-k hash-gates.
+    "sim_knn_filtered" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"dot".desc, $"vec_id".asc)
+      filteredProbe(s, d)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id", $"dot")
+        .orderBy($"q_id", $"rank")
+    }),
+
+    // Filtered-recall gate: the widened-probe filtered search vs the
+    // exact filtered flat scan, floored per the annCheck rule.
+    "sim_knn_filtered_check" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"dot".desc, $"vec_id".asc)
+      val ann = filteredProbe(s, d)
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K).select($"q_id", $"vec_id")
+      val hits = ann.join(filteredExact(s, d).select($"q_id", $"vec_id"),
+          Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val nq = embeddings(s, d).filter($"vec_id" < NQ)
+        .agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(broadcast(hits)) // single-row side
+        .select($"n_queries",
+          ($"n_hits" * 10000L / ($"n_queries" * K) >= FilteredRecallFloorBp)
+            .as("recall_ok"))
     })
   )
 
@@ -324,6 +436,43 @@ object SimilarityQueries2 {
     // (the sim_knn_lsh_check convention) — a quantization or ranking
     // regression below the calibrated floor fails the hash.
     "sim_knn_sq8_check" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $NQ""".stripMargin,
+
+    // Full integer replay of the FILTERED probe: the same cell CTE,
+    // the widened 4-probe affinity, the label predicate inside the
+    // candidate set, the same (dot desc, vec_id) total order — a
+    // pruning or predicate regression flips the hash.
+    "sim_knn_filtered" ->
+      s"""WITH ${DedupQueries5.semCellsCte},
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |         CAST(vec_id % 10 AS INTEGER) AS q_label
+         |       FROM embeddings WHERE vec_id < $NQ),
+         |aff AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, s.vec_id AS cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${DedupQueries5.duckQdot.format("q.q_emb", "s.embedding")} DESC,
+         |                 s.vec_id ASC) AS pr
+         |    FROM qs q JOIN embeddings s ON s.vec_id < $SemCells)
+         |  WHERE pr <= $FilterNProbe),
+         |cand AS MATERIALIZED (
+         |  SELECT a.q_id, c.vec_id,
+         |    ${DedupQueries5.duckQdot.format("q.q_emb", "e.embedding")} AS dot
+         |  FROM aff a JOIN cells c ON c.cell = a.cell
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN qs q ON q.q_id = a.q_id
+         |  WHERE c.vec_id != a.q_id AND e.label = q.q_label)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, dot FROM (
+         |  SELECT q_id, vec_id, dot,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dot DESC, vec_id ASC) AS rn
+         |  FROM cand)
+         |WHERE rn <= $K ORDER BY q_id, rank""".stripMargin,
+
+    // Quality gate: the oracle pins the invariant as literal TRUE
+    // (the sim_knn_lsh_check convention).
+    "sim_knn_filtered_check" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < $NQ""".stripMargin,
 
