@@ -54,9 +54,47 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic w×h solid-RGB JPEG via the JDK's ImageIO JPEG
+    * writer — the LOSSY twin of [[encodePng]] (r19 verdict ask #6: the
+    * production corpus is overwhelmingly JPEG; the decode→feature
+    * operators must be codec-agnostic). Solid fill keeps the loss
+    * BOUNDED and characterizable: the only error sources are the
+    * RGB→YCbCr integer rounding and DC-coefficient quantization (a
+    * constant block has no AC energy to ring), measured ≤3 per channel
+    * mean across the fixture parameter space — which is what lets the
+    * decode be cross-checked in-query against a ±tolerance band where
+    * the lossless PNG path checks exact equality. */
+  def encodeJpeg(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   val payloadSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("payload", BinaryType)))
+
+  /** Batched JPEG synthesis — the [[encodePayloads]] seam with the
+    * lossy codec plugged in. */
+  def encodeJpegPayloads(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Row(r.getLong(0),
+            encodeJpeg(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+        }
+      }
+    }(enc)
+  }
 
   /** Batched PNG synthesis: (doc_id, w, h, r, g, b) → (doc_id, payload).
     * Stands in for the ingest edge where raw media bytes enter the

@@ -319,6 +319,25 @@ class Round20Spec extends SparkSuite {
     assert(!graft.operators.StreamingQueries.mvSnapshots(base).contains(9))
   }
 
+  // ── JPEG codec twin ────────────────────────────────────────────────
+
+  test("jpeg codec: real encode/decode round-trip — geometry exact, solid-fill means within the loss band") {
+    import graft.multimodal.Multimodal
+    for ((w, h, r, g, b) <- Seq((1, 1, 0, 0, 0), (64, 48, 255, 255, 255),
+        (17, 3, 200, 30, 99), (8, 8, 128, 128, 128))) {
+      val bytes = Multimodal.encodeJpeg(w, h, r, g, b)
+      assert((bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xD8,
+        "payload must carry the JPEG magic")
+      val Some((dw, dh, mr, mg, mb)) = Multimodal.decodeOne(bytes)
+      assert(dw === w && dh === h) // JPEG is lossless in geometry
+      assert(math.abs(mr - r) <= 4 && math.abs(mg - g) <= 4 &&
+        math.abs(mb - b) <= 4, s"($mr,$mg,$mb) vs ($r,$g,$b)")
+    }
+    // a truncated JPEG degrades to the DLQ null row, never a task error
+    val trunc = Multimodal.encodeJpeg(16, 16, 10, 20, 30).take(40)
+    assert(Multimodal.decodeOne(trunc).isEmpty)
+  }
+
   // ── TmpRoots heartbeat ─────────────────────────────────────────────
 
   test("tmp roots: the heartbeat refreshes registered roots' mtimes (liveness gates the sweep)") {
