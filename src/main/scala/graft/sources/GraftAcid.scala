@@ -53,6 +53,24 @@ import org.apache.spark.sql.types.StructType
   * TIME TRAVEL falls out of the same structure: `read(s, root,
   * Some(v))` scans exactly manifest v's file list.
   *
+  * r20 production surface on the same log:
+  *
+  *  - CHECKPOINTED RESOLUTION — a `_last` pointer + forward probing
+  *    makes snapshot resolution O(1) + O(commits since refresh)
+  *    instead of an O(commits) listing (see [[latestVersion]]).
+  *  - CONFLICT REBASE — a merge losing the version race retries one
+  *    version later when provably disjoint from the winner
+  *    (see [[commitRebasing]]) — Delta-style liveness.
+  *  - PARTITION COLUMNS — [[createPartitioned]] lays files on
+  *    (partition, key); manifests carry both stat ranges; reads and
+  *    merges prune on either.
+  *  - RETENTION — [[vacuum]] truncates history; [[history]] and the
+  *    CDF enumerate what is retained and treat the floor snapshot as
+  *    the feed's all-inserts baseline.
+  *  - The CDF is consumable three ways: batch ([[changes]]), a
+  *    foreachBatch tail ([[tailChanges]]), and a composable DataSource
+  *    V2 stream ([[GraftCdf]], format "graft-cdf").
+  *
   * Scale shape at 100 TB: a manifest is file-count-sized metadata (the
   * only driver-side state); MERGE reads and rewrites ONLY the data
   * files whose key range overlaps the source's [min, max] — on a
