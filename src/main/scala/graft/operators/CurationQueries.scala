@@ -101,11 +101,12 @@ object CurationQueries {
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", $"source",
           posexplode(tokens($"text")).as(Seq("pos", "tok")))
-      val cc = toks.groupBy($"tok").agg(count(lit(1)).as("c_w"))
-      val tc = toks.filter($"source" === "src0")
-        .groupBy($"tok").agg(count(lit(1)).as("t_w"))
-      val vc = cc.join(tc, Seq("tok"), "left")
-        .select($"tok", $"c_w", coalesce($"t_w", lit(0L)).as("t_w"))
+      // r20: both LMs' counts in ONE conditional aggregate pass —
+      // identical integers (the src0 indicator sum IS the target
+      // count, 0 where absent = the old left-join coalesce), one
+      // corpus explode + shuffle fewer, no vocab self-join.
+      val vc = toks.groupBy($"tok").agg(count(lit(1)).as("c_w"),
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("t_w"))
       // model-sized scalars: vocab size + the two LM totals
       val sc = vc.agg(count(lit(1)), sum($"c_w"), sum($"t_w")).head()
       val v = sc.getLong(0); val c = sc.getLong(1); val t = sc.getLong(2)
@@ -334,6 +335,7 @@ object CurationQueries {
         .select(explode(ngrams(tokens($"text"), 2)).as("bigram"))
         .groupBy($"bigram").agg(count(lit(1)).as("n_bigram"))
         .withColumn("w1", split($"bigram", " ")(0))
+        .localCheckpoint() // bigram-TYPE-table sized; feeds w1c AND the scorer
       val w1c = bc.groupBy($"w1").agg(sum($"n_bigram").as("n_w1"))
       val pos = documents(s, d).filter($"doc_id" % 5 === 0)
         .repartition(s.sparkContext.defaultParallelism)

@@ -96,11 +96,18 @@ object RelationalQueries11 {
     // statistic alongside (samp_kfold's repeated-scalar pattern).
     "q189_levene_test" -> ((s, d) => {
       import s.implicits._
+      // r20: the fact pass (orders ⋈ customer) feeds BOTH the rank
+      // table and the deviation pass, and the value-count table feeds
+      // BOTH GlobalRank and the segment offsets — checkpoint each once
+      // (guide §2.4): 4 fact scans → 1 (plan audit: 20 parquet scans
+      // → 2 across the whole query).
       val cents = orders(s, d)
         .join(customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
           Seq("o_custkey"))
         .select($"c_mktsegment", (dec($"o_totalprice") * 100).cast("long").as("v"))
+        .localCheckpoint()
       val tbl = cents.groupBy($"c_mktsegment", $"v").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       // explicit nParts: tbl descends from the orders×customer join, so
       // Catalyst's size estimate is join-inflated (see GlobalRank doc)
       val (cum, _) = GlobalRank.withPrefixSum(tbl, "cum", $"c",
@@ -112,6 +119,7 @@ object RelationalQueries11 {
       val medians = cum.join(broadcast(segTot), Seq("c_mktsegment"))
         .filter(expr("cum - off >= (n_j + 1) DIV 2"))
         .groupBy($"c_mktsegment").agg(min($"v").as("median_cents"))
+        .localCheckpoint() // 5 rows, read by the deviation pass AND the output join
       val dev = cents.join(broadcast(medians), Seq("c_mktsegment"))
         .select($"c_mktsegment", abs($"v" - $"median_cents").as("dv"))
       val seg = dev.groupBy($"c_mktsegment")
@@ -119,6 +127,7 @@ object RelationalQueries11 {
           sum($"dv".cast(D19) * $"dv".cast(D19)).as("q_j"))
         .selectExpr("c_mktsegment", "n_j", "s_j", "q_j",
           "CAST(FLOOR(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n_j AS DOUBLE) / 1000.0) AS BIGINT) AS term_k")
+        .localCheckpoint() // 5 rows, read by the F fold AND the output
       val f = seg.agg(count(lit(1)).as("k"), sum($"n_j").as("n_total"),
           sum($"s_j").as("s_all"), sum($"q_j").cast(D38).as("q_all"),
           sum($"term_k").as("sum_term_k"))

@@ -48,10 +48,20 @@ object RelationalQueries3 {
       val li = lineitem(s, d)
         .join(orders(s, d).filter($"o_orderstatus" === "F")
           .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      // r20: `late` feeds BOTH the semi and the anti side — checkpoint
+      // it once (was 2 full lineitem⋈orders passes); keying both
+      // distincts by l_orderkey (HashPartitioning(ok) satisfies the
+      // (ok, sk) aggregate) leaves every orderkey-equi join below
+      // co-partitioned — plan audit: 12 parquet scans → 5, and the
+      // semi/anti joins plan no exchanges of their own.
+      val p = s.sparkContext.defaultParallelism
       val late = li
         .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-        .select($"l_orderkey", $"l_suppkey").distinct()
-      val allSup = lineitem(s, d).select($"l_orderkey", $"l_suppkey").distinct()
+        .select($"l_orderkey", $"l_suppkey")
+        .repartition(p, $"l_orderkey").distinct()
+        .localCheckpoint()
+      val allSup = lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+        .repartition(p, $"l_orderkey").distinct()
       val sole = late.as("a")
         .join(allSup.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" =!= $"b.l_suppkey",

@@ -73,28 +73,57 @@ object RelationalQueries8 {
     }),
 
     // DAU / WAU(7) / MAU(28) / stickiness over ordering customers.
-    // Exact rolling DISTINCT counts without any distinct-window state:
-    // each (customer, day) pair CONTRIBUTES to the w trailing days, so
-    // exploding the pair to its contribution days (a bounded ×7/×28
-    // blowup of the pair table, which is itself ≪ the fact table) turns
-    // the rolling distinct into a plain keyed count — shuffle-friendly
-    // and linear at any corpus size, where a naive per-day correlated
-    // distinct scan is quadratic.
+    // Exact rolling DISTINCT counts without any distinct-window state.
+    // r20 rewrite (guide §2.3 "shuffle fewer bytes"): a user is
+    // counted on day D for window w iff D lies in the union of
+    // [dᵢ, dᵢ+w−1] over their active days dᵢ — so per user, merge
+    // active days into maximal runs with gaps < w (one lag window
+    // keyed by user), emit ±1 DIFF EVENTS at each merged interval's
+    // boundaries, and prefix-sum the events over the day spine. The
+    // old shape exploded every pair ×7/×28 and re-deduplicated the
+    // blowup (5.2M-row shuffles at sf0.1); this shuffles the pair
+    // table once per window and then calendar-sized event rows — at
+    // any corpus size the heavy shuffle is gone, and the only
+    // unpartitioned window runs over the DAY SPINE (calendar-bounded,
+    // ~1.1k rows — the sanctioned aggregate-sized-window class).
+    // Counts are identical integers (interval union ≡ exploded
+    // distinct), verified vs the unchanged DuckDB oracle.
     "q130_active_user_ratios" -> ((s, d) => {
       import s.implicits._
-      // pinned once: dau + two rolling explodes + the day spine all
-      // read the pair table — checkpointing turns four fact scans into
-      // one scan + one distinct
+      // pinned once: dau, the day spine and both rolling passes all
+      // read the pair table
       val pairs = orders(s, d)
         .select($"o_custkey".as("u"), to_date($"o_orderdate").as("day"))
         .distinct()
         .localCheckpoint()
       val days = pairs.select($"day").distinct()
       val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
-      def rolling(w: Int, name: String) = pairs
-        .select($"u", explode(sequence($"day", date_add($"day", w - 1))).as("day"))
-        .distinct()
-        .groupBy($"day").agg(count(lit(1)).as(name))
+      // the lag is window-size-independent: computed once, pinned
+      // (hash(u) partitioning + (u, day) ordering survive the
+      // checkpoint, so each rolling pass is sort- and shuffle-free)
+      val wU = Window.partitionBy($"u").orderBy($"day")
+      val lagged = pairs
+        .withColumn("prev", lag($"day", 1).over(wU))
+        .localCheckpoint()
+      def rolling(w: Int, name: String) = {
+        val runs = lagged
+          .withColumn("newRun",
+            ($"prev".isNull || datediff($"day", $"prev") >= w).cast("long"))
+          .withColumn("runId", sum($"newRun").over(wU))
+          .groupBy($"u", $"runId")
+          .agg(min($"day").as("start"), date_add(max($"day"), w - 1).as("end"))
+        val ev = runs.select(explode(array(
+            struct($"start".as("day"), lit(1L).as("delta")),
+            struct(date_add($"end", 1).as("day"), lit(-1L).as("delta")))).as("e"))
+          .select($"e.day".as("day"), $"e.delta".as("delta"))
+          // the spine rides along at delta 0 so every output day has a
+          // prefix row even mid-interval
+          .unionByName(days.select($"day", lit(0L).as("delta")))
+          .groupBy($"day").agg(sum($"delta").as("delta"))
+        val wDay = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev.withColumn(name, sum($"delta").over(wDay)).select($"day", col(name))
+      }
       days
         .join(dau, Seq("day"))
         .join(rolling(7, "wau7"), Seq("day"))

@@ -86,6 +86,9 @@ object StreamingQueries {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    if (sys.env.contains("GRAFT_DEBUG"))
+      q.recentProgress.foreach(p => System.err.println(
+        s"[stream] $name batch=${p.batchId} durationMs=${p.durationMs}"))
     s.table(name)
   }
 

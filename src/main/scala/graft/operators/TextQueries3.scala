@@ -83,14 +83,23 @@ object TextQueries3 {
     // holdout; the model tables are vocabulary-sized.
     "text_nb_langid" -> ((s, d) => {
       import s.implicits._
+      // r20: tokenize ONCE (checkpoint) and derive the per-lang token
+      // totals and the vocabulary size from the (lang, token) COUNT
+      // table instead of re-exploding the corpus for each — identical
+      // integers (Σc per lang IS the lang's token count; distinct tok
+      // of the count table IS the train vocabulary), and 3 full token
+      // passes become 1 at any corpus size (guide §2.4 / plan audit:
+      // 12 parquet scans → 2).
       val docs = documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", $"lang", tokens($"text").as("toks"))
+        .localCheckpoint()
       val train = docs.filter($"doc_id" % 5 =!= 4)
       val trainToks = train.select($"lang", explode($"toks").as("tok"))
       val counts = trainToks.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
-      val totals = trainToks.groupBy($"lang").agg(count(lit(1)).as("t"))
-      val vocab = trainToks.select($"tok").distinct().agg(count(lit(1)).as("v"))
+        .localCheckpoint() // model-table-sized; feeds totals/vocab/scorer
+      val totals = counts.groupBy($"lang").agg(sum($"c").as("t"))
+      val vocab = counts.select($"tok").distinct().agg(count(lit(1)).as("v"))
       val priors = train.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
         .crossJoin(train.agg(count(lit(1)).as("n_all"))) // 1-row side
         .selectExpr("lang",
@@ -124,15 +133,23 @@ object TextQueries3 {
     // ranking window partitions by source over ≤50 rows each.
     "text_source_drift" -> ((s, d) => {
       import s.implicits._
-      val toks = documents(s, d)
+      // r20: ONE token pass builds the (source, token) count table;
+      // the global vocabulary, per-source totals, the grand total AND
+      // the per-source vocab counts all fold from it — identical
+      // integers, 4 full corpus explodes → 1 (plan audit: 10 parquet
+      // scans → 2). The count table is |sources|×|vocab|-sized, the
+      // right pin at any corpus size.
+      val full = documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"source", explode(tokens($"text")).as("tok"))
-      val global = toks.groupBy($"tok").agg(count(lit(1)).as("n_tot"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val global = full.groupBy($"tok").agg(sum($"n").as("n_tot"))
       val vocab = global.orderBy($"n_tot".desc, $"tok".asc).limit(50)
-      val perSrc = toks.join(broadcast(vocab.select($"tok")), Seq("tok"))
-        .groupBy($"source", $"tok").agg(count(lit(1)).as("n_src"))
-      val srcTot = toks.groupBy($"source").agg(count(lit(1)).as("t_src"))
-      val grand = toks.agg(count(lit(1)).as("t_all"))
+      val perSrc = full.join(broadcast(vocab.select($"tok")), Seq("tok"))
+        .select($"source", $"tok", $"n".as("n_src"))
+      val srcTot = full.groupBy($"source").agg(sum($"n").as("t_src"))
+      val grand = full.agg(sum($"n").as("t_all"))
       val w = Window.partitionBy($"source")
         .orderBy($"delta_bp".desc, $"tok".asc)
       perSrc
