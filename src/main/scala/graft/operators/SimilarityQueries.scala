@@ -51,7 +51,17 @@ object SimilarityQueries {
     * driver-side randomness, reproducible across executors. At 100 TB
     * the (table, bucket) equi-join replaces the query×corpus product. */
   private def lshTopK(s: SparkSession, d: String,
-      tables: Int = 4, planes: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+      tables: Int = 4, planes: Int = 4, excludeSelf: Boolean = true): DataFrame =
+    lshSearch(s, d, tables, planes)(excludeSelf)
+
+  /** Builds the LSH tables and the COLLIDED candidate scores once,
+    * returning the search as a closure over the self-exclusion flag
+    * (r20: annCheck runs both retrieval modes — the bucketing, the
+    * candidate join and the cosine scoring are mode-independent, only
+    * the self filter differs, and filtering the scored set before or
+    * after dedup keeps the identical (q, v) set). */
+  private def lshSearch(s: SparkSession, d: String,
+      tables: Int, planes: Int): Boolean => DataFrame = {
     import s.implicits._
     // bucket(t) = 8 sign bits of the projections onto table t's planes
     def bucket(emb: Column, t: Column) =
@@ -76,17 +86,21 @@ object SimilarityQueries {
       embeddings(s, d).filter($"vec_id" < N_QUERIES)
         .select($"vec_id".as("q_id"), $"embedding"))
       .select($"q_id", $"embedding".as("q_emb"), $"tbl", $"bucket")
-    val cand = emb.join(broadcast(queriesDf), Seq("tbl", "bucket"))
-      .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
+    lazy val scoredAll = emb.join(broadcast(queriesDf), Seq("tbl", "bucket"))
       .select($"q_id", $"vec_id", $"q_emb", $"embedding")
       .dropDuplicates("q_id", "vec_id")
-    val scored = cand.select($"q_id", $"vec_id",
-      cosineSimilarity($"q_emb", $"embedding").as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= K)
-      .select($"q_id", $"rank", $"vec_id", $"cosine")
+      .select($"q_id", $"vec_id",
+        cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+      .localCheckpoint() // candidate-set-sized; shared by both modes
+    (excludeSelf: Boolean) => {
+      val scored =
+        if (excludeSelf) scoredAll.filter($"vec_id" =!= $"q_id") else scoredAll
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id", $"cosine")
+    }
   }
 
   /** IVF-style ANN: spherical k-means centroids form the inverted-file
@@ -165,10 +179,15 @@ object SimilarityQueries {
       .partitionBy($"q_id").orderBy($"csim".desc, $"cell".asc)
     val probeCells = probes.withColumn("pr", row_number().over(w0))
       .filter($"pr" <= nProbe).select($"q_id", $"q_emb", $"cell")
+    // r20: the cell-pruned candidate scoring is mode-independent —
+    // pin it once, both annCheck retrieval modes filter the scored set
+    // (the self filter commutes with the scoring projection)
+    lazy val scoredAll = assigned.join(broadcast(probeCells), Seq("cell"))
+      .select($"q_id", $"vec_id", cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+      .localCheckpoint()
     (excludeSelf: Boolean) => {
-      val scored = assigned.join(broadcast(probeCells), Seq("cell"))
-        .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
-        .select($"q_id", $"vec_id", cosineSimilarity($"q_emb", $"embedding").as("cosine"))
+      val scored =
+        if (excludeSelf) scoredAll.filter($"vec_id" =!= $"q_id") else scoredAll
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
       scored.withColumn("rank", row_number().over(w))
@@ -258,10 +277,15 @@ object SimilarityQueries {
       .join(centroids, "m")
       .select($"q_id", $"m", $"cell",
         cosineSimilarity($"q_sub", $"centroid").as("sim"))
+    // r20: the ADC aggregation is mode-independent (the self filter is
+    // on the group keys, so filtering before or after the sum is
+    // identical) — pin it once for both annCheck retrieval modes
+    lazy val adcAll = codes.join(broadcast(lut), codes("m") === lut("m") && $"code" === $"cell")
+      .groupBy($"q_id", $"vec_id").agg(sum($"sim").as("adc"))
+      .localCheckpoint()
     (excludeSelf: Boolean) => {
-      val adc = codes.join(broadcast(lut), codes("m") === lut("m") && $"code" === $"cell")
-        .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
-        .groupBy($"q_id", $"vec_id").agg(sum($"sim").as("adc"))
+      val adc =
+        if (excludeSelf) adcAll.filter($"vec_id" =!= $"q_id") else adcAll
       val w0 = org.apache.spark.sql.expressions.Window
         .partitionBy($"q_id").orderBy($"adc".desc, $"vec_id".asc)
       val cand = adc.withColumn("r", row_number().over(w0)).filter($"r" <= CAND)
@@ -371,12 +395,17 @@ object SimilarityQueries {
           .as(Seq("m", "qsub")))
       .join(pqCent, "m")
       .select($"q_id", $"m", $"code", dotProduct($"qsub", $"pqc").as("rdot"))
+    // r20: the probe join + ADC aggregation are mode-independent (the
+    // self filter is on the group keys) — pin once for both annCheck
+    // retrieval modes
+    lazy val adcAll = codes.join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy($"q_id", $"vec_id")
+      .agg((first($"cdot") + sum($"rdot")).as("adc")) // cdot constant per group
+      .localCheckpoint()
     (excludeSelf: Boolean) => {
-      val adc = codes.join(broadcast(probeCells), Seq("cell"))
-        .filter(if (excludeSelf) $"vec_id" =!= $"q_id" else lit(true))
-        .join(broadcast(lut), Seq("q_id", "m", "code"))
-        .groupBy($"q_id", $"vec_id")
-        .agg((first($"cdot") + sum($"rdot")).as("adc")) // cdot constant per group
+      val adc =
+        if (excludeSelf) adcAll.filter($"vec_id" =!= $"q_id") else adcAll
       val wc = org.apache.spark.sql.expressions.Window
         .partitionBy($"q_id").orderBy($"adc".desc, $"vec_id".asc)
       val cand = adc.withColumn("r", row_number().over(wc)).filter($"r" <= CAND)
@@ -617,7 +646,7 @@ object SimilarityQueries {
     //      neighborhood structure, so per-query floors would overfit
     //      noise; the aggregate floor is the robust invariant.
     "sim_knn_lsh_check" -> ((s, d) =>   // worst-SF measured 4000 bp − 400
-      annCheck(s, d, excl => lshTopK(s, d, 4, 4, excl), minRecallBp = 3600)),
+      annCheck(s, d, lshSearch(s, d, 4, 4), minRecallBp = 3600)),
     "sim_knn_ivf_check" -> ((s, d) =>   // worst-SF measured 4000 bp − 400
       annCheck(s, d, ivfSearch(s, d, 16, 4), minRecallBp = 3600)),
     // PQ re-ranks its top-256 ADC candidates with exact cosine, so its
