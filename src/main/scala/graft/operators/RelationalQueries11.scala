@@ -401,6 +401,7 @@ object RelationalQueries11 {
       val daily = orders(s, d)
         .groupBy(datediff(to_date($"o_orderdate"), lit("1992-01-01")).as("dx"))
         .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("rev"))
+        .localCheckpoint() // r20: calendar-sized; both theta-join sides read it
       val a = daily.select($"dx".as("da"), $"rev".as("ra"))
       val b = daily.select($"dx".as("db"), $"rev".as("rb"))
       val pairs = a.join(b, $"da" < $"db")
@@ -617,6 +618,7 @@ object RelationalQueries11 {
       val rev = lineitem(s, d)
         .groupBy(year($"l_shipdate").as("yr"), $"l_partkey")
         .agg(sum((dec($"l_extendedprice") * 100).cast("long")).as("r"))
+        .localCheckpoint() // r20: feeds the prefix-sum rank AND the year totals — one fact pass
       val (cum, _) = GlobalRank.withPrefixSum(rev, "gcum", $"r",
         Seq($"yr".asc, $"r".desc, $"l_partkey".asc))
       val wOff = Window.orderBy($"yr").rowsBetween(Window.unboundedPreceding, -1)

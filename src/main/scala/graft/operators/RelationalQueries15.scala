@@ -160,6 +160,7 @@ object RelationalQueries15 {
       val idx = capped.select($"day", $"v")
         .withColumn("i", row_number().over(wIdx).cast("long"))
         .select($"i", $"v")
+        .localCheckpoint() // r20: <=2048 rows; both Walsh sides + the nDays count read it
       val walsh = idx.select($"i".as("i1"), $"v".as("v1"))
         .join(idx.select($"i".as("i2"), $"v".as("v2")), $"i1" <= $"i2")
         .selectExpr("i1", "i2", "(v1 + v2) DIV 2 AS w") // non-negative: DIV == //

@@ -406,6 +406,7 @@ object RelationalQueries2 {
       val hourly = events(s, d)
         .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
         .agg(dsum($"value").as("v"))
+        .localCheckpoint() // r20: feeds bounds AND the grid join — one event pass
       val bounds = hourly.groupBy($"user_id")
         .agg(min($"hour").as("lo"), max($"hour").as("hi"))
       val grid = bounds.select($"user_id",
