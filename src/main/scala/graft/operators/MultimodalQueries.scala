@@ -39,8 +39,15 @@ object MultimodalQueries {
         ($"doc_id" % 3 + 1).cast("int").as("px"),
         substring(md5(($"doc_id" % 40).cast("string").cast("binary")), 1, 16)
           .as("bits_hex"))
+      // r20: the documents scan is ONE file at gate SFs → one input
+      // partition, which serialized every ImageIO encode/decode pass
+      // onto a single task. Key the fixture rows by doc_id across the
+      // session's parallelism before the codec seam so the substrate
+      // (and every downstream decode that reads its partitioning)
+      // fans out over all cores.
       graft.multimodal.Multimodal.encodePatternPayloads(
-        meta.select($"doc_id", ($"px" * 8).cast("int").as("scale"), $"bits_hex"))
+        meta.select($"doc_id", ($"px" * 8).cast("int").as("scale"), $"bits_hex")
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id"))
         .localCheckpoint()
     })
   type Q = (SparkSession, String) => DataFrame
@@ -119,7 +126,8 @@ object MultimodalQueries {
         conv(substring(h, 3, 2), 16, 10).cast("int").as("exp_g"),
         conv(substring(h, 5, 2), 16, 10).cast("int").as("exp_b"))
       val payloads = graft.multimodal.Multimodal.encodePayloads(
-        meta.select($"doc_id", $"exp_w", $"exp_h", $"exp_r", $"exp_g", $"exp_b"))
+        meta.select($"doc_id", $"exp_w", $"exp_h", $"exp_r", $"exp_g", $"exp_b")
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")) // r20: codec runs on all cores
       val decoded = graft.multimodal.Multimodal.decodeFeatures(payloads)
       decoded.join(meta, Seq("doc_id"))
         .withColumn("features_match",
@@ -155,7 +163,8 @@ object MultimodalQueries {
         conv(substring(h, 3, 2), 16, 10).cast("int").as("exp_g"),
         conv(substring(h, 5, 2), 16, 10).cast("int").as("exp_b"))
       val payloads = graft.multimodal.Multimodal.encodeJpegPayloads(
-        meta.select($"doc_id", $"exp_w", $"exp_h", $"exp_r", $"exp_g", $"exp_b"))
+        meta.select($"doc_id", $"exp_w", $"exp_h", $"exp_r", $"exp_g", $"exp_b")
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")) // r20: codec runs on all cores
         .withColumn("is_jpeg", hex(substring($"payload", 1, 2)) === "FFD8")
       val decoded = graft.multimodal.Multimodal.decodeFeatures(
         payloads.select($"doc_id", $"payload"))
@@ -256,7 +265,8 @@ object MultimodalQueries {
         .withColumn("hh", md5(concat_ws("#",
           $"doc_id", expr("f div 2")).cast("binary")))
       val payloads = graft.multimodal.Multimodal.encodePayloads(
-        frames.select(($"doc_id" * 16 + $"f").as("doc_id"),
+        frames.repartition(s.sparkContext.defaultParallelism, $"doc_id", $"f") // r20: codec runs on all cores
+          .select(($"doc_id" * 16 + $"f").as("doc_id"),
           lit(8).as("w"), lit(8).as("h"),
           conv(substring($"hh", 1, 2), 16, 10).cast("int").as("r"),
           conv(substring($"hh", 3, 2), 16, 10).cast("int").as("g"),
