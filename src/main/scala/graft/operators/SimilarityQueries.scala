@@ -81,7 +81,8 @@ object SimilarityQueries {
     def withBuckets(df: DataFrame) = df
       .select(col("*"), posexplode(transform(sequence(lit(0), lit(tables - 1)),
         t => bucket(col("embedding"), t))).as(Seq("tbl", "bucket")))
-    val emb = withBuckets(embeddings(s, d).select($"vec_id", $"embedding"))
+    val emb = withBuckets(embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism, $"vec_id")) // r20: single-file scan = 1 partition; bucket math on all cores
     val queriesDf = withBuckets(
       embeddings(s, d).filter($"vec_id" < N_QUERIES)
         .select($"vec_id".as("q_id"), $"embedding"))
@@ -161,7 +162,9 @@ object SimilarityQueries {
   private def ivfSearch(s: SparkSession, d: String,
       kCells: Int, nProbe: Int): Boolean => DataFrame = {
     import s.implicits._
-    val emb = embeddings(s, d).select($"vec_id", $"embedding").cache()
+    val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism, $"vec_id") // r20: 1-partition scan serialized the assignment math
+      .cache()
     val model = lloydCentroids(s, emb, kCells)
     // the built index: cell assignment materialized once (both of
     // annCheck's retrieval modes — and, on a cluster, every query
@@ -224,6 +227,7 @@ object SimilarityQueries {
     import s.implicits._
     val M = 8; val SUB = 8; val KC = 16; val CAND = 256
     val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism, $"vec_id") // r20: 1-partition scan serialized the codebook math
     // corpus exploded once into (vec_id, m, sub): 8-dim subvector rows.
     // Keeping the codebook probe at 16 cosine calls per ROW (the cell
     // index rides element_at over the flat model literal) instead of
@@ -334,7 +338,9 @@ object SimilarityQueries {
       kCells: Int = 16, nProbe: Int = 4): Boolean => DataFrame = {
     import s.implicits._
     val M = 8; val SUB = 8; val KC = 16; val CAND = 256
-    val emb = embeddings(s, d).select($"vec_id", $"embedding").cache()
+    val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism, $"vec_id") // r20: 1-partition scan serialized the assignment math
+      .cache()
     val model = lloydCentroids(s, emb, kCells)
     val centArr = model.sortBy(_._1).map(_._2.toIndexedSeq).toIndexedSeq
     val assigned = emb.withColumn("cell", cellOf($"embedding", model))
