@@ -401,7 +401,6 @@ object RelationalQueries11 {
       val daily = orders(s, d)
         .groupBy(datediff(to_date($"o_orderdate"), lit("1992-01-01")).as("dx"))
         .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("rev"))
-        .localCheckpoint() // r20: calendar-sized; both theta-join sides read it
       val a = daily.select($"dx".as("da"), $"rev".as("ra"))
       val b = daily.select($"dx".as("db"), $"rev".as("rb"))
       val pairs = a.join(b, $"da" < $"db")

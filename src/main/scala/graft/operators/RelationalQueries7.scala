@@ -205,15 +205,7 @@ object RelationalQueries7 {
     // the cut is deterministic; everything after is integer DIV.
     "q119_market_basket" -> ((s, d) => {
       import s.implicits._
-      // r20: ok-keyed BEFORE the distinct — HashPartitioning(ok)
-      // satisfies the (ok, pk) aggregate's distribution, so the
-      // distinct adds no exchange, the checkpointed frame feeds all
-      // four consumers from one fact scan (was 4 scans), and the
-      // within-order self-join below is co-partitioned (zero exchange).
-      val li = lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-        .repartition(s.sparkContext.defaultParallelism, $"ok")
-        .distinct()
-        .localCheckpoint()
+      val li = lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
       val nOrd = li.select($"ok").distinct().agg(count(lit(1)).as("n_ord"))
       val partN = li.groupBy($"pk").agg(count(lit(1)).as("n_part"))
       val pairs = li.as("a").join(li.as("b"),

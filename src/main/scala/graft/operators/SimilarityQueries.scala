@@ -227,7 +227,6 @@ object SimilarityQueries {
     import s.implicits._
     val M = 8; val SUB = 8; val KC = 16; val CAND = 256
     val emb = embeddings(s, d).select($"vec_id", $"embedding")
-      .repartition(s.sparkContext.defaultParallelism, $"vec_id") // r20: 1-partition scan serialized the codebook math
     // corpus exploded once into (vec_id, m, sub): 8-dim subvector rows.
     // Keeping the codebook probe at 16 cosine calls per ROW (the cell
     // index rides element_at over the flat model literal) instead of

@@ -458,7 +458,6 @@ object TextQueries {
         .select($"doc_id", posexplode(ngrams(tokens($"text"), 2)).as(Seq("pos", "bigram")))
       val bc = pos.groupBy($"bigram").agg(count(lit(1)).as("n_bigram"))
         .withColumn("w1", split($"bigram", " ")(0))
-        .localCheckpoint() // bigram-TYPE-table sized; feeds w1c AND the scorer
       val w1c = bc.groupBy($"w1").agg(sum($"n_bigram").as("n_w1"))
       val scored = pos
         .join(bc.select($"bigram", $"n_bigram", $"w1"), Seq("bigram"))
