@@ -54,17 +54,23 @@ object GraphQueries {
       import s.implicits._
       val edges = simEdges(s, d)
       val loopParts = 4
+      // r20 (guide §2.4 — remove the window's exchange + sort from
+      // every round, value-identical): the most-frequent-label winner
+      // is a max(struct(c, -label)) aggregate — lexicographic max
+      // picks the highest count and, on ties, the largest -label =
+      // SMALLEST label, exactly the old (c DESC, label ASC)
+      // row_number()=1 window — so each round is two aggregates
+      // instead of aggregate + re-shuffled sorted window.
       var labels = edges.select($"src".as("doc_id")).distinct()
         .select($"doc_id", $"doc_id".as("label"))
         .repartition(loopParts, $"doc_id").localCheckpoint()
       for (_ <- 1 to 4) {
-        val wv = Window.partitionBy($"dst").orderBy($"c".desc, $"label")
         labels = edges
           .join(labels.select($"doc_id".as("src"), $"label"), Seq("src"))
           .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(wv))
-          .filter($"rn" === 1)
-          .select($"dst".as("doc_id"), $"label")
+          .groupBy($"dst".as("doc_id"))
+          .agg(max(struct($"c", (-$"label").as("nl"))).as("w"))
+          .select($"doc_id", (-$"w.nl").as("label"))
           .repartition(loopParts, $"doc_id")
           .localCheckpoint()
       }
@@ -89,6 +95,10 @@ object GraphQueries {
         .withColumn("dist", lit(0))
         .repartition(loopParts, $"doc_id").localCheckpoint()
       var frontier = visited.select($"doc_id")
+      // r20: visited rides as a lazy union of the pinned hop layers —
+      // one checkpoint job fewer per hop, value-identical (the
+      // anti-join and final census read the same rows; the union plan
+      // stays hop-count-sized over pinned blocks).
       for (h <- 1 to 4) {
         val next = edges
           .join(frontier.select($"doc_id".as("src")), Seq("src"))
@@ -97,7 +107,6 @@ object GraphQueries {
           .withColumn("dist", lit(h))
           .repartition(loopParts, $"doc_id").localCheckpoint()
         visited = visited.union(next)
-          .repartition(loopParts, $"doc_id").localCheckpoint()
         frontier = next.select($"doc_id")
       }
       visited.groupBy($"dist")

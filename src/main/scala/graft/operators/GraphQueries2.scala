@@ -82,8 +82,19 @@ object GraphQueries2 {
     "graph_kcore_peel" -> ((s, d) => {
       import s.implicits._
       var edges = simEdges(s, d)
+      // r20: the per-round census is ONE aggregate job (count +
+      // count_distinct in a single pass over the checkpointed round
+      // state — value-identical to the two separate count() actions it
+      // replaces; guide §1.2, fewer passes) — 2 driver actions fewer
+      // per round, 10 jobs fewer per query at any scale.
+      def census(e: DataFrame): (Long, Long) = {
+        val r = e.agg(count_distinct($"src").as("v"), count(lit(1)).as("c"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
       val out = Seq.newBuilder[(Int, Long, Long)]
-      out += ((0, edges.select($"src").distinct().count(), edges.count()))
+      val c0 = census(edges)
+      out += ((0, c0._1, c0._2))
       for (r <- 1 to ROUNDS) {
         val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
           .filter($"deg" >= K_CORE).select($"src".as("v"))
@@ -92,7 +103,8 @@ object GraphQueries2 {
           .join(keep.select($"v".as("dst")), Seq("dst"), "left_semi")
           .select($"src", $"dst")
           .repartition(4, $"src").localCheckpoint()
-        out += ((r, edges.select($"src").distinct().count(), edges.count()))
+        val cr = census(edges)
+        out += ((r, cr._1, cr._2))
       }
       s.createDataFrame(out.result()).toDF("round", "n_vertices", "n_dir_edges")
         .orderBy($"round")
@@ -191,16 +203,22 @@ object GraphQueries2 {
       import s.implicits._
       val edges = simEdges(s, d)
       val loopParts = 4
+      // r20 (same reshape as graph_label_prop — the two queries must
+      // keep identical labels): the per-vertex winner is a
+      // max(struct(c, -label)) aggregate — lexicographic max picks the
+      // highest count and, on ties, the smallest label, exactly the
+      // old (c DESC, label ASC) row_number window — removing the
+      // window's exchange + sort from every round.
       var labels = edges.select($"src".as("doc_id")).distinct()
         .select($"doc_id", $"doc_id".as("label"))
         .repartition(loopParts, $"doc_id").localCheckpoint()
       for (_ <- 1 to 4) {
-        val wv = Window.partitionBy($"dst").orderBy($"c".desc, $"label")
         labels = edges
           .join(labels.select($"doc_id".as("src"), $"label"), Seq("src"))
           .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(wv)).filter($"rn" === 1)
-          .select($"dst".as("doc_id"), $"label")
+          .groupBy($"dst".as("doc_id"))
+          .agg(max(struct($"c", (-$"label").as("nl"))).as("w"))
+          .select($"doc_id", (-$"w.nl").as("label"))
           .repartition(loopParts, $"doc_id").localCheckpoint()
       }
       val m2 = edges.agg(count(lit(1)).as("m2"))
@@ -306,6 +324,10 @@ object GraphQueries2 {
         .select($"src".as("seed"), $"src".as("node"), lit(0L).as("dist"))
         .repartition(loopParts, $"node").localCheckpoint()
       var frontier = visited.select($"seed", $"node")
+      // (r20 note: a lazy-union visited set was measured here and
+      // REVERTED — the union side of the (seed, node) anti-join
+      // re-shuffled per hop and cost more than the saved checkpoint
+      // job; graph_bfs_reach's smaller doc_id-keyed loop keeps it.)
       for (h <- 1 to 4) {
         val next = capped
           .join(frontier.select($"seed", $"node".as("src")), Seq("src"))

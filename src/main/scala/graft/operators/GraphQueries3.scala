@@ -40,8 +40,17 @@ object GraphQueries3 {
       val rev = capped.select($"dst".as("src"), $"src".as("dst"))
       var sym = capped.join(rev, Seq("src", "dst"), "left_semi")
         .localCheckpoint() // mutual cap: symmetric, degree <= 8
+      // r20: per-round census is ONE aggregate job (count +
+      // count_distinct in a single pass — value-identical to the two
+      // count() actions it replaces; guide §1.2, fewer passes).
+      def census(e: DataFrame): (Long, Long) = {
+        val r = e.agg(count_distinct($"src").as("v"), count(lit(1)).as("c"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
       val out = Seq.newBuilder[(Int, Long, Long)]
-      out += ((0, sym.select($"src").distinct().count(), sym.count()))
+      val c0 = census(sym)
+      out += ((0, c0._1, c0._2))
       for (r <- 1 to ROUNDS) {
         val canon = sym.filter($"src" < $"dst")
           .select($"src".as("u"), $"dst".as("v"))
@@ -53,7 +62,8 @@ object GraphQueries3 {
         sym = keep.select($"u".as("src"), $"v".as("dst"))
           .union(keep.select($"v".as("src"), $"u".as("dst")))
           .repartition(8, $"src").localCheckpoint()
-        out += ((r, sym.select($"src").distinct().count(), sym.count()))
+        val cr = census(sym)
+        out += ((r, cr._1, cr._2))
       }
       s.createDataFrame(out.result()).toDF("round", "n_vertices", "n_dir_edges")
         .orderBy($"round")

@@ -51,6 +51,9 @@ object GraphQueries4 {
     var visited = seed.select($"doc_id").withColumn("dist", lit(0))
       .repartition(loopParts, $"doc_id").localCheckpoint()
     var frontier = visited.select($"doc_id")
+    // (r20 note: a lazy-union visited set was measured here and
+    // REVERTED — across 12 hops the growing union plan's anti-join
+    // side cost more than the saved per-hop checkpoint job.)
     for (h <- 1 to Hops) {
       val next = edges
         .join(frontier.select($"doc_id".as("src")), Seq("src"))

@@ -113,6 +113,9 @@ object GraphQueries5 {
           lit(1L).as("sigma"))
         .repartition(loopParts, $"seed", $"doc_id").localCheckpoint()
       var frontier = levels
+      // (r20 note: a lazy-union levels set was measured here and
+      // REVERTED — the (seed, doc_id) anti-join's union side
+      // re-shuffled per hop, outweighing the saved checkpoint job.)
       for (h <- 1 to BcHops) {
         val next = edges
           .join(frontier.select($"seed", $"doc_id".as("src"), $"sigma"),

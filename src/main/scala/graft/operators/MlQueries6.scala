@@ -203,7 +203,10 @@ object MlQueries6 {
       val r = lineitem(s, d)
         .join(orders(s, d).select($"o_orderkey".as("l_orderkey"), $"o_custkey"),
           Seq("l_orderkey"))
-        .repartition(32, $"o_custkey")
+        // r20: session shuffle-partition count (scale-adaptive) instead
+        // of a hard-coded 32 — identical under the bench contract
+        // (shuffle.partitions = core count), honest on a cluster
+        .repartition(s.sessionState.conf.numShufflePartitions, $"o_custkey")
         .groupBy($"o_custkey".as("c"), $"l_partkey".as("p"))
         .agg(sum($"l_quantity".cast("long")).as("r"))
       val capped = r

@@ -54,8 +54,23 @@ object RelationalQueries8 {
         cum.select(col(colName),
           (lit(2) * col("_cum") - col("cnt") + 1).as(s"r2_$colName"))
       }
+      // r20: the QUANTITY side's value universe is bounded (~50
+      // distinct at any corpus size), so its cumulative count needs no
+      // two-pass GlobalRank (repartitionByRange + checkpoint + driver
+      // collect — 2 jobs); an aggregate-sized broadcast ≤-self-join
+      // computes the identical inclusive prefix inside the main DAG.
+      // The price side keeps GlobalRank (unbounded value set).
+      val r2x = {
+        val counts = base.groupBy($"x").agg(count(lit(1)).as("cnt"))
+        counts.as("a")
+          .join(broadcast(counts.select($"x".as("xb"), $"cnt".as("cntb")).as("b")),
+            $"xb" <= $"a.x")
+          .groupBy($"a.x".as("x"), $"a.cnt".as("cnt"))
+          .agg(sum($"cntb").as("_cum"))
+          .select($"x", (lit(2) * $"_cum" - $"cnt" + 1).as("r2_x"))
+      }
       val withRanks = base
-        .join(broadcast(r2Of("x")), Seq("x"))
+        .join(broadcast(r2x), Seq("x"))
         .join(r2Of("y"), Seq("y"))
       val sums = withRanks.agg(
         count(lit(1)).as("n"),
