@@ -259,8 +259,16 @@ object RelationalQueries5 {
       import s.implicits._
       val p = part(s, d).filter($"p_partkey" < 4000)
         .select($"p_partkey", $"p_name", split($"p_name", " ")(0).as("blk"))
-      p.as("a").join(p.as("b"),
-        $"a.blk" === $"b.blk" && $"a.p_partkey" < $"b.p_partkey")
+      // r20 (guide §2.5, the mm/ANN seam discipline): the filtered part
+      // slice is ONE scan partition at gate SFs, and the blocked self-
+      // join broadcasts the build side — so the probe side (and the
+      // banded-levenshtein verify over every candidate pair, the
+      // query's dominant cost) ran as a single task with the other
+      // cores idle. Keying the probe side across the session's cores
+      // fans the DP kernel out; the pair set and output are unchanged.
+      p.repartition(s.sparkContext.defaultParallelism, $"p_partkey").as("a")
+        .join(p.as("b"),
+          $"a.blk" === $"b.blk" && $"a.p_partkey" < $"b.p_partkey")
         .select($"a.p_partkey".as("p1"), $"b.p_partkey".as("p2"),
           levenshtein($"a.p_name", $"b.p_name", 2).as("lev"))
         .filter($"lev" >= 0)
