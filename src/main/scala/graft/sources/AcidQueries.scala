@@ -47,14 +47,24 @@ object AcidQueries {
         lit("MERGED").as("c_mktsegment"))
   }
 
+  // All ensure* memos key on the shared SparkContext, NOT the calling
+  // SparkSession (r20 optimization): the streaming gate entries each
+  // run on an isolated CHILD session (StreamingQueries.streamSession),
+  // so a session-keyed memo missed on every stream_acid_* invocation
+  // and rebuilt the whole on-disk chain (create/delete/merge/compact,
+  // ~30 jobs ≈ 2 s) per run. The chains live on disk under an
+  // applicationId-stamped root — context-wide sharing is exactly their
+  // isolation granularity; the builders' output is deterministic
+  // (range-partitioned writes, fixed nFiles) regardless of which
+  // session's conf builds first.
   private val chainMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), String]()
 
-  /** Build (once per session × dir) the v0→v3 chain; returns the table
+  /** Build (once per context × dir) the v0→v3 chain; returns the table
     * root. Dir-keyed SHA suffix: same aliasing guard as the bucketed
     * warehouse (two sfDirs in one session get independent tables). */
   private[graft] def ensureChain(s: SparkSession, d: String): String =
-    chainMemo.computeIfAbsent((s, d), { _ =>
+    chainMemo.computeIfAbsent((s.sparkContext, d), { _ =>
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(8).map(b => f"$b%02x").mkString
@@ -78,7 +88,7 @@ object AcidQueries {
     })
 
   private val evoMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), String]()
 
   /** Separate table for the SCHEMA-EVOLUTION entry (its own root so
     * the main chain's pinned version numbers stay stable): v0 =
@@ -87,7 +97,7 @@ object AcidQueries {
     * rewritten (evolution is metadata-only for them; the explicit-
     * schema scan null-fills), upserted rows carry the tier. */
   private[graft] def ensureEvo(s: SparkSession, d: String): String =
-    evoMemo.computeIfAbsent((s, d), { _ =>
+    evoMemo.computeIfAbsent((s.sparkContext, d), { _ =>
       import s.implicits._
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -106,7 +116,7 @@ object AcidQueries {
     })
 
   private val vacMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), String]()
 
   /** Separate chain for the VACUUM entry (its own root — vacuuming the
     * shared chain would break src_time_travel's pinned v0/v1 reads):
@@ -116,7 +126,7 @@ object AcidQueries {
     * format's storage to the retained history. Returns (root,
     * nDeleted). */
   private[graft] def ensureVacuum(s: SparkSession, d: String): String =
-    vacMemo.computeIfAbsent((s, d), { _ =>
+    vacMemo.computeIfAbsent((s.sparkContext, d), { _ =>
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(8).map(b => f"$b%02x").mkString
@@ -133,14 +143,14 @@ object AcidQueries {
     })
 
   private val restoreMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), String]()
 
   /** Chain for the RESTORE entry (own root — restoring the shared
     * chain would move its latest and break the entries pinned to it):
     * v0 create → v1 delete BUILDING → v2 restore(v0). Metadata-only
     * undo: v2's file list IS v0's. */
   private[graft] def ensureRestore(s: SparkSession, d: String): String =
-    restoreMemo.computeIfAbsent((s, d), { _ =>
+    restoreMemo.computeIfAbsent((s.sparkContext, d), { _ =>
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(8).map(b => f"$b%02x").mkString
@@ -155,7 +165,7 @@ object AcidQueries {
     })
 
   private val zorderMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), String]()
 
   /** Separate table for the OPTIMIZE-ZORDER entry: v0 = orders
     * (key o_orderkey, 8 key-range files); v1 = optimizeZorder over
@@ -164,7 +174,7 @@ object AcidQueries {
     * dimension prunes files (Round19Spec pins the pruned file count;
     * the hash gate pins data identity, the compact pattern). */
   private[graft] def ensureZorder(s: SparkSession, d: String): String =
-    zorderMemo.computeIfAbsent((s, d), { _ =>
+    zorderMemo.computeIfAbsent((s.sparkContext, d), { _ =>
       import s.implicits._
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -181,7 +191,7 @@ object AcidQueries {
     })
 
   private val partMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), String]()
 
   /** Table for the PARTITION-COLUMN entry (r19 verdict ask #4): orders
     * keyed by o_orderkey and PARTITIONED by o_month (yyyymm int — the
@@ -191,7 +201,7 @@ object AcidQueries {
     * (Round20Spec pins the count via the manifest); merge prunes on
     * partition AND key range. */
   private[graft] def ensurePartitioned(s: SparkSession, d: String): String =
-    partMemo.computeIfAbsent((s, d), { _ =>
+    partMemo.computeIfAbsent((s.sparkContext, d), { _ =>
       import s.implicits._
       val sfx = java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
