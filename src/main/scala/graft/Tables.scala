@@ -41,6 +41,33 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Fan a NARROW scan out across the session's cores before heavy
+    * per-row work (r20, guide §2.5 input skew): the gate tables land
+    * as single-row-group parquet files, so a scan is ONE partition and
+    * any expensive fused kernel (wide DECIMAL multiply chains, edit
+    * distance, codecs) serializes on one task with the other cores
+    * idle. Scale-adaptive: a scan that already splits (any real table
+    * at production sizes — thousands of row groups) passes through
+    * untouched, so this never adds a fact-table shuffle where the
+    * input's own parallelism is the honest source. Round-robin keeps
+    * aggregate results identical (callers only hang order-independent
+    * aggregates off it). Project BEFORE calling — only the needed
+    * columns should cross the exchange.
+    *
+    * Keyed variant: pass high-cardinality `keys` so the exchange is a
+    * plain HashPartitioning — a keyless round-robin repartition first
+    * LOCALLY SORTS its input (sortBeforeRepartition, the retry-
+    * determinism guard), which on a single-partition scan serializes a
+    * full-table sort onto the one task the fan-out is trying to
+    * relieve (measured: the q113 scan task stayed ~0.8 s round-robin,
+    * drops with hash keys). */
+  def fanOutScan(s: SparkSession, df: DataFrame, keys: Column*): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df
+    else if (keys.nonEmpty) df.repartition(p, keys: _*)
+    else df.repartition(p)
+  }
 }
 
 /** Determinism helpers for DuckDB-oracle parity.

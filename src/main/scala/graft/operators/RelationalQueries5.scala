@@ -32,13 +32,27 @@ object RelationalQueries5 {
     // the z-score prints at %.9f below the ulp noise floor.
     "q83_rolling_anomaly" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-        .rowsBetween(-20, -1)
+      // r20 optimization (guide §1.2 per-task work): the sliding
+      // rowsBetween(-20,-1) aggregates re-scanned the 20-row frame per
+      // row — O(frame·n) DECIMAL multiplies on ≤|event_type| tasks
+      // (the partitioning is semantic, so fan-out can't help). Rewrite
+      // as RUNNING decimal prefix sums + lag: sum over (-20,-1) ≡
+      // prefix(-1) − prefix(-21), n ≡ least(rn−1, 20). Decimal
+      // addition/subtraction is exact, so the prefix difference is the
+      // SAME decimal value the frame sum produced — bit-identical
+      // doubles after the cast (hash-gate invariant). O(n) per row.
+      val wRun = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      val wCum = wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def diff21(c: Column): Column =
+        (lag(c, 1, 0).over(wRun) - lag(c, 21, 0).over(wRun)).cast("double")
       events(s, d)
         .select($"event_type", $"event_id", $"ts", $"value")
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("sx", sum(dec($"value")).over(w).cast("double"))
-        .withColumn("sxx", sum(dec($"value") * dec($"value")).over(w).cast("double"))
+        .withColumn("csx", sum(dec($"value")).over(wCum))
+        .withColumn("csxx", sum(dec($"value") * dec($"value")).over(wCum))
+        .withColumn("n", least(row_number().over(wRun) - 1, lit(20)).cast("long"))
+        .withColumn("sx", diff21($"csx"))
+        .withColumn("sxx", diff21($"csxx"))
+        .drop("csx", "csxx")
         .filter($"n" >= 10)
         .withColumn("mean", $"sx" / $"n")
         .withColumn("variance", ($"sxx" - $"sx" * $"sx" / $"n") / $"n")

@@ -29,7 +29,16 @@ object RelationalQueries7 {
     // combinable at any row count.
     "q113_ols_multiple" -> ((s, d) => {
       import s.implicits._
-      val agg = lineitem(s, d).groupBy($"l_returnflag").agg(
+      // r20: the 10 DECIMAL multiply-sums fuse into the scan, and the
+      // gate's single-row-group lineitem file makes that ONE task —
+      // ~1.5 s of serialized BigDecimal math (ProfDesc: job 6, 3
+      // tasks). Fan the projected columns out first (Tables.fanOutScan
+      // — a no-op once the scan itself splits); the decimal sums are
+      // order-independent, so the result is bit-identical.
+      val li = graft.Tables.fanOutScan(s, lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity", $"l_discount", $"l_extendedprice"),
+        $"l_extendedprice", $"l_quantity")
+      val agg = li.groupBy($"l_returnflag").agg(
         count(lit(1)).as("n"),
         sum(dec($"l_quantity")).cast("double").as("s1"),
         sum(dec($"l_discount")).cast("double").as("s2"),
