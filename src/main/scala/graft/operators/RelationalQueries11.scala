@@ -671,8 +671,10 @@ object RelationalQueries11 {
       val q = (dec($"l_quantity") * 100).cast("long")
       val p = (dec($"l_extendedprice") * 100).cast("long")
       val dc = (dec($"l_discount") * 100).cast("long")
-      val g = lineitem(s, d)
-        .select(q.as("q"), p.as("p"), dc.as("dsc"))
+      // r20: fanOutScan before the nine fused decimal products (the
+      // q113 single-task seam); exact sums are order-independent.
+      val g = graft.Tables.fanOutScan(s, lineitem(s, d)
+          .select(q.as("q"), p.as("p"), dc.as("dsc")), $"p", $"q")
         .groupBy().agg(
           count(lit(1)).as("n"),
           sum($"q".cast(D38)).as("sq"), sum($"p".cast(D38)).as("sp"),

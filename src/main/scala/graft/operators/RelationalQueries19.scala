@@ -268,8 +268,10 @@ object RelationalQueries19 {
     "q269_dagostino_k2" -> ((s, d) => {
       import s.implicits._
       val c = (dec($"l_quantity") * 100).cast("long")
-      val li = lineitem(s, d)
-        .select($"l_returnflag", c.as("c"))
+      // r20: fanOutScan before the fused moment products (the q113
+      // single-task seam); exact decimal sums are order-independent.
+      val li = graft.Tables.fanOutScan(s, lineitem(s, d)
+          .select($"l_returnflag", c.as("c")), $"c")
         .withColumn("c2", $"c" * $"c")
         .withColumn("c3", $"c2" * $"c")
         .withColumn("c4", $"c3" * $"c")

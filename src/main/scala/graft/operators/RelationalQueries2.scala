@@ -96,7 +96,13 @@ object RelationalQueries2 {
     // scalable shape.
     "q43_moment_stats" -> ((s, d) => {
       import s.implicits._
-      lineitem(s, d).groupBy($"l_returnflag")
+      // r20: fan the single-row-group scan out before the fused DECIMAL
+      // multiply-sums (the q113 seam — one task did all the BigDecimal
+      // math); order-independent sums keep the result bit-identical.
+      graft.Tables.fanOutScan(s, lineitem(s, d)
+          .select($"l_returnflag", $"l_quantity", $"l_extendedprice"),
+          $"l_extendedprice", $"l_quantity")
+        .groupBy($"l_returnflag")
         .agg(
           count(lit(1)).as("n"),
           sum(dec($"l_quantity")).cast("double").as("sx"),

@@ -56,7 +56,15 @@ object RelationalQueries4 {
     // oracle checks the invariant (literal TRUE), not the bits.
     "q76_regr_stats" -> ((s, d) => {
       import s.implicits._
-      val sums = lineitem(s, d).groupBy($"l_returnflag")
+      // r20: fanOutScan before the fused decimal multiply-sums (the
+      // q113 single-task seam). The hash-gated columns are exact
+      // decimal sums (order-independent); the native regr_* values may
+      // shift merge order, which the 1e-6-tolerance native_ok flag —
+      // the only column they feed — absorbs by design.
+      val sums = graft.Tables.fanOutScan(s, lineitem(s, d)
+          .select($"l_returnflag", $"l_quantity", $"l_extendedprice"),
+          $"l_extendedprice", $"l_quantity")
+        .groupBy($"l_returnflag")
         .agg(
           count(lit(1)).as("n"),
           sum(dec($"l_quantity")).cast("double").as("sx"),
