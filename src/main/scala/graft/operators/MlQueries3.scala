@@ -68,11 +68,16 @@ object MlQueries3 {
   /** The (x1, x2, y) feature frame, checkpointed so the Newton passes
     * and downstream evaluations share one scan. */
   private def features(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).selectExpr(
+    // r20: fanOutScan before the checkpoint — the single-row-group scan
+    // otherwise pins every Newton/score pass to ONE task (the q113
+    // seam); all consumers aggregate exact integers (order-independent)
+    // or re-rank through GlobalRank, so the results are bit-identical.
+    graft.Tables.fanOutScan(s, lineitem(s, d).selectExpr(
       "concat(CAST(l_orderkey AS STRING), '#', CAST(l_linenumber AS STRING)) AS rkey",
       "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
       "CAST(l_quantity AS BIGINT) - 25 AS x2",
-      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y"),
+      org.apache.spark.sql.functions.col("rkey"))
       .localCheckpoint()
 
   /** Two Newton-IRLS steps from w = 0; returns the single-row

@@ -47,6 +47,23 @@ object MlQueries4 {
       "CAST(l_quantity AS BIGINT) - 25 AS x2",
       "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
 
+  /** [[features]] fanned across the session's cores (Tables.fanOutScan,
+    * keyed on ROW IDENTITY — never a feature key, the PlanSpec
+    * no-feature-key-shuffle contract): for the multi-pass grid-
+    * expansion consumers (adaboost), whose ×28 per-row work otherwise
+    * serializes on the gate's single-row-group scan task. The cheap
+    * one-pass consumers (gaussian_nb) keep the plain scan — measured:
+    * the added exchange costs more than it saves there. */
+  private def featuresFanned(s: SparkSession, d: String): DataFrame =
+    graft.Tables.fanOutScan(s, lineitem(s, d).selectExpr(
+      "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
+      "CAST(l_quantity AS BIGINT) - 25 AS x2",
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+      "l_orderkey", "l_linenumber"),
+      org.apache.spark.sql.functions.col("l_orderkey"),
+      org.apache.spark.sql.functions.col("l_linenumber"))
+      .select("x1", "x2", "y")
+
   /** Shared feature-frame SQL (oracle twin of `features`). */
   private val featSql =
     """SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1,
@@ -156,7 +173,7 @@ object MlQueries4 {
     // total (err, f, thr, pol) order on a 28-row frame.
     "ml_adaboost_stumps" -> ((s, d) => {
       import s.implicits._
-      val t = features(s, d).localCheckpoint()
+      val t = featuresFanned(s, d).localCheckpoint()
       val grid = stumpGrid.toDF("f", "thr", "pol")
       val nRow = t.groupBy().agg(count(lit(1)).as("n"))
       // round 1: error count per candidate (ysgn ∈ {−1,+1})

@@ -42,10 +42,16 @@ object MlQueries5 {
 
   /** The (x1, x2, y) feature frame (shared with MlQueries4). */
   private def features(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).selectExpr(
+    // r20: fanOutScan keyed on the ROW IDENTITY (never a feature key —
+    // the PlanSpec no-feature-key-shuffle contract); see Tables.
+    graft.Tables.fanOutScan(s, lineitem(s, d).selectExpr(
       "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
       "CAST(l_quantity AS BIGINT) - 25 AS x2",
-      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+      "l_orderkey", "l_linenumber"),
+      org.apache.spark.sql.functions.col("l_orderkey"),
+      org.apache.spark.sql.functions.col("l_linenumber"))
+      .select("x1", "x2", "y")
 
   private val featSql =
     """SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1,
@@ -208,10 +214,14 @@ object MlQueries5 {
     // partial+final aggregate — no row-key shuffle anywhere.
     "ml_gbt_stumps" -> ((s, d) => {
       import s.implicits._
-      val t = lineitem(s, d).selectExpr(
+      // r20: fan the single-task scan out keyed on row identity (q113
+      // seam; never a feature key). Exact integer sums only.
+      val t = graft.Tables.fanOutScan(s, lineitem(s, d).selectExpr(
           "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
           "CAST(l_quantity AS BIGINT) - 25 AS x2",
-          "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y")
+          "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y",
+          "l_orderkey", "l_linenumber"), $"l_orderkey", $"l_linenumber")
+        .select("x1", "x2", "y")
         .localCheckpoint()
       val grid = splitGrid.toDF("f", "thr")
       // round 1: argmax of sl²/nl + sr²/nr
@@ -275,10 +285,15 @@ object MlQueries5 {
     // pass against the 8-row broadcast model.
     "ml_bagging_stumps" -> ((s, d) => {
       import s.implicits._
-      val t = lineitem(s, d).selectExpr(
+      // r20: fan the single-task scan out BEFORE the per-row md5 digest
+      // so the digest and every downstream pass run across the
+      // session's cores (q113 seam); keys are the digest inputs.
+      val t = graft.Tables.fanOutScan(s, lineitem(s, d).selectExpr(
           "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
           "CAST(l_quantity AS BIGINT) - 25 AS x2",
           "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+          "l_orderkey", "l_linenumber"), $"l_orderkey", $"l_linenumber")
+        .selectExpr("x1", "x2", "y",
           // ONE digest per row, materialized by the checkpoint — the
           // ×Bags weight expansion below only slices lanes of it
           "md5(concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))) AS hk")

@@ -42,10 +42,21 @@ object MlQueries8 {
           s"r_$metric", Seq(col(metric).desc, $"l_partkey".asc))
         r.select($"l_partkey", col(s"r_$metric"))
       }
-      val n = per.count()
-      val joined = ranked("rev")
-        .join(ranked("qty"), Seq("l_partkey"))
-        .join(ranked("cnt"), Seq("l_partkey"))
+      // r20 (guide §2.6 overlap independent jobs): the three ballot
+      // rank passes and the row count all read the SAME pinned metric
+      // frame and depend only on it — submit them from a thread pool
+      // so each pass's range-partition/checkpoint/offset jobs back-fill
+      // the others' stragglers instead of running strictly serially.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val rankedF = Seq("rev", "qty", "cnt").map(m => Future(ranked(m)))
+      val nF = Future(per.count())
+      val Seq(rRev, rQty, rCnt) = rankedF.map(Await.result(_, Duration.Inf))
+      val n = Await.result(nF, Duration.Inf)
+      val joined = rRev
+        .join(rQty, Seq("l_partkey"))
+        .join(rCnt, Seq("l_partkey"))
         .withColumn("borda",
           lit(3L * n) - $"r_rev" - $"r_qty" - $"r_cnt")
       val top = joined.orderBy($"borda".desc, $"l_partkey".asc).limit(10)
@@ -68,6 +79,9 @@ object MlQueries8 {
 
     "ml_youden_j" -> ((s, d) => {
       import s.implicits._
+      // (r20 note: a fanOutScan was measured here and REVERTED — the
+      // one-pass census is already ~0.34 s; the added exchange cost
+      // more than the widened census saved.)
       val cells = lineitem(s, d).selectExpr(
           "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) - 5 AS x1",
           "CAST(l_quantity AS BIGINT) - 25 AS x2",

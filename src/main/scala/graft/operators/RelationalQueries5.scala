@@ -408,14 +408,31 @@ object RelationalQueries5 {
         .agg(max($"o_orderdate").as("last_order"),
           count(lit(1)).as("freq"),
           sum(dec($"o_totalprice")).as("monetary"))
-      val (r1, n) = GlobalRank.withRank(per, "_rr", Seq($"last_order".desc, $"o_custkey"))
-      val (r2, _) = GlobalRank.withRank(
-        r1.withColumn("r_score", GlobalRank.ntileFromRank($"_rr", n, 5)).drop("_rr"),
-        "_fr", Seq($"freq".desc, $"o_custkey"))
-      val (r3, _) = GlobalRank.withRank(
-        r2.withColumn("f_score", GlobalRank.ntileFromRank($"_fr", n, 5)).drop("_fr"),
-        "_mr", Seq($"monetary".desc, $"o_custkey"))
-      val r = r3.withColumn("m_score", GlobalRank.ntileFromRank($"_mr", n, 5)).drop("_mr")
+        .localCheckpoint() // r20: one orders pass feeds all three ranks
+      // r20 (guide §2.6): the R/F/M ranks are three INDEPENDENT total
+      // orders of the same customer frame — the old chained form ran
+      // three serial range-partition/checkpoint/offset rounds, each
+      // re-shuffling the frame grown by the previous score column.
+      // Rank the three metrics concurrently over the pinned frame and
+      // join the scores back on the key; ranks (and hence ntile
+      // scores) are identical, hash-gated.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      def scored(rankCol: String, scoreCol: String, sort: Seq[org.apache.spark.sql.Column]) =
+        Future {
+          val (rf, n) = GlobalRank.withRank(
+            per.select($"o_custkey", $"last_order", $"freq", $"monetary"), rankCol, sort)
+          rf.select($"o_custkey",
+            GlobalRank.ntileFromRank(col(rankCol), n, 5).as(scoreCol))
+        }
+      val fs = Seq(
+        scored("_rr", "r_score", Seq($"last_order".desc, $"o_custkey")),
+        scored("_fr", "f_score", Seq($"freq".desc, $"o_custkey")),
+        scored("_mr", "m_score", Seq($"monetary".desc, $"o_custkey")))
+      val Seq(rS, fS, mS) = fs.map(Await.result(_, Duration.Inf))
+      val r = per.join(rS, Seq("o_custkey")).join(fS, Seq("o_custkey"))
+        .join(mS, Seq("o_custkey"))
       r.groupBy($"r_score", $"f_score", $"m_score")
         .agg(count(lit(1)).as("n_customers"),
           dsumExpr($"monetary").as("segment_value"))

@@ -27,6 +27,14 @@ object RelationalQueries6 {
       import s.implicits._
       val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
         .rowsBetween(-19, 0)
+      // r20: the weight-mass denominator fold depends only on the
+      // window SIZE (n ≤ 20) — precompute the 20 possible values with
+      // the identical Double recurrence (same IEEE ops, bit-identical)
+      // and look them up, halving the interpreted per-row HOF work
+      // (guide §4: keep non-codegen lambdas out of the hot path). The
+      // numerator fold must see the actual values in order and stays.
+      val denoms: Seq[Double] =
+        Iterator.iterate(0.0)(a => a * 0.9 + 1.0).drop(1).take(20).toSeq
       events(s, d)
         .select($"event_type", $"event_id", $"ts", $"value")
         .withColumn("vals", collect_list($"value").over(w))
@@ -34,7 +42,7 @@ object RelationalQueries6 {
           size($"vals").cast("long").as("n_window"),
           format_string("%.9f",
             aggregate($"vals", lit(0.0), (a, x) => a * lit(0.9) + x) /
-              aggregate($"vals", lit(0.0), (a, _) => a * lit(0.9) + lit(1.0)))
+              element_at(typedlit(denoms), size($"vals")))
             .as("ewma"))
         .orderBy($"event_type", $"event_id")
     }),
