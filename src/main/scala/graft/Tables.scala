@@ -39,7 +39,15 @@ object Tables {
         df.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  /** r20: the documents corpus lands as ONE single-row-group parquet
+    * file at gate SFs, so every text query's tokenize/shingle explode
+    * ran inside a one-task scan (the q113 seam, family-wide). Fan it
+    * out keyed by doc_id — a no-op once the corpus has real file
+    * parallelism (fanOutScan's guard), measured +15–20% on the
+    * tokenize+aggregate shape and neutral on trivial consumers. All
+    * text parity arithmetic is per-doc or order-independent exact. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanOutScan(s, table(s, d, "documents"), col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Fan a NARROW scan out across the session's cores before heavy

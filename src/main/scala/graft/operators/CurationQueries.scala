@@ -53,7 +53,6 @@ object CurationQueries {
       import s.implicits._
       import graft.functions.GraftExpressions.ngrams
       val pos = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", explode(ngrams(tokens($"text"), 2)).as("bigram"))
       val bc = pos.groupBy($"bigram").agg(count(lit(1)).as("n_bigram"))
         .withColumn("w1", split($"bigram", " ")(0))
@@ -98,7 +97,6 @@ object CurationQueries {
     "samp_dsir_weights" -> ((s, d) => {
       import s.implicits._
       val toks = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", $"source",
           posexplode(tokens($"text")).as(Seq("pos", "tok")))
       // r20: both LMs' counts in ONE conditional aggregate pass —
@@ -299,7 +297,6 @@ object CurationQueries {
       import s.implicits._
       import graft.functions.GraftExpressions.ngrams
       documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", explode(ngrams(tokens($"text"), 2)).as("bigram"))
         .select($"doc_id",
           (conv(substring(md5($"bigram".cast("binary")), 1, 15), 16, 10)

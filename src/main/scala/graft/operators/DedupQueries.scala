@@ -25,7 +25,6 @@ object DedupQueries {
   private[operators] def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", shingles3(tokens($"text")).as("sh"))
   }
 
@@ -353,7 +352,6 @@ object DedupQueries {
       import s.implicits._
       import graft.functions.GraftExpressions.ngrams
       documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", explode(ngrams(tokens($"text"), 8)).as("gram"))
         .groupBy($"gram")
         .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
@@ -633,7 +631,6 @@ object DedupQueries {
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sig = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", simhash64(tokens($"text")).as("sim"))
       .localCheckpoint()
     val banded = sig.select($"doc_id", $"sim",

@@ -69,7 +69,6 @@ object DedupQueries6 {
   private def dupAnchorsRun(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val grams = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id",
         posexplode(graft.functions.GraftExpressions.ngrams(
           graft.functions.TextFunctions.tokens($"text"), L)))

@@ -385,7 +385,6 @@ object TextQueries {
     "text_ngram_novelty" -> ((s, d) => {
       import s.implicits._
       val ex = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", explode(shingles3(tokens($"text"))).as("shingle"))
       val first = ex.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
       ex.join(first, Seq("shingle"))
@@ -454,7 +453,6 @@ object TextQueries {
         .select(explode(tokens($"text")).as("tok"))
         .agg(countDistinct($"tok")).head().getLong(0) // model-sized scalar
       val pos = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", posexplode(ngrams(tokens($"text"), 2)).as(Seq("pos", "bigram")))
       val bc = pos.groupBy($"bigram").agg(count(lit(1)).as("n_bigram"))
         .withColumn("w1", split($"bigram", " ")(0))
@@ -478,7 +476,6 @@ object TextQueries {
       import s.implicits._
       import graft.functions.GraftExpressions.ngrams
       val big = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(ngrams(tokens($"text"), 2)).as("bigram"))
         .groupBy($"bigram").agg(count(lit(1)).as("n_bigram"))
         .withColumn("w1", split($"bigram", " ")(0))

@@ -52,7 +52,6 @@ object TextQueries3 {
       import s.implicits._
       import graft.functions.GraftExpressions.ngrams
       val bg = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(ngrams(tokens($"text"), 2)).as("bigram"))
         .select(split($"bigram", " ")(0).as("w1"), split($"bigram", " ")(1).as("w2"))
       val c = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c")).localCheckpoint()
@@ -91,7 +90,6 @@ object TextQueries3 {
       // passes become 1 at any corpus size (guide §2.4 / plan audit:
       // 12 parquet scans → 2).
       val docs = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", $"lang", tokens($"text").as("toks"))
         .localCheckpoint()
       val train = docs.filter($"doc_id" % 5 =!= 4)
@@ -140,7 +138,6 @@ object TextQueries3 {
       // scans → 2). The count table is |sources|×|vocab|-sized, the
       // right pin at any corpus size.
       val full = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
         .select($"source", explode(tokens($"text")).as("tok"))
         .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
         .localCheckpoint()
