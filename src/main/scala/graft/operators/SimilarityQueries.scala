@@ -23,6 +23,23 @@ object SimilarityQueries {
   private val K = 5
   private val N_QUERIES = 5
 
+  /** Run `body` (driver-feedback TRAINING rounds — Lloyd/PQ) with AQE
+    * off (r20, guide §1.2 driver cost): each training round is a
+    * model-sized aggregate over ≤corpus rows whose plan AQE splits
+    * into per-stage materialization jobs — on a 16-cell/64-dim model
+    * that is pure driver round-trip latency (~2 extra job waves per
+    * round, nothing to re-optimize at that size). The SEARCH plans
+    * keep AQE (they join/broadcast at data scale). Float caveat: the
+    * training aggregates' partition layout shifts, which can move
+    * centroid last-ulp bits — inside the rows-only contract of the
+    // approximate entries and the calibrated ≥400 bp recall-floor
+    * margins of their hash-gated _check twins (re-verified below). */
+  private def noAqeTraining[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   /** Exact top-K: broadcast the small query set against the corpus (at
     * 100 TB: corpus stays partitioned, queries broadcast; per-partition
     * top-k then global top-k via the window). */
@@ -138,7 +155,7 @@ object SimilarityQueries {
     * IVF-PQ index trains the identical coarse model; hash-neutral for
     * the existing sim_knn_ivf* entries. */
   private def lloydCentroids(s: SparkSession, emb: DataFrame,
-      kCells: Int): Seq[(Int, Seq[Float])] = {
+      kCells: Int): Seq[(Int, Seq[Float])] = noAqeTraining(s) {
     import s.implicits._
     var model: Seq[(Int, Seq[Float])] = emb
       .orderBy(xxhash64($"vec_id"), $"vec_id").limit(kCells)
@@ -238,9 +255,9 @@ object SimilarityQueries {
         .as(Seq("m", "sub")))
       .cache()
     // deterministic seeds, sliced into per-subspace codebooks
-    val seeds: Array[Seq[Float]] = emb
+    val seeds: Array[Seq[Float]] = noAqeTraining(s) { emb
       .orderBy(xxhash64($"vec_id"), $"vec_id").limit(KC)
-      .select($"embedding").as[Seq[Float]].collect()
+      .select($"embedding").as[Seq[Float]].collect() }
     var model: IndexedSeq[Seq[Float]] = // flat index m*KC + c
       for (m <- 0 until M; c <- 0 until KC)
         yield seeds(c).slice(m * SUB, (m + 1) * SUB).toSeq
@@ -252,10 +269,10 @@ object SimilarityQueries {
       (array_position(sims, array_max(sims)) - 1).cast("int")
     }
     for (_ <- 1 to 2) { // Lloyd: assign (distributed) → mean (grouped)
-      val means = sub
+      val means = noAqeTraining(s) { sub
         .select($"m", codeOf(model).as("cell"), posexplode($"sub").as(Seq("sdim", "x")))
         .groupBy($"m", $"cell", $"sdim").agg(avg($"x").as("mu"))
-        .collect()
+        .collect() }
         .groupBy(r => r.getInt(0) * KC + r.getInt(1))
         .map { case (k, rows) =>
           (k, rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq)
@@ -350,9 +367,9 @@ object SimilarityQueries {
       posexplode(array((0 until M).map(m => slice($"resid", m * SUB + 1, SUB)): _*))
         .as(Seq("m", "sub")))
       .cache()
-    val seeds: Array[Seq[Float]] = assigned
+    val seeds: Array[Seq[Float]] = noAqeTraining(s) { assigned
       .orderBy(xxhash64($"vec_id"), $"vec_id").limit(KC)
-      .select($"resid").as[Seq[Float]].collect()
+      .select($"resid").as[Seq[Float]].collect() }
     var pq: IndexedSeq[Seq[Float]] = // flat index m*KC + c
       (for (m <- 0 until M; c <- 0 until KC)
         yield seeds(c).slice(m * SUB, (m + 1) * SUB).toSeq).toIndexedSeq
@@ -363,10 +380,10 @@ object SimilarityQueries {
       (array_position(sims, array_max(sims)) - 1).cast("int")
     }
     for (_ <- 1 to 2) {
-      val means = sub
+      val means = noAqeTraining(s) { sub
         .select($"m", codeOf(pq).as("code"), posexplode($"sub").as(Seq("sdim", "x")))
         .groupBy($"m", $"code", $"sdim").agg(avg($"x").as("mu"))
-        .collect()
+        .collect() }
         .groupBy(r => r.getInt(0) * KC + r.getInt(1))
         .map { case (k, rows) =>
           (k, rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq)
